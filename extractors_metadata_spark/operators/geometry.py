@@ -1,0 +1,121 @@
+"""Prepared polygon geometry: the broadcastable, vectorized form of the plot dim.
+
+The reference re-reads polygon geometries per query point from a shapefile and
+calls GDAL Contains/Touches/Distance one pair at a time
+(``/root/reference/sensorposition/plotid_by_latlon.py:51-68``); its own comment
+wishes for a cheaper prepared predicate (``:57``). Here "prepared" = all rings
+flattened into padded NumPy edge arrays once, shipped to executors as a Spark
+broadcast, so the PIP/distance kernels run as pure array math over thousands of
+(point, polygon) candidate pairs per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def ring_array(r) -> np.ndarray:
+    """Coerce a ring to an (n, 2) float array — handles plain lists and Spark
+    toPandas' object-dtype ndarray-of-ndarrays for array<array<double>>."""
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in r])
+
+
+class PreparedPolygons:
+    """Padded edge-array form of a polygon table.
+
+    Arrays are (P, K) with K = max ring edge count; shorter rings padded with
+    NaN (NaN comparisons are False, so padded edges never cross or match).
+    """
+
+    def __init__(self, plot_ids: list[str], x1, y1, x2, y2):
+        self.plot_ids = plot_ids
+        self.x1, self.y1, self.x2, self.y2 = x1, y1, x2, y2
+
+    @classmethod
+    def from_pandas(cls, plots: pd.DataFrame, ring_col: str = "ring",
+                    id_col: str = "plot_id") -> "PreparedPolygons":
+        rings = [ring_array(r) for r in plots[ring_col]]
+        # drop explicit closing vertex if present; edges wrap implicitly
+        rings = [r[:-1] if len(r) > 1 and np.allclose(r[0], r[-1]) else r for r in rings]
+        kmax = max(len(r) for r in rings)
+        p = len(rings)
+        x1 = np.full((p, kmax), np.nan)
+        y1 = np.full((p, kmax), np.nan)
+        x2 = np.full((p, kmax), np.nan)
+        y2 = np.full((p, kmax), np.nan)
+        for i, r in enumerate(rings):
+            k = len(r)
+            x1[i, :k] = r[:, 0]
+            y1[i, :k] = r[:, 1]
+            x2[i, :k] = np.roll(r[:, 0], -1)
+            y2[i, :k] = np.roll(r[:, 1], -1)
+        return cls(list(plots[id_col]), x1, y1, x2, y2)
+
+    # --- vectorized predicates over candidate pairs ---------------------------
+
+    def contains(self, poly_idx: np.ndarray, px: np.ndarray, py: np.ndarray,
+                 boundary_eps: float = 1e-12) -> np.ndarray:
+        """Exact ray-cast PIP for pairs (poly_idx[i], (px[i], py[i])).
+
+        Boundary points count as inside — the reference treats Touches as a
+        match (``plotid_by_latlon.py:57``). ``boundary_eps`` (degrees, ~0.1 um)
+        only absorbs float round-off on the on-segment test.
+        """
+        x1 = self.x1[poly_idx]
+        y1 = self.y1[poly_idx]
+        x2 = self.x2[poly_idx]
+        y2 = self.y2[poly_idx]
+        px_ = px[:, None]
+        py_ = py[:, None]
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            crosses = (y1 > py_) != (y2 > py_)
+            x_int = (x2 - x1) * (py_ - y1) / (y2 - y1) + x1
+            inside = (np.where(crosses & (px_ < x_int), 1, 0).sum(axis=1) % 2) == 1
+
+            cross = (x2 - x1) * (py_ - y1) - (y2 - y1) * (px_ - x1)
+            seg_len = np.abs(x2 - x1) + np.abs(y2 - y1)
+            on_line = np.abs(cross) <= boundary_eps * np.maximum(seg_len, 1.0)
+            in_box = (
+                (px_ >= np.minimum(x1, x2) - boundary_eps)
+                & (px_ <= np.maximum(x1, x2) + boundary_eps)
+                & (py_ >= np.minimum(y1, y2) - boundary_eps)
+                & (py_ <= np.maximum(y1, y2) + boundary_eps)
+            )
+            on_boundary = np.any(on_line & in_box, axis=1)
+        return inside | on_boundary
+
+    def distance_m(self, poly_idx: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Min point-to-ring distance in meters (equirectangular local plane,
+        the engine's frozen distance formula — SURVEY.md F11); 0 if inside."""
+        x1 = self.x1[poly_idx]
+        y1 = self.y1[poly_idx]
+        x2 = self.x2[poly_idx]
+        y2 = self.y2[poly_idx]
+        px_ = px[:, None]
+        py_ = py[:, None]
+
+        # project lon/lat deltas to meters around each point's latitude
+        from ..functions.geodesy import R_MEAN
+
+        coslat = np.cos(np.radians(py))[:, None]
+        deg = np.pi / 180.0 * R_MEAN
+
+        ax = (x1 - px_) * coslat * deg
+        ay = (y1 - py_) * deg
+        bx = (x2 - px_) * coslat * deg
+        by = (y2 - py_) * deg
+
+        dx = bx - ax
+        dy = by - ay
+        with np.errstate(invalid="ignore", divide="ignore"):
+            seg_len2 = dx * dx + dy * dy
+            t = np.clip(np.where(seg_len2 > 0, -(ax * dx + ay * dy) / seg_len2, 0.0), 0.0, 1.0)
+            cx = ax + t * dx
+            cy = ay + t * dy
+            d = np.sqrt(cx * cx + cy * cy)
+            d = np.where(np.isnan(d), np.inf, d)
+        dmin = d.min(axis=1)
+        dmin = np.where(self.contains(poly_idx, px, py), 0.0, dmin)
+        return dmin
