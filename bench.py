@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline spatial-join + tiling pipeline plus operator suite.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<q>": sec, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[N] cores     (default 32)
+  SPARK_GRAFT_BENCH_DOCS  synthetic webpage rows for the headline pipeline
+                          (default 150000)
+
+The headline measures end-to-end docs/sec of:
+  synth input_hint table -> JVM parse -> Arrow footprint kernel -> H3/S2 encode
+  -> fused PIP/kNN resolve vs the 864-plot broadcast dim -> z9..14 tile fan-out
+with all results reduced by count() (nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from extractors_metadata_spark.plans.pipeline import run_pipeline
+    from extractors_metadata_spark.session import get_spark
+    from extractors_metadata_spark.synth import plot_rings, synth_webpages
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    timings: dict[str, float] = {}
+    plots_pdf = plot_rings()
+
+    # --- headline: full document pipeline --------------------------------------
+    t0 = time.time()
+    pages = synth_webpages(spark, n_docs)
+    dp, tl = run_pipeline(spark, pages, plots_pdf)
+    n_dp = dp.count()
+    n_tiles = tl.count()
+    t_pipeline = time.time() - t0
+    timings["pipeline_datapoints_tiles"] = round(t_pipeline, 3)
+    docs_per_sec = round(n_docs / t_pipeline, 1)
+
+    # --- operator suite on the driver tables ------------------------------------
+    suite = [
+        "pip_contains", "knn_nearest", "tile_assign", "cells_encode",
+        "q1_pricing", "window_topk", "anti_join",
+        "dedup_exact", "minhash_pairs", "token_stats", "lang_id",
+        "ngram_jaccard", "ann_topk", "ann_ivf", "simhash",
+    ]
+    qs = entrymod.queries()
+    for name in suite:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tile-assignment suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs": n_docs,
+                "datapoints": n_dp,
+                "tiles": n_tiles,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

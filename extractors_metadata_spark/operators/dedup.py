@@ -1,0 +1,262 @@
+"""Deduplication operators for web-scale training data.
+
+Four families, all shuffle-conscious:
+
+- exact:      hash-groupBy on content digest (one shuffle on the digest);
+- MinHash+LSH: shingle -> P permutation-min signatures -> banded bucket join
+              (signatures computed as P JVM ``min(xxhash64(shingle, seed))``
+              aggregations — no Python; candidate pairs only where a band
+              collides, so the pair join never goes quadratic);
+- SimHash:    64 bit-vote aggregations JVM-side -> banded hamming candidates
+              verified with ``bit_count(a ^ b)``;
+- n-gram Jaccard: exact char-n-gram set join for candidate verification
+              (used standalone at small scale, or as the LSH verify stage).
+
+Skew note: shingle/gram explode keys are salted by construction (the join keys
+are hashes — uniform); the only hot-key risk is boilerplate-heavy shingles,
+bounded by ``dropDuplicates`` before the join. At 10^12 docs the LSH band join
+shuffles ~P/r rows per doc, not O(doc^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import fingerprint
+
+
+# --- exact -------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups byte-identical texts; keeps min id as canonical.
+
+    Returns (id, canonical_id, group_size); rows with group_size == 1 are unique.
+    """
+    digest = F.md5(F.col(text_col)).alias("_digest")
+    groups = df.select(F.col(id_col), digest)
+    w_min = groups.groupBy("_digest").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        groups.join(w_min, "_digest")
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on the normalized-content fingerprint (formatting-robust)."""
+    groups = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    agg = groups.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return groups.join(agg, "fp").select(id_col, "fp", "canonical_id", "group_size")
+
+
+# --- shingles / n-grams --------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, w: int = 3) -> DataFrame:
+    """Distinct w-word shingles per doc, built JVM-side (split + slice + explode)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct char n-grams per doc (JVM substring fan-out)."""
+    t = F.lower(F.col(text_col))
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(t, i, n))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .dropDuplicates([id_col, "gram"])
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, shingle_w: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>): permutation-min over xxhash64(shingle, seed_i).
+
+    One shuffle (groupBy id); all P mins computed in a single hash aggregate.
+    """
+    sh = word_shingles(df, text_col, id_col, shingle_w)
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair (a < b).
+
+    Scale shape: explode to bands rows/doc, shuffle on (band, hash), self-join
+    within buckets only.
+    """
+    assert bands * rows_per_band <= 1024
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature slots per pair."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", est.alias("jaccard_est")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.7, num_perm: int = 64, bands: int = 16, shingle_w: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_w)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    est = minhash_jaccard_estimate(sigs, pairs, id_col)
+    return est.filter(F.col("jaccard_est") >= threshold)
+
+
+# --- exact n-gram Jaccard --------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over char n-gram sets for all colliding pairs (a < b).
+
+    Quadratic only within shared-gram groups; use after LSH at scale.
+    """
+    grams = char_ngrams(df, text_col, id_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side: token hash bit votes via 64
+    conditional sums in one aggregate."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)  # bit 63 = sign bit, left 0 to keep ids positive
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(63):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via banded candidates
+    (a pair within hamming 3 shares at least one of 4 16-bit bands)."""
+    width = 64 // bands
+    entries = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a = entries.alias("a")
+    b = entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
 
 from ..functions import hexgrid
+from ..functions.hexgrid import MIN_RES
 from ..functions.spark_udfs import h3_udf
 from .geometry import PreparedPolygons, ring_array
 
@@ -79,6 +80,17 @@ def _prepare(spark, plots: DataFrame | pd.DataFrame):
     return plots_pdf, prep, bc
 
 
+def _ensure_parallel(spark, df: DataFrame) -> DataFrame:
+    """The ring fan-out multiplies work per input row ~10-200x, so a probe
+    frame arriving in fewer partitions than cores (e.g. one small parquet
+    file) would serialize the whole operator. Repartition ONLY when starved —
+    on a well-partitioned 100 TB input this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _contains_udf(bc):
     @pandas_udf("boolean")
     def _f(poly_idx: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -98,13 +110,36 @@ def _distance_udf(bc):
     @pandas_udf("double")
     def _f(poly_idx: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
         prep: PreparedPolygons = bc.value
-        return pd.Series(
-            prep.distance_m(
-                poly_idx.to_numpy(np.int64),
-                lon.to_numpy(np.float64),
-                lat.to_numpy(np.float64),
+        valid = poly_idx.notna().to_numpy()
+        out = np.full(len(poly_idx), np.nan)
+        if valid.any():
+            idx = poly_idx.to_numpy(dtype="float64")[valid].astype(np.int64)
+            out[valid] = prep.distance_m(
+                idx, lon.to_numpy(np.float64)[valid], lat.to_numpy(np.float64)[valid]
             )
-        )
+        return pd.Series(out)
+
+    return _f
+
+
+def _contains_dist_udf(bc):
+    """Fused exact refine: one Arrow pass computes (contains, dist_m) per
+    candidate pair; null poly_idx (no candidate) -> (false, +inf)."""
+
+    @pandas_udf("contains boolean, dist_m double")
+    def _f(poly_idx: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        prep: PreparedPolygons = bc.value
+        valid = poly_idx.notna().to_numpy()
+        out_c = np.zeros(len(poly_idx), dtype=bool)
+        out_d = np.full(len(poly_idx), np.inf)
+        if valid.any():
+            idx = poly_idx.to_numpy(dtype="float64")[valid].astype(np.int64)
+            lo = lon.to_numpy(np.float64)[valid]
+            la = lat.to_numpy(np.float64)[valid]
+            d = prep.distance_m(idx, lo, la)
+            out_c[valid] = d == 0.0
+            out_d[valid] = d
+        return pd.DataFrame({"contains": out_c, "dist_m": out_d})
 
     return _f
 
@@ -132,7 +167,7 @@ def pip_join(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )
 
-    pts = points.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+    pts = _ensure_parallel(spark, points).withColumn("_cell", h3_udf(res)(lat_col, lon_col))
     cand = pts.join(broadcast(poly_cells), pts["_cell"] == poly_cells["cell"], "inner")
     hits = cand.filter(_contains_udf(bc)("poly_idx", lon_col, lat_col)).join(
         broadcast(ids_df), "poly_idx"
@@ -165,6 +200,9 @@ def knn_join(
     plots_pdf, prep, bc = _prepare(spark, plots)
     if res is None:
         res = choose_res(prep)
+        # reach = ring radius x hex pitch; widen the ring (cheap: the fan-out is
+        # integer deltas joined to a broadcast) rather than coarsening the res
+        # (expensive: coarser cells multiply candidates per cell).
     poly_cells = _poly_cells_df(spark, plots_pdf, res)
     ids_df = spark.createDataFrame(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
@@ -173,6 +211,9 @@ def knn_join(
 
     # k-ring fan-out entirely JVM-side: the packed ID is linear in (q, r), so a
     # ring neighbor is cell + dq*2^29 + dr — explode a literal delta array.
+    # INNER broadcast join: the (large) fan-out of ring misses dies inside
+    # whole-stage codegen without ever shuffling; only hits flow on. Narrow
+    # (id, lat, lon) columns throughout; payload joins back at the end.
     deltas = [
         (dq << 29) + dr
         for dq in range(-ring, ring + 1)
@@ -180,41 +221,106 @@ def knn_join(
         if abs(dq + dr) <= ring
     ]
     delta_arr = F.array(*[F.lit(d) for d in deltas])
-    pts = points.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
-    cand = (
-        pts.select("*", F.explode(delta_arr).alias("_d"))
+    narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
+    pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+    dist = _distance_udf(bc)
+    hits = (
+        pts.select(point_id, lat_col, lon_col, F.explode(delta_arr).alias("_d"), "_cell")
         .withColumn("cell", F.col("_cell") + F.col("_d"))
         .join(broadcast(poly_cells), "cell")
-        .dropDuplicates([point_id, "poly_idx"])
-        .drop("cell", "_cell", "_d")
+        .join(broadcast(ids_df), "poly_idx")
     )
 
-    dist = _distance_udf(bc)
+    if k == 1:
+        # k=1 (the reference's case): no dedup, no window — duplicates collapse
+        # inside a map-side-combining min_by; the only shuffle carries one
+        # pre-aggregated row per point.
+        scored = hits.withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
+        best1 = scored.groupBy(point_id).agg(
+            F.min_by(
+                F.struct(F.col("plot_id"), F.col("dist_m")),
+                F.struct(F.col("dist_m"), F.col("plot_id")),
+            ).alias("b")
+        )
+        near1 = best1.select(
+            point_id,
+            F.col("b.plot_id").alias("plot_id"),
+            F.col("b.dist_m").alias("dist_m"),
+            F.lit(1).alias("knn_rank"),
+        )
+        none_ids = narrow.select(point_id).join(
+            best1.select(point_id), point_id, "left_anti"
+        )
+        all_idx1 = spark.createDataFrame(pd.DataFrame({"poly_idx": range(n_polys)}))
+        fb1 = (
+            narrow.join(none_ids, point_id, "left_semi")
+            .crossJoin(broadcast(all_idx1))
+            .join(broadcast(ids_df), "poly_idx")
+            .withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
+            .groupBy(point_id)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("plot_id"), F.col("dist_m")),
+                    F.struct(F.col("dist_m"), F.col("plot_id")),
+                ).alias("b")
+            )
+            .select(
+                point_id,
+                F.col("b.plot_id").alias("plot_id"),
+                F.col("b.dist_m").alias("dist_m"),
+                F.lit(1).alias("knn_rank"),
+            )
+        )
+        return points.join(near1.unionByName(fb1), point_id).select(
+            *points.columns, "plot_id", "dist_m", "knn_rank"
+        )
+
+    cand = (
+        hits.groupBy(point_id, "poly_idx")
+        .agg(
+            F.first(lat_col).alias(lat_col),
+            F.first(lon_col).alias(lon_col),
+            F.first("plot_id").alias("plot_id"),
+        )
+    )
     ranked = cand.withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
 
-    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col("poly_idx").asc())
-    near = (
-        ranked.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .join(broadcast(ids_df), "poly_idx")
-        .select(*points.columns, "plot_id", "dist_m", "knn_rank")
+    # one window pass ranks candidates AND counts them, so exactness routing
+    # (fewer than k in-ring candidates -> full broadcast re-rank) costs no
+    # extra scan. tie-break on distance -> min plot_id (engine-frozen; the
+    # reference's first-scanned order is not reproducible, plotid_by_latlon.py:63-68).
+    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col("plot_id").asc())
+    wc = Window.partitionBy(point_id)
+    ranked = ranked.withColumn("knn_rank", F.row_number().over(w)).withColumn(
+        "_n_cand", F.count("plot_id").over(wc)
     )
 
-    # totality fallback: points with < k ring candidates re-rank vs full dim.
-    # (left_anti on points that produced >= k survivors)
-    enough = near.groupBy(point_id).agg(F.count("*").alias("_n")).filter(F.col("_n") >= min(k, n_polys))
-    missing = points.join(enough.select(point_id), point_id, "left_anti")
+    near = ranked.filter(
+        (F.col("_n_cand") >= min(k, n_polys)) & (F.col("knn_rank") <= k)
+    ).select(point_id, "plot_id", "dist_m", "knn_rank")
+
+    # fallback set = points with SOME but < k candidates (from the window) plus
+    # points with NO candidate at all (anti-join against candidate ids).
+    few_ids = ranked.filter(
+        (F.col("_n_cand") < min(k, n_polys)) & (F.col("knn_rank") == 1)
+    ).select(point_id)
+    none_ids = narrow.select(point_id).join(
+        cand.select(point_id).distinct(), point_id, "left_anti"
+    )
     all_idx = spark.createDataFrame(pd.DataFrame({"poly_idx": range(n_polys)}))
     fb = (
-        missing.crossJoin(broadcast(all_idx))
+        narrow.join(few_ids.unionByName(none_ids), point_id, "left_semi")
+        .crossJoin(broadcast(all_idx))
+        .join(broadcast(ids_df), "poly_idx")
         .withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .join(broadcast(ids_df), "poly_idx")
-        .select(*points.columns, "plot_id", "dist_m", "knn_rank")
+        .select(point_id, "plot_id", "dist_m", "knn_rank")
     )
-    covered = near.join(enough.select(point_id), point_id, "left_semi")
-    return covered.unionByName(fb)
+    out = near.unionByName(fb)
+    return points.join(out, point_id).select(
+        *points.columns, "plot_id", "dist_m", "knn_rank"
+    )
 
 
 def resolve_plots(
@@ -225,19 +331,98 @@ def resolve_plots(
     lat_col: str = "centroid_lat",
     lon_col: str = "centroid_lon",
     res: int | None = None,
+    ring: int = 1,
 ) -> DataFrame:
     """The reference's full lookup semantics (``plotid_by_latlon.py:51-77``):
-    containment first ('contains'), else nearest polygon ('nearest').
+    containment first ('contains'), else nearest polygon ('nearest'); ties on
+    either break to min plot_id (engine-frozen determinism rule).
+
+    FUSED single-pass plan (the 100 TB shape — the points side is scanned once):
+      1. ring fan-out (JVM integer deltas) LEFT-joined to the broadcast
+         (cell, poly) covering table — null candidate marks 'nothing nearby';
+      2. one Arrow pass computes (contains, dist) per candidate pair;
+      3. map-side-combining ``min_by`` picks the best candidate per point
+         (ordering struct: has-candidate, !contains, dist, plot_id) — a single
+         shuffle of pre-aggregated rows, no window sort;
+      4. the (rare) no-candidate points re-rank against the full broadcast dim.
 
     Output: points' columns + plot_id + matched_via.
     """
-    inside = pip_join(spark, points, plots, point_id, lat_col, lon_col, res).withColumn(
-        "matched_via", F.lit("contains")
+    plots_pdf, prep, bc = _prepare(spark, plots)
+    if res is None:
+        res = choose_res(prep)
+    poly_cells = _poly_cells_df(spark, plots_pdf, res)
+    ids_df = spark.createDataFrame(
+        pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )
-    rest = points.join(inside.select(point_id), point_id, "left_anti")
-    nearest = (
-        knn_join(spark, rest, plots, 1, point_id, lat_col, lon_col, res)
-        .drop("dist_m", "knn_rank")
-        .withColumn("matched_via", F.lit("nearest"))
+    cd = _contains_dist_udf(bc)
+
+    deltas = [
+        (dq << 29) + dr
+        for dq in range(-ring, ring + 1)
+        for dr in range(-ring, ring + 1)
+        if abs(dq + dr) <= ring
+    ]
+    delta_arr = F.array(*[F.lit(d) for d in deltas])
+
+    from pyspark import StorageLevel
+
+    # NARROW-FIRST: only (id, lat, lon) flows through the ring fan-out, the
+    # refine kernel, and the aggregation — the wide payload (footprint strings,
+    # metadata) is joined back once at the end. At 100 TB this is the
+    # difference between shuffling ids and shuffling documents.
+    narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
+    pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+    cand = (
+        pts.select("*", F.explode(delta_arr).alias("_d"))
+        .withColumn("cell", F.col("_cell") + F.col("_d"))
+        .join(broadcast(poly_cells), "cell", "left")
+        .join(broadcast(ids_df), "poly_idx", "left")
+        .withColumn("cd", cd("poly_idx", lon_col, lat_col))
     )
-    return inside.unionByName(nearest)
+
+    ord_key = F.struct(
+        F.col("plot_id").isNull().cast("int").alias("no_cand"),
+        (~F.col("cd.contains")).cast("int").alias("not_contains"),
+        F.col("cd.dist_m").alias("dist"),
+        F.coalesce(F.col("plot_id"), F.lit("")).alias("pid"),
+    )
+    val = F.struct(
+        F.col("plot_id").alias("plot_id"), F.col("cd.contains").alias("contains")
+    )
+    # group key = point id only; partial map-side min_by collapses the ring
+    # fan-out before the (single) shuffle.
+    best = (
+        cand.groupBy(point_id, lat_col, lon_col)
+        .agg(F.min_by(val, ord_key).alias("best"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # read by both branches below
+    )
+
+    def _emit(df):
+        return df.select(
+            point_id,
+            F.col("best.plot_id").alias("plot_id"),
+            F.when(F.col("best.contains"), "contains")
+            .otherwise("nearest")
+            .alias("matched_via"),
+        )
+
+    resolved_n = _emit(best.filter(F.col("best.plot_id").isNotNull()))
+
+    # totality fallback: no covering cell within the ring -> broadcast full dim
+    missing = best.filter(F.col("best.plot_id").isNull()).select(point_id, lat_col, lon_col)
+    all_polys = spark.createDataFrame(
+        pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
+    )
+    fb_ord = F.struct(
+        (~F.col("cd.contains")).cast("int").alias("not_contains"),
+        F.col("cd.dist_m").alias("dist"),
+        F.col("plot_id").alias("pid"),
+    )
+    fb = _emit(
+        missing.crossJoin(broadcast(all_polys))
+        .withColumn("cd", cd("poly_idx", lon_col, lat_col))
+        .groupBy(point_id)
+        .agg(F.min_by(val, fb_ord).alias("best"))
+    )
+    return points.join(resolved_n.unionByName(fb), point_id)

@@ -21,15 +21,27 @@ from pyspark.sql.functions import pandas_udf
 from ..functions import tiles
 
 
-def _range_udf(zoom: int):
-    @pandas_udf("x0 long, x1 long, y0 long, y1 long")
+def _ranges_udf(zooms: tuple[int, ...]):
+    @pandas_udf("array<struct<z:int, x0:long, x1:long, y0:long, y1:long>>")
     def _f(min_lat: pd.Series, min_lon: pd.Series,
-           max_lat: pd.Series, max_lon: pd.Series) -> pd.DataFrame:
-        x0, x1, y0, y1 = tiles.bbox_tile_ranges(
-            min_lat.to_numpy(np.float64), min_lon.to_numpy(np.float64),
-            max_lat.to_numpy(np.float64), max_lon.to_numpy(np.float64), zoom,
-        )
-        return pd.DataFrame({"x0": x0, "x1": x1, "y0": y0, "y1": y1})
+           max_lat: pd.Series, max_lon: pd.Series) -> pd.Series:
+        mn_la = min_lat.to_numpy(np.float64)
+        mn_lo = min_lon.to_numpy(np.float64)
+        mx_la = max_lat.to_numpy(np.float64)
+        mx_lo = max_lon.to_numpy(np.float64)
+        per_z = []
+        for z in zooms:
+            x0, x1, y0, y1 = tiles.bbox_tile_ranges(mn_la, mn_lo, mx_la, mx_lo, z)
+            per_z.append((x0, x1, y0, y1))
+        out = [
+            [
+                {"z": z, "x0": int(per_z[j][0][i]), "x1": int(per_z[j][1][i]),
+                 "y0": int(per_z[j][2][i]), "y1": int(per_z[j][3][i])}
+                for j, z in enumerate(zooms)
+            ]
+            for i in range(len(mn_la))
+        ]
+        return pd.Series(out)
 
     return _f
 
@@ -40,25 +52,21 @@ def tile_assign(
     id_cols: tuple[str, ...] = ("url",),
     bbox_cols: tuple[str, str, str, str] = ("min_lat", "min_lon", "max_lat", "max_lon"),
 ) -> DataFrame:
-    """footprints -> one row per (id, z, x, y) tile intersecting the bbox."""
-    parts = []
-    for z in zooms:
-        rng = _range_udf(z)(*bbox_cols)
-        part = (
-            df.select(*id_cols, rng.alias("_r"))
-            .select(
-                *id_cols,
-                F.lit(z).alias("z"),
-                F.explode(F.sequence("_r.x0", "_r.x1")).alias("x"),
-                F.col("_r.y0").alias("_y0"),
-                F.col("_r.y1").alias("_y1"),
-            )
-            .select(
-                *id_cols, "z", "x", F.explode(F.sequence("_y0", "_y1")).alias("y")
-            )
+    """footprints -> one row per (id, z, x, y) tile intersecting the bbox.
+
+    Single pass over the input: one Arrow batch computes all zooms' ranges as
+    an array column, then three JVM explodes (zoom, x, y) generate the rows —
+    the upstream plan is scanned exactly once regardless of len(zooms).
+    """
+    rng = _ranges_udf(tuple(zooms))(*bbox_cols)
+    return (
+        df.select(*id_cols, F.explode(rng).alias("_r"))
+        .select(
+            *id_cols,
+            F.col("_r.z").alias("z"),
+            F.explode(F.sequence("_r.x0", "_r.x1")).alias("x"),
+            F.col("_r.y0").alias("_y0"),
+            F.col("_r.y1").alias("_y1"),
         )
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select(*id_cols, "z", "x", F.explode(F.sequence("_y0", "_y1")).alias("y"))
+    )

@@ -1,0 +1,107 @@
+"""The flagship E1 pipeline: documents -> datapoints + tiles (SURVEY.md §3).
+
+Stage order mirrors the reference sensorposition extractor
+(``/root/reference/sensorposition/terra_sensorposition.py``):
+
+  gates -> parse/clean -> footprint -> cell encode -> site-shortcut split (P10)
+  -> pip/knn plot resolve -> datapoint assembly (D6) -> snapshot write + metrics
+
+Semantics carried over:
+- stream name = sensor + " Datasets" (``terra_sensorposition.py:59``);
+- properties carry source url + dataset name (dpmetadata, ``:60-64``);
+- scan interval start == end == scan_time (``:85,93``);
+- documents that already carry ``site_metadata.sitename`` skip the spatial
+  lookup entirely (``:80-86``) — matched_via = 'site';
+- all others resolve containment-first, nearest-fallback (``plotid_by_latlon.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pip_knn import resolve_plots
+from ..operators.tile_assign import tile_assign
+from .parse import parse_metadata, with_cells, with_footprint
+
+POINT_COLS = [
+    "url", "warc_ts", "lang", "dataset_name", "sensor", "date", "scan_time",
+    "centroid_lat", "centroid_lon", "min_lat", "max_lat", "min_lon", "max_lon",
+    "footprint", "cell_r9", "s2_cell",
+]
+
+
+def _assemble_datapoints(df: DataFrame) -> DataFrame:
+    return df.select(
+        "url",
+        "plot_id",
+        "matched_via",
+        F.col("centroid_lon"),
+        F.col("centroid_lat"),
+        "footprint",
+        "scan_time",
+        "date",
+        F.concat(F.col("sensor"), F.lit(" Datasets")).alias("stream"),
+        F.create_map(
+            F.lit("source_dataset"), F.col("url"),
+            F.lit("dataset_name"), F.col("dataset_name"),
+        ).alias("properties"),
+        "cell_r9",
+        "s2_cell",
+    )
+
+
+def footprints(pages: DataFrame) -> DataFrame:
+    """documents -> per-doc footprint+cells (the reusable front half)."""
+    return with_cells(with_footprint(parse_metadata(pages)))
+
+
+def _resolved(spark: SparkSession, pages: DataFrame, plots) -> DataFrame:
+    """footprints + plot resolution, materialized exactly once.
+
+    The front half feeds BOTH the site-shortcut branch and the lookup branch,
+    so it is persisted before the split (a cluster deployment would write a
+    stage snapshot instead — same single-compute guarantee, see
+    sources/snapshot.py).
+    """
+    from pyspark import StorageLevel
+
+    fp = (
+        footprints(pages)
+        .select(*POINT_COLS, "sitename")
+        .observe("footprints", F.count(F.lit(1)).alias("rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # P10 split: known site -> no lookup; plot id parsed from the sitename tail
+    # ("Maricopa plot 42-3" -> "42-3", mirroring the reference passing sitename
+    # straight to geostreams, terra_sensorposition.py:80-86).
+    with_site = fp.filter(F.col("sitename").isNotNull()).withColumn(
+        "plot_id", F.element_at(F.split(F.col("sitename"), " "), -1)
+    ).withColumn("matched_via", F.lit("site")).drop("sitename")
+    needs_lookup = fp.filter(F.col("sitename").isNull()).drop("sitename")
+    resolved = resolve_plots(spark, needs_lookup, plots).unionByName(with_site)
+    # datapoints and tiles both fan out from here
+    return resolved.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def datapoints(spark: SparkSession, pages: DataFrame, plots) -> DataFrame:
+    """Full resolve: one datapoint per doc with positional metadata."""
+    return _assemble_datapoints(_resolved(spark, pages, plots))
+
+
+def tiles_for(datapoints_df: DataFrame, zooms=(9, 10, 11, 12, 13, 14)) -> DataFrame:
+    """Tile assignment needs the bbox columns — run on the footprint frame."""
+    return tile_assign(datapoints_df, zooms=zooms)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    plots,
+    zooms=(9, 10, 11, 12, 13, 14),
+) -> tuple[DataFrame, DataFrame]:
+    """(datapoints, tiles) with observed metrics (A3/A5 analog: the reference's
+    created/bytes counters become a Spark observation)."""
+    resolved = _resolved(spark, pages, plots)
+    return _assemble_datapoints(resolved), tile_assign(resolved, zooms=zooms)

@@ -1,0 +1,148 @@
+"""Iceberg-style snapshot tables: immutable data files + JSON manifests,
+per-file lineage, and gap-only resume.
+
+No Iceberg runtime jar ships in this sandbox (verified: pyspark/jars has none),
+so the engine implements the snapshot *semantics* the north rule requires on
+plain parquet:
+
+- a table directory holds ``data/snap-NNNNN/`` immutable parquet dirs plus
+  ``snapshots/snap-NNNNN.json`` manifests and a ``snapshots/current`` pointer;
+- each manifest records parent snapshot, row count, per-file row counts
+  (file-level lineage, like Iceberg manifest entries), wall time and rows/sec;
+- ``resume_gap`` anti-joins the input against already-committed keys so a
+  killed run reprocesses only the gap (reference analog: the repairer's
+  "check outputs exist, redo only missing" loop,
+  ``/root/reference/repairer/terra_repairer.py:41-66``, and the
+  skip-if-already-processed gate ``terra_sensorposition.py:31-37``);
+- ``replace`` snapshots supersede all parents (the reference's
+  delete-then-reupload metadata cycle, ``terra_mdcleaner.py:64-67,93-94``).
+
+On a real cluster the same layout works on any Hadoop-compatible FS; commits
+are atomic via manifest-file rename-into-place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _snap_ids(table_path: str) -> list[int]:
+    d = os.path.join(table_path, "snapshots")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[5:-5]) for f in os.listdir(d) if f.startswith("snap-") and f.endswith(".json")
+    )
+
+
+def _load_manifest(table_path: str, snap_id: int) -> dict:
+    with open(os.path.join(table_path, "snapshots", f"snap-{snap_id:05d}.json")) as f:
+        return json.load(f)
+
+
+def live_snapshots(table_path: str) -> list[dict]:
+    """Manifests contributing to the current table state (after the last
+    'replace' snapshot, inclusive)."""
+    manifests = [_load_manifest(table_path, i) for i in _snap_ids(table_path)]
+    live: list[dict] = []
+    for m in manifests:
+        if m["mode"] == "replace":
+            live = [m]
+        else:
+            live.append(m)
+    return live
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Commit ``df`` as a new immutable snapshot; returns the manifest."""
+    assert mode in ("append", "replace")
+    ids = _snap_ids(table_path)
+    snap_id = (ids[-1] + 1) if ids else 0
+    data_dir = os.path.join(table_path, "data", f"snap-{snap_id:05d}")
+    t0 = time.time()
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    elapsed = time.time() - t0
+
+    spark = df.sparkSession
+    # file-level lineage from the committed files themselves (manifest entries)
+    lineage = [
+        {"file": r["f"], "rows": r["rows"]}
+        for r in spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    ]
+    total = sum(e["rows"] for e in lineage)
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": ids[-1] if ids else None,
+        "uuid": str(uuid.uuid4()),
+        "mode": mode,
+        "data_dir": data_dir,
+        "rows": total,
+        "files": lineage,
+        "wall_s": round(elapsed, 4),
+        "rows_per_sec": round(total / elapsed, 2) if elapsed > 0 else None,
+        "partition_by": list(partition_by),
+    }
+    snap_dir = os.path.join(table_path, "snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, f".tmp-{manifest['uuid']}.json")
+    final = os.path.join(snap_dir, f"snap-{snap_id:05d}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, final)  # atomic commit
+    with open(os.path.join(snap_dir, "current"), "w") as f:
+        f.write(str(snap_id))
+    return manifest
+
+
+def read_table(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Current table state = union of live snapshots' data dirs."""
+    live = live_snapshots(table_path)
+    if not live:
+        return None
+    dirs = [m["data_dir"] for m in live if m["rows"] > 0]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def resume_gap(spark: SparkSession, input_df: DataFrame, table_path: str, key_col: str) -> DataFrame:
+    """Rows of ``input_df`` whose key is not yet committed (anti-join)."""
+    existing = read_table(spark, table_path)
+    if existing is None:
+        return input_df
+    return input_df.join(existing.select(key_col).distinct(), key_col, "left_anti")
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_df: DataFrame,
+    table_path: str,
+    key_col: str,
+    transform,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Idempotent stage runner: process only the gap, commit a snapshot.
+
+    ``transform``: DataFrame -> DataFrame (must preserve ``key_col``).
+    Re-running after a kill (or running twice) never duplicates keys.
+    """
+    todo = resume_gap(spark, input_df, table_path, key_col)
+    out = transform(todo)
+    return write_snapshot(out, table_path, "append", partition_by)

@@ -107,7 +107,7 @@ def test_resolve_matches_bruteforce(spark, points, plots_pdf, prep):
             exp = (min(ids[c]), "contains")
         else:
             d = prep.distance_m(idx, px, py)
-            exp = (prep.plot_ids[int(np.lexsort((idx, d))[0])], "nearest")
+            exp = (str(ids[np.lexsort((ids, d))[0]]), "nearest")
         assert got[row.url] == exp, row.url
 
 
@@ -125,8 +125,9 @@ def test_knn_k3_sorted_and_exact(spark, plots_pdf, prep):
         px, py = [p for p in pts if p[0] == url][0][2], [p for p in pts if p[0] == url][0][1]
         idx = np.arange(len(prep.plot_ids))
         d = prep.distance_m(idx, np.full(len(idx), px), np.full(len(idx), py))
-        order = np.lexsort((idx, d))[:3]
-        assert [r.plot_id for r in rows] == [prep.plot_ids[i] for i in order]
+        ids_arr = np.array(prep.plot_ids)
+        order = np.lexsort((ids_arr, d))[:3]
+        assert [r.plot_id for r in rows] == [str(ids_arr[i]) for i in order]
 
 
 def test_tile_assign_matches_formula(spark, points):
