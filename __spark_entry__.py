@@ -393,6 +393,42 @@ def q_embed_near_pairs(spark, sf_dir):
     )
 
 
+def q_multi_render(spark, sf_dir):
+    """F17: one parse -> JSON/XML/CDL renderings (rows-only: html-derived)."""
+    from extractors_metadata_spark.plans.parse import parse_metadata
+    from extractors_metadata_spark.plans.render import multi_render
+    from extractors_metadata_spark.synth import synth_webpages
+
+    n = max(1000, int(100_000 * _sf_of(sf_dir)))
+    return multi_render(parse_metadata(synth_webpages(spark, n)))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column decode plumbing, stubbed codec (rows-only)."""
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
+    from extractors_metadata_spark.synth import synth_webpages
+
+    n = max(500, int(50_000 * _sf_of(sf_dir)))
+    return decode_image_features(synth_webpages(spark, n), n_features=8)
+
+
+def q_extract_text_verify(spark, sf_dir):
+    """The byte-identical invariant as a query: re-extract text from html and
+    count matches (rows-only; the pytest goldens hash-lock the function)."""
+    from extractors_metadata_spark.functions.spark_udfs import extract_text_udf
+    from extractors_metadata_spark.synth import synth_webpages
+
+    n = max(1000, int(100_000 * _sf_of(sf_dir)))
+    pages = synth_webpages(spark, n)
+    return (
+        pages.withColumn("re_extracted", extract_text_udf()("html"))
+        .select(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("re_extracted") == F.col("text")).cast("int")).alias("n_identical"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains": q_pip_contains,
@@ -425,6 +461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embed_near_pairs": q_embed_near_pairs,
+        "multi_render": q_multi_render,
+        "multimodal_features": q_multimodal_features,
+        "extract_text_verify": q_extract_text_verify,
     }
 
 

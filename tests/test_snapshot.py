@@ -1,0 +1,78 @@
+"""Snapshot manifests, lineage, and kill-resume semantics (SURVEY §2.10 T4)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractors_metadata_spark.sources import snapshot as snap
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_write_read_roundtrip(spark, table):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    m = snap.write_snapshot(df, table)
+    assert m["rows"] == 100
+    assert m["snapshot_id"] == 0
+    assert m["parent_id"] is None
+    assert m["rows_per_sec"] is None or m["rows_per_sec"] > 0
+    assert sum(e["rows"] for e in m["files"]) == 100  # per-file lineage
+    back = snap.read_table(spark, table)
+    assert back.count() == 100
+
+
+def test_append_and_replace(spark, table):
+    snap.write_snapshot(spark.range(0, 50), table)
+    m2 = snap.write_snapshot(spark.range(50, 80), table)
+    assert m2["parent_id"] == 0
+    assert snap.read_table(spark, table).count() == 80
+    snap.write_snapshot(spark.range(0, 10), table, mode="replace")
+    assert snap.read_table(spark, table).count() == 10
+    assert [m["snapshot_id"] for m in snap.live_snapshots(table)] == [2]
+
+
+def test_resume_gap_processes_only_missing(spark, table):
+    inp = spark.range(100).withColumnRenamed("id", "k")
+    first = inp.filter(F.col("k") < 40)
+    snap.write_snapshot(first, table)
+    gap = snap.resume_gap(spark, inp, table, "k")
+    assert gap.count() == 60
+    assert gap.agg(F.min("k")).collect()[0][0] == 40
+
+
+def test_run_incremental_idempotent(spark, table):
+    """Kill-and-resume: re-running never duplicates; final state equals a
+    single full run (order-insensitive)."""
+    inp = spark.range(100).withColumnRenamed("id", "k")
+
+    def transform(df):
+        return df.withColumn("out", F.col("k") * 10)
+
+    # simulated partial run (killed after 30 keys committed)
+    snap.write_snapshot(transform(inp.filter(F.col("k") < 30)), table)
+    # resume: full input again
+    m = snap.run_incremental(spark, inp, table, "k", transform)
+    assert m["rows"] == 70  # only the gap
+    final = snap.read_table(spark, table)
+    assert final.count() == 100
+    assert final.select("k").distinct().count() == 100
+    # re-run once more: nothing to do
+    m2 = snap.run_incremental(spark, inp, table, "k", transform)
+    assert m2["rows"] == 0
+    assert snap.read_table(spark, table).count() == 100
+    # equals single-run table
+    single = transform(inp)
+    assert (
+        final.orderBy("k").collect() == single.orderBy("k").collect()
+    )
+
+
+def test_manifest_files_on_disk(spark, table):
+    snap.write_snapshot(spark.range(10), table)
+    snaps = os.listdir(os.path.join(table, "snapshots"))
+    assert "snap-00000.json" in snaps
+    assert "current" in snaps

@@ -1,0 +1,72 @@
+"""Streaming veneer (drain + resume + idempotency) and multimodal stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractors_metadata_spark.sources import snapshot as snap
+from extractors_metadata_spark.synth import plot_rings, synth_webpages
+
+
+@pytest.fixture(scope="module")
+def plots_pdf():
+    return plot_rings()
+
+
+def test_stream_drain_and_idempotent_restart(spark, tmp_path_factory, plots_pdf):
+    from extractors_metadata_spark.streaming.stream import stream_pipeline
+
+    base = tmp_path_factory.mktemp("stream")
+    input_dir = str(base / "in")
+    table = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    pages = synth_webpages(spark, 300)
+    pages.limit(200).write.parquet(input_dir)
+
+    q = stream_pipeline(spark, input_dir, table, ckpt, plots_pdf)
+    q.awaitTermination(300)
+    n1 = snap.read_table(spark, table).count()
+    assert n1 > 0
+
+    # new files arrive; restart drains ONLY the new ones (checkpoint resume),
+    # and re-delivered urls are skipped (snapshot anti-join)
+    pages.write.mode("append").parquet(input_dir)  # 300 rows incl. the 200 dups
+    q2 = stream_pipeline(spark, input_dir, table, ckpt, plots_pdf)
+    q2.awaitTermination(300)
+    final = snap.read_table(spark, table)
+    total_unique = pages.select("url").distinct().count()
+    # every url with positional metadata appears exactly once
+    assert final.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    assert final.count() == final.select("url").distinct().count() <= total_unique
+
+
+def test_decode_image_features_shapes(spark):
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
+
+    pages = synth_webpages(spark, 50)
+    out = decode_image_features(pages, n_features=8).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.width >= 320 and r.height >= 240 and r.channels == 3
+        assert len(r.features) == 8
+    # deterministic: same payload -> same features
+    out2 = decode_image_features(pages, n_features=8).collect()
+    assert {(r.url, tuple(r.features)) for r in out} == {(r.url, tuple(r.features)) for r in out2}
+
+
+def test_decode_real_path_is_explicit_stub(spark):
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
+
+    pages = synth_webpages(spark, 5)
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        decode_image_features(pages, real_decode=True).collect()
+
+
+def test_sample_frames_fanout(spark):
+    from extractors_metadata_spark.multimodal.binary_ops import sample_frames
+
+    pages = synth_webpages(spark, 10)
+    out = sample_frames(pages, every_n=5, n_frames=4).collect()
+    assert len(out) == 40
+    idxs = sorted({r.frame_idx for r in out})
+    assert idxs == [0, 5, 10, 15]

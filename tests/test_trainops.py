@@ -1,0 +1,184 @@
+"""Dedup / similarity / text-stat operators: semantic correctness vs NumPy
+brute force on small data (the DuckDB oracles cover the SQL-expressible ones)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (3, "The Quick Brown Fox, jumps over the lazy dog!"),  # formatting dup
+        (4, "completely different content about spark engines"),
+        (5, "der schnelle braune fuchs springt ueber den faulen hund und das ist gut"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_dedup_exact(spark, docs):
+    from extractors_metadata_spark.operators.dedup import dedup_exact
+
+    out = {r.doc_id: (r.canonical_id, r.group_size) for r in dedup_exact(docs).collect()}
+    assert out[0] == (0, 2)
+    assert out[1] == (0, 2)
+    assert out[2][1] == 1
+    assert out[4][1] == 1
+
+
+def test_dedup_fingerprint_formatting_robust(spark, docs):
+    from extractors_metadata_spark.operators.dedup import dedup_fingerprint
+
+    out = {r.doc_id: r.canonical_id for r in dedup_fingerprint(docs).collect()}
+    # 0, 1, 3 normalize identically (case/punct-insensitive)
+    assert out[0] == out[1] == out[3] == 0
+    assert out[4] == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from extractors_metadata_spark.operators.dedup import minhash_lsh_dedup
+
+    # word-unigram shingles for these 9-token docs (w=3 shingle similarity is
+    # ~0.4, below reliable banding reach at 16x4)
+    pairs = {(r.id_a, r.id_b): r.jaccard_est for r in
+             minhash_lsh_dedup(docs.filter(F.length("text") > 0), threshold=0.4,
+                               shingle_w=1).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical docs
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # one-word edit caught
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_estimate_vs_true_jaccard(spark):
+    from extractors_metadata_spark.operators.dedup import (
+        minhash_signatures,
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+    )
+
+    base = "w%d " * 50
+    a = base % tuple(range(50))
+    b = base % tuple(list(range(40)) + list(range(100, 110)))  # ~40/60 shingle overlap
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": [a, b]}))
+    sigs = minhash_signatures(df, num_perm=128, shingle_w=3)
+    pairs = lsh_candidate_pairs(sigs, bands=32, rows_per_band=4)
+    est = minhash_jaccard_estimate(sigs, pairs).collect()
+    if est:  # banding may or may not fire at this similarity; if it does, check
+        # true shingle jaccard: |A∩B|/|A∪B| with w=3 shingles
+        def sh(t):
+            toks = t.split()
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        true_j = len(sh(a) & sh(b)) / len(sh(a) | sh(b))
+        assert est[0].jaccard_est == pytest.approx(true_j, abs=0.15)
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    from extractors_metadata_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sh = simhash(docs.filter(F.length("text") > 0)).cache()
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert vals[0] == vals[1]  # identical docs -> identical simhash
+    assert bin(vals[0] ^ vals[2]).count("1") < bin(vals[0] ^ vals[4]).count("1")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(sh, max_hamming=10).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    from extractors_metadata_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs.filter(F.length("text") > 0), n=3, threshold=0.0).collect()}
+
+    def grams(t, n=3):
+        t = t.lower()
+        if len(t) < n:
+            return {t}
+        return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for (a, b), j in out.items():
+        ga, gb = grams(texts[a]), grams(texts[b])
+        assert j == pytest.approx(round(len(ga & gb) / len(ga | gb), 6), abs=1e-9)
+
+
+def test_brute_force_topk_exact(spark):
+    from extractors_metadata_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = brute_force_topk(df.filter(F.col("vec_id") < 3), df, k=4).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        exp = np.argsort(-s, kind="stable")[:4]
+        got = sorted([r for r in out if r.query_id == q], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in got] == exp.tolist()
+        for r, e in zip(got, exp):
+            assert r.sim == pytest.approx(round(float(sims[q][e]), 6), abs=2e-6)
+
+
+def test_ivf_recall_floor(spark):
+    from extractors_metadata_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    ).cache()
+    q = df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, df, k=5).collect()
+    approx = ivf_topk(spark, q, df, k=5, nlist=8, nprobe=4, sample_n=300).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = total = 0
+    for r in approx:
+        total += 1
+        hit += r.neighbor_id in exact_sets[r.query_id]
+    assert total > 0
+    assert hit / total >= 0.5  # recall floor with nprobe=nlist/2
+
+
+def test_cosine_near_pairs_finds_duplicates(spark):
+    from extractors_metadata_spark.operators.similarity import cosine_near_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    dup = base[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup of 0
+    vecs = np.vstack([base, dup[None, :]])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(21), "embedding": [v.tolist() for v in vecs]})
+    )
+    pairs = {(r.id_a, r.id_b) for r in cosine_near_pairs(df, dim=16, threshold=0.99, n_bits=6).collect()}
+    assert (0, 20) in pairs
+
+
+def test_textstats_edge_cases(spark):
+    from extractors_metadata_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "   ", "one two THREE!!"]})
+    )
+    out = df.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("tok"),
+        ts.punct_ratio(F.col("text")).alias("punct"),
+        ts.lang_id(F.col("text")).alias("lang"),
+        ts.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[0].tok == 0 and by[1].tok == 0
+    assert by[2].tok == 3
+    assert by[2].punct == pytest.approx(2 / 15)
+    assert by[0].lang == "unknown"
+    assert 0.0 <= by[2].q <= 1.0
