@@ -393,6 +393,24 @@ def q_embed_near_pairs(spark, sf_dir):
     )
 
 
+def q_prefix_remap(spark, sf_dir):
+    # P11: longest-prefix mount-path rewrite (terra_mdcleaner.py:118-125)
+    from extractors_metadata_spark.functions.textstats import remap_prefix
+
+    e = _t(spark, sf_dir, "events")
+    path = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("/gantry_data/raw/"), F.col("event_type"), F.lit("/"), F.col("event_id").cast("string")),
+    ).when(
+        F.col("event_id") % 3 == 1,
+        F.concat(F.lit("/gantry_data/derived/"), F.col("event_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/other/"), F.col("event_id").cast("string")))
+    remapped = remap_prefix(
+        path, {"/gantry_data/raw/": "/home/extractor/raw/", "/gantry_data/": "/data/"}
+    )
+    return e.select("event_id", remapped.alias("path"))
+
+
 def q_multi_render(spark, sf_dir):
     """F17: one parse -> JSON/XML/CDL renderings (rows-only: html-derived)."""
     from extractors_metadata_spark.plans.parse import parse_metadata
@@ -461,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embed_near_pairs": q_embed_near_pairs,
+        "prefix_remap": q_prefix_remap,
         "multi_render": q_multi_render,
         "multimodal_features": q_multimodal_features,
         "extract_text_verify": q_extract_text_verify,
@@ -586,6 +605,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    string_split('https://host.example/datasets' || '/' || event_type || '/' || event_id, '/')[-1] AS tail
             FROM events
+        """,
+        "prefix_remap": """
+            WITH p AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                          THEN '/gantry_data/raw/' || event_type || '/' || event_id
+                          WHEN event_id % 3 = 1
+                          THEN '/gantry_data/derived/' || event_id
+                          ELSE '/other/' || event_id END AS path
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN path LIKE '/gantry_data/raw/%'
+                        THEN '/home/extractor/raw/' || substr(path, 18)
+                        WHEN path LIKE '/gantry_data/%'
+                        THEN '/data/' || substr(path, 14)
+                        ELSE path END AS path
+            FROM p
         """,
         "dedup_exact": """
             SELECT doc_id,

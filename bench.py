@@ -33,7 +33,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import __spark_entry__ as entrymod
-    from extractors_metadata_spark.plans.pipeline import run_pipeline
+    from extractors_metadata_spark.plans.pipeline import run_pipeline_counts
     from extractors_metadata_spark.session import get_spark
     from extractors_metadata_spark.synth import plot_rings, synth_webpages
 
@@ -50,10 +50,8 @@ def main() -> None:
 
     # --- headline: full document pipeline --------------------------------------
     t0 = time.time()
-    pages = synth_webpages(spark, n_docs)
-    dp, tl = run_pipeline(spark, pages, plots_pdf)
-    n_dp = dp.count()
-    n_tiles = tl.count()
+    pages = synth_webpages(spark, n_docs, partitions=cpus * 2)
+    n_dp, n_tiles = run_pipeline_counts(spark, pages, plots_pdf)
     t_pipeline = time.time() - t0
     timings["pipeline_datapoints_tiles"] = round(t_pipeline, 3)
     docs_per_sec = round(n_docs / t_pipeline, 1)

@@ -100,6 +100,20 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def remap_prefix(col: Column, mapping: dict[str, str]) -> Column:
+    """Longest-prefix path rewrite (P11): the reference's ``remapMountPath``
+    (``/root/reference/cleaner/terra_mdcleaner.py:118-125``) as a codegen'd
+    CASE chain ordered by prefix length (longest wins), identity fallback."""
+    out = col
+    for prefix in sorted(mapping, key=len):  # build shortest->longest so the
+        # longest prefix ends up outermost in the when-chain (checked first)
+        out = F.when(
+            col.startswith(prefix),
+            F.concat(F.lit(mapping[prefix]), F.substring(col, len(prefix) + 1, 2_000_000)),
+        ).otherwise(out)
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: xxhash64 of casefolded, punctuation-stripped,
     whitespace-collapsed text — robust to formatting-only edits."""

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.spark_udfs import footprint_udf, h3_udf, s2_udf
+from ..functions.spark_udfs import footprint_cells_udf, footprint_udf, h3_udf, s2_udf
 from ..schemas import LEMNATEC_MD
 
 SCRIPT_PATTERN = '<script type="application/json" id="lemnatec">(.*?)</script>'
@@ -111,6 +111,45 @@ def with_footprint(parsed: DataFrame) -> DataFrame:
         F.col("fp.max_lat").alias("max_lat"),
         F.col("fp.min_lon").alias("min_lon"),
         F.col("fp.max_lon").alias("max_lon"),
+        geojson.alias("footprint"),
+    ).drop("fp")
+
+
+def with_footprint_cells(parsed: DataFrame, h3_res: int = 9, s2_level: int = 16) -> DataFrame:
+    """Fused footprint + cell encodings: ONE Arrow pass for the whole geometry
+    stage (the pipeline's hot path; see footprint_cells_udf)."""
+    fp = footprint_cells_udf(h3_res, s2_level)
+    df = parsed.filter(F.col("pos_x").isNotNull() & F.col("pos_y").isNotNull())
+    df = df.withColumn(
+        "fp",
+        fp(
+            "pos_x",
+            "pos_y",
+            F.coalesce("cambox_x", F.lit(0.0)),
+            F.coalesce("cambox_y", F.lit(0.0)),
+            F.coalesce("fov_x", F.lit(0.0)),
+            F.coalesce("fov_y", F.lit(0.0)),
+        ),
+    )
+    geojson = F.format_string(
+        '{"type":"Polygon","coordinates":[[[%.10f,%.10f],[%.10f,%.10f],'
+        '[%.10f,%.10f],[%.10f,%.10f],[%.10f,%.10f]]]}',
+        F.col("fp.sw_lon"), F.col("fp.sw_lat"),
+        F.col("fp.se_lon"), F.col("fp.se_lat"),
+        F.col("fp.ne_lon"), F.col("fp.ne_lat"),
+        F.col("fp.nw_lon"), F.col("fp.nw_lat"),
+        F.col("fp.sw_lon"), F.col("fp.sw_lat"),
+    )
+    return df.select(
+        "*",
+        F.col("fp.centroid_lat").alias("centroid_lat"),
+        F.col("fp.centroid_lon").alias("centroid_lon"),
+        F.col("fp.min_lat").alias("min_lat"),
+        F.col("fp.max_lat").alias("max_lat"),
+        F.col("fp.min_lon").alias("min_lon"),
+        F.col("fp.max_lon").alias("max_lon"),
+        F.col("fp.cell_r9").alias("cell_r9"),
+        F.col("fp.s2_cell").alias("s2_cell"),
         geojson.alias("footprint"),
     ).drop("fp")
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pip_knn import resolve_plots
 from ..operators.tile_assign import tile_assign
-from .parse import parse_metadata, with_cells, with_footprint
+from .parse import parse_metadata, with_footprint_cells
 
 POINT_COLS = [
     "url", "warc_ts", "lang", "dataset_name", "sensor", "date", "scan_time",
@@ -52,11 +52,12 @@ def _assemble_datapoints(df: DataFrame) -> DataFrame:
 
 
 def footprints(pages: DataFrame) -> DataFrame:
-    """documents -> per-doc footprint+cells (the reusable front half)."""
-    return with_cells(with_footprint(parse_metadata(pages)))
+    """documents -> per-doc footprint+cells (the reusable front half); one
+    fused Arrow pass for the whole geometry stage."""
+    return with_footprint_cells(parse_metadata(pages))
 
 
-def _resolved(spark: SparkSession, pages: DataFrame, plots) -> DataFrame:
+def _resolved(spark: SparkSession, pages: DataFrame, plots, persist: bool = True) -> DataFrame:
     """footprints + plot resolution, materialized exactly once.
 
     The front half feeds BOTH the site-shortcut branch and the lookup branch,
@@ -81,8 +82,10 @@ def _resolved(spark: SparkSession, pages: DataFrame, plots) -> DataFrame:
     ).withColumn("matched_via", F.lit("site")).drop("sitename")
     needs_lookup = fp.filter(F.col("sitename").isNull()).drop("sitename")
     resolved = resolve_plots(spark, needs_lookup, plots).unionByName(with_site)
-    # datapoints and tiles both fan out from here
-    return resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        # datapoints and tiles both fan out from here (two downstream actions)
+        resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    return resolved
 
 
 def datapoints(spark: SparkSession, pages: DataFrame, plots) -> DataFrame:
@@ -105,3 +108,25 @@ def run_pipeline(
     created/bytes counters become a Spark observation)."""
     resolved = _resolved(spark, pages, plots)
     return _assemble_datapoints(resolved), tile_assign(resolved, zooms=zooms)
+
+
+def run_pipeline_counts(
+    spark: SparkSession,
+    pages: DataFrame,
+    plots,
+    zooms=(9, 10, 11, 12, 13, 14),
+) -> tuple[int, int]:
+    """Single-action execution: (n_datapoints, n_tiles).
+
+    The datapoint count rides as an Observation on the resolved frame while the
+    tile fan-out is the one real action — no second cache, no extra barrier.
+    This is the throughput-measurement path (A3 metrics pattern at scale).
+    """
+    from pyspark.sql import Observation
+
+    resolved = _resolved(spark, pages, plots, persist=False)
+    obs = Observation("datapoints")
+    observed = resolved.observe(obs, F.count(F.lit(1)).alias("rows"))
+    n_tiles = tile_assign(observed, zooms=zooms).count()
+    n_dp = obs.get["rows"]
+    return n_dp, n_tiles

@@ -18,25 +18,26 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--docs", type=int, default=300_000)
+    ap.add_argument("--shuffle", type=int, default=0, help="override shuffle partitions")
+    ap.add_argument("--extra", action="append", default=[], help="k=v extra spark conf")
     args = ap.parse_args()
 
-    from extractors_metadata_spark.plans.pipeline import run_pipeline
+    from extractors_metadata_spark.plans.pipeline import run_pipeline_counts
     from extractors_metadata_spark.session import get_spark
     from extractors_metadata_spark.synth import plot_rings, synth_webpages
 
     spark = get_spark(
         f"scaling-{args.cpus}",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=max(args.cpus, 8),
+        shuffle_partitions=args.shuffle or max(args.cpus, 8),
+        extra_conf=dict(kv.split("=", 1) for kv in args.extra),
     )
     spark.sparkContext.setLogLevel("ERROR")
     plots = plot_rings()  # driver-side dim prep happens in both runs alike
 
     t0 = time.time()
     pages = synth_webpages(spark, args.docs, partitions=args.cpus * 2)
-    dp, tl = run_pipeline(spark, pages, plots)
-    n_dp = dp.count()
-    n_tiles = tl.count()
+    n_dp, n_tiles = run_pipeline_counts(spark, pages, plots)
     wall = time.time() - t0
     print(
         json.dumps(
