@@ -328,6 +328,16 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_word_tokens(spark, sf_dir):
+    # BPE-ish pre-tokenization: word pieces + punctuation counted separately
+    from extractors_metadata_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", ts.word_token_count(F.col("text")).cast("int").alias("n_units")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from extractors_metadata_spark.functions import textstats as ts
 
@@ -388,7 +398,9 @@ def q_embed_near_pairs(spark, sf_dir):
     from extractors_metadata_spark.operators.similarity import cosine_near_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, dim=64, threshold=0.5, n_bits=8).select(
+    # threshold low enough that random 64-dim data yields a non-empty,
+    # deterministic pair set (rows-only check should not be vacuous)
+    return cosine_near_pairs(emb, dim=64, threshold=0.25, n_bits=6).select(
         "id_a", "id_b", "sim"
     )
 
@@ -471,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_stats": q_token_stats,
+        "word_tokens": q_word_tokens,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
@@ -634,6 +647,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST({tok} AS INT) AS n_tokens,
                    round({mwl}, 6) AS mean_word_len,
                    round({punct}, 6) AS punct_ratio
+            FROM documents
+        """,
+        "word_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_units
             FROM documents
         """,
         "lang_id": f"""

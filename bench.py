@@ -37,7 +37,14 @@ def main() -> None:
     from extractors_metadata_spark.session import get_spark
     from extractors_metadata_spark.synth import plot_rings, synth_webpages
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 4, 8),
+        # measured on this box: AQE partition coalescing under-provisions the
+        # Python-UDF reduce stages (BENCH/BASELINE.md)
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import re
