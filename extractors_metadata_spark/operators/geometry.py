@@ -36,8 +36,10 @@ class PreparedPolygons:
     def from_pandas(cls, plots: pd.DataFrame, ring_col: str = "ring",
                     id_col: str = "plot_id") -> "PreparedPolygons":
         rings = [ring_array(r) for r in plots[ring_col]]
-        # drop explicit closing vertex if present; edges wrap implicitly
-        rings = [r[:-1] if len(r) > 1 and np.allclose(r[0], r[-1]) else r for r in rings]
+        # drop explicit closing vertex if present; edges wrap implicitly.
+        # EXACT comparison — np.allclose's relative tolerance at |lon|~112
+        # swallows vertices ~0.001 deg apart (caught by property tests).
+        rings = [r[:-1] if len(r) > 1 and bool((r[0] == r[-1]).all()) else r for r in rings]
         kmax = max(len(r) for r in rings)
         p = len(rings)
         x1 = np.full((p, kmax), np.nan)
