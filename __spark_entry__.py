@@ -108,6 +108,27 @@ def q_tile_assign(spark, sf_dir):
     )
 
 
+def q_tile_density(spark, sf_dir):
+    """Skew-safe exact distinct count per tile (salted two-phase aggregation;
+    hot Maricopa tiles are the skew case the north rule names)."""
+    from extractors_metadata_spark.operators.skew import salted_distinct_count
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(LAT_IN).alias("lat"),
+        F.expr(LON_IN).alias("lon"),
+    )
+    pts = e.select(
+        "event_id", "user_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(12,), id_cols=("event_id", "user_id"))
+    return salted_distinct_count(tiles, ["z", "x", "y"], "user_id", n_salts=8)
+
+
 def q_cells_encode(spark, sf_dir):
     """H3-style + S2-style cell IDs (rows-only: no SQL analog of the kernels)."""
     from extractors_metadata_spark.plans.parse import with_cells
@@ -464,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_contains": q_pip_contains,
         "knn_nearest": q_knn_nearest,
         "tile_assign": q_tile_assign,
+        "tile_density": q_tile_density,
         "cells_encode": q_cells_encode,
         "pipeline_datapoints": q_pipeline_datapoints,
         "q1_pricing": q_q1_pricing,
@@ -535,6 +557,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, z, unnest(range(x0, x1 + 1)) AS x, y AS y
             FROM (SELECT event_id, z, x0, x1, unnest(range(y0, y1 + 1)) AS y FROM rngs)
+        """,
+        "tile_density": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+              FROM events)
+            SELECT 12 AS z,
+                   CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+                   CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM pts GROUP BY 1, 2, 3
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

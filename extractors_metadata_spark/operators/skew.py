@@ -39,6 +39,28 @@ def replicate_salted(dim: DataFrame, n_salts: int, salt_col: str = "salt") -> Da
     )
 
 
+def salted_distinct_count(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count per key, skew-safe: salt by hash(value) so one hot
+    key's distinct set splits across n_salts reducers, then sum the partial
+    distinct counts (each value lands in exactly one salt -> partials add up
+    exactly). This is the pattern for aggs that partial aggregation cannot
+    collapse (plain count() needs no salting — map-side combine already wins).
+    """
+    salted = df.withColumn(
+        "_vsalt", F.pmod(F.xxhash64(F.col(val_col)), F.lit(n_salts)).cast("int")
+    )
+    partial = salted.groupBy(*key_cols, "_vsalt").agg(
+        F.countDistinct(val_col).alias("_part")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_part").alias(out_col))
+
+
 def repartition_by_cell(
     df: DataFrame, cell_col: str = "cell_r9", n_salts: int = 8,
     id_col: str = "url", num_partitions: int | None = None,

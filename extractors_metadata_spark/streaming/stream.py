@@ -19,9 +19,55 @@ cross-event state (T3 — absence verified across the whole reference repo).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import WEBPAGES
 from ..sources.snapshot import resume_gap, write_snapshot
+
+
+def windowed_capture_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Watermarked tumbling-window datapoint counts per sensor stream.
+
+    The reference has no cross-event state (SURVEY.md T3), so this is an
+    engine-added capability for the web-scale workload: late documents are
+    admitted up to ``watermark`` past the max seen ``warc_ts``; the windowed
+    counts append once windows finalize. Demonstrates the standard
+    Structured-Streaming stateful-agg shape (watermark -> window -> agg ->
+    append sink)."""
+    from ..plans.parse import parse_metadata
+
+    stream = (
+        spark.readStream.schema(WEBPAGES)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    parsed = parse_metadata(stream)
+    counts = (
+        parsed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("sensor"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor",
+            "n_docs",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_pipeline(

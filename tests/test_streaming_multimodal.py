@@ -70,3 +70,33 @@ def test_sample_frames_fanout(spark):
     assert len(out) == 40
     idxs = sorted({r.frame_idx for r in out})
     assert idxs == [0, 5, 10, 15]
+
+
+def test_windowed_capture_counts(spark, tmp_path_factory):
+    from extractors_metadata_spark.streaming.stream import windowed_capture_counts
+
+    base = tmp_path_factory.mktemp("winstream")
+    input_dir = str(base / "in")
+    synth_webpages(spark, 400).write.parquet(input_dir)  # warc_ts spans ~7 min
+
+    q = windowed_capture_counts(
+        spark, input_dir, str(base / "ckpt"), str(base / "out"),
+        window="2 minutes", watermark="0 seconds",
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(base / "out"))
+    rows = out.collect()
+    assert len(rows) > 0
+    # windows are 2-minute aligned and counts sum to the parsed doc count
+    for r in rows:
+        assert (r.window_end - r.window_start).total_seconds() == 120
+        assert r.n_docs > 0
+    # note: append mode only emits FINALIZED windows (watermark semantics) —
+    # the last partial window is withheld, so totals are <= parsed count
+    from extractors_metadata_spark.plans.parse import parse_metadata
+
+    pages = synth_webpages(spark, 400)
+    total_parsed = parse_metadata(pages).count()
+    assert sum(r.n_docs for r in rows) <= total_parsed
+    # sensors present
+    assert {r.sensor for r in rows} <= {"PS2 System", "VNIR", "Thermal IR", "stereoTop", "Scanner3D"}
