@@ -179,6 +179,25 @@ def q_q1_pricing(spark, sf_dir):
     )
 
 
+def q_multi_join(spark, sf_dir):
+    # TPC-H Q3-shaped 3-way join + agg (join-reordering left to Catalyst)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(20,2)")
+    disc = F.col("l_discount").cast("decimal(7,6)")
+    one = F.lit(1).cast("decimal(7,6)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum(price * (one - disc)), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_filter_gate(spark, sf_dir):
     # P1/P2: type + presence gates
     return (
@@ -489,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_encode": q_cells_encode,
         "pipeline_datapoints": q_pipeline_datapoints,
         "q1_pricing": q_q1_pricing,
+        "multi_join": q_multi_join,
         "filter_gate": q_filter_gate,
         "suffix_filter": q_suffix_filter,
         "json_extract": q_json_extract,
@@ -581,6 +601,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "multi_join": """
+            SELECT c_nationkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey < 10 AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY c_nationkey
         """,
         "filter_gate": """
             SELECT event_id, user_id, value FROM events

@@ -56,8 +56,21 @@ def main() -> None:
     plots_pdf = plot_rings()
 
     # --- headline: full document pipeline --------------------------------------
+    # input materialized as parquet (untimed): the engine's real input is a
+    # table on disk, and the timed region should measure scan -> parse ->
+    # footprint -> resolve -> tiles, not the synthetic generator.
+    import shutil
+    import tempfile
+
+    pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    if not os.path.isdir(pages_dir):
+        synth_webpages(spark, n_docs, partitions=cpus * 2).write.mode("overwrite").parquet(
+            pages_dir + ".tmp"
+        )
+        shutil.move(pages_dir + ".tmp", pages_dir)
+
     t0 = time.time()
-    pages = synth_webpages(spark, n_docs, partitions=cpus * 2)
+    pages = spark.read.parquet(pages_dir)
     n_dp, n_tiles = run_pipeline_counts(spark, pages, plots_pdf)
     t_pipeline = time.time() - t0
     timings["pipeline_datapoints_tiles"] = round(t_pipeline, 3)
