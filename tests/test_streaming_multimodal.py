@@ -100,3 +100,40 @@ def test_windowed_capture_counts(spark, tmp_path_factory):
     assert sum(r.n_docs for r in rows) <= total_parsed
     # sensors present
     assert {r.sensor for r in rows} <= {"PS2 System", "VNIR", "Thermal IR", "stereoTop", "Scanner3D"}
+
+
+def test_capture_sessions_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer: bursts separated by > gap close."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.streaming.stateful import capture_sessions
+
+    base = tmp_path_factory.mktemp("sessions")
+    input_dir = str(base / "in")
+    # two bursts per sensor: warc_ts 0..99 s and 1000..1099 s (gap 900 s)
+    pages = synth_webpages(spark, 100).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2016-05-07 10:00:00' + make_interval(0,0,0,0,0,0,"
+            "cast(substring_index(url, '/', -1) as int) % 100 "
+            "+ (cast(substring_index(url, '/', -1) as int) % 2) * 1000)"
+        ),
+    )
+    pages.write.parquet(input_dir)
+
+    q = capture_sessions(
+        spark, input_dir, str(base / "ckpt"), str(base / "out"), gap_s=300.0
+    )
+    # with ProcessingTimeTimeout pending, AvailableNow keeps scheduling flush
+    # batches — wait for the data batches, then stop explicitly
+    q.awaitTermination(45)
+    q.stop()
+    out = spark.read.parquet(str(base / "out")).collect()
+    # each sensor's first burst must have closed (second stays open in state)
+    assert len(out) > 0
+    for r in out:
+        assert r.n_docs >= 1
+        assert r.session_end >= r.session_start
+        span = (r.session_end - r.session_start).total_seconds()
+        assert span <= 100  # a session never spans the 900s gap
