@@ -332,6 +332,7 @@ def resolve_plots(
     lon_col: str = "centroid_lon",
     res: int | None = None,
     ring: int = 1,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """The reference's full lookup semantics (``plotid_by_latlon.py:51-77``):
     containment first ('contains'), else nearest polygon ('nearest'); ties on
@@ -371,8 +372,17 @@ def resolve_plots(
     # refine kernel, and the aggregation — the wide payload (footprint strings,
     # metadata) is joined back once at the end. At 100 TB this is the
     # difference between shuffling ids and shuffling documents.
-    narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
-    pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+    # ``cell_col``: a precomputed cell ID at exactly ``res`` (e.g. the fused
+    # footprint stage's cell_r12) skips the re-encode pass entirely.
+    if cell_col is not None:
+        narrow = _ensure_parallel(
+            spark, points.select(point_id, lat_col, lon_col, F.col(cell_col).alias("_cell"))
+        )
+        pts = narrow
+        narrow = narrow.drop("_cell")
+    else:
+        narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
+        pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
     cand = (
         pts.select("*", F.explode(delta_arr).alias("_d"))
         .withColumn("cell", F.col("_cell") + F.col("_d"))

@@ -150,6 +150,7 @@ def with_footprint_cells(parsed: DataFrame, h3_res: int = 9, s2_level: int = 16)
         F.col("fp.max_lon").alias("max_lon"),
         F.col("fp.cell_r9").alias("cell_r9"),
         F.col("fp.s2_cell").alias("s2_cell"),
+        F.col("fp.cell_r12").alias("cell_r12"),
         geojson.alias("footprint"),
     ).drop("fp")
 

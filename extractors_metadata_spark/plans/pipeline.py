@@ -27,7 +27,7 @@ from .parse import parse_metadata, with_footprint_cells
 POINT_COLS = [
     "url", "warc_ts", "lang", "dataset_name", "sensor", "date", "scan_time",
     "centroid_lat", "centroid_lon", "min_lat", "max_lat", "min_lon", "max_lon",
-    "footprint", "cell_r9", "s2_cell",
+    "footprint", "cell_r9", "s2_cell", "cell_r12",
 ]
 
 
@@ -81,7 +81,7 @@ def _resolved(spark: SparkSession, pages: DataFrame, plots, persist: bool = True
         "plot_id", F.element_at(F.split(F.col("sitename"), " "), -1)
     ).withColumn("matched_via", F.lit("site")).drop("sitename")
     needs_lookup = fp.filter(F.col("sitename").isNull()).drop("sitename")
-    resolved = resolve_plots(spark, needs_lookup, plots).unionByName(with_site)
+    resolved = resolve_plots(spark, needs_lookup, plots, res=12, cell_col="cell_r12").unionByName(with_site)
     if persist:
         # datapoints and tiles both fan out from here (two downstream actions)
         resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
