@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import __spark_entry__ as entrymod
