@@ -195,6 +195,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, canonical_id).
+
+    Iterative min-label propagation in pure DataFrame ops: every node adopts
+    the smallest id reachable over the pair edges; converges in O(diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds in practice;
+    each round is one shuffle keyed by id). Input: (id_a, id_b) with id_a < id_b.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # neighbor labels: for each node, the min label among its neighbors
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
+def near_dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full near-dedup: cluster the pair graph, keep min-id per cluster.
+
+    Returns df's rows minus non-canonical near-duplicates (singletons pass
+    through untouched via the left join)."""
+    clusters = cluster_pairs(pairs)
+    return (
+        df.join(clusters.withColumnRenamed("id", id_col), id_col, "left")
+        .filter(F.col("canonical_id").isNull() | (F.col("canonical_id") == F.col(id_col)))
+        .drop("canonical_id")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

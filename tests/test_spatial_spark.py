@@ -162,3 +162,33 @@ def test_pip_pruning_equals_full_scan_property(spark, prep, plots_pdf):
         c = prep.contains(idx, np.full(len(idx), lo), np.full(len(idx), la))
         exp = min(ids[c]) if c.any() else None
         assert got.get(url) == exp, (url, la, lo)
+
+
+def test_pip_join_rotated_polygons(spark, prep):
+    """End-to-end pip_join on a non-grid dim: rotated triangles/pentagons —
+    polyfill + pruning + ray-cast must agree with brute force."""
+    rng = np.random.default_rng(3)
+    polys = []
+    for i in range(12):
+        n = int(rng.integers(3, 7))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+        cx = -111.975 + rng.uniform(-0.002, 0.002)
+        cy = 33.075 + rng.uniform(-0.002, 0.002)
+        r = rng.uniform(0.0003, 0.0008)
+        ring = [[cx + r * np.cos(a), cy + r * np.sin(a)] for a in angles]
+        polys.append({"plot_id": f"poly-{i:02d}", "range": i, "pass": 0,
+                      "mac_entry": i, "ring": ring, "cells_r9": []})
+    pdf = pd.DataFrame(polys)
+    from extractors_metadata_spark.operators.geometry import PreparedPolygons
+    pp = PreparedPolygons.from_pandas(pdf)
+
+    pts = [(f"q{i}", float(33.075 + rng.uniform(-0.0025, 0.0025)),
+            float(-111.975 + rng.uniform(-0.0025, 0.0025))) for i in range(300)]
+    df = _pts_df(spark, pts)
+    got = {r.url: r.plot_id for r in pip_join(spark, df, pdf).collect()}
+    ids = np.array(pp.plot_ids)
+    idx = np.arange(len(ids))
+    for url, la, lo in pts:
+        c = pp.contains(idx, np.full(len(idx), lo), np.full(len(idx), la))
+        exp = min(ids[c]) if c.any() else None
+        assert got.get(url) == exp, (url, la, lo)

@@ -182,3 +182,29 @@ def test_textstats_edge_cases(spark):
     assert by[2].punct == pytest.approx(2 / 15)
     assert by[0].lang == "unknown"
     assert 0.0 <= by[2].q <= 1.0
+
+
+def test_cluster_pairs_connected_components(spark):
+    from extractors_metadata_spark.operators.dedup import cluster_pairs
+
+    # two chains + one isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10, 20, 21], "id_b": [2, 3, 4, 11, 21, 22]})
+    )
+    got = {r.id: r.canonical_id for r in cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dedup_survivors(spark, docs):
+    from extractors_metadata_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        near_dedup_survivors,
+    )
+
+    d = docs.filter(F.length("text") > 0)
+    pairs = minhash_lsh_dedup(d, threshold=0.5, shingle_w=1)
+    survivors = near_dedup_survivors(d, pairs)
+    ids = {r.doc_id for r in survivors.collect()}
+    # 0,1,2,3 cluster together (near-dups) -> only 0 survives; 4,5 unique
+    assert 0 in ids and 4 in ids and 5 in ids
+    assert 1 not in ids and 2 not in ids
