@@ -407,6 +407,19 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(d, threshold=0.5)
 
 
+def q_near_dedup_survivors(spark, sf_dir):
+    """Full near-dedup pipeline: MinHash-LSH pairs -> connected components ->
+    canonical survivors (rows-only: xxhash64 kernels)."""
+    from extractors_metadata_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        near_dedup_survivors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.6)
+    return near_dedup_survivors(d, pairs).select("doc_id", "lang", "n_chars")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (rows-only: xxhash64 bit votes)."""
     from extractors_metadata_spark.operators.dedup import simhash
@@ -530,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "near_dedup_survivors": q_near_dedup_survivors,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
