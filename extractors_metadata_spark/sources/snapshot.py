@@ -111,9 +111,23 @@ def write_snapshot(
     return manifest
 
 
-def read_table(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """Current table state = union of live snapshots' data dirs."""
-    live = live_snapshots(table_path)
+def read_table(
+    spark: SparkSession, table_path: str, as_of: int | None = None
+) -> DataFrame | None:
+    """Table state = union of live snapshots' data dirs.
+
+    ``as_of``: time travel — read the state as of that snapshot id (inclusive),
+    exactly like Iceberg's snapshot-id reads: replays the append/replace log up
+    to that point."""
+    manifests = [_load_manifest(table_path, i) for i in _snap_ids(table_path)]
+    if as_of is not None:
+        manifests = [m for m in manifests if m["snapshot_id"] <= as_of]
+    live: list[dict] = []
+    for m in manifests:
+        if m["mode"] == "replace":
+            live = [m]
+        else:
+            live.append(m)
     if not live:
         return None
     dirs = [m["data_dir"] for m in live if m["rows"] > 0]
@@ -123,7 +137,14 @@ def read_table(spark: SparkSession, table_path: str) -> DataFrame | None:
 
 
 def resume_gap(spark: SparkSession, input_df: DataFrame, table_path: str, key_col: str) -> DataFrame:
-    """Rows of ``input_df`` whose key is not yet committed (anti-join)."""
+    """Rows of ``input_df`` whose key is not yet committed (anti-join).
+
+    Scale note: at 10^12 rows, scanning the whole output for keys per resume is
+    wasteful — partition both sides by a stable key prefix (e.g. date or
+    cell range, as ``write_snapshot(partition_by=...)`` supports) so the
+    anti-join prunes partitions, or keep a compact keys-only side table. The
+    anti-join itself is the correct primitive either way (reference analog:
+    skip-if-processed, terra_sensorposition.py:31-37)."""
     existing = read_table(spark, table_path)
     if existing is None:
         return input_df

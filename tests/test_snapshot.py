@@ -76,3 +76,14 @@ def test_manifest_files_on_disk(spark, table):
     snaps = os.listdir(os.path.join(table, "snapshots"))
     assert "snap-00000.json" in snaps
     assert "current" in snaps
+
+
+def test_time_travel(spark, table):
+    snap.write_snapshot(spark.range(0, 50), table)          # snap 0
+    snap.write_snapshot(spark.range(50, 80), table)         # snap 1
+    snap.write_snapshot(spark.range(0, 10), table, mode="replace")  # snap 2
+    snap.write_snapshot(spark.range(10, 15), table)         # snap 3
+    assert snap.read_table(spark, table, as_of=0).count() == 50
+    assert snap.read_table(spark, table, as_of=1).count() == 80
+    assert snap.read_table(spark, table, as_of=2).count() == 10
+    assert snap.read_table(spark, table).count() == 15
