@@ -487,12 +487,25 @@ def q_multi_render(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column decode plumbing, stubbed codec (rows-only)."""
+    """Binary-column decode plumbing, stubbed codec (rows-only).
+
+    The raw ``features array<float>`` column stays out of the checked
+    projection (the driver's canonicalizer sorts column values, and lists
+    are unhashable); the vector is reduced to a rounded L2 norm instead —
+    still pins the decode output deterministically."""
     from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
     from extractors_metadata_spark.synth import synth_webpages
 
     n = max(500, int(50_000 * _sf_of(sf_dir)))
-    return decode_image_features(synth_webpages(spark, n), n_features=8)
+    out = decode_image_features(synth_webpages(spark, n), n_features=8)
+    norm2 = F.aggregate(
+        F.transform("features", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return out.select(
+        "url", "width", "height", "channels", F.round(norm2, 6).alias("feat_norm2")
+    )
 
 
 def q_extract_text_verify(spark, sf_dir):

@@ -20,10 +20,51 @@ shuffles ~P/r rows per doc, not O(doc^2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import fingerprint
+
+
+def cap_hot_buckets(
+    entries: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` before a bucket self-join.
+
+    The self-join is quadratic *within* a bucket, so one degenerate hot bucket
+    (empty/boilerplate text hashing to the same band value) turns a linear LSH
+    pass into O(n^2). Capping trades recall on pathological keys for a hard
+    bound: the pair join emits at most max_bucket^2 rows per bucket. Docs in a
+    dropped bucket usually still pair via their other bands (bands are
+    independent), so real near-dups are rarely lost entirely.
+
+    One window count over the same hash partitioning the self-join needs —
+    the exchange is reused, so the cap adds no extra shuffle of ``entries``.
+
+    ``stats``: optional dict — when passed, runs a small aggregate action and
+    records {'dropped_buckets': n, 'dropped_rows': n} (the surfaced accounting;
+    skipped by default to keep the operator lazy).
+    """
+    w = Window.partitionBy(*key_cols)
+    sized = entries.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    if stats is not None:
+        row = (
+            sized.filter(F.col("_bsz") > max_bucket)
+            .select(*key_cols, "_bsz")
+            .groupBy(*key_cols)
+            .agg(F.first("_bsz").alias("_bsz"))
+            .agg(
+                F.count(F.lit(1)).alias("dropped_buckets"),
+                F.coalesce(F.sum("_bsz"), F.lit(0)).alias("dropped_rows"),
+            )
+            .collect()[0]
+        )
+        stats["dropped_buckets"] = int(row["dropped_buckets"])
+        stats["dropped_rows"] = int(row["dropped_rows"])
+    return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
 
 
 # --- exact -------------------------------------------------------------------
@@ -99,11 +140,13 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4,
+    max_bucket: int = 2000, bucket_stats: dict | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair (a < b).
 
     Scale shape: explode to bands rows/doc, shuffle on (band, hash), self-join
-    within buckets only.
+    within buckets only; buckets larger than ``max_bucket`` are dropped first
+    (see ``cap_hot_buckets`` — bounds the worst bucket to max_bucket^2 pairs).
     """
     assert bands * rows_per_band <= 1024
     band_entries = sigs.select(
@@ -123,6 +166,7 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    band_entries = cap_hot_buckets(band_entries, ["band", "bucket"], max_bucket, bucket_stats)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -202,17 +246,31 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     the smallest id reachable over the pair edges; converges in O(diameter)
     rounds (near-dup clusters are shallow — a handful of rounds in practice;
     each round is one shuffle keyed by id). Input: (id_a, id_b) with id_a < id_b.
+
+    Scale hardening (each round's work stays O(|edges|), never O(rounds^2)):
+    - edges persist once (reused every round);
+    - each round's labels are ``localCheckpoint``-ed — lineage truncates, so
+      round N's plan never replays rounds 1..N-1 (plan depth is constant;
+      pinned by ``test_cluster_pairs_bounded_plan``);
+    - the convergence probe reads only the two checkpointed label frames;
+    - exiting via max_iters (clusters possibly split) warns loudly instead of
+      silently returning.
     """
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: for each node, the min label among its neighbors
         neigh = (
@@ -227,6 +285,7 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
+            .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
         changed = (
             new_labels.alias("n")
@@ -237,7 +296,18 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"cluster_pairs hit max_iters={max_iters} without converging; "
+            "clusters may be split (raise max_iters for deep chain graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 
@@ -285,9 +355,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def simhash_near_pairs(
     sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4,
+    max_bucket: int = 2000, bucket_stats: dict | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via banded candidates
-    (a pair within hamming 3 shares at least one of 4 16-bit bands)."""
+    (a pair within hamming 3 shares at least one of 4 16-bit bands); buckets
+    above ``max_bucket`` are dropped (``cap_hot_buckets``) so a degenerate
+    band value can't go quadratic."""
     width = 64 // bands
     entries = sh.select(
         F.col(id_col),
@@ -304,6 +377,7 @@ def simhash_near_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    entries = cap_hot_buckets(entries, ["band", "bucket"], max_bucket, bucket_stats)
     a = entries.alias("a")
     b = entries.alias("b")
     return (

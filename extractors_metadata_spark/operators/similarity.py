@@ -84,11 +84,18 @@ def srp_bucket(df: DataFrame, dim: int, n_bits: int = 16,
 def cosine_near_pairs(
     df: DataFrame, dim: int, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding", n_bits: int = 12,
+    max_bucket: int = 2000, bucket_stats: dict | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: SRP-bucket candidates, exact verify."""
+    """Embedding near-duplicate pairs: SRP-bucket candidates, exact verify.
+
+    Buckets above ``max_bucket`` (e.g. a zero-vector pile-up) are dropped
+    before the self-join — see ``dedup.cap_hot_buckets``."""
+    from .dedup import cap_hot_buckets
+
     coded = srp_bucket(df, dim, n_bits, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
     )
+    coded = cap_hot_buckets(coded, ["bucket"], max_bucket, bucket_stats)
     a = coded.alias("a")
     b = coded.alias("b")
     pairs = a.join(

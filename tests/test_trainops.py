@@ -195,6 +195,73 @@ def test_cluster_pairs_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_cluster_pairs_deep_chain_bounded_plan(spark):
+    from extractors_metadata_spark.operators.dedup import cluster_pairs
+
+    # 13-node chain (diameter 12): label propagation needs many rounds —
+    # without per-round checkpointing the final plan would nest one join per
+    # round; with it the result reads from a materialized RDD.
+    n = 13
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    out = cluster_pairs(pairs, max_iters=30)
+    got = {r.id: r.canonical_id for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # lineage truncation: the returned frame's plan is a scan of the
+    # checkpointed RDD, not a 12-round join tower
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_cluster_pairs_warns_on_max_iters(spark):
+    from extractors_metadata_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(9), "id_b": range(1, 10)})
+    )
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        cluster_pairs(pairs, max_iters=2).collect()
+
+
+def test_cap_hot_buckets_drops_only_oversized(spark):
+    from extractors_metadata_spark.operators.dedup import cap_hot_buckets
+
+    rows = [("hot", i) for i in range(50)] + [("cold", i) for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["bucket", "doc_id"]))
+    stats = {}
+    kept = cap_hot_buckets(df, ["bucket"], max_bucket=10, stats=stats).collect()
+    assert {r.bucket for r in kept} == {"cold"}
+    assert len(kept) == 5
+    assert stats == {"dropped_buckets": 1, "dropped_rows": 50}
+
+
+def test_lsh_hot_bucket_capped_no_quadratic_blowup(spark):
+    from extractors_metadata_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 400 byte-identical boilerplate docs -> every band hashes to one bucket;
+    # uncapped this self-join emits 400*399/2 pairs per band. With the cap the
+    # hot bucket drops entirely and the two genuinely-near docs still pair.
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(400)]
+    near = [(1000, "alpha beta gamma delta epsilon zeta"),
+            (1001, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(
+        pd.DataFrame(boiler + near, columns=["doc_id", "text"])
+    )
+    sigs = minhash_signatures(df, shingle_w=1)
+    stats = {}
+    pairs = lsh_candidate_pairs(sigs, max_bucket=100, bucket_stats=stats).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert stats["dropped_buckets"] >= 1 and stats["dropped_rows"] >= 400
+    assert (1000, 1001) in got  # small buckets untouched
+    assert all(a >= 1000 for a, _ in got)  # hot-bucket pairs suppressed
+    assert len(got) < 100
+
+
 def test_near_dedup_survivors(spark, docs):
     from extractors_metadata_spark.operators.dedup import (
         minhash_lsh_dedup,
