@@ -476,6 +476,100 @@ def q_prefix_remap(spark, sf_dir):
     return e.select("event_id", remapped.alias("path"))
 
 
+def q_lv1_remap(spark, sf_dir):
+    # J5: lv1_types name remap -> metadata fetch from the raw dataset
+    # (terra_mdcleaner.py:52-62); 'purchase' maps to scanner3DTop, which is
+    # outside LV1_TYPES, exercising the identity branch.
+    from extractors_metadata_spark.plans.cleaner import lv1_remap_join
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    sensor = (
+        F.when(F.col("event_type") == "view", "RGB GeoTIFFs")
+        .when(F.col("event_type") == "click", "Thermal IR GeoTIFFs")
+        .otherwise("scanner3DTop")
+    )
+    raw_sensor = (
+        F.when(F.col("event_type") == "view", "stereoTop")
+        .when(F.col("event_type") == "click", "flirIrCamera")
+        .otherwise("scanner3DTop")
+    )
+    derived = e.select(
+        "event_id",
+        F.concat(sensor, F.lit(" - "), F.col("event_id").cast("string")).alias("name"),
+    )
+    raw = e.filter(F.col("value").isNotNull()).select(
+        F.concat(raw_sensor, F.lit(" - "), F.col("event_id").cast("string")).alias(
+            "raw_name"
+        ),
+        F.col("value").alias("raw_value"),
+    )
+    return lv1_remap_join(derived, raw).select(
+        "event_id", "sensor_type", "raw_sensor", "raw_value"
+    )
+
+
+def q_callback_fanout(spark, sf_dir):
+    # sensor -> callbacks dim fan-out (terra_repairer.py:136-152)
+    from extractors_metadata_spark.plans.cleaner import (
+        REPAIRER_CALLBACKS,
+        callback_fanout,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    raw_sensor = (
+        F.when(F.col("event_type") == "view", "stereoTop")
+        .when(F.col("event_type") == "click", "flirIrCamera")
+        .otherwise("scanner3DTop")
+    )
+    df = e.select("event_id", raw_sensor.alias("sensor"))
+    return callback_fanout(df, "sensor", callbacks=REPAIRER_CALLBACKS).select(
+        "event_id", "sensor", "callback"
+    )
+
+
+def q_targets_complete(spark, sf_dir):
+    # repairer all-targets completeness check (terra_repairer.py:41-49)
+    from extractors_metadata_spark.plans.cleaner import targets_complete
+
+    e = _t(spark, sf_dir, "events")
+    sensor = (
+        F.when(F.col("user_id") % 3 == 0, "stereoTop")
+        .when(F.col("user_id") % 3 == 1, "flirIrCamera")
+        .otherwise("scanner3DTop")
+    )
+    suffix = F.when(F.col("event_id") % 2 == 0, "_left.bin").otherwise("_right.bin")
+    files = e.select(
+        F.col("user_id").alias("dataset"),
+        sensor.alias("sensor"),
+        F.concat(F.lit("f"), F.col("event_id").cast("string"), suffix).alias("filename"),
+    )
+    return targets_complete(spark, files)
+
+
+def q_files_probe(spark, sf_dir):
+    # repairer files_created validity probe (terra_repairer.py:59-66): each
+    # dataset records two output URLs; the second (event_id+1) may reference a
+    # file missing from the live inventory -> dataset joins the repair set.
+    from extractors_metadata_spark.plans.cleaner import files_created_repair_set
+
+    e = _t(spark, sf_dir, "events")
+    md = e.select(
+        F.col("event_id").alias("dataset"),
+        F.array(
+            F.concat(F.lit("https://host.example/files/f"), F.col("event_id").cast("string")),
+            F.concat(F.lit("https://host.example/files/f"), (F.col("event_id") + 1).cast("string")),
+        ).alias("files_created"),
+    )
+    inv = e.filter(F.col("event_id") % 7 != 0).select(
+        F.concat(F.lit("f"), F.col("event_id").cast("string")).alias("file_id")
+    )
+    return files_created_repair_set(md, inv)
+
+
 def q_multi_render(spark, sf_dir):
     """F17: one parse -> JSON/XML/CDL renderings (rows-only: html-derived)."""
     from extractors_metadata_spark.plans.parse import parse_metadata
@@ -562,6 +656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embed_near_pairs": q_embed_near_pairs,
         "prefix_remap": q_prefix_remap,
+        "lv1_remap": q_lv1_remap,
+        "callback_fanout": q_callback_fanout,
+        "targets_complete": q_targets_complete,
+        "files_probe": q_files_probe,
         "multi_render": q_multi_render,
         "multimodal_features": q_multimodal_features,
         "extract_text_verify": q_extract_text_verify,
@@ -724,6 +822,77 @@ def oracle_sql() -> dict[str, str]:
                         THEN '/data/' || substr(path, 14)
                         ELSE path END AS path
             FROM p
+        """,
+        "lv1_remap": """
+            WITH e AS (SELECT * FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+            derived AS (
+              SELECT event_id,
+                     CASE event_type WHEN 'view' THEN 'RGB GeoTIFFs'
+                          WHEN 'click' THEN 'Thermal IR GeoTIFFs'
+                          ELSE 'scanner3DTop' END AS sensor_type,
+                     CASE event_type WHEN 'view' THEN 'stereoTop'
+                          WHEN 'click' THEN 'flirIrCamera'
+                          ELSE 'scanner3DTop' END AS raw_sensor
+              FROM e),
+            raw AS (
+              SELECT (CASE event_type WHEN 'view' THEN 'stereoTop'
+                           WHEN 'click' THEN 'flirIrCamera'
+                           ELSE 'scanner3DTop' END) || ' - ' || CAST(event_id AS VARCHAR) AS raw_name,
+                     value AS raw_value
+              FROM e WHERE value IS NOT NULL)
+            SELECT event_id, sensor_type, raw_sensor, raw_value
+            FROM derived JOIN raw
+              ON raw.raw_name = derived.raw_sensor || ' - ' || CAST(derived.event_id AS VARCHAR)
+        """,
+        "callback_fanout": """
+            WITH s AS (
+              SELECT event_id,
+                     CASE event_type WHEN 'view' THEN 'stereoTop'
+                          WHEN 'click' THEN 'flirIrCamera'
+                          ELSE 'scanner3DTop' END AS sensor
+              FROM events WHERE event_type IN ('view', 'click', 'purchase'))
+            SELECT event_id, sensor, unnest(
+              CASE sensor
+                WHEN 'stereoTop' THEN ['terra.stereo-rgb.bin2tif', 'terra.metadata.sensorposition']
+                WHEN 'flirIrCamera' THEN ['terra.multispectral.flir2tif', 'terra.metadata.sensorposition']
+                ELSE ['terra.3dscanner.ply2las', 'terra.3dscanner.heightmap', 'terra.metadata.sensorposition']
+              END) AS callback
+            FROM s
+        """,
+        "targets_complete": """
+            WITH files AS (
+              SELECT user_id AS dataset,
+                     CASE WHEN user_id % 3 = 0 THEN 'stereoTop'
+                          WHEN user_id % 3 = 1 THEN 'flirIrCamera'
+                          ELSE 'scanner3DTop' END AS sensor,
+                     'f' || CAST(event_id AS VARCHAR)
+                         || (CASE WHEN event_id % 2 = 0 THEN '_left.bin' ELSE '_right.bin' END) AS filename
+              FROM events),
+            tdim(s, suffix) AS (
+              SELECT * FROM (VALUES ('stereoTop', '_left.bin'), ('stereoTop', '_right.bin'),
+                                    ('flirIrCamera', '_ir.bin'))),
+            found AS (
+              SELECT dataset, count(DISTINCT suffix) AS n_found
+              FROM files JOIN tdim ON files.sensor = tdim.s AND filename LIKE '%' || suffix
+              GROUP BY dataset),
+            ds AS (SELECT DISTINCT dataset, sensor FROM files)
+            SELECT dataset, sensor,
+                   CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
+                   CAST(CASE sensor WHEN 'stereoTop' THEN 2 WHEN 'flirIrCamera' THEN 1 ELSE 0 END AS INT) AS n_targets,
+                   coalesce(n_found, 0) = (CASE sensor WHEN 'stereoTop' THEN 2 WHEN 'flirIrCamera' THEN 1 ELSE 0 END) AS complete
+            FROM ds LEFT JOIN found USING (dataset)
+        """,
+        "files_probe": """
+            WITH md AS (
+              SELECT event_id AS dataset,
+                     ['https://host.example/files/f' || CAST(event_id AS VARCHAR),
+                      'https://host.example/files/f' || CAST(event_id + 1 AS VARCHAR)] AS fc
+              FROM events),
+            inv AS (SELECT DISTINCT 'f' || CAST(event_id AS VARCHAR) AS file_id
+                    FROM events WHERE event_id % 7 <> 0),
+            ex AS (SELECT dataset, unnest(fc) AS url FROM md)
+            SELECT DISTINCT dataset FROM ex
+            WHERE string_split(url, '/')[-1] NOT IN (SELECT file_id FROM inv)
         """,
         "dedup_exact": """
             SELECT doc_id,

@@ -69,7 +69,13 @@ def write_snapshot(
     assert mode in ("append", "replace")
     ids = _snap_ids(table_path)
     snap_id = (ids[-1] + 1) if ids else 0
-    data_dir = os.path.join(table_path, "data", f"snap-{snap_id:05d}")
+    run_uuid = str(uuid.uuid4())
+    # uuid-suffixed data dir: a run killed mid-parquet-write leaves an orphan
+    # dir with NO manifest; since snap ids derive from manifests only, a naive
+    # snap-NNNNN dir would collide on the resume and mode("error") would
+    # deadlock the table. The manifest records the actual dir; orphans are
+    # ignored by readers and reclaimed by ``gc_orphans``.
+    data_dir = os.path.join(table_path, "data", f"snap-{snap_id:05d}-{run_uuid[:8]}")
     t0 = time.time()
     writer = df.write.mode("error")
     if partition_by:
@@ -90,7 +96,7 @@ def write_snapshot(
     manifest = {
         "snapshot_id": snap_id,
         "parent_id": ids[-1] if ids else None,
-        "uuid": str(uuid.uuid4()),
+        "uuid": run_uuid,
         "mode": mode,
         "data_dir": data_dir,
         "rows": total,
@@ -109,6 +115,28 @@ def write_snapshot(
     with open(os.path.join(snap_dir, "current"), "w") as f:
         f.write(str(snap_id))
     return manifest
+
+
+def gc_orphans(table_path: str) -> list[str]:
+    """Remove data dirs no manifest references (debris of mid-write kills).
+
+    Safe at any time: a dir becomes visible to readers only via its manifest,
+    which is renamed into place strictly after the parquet write completes."""
+    import shutil
+
+    data_root = os.path.join(table_path, "data")
+    if not os.path.isdir(data_root):
+        return []
+    live = {
+        os.path.basename(_load_manifest(table_path, i)["data_dir"])
+        for i in _snap_ids(table_path)
+    }
+    removed = []
+    for d in os.listdir(data_root):
+        if d not in live:
+            shutil.rmtree(os.path.join(data_root, d))
+            removed.append(d)
+    return removed
 
 
 def read_table(
@@ -133,7 +161,15 @@ def read_table(
     dirs = [m["data_dir"] for m in live if m["rows"] > 0]
     if not dirs:
         return None
-    return spark.read.parquet(*dirs)
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0])
+    # per-dir reads unioned: snapshots written with partitionBy keep their
+    # partition columns discoverable (a single multi-path read would fail
+    # basePath inference across snap-NNNNN roots)
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
 
 
 def resume_gap(spark: SparkSession, input_df: DataFrame, table_path: str, key_col: str) -> DataFrame:

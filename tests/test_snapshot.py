@@ -35,6 +35,25 @@ def test_append_and_replace(spark, table):
     assert [m["snapshot_id"] for m in snap.live_snapshots(table)] == [2]
 
 
+def test_mid_write_kill_does_not_deadlock(spark, table):
+    """A run killed between parquet-write and manifest-commit leaves an orphan
+    data dir; the next write must reuse the snap id without colliding, readers
+    must never see orphan rows, and gc reclaims the debris."""
+    snap.write_snapshot(spark.range(10), table)
+    # simulate the kill: orphan data written for would-be snap 1, no manifest
+    orphan = os.path.join(table, "data", "snap-00001-deadbeef")
+    spark.range(500, 505).write.parquet(orphan)
+    m = snap.write_snapshot(spark.range(10, 20), table)  # must not raise
+    assert m["snapshot_id"] == 1
+    back = snap.read_table(spark, table)
+    assert back.count() == 20  # orphan rows invisible
+    assert back.agg(F.max("id")).collect()[0][0] == 19
+    removed = snap.gc_orphans(table)
+    assert removed == ["snap-00001-deadbeef"]
+    assert snap.read_table(spark, table).count() == 20
+    assert snap.gc_orphans(table) == []
+
+
 def test_resume_gap_processes_only_missing(spark, table):
     inp = spark.range(100).withColumnRenamed("id", "k")
     first = inp.filter(F.col("k") < 40)
