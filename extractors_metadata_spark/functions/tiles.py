@@ -4,7 +4,7 @@ Engine-frozen formulas (also the pytest + DuckDB-oracle formulas, so they must
 never drift):
 
     x = floor((lon + 180) / 360 * 2^z)
-    y = floor((1 - asinh(tan(lat_rad)) / pi) / 2 * 2^z)
+    y = floor((1 - ln(tan(lat_rad) + 1/cos(lat_rad)) / pi) / 2 * 2^z)
 
 with x wrapped mod 2^z and y clamped to [0, 2^z - 1]; WebMercator latitude
 clamped to +-85.05112878 deg.
@@ -30,7 +30,12 @@ def tile_xyz(lat, lon, z):
     n = (np.int64(1) << z).astype(np.float64)
     x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
     lat_rad = np.radians(lat)
-    y = np.floor((1.0 - np.arcsinh(np.tan(lat_rad)) / np.pi) / 2.0 * n).astype(np.int64)
+    # literal ln(tan + 1/cos) — the SAME IEEE expression the DuckDB oracles
+    # evaluate (arcsinh(tan(x)) is mathematically equal but not bit-identical;
+    # a ulp difference at a floor() boundary would break exact-equality checks)
+    y = np.floor(
+        (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n
+    ).astype(np.int64)
     n_i = np.int64(1) << z
     x = np.mod(x, n_i)
     y = np.clip(y, 0, n_i - 1)

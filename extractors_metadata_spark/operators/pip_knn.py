@@ -14,16 +14,17 @@ pip_join (J1):
      overlap tie-break = min plot_id (engine-frozen determinism rule).
 
 knn_join (J2):
-  1. points fan out to their cell's k-ring (ring radius chosen from the dim's
-     geometry so the ring reaches at least one covering cell when any polygon
-     is within reach);
-  2. broadcast equi-join on ring cell -> candidates;
+  1. the polygon dim's covering cells are DILATED by the ring radius on the
+     driver (the k-ring fan-out lives in the broadcast dim — the points side
+     stays one row per point and each (point, poly) candidate is unique);
+  2. broadcast equi-join on the point's single cell -> candidates;
   3. exact distance re-rank: Window.partitionBy(point).orderBy(dist, plot_id)
      row_number() <= k (the reference's running argmin, ``:63-68``, with a
      deterministic tie-break);
-  4. points whose ring finds no candidate fall back to a broadcast
-     nested-loop pass against the full dim (totality guarantee — the
-     reference full-scans always; we only pay that for stragglers).
+  4. points whose ring finds no candidate — or whose k-th candidate is beyond
+     the ring's guaranteed reach (``_ring_reach_m``) — fall back to a
+     broadcast nested-loop pass against the full dim (totality + exactness;
+     the reference full-scans always; we only pay that for stragglers).
 
 At 100 TB the points side never shuffles in either operator: both joins are
 broadcast-side-replicated, and the refine/re-rank is partition-local except the
@@ -64,13 +65,68 @@ def choose_res(prep: PreparedPolygons, lo: int = 7, hi: int = 12) -> int:
     return lo
 
 
-def _poly_cells_df(spark, plots_pdf: pd.DataFrame, res: int) -> DataFrame:
-    """(cell, poly_idx) covering table for the dim; driver-built, broadcast."""
-    rows = []
-    for idx, ring in enumerate(plots_pdf["ring"]):
-        for c in hexgrid.polyfill(ring_array(ring), res).tolist():
-            rows.append((int(c), idx))
-    return spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "poly_idx"]))
+def _poly_cells_df(
+    spark,
+    plots_pdf: pd.DataFrame,
+    res: int,
+    ring: int = 0,
+    prep: "PreparedPolygons | None" = None,
+    keep_k: int = 1,
+) -> DataFrame:
+    """(cell, poly_idx) covering table for the dim; driver-built, broadcast.
+
+    ``ring`` > 0 DILATES the covering: each polygon also claims every cell
+    within grid distance ``ring`` of a covering cell. A point's cell is in the
+    dilated set iff the point's k-ring intersects the raw covering — i.e. dim
+    dilation is the join-side dual of a probe-side ring fan-out, but the
+    probe side stays ONE row per point (no 3k^2+3k+1x explode, no duplicate
+    (point, poly) candidates, one distance evaluation per pair).
+
+    When ``prep`` is given, the dilated table is then PRUNED per cell with
+    exact distance intervals: for any point in a cell (true-meter radius
+    r <= s/cos(lat) around the center), its distance to polygon p lies in
+    [d_p - r, d_p + r] where d_p = distance(center, p). A polygon whose lower
+    bound exceeds the cell's ``keep_k``-th smallest upper bound can never be
+    among the k nearest for ANY point in the cell (strictly — ties survive),
+    so it is dropped at build time. This turns the executor-side candidate
+    list from "every polygon within ring reach" (hundreds, for dense dims)
+    into the handful whose distance intervals overlap the winners' — the
+    distance kernel then runs on ~k-ish pairs per point instead of O(density).
+
+    Size grows as |covering| x ring^2 before pruning — fine for broadcastable
+    dims; for huge dims at small ring keep the dilation small.
+    """
+    cells_per_poly = []
+    for ring_geom in plots_pdf["ring"]:
+        cells = hexgrid.polyfill(ring_array(ring_geom), res)
+        if ring > 0:
+            _, dilated = hexgrid.kring_batch(cells, ring)
+            cells = np.unique(dilated)
+        cells_per_poly.append(cells)
+    idx = np.repeat(
+        np.arange(len(cells_per_poly), dtype=np.int64),
+        [len(c) for c in cells_per_poly],
+    )
+    cells = np.concatenate(cells_per_poly) if cells_per_poly else np.array([], dtype=np.int64)
+
+    if ring > 0 and prep is not None and len(cells):
+        lat, lon = hexgrid.cell_center(cells)
+        d = prep.distance_m(idx, lon, lat)
+        s = float(hexgrid.res_size_m(res))
+        r_true = s / np.cos(np.radians(lat))  # conservative true-m cell radius
+        lb = d - r_true
+        ub = d + r_true
+        order = np.lexsort((ub, cells))  # sort by cell, then ub
+        c_s, lb_s, ub_s, idx_s = cells[order], lb[order], ub[order], idx[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        counts = np.diff(np.r_[starts, len(c_s)])
+        # per cell: the keep_k-th smallest ub (last row if fewer than keep_k)
+        kth_pos = starts + np.minimum(keep_k, counts) - 1
+        kth_ub = np.repeat(ub_s[kth_pos], counts)
+        keep = lb_s <= kth_ub
+        cells, idx = c_s[keep], idx_s[keep]
+
+    return spark.createDataFrame(pd.DataFrame({"cell": cells, "poly_idx": idx}))
 
 
 def _prepare(spark, plots: DataFrame | pd.DataFrame):
@@ -89,6 +145,52 @@ def _ensure_parallel(spark, df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_live_caches: dict[str, DataFrame] = {}
+
+
+def _cache_scoped(name: str, df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) with per-operator scope: the PREVIOUS
+    invocation's cache is unpersisted on the next call, so repeated operator
+    invocations in one session never accumulate storage (ADVICE r1). A
+    still-lazy result frame from an earlier call stays correct — it just
+    recomputes without the cache. (localCheckpoint would self-GC, but its
+    RDD-conversion path costs ~10s on pandas-UDF plans here — measured.)"""
+    from pyspark import StorageLevel
+
+    prev = _live_caches.pop(name, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_caches[name] = out
+    return out
+
+
+def _ring_reach_m(ring: int, res: int, lat_col: str) -> F.Column:
+    """True-meter reach GUARANTEE of a k-ring candidate search (per point).
+
+    Soundness bound for treating in-ring candidates as exact: any polygon
+    whose covering cells all lie outside the point's ring-``ring`` neighborhood
+    is at least this far away, so an in-ring candidate at distance <= reach is
+    provably the true nearest (no out-of-ring polygon can beat it).
+
+    Derivation (projected Lambert-CEA space, hex circumradius s at ``res``):
+    a point lies within s of its cell center; every polygon point lies within
+    s of some covering-cell center (``hexgrid.polyfill`` covers containing
+    cells); hex centers at grid distance g are >= 1.5*g*s apart (triangular
+    lattice, tight at g even). A polygon outside the ring has g >= ring+1, so
+    its projected distance is >= 1.5*(ring+1)*s - 2s. Projected distance
+    >= true equirectangular meters * cos(lat) (x is inflated by 1/cos(lat),
+    y compressed by cos(lat)), giving the true-meter bound below; 0.99 absorbs
+    the cos(lat) drift between point and polygon over sub-km scales.
+    """
+    s = float(hexgrid.res_size_m(res))
+    factor = max(1.5 * (ring + 1) - 2.0, 0.0) * s * 0.99
+    return F.lit(factor) * F.cos(F.radians(F.col(lat_col)))
 
 
 def _contains_udf(bc):
@@ -157,7 +259,7 @@ def pip_join(
     boundary of) some polygon, with ``plot_id`` = min matching id.
 
     ``point_id`` must uniquely key ``points`` (duplicate ids collapse to one
-    row in the boundary-dedup window). Output: points' columns + ``plot_id``.
+    row in the boundary-dedup aggregation). Output: points' columns + ``plot_id``.
     """
     plots_pdf, prep, bc = _prepare(spark, plots)
     if res is None:
@@ -167,19 +269,20 @@ def pip_join(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )
 
-    pts = _ensure_parallel(spark, points).withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+    # NARROW-FIRST: only (id, lat, lon) flows through the cell join and the
+    # refine kernel; the wide payload joins back once at the end, so the
+    # dedup shuffle carries 2 small columns, not documents.
+    narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
+    pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
     cand = pts.join(broadcast(poly_cells), pts["_cell"] == poly_cells["cell"], "inner")
     hits = cand.filter(_contains_udf(bc)("poly_idx", lon_col, lat_col)).join(
         broadcast(ids_df), "poly_idx"
     )
-    # overlap/boundary determinism: min plot_id per point (window keyed by the
-    # point id — the only shuffle in the operator, sized ~1 row per matched point)
-    w = Window.partitionBy(point_id).orderBy("plot_id")
-    return (
-        hits.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*points.columns, "plot_id")
-    )
+    # overlap/boundary determinism: min plot_id per point — a map-side-
+    # combining aggregate over (point_id, plot_id) only (no window sort; the
+    # single shuffle carries one pre-aggregated narrow row per matched point)
+    best = hits.groupBy(point_id).agg(F.min("plot_id").alias("plot_id"))
+    return points.join(best, point_id).select(*points.columns, "plot_id")
 
 
 def knn_join(
@@ -200,57 +303,58 @@ def knn_join(
     plots_pdf, prep, bc = _prepare(spark, plots)
     if res is None:
         res = choose_res(prep)
-        # reach = ring radius x hex pitch; widen the ring (cheap: the fan-out is
-        # integer deltas joined to a broadcast) rather than coarsening the res
+        # reach = ring radius x hex pitch; widen the ring (cheap: the dilation
+        # lives in the broadcast dim) rather than coarsening the res
         # (expensive: coarser cells multiply candidates per cell).
-    poly_cells = _poly_cells_df(spark, plots_pdf, res)
+    # ring dilation + interval pruning on the DIM side: the probe stays one
+    # row per point, each (point, poly) candidate appears exactly once, and
+    # only polys that can win top-k for some point in the cell survive.
+    poly_cells = _poly_cells_df(spark, plots_pdf, res, ring=ring, prep=prep, keep_k=k)
     ids_df = spark.createDataFrame(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )
     n_polys = len(prep.plot_ids)
 
-    # k-ring fan-out entirely JVM-side: the packed ID is linear in (q, r), so a
-    # ring neighbor is cell + dq*2^29 + dr — explode a literal delta array.
-    # INNER broadcast join: the (large) fan-out of ring misses dies inside
-    # whole-stage codegen without ever shuffling; only hits flow on. Narrow
-    # (id, lat, lon) columns throughout; payload joins back at the end.
-    deltas = [
-        (dq << 29) + dr
-        for dq in range(-ring, ring + 1)
-        for dr in range(-ring, ring + 1)
-        if abs(dq + dr) <= ring
-    ]
-    delta_arr = F.array(*[F.lit(d) for d in deltas])
+    # Narrow (id, lat, lon) columns throughout; payload joins back at the end.
+    # INNER broadcast join: ring misses die inside whole-stage codegen without
+    # ever shuffling; only hits flow on.
     narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
-    pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+    pts = narrow.withColumn("cell", h3_udf(res)(lat_col, lon_col))
     dist = _distance_udf(bc)
-    hits = (
-        pts.select(point_id, lat_col, lon_col, F.explode(delta_arr).alias("_d"), "_cell")
-        .withColumn("cell", F.col("_cell") + F.col("_d"))
-        .join(broadcast(poly_cells), "cell")
-        .join(broadcast(ids_df), "poly_idx")
-    )
+    hits = pts.join(broadcast(poly_cells), "cell").join(broadcast(ids_df), "poly_idx")
+
+    reach = _ring_reach_m(ring, res, lat_col)
 
     if k == 1:
         # k=1 (the reference's case): no dedup, no window — duplicates collapse
         # inside a map-side-combining min_by; the only shuffle carries one
         # pre-aggregated row per point.
         scored = hits.withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
-        best1 = scored.groupBy(point_id).agg(
-            F.min_by(
-                F.struct(F.col("plot_id"), F.col("dist_m")),
-                F.struct(F.col("dist_m"), F.col("plot_id")),
-            ).alias("b")
+        # scoped persist: three consumers below (near, far-routing, anti-join)
+        # must not re-run the candidate join + Arrow distance pass; the cached
+        # frame is one narrow row per point.
+        best1 = _cache_scoped(
+            "knn_best1",
+            scored.groupBy(point_id, lat_col, lon_col).agg(
+                F.min_by(
+                    F.struct(F.col("plot_id"), F.col("dist_m")),
+                    F.struct(F.col("dist_m"), F.col("plot_id")),
+                ).alias("b")
+            ),
         )
-        near1 = best1.select(
+        # exactness guard: an in-ring best farther than the ring's guaranteed
+        # reach could be beaten by a polygon whose covering cells sit just
+        # outside the ring — route those points to the exact broadcast pass.
+        near1 = best1.filter(F.col("b.dist_m") <= reach).select(
             point_id,
             F.col("b.plot_id").alias("plot_id"),
             F.col("b.dist_m").alias("dist_m"),
             F.lit(1).alias("knn_rank"),
         )
+        far_ids = best1.filter(F.col("b.dist_m") > reach).select(point_id)
         none_ids = narrow.select(point_id).join(
             best1.select(point_id), point_id, "left_anti"
-        )
+        ).unionByName(far_ids)
         all_idx1 = spark.createDataFrame(pd.DataFrame({"poly_idx": range(n_polys)}))
         fb1 = (
             narrow.join(none_ids, point_id, "left_semi")
@@ -275,15 +379,9 @@ def knn_join(
             *points.columns, "plot_id", "dist_m", "knn_rank"
         )
 
-    cand = (
-        hits.groupBy(point_id, "poly_idx")
-        .agg(
-            F.first(lat_col).alias(lat_col),
-            F.first(lon_col).alias(lon_col),
-            F.first("plot_id").alias("plot_id"),
-        )
-    )
-    ranked = cand.withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
+    # (point, poly) candidates are already unique (the dilated covering is
+    # distinct per cell and each point has one cell) — no dedup shuffle needed
+    ranked = hits.withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
 
     # one window pass ranks candidates AND counts them, so exactness routing
     # (fewer than k in-ring candidates -> full broadcast re-rank) costs no
@@ -291,21 +389,34 @@ def knn_join(
     # reference's first-scanned order is not reproducible, plotid_by_latlon.py:63-68).
     w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col("plot_id").asc())
     wc = Window.partitionBy(point_id)
-    ranked = ranked.withColumn("knn_rank", F.row_number().over(w)).withColumn(
-        "_n_cand", F.count("plot_id").over(wc)
+    ranked = (
+        ranked.withColumn("knn_rank", F.row_number().over(w))
+        .withColumn("_n_cand", F.count("plot_id").over(wc))
+        # distance of the k-th in-ring candidate: the exactness bound below
+        # compares it against the ring's guaranteed reach
+        .withColumn(
+            "_dk", F.max(F.when(F.col("knn_rank") <= k, F.col("dist_m"))).over(wc)
+        )
     )
+    # cached once: near, few_ids, and the none_ids anti-join all read this
+    # frame — without it each branch re-runs the candidate join + UDF
+    ranked = _cache_scoped("knn_ranked", ranked)
 
     near = ranked.filter(
-        (F.col("_n_cand") >= min(k, n_polys)) & (F.col("knn_rank") <= k)
+        (F.col("_n_cand") >= min(k, n_polys))
+        & (F.col("_dk") <= reach)
+        & (F.col("knn_rank") <= k)
     ).select(point_id, "plot_id", "dist_m", "knn_rank")
 
-    # fallback set = points with SOME but < k candidates (from the window) plus
-    # points with NO candidate at all (anti-join against candidate ids).
+    # fallback set = points with SOME but < k candidates, plus points whose
+    # k-th candidate is beyond the ring's guaranteed reach (an out-of-ring
+    # polygon could be nearer), plus points with NO candidate at all.
     few_ids = ranked.filter(
-        (F.col("_n_cand") < min(k, n_polys)) & (F.col("knn_rank") == 1)
+        ((F.col("_n_cand") < min(k, n_polys)) | (F.col("_dk") > reach))
+        & (F.col("knn_rank") == 1)
     ).select(point_id)
     none_ids = narrow.select(point_id).join(
-        cand.select(point_id).distinct(), point_id, "left_anti"
+        ranked.select(point_id).distinct(), point_id, "left_anti"
     )
     all_idx = spark.createDataFrame(pd.DataFrame({"poly_idx": range(n_polys)}))
     fb = (
@@ -339,8 +450,9 @@ def resolve_plots(
     either break to min plot_id (engine-frozen determinism rule).
 
     FUSED single-pass plan (the 100 TB shape — the points side is scanned once):
-      1. ring fan-out (JVM integer deltas) LEFT-joined to the broadcast
-         (cell, poly) covering table — null candidate marks 'nothing nearby';
+      1. one row per point LEFT-joined to the broadcast ring-DILATED
+         (cell, poly) covering table — null candidate marks 'nothing nearby'
+         (the ring fan-out lives in the dim, so the big side never explodes);
       2. one Arrow pass computes (contains, dist) per candidate pair;
       3. map-side-combining ``min_by`` picks the best candidate per point
          (ordering struct: has-candidate, !contains, dist, plot_id) — a single
@@ -352,41 +464,30 @@ def resolve_plots(
     plots_pdf, prep, bc = _prepare(spark, plots)
     if res is None:
         res = choose_res(prep)
-    poly_cells = _poly_cells_df(spark, plots_pdf, res)
+    # ring dilation + interval pruning on the DIM side (see _poly_cells_df):
+    # probe stays one row per point, candidates are unique (point, poly) pairs.
+    poly_cells = _poly_cells_df(spark, plots_pdf, res, ring=ring, prep=prep, keep_k=1)
     ids_df = spark.createDataFrame(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )
     cd = _contains_dist_udf(bc)
 
-    deltas = [
-        (dq << 29) + dr
-        for dq in range(-ring, ring + 1)
-        for dr in range(-ring, ring + 1)
-        if abs(dq + dr) <= ring
-    ]
-    delta_arr = F.array(*[F.lit(d) for d in deltas])
-
-    from pyspark import StorageLevel
-
-    # NARROW-FIRST: only (id, lat, lon) flows through the ring fan-out, the
+    # NARROW-FIRST: only (id, lat, lon) flows through the candidate join, the
     # refine kernel, and the aggregation — the wide payload (footprint strings,
     # metadata) is joined back once at the end. At 100 TB this is the
     # difference between shuffling ids and shuffling documents.
     # ``cell_col``: a precomputed cell ID at exactly ``res`` (e.g. the fused
     # footprint stage's cell_r12) skips the re-encode pass entirely.
     if cell_col is not None:
-        narrow = _ensure_parallel(
-            spark, points.select(point_id, lat_col, lon_col, F.col(cell_col).alias("_cell"))
+        pts = _ensure_parallel(
+            spark, points.select(point_id, lat_col, lon_col, F.col(cell_col).alias("cell"))
         )
-        pts = narrow
-        narrow = narrow.drop("_cell")
+        narrow = pts.drop("cell")
     else:
         narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
-        pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+        pts = narrow.withColumn("cell", h3_udf(res)(lat_col, lon_col))
     cand = (
-        pts.select("*", F.explode(delta_arr).alias("_d"))
-        .withColumn("cell", F.col("_cell") + F.col("_d"))
-        .join(broadcast(poly_cells), "cell", "left")
+        pts.join(broadcast(poly_cells), "cell", "left")
         .join(broadcast(ids_df), "poly_idx", "left")
         .withColumn("cd", cd("poly_idx", lon_col, lat_col))
     )
@@ -398,14 +499,17 @@ def resolve_plots(
         F.coalesce(F.col("plot_id"), F.lit("")).alias("pid"),
     )
     val = F.struct(
-        F.col("plot_id").alias("plot_id"), F.col("cd.contains").alias("contains")
+        F.col("plot_id").alias("plot_id"),
+        F.col("cd.contains").alias("contains"),
+        F.col("cd.dist_m").alias("dist_m"),
     )
-    # group key = point id only; partial map-side min_by collapses the ring
-    # fan-out before the (single) shuffle.
-    best = (
-        cand.groupBy(point_id, lat_col, lon_col)
-        .agg(F.min_by(val, ord_key).alias("best"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # read by both branches below
+    # group key = point id only; partial map-side min_by collapses the
+    # candidate fan-out before the (single) shuffle. Scoped persist: both
+    # branches below read the cache; the previous invocation's cache is
+    # released on the next call (no cross-invocation accumulation).
+    best = _cache_scoped(
+        "resolve_best",
+        cand.groupBy(point_id, lat_col, lon_col).agg(F.min_by(val, ord_key).alias("best")),
     )
 
     def _emit(df):
@@ -417,10 +521,18 @@ def resolve_plots(
             .alias("matched_via"),
         )
 
-    resolved_n = _emit(best.filter(F.col("best.plot_id").isNotNull()))
+    # exactness guard (same bound as knn_join): a non-contained nearest match
+    # farther than the ring's guaranteed reach could be beaten by a polygon
+    # covered just outside the ring -> exact broadcast re-rank for those.
+    reach = _ring_reach_m(ring, res, lat_col)
+    ok = F.col("best.plot_id").isNotNull() & (
+        F.col("best.contains") | (F.col("best.dist_m") <= reach)
+    )
+    resolved_n = _emit(best.filter(ok))
 
-    # totality fallback: no covering cell within the ring -> broadcast full dim
-    missing = best.filter(F.col("best.plot_id").isNull()).select(point_id, lat_col, lon_col)
+    # totality + exactness fallback: no covering cell within the ring, or the
+    # in-ring nearest is beyond the soundness bound -> broadcast full dim
+    missing = best.filter(~ok).select(point_id, lat_col, lon_col)
     all_polys = spark.createDataFrame(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )

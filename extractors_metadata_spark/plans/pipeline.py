@@ -57,13 +57,23 @@ def footprints(pages: DataFrame) -> DataFrame:
     return with_footprint_cells(parse_metadata(pages))
 
 
-def _resolved(spark: SparkSession, pages: DataFrame, plots, persist: bool = True) -> DataFrame:
+def _resolved(
+    spark: SparkSession,
+    pages: DataFrame,
+    plots,
+    persist: bool = True,
+    caches: list | None = None,
+) -> DataFrame:
     """footprints + plot resolution, materialized exactly once.
 
     The front half feeds BOTH the site-shortcut branch and the lookup branch,
     so it is persisted before the split (a cluster deployment would write a
     stage snapshot instead — same single-compute guarantee, see
     sources/snapshot.py).
+
+    ``caches``: pass a list to receive every frame this function persists, so
+    action-owning callers can unpersist after materializing (repeated pipeline
+    invocations in one session must not accumulate MEMORY_AND_DISK storage).
     """
     from pyspark import StorageLevel
 
@@ -73,6 +83,8 @@ def _resolved(spark: SparkSession, pages: DataFrame, plots, persist: bool = True
         .observe("footprints", F.count(F.lit(1)).alias("rows"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if caches is not None:
+        caches.append(fp)
 
     # P10 split: known site -> no lookup; plot id parsed from the sitename tail
     # ("Maricopa plot 42-3" -> "42-3", mirroring the reference passing sitename
@@ -85,6 +97,8 @@ def _resolved(spark: SparkSession, pages: DataFrame, plots, persist: bool = True
     if persist:
         # datapoints and tiles both fan out from here (two downstream actions)
         resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+        if caches is not None:
+            caches.append(resolved)
     return resolved
 
 
@@ -124,9 +138,12 @@ def run_pipeline_counts(
     """
     from pyspark.sql import Observation
 
-    resolved = _resolved(spark, pages, plots, persist=False)
+    caches: list = []
+    resolved = _resolved(spark, pages, plots, persist=False, caches=caches)
     obs = Observation("datapoints")
     observed = resolved.observe(obs, F.count(F.lit(1)).alias("rows"))
     n_tiles = tile_assign(observed, zooms=zooms).count()
     n_dp = obs.get["rows"]
+    for c in caches:
+        c.unpersist()
     return n_dp, n_tiles

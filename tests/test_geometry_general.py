@@ -62,6 +62,61 @@ def test_raycast_matches_halfplane_on_convex(seed, n_verts):
     assert np.array_equal(got[clear], exp[clear])
 
 
+def test_knn_exact_on_thin_rotated_strips(spark):
+    """End-to-end kNN exactness on adversarial general dims: thin diagonal
+    strips whose bbox covering cells sit far from the geometry, probed with a
+    small ring. Without the reach-bound fallback (ADVICE r1), a point whose
+    in-ring candidates are all far could return a wrong nearest when a closer
+    polygon's covering cells lie just outside the ring; the bound must route
+    such points to the exact broadcast pass. Oracle: NumPy brute force with
+    the engine's own frozen distance kernel over ALL polygons."""
+    from extractors_metadata_spark.operators.pip_knn import knn_join
+
+    c_lat, c_lon = 33.075, -111.975
+    rng = np.random.default_rng(99)
+    rings, ids = [], []
+    for i in range(8):
+        # thin 45-degree strip: ~60 m long, ~2 m wide, staggered
+        x0 = c_lon + i * 0.0004
+        y0 = c_lat + (i % 3) * 0.0004
+        L, w = 0.0005, 0.00002
+        rings.append([
+            [x0, y0], [x0 + w, y0], [x0 + L + w, y0 + L], [x0 + L, y0 + L]
+        ])
+        ids.append(f"s{i}")
+    plots_pdf = pd.DataFrame({"plot_id": ids, "ring": rings})
+
+    n_pts = 80
+    px = rng.uniform(c_lon - 0.0003, c_lon + 0.0035, n_pts)
+    py = rng.uniform(c_lat - 0.0003, c_lat + 0.0015, n_pts)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u{i}" for i in range(n_pts)],
+                      "centroid_lat": py, "centroid_lon": px})
+    )
+
+    prep = PreparedPolygons.from_pandas(plots_pdf)
+    d_all = np.stack([
+        prep.distance_m(np.full(n_pts, j, dtype=np.int64), px, py)
+        for j in range(len(ids))
+    ])  # (n_polys, n_pts)
+
+    for k in (1, 3):
+        got = knn_join(spark, pts, plots_pdf, k=k, point_id="url",
+                       res=12, ring=1).collect()
+        by_pt = {}
+        for r in got:
+            by_pt.setdefault(r.url, []).append((r.knn_rank, r.plot_id, r.dist_m))
+        for i in range(n_pts):
+            # brute-force top-k with (dist, plot_id) tie-break
+            order = sorted(range(len(ids)), key=lambda j: (d_all[j, i], ids[j]))
+            exp = [(rk + 1, ids[j], d_all[j, i]) for rk, j in enumerate(order[:k])]
+            have = sorted(by_pt[f"u{i}"])
+            assert [(a, b) for a, b, _ in have] == [(a, b) for a, b, _ in exp], (
+                i, have, exp)
+            for (_, _, dg), (_, _, de) in zip(have, exp):
+                assert dg == pytest.approx(de, rel=1e-9)
+
+
 def test_concave_l_shape():
     # L-shape: outer corner notch removed; ray-cast must handle concavity
     ring = np.array([

@@ -28,6 +28,31 @@ def test_pip_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan  # the points side must never sort-shuffle
 
 
+def test_pip_join_dedup_is_narrow_min_agg(spark):
+    """The boundary-dedup must be a map-side-combining min aggregate over
+    (point_id, plot_id) — no Window sort, no wide payload through the shuffle."""
+    import re
+
+    from extractors_metadata_spark.operators.pip_knn import pip_join
+    from extractors_metadata_spark.synth import plot_rings
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["a"], "centroid_lat": [33.0746], "centroid_lon": [-111.9748],
+            "payload": ["x" * 10],  # wide column that must NOT enter the agg
+        })
+    )
+    plan = _explain(pip_join(spark, pts, plot_rings()))
+    assert "Window" not in plan
+    # partial + final aggregate pair for the min(plot_id) dedup (min over a
+    # string buffer plans as SortAggregate; the map-side partial still combines)
+    aggs = re.findall(r"^\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate.*$", plan, re.M)
+    assert len(aggs) >= 2
+    # the aggregate's input carries only the narrow columns
+    agg_sections = re.split(r"(?:Sort|Hash|ObjectHash)Aggregate", plan)
+    assert all("payload" not in s[:400] for s in agg_sections[1:])
+
+
 def test_knn_join_is_broadcast(spark):
     from extractors_metadata_spark.operators.pip_knn import knn_join
     from extractors_metadata_spark.synth import plot_rings
