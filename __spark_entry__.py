@@ -93,6 +93,27 @@ def q_knn_nearest(spark, sf_dir):
     return out.select("event_id", "plot_id")
 
 
+def q_knn_topk(spark, sf_dir):
+    """kNN at k=3 with exact distances and ranks: the DuckDB oracle brute-
+    forces point-to-rectangle distance over all 864 plots with the engine
+    kernel's literal arithmetic (geometry.PreparedPolygons.distance_m);
+    dist_m is rounded to cm — the synthetic lat offsets are odd multiples of
+    ~0.278 m, which lands EXACTLY on 3-decimal round midpoints, so mm rounding
+    would let libm cos/sqrt ulp drift flip equality (observed once in 6000)."""
+    from extractors_metadata_spark.operators.pip_knn import knn_join
+
+    pts = _event_points(spark, sf_dir, lat_expr=LAT_SOUTH).filter(
+        F.col("event_id") < 2000
+    )
+    out = knn_join(spark, pts, _plots_pdf(), k=3, point_id="event_id", ring=8)
+    return out.select(
+        "event_id",
+        "plot_id",
+        F.col("knn_rank").cast("int").alias("rank"),
+        F.round("dist_m", 2).alias("dist_m"),
+    )
+
+
 def q_tile_assign(spark, sf_dir):
     from extractors_metadata_spark.operators.tile_assign import tile_assign
 
@@ -420,6 +441,20 @@ def q_near_dedup_survivors(spark, sf_dir):
     return near_dedup_survivors(d, pairs).select("doc_id", "lang", "n_chars")
 
 
+def q_near_dedup_exact(spark, sf_dir):
+    """Exact near-dedup (char-3-gram Jaccard pairs -> connected components ->
+    min-id survivors) — the SQL-expressible twin of near_dedup_survivors:
+    DuckDB replays the clustering with a recursive CTE."""
+    from extractors_metadata_spark.operators.dedup import (
+        near_dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.4)
+    return near_dedup_survivors(d, pairs).select("doc_id", "lang", "n_chars")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (rows-only: xxhash64 bit votes)."""
     from extractors_metadata_spark.operators.dedup import simhash
@@ -623,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains": q_pip_contains,
         "knn_nearest": q_knn_nearest,
+        "knn_topk": q_knn_topk,
         "tile_assign": q_tile_assign,
         "tile_density": q_tile_density,
         "cells_encode": q_cells_encode,
@@ -651,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
+        "near_dedup_exact": q_near_dedup_exact,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -684,6 +721,55 @@ def oracle_sql() -> dict[str, str]:
         "knn_nearest": f"""
             SELECT event_id, '1-' || ({PASS_OF_LON_IN}) AS plot_id
             FROM events
+        """,
+        "knn_topk": f"""
+            WITH pts AS (
+              SELECT event_id, ({LAT_SOUTH}) AS py, ({LON_IN}) AS px
+              FROM events WHERE event_id < 2000
+            ),
+            plots AS (
+              SELECT CAST(r AS VARCHAR) || '-' || CAST(p AS VARCHAR) AS plot_id,
+                     33.0745 + (r - 1) * 0.0000365 AS lat_s,
+                     33.0745 + r * 0.0000365 AS lat_n,
+                     -111.9750833333 + (p - 1) * 0.00005 AS lon_w,
+                     -111.9750833333 + p * 0.00005 AS lon_e
+              FROM range(1, 55) t(r), range(1, 17) t2(p)
+            ),
+            segs AS (
+              SELECT plot_id, lon_w AS x1, lat_s AS y1, lon_e AS x2, lat_s AS y2 FROM plots
+              UNION ALL SELECT plot_id, lon_e, lat_s, lon_e, lat_n FROM plots
+              UNION ALL SELECT plot_id, lon_e, lat_n, lon_w, lat_n FROM plots
+              UNION ALL SELECT plot_id, lon_w, lat_n, lon_w, lat_s FROM plots
+            ),
+            -- literal mirror of PreparedPolygons.distance_m (equirectangular
+            -- local plane): ax=(x1-px)*coslat*deg etc., clamped projection
+            ab AS (
+              SELECT event_id, plot_id,
+                     (x1 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS ax,
+                     (y1 - py) * (pi() / 180.0 * 6371008.8) AS ay,
+                     (x2 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS bx,
+                     (y2 - py) * (pi() / 180.0 * 6371008.8) AS by
+              FROM pts, segs
+            ),
+            dd AS (SELECT event_id, plot_id, ax, ay, bx - ax AS dx, by - ay AS dy FROM ab),
+            tt AS (
+              SELECT event_id, plot_id, ax, ay, dx, dy,
+                     least(greatest(-(ax * dx + ay * dy) / (dx * dx + dy * dy), 0.0), 1.0) AS t
+              FROM dd
+            ),
+            dseg AS (
+              SELECT event_id, plot_id,
+                     sqrt((ax + t * dx) * (ax + t * dx) + (ay + t * dy) * (ay + t * dy)) AS ds
+              FROM tt
+            ),
+            d AS (SELECT event_id, plot_id, min(ds) AS dist FROM dseg GROUP BY 1, 2)
+            SELECT event_id, plot_id, CAST(rank AS INT) AS rank, round(dist, 2) AS dist_m
+            FROM (
+              SELECT event_id, plot_id, dist,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY dist ASC, plot_id ASC) AS rank
+              FROM d)
+            WHERE rank <= 3
         """,
         "tile_assign": f"""
             WITH pts AS (
@@ -952,6 +1038,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common / (sa.n + sb.n - common) >= 0.3
+        """,
+        "near_dedup_exact": """
+            WITH RECURSIVE grams AS (
+              SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS gram
+              FROM documents, unnest(range(1, greatest(length(text) - 1, 2))) AS t(i)
+              WHERE doc_id < 120
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM cpairs
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(common / (sa.n + sb.n - common), 6) >= 0.4
+            ),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+            ),
+            labels AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d LEFT JOIN labels ON labels.id = d.doc_id
+            WHERE d.doc_id < 120
+              AND (labels.id IS NULL OR least(d.doc_id, labels.mn) = d.doc_id)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
