@@ -1,23 +1,35 @@
 #!/bin/bash
-# Two-parallelism scaling run (north rule: N vs 4N, efficiency >= 0.8),
+# Two-parallelism scaling evidence (north rule: N vs 4N, efficiency >= 0.8),
 # launched the mandated way: spark-submit --py-files. Both levels use the same
 # per-core configuration rule: shuffle partitions = 4 x cores, AQE partition
 # coalescing off (it under-provisions Python-UDF reduce stages; see
 # BENCH/BASELINE.md).
+#
+# PAIRS alternating (4N, N) runs — 5 pairs by default — so VM noise hits both
+# levels alike; tools/scaling_summary.py reduces the log to best-of-k AND
+# median-of-best-3 efficiency (the round-2 evidence standard).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-DOCS="${SPARK_GRAFT_SCALING_DOCS:-2000000}"
+DOCS="${SPARK_GRAFT_SCALING_DOCS:-1000000}"
 N="${SPARK_GRAFT_SCALING_N:-2}"
+PAIRS="${SPARK_GRAFT_SCALING_PAIRS:-5}"
+OUT="${SPARK_GRAFT_SCALING_OUT:-/tmp/scaling_runs.jsonl}"
 PKG=/tmp/extractors_metadata_spark.zip
 rm -f "$PKG"
 (cd . && zip -qr "$PKG" extractors_metadata_spark)
+: > "$OUT"
 
-for CPUS in "$N" $((N * 4)); do
-  spark-submit --master "local[$CPUS]" --py-files "$PKG" \
-    --conf spark.ui.enabled=false \
-    --driver-memory 16g \
-    tools/scaling_job.py --cpus "$CPUS" --docs "$DOCS" \
-    --shuffle $((CPUS * 4)) \
-    --extra spark.sql.adaptive.coalescePartitions.enabled=false 2>/dev/null | tail -1
+for _ in $(seq 1 "$PAIRS"); do
+  for CPUS in $((N * 4)) "$N"; do
+    spark-submit --master "local[$CPUS]" --py-files "$PKG" \
+      --conf spark.ui.enabled=false \
+      --driver-memory 16g \
+      tools/scaling_job.py --cpus "$CPUS" --docs "$DOCS" \
+      --shuffle $((CPUS * 4)) \
+      --extra spark.sql.adaptive.coalescePartitions.enabled=false 2>/dev/null \
+      | tail -1 | tee -a "$OUT"
+  done
 done
+
+python tools/scaling_summary.py "$OUT"
