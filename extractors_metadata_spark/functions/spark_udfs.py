@@ -23,7 +23,7 @@ FOOTPRINT_SCHEMA = (
     "min_lat double, max_lat double, min_lon double, max_lon double"
 )
 
-FOOTPRINT_CELLS_SCHEMA = FOOTPRINT_SCHEMA + ", cell_r9 long, s2_cell long, cell_r12 long"
+FOOTPRINT_CELLS_SCHEMA = FOOTPRINT_SCHEMA + ", cell_r9 long, s2_cell long, cell_r13 long"
 
 
 def footprint_cells_udf(h3_res: int = 9, s2_level: int = 16):
@@ -56,7 +56,7 @@ def footprint_cells_udf(h3_res: int = 9, s2_level: int = 16):
                 # join-resolution cell precomputed here so the spatial join
                 # needs no second encode pass (north star: encode cells once
                 # in batched columnar passes)
-                "cell_r12": hexgrid.h3_encode(c_lat, c_lon, 12),
+                "cell_r13": hexgrid.h3_encode(c_lat, c_lon, 13),
             }
         )
 

@@ -13,9 +13,11 @@ Four families, all shuffle-conscious:
               (used standalone at small scale, or as the LSH verify stage).
 
 Skew note: shingle/gram explode keys are salted by construction (the join keys
-are hashes — uniform); the only hot-key risk is boilerplate-heavy shingles,
-bounded by ``dropDuplicates`` before the join. At 10^12 docs the LSH band join
-shuffles ~P/r rows per doc, not O(doc^2).
+are hashes — uniform); the remaining hot-key risk is a degenerate LSH bucket
+(boilerplate/empty text collapsing to one band value), which is HARD-CAPPED by
+``cap_hot_buckets`` before every bucket self-join — the worst bucket emits at
+most max_bucket^2 pairs. At 10^12 docs the LSH band join shuffles ~P/r rows
+per doc, not O(doc^2).
 """
 
 from __future__ import annotations

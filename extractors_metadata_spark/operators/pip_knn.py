@@ -281,6 +281,12 @@ def pip_join(
     # overlap/boundary determinism: min plot_id per point — a map-side-
     # combining aggregate over (point_id, plot_id) only (no window sort; the
     # single shuffle carries one pre-aggregated narrow row per matched point)
+    if set(points.columns) == {point_id, lat_col, lon_col}:
+        # already-narrow caller: lat/lon ride as grouping keys — no join-back
+        best = hits.groupBy(point_id, lat_col, lon_col).agg(
+            F.min("plot_id").alias("plot_id")
+        )
+        return best.select(*points.columns, "plot_id")
     best = hits.groupBy(point_id).agg(F.min("plot_id").alias("plot_id"))
     return points.join(best, point_id).select(*points.columns, "plot_id")
 
@@ -319,6 +325,9 @@ def knn_join(
     # INNER broadcast join: ring misses die inside whole-stage codegen without
     # ever shuffling; only hits flow on.
     narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
+    # already-narrow caller: every branch below carries (id, lat, lon), so the
+    # final payload join-back is skipped entirely
+    points_is_narrow = set(points.columns) == {point_id, lat_col, lon_col}
     pts = narrow.withColumn("cell", h3_udf(res)(lat_col, lon_col))
     dist = _distance_udf(bc)
     hits = pts.join(broadcast(poly_cells), "cell").join(broadcast(ids_df), "poly_idx")
@@ -347,6 +356,8 @@ def knn_join(
         # outside the ring — route those points to the exact broadcast pass.
         near1 = best1.filter(F.col("b.dist_m") <= reach).select(
             point_id,
+            lat_col,
+            lon_col,
             F.col("b.plot_id").alias("plot_id"),
             F.col("b.dist_m").alias("dist_m"),
             F.lit(1).alias("knn_rank"),
@@ -361,7 +372,7 @@ def knn_join(
             .crossJoin(broadcast(all_idx1))
             .join(broadcast(ids_df), "poly_idx")
             .withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
-            .groupBy(point_id)
+            .groupBy(point_id, lat_col, lon_col)
             .agg(
                 F.min_by(
                     F.struct(F.col("plot_id"), F.col("dist_m")),
@@ -370,12 +381,17 @@ def knn_join(
             )
             .select(
                 point_id,
+                lat_col,
+                lon_col,
                 F.col("b.plot_id").alias("plot_id"),
                 F.col("b.dist_m").alias("dist_m"),
                 F.lit(1).alias("knn_rank"),
             )
         )
-        return points.join(near1.unionByName(fb1), point_id).select(
+        out1 = near1.unionByName(fb1)
+        if points_is_narrow:
+            return out1.select(*points.columns, "plot_id", "dist_m", "knn_rank")
+        return points.join(out1.drop(lat_col, lon_col), point_id).select(
             *points.columns, "plot_id", "dist_m", "knn_rank"
         )
 
@@ -406,7 +422,7 @@ def knn_join(
         (F.col("_n_cand") >= min(k, n_polys))
         & (F.col("_dk") <= reach)
         & (F.col("knn_rank") <= k)
-    ).select(point_id, "plot_id", "dist_m", "knn_rank")
+    ).select(point_id, lat_col, lon_col, "plot_id", "dist_m", "knn_rank")
 
     # fallback set = points with SOME but < k candidates, plus points whose
     # k-th candidate is beyond the ring's guaranteed reach (an out-of-ring
@@ -426,10 +442,12 @@ def knn_join(
         .withColumn("dist_m", dist("poly_idx", lon_col, lat_col))
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .select(point_id, "plot_id", "dist_m", "knn_rank")
+        .select(point_id, lat_col, lon_col, "plot_id", "dist_m", "knn_rank")
     )
     out = near.unionByName(fb)
-    return points.join(out, point_id).select(
+    if points_is_narrow:
+        return out.select(*points.columns, "plot_id", "dist_m", "knn_rank")
+    return points.join(out.drop(lat_col, lon_col), point_id).select(
         *points.columns, "plot_id", "dist_m", "knn_rank"
     )
 
@@ -477,7 +495,7 @@ def resolve_plots(
     # metadata) is joined back once at the end. At 100 TB this is the
     # difference between shuffling ids and shuffling documents.
     # ``cell_col``: a precomputed cell ID at exactly ``res`` (e.g. the fused
-    # footprint stage's cell_r12) skips the re-encode pass entirely.
+    # footprint stage's cell_r13) skips the re-encode pass entirely.
     if cell_col is not None:
         pts = _ensure_parallel(
             spark, points.select(point_id, lat_col, lon_col, F.col(cell_col).alias("cell"))
@@ -515,6 +533,8 @@ def resolve_plots(
     def _emit(df):
         return df.select(
             point_id,
+            lat_col,
+            lon_col,
             F.col("best.plot_id").alias("plot_id"),
             F.when(F.col("best.contains"), "contains")
             .otherwise("nearest")
@@ -544,7 +564,16 @@ def resolve_plots(
     fb = _emit(
         missing.crossJoin(broadcast(all_polys))
         .withColumn("cd", cd("poly_idx", lon_col, lat_col))
-        .groupBy(point_id)
+        .groupBy(point_id, lat_col, lon_col)
         .agg(F.min_by(val, fb_ord).alias("best"))
     )
-    return points.join(resolved_n.unionByName(fb), point_id)
+    out = resolved_n.unionByName(fb)
+    base_cols = {point_id, lat_col, lon_col} | ({cell_col} if cell_col else set())
+    if set(points.columns) == base_cols:
+        # already-narrow caller: no payload to join back
+        if cell_col:
+            return points.select(point_id, cell_col).join(
+                out, point_id
+            ).select(*points.columns, "plot_id", "matched_via")
+        return out.select(*points.columns, "plot_id", "matched_via")
+    return points.join(out.drop(lat_col, lon_col), point_id)

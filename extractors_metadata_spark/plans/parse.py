@@ -115,22 +115,75 @@ def with_footprint(parsed: DataFrame) -> DataFrame:
     ).drop("fp")
 
 
-def with_footprint_cells(parsed: DataFrame, h3_res: int = 9, s2_level: int = 16) -> DataFrame:
-    """Fused footprint + cell encodings: ONE Arrow pass for the whole geometry
-    stage (the pipeline's hot path; see footprint_cells_udf)."""
-    fp = footprint_cells_udf(h3_res, s2_level)
-    df = parsed.filter(F.col("pos_x").isNotNull() & F.col("pos_y").isNotNull())
-    df = df.withColumn(
-        "fp",
-        fp(
-            "pos_x",
-            "pos_y",
+def with_footprint_cells(
+    parsed: DataFrame, h3_res: int = 9, s2_level: int = 16, jvm: bool = False
+) -> DataFrame:
+    """Fused footprint + cell encodings for the pipeline's hot path.
+
+    Default = ONE Arrow/NumPy pass (``footprint_cells_udf``). A fully
+    JVM-codegen twin exists (``jvm=True``, ``functions/geodesy_cols.py``,
+    parity-pinned by tests/test_geodesy_cols.py) and was benchmarked as the
+    would-be default: it removes the Python worker entirely but runs ~8x
+    SLOWER on this kernel (measured 19-23 s vs 2-5 s per 10^6 docs at
+    local[4]) — ~50 scalar java.lang.Math trig calls per row lose badly to
+    SIMD-vectorized NumPy over Arrow batches. Keep the Arrow path unless the
+    deployment cannot afford Python workers at all."""
+    if jvm:
+        from ..functions.geodesy_cols import (
+            footprint_corner_cols,
+            h3_encode_col,
+            with_s2_encode,
+        )
+
+        df = parsed.filter(F.col("pos_x").isNotNull() & F.col("pos_y").isNotNull())
+        corners = footprint_corner_cols(
+            F.col("pos_x"),
+            F.col("pos_y"),
             F.coalesce("cambox_x", F.lit(0.0)),
             F.coalesce("cambox_y", F.lit(0.0)),
             F.coalesce("fov_x", F.lit(0.0)),
             F.coalesce("fov_y", F.lit(0.0)),
-        ),
-    )
+        )
+        # PROJECTION BOUNDARY: the ten UTM-series trees land as real columns
+        # here; everything below references the aliases (see
+        # footprint_corner_cols on why this must not be inlined).
+        df = df.select("*", *[c.alias(f"_fp_{k}") for k, c in corners.items()])
+        r = lambda k: F.col(f"_fp_{k}")  # noqa: E731
+        geojson = F.format_string(
+            '{"type":"Polygon","coordinates":[[[%.10f,%.10f],[%.10f,%.10f],'
+            '[%.10f,%.10f],[%.10f,%.10f],[%.10f,%.10f]]]}',
+            r("sw_lon"), r("sw_lat"), r("se_lon"), r("se_lat"),
+            r("ne_lon"), r("ne_lat"), r("nw_lon"), r("nw_lat"),
+            r("sw_lon"), r("sw_lat"),
+        )
+        out = df.select(
+            "*",
+            r("centroid_lat").alias("centroid_lat"),
+            r("centroid_lon").alias("centroid_lon"),
+            F.least(r("sw_lat"), r("se_lat"), r("ne_lat"), r("nw_lat")).alias("min_lat"),
+            F.greatest(r("sw_lat"), r("se_lat"), r("ne_lat"), r("nw_lat")).alias("max_lat"),
+            F.least(r("sw_lon"), r("se_lon"), r("ne_lon"), r("nw_lon")).alias("min_lon"),
+            F.greatest(r("sw_lon"), r("se_lon"), r("ne_lon"), r("nw_lon")).alias("max_lon"),
+            h3_encode_col(r("centroid_lat"), r("centroid_lon"), h3_res).alias("cell_r9"),
+            h3_encode_col(r("centroid_lat"), r("centroid_lon"), 13).alias("cell_r13"),
+            geojson.alias("footprint"),
+        )
+        out = with_s2_encode(out, "centroid_lat", "centroid_lon", s2_level)
+        return out.drop(*[f"_fp_{k}" for k in corners])
+    else:
+        fp = footprint_cells_udf(h3_res, s2_level)
+        df = parsed.filter(F.col("pos_x").isNotNull() & F.col("pos_y").isNotNull())
+        df = df.withColumn(
+            "fp",
+            fp(
+                "pos_x",
+                "pos_y",
+                F.coalesce("cambox_x", F.lit(0.0)),
+                F.coalesce("cambox_y", F.lit(0.0)),
+                F.coalesce("fov_x", F.lit(0.0)),
+                F.coalesce("fov_y", F.lit(0.0)),
+            ),
+        )
     geojson = F.format_string(
         '{"type":"Polygon","coordinates":[[[%.10f,%.10f],[%.10f,%.10f],'
         '[%.10f,%.10f],[%.10f,%.10f],[%.10f,%.10f]]]}',
@@ -150,7 +203,7 @@ def with_footprint_cells(parsed: DataFrame, h3_res: int = 9, s2_level: int = 16)
         F.col("fp.max_lon").alias("max_lon"),
         F.col("fp.cell_r9").alias("cell_r9"),
         F.col("fp.s2_cell").alias("s2_cell"),
-        F.col("fp.cell_r12").alias("cell_r12"),
+        F.col("fp.cell_r13").alias("cell_r13"),
         geojson.alias("footprint"),
     ).drop("fp")
 

@@ -27,7 +27,7 @@ from .parse import parse_metadata, with_footprint_cells
 POINT_COLS = [
     "url", "warc_ts", "lang", "dataset_name", "sensor", "date", "scan_time",
     "centroid_lat", "centroid_lon", "min_lat", "max_lat", "min_lon", "max_lon",
-    "footprint", "cell_r9", "s2_cell", "cell_r12",
+    "footprint", "cell_r9", "s2_cell", "cell_r13",
 ]
 
 
@@ -72,19 +72,25 @@ def _resolved(
     sources/snapshot.py).
 
     ``caches``: pass a list to receive every frame this function persists, so
-    action-owning callers can unpersist after materializing (repeated pipeline
-    invocations in one session must not accumulate MEMORY_AND_DISK storage).
+    action-owning callers can unpersist after materializing. Without it, the
+    persists are scoped per call site (``pip_knn._cache_scoped``): the next
+    invocation releases the previous one's storage, so repeated pipeline runs
+    in one session never accumulate MEMORY_AND_DISK blocks.
     """
     from pyspark import StorageLevel
+
+    from ..operators.pip_knn import _cache_scoped
 
     fp = (
         footprints(pages)
         .select(*POINT_COLS, "sitename")
         .observe("footprints", F.count(F.lit(1)).alias("rows"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if caches is not None:
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(fp)
+    else:
+        fp = _cache_scoped("pipeline_fp", fp)
 
     # P10 split: known site -> no lookup; plot id parsed from the sitename tail
     # ("Maricopa plot 42-3" -> "42-3", mirroring the reference passing sitename
@@ -93,12 +99,18 @@ def _resolved(
         "plot_id", F.element_at(F.split(F.col("sitename"), " "), -1)
     ).withColumn("matched_via", F.lit("site")).drop("sitename")
     needs_lookup = fp.filter(F.col("sitename").isNull()).drop("sitename")
-    resolved = resolve_plots(spark, needs_lookup, plots, res=12, cell_col="cell_r12").unionByName(with_site)
+    # res 13 (~3.6 m hexes): the per-cell interval prune keeps ~12 candidate
+    # plots per point instead of ~86 at res 12 (cell radius shrinks the kept
+    # distance band); ring 3 keeps the guaranteed reach ~12 m so edge points
+    # rarely hit the broadcast fallback
+    resolved = resolve_plots(spark, needs_lookup, plots, res=13, ring=3, cell_col="cell_r13").unionByName(with_site)
     if persist:
         # datapoints and tiles both fan out from here (two downstream actions)
-        resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
         if caches is not None:
+            resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
             caches.append(resolved)
+        else:
+            resolved = _cache_scoped("pipeline_resolved", resolved)
     return resolved
 
 

@@ -130,6 +130,37 @@ def test_knn_k3_sorted_and_exact(spark, plots_pdf, prep):
         assert [r.plot_id for r in rows] == [str(ids_arr[i]) for i in order]
 
 
+def test_narrow_and_wide_callers_agree(spark, plots_pdf):
+    """The already-narrow fast path (no payload join-back) must emit exactly
+    the same rows as the wide-caller path for all three operators."""
+    rows = [
+        (f"u{i}", GRID_LAT0 + (i * 7 % 60) * GRID_DLAT * 0.9 - 0.0002,
+         GRID_LON0 + (i * 5 % 18) * GRID_DLON * 0.9)
+        for i in range(40)
+    ]
+    narrow = _pts_df(spark, rows)
+    import pyspark.sql.functions as F
+
+    wide = narrow.withColumn("payload", F.concat(F.lit("p-"), F.col("url")))
+
+    def canon(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    pc = ["url", "plot_id"]
+    assert canon(pip_join(spark, narrow, plots_pdf, point_id="url"), pc) == canon(
+        pip_join(spark, wide, plots_pdf, point_id="url"), pc
+    )
+    kc = ["url", "plot_id", "knn_rank", "dist_m"]
+    for k in (1, 2):
+        assert canon(knn_join(spark, narrow, plots_pdf, k=k, point_id="url"), kc) == canon(
+            knn_join(spark, wide, plots_pdf, k=k, point_id="url"), kc
+        )
+    rc = ["url", "plot_id", "matched_via"]
+    assert canon(resolve_plots(spark, narrow, plots_pdf, point_id="url"), rc) == canon(
+        resolve_plots(spark, wide, plots_pdf, point_id="url"), rc
+    )
+
+
 def test_tile_assign_matches_formula(spark, points):
     from extractors_metadata_spark.functions import tiles as tl
 

@@ -19,6 +19,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--docs", type=int, default=300_000)
     ap.add_argument("--shuffle", type=int, default=0, help="override shuffle partitions")
+    ap.add_argument("--part-factor", type=int, default=2, dest="part_factor")
     ap.add_argument("--extra", action="append", default=[], help="k=v extra spark conf")
     args = ap.parse_args()
 
@@ -36,7 +37,7 @@ def main() -> None:
     plots = plot_rings()  # driver-side dim prep happens in both runs alike
 
     t0 = time.time()
-    pages = synth_webpages(spark, args.docs, partitions=args.cpus * 2)
+    pages = synth_webpages(spark, args.docs, partitions=args.cpus * args.part_factor)
     n_dp, n_tiles = run_pipeline_counts(spark, pages, plots)
     wall = time.time() - t0
     print(
