@@ -32,6 +32,19 @@ LAT_SOUTH = "33.0745 - 0.0003 - ((event_id % 100) + 0.5) / 100.0 * 0.0005"
 RANGE_OF_LAT_IN = "CAST(FLOOR(((event_id % 1000) + 0.5) / 1000.0 * 54) AS INT) + 1"
 PASS_OF_LON_IN = "CAST(FLOOR(((event_id % 640) + 0.5) / 640.0 * 16) AS INT) + 1"
 
+# pipeline_plots probe design: gantry positions target plot CENTERS so the
+# discrete plot assignment is immune to cross-engine trig/sqrt ulp drift.
+# gx walks range centers (cell height ~4.0586 m; 4.06 accumulates <=0.07 m
+# drift over 50 ranges); gy holds longitude at a pass center while gx varies —
+# UTM grid convergence at Maricopa couples the axes (-1.87 m lon over the gx
+# span, measured), compensated by the 0.009301 m/m term. The constants below
+# are calibrated against functions/textmeta.gantry_to_latlon; margins to the
+# nearest plot boundary are >= 1.37 m on every probe (pytest-pinned in
+# tests/test_spatial_spark.py::test_pipeline_plots_margins) vs ~1e-8 m
+# worst-case NumPy-vs-DuckDB libm drift.
+PLOT_GY_CENTERS = [-0.162, 4.506, 9.173, 13.841, 18.508, 23.176]  # passes 7..2
+PLOT_GX_EXPR = "3.8 + ((event_id % 50) + 0.5) * 4.06"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -84,13 +97,16 @@ def q_pip_contains(spark, sf_dir):
 
 
 def q_knn_nearest(spark, sf_dir):
+    """k=1 nearest over the FULL point range, with dist_m oracle-checked
+    numerically (the knn_topk SQL machinery at rank<=1 — round to cm, see
+    q_knn_topk on why 2 decimals)."""
     from extractors_metadata_spark.operators.pip_knn import knn_join
 
     pts = _event_points(spark, sf_dir, lat_expr=LAT_SOUTH)
     # probe points sit 33-90 m south of the grid; ring 8 at res 12 (~9.4 m
     # hexes) reaches ~130 m, so ~no point needs the broadcast fallback
     out = knn_join(spark, pts, _plots_pdf(), k=1, point_id="event_id", ring=8)
-    return out.select("event_id", "plot_id")
+    return out.select("event_id", "plot_id", F.round("dist_m", 2).alias("dist_m"))
 
 
 def q_knn_topk(spark, sf_dir):
@@ -166,6 +182,65 @@ def q_pipeline_datapoints(spark, sf_dir):
 
     n = max(1000, int(200_000 * _sf_of(sf_dir)))
     pages = synth_webpages(spark, n)
+    dp = datapoints(spark, pages, _plots_pdf())
+    return dp.select("url", "plot_id", "matched_via", "stream", "date")
+
+
+def q_pipeline_plots(spark, sf_dir):
+    """The flagship E1 pipeline under a FULL DuckDB oracle (rows+schema+hash):
+    probe webpages are synthesized from the events table — real html with the
+    LemnaTec JSON block — and run through the ACTUAL pipeline (JVM regexp/
+    from_json parse -> Arrow UTM footprint kernel -> res-13 cell-pruned
+    resolve). The oracle replays gantry -> UTM -> WGS84 via the literal
+    transverse-Mercator inverse series (functions/geodesy.to_latlon, public
+    Snyder/USGS formulation; reference analog error_estimation.py:22-41) in
+    SQL and assigns plots by the synth grid's closed form. Probe positions
+    target plot centers (see PLOT_GY_CENTERS) so the discrete comparison is
+    drift-proof."""
+    from extractors_metadata_spark.plans.pipeline import datapoints
+
+    e = _t(spark, sf_dir, "events")
+    # PLOT_GX_EXPR built from float lits (Spark SQL would parse the literals
+    # as Decimal — format_string needs DOUBLE; sub-margin drift is irrelevant)
+    gx = F.lit(3.8) + ((F.col("event_id") % 50).cast("double") + F.lit(0.5)) * F.lit(4.06)
+    cs = F.array(*[F.lit(v) for v in PLOT_GY_CENTERS])
+    gy = F.element_at(cs, (F.col("event_id") % 6).cast("int") + 1) - F.lit(
+        0.009301
+    ) * (gx - F.lit(105.0))
+    sensor = F.when(F.col("event_id") % 2 == 0, "stereoTop").otherwise("Scanner3D")
+    day = F.format_string("%02d", (F.col("event_id") % 28 + 1).cast("int"))
+    ds_name = F.concat(sensor, F.lit(" - 2016-05-"), day, F.lit("__15-58-43-000"))
+    gvm = F.create_map(
+        F.lit("Time"), F.lit("05/07/2016 15:58:43"),
+        F.lit("Position x [m]"), F.format_string("%.6f", gx),
+        F.lit("Position y [m]"), F.format_string("%.6f", gy),
+        F.lit("Position z [m]"), F.lit("1.000000"),
+    )
+    sfm = F.create_map(
+        F.lit("location in camera box X [m]"), F.lit("0.000000"),
+        F.lit("location in camera box Y [m]"), F.lit("0.000000"),
+        F.lit("field of view X [m]"), F.lit("1.000000"),
+        F.lit("field of view Y [m]"), F.lit("1.000000"),
+    )
+    lmm = F.struct(
+        F.struct(
+            gvm.alias("gantry_system_variable_metadata"),
+            sfm.alias("sensor_fixed_metadata"),
+        ).alias("lemnatec_measurement_metadata"),
+        ds_name.alias("dataset_name"),
+    )
+    html = F.concat(
+        F.lit('<html><body><script type="application/json" id="lemnatec">'),
+        F.to_json(lmm),
+        F.lit("</script></body></html>"),
+    )
+    pages = e.select(
+        F.concat(F.lit("https://site.example/e"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("probe").alias("text"),
+        F.lit("en").alias("lang"),
+    )
     dp = datapoints(spark, pages, _plots_pdf())
     return dp.select("url", "plot_id", "matched_via", "stream", "date")
 
@@ -663,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_density": q_tile_density,
         "cells_encode": q_cells_encode,
         "pipeline_datapoints": q_pipeline_datapoints,
+        "pipeline_plots": q_pipeline_plots,
         "q1_pricing": q_q1_pricing,
         "multi_join": q_multi_join,
         "filter_gate": q_filter_gate,
@@ -703,6 +779,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _knn_bruteforce_sql(where: str, k: int, select: str) -> str:
+    """Brute-force point-to-rectangle kNN in SQL: the literal mirror of
+    geometry.PreparedPolygons.distance_m (equirectangular local plane, clamped
+    point-segment projection) over all 864 plots; shared by the knn_topk and
+    knn_nearest oracles."""
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({LAT_SOUTH}) AS py, ({LON_IN}) AS px
+          FROM events {where}
+        ),
+        plots AS (
+          SELECT CAST(r AS VARCHAR) || '-' || CAST(p AS VARCHAR) AS plot_id,
+                 33.0745 + (r - 1) * 0.0000365 AS lat_s,
+                 33.0745 + r * 0.0000365 AS lat_n,
+                 -111.9750833333 + (p - 1) * 0.00005 AS lon_w,
+                 -111.9750833333 + p * 0.00005 AS lon_e
+          FROM range(1, 55) t(r), range(1, 17) t2(p)
+        ),
+        segs AS (
+          SELECT plot_id, lon_w AS x1, lat_s AS y1, lon_e AS x2, lat_s AS y2 FROM plots
+          UNION ALL SELECT plot_id, lon_e, lat_s, lon_e, lat_n FROM plots
+          UNION ALL SELECT plot_id, lon_e, lat_n, lon_w, lat_n FROM plots
+          UNION ALL SELECT plot_id, lon_w, lat_n, lon_w, lat_s FROM plots
+        ),
+        -- literal mirror of PreparedPolygons.distance_m (equirectangular
+        -- local plane): ax=(x1-px)*coslat*deg etc., clamped projection
+        ab AS (
+          SELECT event_id, plot_id,
+                 (x1 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS ax,
+                 (y1 - py) * (pi() / 180.0 * 6371008.8) AS ay,
+                 (x2 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS bx,
+                 (y2 - py) * (pi() / 180.0 * 6371008.8) AS by
+          FROM pts, segs
+        ),
+        dd AS (SELECT event_id, plot_id, ax, ay, bx - ax AS dx, by - ay AS dy FROM ab),
+        tt AS (
+          SELECT event_id, plot_id, ax, ay, dx, dy,
+                 least(greatest(-(ax * dx + ay * dy) / (dx * dx + dy * dy), 0.0), 1.0) AS t
+          FROM dd
+        ),
+        dseg AS (
+          SELECT event_id, plot_id,
+                 sqrt((ax + t * dx) * (ax + t * dx) + (ay + t * dy) * (ay + t * dy)) AS ds
+          FROM tt
+        ),
+        d AS (SELECT event_id, plot_id, min(ds) AS dist FROM dseg GROUP BY 1, 2)
+        SELECT {select}
+        FROM (
+          SELECT event_id, plot_id, dist,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY dist ASC, plot_id ASC) AS rank
+          FROM d)
+        WHERE rank <= {k}
+    """
+
+
+def _utm_inverse_sql() -> str:
+    """gantry (gx, gy) -> WGS84 (lat, lon): the transverse-Mercator inverse
+    series of functions/geodesy.to_latlon written as literal SQL over a CTE
+    named ``g(event_id, gx, gy)``; constants imported from the geodesy module
+    so the two sides can never drift. Ends with CTE ``ll(event_id, lat, lon)``."""
+    from extractors_metadata_spark.functions import geodesy as G
+    from extractors_metadata_spark.functions.textmeta import SE_E, SE_N
+
+    # DuckDB parses plain numeric literals as DECIMAL; every module constant
+    # must be an explicit DOUBLE so the whole series runs in float64.
+    d = lambda x: f"CAST({x!r} AS DOUBLE)"
+    se_e, se_n, k0, r, m1 = d(SE_E), d(SE_N), d(G.K0), d(G.R), d(G.M1)
+    p2, p3, p4, p5 = d(G.P2), d(G.P3), d(G.P4), d(G.P5)
+    e, ep2 = d(G.E), d(G.E_P2)
+
+    return f"""
+        utm AS (
+          SELECT event_id,
+                 {se_e} - gy - 500000.0 AS x,
+                 ({se_n} + (gx - 3.8)) / {k0} AS m
+          FROM g
+        ),
+        s1 AS (SELECT event_id, x, m / ({r} * {m1}) AS mu FROM utm),
+        s2 AS (
+          SELECT event_id, x,
+                 mu + {p2} * sin(2.0 * mu) + {p3} * sin(4.0 * mu)
+                    + {p4} * sin(6.0 * mu) + {p5} * sin(8.0 * mu) AS p_rad
+          FROM s1
+        ),
+        s3 AS (SELECT event_id, x, p_rad, sin(p_rad) AS p_sin, cos(p_rad) AS p_cos FROM s2),
+        s4 AS (
+          SELECT event_id, x, p_rad, p_cos, p_sin / p_cos AS p_tan,
+                 1.0 - {e} * p_sin * p_sin AS ep_sin
+          FROM s3
+        ),
+        s5 AS (
+          SELECT event_id, x, p_rad, p_cos, p_tan, p_tan * p_tan AS t2,
+                 {r} / sqrt(ep_sin) AS n,
+                 (1.0 - {e}) / ep_sin AS rr,
+                 {ep2} * p_cos * p_cos AS c
+          FROM s4
+        ),
+        s6 AS (
+          SELECT event_id, p_rad, p_cos, p_tan, t2, t2 * t2 AS t4, rr, c, c * c AS c2,
+                 x / (n * {k0}) AS d
+          FROM s5
+        ),
+        ll AS (
+          SELECT event_id,
+                 degrees(p_rad
+                   - (p_tan / rr) * (d*d / 2.0
+                       - d*d*d*d / 24.0 * (5.0 + 3.0*t2 + 10.0*c - 4.0*c2 - 9.0*{ep2}))
+                   - (p_tan / rr) * (-(d*d*d*d*d*d) / 720.0
+                       * (61.0 + 90.0*t2 + 298.0*c + 45.0*t4 - 252.0*{ep2} - 3.0*c2))
+                 ) AS lat,
+                 degrees((d - d*d*d / 6.0 * (1.0 + 2.0*t2 + c)
+                   + d*d*d*d*d / 120.0
+                       * (5.0 - 2.0*c + 28.0*t2 - 3.0*c2 + 8.0*{ep2} + 24.0*t4))
+                 / p_cos) + (-111.0) AS lon
+          FROM s6
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -718,58 +914,41 @@ def oracle_sql() -> dict[str, str]:
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id
             FROM events
         """,
-        "knn_nearest": f"""
-            SELECT event_id, '1-' || ({PASS_OF_LON_IN}) AS plot_id
-            FROM events
-        """,
-        "knn_topk": f"""
+        "knn_nearest": _knn_bruteforce_sql(
+            "", 1, "event_id, plot_id, round(dist, 2) AS dist_m"
+        ),
+        "knn_topk": _knn_bruteforce_sql(
+            "WHERE event_id < 2000",
+            3,
+            "event_id, plot_id, CAST(rank AS INT) AS rank, round(dist, 2) AS dist_m",
+        ),
+        "pipeline_plots": f"""
             WITH pts AS (
-              SELECT event_id, ({LAT_SOUTH}) AS py, ({LON_IN}) AS px
-              FROM events WHERE event_id < 2000
+              SELECT event_id, {PLOT_GX_EXPR} AS gx FROM events
             ),
-            plots AS (
-              SELECT CAST(r AS VARCHAR) || '-' || CAST(p AS VARCHAR) AS plot_id,
-                     33.0745 + (r - 1) * 0.0000365 AS lat_s,
-                     33.0745 + r * 0.0000365 AS lat_n,
-                     -111.9750833333 + (p - 1) * 0.00005 AS lon_w,
-                     -111.9750833333 + p * 0.00005 AS lon_e
-              FROM range(1, 55) t(r), range(1, 17) t2(p)
+            g AS (
+              SELECT event_id, gx,
+                     (CASE CAST(event_id % 6 AS INT)
+                        WHEN 0 THEN {PLOT_GY_CENTERS[0]!r}
+                        WHEN 1 THEN {PLOT_GY_CENTERS[1]!r}
+                        WHEN 2 THEN {PLOT_GY_CENTERS[2]!r}
+                        WHEN 3 THEN {PLOT_GY_CENTERS[3]!r}
+                        WHEN 4 THEN {PLOT_GY_CENTERS[4]!r}
+                        ELSE {PLOT_GY_CENTERS[5]!r} END)
+                     - 0.009301 * (gx - 105.0) AS gy
+              FROM pts
             ),
-            segs AS (
-              SELECT plot_id, lon_w AS x1, lat_s AS y1, lon_e AS x2, lat_s AS y2 FROM plots
-              UNION ALL SELECT plot_id, lon_e, lat_s, lon_e, lat_n FROM plots
-              UNION ALL SELECT plot_id, lon_e, lat_n, lon_w, lat_n FROM plots
-              UNION ALL SELECT plot_id, lon_w, lat_n, lon_w, lat_s FROM plots
-            ),
-            -- literal mirror of PreparedPolygons.distance_m (equirectangular
-            -- local plane): ax=(x1-px)*coslat*deg etc., clamped projection
-            ab AS (
-              SELECT event_id, plot_id,
-                     (x1 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS ax,
-                     (y1 - py) * (pi() / 180.0 * 6371008.8) AS ay,
-                     (x2 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS bx,
-                     (y2 - py) * (pi() / 180.0 * 6371008.8) AS by
-              FROM pts, segs
-            ),
-            dd AS (SELECT event_id, plot_id, ax, ay, bx - ax AS dx, by - ay AS dy FROM ab),
-            tt AS (
-              SELECT event_id, plot_id, ax, ay, dx, dy,
-                     least(greatest(-(ax * dx + ay * dy) / (dx * dx + dy * dy), 0.0), 1.0) AS t
-              FROM dd
-            ),
-            dseg AS (
-              SELECT event_id, plot_id,
-                     sqrt((ax + t * dx) * (ax + t * dx) + (ay + t * dy) * (ay + t * dy)) AS ds
-              FROM tt
-            ),
-            d AS (SELECT event_id, plot_id, min(ds) AS dist FROM dseg GROUP BY 1, 2)
-            SELECT event_id, plot_id, CAST(rank AS INT) AS rank, round(dist, 2) AS dist_m
-            FROM (
-              SELECT event_id, plot_id, dist,
-                     row_number() OVER (PARTITION BY event_id
-                                        ORDER BY dist ASC, plot_id ASC) AS rank
-              FROM d)
-            WHERE rank <= 3
+            {_utm_inverse_sql()}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(CAST(FLOOR((lat - 33.0745) / 0.0000365) AS INT) + 1 AS VARCHAR)
+                     || '-' ||
+                   CAST(CAST(FLOOR((lon + 111.9750833333) / 0.00005) AS INT) + 1 AS VARCHAR)
+                     AS plot_id,
+                   'contains' AS matched_via,
+                   (CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END)
+                     || ' Datasets' AS stream,
+                   '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS "date"
+            FROM ll
         """,
         "tile_assign": f"""
             WITH pts AS (

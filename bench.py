@@ -77,6 +77,12 @@ def main() -> None:
     docs_per_sec = round(n_docs / t_pipeline, 1)
 
     # --- operator suite on the driver tables ------------------------------------
+    # BEST-OF-K per query (k=3, report min): wall times on this box vary ~2x
+    # run-to-run (VM noise, documented in BENCH/BASELINE.md) — a single-pass
+    # timing measures the noise, not the plan. The headline pipeline above
+    # stays single-pass (it is the expensive end-to-end number; its noise is
+    # bounded separately by the scaling harness's best-of-k protocol).
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     suite = [
         "pip_contains", "knn_nearest", "tile_assign", "cells_encode",
         "q1_pricing", "window_topk", "anti_join",
@@ -85,9 +91,12 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in suite:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -103,6 +112,7 @@ def main() -> None:
                 "tiles": n_tiles,
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "runs_per_query": runs_per_query,
             }
         )
     )

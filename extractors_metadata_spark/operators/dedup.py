@@ -48,7 +48,13 @@ def cap_hot_buckets(
 
     ``stats``: optional dict — when passed, runs a small aggregate action and
     records {'dropped_buckets': n, 'dropped_rows': n} (the surfaced accounting;
-    skipped by default to keep the operator lazy).
+    skipped by default to keep the operator lazy). NO SILENT CAPS: whenever the
+    stats pass observes dropped_rows > 0, a RuntimeWarning is emitted too —
+    a near-identical template cluster larger than max_bucket is hot in EVERY
+    band, so its bands are all dropped and the "other bands rescue real
+    near-dups" argument fails exactly for the largest real clusters. Run
+    ``dedup_exact`` / ``dedup_fingerprint`` first so byte-identical piles never
+    reach the LSH stage, and raise ``max_bucket`` if drops are reported.
     """
     w = Window.partitionBy(*key_cols)
     sized = entries.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -66,6 +72,18 @@ def cap_hot_buckets(
         )
         stats["dropped_buckets"] = int(row["dropped_buckets"])
         stats["dropped_rows"] = int(row["dropped_rows"])
+        stats["max_bucket"] = max_bucket
+        if stats["dropped_rows"] > 0:
+            import warnings
+
+            warnings.warn(
+                f"cap_hot_buckets dropped {stats['dropped_buckets']} bucket(s) "
+                f"({stats['dropped_rows']} rows) above max_bucket={max_bucket}; "
+                "clusters larger than max_bucket lose ALL their bands — run "
+                "exact dedup first or raise max_bucket",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
 
 
@@ -200,25 +218,120 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame, id_col: str = "d
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.7, num_perm: int = 64, bands: int = 16, shingle_w: int = 3,
+    max_bucket: int = 2000, bucket_stats: dict | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with estimated Jaccard >= threshold."""
+    """Near-dup pairs with estimated Jaccard >= threshold.
+
+    ``max_bucket`` / ``bucket_stats`` plumb straight to ``cap_hot_buckets``:
+    a cluster of >max_bucket near-identical docs is hot in EVERY band, so the
+    cap silently drops the whole cluster unless accounting is on — pass
+    ``bucket_stats={}`` (or use ``near_dedup_pipeline``, which surfaces the
+    counts in the snapshot manifest) on production runs, and run
+    ``dedup_exact``/``dedup_fingerprint`` FIRST so byte-identical piles never
+    reach LSH."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_w)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, num_perm // bands, max_bucket, bucket_stats
+    )
     est = minhash_jaccard_estimate(sigs, pairs, id_col)
     return est.filter(F.col("jaccard_est") >= threshold)
 
 
 # --- exact n-gram Jaccard --------------------------------------------------------
 
+def jaccard_for_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT char-n-gram Jaccard for a GIVEN candidate-pair list (a < b).
+
+    The pair-scoped verify stage a 100 TB near-dedup needs: the gram table is
+    joined to the pair list (per-pair fan-out ~ grams/doc), never to itself —
+    no all-pairs gram join, no hot-gram quadratic blowup. Jaccard is exact
+    because the FULL gram sets of both docs participate (any candidate-side
+    capping upstream only affects which pairs are tested, never the score).
+
+    Plan shape: pairs ⋈ grams(id_a) on id_a  ->  ⋈ grams(id_b) on (id_b, gram)
+    -> count = |A∩B| per pair; sizes join back for the union term. Each join is
+    an equi-join on (id) or (id, gram) — shuffle keys are doc ids/hashes, so
+    the work is O(|pairs| x grams_per_doc), linear in the candidate list.
+
+    Output: (id_a, id_b, jaccard) for every input pair (0.0 if no shared gram
+    — pairs with disjoint gram sets survive with jaccard 0, so the caller's
+    threshold filter sees every candidate it asked about).
+    """
+    grams = char_ngrams(df, text_col, id_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("_gb_id"), F.col("gram").alias("_gb_gram"))
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(
+            gb,
+            (F.col("id_b") == F.col("_gb_id")) & (F.col("gram") == F.col("_gb_gram")),
+            "left_semi",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("common"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("common"), F.lit(0))),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over char n-gram sets for all colliding pairs (a < b).
 
-    Quadratic only within shared-gram groups; use after LSH at scale.
+    ``max_df=None`` (exact mode): every pair sharing any gram is scored — the
+    gram self-join is quadratic within shared-gram groups; ONLY safe at small
+    scale or post-LSH.
+
+    ``max_df=N`` (capped candidates): grams appearing in more than N documents
+    are excluded from CANDIDATE GENERATION (a ubiquitous gram — ``'the'``,
+    runs of spaces — fans out |df(gram)|^2 join rows while contributing ~zero
+    Jaccard discrimination), then the surviving candidate pairs are scored
+    EXACTLY via ``jaccard_for_pairs`` (full gram sets — the cap never skews a
+    reported score, it can only miss a pair whose EVERY shared gram is
+    ubiquitous). The worst gram now fans out at most max_df^2 rows — the
+    same hard-bound discipline as ``cap_hot_buckets`` on the LSH side.
     """
     grams = char_ngrams(df, text_col, id_col, n)
+    if max_df is not None:
+        gram_df = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+        cand_grams = grams.join(
+            gram_df.filter(F.col("_df") <= max_df).select("gram"), "gram", "left_semi"
+        )
+        a = cand_grams.select(F.col(id_col).alias("id_a"), "gram")
+        b = cand_grams.select(F.col(id_col).alias("id_b"), "gram")
+        cand = (
+            a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            jaccard_for_pairs(df, cand, text_col, id_col, n)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col(id_col).alias("id_a"), "gram")
     b = grams.select(F.col(id_col).alias("id_b"), "gram")
@@ -311,6 +424,37 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             stacklevel=2,
         )
     return labels.select("id", F.col("label").alias("canonical_id"))
+
+
+def near_dedup_pipeline(
+    spark,
+    df: DataFrame,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_bucket: int = 2000,
+) -> dict:
+    """Production near-dedup run: MinHash-LSH pairs -> connected components ->
+    survivors committed as a snapshot, with the bucket-cap accounting SURFACED
+    in the manifest (``metrics.lsh_cap``) — the no-silent-caps rule: a run
+    that drops hot buckets records dropped_buckets/dropped_rows where an
+    operator (or auditor) will actually see them, and ``cap_hot_buckets``
+    warns loudly at run time too. Returns the manifest."""
+    from ..sources.snapshot import write_snapshot
+
+    stats: dict = {}
+    pairs = minhash_lsh_dedup(
+        df, text_col, id_col, threshold, num_perm, bands, shingle_w,
+        max_bucket=max_bucket, bucket_stats=stats,
+    )
+    survivors = near_dedup_survivors(df, pairs, id_col)
+    return write_snapshot(
+        survivors, table_path, "append", metrics={"lsh_cap": stats}
+    )
 
 
 def near_dedup_survivors(

@@ -113,7 +113,11 @@ def _poly_cells_df(
         lat, lon = hexgrid.cell_center(cells)
         d = prep.distance_m(idx, lon, lat)
         s = float(hexgrid.res_size_m(res))
-        r_true = s / np.cos(np.radians(lat))  # conservative true-m cell radius
+        # conservative true-m cell radius; the 1.0001 slack absorbs the
+        # cos(lat)/metric drift between the cell-center latitude (used for d
+        # and r_true here) and the probe point's latitude (which defines
+        # distance_m's metric) — the dual of _ring_reach_m's 0.99 guard
+        r_true = s / np.cos(np.radians(lat)) * 1.0001
         lb = d - r_true
         ub = d + r_true
         order = np.lexsort((ub, cells))  # sort by cell, then ub
@@ -156,7 +160,13 @@ def _cache_scoped(name: str, df: DataFrame) -> DataFrame:
     invocations in one session never accumulate storage (ADVICE r1). A
     still-lazy result frame from an earlier call stays correct — it just
     recomputes without the cache. (localCheckpoint would self-GC, but its
-    RDD-conversion path costs ~10s on pandas-UDF plans here — measured.)"""
+    RDD-conversion path costs ~10s on pandas-UDF plans here — measured.)
+
+    SINGLE-JOB-AT-A-TIME assumption: the registry is module-global, so two
+    CONCURRENT invocations of the same operator in one session would thrash
+    each other's storage (correct results, silent recompute). Serialize
+    same-operator jobs, or pass the pipeline-level ``caches`` list
+    (plans/pipeline._resolved) for deterministic caller-owned release."""
     from pyspark import StorageLevel
 
     prev = _live_caches.pop(name, None)

@@ -133,9 +133,22 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate top-k: cluster corpus into nlist inverted lists,
     probe the nprobe nearest lists per query. Same output shape as
-    brute_force_topk (recall < 1 by design; property-tested >= floor)."""
+    brute_force_topk (recall < 1 by design; property-tested >= floor).
+
+    Centroid training reads an UNBIASED deterministic sample: top-``sample_n``
+    by ``xxhash64(id)`` — a seedless uniform draw across ALL partitions that
+    Spark executes as TakeOrderedAndProject (map-side partial top-k, no full
+    sort shuffle). ``head(sample_n)`` would take the first file's rows only —
+    at 100 TB that is one shard's distribution skewing every centroid."""
     sample = np.vstack(
-        [np.asarray(r[0], dtype=np.float64) for r in corpus.select(vec_col).head(sample_n)]
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col, F.xxhash64(id_col).alias("_h"))
+            .orderBy("_h")
+            .limit(sample_n)
+            .select(vec_col)
+            .collect()
+        ]
     )
     centroids = _kmeans(sample, nlist)
     bc = spark.sparkContext.broadcast(centroids)

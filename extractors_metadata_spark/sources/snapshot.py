@@ -64,8 +64,20 @@ def write_snapshot(
     table_path: str,
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
+    metrics: dict | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> dict:
-    """Commit ``df`` as a new immutable snapshot; returns the manifest."""
+    """Commit ``df`` as a new immutable snapshot; returns the manifest.
+
+    ``metrics``: caller-supplied run accounting (e.g. LSH dropped-bucket
+    counts from ``cap_hot_buckets`` — the no-silent-caps rule) recorded
+    verbatim in the manifest under ``"metrics"``.
+
+    ``key_cols``: when set, a COMPACT keys-only parquet (distinct values of
+    these columns, read back from the committed files) is written next to the
+    data dir and recorded as ``"keys_dir"`` — ``resume_gap`` then anti-joins
+    against the narrow keys table instead of scanning the full output
+    (the 10^12-row resume shape its docstring prescribes)."""
     assert mode in ("append", "replace")
     ids = _snap_ids(table_path)
     snap_id = (ids[-1] + 1) if ids else 0
@@ -93,6 +105,16 @@ def write_snapshot(
         .collect()
     ]
     total = sum(e["rows"] for e in lineage)
+    keys_dir = None
+    if key_cols:
+        keys_dir = os.path.join(
+            table_path, "keys", f"snap-{snap_id:05d}-{run_uuid[:8]}"
+        )
+        # distinct keys from the COMMITTED files (never the input plan — the
+        # keys table must reflect exactly what landed on disk)
+        spark.read.parquet(data_dir).select(*key_cols).distinct().write.mode(
+            "error"
+        ).parquet(keys_dir)
     manifest = {
         "snapshot_id": snap_id,
         "parent_id": ids[-1] if ids else None,
@@ -104,6 +126,9 @@ def write_snapshot(
         "wall_s": round(elapsed, 4),
         "rows_per_sec": round(total / elapsed, 2) if elapsed > 0 else None,
         "partition_by": list(partition_by),
+        "key_cols": list(key_cols),
+        "keys_dir": keys_dir,
+        "metrics": metrics or {},
     }
     snap_dir = os.path.join(table_path, "snapshots")
     os.makedirs(snap_dir, exist_ok=True)
@@ -117,11 +142,16 @@ def write_snapshot(
     return manifest
 
 
-def gc_orphans(table_path: str) -> list[str]:
+def gc_orphans(table_path: str, grace_s: float = 0.0) -> list[str]:
     """Remove data dirs no manifest references (debris of mid-write kills).
 
-    Safe at any time: a dir becomes visible to readers only via its manifest,
-    which is renamed into place strictly after the parquet write completes."""
+    SINGLE-WRITER assumption: an IN-FLIGHT ``write_snapshot`` has its data dir
+    on disk before the manifest rename, so a concurrent gc would delete the
+    live writer's output. Run gc only when no writer is active (readers are
+    always safe: a dir becomes visible only via its manifest, which is renamed
+    into place strictly after the parquet write completes). ``grace_s`` skips
+    dirs modified within the last N seconds as an extra belt against clock-
+    adjacent writers; stray non-directory files under data/ are left alone."""
     import shutil
 
     data_root = os.path.join(table_path, "data")
@@ -131,10 +161,22 @@ def gc_orphans(table_path: str) -> list[str]:
         os.path.basename(_load_manifest(table_path, i)["data_dir"])
         for i in _snap_ids(table_path)
     }
+    manifests = [_load_manifest(table_path, i) for i in _snap_ids(table_path)]
+    live_keys = {
+        os.path.basename(m["keys_dir"]) for m in manifests if m.get("keys_dir")
+    }
     removed = []
-    for d in os.listdir(data_root):
-        if d not in live:
-            shutil.rmtree(os.path.join(data_root, d))
+    now = time.time()
+    for root, live_set in ((data_root, live), (os.path.join(table_path, "keys"), live_keys)):
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if d in live_set or not os.path.isdir(full):
+                continue
+            if now - os.path.getmtime(full) < grace_s:
+                continue
+            shutil.rmtree(full)
             removed.append(d)
     return removed
 
@@ -172,18 +214,43 @@ def read_table(
     return out
 
 
-def resume_gap(spark: SparkSession, input_df: DataFrame, table_path: str, key_col: str) -> DataFrame:
+def resume_gap(
+    spark: SparkSession,
+    input_df: DataFrame,
+    table_path: str,
+    key_col: str,
+    partition_filter=None,
+) -> DataFrame:
     """Rows of ``input_df`` whose key is not yet committed (anti-join).
 
-    Scale note: at 10^12 rows, scanning the whole output for keys per resume is
-    wasteful — partition both sides by a stable key prefix (e.g. date or
-    cell range, as ``write_snapshot(partition_by=...)`` supports) so the
-    anti-join prunes partitions, or keep a compact keys-only side table. The
-    anti-join itself is the correct primitive either way (reference analog:
-    skip-if-processed, terra_sensorposition.py:31-37)."""
+    Scale path, in preference order (reference analog: skip-if-processed,
+    terra_sensorposition.py:31-37):
+
+    1. if EVERY live snapshot was written with ``key_cols`` covering
+       ``key_col``, the anti-join reads the COMPACT keys tables only — the
+       full output (wide rows, 10^12 scale) is never scanned on resume;
+    2. otherwise the full table is read; pass ``partition_filter`` (a Column
+       over the snapshot's ``partition_by`` columns, e.g.
+       ``F.col('date').isin(gap_dates)``) and the predicate reaches the
+       parquet scan as a partition filter — only gap-relevant partition
+       directories are listed/read (plan-asserted in tests/test_snapshot.py).
+    """
+    live = live_snapshots(table_path)
+    if not live:
+        return input_df
+    keyed = [m for m in live if m["rows"] > 0]
+    if keyed and all(
+        m.get("keys_dir") and key_col in m.get("key_cols", []) for m in keyed
+    ):
+        keys = spark.read.parquet(keyed[0]["keys_dir"]).select(key_col)
+        for m in keyed[1:]:
+            keys = keys.unionByName(spark.read.parquet(m["keys_dir"]).select(key_col))
+        return input_df.join(keys.distinct(), key_col, "left_anti")
     existing = read_table(spark, table_path)
     if existing is None:
         return input_df
+    if partition_filter is not None:
+        existing = existing.filter(partition_filter)
     return input_df.join(existing.select(key_col).distinct(), key_col, "left_anti")
 
 

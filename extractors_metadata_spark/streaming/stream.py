@@ -77,6 +77,7 @@ def stream_pipeline(
     checkpoint_dir: str,
     plots,
     batch_fn=None,
+    max_files_per_trigger: int = 4,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Stream documents from ``input_dir`` through the flagship pipeline into
     the ``output_table`` snapshot table; returns the started query (AvailableNow).
@@ -92,7 +93,7 @@ def stream_pipeline(
 
     stream = (
         spark.readStream.schema(WEBPAGES)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

@@ -1,7 +1,8 @@
 """JVM column-tree geometry stage vs the NumPy reference kernels.
 
-The pipeline default (jvm=True) must agree with the Arrow/NumPy path the
-goldens pin: coordinates to 1e-9 deg (~0.1 um — java.lang.Math vs libm ulp
+The JVM twin (jvm=True — the non-default escape hatch; the shipped pipeline
+default is the Arrow/NumPy path, jvm=False) must agree with the Arrow/NumPy
+path the goldens pin: coordinates to 1e-9 deg (~0.1 um — java.lang.Math vs libm ulp
 drift only) and cell IDs exactly on the synthetic corpus (boundary-safe by
 construction: a cell flip requires a coordinate within ~1e-10 deg of a hex
 edge, and downstream joins are ring-dilated + exactly refined regardless)."""

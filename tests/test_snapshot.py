@@ -106,3 +106,60 @@ def test_time_travel(spark, table):
     assert snap.read_table(spark, table, as_of=1).count() == 80
     assert snap.read_table(spark, table, as_of=2).count() == 10
     assert snap.read_table(spark, table).count() == 15
+
+
+def test_resume_gap_uses_compact_keys_table(spark, table):
+    """Snapshots written with key_cols let resume anti-join the narrow keys
+    parquet instead of the full output: the resume plan must reference the
+    keys dir and NOT the data dir."""
+    inp = spark.range(100).withColumnRenamed("id", "k").withColumn(
+        "payload", F.concat(F.lit("x"), F.col("k"))
+    )
+    m = snap.write_snapshot(inp.filter(F.col("k") < 40), table, key_cols=("k",))
+    assert m["keys_dir"] and os.path.isdir(m["keys_dir"])
+    gap = snap.resume_gap(spark, inp, table, "k")
+    assert gap.count() == 60
+    # the plan's file sources: keys parquet only, never the wide data dir
+    files = gap.inputFiles()
+    assert files and all(m["keys_dir"] in f for f in files)
+    assert not any(m["data_dir"] in f for f in files)
+
+
+def test_resume_gap_partition_filter_prunes(spark, table):
+    """partition_filter reaches the parquet scan as a partition filter: only
+    gap-relevant date partitions are read (PartitionFilters in the plan)."""
+    inp = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, "2016-05-07").otherwise("2016-05-08").alias("date"),
+    )
+    snap.write_snapshot(inp.filter(F.col("k") < 40), table, partition_by=("date",))
+    gap = snap.resume_gap(
+        spark, inp.filter(F.col("date") == "2016-05-07"), table, "k",
+        partition_filter=F.col("date") == "2016-05-07",
+    )
+    assert gap.count() == 10  # 40..49 missing from the committed range
+    plan = gap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan must carry the date predicate, not an empty filter list
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "date" in pf.group(1)
+
+
+def test_gc_orphans_respects_grace_and_files(spark, table):
+    """Young orphan dirs survive the grace window; stray plain files under
+    data/ are never touched; orphan keys dirs are reclaimed too."""
+    snap.write_snapshot(spark.range(5), table, key_cols=("id",))
+    stray = os.path.join(table, "data", "NOTES.txt")
+    with open(stray, "w") as f:
+        f.write("operator note")
+    orphan = os.path.join(table, "data", "snap-00001-feedbeef")
+    spark.range(3).write.parquet(orphan)
+    okeys = os.path.join(table, "keys", "snap-00001-feedbeef")
+    spark.range(3).write.parquet(okeys)
+    assert snap.gc_orphans(table, grace_s=3600.0) == []  # young: kept
+    removed = set(snap.gc_orphans(table))
+    assert removed == {"snap-00001-feedbeef"}
+    assert not os.path.isdir(orphan) and not os.path.isdir(okeys)
+    assert os.path.isfile(stray)

@@ -223,3 +223,35 @@ def test_pip_join_rotated_polygons(spark, prep):
         c = pp.contains(idx, np.full(len(idx), lo), np.full(len(idx), la))
         exp = min(ids[c]) if c.any() else None
         assert got.get(url) == exp, (url, la, lo)
+
+
+def test_pipeline_plots_margins():
+    """The pipeline_plots oracle's drift-proofing: every probe position lands
+    >= 1.0 m from the nearest plot boundary (cross-engine libm drift is
+    ~1e-8 m), inside ranges 1..54 / passes 1..16, through the %.6f metadata
+    roundtrip the real pipeline performs."""
+    import __spark_entry__ as em
+    from extractors_metadata_spark.functions.textmeta import gantry_to_latlon
+    from extractors_metadata_spark.synth import (
+        GRID_DLAT,
+        GRID_DLON,
+        GRID_LAT0,
+        GRID_LON0,
+        N_PASSES,
+        N_RANGES,
+    )
+
+    ri, pj = np.meshgrid(np.arange(50), np.arange(6), indexing="ij")
+    gx = 3.8 + (ri + 0.5) * 4.06
+    gy = np.asarray(em.PLOT_GY_CENTERS)[pj] - 0.009301 * (gx - 105.0)
+    gx = np.vectorize(lambda v: float(f"{v:.6f}"))(gx)
+    gy = np.vectorize(lambda v: float(f"{v:.6f}"))(gy)
+    lat, lon = gantry_to_latlon(gx.ravel(), gy.ravel())
+    r = (lat - GRID_LAT0) / GRID_DLAT
+    p = (lon - GRID_LON0) / GRID_DLON
+    for f, cell_m in ((r, GRID_DLAT * 111194.9), (p, GRID_DLON * 111194.9 * 0.8378)):
+        fr = f - np.floor(f)
+        margin_m = np.minimum(fr, 1.0 - fr) * cell_m
+        assert margin_m.min() > 1.0, margin_m.min()
+    assert np.floor(r).min() >= 0 and np.floor(r).max() < N_RANGES
+    assert np.floor(p).min() >= 0 and np.floor(p).max() < N_PASSES

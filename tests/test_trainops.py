@@ -231,10 +231,11 @@ def test_cap_hot_buckets_drops_only_oversized(spark):
     rows = [("hot", i) for i in range(50)] + [("cold", i) for i in range(5)]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["bucket", "doc_id"]))
     stats = {}
-    kept = cap_hot_buckets(df, ["bucket"], max_bucket=10, stats=stats).collect()
+    with pytest.warns(RuntimeWarning, match="dropped 1 bucket"):
+        kept = cap_hot_buckets(df, ["bucket"], max_bucket=10, stats=stats).collect()
     assert {r.bucket for r in kept} == {"cold"}
     assert len(kept) == 5
-    assert stats == {"dropped_buckets": 1, "dropped_rows": 50}
+    assert stats == {"dropped_buckets": 1, "dropped_rows": 50, "max_bucket": 10}
 
 
 def test_lsh_hot_bucket_capped_no_quadratic_blowup(spark):
@@ -275,3 +276,127 @@ def test_near_dedup_survivors(spark, docs):
     # 0,1,2,3 cluster together (near-dups) -> only 0 survives; 4,5 unique
     assert 0 in ids and 4 in ids and 5 in ids
     assert 1 not in ids and 2 not in ids
+
+
+def test_jaccard_for_pairs_matches_allpairs(spark, docs):
+    """Pair-scoped exact verify == the all-pairs path on the same pair set
+    (including a disjoint pair, which must come back with jaccard 0.0)."""
+    from extractors_metadata_spark.operators.dedup import (
+        jaccard_for_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs.filter(F.length("text") > 0)
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(d, n=3, threshold=0.0).collect()}
+    pair_rows = [(a, b) for (a, b) in full] + [(4, 5)] if (4, 5) not in full else list(full)
+    pairs = spark.createDataFrame(pd.DataFrame(pair_rows, columns=["id_a", "id_b"]))
+    scoped = {(r.id_a, r.id_b): r.jaccard
+              for r in jaccard_for_pairs(d, pairs, n=3).collect()}
+    assert len(scoped) == len(pair_rows)
+    for k, v in full.items():
+        assert scoped[k] == v, k
+    if (4, 5) not in full:
+        assert scoped[(4, 5)] == 0.0
+
+
+def test_ngram_capped_candidates_exact_scores(spark, docs):
+    """max_df excludes ubiquitous grams from candidate generation only; the
+    surviving pairs' scores are EXACT (equal to the uncapped path's)."""
+    from extractors_metadata_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = docs.filter(F.length("text") > 0)
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(d, n=3, threshold=0.3).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(d, n=3, threshold=0.3, max_df=4).collect()}
+    # capped candidates are a subset, and every reported score is the true one
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k], k
+    # the real near-dup pairs share plenty of rare grams -> none lost here
+    assert (0, 1) in capped and (0, 2) in capped
+
+
+def test_hot_gram_cap_no_quadratic_blowup(spark):
+    """1k docs sharing one ubiquitous gram: uncapped, the gram join would emit
+    ~500k pair rows; with max_df the candidate join is bounded and the two
+    genuinely-similar docs still pair with their exact score."""
+    from extractors_metadata_spark.operators.dedup import ngram_jaccard_pairs
+
+    import hashlib
+
+    # each doc = <8 random hex> THE <8 random hex>: every cross-doc shared gram
+    # is either the ubiquitous " the " run (df=1000 -> capped) or an accidental
+    # hex-trigram collision (a couple per pair -> exact J far below 0.3)
+    h = lambda i, s: hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8]
+    rows = [(i, f"{h(i, 'l')} THE {h(i, 'r')}") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta"), (2001, "alpha beta gamma delt!")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.3, max_df=50)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert (2000, 2001) in got
+    # the " the " run (df=1000) is candidate-suppressed, so nothing quadratic
+    # reaches the verify stage; the only surviving cross-boilerplate pairs are
+    # genuine hex-substring coincidences (a handful, scored exactly)
+    assert len(got) < 10
+    texts = dict(rows)
+
+    def true_j(a, b):
+        g = lambda t: {t.lower()[i:i + 3] for i in range(len(t) - 2)}
+        ga, gb = g(texts[a]), g(texts[b])
+        return round(len(ga & gb) / len(ga | gb), 6)
+
+    for (a, b), j in got.items():
+        assert j == true_j(a, b), (a, b)
+
+
+def test_near_dedup_pipeline_manifest_records_cap(spark, tmp_path):
+    """Production wrapper surfaces dropped-bucket accounting in the snapshot
+    manifest (no-silent-caps): a boilerplate pile above max_bucket trips the
+    cap, the run warns, and metrics.lsh_cap records the drop."""
+    from extractors_metadata_spark.operators.dedup import near_dedup_pipeline
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(300)]
+    near = [(1000, "alpha beta gamma delta epsilon zeta"),
+            (1001, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(pd.DataFrame(boiler + near, columns=["doc_id", "text"]))
+    with pytest.warns(RuntimeWarning, match="cap_hot_buckets dropped"):
+        m = near_dedup_pipeline(
+            spark, df, str(tmp_path / "dedup_tbl"),
+            threshold=0.5, shingle_w=1, max_bucket=100,
+        )
+    cap = m["metrics"]["lsh_cap"]
+    assert cap["dropped_buckets"] >= 1 and cap["dropped_rows"] >= 300
+    assert cap["max_bucket"] == 100
+    # byte-identical boilerplate is LSH-invisible after the cap: all 300 survive
+    # (the docstring's "run dedup_exact first" rule); 1001 deduped against 1000
+    from extractors_metadata_spark.sources.snapshot import read_table
+
+    ids = {r.doc_id for r in read_table(spark, str(tmp_path / "dedup_tbl")).collect()}
+    assert 1000 in ids and 1001 not in ids
+
+
+def test_ivf_training_sample_unbiased(spark):
+    """Centroid training must draw across ALL partitions (seeded top-k by
+    hash), not the first file: a corpus whose first partition holds only
+    one tight cluster must still recall neighbors from the other cluster."""
+    import numpy as np
+    from extractors_metadata_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.01, (300, 8)) + np.array([5.0] * 8)   # cluster A
+    b = rng.normal(0, 0.01, (300, 8)) + np.array([-5.0] * 8)  # cluster B
+    rows = [(i, a[i].tolist()) for i in range(300)] + [
+        (300 + i, b[i].tolist()) for i in range(300)
+    ]
+    # partition 0 = all of cluster A (head() would train on A only)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).repartitionByRange(2, "vec_id")
+    queries = df.filter(F.col("vec_id").isin(310, 320))  # cluster-B queries
+    out = ivf_topk(spark, queries, df, k=3, nlist=4, nprobe=1, sample_n=100)
+    got = out.groupBy("query_id").count().collect()
+    assert {r["query_id"] for r in got} == {310, 320}
+    neigh = {r.neighbor_id for r in out.collect()}
+    assert all(n >= 300 for n in neigh)  # B-queries find B-neighbors
