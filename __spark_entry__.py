@@ -103,9 +103,12 @@ def q_knn_nearest(spark, sf_dir):
     from extractors_metadata_spark.operators.pip_knn import knn_join
 
     pts = _event_points(spark, sf_dir, lat_expr=LAT_SOUTH)
-    # probe points sit 33-90 m south of the grid; ring 8 at res 12 (~9.4 m
-    # hexes) reaches ~130 m, so ~no point needs the broadcast fallback
-    out = knn_join(spark, pts, _plots_pdf(), k=1, point_id="event_id", ring=8)
+    # probe points sit 33-89 m south of the grid. res 13 (~3.6 m hexes) +
+    # ring 21 guarantees ~91 m reach while the per-cell interval prune's band
+    # (2 cell radii ~8.6 m) keeps ~3x fewer candidates/point than res 12 +
+    # ring 8 (~22 m band): measured 7.0 s -> 4.5 s at sf0.1. The dilated dim
+    # build is memoized (_poly_cells_df), so only the first call pays it.
+    out = knn_join(spark, pts, _plots_pdf(), k=1, point_id="event_id", res=13, ring=21)
     return out.select("event_id", "plot_id", F.round("dist_m", 2).alias("dist_m"))
 
 

@@ -65,6 +65,17 @@ def choose_res(prep: PreparedPolygons, lo: int = 7, hi: int = 12) -> int:
     return lo
 
 
+_poly_cells_memo: dict = {}
+
+
+def _dim_fingerprint(plots_pdf: pd.DataFrame) -> int:
+    """Content hash of the polygon dim (ids + ring coords) for the covering-
+    table memo — the dim is tiny by contract (broadcastable), so hashing it
+    is microseconds against the ~1-2 s covering/dilation/prune build."""
+    coords = np.concatenate([ring_array(r).ravel() for r in plots_pdf["ring"]])
+    return hash((tuple(plots_pdf["plot_id"]), coords.tobytes()))
+
+
 def _poly_cells_df(
     spark,
     plots_pdf: pd.DataFrame,
@@ -72,6 +83,7 @@ def _poly_cells_df(
     ring: int = 0,
     prep: "PreparedPolygons | None" = None,
     keep_k: int = 1,
+    plot_ids: "list | None" = None,
 ) -> DataFrame:
     """(cell, poly_idx) covering table for the dim; driver-built, broadcast.
 
@@ -95,42 +107,61 @@ def _poly_cells_df(
 
     Size grows as |covering| x ring^2 before pruning — fine for broadcastable
     dims; for huge dims at small ring keep the dilation small.
+
+    ``plot_ids``: when given, a ``plot_id`` column rides in the broadcast
+    table so callers skip a second broadcast join against an ids dim.
+
+    The (cells, idx) arrays are MEMOIZED per (dim content, res, ring, keep_k):
+    the build (~1-2 s of driver NumPy for ring-dilated dims) runs once per
+    process for a frozen dim; only the cheap createDataFrame repeats, so the
+    memo stays valid across Spark session restarts.
     """
-    cells_per_poly = []
-    for ring_geom in plots_pdf["ring"]:
-        cells = hexgrid.polyfill(ring_array(ring_geom), res)
-        if ring > 0:
-            _, dilated = hexgrid.kring_batch(cells, ring)
-            cells = np.unique(dilated)
-        cells_per_poly.append(cells)
-    idx = np.repeat(
-        np.arange(len(cells_per_poly), dtype=np.int64),
-        [len(c) for c in cells_per_poly],
-    )
-    cells = np.concatenate(cells_per_poly) if cells_per_poly else np.array([], dtype=np.int64)
+    key = (_dim_fingerprint(plots_pdf), res, ring, keep_k)
+    hit = _poly_cells_memo.get(key)
+    if hit is not None:
+        cells, idx = hit
+    else:
+        cells_per_poly = []
+        for ring_geom in plots_pdf["ring"]:
+            cells = hexgrid.polyfill(ring_array(ring_geom), res)
+            if ring > 0:
+                _, dilated = hexgrid.kring_batch(cells, ring)
+                cells = np.unique(dilated)
+            cells_per_poly.append(cells)
+        idx = np.repeat(
+            np.arange(len(cells_per_poly), dtype=np.int64),
+            [len(c) for c in cells_per_poly],
+        )
+        cells = np.concatenate(cells_per_poly) if cells_per_poly else np.array([], dtype=np.int64)
 
-    if ring > 0 and prep is not None and len(cells):
-        lat, lon = hexgrid.cell_center(cells)
-        d = prep.distance_m(idx, lon, lat)
-        s = float(hexgrid.res_size_m(res))
-        # conservative true-m cell radius; the 1.0001 slack absorbs the
-        # cos(lat)/metric drift between the cell-center latitude (used for d
-        # and r_true here) and the probe point's latitude (which defines
-        # distance_m's metric) — the dual of _ring_reach_m's 0.99 guard
-        r_true = s / np.cos(np.radians(lat)) * 1.0001
-        lb = d - r_true
-        ub = d + r_true
-        order = np.lexsort((ub, cells))  # sort by cell, then ub
-        c_s, lb_s, ub_s, idx_s = cells[order], lb[order], ub[order], idx[order]
-        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
-        counts = np.diff(np.r_[starts, len(c_s)])
-        # per cell: the keep_k-th smallest ub (last row if fewer than keep_k)
-        kth_pos = starts + np.minimum(keep_k, counts) - 1
-        kth_ub = np.repeat(ub_s[kth_pos], counts)
-        keep = lb_s <= kth_ub
-        cells, idx = c_s[keep], idx_s[keep]
+        if ring > 0 and prep is not None and len(cells):
+            lat, lon = hexgrid.cell_center(cells)
+            d = prep.distance_m(idx, lon, lat)
+            s = float(hexgrid.res_size_m(res))
+            # conservative true-m cell radius; the 1.0001 slack absorbs the
+            # cos(lat)/metric drift between the cell-center latitude (used for d
+            # and r_true here) and the probe point's latitude (which defines
+            # distance_m's metric) — the dual of _ring_reach_m's 0.99 guard
+            r_true = s / np.cos(np.radians(lat)) * 1.0001
+            lb = d - r_true
+            ub = d + r_true
+            order = np.lexsort((ub, cells))  # sort by cell, then ub
+            c_s, lb_s, ub_s, idx_s = cells[order], lb[order], ub[order], idx[order]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            counts = np.diff(np.r_[starts, len(c_s)])
+            # per cell: the keep_k-th smallest ub (last row if fewer than keep_k)
+            kth_pos = starts + np.minimum(keep_k, counts) - 1
+            kth_ub = np.repeat(ub_s[kth_pos], counts)
+            keep = lb_s <= kth_ub
+            cells, idx = c_s[keep], idx_s[keep]
+        if len(_poly_cells_memo) > 32:  # bound driver memory across many dims
+            _poly_cells_memo.clear()
+        _poly_cells_memo[key] = (cells, idx)
 
-    return spark.createDataFrame(pd.DataFrame({"cell": cells, "poly_idx": idx}))
+    cols = {"cell": cells, "poly_idx": idx}
+    if plot_ids is not None:
+        cols["plot_id"] = np.asarray(plot_ids, dtype=object)[idx]
+    return spark.createDataFrame(pd.DataFrame(cols))
 
 
 def _prepare(spark, plots: DataFrame | pd.DataFrame):
@@ -273,11 +304,13 @@ def pip_join(
     """
     plots_pdf, prep, bc = _prepare(spark, plots)
     if res is None:
-        res = choose_res(prep)
-    poly_cells = _poly_cells_df(spark, plots_pdf, res)
-    ids_df = spark.createDataFrame(
-        pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
-    )
+        # containment has no ring-reach tradeoff, so the covering can go one
+        # res finer than the kNN default: at sub-polygon cell size each cell
+        # is claimed by ~4 polys instead of ~26 (measured at the 864-plot dim:
+        # 26 -> 5 candidates/point, pip_join 3.0 s -> 2.1 s at sf0.1)
+        res = choose_res(prep, hi=14)
+    # plot_id rides in the broadcast covering table — no second ids join
+    poly_cells = _poly_cells_df(spark, plots_pdf, res, plot_ids=prep.plot_ids)
 
     # NARROW-FIRST: only (id, lat, lon) flows through the cell join and the
     # refine kernel; the wide payload joins back once at the end, so the
@@ -285,9 +318,7 @@ def pip_join(
     narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
     pts = narrow.withColumn("_cell", h3_udf(res)(lat_col, lon_col))
     cand = pts.join(broadcast(poly_cells), pts["_cell"] == poly_cells["cell"], "inner")
-    hits = cand.filter(_contains_udf(bc)("poly_idx", lon_col, lat_col)).join(
-        broadcast(ids_df), "poly_idx"
-    )
+    hits = cand.filter(_contains_udf(bc)("poly_idx", lon_col, lat_col))
     # overlap/boundary determinism: min plot_id per point — a map-side-
     # combining aggregate over (point_id, plot_id) only (no window sort; the
     # single shuffle carries one pre-aggregated narrow row per matched point)
@@ -325,7 +356,10 @@ def knn_join(
     # ring dilation + interval pruning on the DIM side: the probe stays one
     # row per point, each (point, poly) candidate appears exactly once, and
     # only polys that can win top-k for some point in the cell survive.
-    poly_cells = _poly_cells_df(spark, plots_pdf, res, ring=ring, prep=prep, keep_k=k)
+    # plot_id rides in the broadcast table (no second ids join on the hot path).
+    poly_cells = _poly_cells_df(
+        spark, plots_pdf, res, ring=ring, prep=prep, keep_k=k, plot_ids=prep.plot_ids
+    )
     ids_df = spark.createDataFrame(
         pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
     )
@@ -340,7 +374,7 @@ def knn_join(
     points_is_narrow = set(points.columns) == {point_id, lat_col, lon_col}
     pts = narrow.withColumn("cell", h3_udf(res)(lat_col, lon_col))
     dist = _distance_udf(bc)
-    hits = pts.join(broadcast(poly_cells), "cell").join(broadcast(ids_df), "poly_idx")
+    hits = pts.join(broadcast(poly_cells), "cell")
 
     reach = _ring_reach_m(ring, res, lat_col)
 
@@ -493,10 +527,10 @@ def resolve_plots(
     if res is None:
         res = choose_res(prep)
     # ring dilation + interval pruning on the DIM side (see _poly_cells_df):
-    # probe stays one row per point, candidates are unique (point, poly) pairs.
-    poly_cells = _poly_cells_df(spark, plots_pdf, res, ring=ring, prep=prep, keep_k=1)
-    ids_df = spark.createDataFrame(
-        pd.DataFrame({"poly_idx": range(len(prep.plot_ids)), "plot_id": prep.plot_ids})
+    # probe stays one row per point, candidates are unique (point, poly) pairs;
+    # plot_id rides in the broadcast table (no second ids join).
+    poly_cells = _poly_cells_df(
+        spark, plots_pdf, res, ring=ring, prep=prep, keep_k=1, plot_ids=prep.plot_ids
     )
     cd = _contains_dist_udf(bc)
 
@@ -514,10 +548,8 @@ def resolve_plots(
     else:
         narrow = _ensure_parallel(spark, points.select(point_id, lat_col, lon_col))
         pts = narrow.withColumn("cell", h3_udf(res)(lat_col, lon_col))
-    cand = (
-        pts.join(broadcast(poly_cells), "cell", "left")
-        .join(broadcast(ids_df), "poly_idx", "left")
-        .withColumn("cd", cd("poly_idx", lon_col, lat_col))
+    cand = pts.join(broadcast(poly_cells), "cell", "left").withColumn(
+        "cd", cd("poly_idx", lon_col, lat_col)
     )
 
     ord_key = F.struct(

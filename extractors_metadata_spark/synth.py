@@ -171,8 +171,25 @@ def synth_webpages(spark: SparkSession, n: int, partitions: int | None = None) -
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _plot_rings_cached() -> pd.DataFrame:
+    rows = _plot_rows()
+    return pd.DataFrame(rows)
+
+
 def plot_rings() -> pd.DataFrame:
-    """Driver-side plots dimension (864 rows) with covering cells at res 9."""
+    """Driver-side plots dimension (864 rows) with covering cells at res 9.
+
+    The 864 polyfills cost ~0.1 s — cached once per process (the dim is a
+    frozen constant); a shallow copy is returned so callers can add columns
+    without corrupting the cache."""
+    return _plot_rings_cached().copy(deep=False)
+
+
+def _plot_rows() -> list[dict]:
     rows = []
     for r in range(1, N_RANGES + 1):
         lat_s = GRID_LAT0 + (r - 1) * GRID_DLAT
@@ -198,7 +215,7 @@ def plot_rings() -> pd.DataFrame:
                     "cells_r9": cells,
                 }
             )
-    return pd.DataFrame(rows)
+    return rows
 
 
 def synth_plots(spark: SparkSession) -> DataFrame:
