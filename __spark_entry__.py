@@ -559,6 +559,35 @@ def q_ann_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """Pair-scoped exact-Jaccard verify (the post-LSH 100 TB path): score a
+    GIVEN candidate list — here consecutive doc ids, including dissimilar
+    pairs, which must come back with their true (possibly 0) score."""
+    from extractors_metadata_spark.operators.dedup import jaccard_for_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).filter(F.col("id_b") < 100)
+    return jaccard_for_pairs(d, pairs, n=3)
+
+
+def q_cosine_pairs_exact(spark, sf_dir):
+    """Exact cosine near-duplicate pairs (brute force, JVM zip_with/aggregate
+    dot products): the correctness baseline the SRP-bucketed
+    cosine_near_pairs approximates; fully SQL-expressible so it carries a
+    DuckDB oracle (list_cosine_similarity)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    from extractors_metadata_spark.operators.similarity import cosine_pairs_exact
+
+    # checked at 3 decimals (mirrored double-round in the oracle SQL): the two
+    # engines fold the dot product in different orders, so the raw doubles
+    # agree only to ~1e-15 relative — coarse rounding makes midpoint flips
+    # measure-zero for this deterministic input set
+    out = cosine_pairs_exact(emb, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("sim", 3).alias("sim"))
+
+
 def q_embed_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (rows-only: SRP bucket kernel)."""
     from extractors_metadata_spark.operators.similarity import cosine_near_pairs
@@ -767,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
         "near_dedup_exact": q_near_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1250,6 +1281,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN labels ON labels.id = d.doc_id
             WHERE d.doc_id < 120
               AND (labels.id IS NULL OR least(d.doc_id, labels.mn) = d.doc_id)
+        """,
+        "jaccard_pairs": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id + 1 < 100
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS gram
+              FROM d, unnest(range(1, greatest(length(text) - 1, 2))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            common AS (
+              SELECT p.id_a, p.id_b, count(*) AS c
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   round(coalesce(c, 0) / (sa.n + sb.n - coalesce(c, 0)), 6) AS jaccard
+            FROM pairs p
+            LEFT JOIN common USING (id_a, id_b)
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        "cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.2
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)

@@ -60,6 +60,30 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs (a < b, sim >= threshold) by brute
+    force — the correctness baseline ``cosine_near_pairs`` approximates via
+    SRP buckets. All-pairs by construction: use only on bounded inputs (a
+    candidate shard, a bucket, an eval sample); the scale path is
+    ``cosine_near_pairs`` / ``srp_bucket``. The smaller side broadcasts, the
+    dot product runs JVM-side inside codegen."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
     return np.random.default_rng(SEED).standard_normal((dim, n_bits))
 

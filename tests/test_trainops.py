@@ -400,3 +400,24 @@ def test_ivf_training_sample_unbiased(spark):
     assert {r["query_id"] for r in got} == {310, 320}
     neigh = {r.neighbor_id for r in out.collect()}
     assert all(n >= 300 for n in neigh)  # B-queries find B-neighbors
+
+
+def test_cosine_pairs_exact_matches_numpy(spark):
+    from extractors_metadata_spark.operators.similarity import cosine_pairs_exact
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((25, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(25), "embedding": [v.tolist() for v in vecs]})
+    )
+    got = {(r.id_a, r.id_b): r.sim for r in cosine_pairs_exact(df, threshold=0.3).collect()}
+    norm = vecs.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exp = {
+        (a, b): round(float(sims[a, b]), 6)
+        for a in range(25) for b in range(a + 1, 25) if sims[a, b] >= 0.3
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=2e-6)
