@@ -181,6 +181,72 @@ def gc_orphans(table_path: str, grace_s: float = 0.0) -> list[str]:
     return removed
 
 
+def compact_snapshots(
+    spark: SparkSession,
+    table_path: str,
+    partition_by: tuple[str, ...] = (),
+    key_cols: tuple[str, ...] = (),
+    target_partitions: int | None = None,
+) -> dict | None:
+    """Rewrite the current table state as ONE 'replace' snapshot.
+
+    The streaming path appends a snapshot per micro-batch — at 100 TB that is
+    the classic small-file problem (every reader pays per-file open cost and
+    the resume anti-join unions ever more dirs). Compaction folds the live
+    set into a single snapshot; prior snapshots stay on disk and readable via
+    ``as_of`` time travel until ``expire_snapshots`` reclaims them. The
+    manifest records what was compacted (``metrics.compacted_snapshot_ids``,
+    files before/after). Returns the new manifest, or None on an empty table.
+
+    ``target_partitions``: coalesce the rewrite to this many output files
+    (e.g. total_bytes / 512 MB on a real table); default leaves Spark's
+    partitioning as-is.
+    """
+    live = live_snapshots(table_path)
+    if not any(m["rows"] > 0 for m in live):
+        return None
+    df = read_table(spark, table_path)
+    if target_partitions is not None:
+        df = df.coalesce(target_partitions)
+    files_before = sum(len(m["files"]) for m in live)
+    manifest = write_snapshot(
+        df, table_path, mode="replace", partition_by=partition_by,
+        key_cols=key_cols,
+        metrics={
+            "compaction": {
+                "compacted_snapshot_ids": [m["snapshot_id"] for m in live],
+                "files_before": files_before,
+            }
+        },
+    )
+    manifest["metrics"]["compaction"]["files_after"] = len(manifest["files"])
+    # re-persist the enriched manifest (same id, atomic swap)
+    snap_dir = os.path.join(table_path, "snapshots")
+    tmp = os.path.join(snap_dir, f".tmp-{manifest['uuid']}-m.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, os.path.join(snap_dir, f"snap-{manifest['snapshot_id']:05d}.json"))
+    return manifest
+
+
+def expire_snapshots(table_path: str, before_id: int) -> list[int]:
+    """Iceberg-style expire: drop manifests with id < ``before_id`` that no
+    longer contribute to the CURRENT state, then reclaim their data/keys dirs
+    via ``gc_orphans``. Time travel to expired ids stops working (exactly
+    Iceberg's contract); expiring a snapshot the current state still reads
+    from is refused. Single-writer assumption as ``gc_orphans``."""
+    live_ids = {m["snapshot_id"] for m in live_snapshots(table_path)}
+    expired = []
+    for i in _snap_ids(table_path):
+        if i >= before_id or i in live_ids:
+            continue
+        os.remove(os.path.join(table_path, "snapshots", f"snap-{i:05d}.json"))
+        expired.append(i)
+    if expired:
+        gc_orphans(table_path)
+    return expired
+
+
 def read_table(
     spark: SparkSession, table_path: str, as_of: int | None = None
 ) -> DataFrame | None:

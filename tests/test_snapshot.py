@@ -163,3 +163,30 @@ def test_gc_orphans_respects_grace_and_files(spark, table):
     assert removed == {"snap-00001-feedbeef"}
     assert not os.path.isdir(orphan) and not os.path.isdir(okeys)
     assert os.path.isfile(stray)
+
+
+def test_compact_and_expire(spark, table):
+    """Compaction folds the live append chain into one replace snapshot with
+    accounting; time travel to pre-compaction ids works until expire; expire
+    reclaims superseded manifests + data dirs (Iceberg contract)."""
+    for lo in (0, 30, 60):
+        snap.write_snapshot(spark.range(lo, lo + 30).repartition(4), table)
+    m = snap.compact_snapshots(spark, table, target_partitions=2, key_cols=("id",))
+    assert m["mode"] == "replace" and m["rows"] == 90
+    comp = m["metrics"]["compaction"]
+    assert comp["compacted_snapshot_ids"] == [0, 1, 2]
+    assert comp["files_before"] >= 12 and comp["files_after"] <= 2
+    # one live snapshot; full state intact; resume uses the new keys table
+    assert [x["snapshot_id"] for x in snap.live_snapshots(table)] == [3]
+    assert snap.read_table(spark, table).count() == 90
+    gap = snap.resume_gap(spark, spark.range(100).withColumnRenamed("id", "k").withColumnRenamed("k", "id"), table, "id")
+    assert gap.count() == 10
+    # pre-compaction time travel still live (dirs not yet reclaimed)
+    assert snap.read_table(spark, table, as_of=1).count() == 60
+    expired = snap.expire_snapshots(table, before_id=3)
+    assert expired == [0, 1, 2]
+    assert snap.read_table(spark, table).count() == 90
+    assert snap.read_table(spark, table, as_of=1) is None  # expired, like Iceberg
+    # superseded data dirs reclaimed, current one kept
+    data_dirs = os.listdir(os.path.join(table, "data"))
+    assert len(data_dirs) == 1 and data_dirs[0] == os.path.basename(m["data_dir"])
