@@ -202,6 +202,14 @@ def q_pipeline_plots(spark, sf_dir):
     drift-proof."""
     from extractors_metadata_spark.plans.pipeline import datapoints
 
+    dp = datapoints(spark, _probe_pages(spark, sf_dir), _plots_pdf())
+    return dp.select("url", "plot_id", "matched_via", "stream", "date")
+
+
+def _probe_pages(spark, sf_dir):
+    """Deterministic event-derived webpages whose gantry metadata the DuckDB
+    oracles can replay symbolically — the shared front end of pipeline_plots
+    and multi_render_verify."""
     e = _t(spark, sf_dir, "events")
     # PLOT_GX_EXPR built from float lits (Spark SQL would parse the literals
     # as Decimal — format_string needs DOUBLE; sub-margin drift is irrelevant)
@@ -237,15 +245,26 @@ def q_pipeline_plots(spark, sf_dir):
         F.to_json(lmm),
         F.lit("</script></body></html>"),
     )
-    pages = e.select(
+    return e.select(
         F.concat(F.lit("https://site.example/e"), F.col("event_id").cast("string")).alias("url"),
         F.col("ts").alias("warc_ts"),
         F.encode(html, "UTF-8").alias("html"),
         F.lit("probe").alias("text"),
         F.lit("en").alias("lang"),
     )
-    dp = datapoints(spark, pages, _plots_pdf())
-    return dp.select("url", "plot_id", "matched_via", "stream", "date")
+
+
+def q_multi_render_verify(spark, sf_dir):
+    """F17 multi-format rendering under a FULL oracle: the probe pages go
+    through the real parse (html regexp -> from_json -> key cleaning -> typed
+    projection) and multi_render; the oracle rebuilds all three renderings
+    symbolically — JSON double fields rely on both engines emitting
+    shortest-round-trip decimal repr (Jackson and DuckDB both do; verified
+    empirically on this corpus)."""
+    from extractors_metadata_spark.plans.parse import parse_metadata
+    from extractors_metadata_spark.plans.render import multi_render
+
+    return multi_render(parse_metadata(_probe_pages(spark, sf_dir)))
 
 
 # --- relational parity (SURVEY.md §2.2-2.8) ---------------------------------------
@@ -808,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "targets_complete": q_targets_complete,
         "files_probe": q_files_probe,
         "multi_render": q_multi_render,
+        "multi_render_verify": q_multi_render_verify,
         "multimodal_features": q_multimodal_features,
         "extract_text_verify": q_extract_text_verify,
     }
@@ -933,6 +953,28 @@ def _utm_inverse_sql() -> str:
     """
 
 
+def _probe_gxgy_sql() -> str:
+    """Shared CTEs (pts, g) deriving the probe gantry coordinates from
+    event_id — the SQL twin of ``_probe_pages``."""
+    return f"""
+        pts AS (
+          SELECT event_id, {PLOT_GX_EXPR} AS gx FROM events
+        ),
+        g AS (
+          SELECT event_id, gx,
+                 (CASE CAST(event_id % 6 AS INT)
+                    WHEN 0 THEN {PLOT_GY_CENTERS[0]!r}
+                    WHEN 1 THEN {PLOT_GY_CENTERS[1]!r}
+                    WHEN 2 THEN {PLOT_GY_CENTERS[2]!r}
+                    WHEN 3 THEN {PLOT_GY_CENTERS[3]!r}
+                    WHEN 4 THEN {PLOT_GY_CENTERS[4]!r}
+                    ELSE {PLOT_GY_CENTERS[5]!r} END)
+                 - 0.009301 * (gx - 105.0) AS gy
+          FROM pts
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -957,21 +999,7 @@ def oracle_sql() -> dict[str, str]:
             "event_id, plot_id, CAST(rank AS INT) AS rank, round(dist, 2) AS dist_m",
         ),
         "pipeline_plots": f"""
-            WITH pts AS (
-              SELECT event_id, {PLOT_GX_EXPR} AS gx FROM events
-            ),
-            g AS (
-              SELECT event_id, gx,
-                     (CASE CAST(event_id % 6 AS INT)
-                        WHEN 0 THEN {PLOT_GY_CENTERS[0]!r}
-                        WHEN 1 THEN {PLOT_GY_CENTERS[1]!r}
-                        WHEN 2 THEN {PLOT_GY_CENTERS[2]!r}
-                        WHEN 3 THEN {PLOT_GY_CENTERS[3]!r}
-                        WHEN 4 THEN {PLOT_GY_CENTERS[4]!r}
-                        ELSE {PLOT_GY_CENTERS[5]!r} END)
-                     - 0.009301 * (gx - 105.0) AS gy
-              FROM pts
-            ),
+            WITH {_probe_gxgy_sql()},
             {_utm_inverse_sql()}
             SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
                    CAST(CAST(FLOOR((lat - 33.0745) / 0.0000365) AS INT) + 1 AS VARCHAR)
@@ -1281,6 +1309,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN labels ON labels.id = d.doc_id
             WHERE d.doc_id < 120
               AND (labels.id IS NULL OR least(d.doc_id, labels.mn) = d.doc_id)
+        """,
+        "multi_render_verify": f"""
+            WITH {_probe_gxgy_sql()},
+            md AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END AS sensor,
+                     '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS d,
+                     printf('%.6f', gx) AS sx, printf('%.6f', gy) AS sy
+              FROM g
+            )
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   '{{"sensor":"' || sensor || '","date":"' || d
+                     || '","pos_x":' || CAST(CAST(sx AS DOUBLE) AS VARCHAR)
+                     || ',"pos_y":' || CAST(CAST(sy AS DOUBLE) AS VARCHAR)
+                     || ',"pos_z":1.0,"fov_x":1.0,"fov_y":1.0}}' AS md_json,
+                   '<metadata><sensor>' || sensor || '</sensor><date>' || d
+                     || '</date><position x="' || sx || '" y="' || sy
+                     || '" z="1.000000"/><fov x="1.000000" y="1.000000"/></metadata>'
+                     AS md_xml,
+                   'capture {{' || chr(10) || '  :sensor = "' || sensor || '" ;'
+                     || chr(10) || '  :date = "' || d || '" ;' || chr(10)
+                     || '  :position = ' || sx || ', ' || sy || ', 1.000000 ;'
+                     || chr(10) || '  :fov = 1.000000, 1.000000 ;' || chr(10) || '}}'
+                     AS md_cdl
+            FROM md
         """,
         "jaccard_pairs": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
