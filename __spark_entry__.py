@@ -10,9 +10,14 @@ Design notes for exact Spark<->DuckDB agreement:
   so no point lands within 1e-7 deg of a plot/tile boundary;
 - money aggregates run in decimal (exact in both engines), then round+cast;
 - every computed column is aliased identically on both sides;
-- kernels not expressible in SQL (H3/S2 encode, MinHash/SimHash via xxhash64,
-  IVF/SRP buckets, the UTM footprint pipeline) are registered without an
-  oracle -> driver records rows-only checks (documented per SURVEY.md §5.4).
+- kernels whose PRODUCTION hash has no SQL analog (xxhash64 MinHash/SimHash/
+  fingerprint, SRP pandas-UDF buckets, FNV media decode, frozen extract_text)
+  each carry an ORACLE TWIN: the same operator run under a replayable kernel
+  (functions/vhash.py poly family, literal hyperplanes, HUGEINT FNV, RE2
+  regex replay), so the plumbing is hash-checked and only the leaf hash
+  differs in the rows-only production query. Still rows-only with no twin:
+  H3/S2 encode (pinned by the JVM-twin cross-check + property tests) and
+  IVF-flat (approximate by design; recall-floor pytest).
 """
 
 from __future__ import annotations
@@ -206,11 +211,13 @@ def q_pipeline_plots(spark, sf_dir):
     return dp.select("url", "plot_id", "matched_via", "stream", "date")
 
 
-def _probe_pages(spark, sf_dir):
+def _probe_pages(spark, sf_dir, max_events: int | None = None):
     """Deterministic event-derived webpages whose gantry metadata the DuckDB
-    oracles can replay symbolically — the shared front end of pipeline_plots
-    and multi_render_verify."""
+    oracles can replay symbolically — the shared front end of pipeline_plots,
+    multi_render_verify and multimodal_dims_verify."""
     e = _t(spark, sf_dir, "events")
+    if max_events is not None:
+        e = e.filter(F.col("event_id") < max_events)
     # PLOT_GX_EXPR built from float lits (Spark SQL would parse the literals
     # as Decimal — format_string needs DOUBLE; sub-margin drift is irrelevant)
     gx = F.lit(3.8) + ((F.col("event_id") % 50).cast("double") + F.lit(0.5)) * F.lit(4.06)
@@ -559,6 +566,64 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+# --- verifiable-hash-family twins (functions/vhash.py) ----------------------------
+#
+# The production dedup kernels hash with xxhash64 (no DuckDB analog -> the
+# driver records rows-only for them). Each *_verify query below runs the SAME
+# operator code under the 'poly' hash family — polynomial rolling hash mod
+# 2^31-1 with affine MinHash permutations, every step exact int64 arithmetic —
+# which DuckDB replays literally, so the full operator plumbing (shingle
+# fan-out, banded LSH join, bit votes, components, survivor anti-join) sits
+# under rows+schema+hash oracles; the xxhash64 twins then differ only in the
+# leaf hash.
+
+
+def q_minhash_verify(spark, sf_dir):
+    """MinHash-LSH near-dup candidates + estimated Jaccard under the
+    verifiable hash family — FULL oracle twin of minhash_pairs."""
+    from extractors_metadata_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.2, hash_family="poly")
+    return pairs.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def q_near_dedup_minhash_verify(spark, sf_dir):
+    """The FULL minhash near-dedup pipeline (signatures -> banded LSH ->
+    threshold pairs -> connected components -> min-id survivors) under the
+    verifiable family — oracle twin of near_dedup_survivors; DuckDB replays
+    the clustering with a recursive CTE."""
+    from extractors_metadata_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        near_dedup_survivors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.6, hash_family="poly")
+    return near_dedup_survivors(d, pairs).select("doc_id", "lang", "n_chars")
+
+
+def q_simhash_verify(spark, sf_dir):
+    """31-bit SimHash under the verifiable family — every token's rolling
+    hash and all 31 bit votes replayed in SQL; oracle twin of simhash."""
+    from extractors_metadata_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), hash_family="poly").select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def q_fingerprint_verify(spark, sf_dir):
+    """Normalized-content fingerprint dedup under the verifiable double
+    rolling hash — oracle twin of dedup_fingerprint (same normalization,
+    same grouping plan)."""
+    from extractors_metadata_spark.operators.dedup import dedup_fingerprint
+
+    return dedup_fingerprint(_t(spark, sf_dir, "documents"), hash_family="poly").select(
+        "doc_id", "fp", "canonical_id", "group_size"
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     from extractors_metadata_spark.operators.similarity import brute_force_topk
 
@@ -617,6 +682,55 @@ def q_embed_near_pairs(spark, sf_dir):
     return cosine_near_pairs(emb, dim=64, threshold=0.25, n_bits=6).select(
         "id_a", "id_b", "sim"
     )
+
+
+def q_srp_pairs_verify(spark, sf_dir):
+    """SRP-bucketed embedding near-pairs under a FULL oracle: the seed-42
+    hyperplanes are inlined as SQL literals (single source:
+    similarity._hyperplanes), so DuckDB replays the bucket codes AND the
+    exact-cosine verify — oracle twin of embed_near_pairs. sim uses the
+    round(round(.,6),3) double-round (cross-engine fold-order drift)."""
+    from extractors_metadata_spark.operators.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_pairs(emb, dim=64, threshold=0.25, n_bits=6)
+    return out.select("id_a", "id_b", F.round("sim", 3).alias("sim"))
+
+
+def q_extract_text_probe(spark, sf_dir):
+    """The FROZEN extract_text function under a true independent-replay
+    oracle: probe html (built from event_id) exercises every behavior —
+    script/style stripping, tag removal, all six entities, whitespace
+    collapse — and DuckDB replays the same regex pipeline with RE2. This is
+    the per-row byte-identity invariant (BASELINE input_hint) as a
+    hash-checked query rather than a pytest-only golden."""
+    from extractors_metadata_spark.functions.spark_udfs import extract_text_udf
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    ids = F.col("event_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>T"), ids,
+        F.lit("</title><style>p { color: red; }</style></head><body><h1>Doc &amp; "),
+        ids,
+        F.lit('</h1><script>var x = "1 < 2";</script><p>A &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end '),
+        ids, F.lit(".</p></body></html>"),
+    )
+    pages = e.select("event_id", F.encode(html, "UTF-8").alias("html"))
+    return pages.select("event_id", extract_text_udf()("html").alias("text"))
+
+
+def q_multimodal_dims_verify(spark, sf_dir):
+    """The binary-column decode plumbing under a FULL oracle: probe pages'
+    html is SQL-reconstructible byte-for-byte, and the stubbed decoder's
+    dimension derivation (63-bit FNV-1a over the payload) is exact integer
+    arithmetic DuckDB replays with HUGEINT — verifies the whole mapInPandas
+    Arrow path end-to-end. The feature vector (PCG64 normals) stays under
+    the rows-only twin multimodal_features."""
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
+
+    pages = _probe_pages(spark, sf_dir, max_events=2000)
+    out = decode_image_features(pages, n_features=4)
+    return out.select("url", "width", "height", "channels")
 
 
 def q_prefix_remap(spark, sf_dir):
@@ -815,12 +929,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
         "near_dedup_exact": q_near_dedup_exact,
+        "minhash_verify": q_minhash_verify,
+        "near_dedup_minhash_verify": q_near_dedup_minhash_verify,
+        "simhash_verify": q_simhash_verify,
+        "fingerprint_verify": q_fingerprint_verify,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embed_near_pairs": q_embed_near_pairs,
+        "srp_pairs_verify": q_srp_pairs_verify,
+        "extract_text_probe": q_extract_text_probe,
+        "multimodal_dims_verify": q_multimodal_dims_verify,
         "prefix_remap": q_prefix_remap,
         "lv1_remap": q_lv1_remap,
         "callback_fanout": q_callback_fanout,
@@ -953,12 +1074,12 @@ def _utm_inverse_sql() -> str:
     """
 
 
-def _probe_gxgy_sql() -> str:
+def _probe_gxgy_sql(where: str = "") -> str:
     """Shared CTEs (pts, g) deriving the probe gantry coordinates from
     event_id — the SQL twin of ``_probe_pages``."""
     return f"""
         pts AS (
-          SELECT event_id, {PLOT_GX_EXPR} AS gx FROM events
+          SELECT event_id, {PLOT_GX_EXPR} AS gx FROM events {where}
         ),
         g AS (
           SELECT event_id, gx,
@@ -972,6 +1093,147 @@ def _probe_gxgy_sql() -> str:
                  - 0.009301 * (gx - 105.0) AS gy
           FROM pts
         )
+    """
+
+
+def _poly_sql(expr: str, base: int) -> str:
+    """The vhash rolling hash as DuckDB SQL: fold character codepoints with
+    (acc * base + code) mod 2^31-1 — list_prepend supplies the 0 seed
+    (list_reduce folds the list's own head otherwise). Exact int64 arithmetic,
+    bit-identical to functions/vhash.poly_hash."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {base} + b) % 2147483647)"
+    )
+
+
+def _minhash_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
+    """Shared CTE chain for the verifiable MinHash oracle: word shingles ->
+    rolling hash -> affine permutation mins -> banded buckets -> candidate
+    pairs -> slot-match Jaccard estimate. Coefficients come from
+    vhash.perm_coeffs — the same literals the Spark expressions use. Ends
+    with CTE ``tpairs(id_a, id_b, je)`` (est >= threshold, unrounded)."""
+    from extractors_metadata_spark.functions.vhash import perm_coeffs
+
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"min(({a} * t + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return rf"""
+        toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+                 FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+               FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+        th AS (SELECT doc_id, {_poly_sql('shingle', 131)} AS t FROM sh),
+        sigs AS (SELECT doc_id, {mins} FROM th GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id),
+        tpairs AS (SELECT id_a, id_b, ({match_sum}) / 64.0 AS je
+                   FROM cpairs
+                   JOIN sigs sa ON sa.doc_id = id_a
+                   JOIN sigs sb ON sb.doc_id = id_b
+                   WHERE ({match_sum}) / 64.0 >= {threshold})
+    """
+
+
+def _srp_pairs_sql(threshold: float = 0.25, n_bits: int = 6, dim: int = 64) -> str:
+    """SRP bucket codes + exact-cosine verify in SQL: the seed-42 hyperplanes
+    (similarity._hyperplanes — the very arrays the pandas UDF matmuls against)
+    inlined as literal DOUBLE lists; bucket bit i = sign of v . plane_i."""
+    from extractors_metadata_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits)  # (dim, n_bits)
+    bits = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{vals}]) > 0 THEN {w} ELSE 0 END)".format(
+            vals=", ".join(f"CAST({planes[j, i]!r} AS DOUBLE)" for j in range(dim)),
+            w=1 << i,
+        )
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        coded AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
+        FROM coded a JOIN coded b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    """
+
+
+def _fnv_sql(expr: str) -> str:
+    """63-bit FNV-1a over an ASCII string as DuckDB SQL — the literal mirror
+    of multimodal/binary_ops.hash_bytes (xor then wrap-around multiply mod
+    2^64, HUGEINT intermediates; final mask to 63 bits)."""
+    return (
+        f"CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS HUGEINT))), "
+        f"(h, c) -> (CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)"
+        f" * 1099511628211) % 18446744073709551616) % 9223372036854775808 AS BIGINT)"
+    )
+
+
+def _probe_html_sql() -> str:
+    """Rebuild _probe_pages' html string byte-for-byte in SQL (Jackson to_json
+    emits struct fields and map entries in declaration order with no spaces;
+    every value is a string, so no double-repr concerns). Ends with CTE
+    ``ph(event_id, html_str)``; callers must prepend ``_probe_gxgy_sql()``."""
+    return """
+        md AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END AS sensor,
+                 printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS day,
+                 printf('%.6f', gx) AS sx, printf('%.6f', gy) AS sy
+          FROM g
+        ),
+        ph AS (
+          SELECT event_id,
+                 '<html><body><script type="application/json" id="lemnatec">'
+                 || '{"lemnatec_measurement_metadata":{"gantry_system_variable_metadata":'
+                 || '{"Time":"05/07/2016 15:58:43","Position x [m]":"' || sx
+                 || '","Position y [m]":"' || sy
+                 || '","Position z [m]":"1.000000"},"sensor_fixed_metadata":'
+                 || '{"location in camera box X [m]":"0.000000","location in camera box Y [m]":"0.000000",'
+                 || '"field of view X [m]":"1.000000","field of view Y [m]":"1.000000"}},'
+                 || '"dataset_name":"' || sensor || ' - 2016-05-' || day || '__15-58-43-000"}'
+                 || '</script></body></html>' AS html_str
+          FROM md
+        )
+    """
+
+
+def _simhash_sql(n_bits: int = 31) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return rf"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                      FROM documents),
+        th AS (SELECT doc_id, {_poly_sql('tok', 131)} AS h
+               FROM toks WHERE length(tok) > 0),
+        votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes
     """
 
 
@@ -1335,6 +1597,39 @@ def oracle_sql() -> dict[str, str]:
                      AS md_cdl
             FROM md
         """,
+        "minhash_verify": f"""
+            WITH {_minhash_sql(0.2)}
+            SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM tpairs
+        """,
+        "near_dedup_minhash_verify": f"""
+            WITH RECURSIVE {_minhash_sql(0.6)},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM tpairs
+                      UNION SELECT id_b, id_a FROM tpairs),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+            ),
+            labels AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d LEFT JOIN labels ON labels.id = d.doc_id
+            WHERE labels.id IS NULL OR least(d.doc_id, labels.mn) = d.doc_id
+        """,
+        "simhash_verify": _simhash_sql(31),
+        "fingerprint_verify": rf"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                         '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            fps AS (SELECT doc_id,
+                           {_poly_sql('nt', 131)} * 2147483648 + {_poly_sql('nt', 137)} AS fp
+                    FROM norm)
+            SELECT doc_id, fp,
+                   min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+                   count(*) OVER (PARTITION BY fp) AS group_size
+            FROM fps
+        """,
         "jaccard_pairs": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
             pairs AS (
@@ -1366,6 +1661,36 @@ def oracle_sql() -> dict[str, str]:
                    round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        """,
+        "srp_pairs_verify": _srp_pairs_sql(0.25, 6, 64),
+        "extract_text_probe": r"""
+            WITH h AS (
+              SELECT event_id,
+                     '<html><head><title>T' || CAST(event_id AS VARCHAR)
+                     || '</title><style>p { color: red; }</style></head><body><h1>Doc &amp; '
+                     || CAST(event_id AS VARCHAR)
+                     || '</h1><script>var x = "1 < 2";</script><p>A &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end '
+                     || CAST(event_id AS VARCHAR) || '.</p></body></html>' AS s
+              FROM events WHERE event_id < 3000),
+            s1 AS (SELECT event_id, regexp_replace(s, '<script\b.*?</script>', ' ', 'gis') AS s FROM h),
+            s2 AS (SELECT event_id, regexp_replace(s, '<style\b.*?</style>', ' ', 'gis') AS s FROM s1),
+            s3 AS (SELECT event_id, regexp_replace(s, '<[^>]*>', ' ', 'gs') AS s FROM s2),
+            s4 AS (SELECT event_id,
+                          replace(replace(replace(replace(replace(replace(s,
+                            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', '''') AS s
+                   FROM s3)
+            SELECT event_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text FROM s4
+        """,
+        "multimodal_dims_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph)
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(320 + h63 % 1024 AS INT) AS width,
+                   CAST(240 + (h63 // 1024) % 768 AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM hh
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)

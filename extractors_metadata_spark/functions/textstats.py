@@ -114,8 +114,13 @@ def remap_prefix(col: Column, mapping: dict[str, str]) -> Column:
     return out
 
 
+def normalize_content(text: Column) -> Column:
+    """Casefold, strip punctuation, collapse whitespace — the shared
+    normalization under both fingerprint hash families."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: xxhash64 of casefolded, punctuation-stripped,
     whitespace-collapsed text — robust to formatting-only edits."""
-    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "))
-    return F.xxhash64(norm)
+    return F.xxhash64(normalize_content(text))

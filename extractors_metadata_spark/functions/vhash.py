@@ -1,0 +1,74 @@
+"""Verifiable hash family: polynomial rolling hash mod 2^31-1.
+
+The production dedup kernels hash with ``xxhash64`` (fast, JVM-native) — but
+xxhash64 has no DuckDB analog, so the driver's exact-oracle gate can only
+record rows-only checks for them. This module provides a SECOND hash family
+with identical algebraic structure whose every step is exact 64-bit integer
+arithmetic that BOTH engines can replay literally:
+
+    poly(s)      = fold(chars(s), h -> (h * B + codepoint(c)) mod P)
+    perm_i(t)    = (A_i * t + B_i) mod P          (affine MinHash permutations)
+
+with P = 2^31 - 1 (Mersenne prime), B = 131/137. Every intermediate fits a
+signed 64-bit integer (h < 2^31, h*B + 127 < 2^39; A_i*t < 2^62), so Spark
+(ANSI mode, no overflow) and DuckDB (BIGINT) compute bit-identical values —
+the dedup operators parameterized over this family run under FULL
+rows+schema+hash oracles, verifying the operator PLUMBING (shingle fan-out,
+banded LSH join, bit votes, connected components); the xxhash64 family then
+only swaps the leaf hash.
+
+The affine coefficients are generated once here (seeded, driver-side) and
+consumed by BOTH the Spark expressions and the SQL generator in
+``__spark_entry__.py`` — single source, the two sides can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647  # 2^31 - 1
+BASE1 = 131
+BASE2 = 137
+
+
+def perm_coeffs(n: int) -> list[tuple[int, int]]:
+    """n deterministic affine-permutation coefficient pairs (a_i, b_i),
+    a_i in [1, P-1], b_i in [0, P-1] — Weyl-sequence spacing (golden-ratio
+    multiplier) rather than a stateful RNG so the list is a pure function
+    of i that any auditor can re-derive."""
+    out = []
+    for i in range(n):
+        a = (2_654_435_761 * (2 * i + 1)) % P31
+        b = (40_503 * (i * i + i + 1)) % P31
+        out.append((a or 1, b))
+    return out
+
+
+def _codes(col: Column) -> Column:
+    # split('') keeps a trailing '' in Spark (Java split limit -1); filter
+    # empties so DuckDB's string_split (no trailing '') folds the same list
+    return F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+
+
+def poly_hash(col: Column, base: int = BASE1) -> Column:
+    """Rolling hash of a string, mod 2^31-1 — pure JVM higher-order fold."""
+    return F.aggregate(
+        _codes(col),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(P31).cast("long"),
+    )
+
+
+def poly_fingerprint(col: Column) -> Column:
+    """62-bit fingerprint: two independent rolling hashes packed into one long
+    (h1 * 2^31 + h2 < 2^62)."""
+    return poly_hash(col, BASE1) * F.lit(2_147_483_648).cast("long") + poly_hash(col, BASE2)
+
+
+def perm_min_exprs(t: Column, n: int) -> list[Column]:
+    """MinHash slot expressions: min over rows of (a_i * t + b_i) mod P."""
+    return [
+        F.min((t * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_coeffs(n))
+    ]

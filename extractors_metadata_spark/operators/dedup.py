@@ -105,9 +105,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-exact dedup on the normalized-content fingerprint (formatting-robust)."""
-    groups = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+def dedup_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Near-exact dedup on the normalized-content fingerprint (formatting-robust).
+
+    ``hash_family='poly'`` swaps xxhash64 for the verifiable double rolling
+    hash (functions/vhash.poly_fingerprint) — same normalization, same
+    grouping plan, SQL-replayable for the driver oracle."""
+    if hash_family == "poly":
+        from ..functions.textstats import normalize_content
+        from ..functions.vhash import poly_fingerprint
+
+        fp = poly_fingerprint(normalize_content(F.col(text_col)))
+    else:
+        fp = fingerprint(F.col(text_col))
+    groups = df.select(F.col(id_col), fp.alias("fp"))
     agg = groups.groupBy("fp").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
     )
@@ -144,16 +158,31 @@ def char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_perm: int = 64, shingle_w: int = 3,
+    num_perm: int = 64, shingle_w: int = 3, hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>): permutation-min over xxhash64(shingle, seed_i).
+    """(id, sig array<long>): permutation-min signatures.
 
     One shuffle (groupBy id); all P mins computed in a single hash aggregate.
+
+    ``hash_family``: 'xxhash64' (production default — P independent seeded
+    hashes of the shingle) or 'poly' (verifiable family, functions/vhash.py —
+    one rolling hash t per shingle, then P affine permutations
+    (a_i*t+b_i) mod 2^31-1; bit-identical replayable in DuckDB SQL, so the
+    driver's exact oracle covers the full signature plumbing).
     """
     sh = word_shingles(df, text_col, id_col, shingle_w)
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(num_perm)
-    ]
+    if hash_family == "poly":
+        from ..functions.vhash import P31, perm_coeffs, poly_hash
+
+        sh = sh.withColumn("_t", poly_hash(F.col("shingle")))
+        mins = [
+            F.min((F.col("_t") * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
+            for i, (a, b) in enumerate(perm_coeffs(num_perm))
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+        ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
@@ -161,27 +190,32 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4,
     max_bucket: int = 2000, bucket_stats: dict | None = None,
+    plain_buckets: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair (a < b).
 
     Scale shape: explode to bands rows/doc, shuffle on (band, hash), self-join
     within buckets only; buckets larger than ``max_bucket`` are dropped first
     (see ``cap_hot_buckets`` — bounds the worst bucket to max_bucket^2 pairs).
+
+    ``plain_buckets``: keep the bucket as the raw comma-joined slot string
+    instead of xxhash64-ing it — identical join semantics (the hash only
+    shortens the shuffle key), but SQL-replayable for the oracle path.
     """
     assert bands * rows_per_band <= 1024
+
+    def _bucket(b):
+        joined = F.concat_ws(",", *[
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ])
+        return joined if plain_buckets else F.xxhash64(joined)
+
     band_entries = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ])
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
@@ -219,6 +253,7 @@ def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.7, num_perm: int = 64, bands: int = 16, shingle_w: int = 3,
     max_bucket: int = 2000, bucket_stats: dict | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with estimated Jaccard >= threshold.
 
@@ -229,9 +264,10 @@ def minhash_lsh_dedup(
     counts in the snapshot manifest) on production runs, and run
     ``dedup_exact``/``dedup_fingerprint`` FIRST so byte-identical piles never
     reach LSH."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_w)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_w, hash_family)
     pairs = lsh_candidate_pairs(
-        sigs, id_col, bands, num_perm // bands, max_bucket, bucket_stats
+        sigs, id_col, bands, num_perm // bands, max_bucket, bucket_stats,
+        plain_buckets=(hash_family == "poly"),
     )
     est = minhash_jaccard_estimate(sigs, pairs, id_col)
     return est.filter(F.col("jaccard_est") >= threshold)
@@ -474,26 +510,35 @@ def near_dedup_survivors(
 
 # --- SimHash ---------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc, fully JVM-side: token hash bit votes via 64
-    conditional sums in one aggregate."""
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-        )
-        .filter(F.length("tok") > 0)
-        .withColumn("h", F.xxhash64("tok"))
-    )
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per doc, fully JVM-side: token hash bit votes via conditional
+    sums in one aggregate. 63 bits under xxhash64 (production default; bit 63
+    = sign, left 0 to keep ids positive); 31 bits under the verifiable 'poly'
+    family (functions/vhash.py — every vote replayable in DuckDB SQL)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    if hash_family == "poly":
+        from ..functions.vhash import poly_hash
+
+        n_bits = 31
+        toks = toks.withColumn("h", poly_hash(F.col("tok")))
+    else:
+        n_bits = 63
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(63)  # bit 63 = sign bit, left 0 to keep ids positive
+        for i in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sim = None
-    for i in range(63):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return agg.select(id_col, sim.alias("simhash"))

@@ -1,0 +1,75 @@
+"""Verifiable hash family (functions/vhash.py): the JVM column expressions
+must agree bit-for-bit with a pure-Python reference implementation — the same
+arithmetic the DuckDB oracles replay (__spark_entry__._poly_sql)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extractors_metadata_spark.functions.vhash import (
+    BASE1,
+    BASE2,
+    P31,
+    perm_coeffs,
+    poly_fingerprint,
+    poly_hash,
+)
+
+
+def py_poly(s: str, base: int) -> int:
+    h = 0
+    for c in s:
+        h = (h * base + ord(c)) % P31
+    return h
+
+
+SAMPLES = ["", "a", "ab", "the quick brown fox", "Doc & 7", " x  y ", "a" * 600]
+
+
+def test_poly_hash_matches_python(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i int, s string")
+    rows = df.select("i", poly_hash(F.col("s")).alias("h")).orderBy("i").collect()
+    for r, s in zip(rows, SAMPLES):
+        assert r["h"] == py_poly(s, BASE1), s
+
+
+def test_poly_fingerprint_packs_two_hashes(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    rows = df.select("s", poly_fingerprint(F.col("s")).alias("fp")).collect()
+    for r in rows:
+        expect = py_poly(r["s"], BASE1) * 2_147_483_648 + py_poly(r["s"], BASE2)
+        assert r["fp"] == expect
+        assert 0 <= r["fp"] < 2**62
+
+
+def test_perm_coeffs_bounds_and_determinism():
+    cs = perm_coeffs(64)
+    assert cs == perm_coeffs(64)  # pure function of i
+    assert len(set(cs)) == 64
+    for a, b in cs:
+        assert 1 <= a < P31 and 0 <= b < P31
+
+
+def test_minhash_poly_signature_matches_python(spark):
+    from extractors_metadata_spark.operators.dedup import minhash_signatures
+
+    text = "one two three four five"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    sig = minhash_signatures(df, num_perm=8, hash_family="poly").collect()[0]["sig"]
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    ts = [py_poly(s, BASE1) for s in shingles]
+    for i, (a, b) in enumerate(perm_coeffs(8)):
+        assert sig[i] == min((a * t + b) % P31 for t in ts)
+
+
+def test_simhash_poly_is_31_bit(spark):
+    from extractors_metadata_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx ww")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df, hash_family="poly").collect()}
+    assert rows[1] == rows[2]  # identical text -> identical fingerprint
+    assert all(0 <= v < 2**31 for v in rows.values())
