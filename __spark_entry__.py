@@ -175,7 +175,10 @@ def q_tile_density(spark, sf_dir):
 
 
 def q_cells_encode(spark, sf_dir):
-    """H3-style + S2-style cell IDs (rows-only: no SQL analog of the kernels)."""
+    """H3-style + S2-style cell IDs under a FULL oracle: DuckDB independently
+    replays both public kernel constructions (Lambert/axial/cube-round and
+    face/(u,v)->(s,t)/Hilbert-fold) — see _cells_sql for the bit-exactness
+    preconditions verified on this host."""
     from extractors_metadata_spark.plans.parse import with_cells
 
     pts = _event_points(spark, sf_dir)
@@ -1153,6 +1156,110 @@ def _minhash_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
     """
 
 
+def _cells_sql() -> str:
+    """Independent SQL replay of BOTH cell kernels for the cells_encode
+    oracle — the H3-style encode (Lambert equal-area projection -> pointy-top
+    axial coords -> cube rounding -> bit packing, functions/hexgrid.py) and
+    the S2-style encode (unit sphere -> cube face -> quadratic (u,v)->(s,t)
+    -> 26-level Hilbert fold via list_reduce with a struct state,
+    functions/s2quad.py). Numeric preconditions verified empirically on this
+    host: DuckDB's radians/sin/cos are BIT-EXACT vs NumPy on the probe grid
+    (same libm), round_even(x,0) == np.rint, and every other op (*, /, sqrt,
+    trunc) is IEEE-exact — so the compare is deterministic, not
+    drift-tolerant. Constants are imported from the kernel modules."""
+    import numpy as np
+
+    from extractors_metadata_spark.functions.geodesy import R_MEAN
+    from extractors_metadata_spark.functions.hexgrid import res_size_m
+
+    r = f"CAST({R_MEAN!r} AS DOUBLE)"
+    size9 = f"CAST({float(res_size_m(9))!r} AS DOUBLE)"
+    s3_3 = f"CAST({float(np.sqrt(3.0) / 3.0)!r} AS DOUBLE)"
+    st_expr = lambda c: (
+        f"CASE WHEN {c} >= 0.0 THEN 0.5 * sqrt(greatest(0.0, 1.0 + 3.0 * {c})) "
+        f"ELSE 1.0 - 0.5 * sqrt(greatest(0.0, 1.0 - 3.0 * {c})) END"
+    )
+    return f"""
+        pts AS (SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+        h3p AS (SELECT event_id, {r} * radians(lon) AS hx, {r} * sin(radians(lat)) AS hy FROM pts),
+        h3f AS (SELECT event_id,
+                       ({s3_3} * hx - hy / 3.0) / {size9} AS qf,
+                       (0.6666666666666666 * hy) / {size9} AS rf
+                FROM h3p),
+        h3r AS (SELECT event_id, qf, rf,
+                       round_even(qf, 0) AS rx0,
+                       round_even(-qf - rf, 0) AS ry0,
+                       round_even(rf, 0) AS rz0
+                FROM h3f),
+        h3c AS (SELECT event_id,
+          CASE WHEN abs(rx0 - qf) > abs(ry0 - (-qf - rf)) AND abs(rx0 - qf) > abs(rz0 - rf)
+               THEN -ry0 - rz0 ELSE rx0 END AS q,
+          CASE WHEN NOT (abs(rx0 - qf) > abs(ry0 - (-qf - rf)) AND abs(rx0 - qf) > abs(rz0 - rf))
+                    AND abs(rz0 - rf) > abs(ry0 - (-qf - rf))
+               THEN -rx0 - ry0 ELSE rz0 END AS rr
+          FROM h3r),
+        h3cell AS (SELECT event_id,
+          (CAST(9 AS BIGINT) << 58)
+          | ((CAST(q AS BIGINT) + 268435456) << 29)
+          | (CAST(rr AS BIGINT) + 268435456) AS cell_r9
+          FROM h3c),
+        s2a AS (SELECT event_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS sx,
+                       cos(radians(lat)) * sin(radians(lon)) AS sy,
+                       sin(radians(lat)) AS sz
+                FROM pts),
+        s2f AS (SELECT event_id, sx, sy, sz,
+          CASE WHEN abs(sx) >= abs(sy) AND abs(sx) >= abs(sz) THEN CASE WHEN sx >= 0 THEN 0 ELSE 3 END
+               WHEN abs(sy) >= abs(sz) THEN CASE WHEN sy >= 0 THEN 1 ELSE 4 END
+               ELSE CASE WHEN sz >= 0 THEN 2 ELSE 5 END END AS face
+          FROM s2a),
+        s2uv AS (SELECT event_id, face,
+          -- negations wrap the NUMERATOR ((-sx)/sy), matching the kernel's
+          -- un = -x; un/den order — -sx/sy parses as -(sx/sy), 1 ulp off
+          CASE face WHEN 0 THEN sy / sx WHEN 1 THEN (-sx) / sy WHEN 2 THEN (-sx) / sz
+                    WHEN 3 THEN sz / sx WHEN 4 THEN sz / sy ELSE (-sy) / sz END AS u,
+          CASE face WHEN 0 THEN sz / sx WHEN 1 THEN sz / sy WHEN 2 THEN (-sy) / sz
+                    WHEN 3 THEN sy / sx WHEN 4 THEN (-sx) / sy ELSE (-sx) / sz END AS v
+          FROM s2f),
+        s2ij AS (SELECT event_id, face,
+          least(greatest(CAST(trunc(({st_expr('u')}) * 67108864.0) AS BIGINT), 0), 67108863) AS i,
+          least(greatest(CAST(trunc(({st_expr('v')}) * 67108864.0) AS BIGINT), 0), 67108863) AS j
+          FROM s2uv),
+        hb26 AS (SELECT event_id, face, i AS x, j AS y, CAST(0 AS BIGINT) AS d FROM s2ij),
+        {_hilbert_stages_sql()},
+        s2cell AS (SELECT event_id,
+          (CAST(face AS BIGINT) << 57) | ((d >> 20) << 5) | 16 AS s2_cell
+          FROM hb0)
+    """
+
+
+def _hilbert_stages_sql() -> str:
+    """The 26 Hilbert xy->d iterations unrolled as generated CTE stages
+    (one per bit, s = 2^25 .. 1), each the literal mirror of one loop pass of
+    s2quad._hilbert_xy_to_d. Unrolled rather than list_reduce because DuckDB
+    1.0's list_reduce mis-evaluates multi-field struct lambdas across steps
+    (verified: single steps correct, folds diverge)."""
+    stages = []
+    prev = "hb26"
+    for k in range(25, -1, -1):
+        s = 1 << k
+        cur = f"hb{k}"
+        stages.append(f"""
+        {cur} AS (SELECT event_id, face,
+          CASE WHEN (y & {s}) > 0 THEN x
+               WHEN (x & {s}) > 0 THEN {s} - 1 - y
+               ELSE y END AS x,
+          CASE WHEN (y & {s}) > 0 THEN y
+               WHEN (x & {s}) > 0 THEN {s} - 1 - x
+               ELSE x END AS y,
+          d + CAST({s}::BIGINT * {s} AS BIGINT)
+              * xor(CAST(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                    CAST((CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT)) AS d
+          FROM {prev})""")
+        prev = cur
+    return ",".join(stages)
+
+
 def _srp_pairs_sql(threshold: float = 0.25, n_bits: int = 6, dim: int = 64) -> str:
     """SRP bucket codes + exact-cosine verify in SQL: the seed-42 hyperplanes
     (similarity._hyperplanes — the very arrays the pandas UDF matmuls against)
@@ -1661,6 +1768,11 @@ def oracle_sql() -> dict[str, str]:
                    round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        """,
+        "cells_encode": f"""
+            WITH {_cells_sql()}
+            SELECT h.event_id, h.cell_r9, s.s2_cell
+            FROM h3cell h JOIN s2cell s USING (event_id)
         """,
         "srp_pairs_verify": _srp_pairs_sql(0.25, 6, 64),
         "extract_text_probe": r"""
