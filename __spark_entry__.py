@@ -687,6 +687,36 @@ def q_embed_near_pairs(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 words by term frequency (+ doc frequency) —
+    the tokenizer-training / stopword-mining primitive."""
+    from extractors_metadata_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 tf-idf terms (keyword extraction / quality signal);
+    score = tf * ln(N/df) with the ranking on the unrounded score and the
+    projection rounded to 6 (identical literal arithmetic in the oracle)."""
+    from extractors_metadata_spark.operators.corpus import tf_idf_topk
+
+    out = tf_idf_topk(_t(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        "doc_id", "word", "tf",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language doc-length quantiles (corpus-health profile);
+    Spark native percentile (type-7 interpolation) == DuckDB quantile_cont."""
+    from extractors_metadata_spark.operators.corpus import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def q_srp_pairs_verify(spark, sf_dir):
     """SRP-bucketed embedding near-pairs under a FULL oracle: the seed-42
     hyperplanes are inlined as SQL literals (single source:
@@ -945,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_pairs_verify": q_srp_pairs_verify,
         "extract_text_probe": q_extract_text_probe,
         "multimodal_dims_verify": q_multimodal_dims_verify,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "length_quantiles": q_length_quantiles,
         "prefix_remap": q_prefix_remap,
         "lv1_remap": q_lv1_remap,
         "callback_fanout": q_callback_fanout,
@@ -1768,6 +1801,38 @@ def oracle_sql() -> dict[str, str]:
                    round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                          FROM documents),
+            tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0)
+            SELECT tok AS word, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+            FROM tt GROUP BY tok
+            ORDER BY tf DESC, word ASC LIMIT 100
+        """,
+        "tfidf_topk": r"""
+            WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                          FROM documents),
+            tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+            doc_tf AS (SELECT doc_id, tok AS word, count(*) AS tf FROM tt GROUP BY 1, 2),
+            word_df AS (SELECT tok AS word, count(DISTINCT doc_id) AS df_docs FROM tt GROUP BY 1),
+            scored AS (
+              SELECT doc_id, word, tf,
+                     tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df_docs) AS score
+              FROM doc_tf JOIN word_df USING (word))
+            SELECT doc_id, word, tf, round(score, 6) AS score, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, word ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS q75,
+                   round(quantile_cont(n_chars, 0.9), 6) AS q90
+            FROM documents GROUP BY lang
         """,
         "cells_encode": f"""
             WITH {_cells_sql()}

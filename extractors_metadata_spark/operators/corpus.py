@@ -1,0 +1,111 @@
+"""Corpus-level text statistics for training-data curation.
+
+Engine-added capabilities (task mandate: "the operations a large-scale
+training-data pipeline would need") in the same declarative style as the rest
+of the engine — pure JVM column expressions, shuffle-conscious plans:
+
+- ``vocabulary``: corpus vocabulary with term + document frequencies.
+  One explode + ONE shuffle keyed by word (hash-uniform, no skew); the
+  doc-frequency count is a distinct aggregate Spark executes as a partial
+  (word, doc) dedup before the final word aggregation — no driver collect.
+- ``tf_idf_topk``: per-document top-k terms by tf-idf. The word->df side is
+  the vocabulary aggregation reused; the join back to (doc, word, tf) keys on
+  word (same hash space, AQE-coalesced), then a per-doc window takes top-k.
+  At 10^12 docs the window partitions by doc id — no global sort.
+- ``length_quantiles``: exact per-group percentiles via Spark's native
+  ``percentile`` (type-7 linear interpolation — matches DuckDB
+  ``quantile_cont``, which the oracle relies on). Exact rather than
+  approx_percentile so the driver can hash-compare; swap in approx_percentile
+  at 100 TB when +-epsilon is acceptable.
+
+All three carry FULL DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) rows: casefolded whitespace tokens (the engine's frozen
+    tokenization — same rule as simhash/minhash shingling)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(word, tf, df_docs): corpus term frequency + document frequency.
+
+    Plan: explode -> one hash aggregation keyed by word. ``count(DISTINCT
+    id)`` runs as a two-phase distinct-then-count inside the same exchange —
+    the word key is hash-uniform so no salting is needed (contrast the
+    hot-cell salting in operators/skew.py, where keys are spatial).
+    """
+    toks = _tokens(df, text_col, id_col)
+    return toks.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").alias("tf"),
+        F.countDistinct(id_col).alias("df_docs"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k vocabulary by corpus frequency (ties break on the word — frozen
+    rule). orderBy+limit executes as distributed TakeOrdered (map-side
+    partial top-k), never a full sort."""
+    return (
+        vocabulary(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
+def tf_idf_topk(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(id, word, tf, score, rank): per-document top-k terms by tf-idf with
+    score = tf * ln(N / df). ``n_docs`` may be passed when already known
+    (avoids one count job); ties break (score desc, word asc).
+
+    Scale shape: tokens aggregate once per (doc, word); the word->df dim
+    joins back on the same word hash space; ranking partitions by doc id.
+    """
+    n = n_docs if n_docs is not None else df.count()
+    toks = _tokens(df, text_col, id_col)
+    doc_tf = toks.groupBy(id_col, F.col("tok").alias("word")).agg(
+        F.count("*").alias("tf")
+    )
+    word_df = (
+        toks.select(id_col, F.col("tok").alias("word"))
+        .groupBy("word")
+        .agg(F.countDistinct(id_col).alias("df_docs"))
+    )
+    scored = doc_tf.join(word_df, "word").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n)) / F.col("df_docs"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "score", "rank")
+    )
+
+
+def length_quantiles(
+    df: DataFrame, group_col: str = "lang", value_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Exact per-group value quantiles (doc-length distribution per language —
+    the corpus-health profile a curation pipeline monitors)."""
+    exprs = [
+        F.round(F.percentile(F.col(value_col), F.lit(q)), 6).alias(f"q{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(F.count("*").alias("n_docs"), *exprs)

@@ -1,0 +1,64 @@
+"""Corpus-level ops (operators/corpus.py): vocabulary, tf-idf top-k, exact
+quantiles — small hand-checkable fixtures; the driver oracles cover scale."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the dog sat", "en"),
+        (3, "the the the", "en"),
+        (4, "ein hund", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_vocabulary_tf_and_df(docs):
+    from extractors_metadata_spark.operators.corpus import vocabulary
+
+    v = {r["word"]: (r["tf"], r["df_docs"]) for r in vocabulary(docs).collect()}
+    assert v["the"] == (5, 3)  # 1+1+3 occurrences across docs 1,2,3
+    assert v["sat"] == (2, 2)
+    assert v["hund"] == (1, 1)
+
+
+def test_vocab_topk_order_and_tiebreak(docs):
+    from extractors_metadata_spark.operators.corpus import vocab_topk
+
+    rows = vocab_topk(docs, k=3).collect()
+    assert [r["word"] for r in rows] == ["the", "sat", "cat"]  # tf 5, 2, then 1-ties by word
+
+
+def test_tf_idf_scores_and_ranks(docs):
+    from extractors_metadata_spark.operators.corpus import tf_idf_topk
+
+    out = {
+        (r["doc_id"], r["word"]): (r["score"], r["rank"])
+        for r in tf_idf_topk(docs, k=2).collect()
+    }
+    # doc 1: cat (tf=1, df=1) beats the (tf=1, df=3); sat (df=2) in between
+    assert out[(1, "cat")][0] == pytest.approx(math.log(4 / 1))
+    assert out[(1, "cat")][1] == 1
+    assert out[(1, "sat")][1] == 2
+    assert (1, "the") not in out  # rank 3 cut at k=2
+    # doc 3: 'the' only word; tf=3
+    assert out[(3, "the")][0] == pytest.approx(3 * math.log(4 / 3))
+
+
+def test_length_quantiles_exact(spark):
+    from extractors_metadata_spark.operators.corpus import length_quantiles
+
+    import numpy as np
+
+    vals = [3, 9, 27, 81, 243]
+    df = spark.createDataFrame([("en", v) for v in vals], "lang string, n_chars int")
+    row = length_quantiles(df).collect()[0]
+    assert row["n_docs"] == 5
+    for q, col in [(25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")]:
+        assert row[col] == pytest.approx(round(float(np.percentile(vals, q)), 6))
