@@ -214,16 +214,19 @@ def q_pipeline_plots(spark, sf_dir):
     return dp.select("url", "plot_id", "matched_via", "stream", "date")
 
 
-def _probe_pages(spark, sf_dir, max_events: int | None = None):
+def _probe_pages(spark, sf_dir, max_events: int | None = None, gx=None):
     """Deterministic event-derived webpages whose gantry metadata the DuckDB
     oracles can replay symbolically — the shared front end of pipeline_plots,
-    multi_render_verify and multimodal_dims_verify."""
+    pipeline_nearest_verify, multi_render_verify and multimodal_dims_verify.
+    ``gx``: optional Column overriding the default plot-center walk (the
+    nearest-path probes place gx south of the whole grid)."""
     e = _t(spark, sf_dir, "events")
     if max_events is not None:
         e = e.filter(F.col("event_id") < max_events)
     # PLOT_GX_EXPR built from float lits (Spark SQL would parse the literals
     # as Decimal — format_string needs DOUBLE; sub-margin drift is irrelevant)
-    gx = F.lit(3.8) + ((F.col("event_id") % 50).cast("double") + F.lit(0.5)) * F.lit(4.06)
+    if gx is None:
+        gx = F.lit(3.8) + ((F.col("event_id") % 50).cast("double") + F.lit(0.5)) * F.lit(4.06)
     cs = F.array(*[F.lit(v) for v in PLOT_GY_CENTERS])
     gy = F.element_at(cs, (F.col("event_id") % 6).cast("int") + 1) - F.lit(
         0.009301
@@ -262,6 +265,28 @@ def _probe_pages(spark, sf_dir, max_events: int | None = None):
         F.lit("probe").alias("text"),
         F.lit("en").alias("lang"),
     )
+
+
+# nearest-path probes: gantry x 20.5-59.5 m SOUTH of the grid's south edge
+# (gx = 3.8 maps to the surveyed SE-corner latitude = the grid's lat0), gy at
+# pass centers. The fused resolve finds no covering-cell candidate and takes
+# its exact broadcast re-rank fallback; due-south of a pass interior the
+# nearest plot is row 1 of that pass.
+NEAREST_GX_EXPR = "3.8 - (20.5 + (event_id % 40))"
+
+
+def q_pipeline_nearest_verify(spark, sf_dir):
+    """The fused resolve's kNN FALLBACK branch under a FULL oracle, through
+    the whole pipeline (html parse -> footprint -> resolve): probes sit south
+    of every plot, so matched_via='nearest' and the winning plot is '1-<pass>'
+    with the pass replayed from the UTM-inverse longitude in SQL — the same
+    drift-proof machinery as pipeline_plots, aimed at the other branch."""
+    from extractors_metadata_spark.plans.pipeline import datapoints
+
+    gx = F.lit(3.8) - (F.lit(20.5) + (F.col("event_id") % 40).cast("double"))
+    pages = _probe_pages(spark, sf_dir, max_events=3000, gx=gx)
+    dp = datapoints(spark, pages, _plots_pdf())
+    return dp.select("url", "plot_id", "matched_via", "stream", "date")
 
 
 def q_multi_render_verify(spark, sf_dir):
@@ -937,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_encode": q_cells_encode,
         "pipeline_datapoints": q_pipeline_datapoints,
         "pipeline_plots": q_pipeline_plots,
+        "pipeline_nearest_verify": q_pipeline_nearest_verify,
         "q1_pricing": q_q1_pricing,
         "multi_join": q_multi_join,
         "filter_gate": q_filter_gate,
@@ -1110,12 +1136,13 @@ def _utm_inverse_sql() -> str:
     """
 
 
-def _probe_gxgy_sql(where: str = "") -> str:
+def _probe_gxgy_sql(where: str = "", gx_expr: str | None = None) -> str:
     """Shared CTEs (pts, g) deriving the probe gantry coordinates from
-    event_id — the SQL twin of ``_probe_pages``."""
+    event_id — the SQL twin of ``_probe_pages`` (``gx_expr`` overrides the
+    plot-center walk, mirroring _probe_pages' ``gx``)."""
     return f"""
         pts AS (
-          SELECT event_id, {PLOT_GX_EXPR} AS gx FROM events {where}
+          SELECT event_id, {gx_expr or PLOT_GX_EXPR} AS gx FROM events {where}
         ),
         g AS (
           SELECT event_id, gx,
@@ -1801,6 +1828,18 @@ def oracle_sql() -> dict[str, str]:
                    round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        """,
+        "pipeline_nearest_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 3000", NEAREST_GX_EXPR)},
+            {_utm_inverse_sql()}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   '1-' || CAST(CAST(FLOOR((lon + 111.9750833333) / 0.00005) AS INT) + 1 AS VARCHAR)
+                     AS plot_id,
+                   'nearest' AS matched_via,
+                   (CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END)
+                     || ' Datasets' AS stream,
+                   '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS "date"
+            FROM ll
         """,
         "vocab_topk": r"""
             WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
