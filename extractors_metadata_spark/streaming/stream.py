@@ -110,3 +110,49 @@ def stream_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    max_files_per_trigger: int = 4,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming exact content dedup: only the FIRST document carrying each
+    content digest (md5 of ``text_col``) across the whole stream's lifetime
+    is committed; later duplicates — within a batch or batches/restarts apart
+    — are dropped.
+
+    The cross-batch seen-set is NOT executor memory state (unbounded at
+    10^12 docs) but the snapshot layer's COMPACT keys table: each commit
+    records its distinct digests (``write_snapshot(key_cols=...)``), and each
+    batch anti-joins ONLY those keys tables (``resume_gap`` keys path — the
+    wide output is never re-scanned). At-least-once redelivery and
+    mid-stream crash/restart are idempotent for the same reason the url
+    pipeline is (pytest: test_streaming_multimodal).
+    """
+
+    from ..schemas import WEBPAGES
+
+    stream = (
+        spark.readStream.schema(WEBPAGES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.withColumn("digest", F.md5(F.col(text_col)))
+        # within-batch: keep min url per digest (frozen determinism rule)
+        first = docs.groupBy("digest").agg(F.min("url").alias("url"))
+        docs = docs.join(first, ["digest", "url"], "left_semi")
+        todo = resume_gap(spark, docs, output_table, "digest")
+        write_snapshot(todo, output_table, "append", key_cols=("digest",))
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

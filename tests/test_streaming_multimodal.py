@@ -137,3 +137,45 @@ def test_capture_sessions_stateful(spark, tmp_path_factory):
         assert r.session_end >= r.session_start
         span = (r.session_end - r.session_start).total_seconds()
         assert span <= 100  # a session never spans the 900s gap
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
+    """Streaming content dedup: duplicate TEXT arriving in later batches (and
+    within a batch) must be dropped via the compact digest-keys anti-join —
+    exactly one committed row per distinct content across the stream."""
+    from extractors_metadata_spark.streaming.stream import stream_dedup_exact
+
+    base = tmp_path_factory.mktemp("sdedup")
+    input_dir = str(base / "in")
+    table = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    pages = synth_webpages(spark, 120)
+    # deterministic split on the id embedded in the url (limit() would not
+    # re-evaluate to the same rows across actions)
+    doc_id = F.element_at(F.split("url", "/"), -1).cast("long")
+    first80 = pages.filter(doc_id < 80)
+    last40 = pages.filter(doc_id >= 80)
+
+    first80.write.parquet(input_dir)
+    q = stream_dedup_exact(spark, input_dir, table, ckpt)
+    q.awaitTermination(300)
+    assert snap.read_table(spark, table).count() == 80  # synth texts distinct per id
+
+    # batch 2: the first 80 redelivered (cross-batch dup content), the 40 new,
+    # AND the 40 new again under different urls (within-batch dup content)
+    first80.write.mode("append").parquet(input_dir)
+    last40.write.mode("append").parquet(input_dir)
+    last40.withColumn("url", F.concat(F.col("url"), F.lit("zcopy"))).write.mode(
+        "append"
+    ).parquet(input_dir)
+    # one micro-batch for the whole redelivery so the within-batch min-url
+    # rule (not file arrival order) decides between the two dup copies
+    q2 = stream_dedup_exact(spark, input_dir, table, ckpt, max_files_per_trigger=64)
+    q2.awaitTermination(300)
+
+    final = snap.read_table(spark, table)
+    assert final.count() == 120
+    assert final.select("digest").distinct().count() == 120
+    # within-batch duplicate resolved to min url (frozen rule): no zcopy rows
+    assert final.filter(F.col("url").contains("zcopy")).count() == 0
