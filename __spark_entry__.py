@@ -712,6 +712,36 @@ def q_embed_near_pairs(spark, sf_dir):
     )
 
 
+def q_kring_verify(spark, sf_dir):
+    """k-ring expansion under a FULL oracle: the NumPy res-9 encode feeds the
+    JVM h3_kring_col fan-out (unpack -> 19 axial offsets -> repack, k=2);
+    DuckDB replays encode via _cells_sql and the ring via the same bit
+    arithmetic — pins the kNN candidate-expansion primitive AND the cell-id
+    bit layout."""
+    from extractors_metadata_spark.functions.geodesy_cols import h3_kring_col
+    from extractors_metadata_spark.functions.spark_udfs import h3_udf
+
+    pts = _event_points(spark, sf_dir).filter(F.col("event_id") < 3000)
+    cells = pts.withColumn("cell", h3_udf(9)("centroid_lat", "centroid_lon"))
+    return cells.select(
+        "event_id", F.explode(h3_kring_col(F.col("cell"), 2)).alias("ring_cell")
+    )
+
+
+def q_ann_ivf_exhaustive(spark, sf_dir):
+    """IVF-flat at nprobe == nlist (every list probed): the approximate
+    machinery (k-means training, list assignment UDF, probe-list explode,
+    bucket join, re-rank) must return EXACTLY the brute-force answer — an
+    oracle on the full IVF plumbing in its exact limit; ann_ivf remains the
+    rows-only approximate twin (recall-floor pytest)."""
+    from extractors_metadata_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(spark, queries_df, emb, k=5, nlist=8, nprobe=8)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-100 words by term frequency (+ doc frequency) —
     the tokenizer-training / stopword-mining primitive."""
@@ -997,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "kring_verify": q_kring_verify,
         "embed_near_pairs": q_embed_near_pairs,
         "srp_pairs_verify": q_srp_pairs_verify,
         "extract_text_probe": q_extract_text_probe,
@@ -1840,6 +1872,30 @@ def oracle_sql() -> dict[str, str]:
                      || ' Datasets' AS stream,
                    '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS "date"
             FROM ll
+        """,
+        "kring_verify": f"""
+            WITH {_cells_sql()},
+            unpacked AS (
+              SELECT event_id,
+                     cell_r9 >> 58 AS res,
+                     (cell_r9 >> 29) & {(1 << 29) - 1} AS q,
+                     cell_r9 & {(1 << 29) - 1} AS r
+              FROM h3cell WHERE event_id < 3000),
+            offs(dq, dr) AS (VALUES {", ".join(f"({dq}, {dr})" for dq in range(-2, 3) for dr in range(-2, 3) if abs(dq + dr) <= 2)})
+            SELECT event_id,
+                   (res << 58) | ((q + dq) << 29) | (r + dr) AS ring_cell
+            FROM unpacked, offs
+        """,
+        "ann_ivf_exhaustive": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
+            SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC,
+                                vec_id ASC) AS rank
+              FROM embeddings, q WHERE vec_id <> query_id)
+            WHERE rank <= 5
         """,
         "vocab_topk": r"""
             WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

@@ -146,6 +146,27 @@ def h3_encode_col(lat: Column, lon: Column, res: int) -> Column:
     )
 
 
+def h3_kring_col(cell: Column, k: int) -> Column:
+    """hexgrid.h3_kring as a pure column expression: unpack the [res:4][q:29]
+    [r:29] layout with shifts, add the 3k^2+3k+1 literal axial offsets, repack
+    — an array<long> of every cell within hex-grid distance k (incl. self).
+    JVM-side so a kNN candidate fan-out can explode it inside codegen with no
+    Python round trip (the dim-side dilation in pip_knn builds the same ring
+    driver-side; this is the row-side variant for arbitrary cell columns)."""
+    res = F.shiftright(cell, HG._Q_BITS + HG._R_BITS)
+    q = F.shiftright(cell, HG._R_BITS).bitwiseAND(F.lit((1 << HG._Q_BITS) - 1))
+    r = cell.bitwiseAND(F.lit((1 << HG._R_BITS) - 1))
+    cells = [
+        F.shiftleft(res, HG._Q_BITS + HG._R_BITS)
+        .bitwiseOR(F.shiftleft(q + F.lit(dq), HG._R_BITS))
+        .bitwiseOR(r + F.lit(dr))
+        for dq in range(-k, k + 1)
+        for dr in range(-k, k + 1)
+        if abs(dq + dr) <= k
+    ]
+    return F.array(*cells)
+
+
 def _s2_face_ij(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
     """Shared front half of the S2 encode: (face, leaf i, leaf j) columns."""
     latr = F.radians(lat)
