@@ -280,6 +280,42 @@ def read_table(
     return out
 
 
+def upsert_snapshot(
+    df: DataFrame,
+    table_path: str,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+    metrics: dict | None = None,
+) -> dict:
+    """Geostreams-style upsert (the reference sink updates-or-inserts a
+    datapoint per (stream, time) — ``terra_sensorposition.py`` via
+    pyclowder's geostreams POST): every current row whose ``key_cols`` value
+    appears in ``df`` is REPLACED by df's rows for that key; unmatched
+    current rows carry forward; new keys insert. Committed as ONE 'replace'
+    snapshot — copy-on-write MERGE semantics on the immutable snapshot log,
+    so time travel (``read_table(as_of=...)``) still sees every pre-upsert
+    state, exactly like Iceberg CoW MERGE INTO.
+
+    Scale note: this rewrites the table (CoW). At 10^12 rows, partition the
+    table on a key prefix (``partition_by``) and batch upserts so each run
+    touches a bounded key range; a merge-on-read variant (delete files +
+    reconciling reader) is the next step if upserts dominate the workload —
+    the snapshot log's manifest structure already supports adding it.
+    """
+    spark = df.sparkSession
+    current = read_table(spark, table_path)
+    if current is None:
+        return write_snapshot(
+            df, table_path, "append", partition_by, metrics, key_cols
+        )
+    keys = df.select(*key_cols).distinct()
+    kept = current.join(keys, list(key_cols), "left_anti")
+    merged = kept.unionByName(df)
+    return write_snapshot(
+        merged, table_path, "replace", partition_by, metrics, key_cols
+    )
+
+
 def resume_gap(
     spark: SparkSession,
     input_df: DataFrame,

@@ -190,3 +190,37 @@ def test_compact_and_expire(spark, table):
     # superseded data dirs reclaimed, current one kept
     data_dirs = os.listdir(os.path.join(table, "data"))
     assert len(data_dirs) == 1 and data_dirs[0] == os.path.basename(m["data_dir"])
+
+
+def test_upsert_snapshot_merge_and_time_travel(spark, table):
+    """Geostreams-upsert semantics: matched keys replaced, new keys inserted,
+    unmatched rows carried forward; pre-upsert state stays time-travelable."""
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    m0 = snap.upsert_snapshot(base, table, key_cols=("k",))
+    assert m0["mode"] == "append"  # empty table -> plain insert
+
+    batch = spark.createDataFrame(
+        [(2, "b", 99), (4, "d", 40)], "k int, s string, v int"
+    )
+    m1 = snap.upsert_snapshot(batch, table, key_cols=("k",))
+    assert m1["mode"] == "replace" and m1["rows"] == 4
+
+    now = {(r.k, r.v) for r in snap.read_table(spark, table).collect()}
+    assert now == {(1, 10), (2, 99), (3, 30), (4, 40)}
+
+    # time travel to the pre-upsert snapshot still shows the original value
+    before = {(r.k, r.v) for r in snap.read_table(spark, table, as_of=m0["snapshot_id"]).collect()}
+    assert before == {(1, 10), (2, 20), (3, 30)}
+
+    # a key appearing with MULTIPLE rows in the batch lands with all its rows
+    multi = spark.createDataFrame(
+        [(4, "d", 41), (4, "d2", 42)], "k int, s string, v int"
+    )
+    snap.upsert_snapshot(multi, table, key_cols=("k",))
+    vals4 = sorted(
+        r.v for r in snap.read_table(spark, table).filter(F.col("k") == 4).collect()
+    )
+    assert vals4 == [41, 42]
+    assert snap.read_table(spark, table).count() == 5
