@@ -48,9 +48,14 @@ def test_pip_join_dedup_is_narrow_min_agg(spark):
     # string buffer plans as SortAggregate; the map-side partial still combines)
     aggs = re.findall(r"^\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate.*$", plan, re.M)
     assert len(aggs) >= 2
-    # the aggregate's input carries only the narrow columns
-    agg_sections = re.split(r"(?:Sort|Hash|ObjectHash)Aggregate", plan)
-    assert all("payload" not in s[:400] for s in agg_sections[1:])
+    # each aggregate's OWN Input line carries only narrow columns (the wide
+    # payload may legitimately appear in the join-back AFTER the final agg,
+    # so scope the check to the aggregate's Input attribute list, not a
+    # fixed-width window into the following operators)
+    agg_inputs = re.findall(
+        r"(?:Sort|Hash|ObjectHash)Aggregate\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert agg_inputs and all("payload" not in s for s in agg_inputs)
 
 
 def test_knn_join_is_broadcast(spark):
@@ -112,3 +117,35 @@ def test_parse_is_jvm_side(spark):
 
     plan = _explain(parse_metadata(synth_webpages(spark, 10)))
     assert "EvalPython" not in plan
+
+
+def test_vocab_topk_is_distributed_takeordered(spark):
+    """Top-k vocabulary must run as TakeOrdered (map-side partial top-k),
+    never a global Sort+Exchange of the whole vocabulary."""
+    import re
+
+    from extractors_metadata_spark.operators.corpus import vocab_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "b c d"]})
+    )
+    plan = _explain(vocab_topk(df, k=10))
+    assert "TakeOrderedAndProject" in plan
+    # no standalone Sort node: ordering happens only inside TakeOrdered's
+    # per-partition top-k (the count-distinct two-phase contributes extra
+    # Exchanges of NARROW rows, which is fine — a global vocabulary sort
+    # would show up as an explicit Sort operator)
+    assert re.search(r"^\(\d+\) Sort\b", plan, re.M) is None
+
+
+def test_tfidf_ranking_partitions_by_doc(spark):
+    """tf-idf per-doc ranking must window-partition on doc_id (no global
+    sort) and join the df dim on the word hash space."""
+    from extractors_metadata_spark.operators.corpus import tf_idf_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "b c d"]})
+    )
+    plan = _explain(tf_idf_topk(df, k=2, n_docs=2))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan  # map-side combine on tf
