@@ -88,6 +88,9 @@ def main() -> None:
         "q1_pricing", "window_topk", "anti_join",
         "dedup_exact", "minhash_pairs", "token_stats", "lang_id",
         "ngram_jaccard", "ann_topk", "ann_ivf", "simhash",
+        # round-3 additions: corpus stats + SRP near-pairs (aggregates keep
+        # every upstream column load-bearing under count())
+        "vocab_topk", "tfidf_topk", "srp_pairs_verify",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -159,3 +159,27 @@ def test_bbox_tile_ranges():
         x, y = tl.tile_xyz(lat, lon, 14)
         assert int(x0) <= int(x) <= int(x1)
         assert int(y0) <= int(y) <= int(y1)
+
+
+def test_h3_kring_col_matches_numpy_kernel(spark):
+    """The JVM k-ring column expression must enumerate exactly the same cell
+    set as hexgrid.h3_kring for the same center cells (any k)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.functions import hexgrid
+    from extractors_metadata_spark.functions.geodesy_cols import h3_kring_col
+
+    lats = np.array([33.0746, 33.076, -12.5])
+    lons = np.array([-111.9748, -111.975, 100.25])
+    cells = hexgrid.h3_encode(lats, lons, 9)
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+    for k in (1, 2):
+        got = {
+            (r["cell"], r["rc"])
+            for r in df.select("cell", F.explode(h3_kring_col(F.col("cell"), k)).alias("rc")).collect()
+        }
+        want = {
+            (int(c), int(rc)) for c in cells for rc in hexgrid.h3_kring(int(c), k)
+        }
+        assert got == want
