@@ -742,6 +742,37 @@ def q_ann_ivf_exhaustive(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash-mod permille buckets on
+    the verifiable hash — reproducible across runs AND engines)."""
+    from extractors_metadata_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Content-stable per-language sampling: en 50%, de 25%, others 10% —
+    membership is a pure function of doc_id, replayed exactly in SQL."""
+    from extractors_metadata_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25}, key_col="doc_id", default_fraction=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence-packing prepass: per-language token-budget bins (budget 256)
+    over doc_id order — running-sum window replayed verbatim in SQL."""
+    from extractors_metadata_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(d, budget=256, shard_col="lang", order_col="doc_id")
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens", "bin_id")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-100 words by term frequency (+ doc frequency) —
     the tokenizer-training / stopword-mining primitive."""
@@ -1036,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
         "length_quantiles": q_length_quantiles,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "prefix_remap": q_prefix_remap,
         "lv1_remap": q_lv1_remap,
         "callback_fanout": q_callback_fanout,
@@ -1920,6 +1954,36 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, word ASC) AS rank
                   FROM scored)
             WHERE rank <= 5
+        """,
+        "hash_split": f"""
+            WITH b AS (SELECT doc_id,
+                              {_poly_sql("'split:' || CAST(doc_id AS VARCHAR)", 131)} % 1000 AS bk
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bk < 800 THEN 'train'
+                        WHEN bk < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "stratified_sample": f"""
+            WITH b AS (SELECT doc_id, lang,
+                              {_poly_sql("'sample:' || CAST(doc_id AS VARCHAR)", 131)} % 1000000 AS bk
+                       FROM documents)
+            SELECT doc_id, lang FROM b
+            WHERE bk < (CASE WHEN lang = 'en' THEN 500000
+                             WHEN lang = 'de' THEN 250000
+                             ELSE 100000 END)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_tokens
+                  FROM t)
+            SELECT doc_id, lang, n_tokens, cum_tokens,
+                   CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
+            FROM c
         """,
         "length_quantiles": """
             SELECT lang, count(*) AS n_docs,

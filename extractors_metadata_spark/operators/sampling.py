@@ -1,0 +1,98 @@
+"""Deterministic sampling, splitting and sequence packing for training data.
+
+At 100 TB, reproducibility beats randomness: a train/val/test split or a
+corpus sample must be a PURE FUNCTION of the row (re-runs, backfills and
+incremental appends land every row in the same subset — no RNG state, no seed
+coordination across executors). All three ops key on the verifiable rolling
+hash (functions/vhash.py), so they are exact-arithmetic reproducible in any
+engine and carry FULL DuckDB oracles in __spark_entry__.py:
+
+- ``hash_split``: weighted train/val/test assignment from hash(key) mod 1000;
+- ``stratified_sample``: per-stratum keep-fractions via hash(key) mod 1e6 —
+  content-stable sampling (the same doc stays in/out across runs);
+- ``pack_sequences``: contiguous token-budget bin assignment per shard via a
+  running token sum (the sequence-packing prepass for LLM training batches).
+
+Plan shapes: hash_split/stratified_sample are pure narrow projections (zero
+shuffle — they fuse into whatever scan feeds them); pack_sequences is one
+window keyed by shard (pack within shards; a global pack would serialize the
+world — at scale, shard = date/source bucket sized to executor memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import token_count
+from ..functions.vhash import poly_hash
+
+
+def _key_hash(key: Column, salt: str) -> Column:
+    """Salted verifiable hash of a key column (salt decouples independent
+    decisions — the split and the sample of one row must not correlate)."""
+    return poly_hash(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+
+
+def hash_split(
+    df: DataFrame, key_col: str, weights: dict[str, int] | None = None,
+    out_col: str = "split", salt: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with ``weights`` in permille
+    (default 800/100/100 train/val/test). Deterministic in the key: the same
+    key lands in the same split on every run and every engine."""
+    weights = weights or {"train": 800, "val": 100, "test": 100}
+    assert sum(weights.values()) == 1000
+    bucket = _key_hash(F.col(key_col), salt) % 1000
+    expr = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float],
+    key_col: str, default_fraction: float = 0.0, salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by hash(key) —
+    content-stable: appends/re-runs keep exactly the same rows, strata with
+    no entry fall back to ``default_fraction``. Fractions are quantized to
+    1e-6 (integer threshold compare — exact in every engine)."""
+    bucket = _key_hash(F.col(key_col), salt) % 1_000_000
+    thr = None
+    for name, frac in fractions.items():
+        t = int(round(frac * 1_000_000))
+        cond = F.col(strata_col) == name
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(int(round(default_fraction * 1_000_000)))
+    return df.filter(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame, budget: int, shard_col: str, order_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget bin assignment: within each shard, documents in
+    ``order_col`` order fill contiguous bins of ~``budget`` tokens —
+    ``bin_id = floor(tokens_before_this_doc / budget)`` (quantized greedy: a
+    document whose tokens straddle a boundary stays in the earlier bin, so
+    bins may overflow by at most one document — the standard prepass shape
+    for LLM batch packing; exact bin-capped packing is a per-bin second pass
+    over ~budget-sized groups).
+
+    One window keyed by shard; ``order_col`` must be unique within a shard
+    (frozen determinism rule — ties would make the running sum frame-order
+    dependent)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    cum = F.sum("n_tokens").over(w)
+    return out.withColumn("cum_tokens", cum).withColumn(
+        "bin_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget))
+    )

@@ -1,0 +1,57 @@
+"""Deterministic sampling/splitting/packing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1)), "en" if i % 3 else "de") for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_hash_split_deterministic_and_weighted(docs):
+    from extractors_metadata_spark.operators.sampling import hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    assert a == b  # pure function of the key
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert sum(1 for v in a.values() if v == "train") > sum(
+        1 for v in a.values() if v == "test"
+    )
+
+
+def test_stratified_sample_membership_stable_under_append(spark, docs):
+    from extractors_metadata_spark.operators.sampling import stratified_sample
+
+    frac = {"en": 0.5, "de": 0.25}
+    kept1 = {r["doc_id"] for r in stratified_sample(docs, "lang", frac, "doc_id").collect()}
+    # appending new rows must not change membership of existing rows
+    more = spark.createDataFrame([(100 + i, "x y", "en") for i in range(20)],
+                                 "doc_id int, text string, lang string")
+    kept2 = {r["doc_id"] for r in stratified_sample(docs.unionByName(more), "lang", frac, "doc_id").collect()}
+    assert kept1 == {k for k in kept2 if k < 100}
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(docs):
+    from extractors_metadata_spark.operators.sampling import pack_sequences
+
+    out = pack_sequences(docs, budget=10, shard_col="lang", order_col="doc_id")
+    rows = sorted(
+        ((r["lang"], r["doc_id"], r["n_tokens"], r["cum_tokens"], r["bin_id"]) for r in out.collect())
+    )
+    by_shard: dict = {}
+    for lang, did, n, cum, b in rows:
+        by_shard.setdefault(lang, []).append((did, n, cum, b))
+    for lang, seq in by_shard.items():
+        seq.sort()
+        run = 0
+        for did, n, cum, b in seq:
+            assert cum == run + n  # running sum replays exactly
+            assert b == run // 10  # bin = tokens before this doc, quantized
+            run = cum
+        bins = [b for _, _, _, b in seq]
+        assert bins == sorted(bins)  # contiguous, monotone bins
