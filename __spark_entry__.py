@@ -742,6 +742,43 @@ def q_ann_ivf_exhaustive(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-word fraction, top-bigram
+    fraction) — exact SQL replay of both aggregates."""
+    from extractors_metadata_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_counts(spark, sf_dir):
+    """PII-surface triage counts. The synth corpus carries no PII, so every
+    third document gets a deterministic probe suffix (one email, one url,
+    one phone) BOTH sides construct identically — non-vacuous counts, frozen
+    regex classes chosen for Java-regex == RE2 byte parity."""
+    from extractors_metadata_spark.functions.textstats import pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    probe = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact a"), ids, F.lit("@ex.com via https://ex.co/"),
+                ids, F.lit(" tel 555-000-"),
+                F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    cols = pii_counts(probe)
+    return d.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_urls"].alias("n_urls"),
+        cols["n_phones"].alias("n_phones"),
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (hash-mod permille buckets on
     the verifiable hash — reproducible across runs AND engines)."""
@@ -1070,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
+        "pii_counts": q_pii_counts,
         "prefix_remap": q_prefix_remap,
         "lv1_remap": q_lv1_remap,
         "callback_fanout": q_callback_fanout,
@@ -1954,6 +1993,41 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, word ASC) AS rank
                   FROM scored)
             WHERE rank <= 5
+        """,
+        "repetition_stats": r"""
+            WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+                          FROM documents),
+            words AS (SELECT doc_id, tok
+                      FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+                      WHERE length(tok) > 0),
+            wstats AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
+                       FROM words GROUP BY doc_id),
+            bigrams AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+                        FROM base, unnest(range(1, greatest(len(tk), 1))) t(i)),
+            btop AS (SELECT doc_id, max(c) AS top_bigram
+                     FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
+                     GROUP BY doc_id)
+            SELECT w.doc_id, n_words,
+                   round(1.0 - n_distinct / n_words, 6) AS dup_word_frac,
+                   CASE WHEN n_words >= 2
+                        THEN round(coalesce(top_bigram, 0) / (n_words - 1), 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM wstats w LEFT JOIN btop USING (doc_id)
+        """,
+        "pii_counts": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || (CASE WHEN doc_id % 3 = 0
+                                   THEN ' contact a' || CAST(doc_id AS VARCHAR)
+                                        || '@ex.com via https://ex.co/' || CAST(doc_id AS VARCHAR)
+                                        || ' tel 555-000-' || printf('%04d', CAST(doc_id % 10000 AS INT))
+                                   ELSE '' END) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+                   CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones
+            FROM p
         """,
         "hash_split": f"""
             WITH b AS (SELECT doc_id,

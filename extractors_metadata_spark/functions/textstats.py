@@ -114,6 +114,24 @@ def remap_prefix(col: Column, mapping: dict[str, str]) -> Column:
     return out
 
 
+# PII-surface patterns (frozen; deliberately simple classes so Java regex and
+# RE2 agree byte-for-byte — the DuckDB oracle replays them verbatim)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII-surface counts (emails / urls / phone-shaped runs) —
+    the redaction-triage signal a curation pipeline computes before deciding
+    to drop, mask, or keep a document. Pure JVM regexp_extract_all."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_urls": F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+    }
+
+
 def normalize_content(text: Column) -> Column:
     """Casefold, strip punctuation, collapse whitespace — the shared
     normalization under both fingerprint hash families."""

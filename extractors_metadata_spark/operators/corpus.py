@@ -98,6 +98,66 @@ def tf_idf_topk(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_word_frac``: 1 - distinct/total words (templated boilerplate has
+      a high value);
+    - ``top_bigram_frac``: occurrences of the most frequent adjacent word
+      pair over (n_words - 1) — catches "foo bar foo bar ..." loops that
+      word-level dedup misses. 0.0 for single-word docs.
+
+    Plan: one explode + aggregate per signal, both keyed by doc id (narrow
+    rows; the two aggregates share the scan). Docs with zero words drop out
+    (no denominators).
+    """
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks_arr.alias("tk"), F.size(toks_arr).alias("n_tok"))
+    words = (
+        base.select(id_col, F.explode("tk").alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    wstats = words.groupBy(id_col).agg(
+        F.count("*").alias("n_words"), F.countDistinct("tok").alias("n_distinct")
+    )
+    # adjacent pairs only exist for n_tok >= 2 (Spark's sequence(1, 0) would
+    # generate a DESCENDING range — guard explicitly)
+    bi = F.when(
+        F.col("n_tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - 1),
+            lambda i: F.concat_ws(" ", F.slice("tk", i, 2)),
+        ),
+    ).otherwise(F.array())
+    bigrams = base.select(id_col, F.explode(bi).alias("bg"))
+    btop = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram"))
+    )
+    return (
+        wstats.join(btop, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words"),
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.when(
+                F.col("n_words") >= 2,
+                F.round(
+                    F.coalesce(F.col("top_bigram"), F.lit(0)) / (F.col("n_words") - 1), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def length_quantiles(
     df: DataFrame, group_col: str = "lang", value_col: str = "n_chars",
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),

@@ -62,3 +62,35 @@ def test_length_quantiles_exact(spark):
     assert row["n_docs"] == 5
     for q, col in [(25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")]:
         assert row[col] == pytest.approx(round(float(np.percentile(vals, q)), 6))
+
+
+def test_repetition_stats_signals(spark):
+    from extractors_metadata_spark.operators.corpus import repetition_stats
+
+    rows = [
+        (1, "foo bar foo bar foo bar"),  # heavy bigram loop
+        (2, "a b c d e f"),              # all distinct
+        (3, "word"),                     # single word -> bigram frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_words"] == 6
+    assert out[1]["dup_word_frac"] == pytest.approx(1 - 2 / 6)
+    # 'foo bar' appears 3x of 5 adjacent pairs
+    assert out[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_counts_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.functions.textstats import pii_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e-f.org, see https://x.co/1 call 555-123-4567")],
+        "doc_id int, text string",
+    )
+    cols = pii_counts(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    assert (r["n_emails"], r["n_urls"], r["n_phones"]) == (2, 1, 1)
