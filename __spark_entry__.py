@@ -612,7 +612,11 @@ def q_minhash_verify(spark, sf_dir):
     from extractors_metadata_spark.operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(d, threshold=0.2, hash_family="poly")
+    # max_bucket effectively off: the SQL twin has no cap, so the Spark side
+    # must not cap either or the equality breaks at larger SFs
+    pairs = minhash_lsh_dedup(
+        d, threshold=0.2, hash_family="poly", max_bucket=1_000_000_000
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
 
 
@@ -627,7 +631,9 @@ def q_near_dedup_minhash_verify(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(d, threshold=0.6, hash_family="poly")
+    pairs = minhash_lsh_dedup(
+        d, threshold=0.6, hash_family="poly", max_bucket=1_000_000_000
+    )
     return near_dedup_survivors(d, pairs).select("doc_id", "lang", "n_chars")
 
 
@@ -849,7 +855,10 @@ def q_srp_pairs_verify(spark, sf_dir):
     from extractors_metadata_spark.operators.similarity import cosine_near_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_near_pairs(emb, dim=64, threshold=0.25, n_bits=6)
+    # cap off: the SQL twin has no bucket cap (see minhash_verify)
+    out = cosine_near_pairs(
+        emb, dim=64, threshold=0.25, n_bits=6, max_bucket=1_000_000_000
+    )
     return out.select("id_a", "id_b", F.round("sim", 3).alias("sim"))
 
 
@@ -1301,6 +1310,7 @@ def _minhash_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
     match_sum = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
+    denom = f"{float(num_perm)}"
     return rf"""
         toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
                  FROM documents),
@@ -1313,11 +1323,11 @@ def _minhash_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
                    FROM bands a JOIN bands b
                      ON a.band = b.band AND a.bucket = b.bucket
                         AND a.doc_id < b.doc_id),
-        tpairs AS (SELECT id_a, id_b, ({match_sum}) / 64.0 AS je
+        tpairs AS (SELECT id_a, id_b, ({match_sum}) / {denom} AS je
                    FROM cpairs
                    JOIN sigs sa ON sa.doc_id = id_a
                    JOIN sigs sb ON sb.doc_id = id_b
-                   WHERE ({match_sum}) / 64.0 >= {threshold})
+                   WHERE ({match_sum}) / {denom} >= {threshold})
     """
 
 
@@ -1453,10 +1463,12 @@ def _srp_pairs_sql(threshold: float = 0.25, n_bits: int = 6, dim: int = 64) -> s
 def _fnv_sql(expr: str) -> str:
     """63-bit FNV-1a over an ASCII string as DuckDB SQL — the literal mirror
     of multimodal/binary_ops.hash_bytes (xor then wrap-around multiply mod
-    2^64, HUGEINT intermediates; final mask to 63 bits)."""
+    2^64, HUGEINT intermediates; final mask to 63 bits). hash_bytes folds
+    only the first 4096 BYTES of the payload, so the string is sliced to
+    4096 chars here too (ASCII precondition: 1 char == 1 byte)."""
     return (
         f"CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
-        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS HUGEINT))), "
+        f"list_transform(string_split(substring({expr}, 1, 4096), ''), c -> CAST(ascii(c) AS HUGEINT))), "
         f"(h, c) -> (CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)"
         f" * 1099511628211) % 18446744073709551616) % 9223372036854775808 AS BIGINT)"
     )

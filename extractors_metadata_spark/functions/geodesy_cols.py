@@ -150,9 +150,11 @@ def h3_kring_col(cell: Column, k: int) -> Column:
     """hexgrid.h3_kring as a pure column expression: unpack the [res:4][q:29]
     [r:29] layout with shifts, add the 3k^2+3k+1 literal axial offsets, repack
     — an array<long> of every cell within hex-grid distance k (incl. self).
-    JVM-side so a kNN candidate fan-out can explode it inside codegen with no
-    Python round trip (the dim-side dilation in pip_knn builds the same ring
-    driver-side; this is the row-side variant for arbitrary cell columns)."""
+
+    NOT for join fan-outs: ring/radius JOINS must dilate the broadcast DIM
+    (pip_knn._poly_cells_df) — exploding the PROBE side multiplies the big
+    table 3k^2+3k+1x (engine rule, CLAUDE.md). Use this for per-row ring
+    enumeration (neighborhood features, oracle replay, small dims)."""
     res = F.shiftright(cell, HG._Q_BITS + HG._R_BITS)
     q = F.shiftright(cell, HG._R_BITS).bitwiseAND(F.lit((1 << HG._Q_BITS) - 1))
     r = cell.bitwiseAND(F.lit((1 << HG._R_BITS) - 1))

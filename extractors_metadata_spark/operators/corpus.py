@@ -82,11 +82,10 @@ def tf_idf_topk(
     doc_tf = toks.groupBy(id_col, F.col("tok").alias("word")).agg(
         F.count("*").alias("tf")
     )
-    word_df = (
-        toks.select(id_col, F.col("tok").alias("word"))
-        .groupBy("word")
-        .agg(F.countDistinct(id_col).alias("df_docs"))
-    )
+    # df side derives from doc_tf (already one row per (doc, word)): a plain
+    # count, not a second explode + countDistinct over the raw token stream —
+    # halves the widest shuffle of the job
+    word_df = doc_tf.groupBy("word").agg(F.count("*").alias("df_docs"))
     scored = doc_tf.join(word_df, "word").withColumn(
         "score", F.col("tf") * F.log(F.lit(float(n)) / F.col("df_docs"))
     )
@@ -109,37 +108,33 @@ def repetition_stats(
       pair over (n_words - 1) — catches "foo bar foo bar ..." loops that
       word-level dedup misses. 0.0 for single-word docs.
 
-    Plan: one explode + aggregate per signal, both keyed by doc id (narrow
-    rows; the two aggregates share the scan). Docs with zero words drop out
-    (no denominators).
+    Plan: ONE fan-out — words and bigrams explode together as tagged (kind,
+    value) units, then one (id, kind, value) count feeds one per-doc
+    aggregate (the input is scanned and tokenized once). Docs with zero
+    words drop out (no denominators).
     """
     toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col), toks_arr.alias("tk"), F.size(toks_arr).alias("n_tok"))
-    words = (
-        base.select(id_col, F.explode("tk").alias("tok"))
-        .filter(F.length("tok") > 0)
-    )
-    wstats = words.groupBy(id_col).agg(
-        F.count("*").alias("n_words"), F.countDistinct("tok").alias("n_distinct")
-    )
+    words = F.filter(F.col("tk"), lambda t: F.length(t) > 0)
+    w_units = F.transform(words, lambda t: F.struct(F.lit("w").alias("kind"), t.alias("v")))
     # adjacent pairs only exist for n_tok >= 2 (Spark's sequence(1, 0) would
     # generate a DESCENDING range — guard explicitly)
     bi = F.when(
         F.col("n_tok") >= 2,
         F.transform(
             F.sequence(F.lit(1), F.col("n_tok") - 1),
-            lambda i: F.concat_ws(" ", F.slice("tk", i, 2)),
+            lambda i: F.struct(F.lit("b").alias("kind"), F.concat_ws(" ", F.slice("tk", i, 2)).alias("v")),
         ),
-    ).otherwise(F.array())
-    bigrams = base.select(id_col, F.explode(bi).alias("bg"))
-    btop = (
-        bigrams.groupBy(id_col, "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_bigram"))
+    ).otherwise(F.array().cast("array<struct<kind:string,v:string>>"))
+    units = base.select(id_col, F.explode(F.concat(w_units, bi)).alias("u"))
+    counts = units.groupBy(id_col, "u.kind", "u.v").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("kind") == "w", F.col("c"))).alias("n_words"),
+        F.count(F.when(F.col("kind") == "w", 1)).alias("n_distinct"),
+        F.max(F.when(F.col("kind") == "b", F.col("c"))).alias("top_bigram"),
     )
     return (
-        wstats.join(btop, id_col, "left")
+        per_doc.filter(F.col("n_words").isNotNull())
         .select(
             id_col,
             F.col("n_words"),

@@ -172,13 +172,10 @@ def minhash_signatures(
     """
     sh = word_shingles(df, text_col, id_col, shingle_w)
     if hash_family == "poly":
-        from ..functions.vhash import P31, perm_coeffs, poly_hash
+        from ..functions.vhash import perm_min_exprs, poly_hash
 
         sh = sh.withColumn("_t", poly_hash(F.col("shingle")))
-        mins = [
-            F.min((F.col("_t") * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
-            for i, (a, b) in enumerate(perm_coeffs(num_perm))
-        ]
+        mins = perm_min_exprs(F.col("_t"), num_perm)
     else:
         mins = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(num_perm)

@@ -133,9 +133,6 @@ def stream_dedup_exact(
     mid-stream crash/restart are idempotent for the same reason the url
     pipeline is (pytest: test_streaming_multimodal).
     """
-
-    from ..schemas import WEBPAGES
-
     stream = (
         spark.readStream.schema(WEBPAGES)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -144,10 +141,16 @@ def stream_dedup_exact(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.withColumn("digest", F.md5(F.col(text_col)))
-        # within-batch: keep min url per digest (frozen determinism rule)
-        first = docs.groupBy("digest").agg(F.min("url").alias("url"))
-        docs = docs.join(first, ["digest", "url"], "left_semi")
-        todo = resume_gap(spark, docs, output_table, "digest")
+        # within-batch: EXACTLY one row per digest — min_by on (url, warc_ts)
+        # (frozen determinism rule). A plain min-url semi-join would still
+        # pass BOTH copies of a row redelivered twice inside one batch.
+        cols = docs.columns
+        first = (
+            docs.groupBy("digest")
+            .agg(F.min_by(F.struct(*cols), F.struct("url", "warc_ts")).alias("r"))
+            .select("r.*")
+        )
+        todo = resume_gap(spark, first, output_table, "digest")
         write_snapshot(todo, output_table, "append", key_cols=("digest",))
 
     return (

@@ -141,11 +141,15 @@ def test_vocab_topk_is_distributed_takeordered(spark):
 def test_tfidf_ranking_partitions_by_doc(spark):
     """tf-idf per-doc ranking must window-partition on doc_id (no global
     sort) and join the df dim on the word hash space."""
+    import re
+
     from extractors_metadata_spark.operators.corpus import tf_idf_topk
 
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "b c d"]})
     )
     plan = _explain(tf_idf_topk(df, k=2, n_docs=2))
-    assert "RunningWindowFunction" in plan or "Window" in plan
-    assert "partial" in plan.lower() or "HashAggregate" in plan  # map-side combine on tf
+    # the ranking window must partition on doc_id (a global-sort ranking
+    # would show a windowspec without the doc key + a SinglePartition gather)
+    assert re.search(r"windowspecdefinition\(doc_id#\d+", plan)
+    assert "Exchange SinglePartition" not in plan

@@ -162,9 +162,11 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
     q.awaitTermination(300)
     assert snap.read_table(spark, table).count() == 80  # synth texts distinct per id
 
-    # batch 2: the first 80 redelivered (cross-batch dup content), the 40 new,
-    # AND the 40 new again under different urls (within-batch dup content)
+    # batch 2: the first 80 redelivered (cross-batch dup content), the 40 new
+    # TWICE verbatim (within-batch exact redelivery — same url AND text), AND
+    # the 40 new again under different urls (within-batch dup content)
     first80.write.mode("append").parquet(input_dir)
+    last40.write.mode("append").parquet(input_dir)
     last40.write.mode("append").parquet(input_dir)
     last40.withColumn("url", F.concat(F.col("url"), F.lit("zcopy"))).write.mode(
         "append"
