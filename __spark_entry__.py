@@ -756,6 +756,16 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_filter(spark, sf_dir):
+    """The composed keep/drop curation decision with first-match reject
+    reasons (too_short -> repetitive_words -> repetitive_bigrams ->
+    low_quality -> keep) — the funnel a curation run filters on while
+    logging reasons for audit."""
+    from extractors_metadata_spark.operators.corpus import curation_filter
+
+    return curation_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_pii_counts(spark, sf_dir):
     """PII-surface triage counts. The synth corpus carries no PII, so every
     third document gets a deterministic probe suffix (one email, one url,
@@ -1117,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
+        "curation_filter": q_curation_filter,
         "pii_counts": q_pii_counts,
         "prefix_remap": q_prefix_remap,
         "lv1_remap": q_lv1_remap,
@@ -1500,6 +1511,32 @@ def _probe_html_sql() -> str:
                  || '</script></body></html>' AS html_str
           FROM md
         )
+    """
+
+
+def _rep_ctes() -> str:
+    """Shared CTE chain for the repetition-signal oracles; ends with
+    ``rep(doc_id, n_words, dup_word_frac, top_bigram_frac)`` (docs with
+    zero words absent — mirroring corpus.repetition_stats)."""
+    return r"""
+        base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+                 FROM documents),
+        words AS (SELECT doc_id, tok
+                  FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+                  WHERE length(tok) > 0),
+        wstats AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
+                   FROM words GROUP BY doc_id),
+        bigrams AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+                    FROM base, unnest(range(1, greatest(len(tk), 1))) t(i)),
+        btop AS (SELECT doc_id, max(c) AS top_bigram
+                 FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
+                 GROUP BY doc_id),
+        rep AS (SELECT w.doc_id, n_words,
+                       round(1.0 - n_distinct / n_words, 6) AS dup_word_frac,
+                       CASE WHEN n_words >= 2
+                            THEN round(coalesce(top_bigram, 0) / (n_words - 1), 6)
+                            ELSE 0.0 END AS top_bigram_frac
+                FROM wstats w LEFT JOIN btop USING (doc_id))
     """
 
 
@@ -2006,25 +2043,29 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 5
         """,
-        "repetition_stats": r"""
-            WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
-                          FROM documents),
-            words AS (SELECT doc_id, tok
-                      FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
-                      WHERE length(tok) > 0),
-            wstats AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
-                       FROM words GROUP BY doc_id),
-            bigrams AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
-                        FROM base, unnest(range(1, greatest(len(tk), 1))) t(i)),
-            btop AS (SELECT doc_id, max(c) AS top_bigram
-                     FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
-                     GROUP BY doc_id)
-            SELECT w.doc_id, n_words,
-                   round(1.0 - n_distinct / n_words, 6) AS dup_word_frac,
-                   CASE WHEN n_words >= 2
-                        THEN round(coalesce(top_bigram, 0) / (n_words - 1), 6)
-                        ELSE 0.0 END AS top_bigram_frac
-            FROM wstats w LEFT JOIN btop USING (doc_id)
+        "repetition_stats": rf"""
+            WITH {_rep_ctes()}
+            SELECT doc_id, n_words, dup_word_frac, top_bigram_frac FROM rep
+        """,
+        "curation_filter": rf"""
+            WITH {_rep_ctes()},
+            qual AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+                            {tok} AS n_tok, {mwl} AS mwl, {punct} AS pr, {upper} AS ur
+                     FROM documents),
+            q2 AS (SELECT doc_id, n_tok,
+                          round(least(n_tok / 100.0, 1.0) * 0.3
+                            + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                            + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE ({en_sum}) / n_tok END) * 4.0, 1.0) * 0.3
+                            + greatest(0.0, 1.0 - pr * 4.0 - ur * 2.0) * 0.2, 6) AS quality
+                   FROM qual),
+            r AS (SELECT q2.doc_id,
+                         CASE WHEN n_tok < 10 THEN 'too_short'
+                              WHEN dup_word_frac > 0.6 THEN 'repetitive_words'
+                              WHEN top_bigram_frac > 0.4 THEN 'repetitive_bigrams'
+                              WHEN quality < 0.3 THEN 'low_quality'
+                              ELSE 'keep' END AS reject_reason
+                  FROM q2 LEFT JOIN rep ON rep.doc_id = q2.doc_id)
+            SELECT doc_id, reject_reason, reject_reason = 'keep' AS keep FROM r
         """,
         "pii_counts": r"""
             WITH p AS (

@@ -153,6 +153,45 @@ def repetition_stats(
     )
 
 
+def curation_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_tokens: int = 10, max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.4, min_quality: float = 0.3,
+) -> DataFrame:
+    """The end-to-end curation decision: compose the engine's quality
+    signals into a keep/drop verdict with a frozen first-match reject
+    reason (the order IS the contract — short-circuit cheapest-first):
+
+      too_short -> repetitive_words -> repetitive_bigrams -> low_quality -> keep
+
+    Returns (id, keep, reject_reason[, signals]) for every input doc — a
+    curation run FILTERS on ``keep`` but LOGS the reasons (reject-reason
+    histograms are how a 100 TB pipeline is audited). One scan + the
+    repetition fan-out; everything else is codegen columns.
+    """
+    from ..functions.textstats import quality_score, token_count
+
+    rep = repetition_stats(df, text_col, id_col)
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tok"),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+    )
+    j = base.join(rep, id_col, "left")
+    reason = (
+        F.when(F.col("n_tok") < min_tokens, "too_short")
+        .when(F.col("dup_word_frac") > max_dup_word_frac, "repetitive_words")
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac, "repetitive_bigrams")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .otherwise("keep")
+    )
+    return j.select(
+        id_col,
+        reason.alias("reject_reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
 def length_quantiles(
     df: DataFrame, group_col: str = "lang", value_col: str = "n_chars",
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),

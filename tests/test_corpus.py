@@ -94,3 +94,22 @@ def test_pii_counts_patterns(spark):
     cols = pii_counts(F.col("text"))
     r = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
     assert (r["n_emails"], r["n_urls"], r["n_phones"]) == (2, 1, 1)
+
+
+def test_curation_filter_reasons_first_match(spark):
+    from extractors_metadata_spark.operators.corpus import curation_filter
+
+    rows = [
+        (1, "tiny doc"),                                   # too_short
+        (2, " ".join(["the"] * 40)),                       # repetitive (words fire first)
+        (3, " ".join("the quick brown fox jumps over it again and again now so".split()
+                     * 3)),                                # repetitive bigrams? -> dup words also high; first-match applies
+        (4, " ".join(f"w{i} is of the to and" for i in range(30))),  # long, mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in curation_filter(df).collect()}
+    assert out[1]["reject_reason"] == "too_short" and not out[1]["keep"]
+    assert out[2]["reject_reason"] == "repetitive_words"
+    # every doc gets exactly one verdict and keep == (reason == 'keep')
+    for r in out.values():
+        assert r["keep"] == (r["reject_reason"] == "keep")
