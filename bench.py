@@ -32,6 +32,19 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # In-band host-health indicator: cold-page first-touch bandwidth. This
+    # sandbox's memory backing intermittently degrades ~1000x for cold pages
+    # (measured + documented in BENCH/BASELINE.md) while CPU stays full
+    # speed; recording the probe WITH the timings lets a reader separate
+    # plan cost from page-fault service time. Healthy: > 2 GB/s.
+    import numpy as np
+
+    _x = np.zeros(10_000_000)
+    _t = time.time()
+    _x.copy()
+    host_gbps = round(8 * 10_000_000 / max(time.time() - _t, 1e-9) / 1e9, 3)
+    del _x
+
     import __spark_entry__ as entrymod
     from extractors_metadata_spark.plans.pipeline import run_pipeline_counts
     from extractors_metadata_spark.session import get_spark
@@ -116,6 +129,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
                 "runs_per_query": runs_per_query,
+                "host_cold_page_gbps": host_gbps,
             }
         )
     )
