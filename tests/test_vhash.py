@@ -73,3 +73,35 @@ def test_simhash_poly_is_31_bit(spark):
     rows = {r["doc_id"]: r["simhash"] for r in simhash(df, hash_family="poly").collect()}
     assert rows[1] == rows[2]  # identical text -> identical fingerprint
     assert all(0 <= v < 2**31 for v in rows.values())
+
+
+def test_poly_hash_three_way_parity_random_strings(spark):
+    """Python reference == Spark JVM expression == DuckDB _poly_sql replay
+    over 200 seeded random printable-ASCII strings (one job per engine)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    strings = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 300)))
+        for _ in range(200)
+    ]
+    expect = {i: py_poly(s, BASE1) for i, s in enumerate(strings)}
+
+    df = spark.createDataFrame(list(enumerate(strings)), "i int, s string")
+    got_spark = {
+        r["i"]: r["h"] for r in df.select("i", poly_hash(F.col("s")).alias("h")).collect()
+    }
+    assert got_spark == expect
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _poly_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strings)))
+    got_duck = dict(con.sql(f"SELECT i, {_poly_sql('s', BASE1)} FROM t").fetchall())
+    assert got_duck == expect
