@@ -856,6 +856,18 @@ def q_length_quantiles(spark, sf_dir):
     return length_quantiles(_t(spark, sf_dir, "documents"))
 
 
+def q_polyfill_verify(spark, sf_dir):
+    """The covering-cell arrays the WHOLE spatial engine broadcasts, under a
+    FULL oracle: plot_rings()' res-9 polyfill output (the very arrays
+    pip/knn/resolve join against) exploded to (plot_id, cell); DuckDB
+    independently replays hexgrid.polyfill — Lambert projection, inflated
+    bbox, axial corner ranges, center-in-bbox filter, bit packing — from the
+    closed-form grid. Soundness (covering never loses a containing cell) is
+    property-tested; this pins the exact enumerations."""
+    df = spark.createDataFrame(_plots_pdf()[["plot_id", "cells_r9"]])
+    return df.select("plot_id", F.explode("cells_r9").alias("cell"))
+
+
 def q_srp_pairs_verify(spark, sf_dir):
     """SRP-bucketed embedding near-pairs under a FULL oracle: the seed-42
     hyperplanes are inlined as SQL literals (single source:
@@ -1072,6 +1084,7 @@ def q_extract_text_verify(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains": q_pip_contains,
+        "polyfill_verify": q_polyfill_verify,
         "knn_nearest": q_knn_nearest,
         "knn_topk": q_knn_topk,
         "tile_assign": q_tile_assign,
@@ -1444,6 +1457,66 @@ def _hilbert_stages_sql() -> str:
           FROM {prev})""")
         prev = cur
     return ",".join(stages)
+
+
+def _polyfill_sql(res: int = 9) -> str:
+    """hexgrid.polyfill replayed in SQL over the closed-form plot grid:
+    every float op mirrors the kernel's literal order (projection constants,
+    pad = size*1.0001, corner axial floors, center-in-inflated-bbox filter,
+    [res:4][q:29][r:29] packing). Trig is bit-exact vs NumPy on this host
+    (see _cells_sql), so the enumeration compare is deterministic."""
+    import numpy as np
+
+    from extractors_metadata_spark.functions.geodesy import R_MEAN
+    from extractors_metadata_spark.functions.hexgrid import res_size_m
+
+    r = f"CAST({R_MEAN!r} AS DOUBLE)"
+    size = float(res_size_m(res))
+    sz = f"CAST({size!r} AS DOUBLE)"
+    pad = f"CAST({float(size * 1.0001)!r} AS DOUBLE)"
+    s3_3 = f"CAST({float(np.sqrt(3.0) / 3.0)!r} AS DOUBLE)"
+    s3 = f"CAST({float(np.sqrt(3.0))!r} AS DOUBLE)"
+    s3h = f"CAST({float(np.sqrt(3.0) / 2.0)!r} AS DOUBLE)"
+    qf = lambda cx, cy: f"(({s3_3} * {cx} - {cy} / 3.0) / {sz})"
+    rf = lambda cy: f"((0.6666666666666666 * {cy}) / {sz})"
+    return f"""
+        grid AS (SELECT CAST(gr AS VARCHAR) || '-' || CAST(gp AS VARCHAR) AS plot_id,
+                        33.0745 + (gr - 1) * 0.0000365 AS lat_s,
+                        33.0745 + gr * 0.0000365 AS lat_n,
+                        -111.9750833333 + (gp - 1) * 0.00005 AS lon_w,
+                        -111.9750833333 + gp * 0.00005 AS lon_e
+                 FROM range(1, 55) t(gr), range(1, 17) t2(gp)),
+        proj AS (SELECT plot_id,
+                        {r} * radians(lon_w) AS x_w, {r} * radians(lon_e) AS x_e,
+                        {r} * sin(radians(lat_s)) AS y_s, {r} * sin(radians(lat_n)) AS y_n
+                 FROM grid),
+        bb AS (SELECT plot_id,
+                      least(x_w, x_e) - {pad} AS min_x, greatest(x_w, x_e) + {pad} AS max_x,
+                      least(y_s, y_n) - {pad} AS min_y, greatest(y_s, y_n) + {pad} AS max_y
+               FROM proj),
+        qr AS (SELECT plot_id, min_x, max_x, min_y, max_y,
+                      CAST(floor(least({qf('min_x', 'min_y')}, {qf('min_x', 'max_y')},
+                                       {qf('max_x', 'min_y')}, {qf('max_x', 'max_y')})) AS INT) - 1 AS q_lo,
+                      CAST(ceil(greatest({qf('min_x', 'min_y')}, {qf('min_x', 'max_y')},
+                                         {qf('max_x', 'min_y')}, {qf('max_x', 'max_y')})) AS INT) + 1 AS q_hi,
+                      CAST(floor(least({rf('min_y')}, {rf('max_y')})) AS INT) - 1 AS r_lo,
+                      CAST(ceil(greatest({rf('min_y')}, {rf('max_y')})) AS INT) + 1 AS r_hi
+               FROM bb),
+        cand AS (SELECT plot_id, min_x, max_x, min_y, max_y, q, rr
+                 FROM qr,
+                      unnest(range(CAST(q_lo AS BIGINT), CAST(q_hi AS BIGINT) + 1)) tq(q),
+                      unnest(range(CAST(r_lo AS BIGINT), CAST(r_hi AS BIGINT) + 1)) tr(rr)),
+        keep AS (SELECT plot_id, q, rr
+                 FROM cand
+                 WHERE {sz} * ({s3} * q + {s3h} * rr) >= min_x
+                   AND {sz} * ({s3} * q + {s3h} * rr) <= max_x
+                   AND {sz} * (1.5 * rr) >= min_y
+                   AND {sz} * (1.5 * rr) <= max_y),
+        cells AS (SELECT plot_id,
+                         (CAST({res} AS BIGINT) << 58)
+                         | ((q + 268435456) << 29) | (rr + 268435456) AS cell
+                  FROM keep)
+    """
 
 
 def _srp_pairs_sql(threshold: float = 0.25, n_bits: int = 6, dim: int = 64) -> str:
@@ -2124,6 +2197,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_cells_sql()}
             SELECT h.event_id, h.cell_r9, s.s2_cell
             FROM h3cell h JOIN s2cell s USING (event_id)
+        """,
+        "polyfill_verify": f"""
+            WITH {_polyfill_sql(9)}
+            SELECT plot_id, cell FROM cells
         """,
         "srp_pairs_verify": _srp_pairs_sql(0.25, 6, 64),
         "extract_text_probe": r"""
