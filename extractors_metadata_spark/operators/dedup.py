@@ -156,6 +156,31 @@ def char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
 
 # --- MinHash + LSH -------------------------------------------------------------
 
+def _band_entries(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+    plain_buckets: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) rows from (id, sig) — bands rows per doc, all JVM.
+    Derived on the fly wherever needed (signatures are the durable state;
+    band entries are a cheap projection of them)."""
+
+    def _bucket(b):
+        joined = F.concat_ws(",", *[
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ])
+        return joined if plain_buckets else F.xxhash64(joined)
+
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, shingle_w: int = 3, hash_family: str = "xxhash64",
@@ -200,23 +225,7 @@ def lsh_candidate_pairs(
     shortens the shuffle key), but SQL-replayable for the oracle path.
     """
     assert bands * rows_per_band <= 1024
-
-    def _bucket(b):
-        joined = F.concat_ws(",", *[
-            F.element_at("sig", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ])
-        return joined if plain_buckets else F.xxhash64(joined)
-
-    band_entries = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    band_entries = _band_entries(sigs, id_col, bands, rows_per_band, plain_buckets)
     band_entries = cap_hot_buckets(band_entries, ["band", "bucket"], max_bucket, bucket_stats)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -488,6 +497,115 @@ def near_dedup_pipeline(
     return write_snapshot(
         survivors, table_path, "append", metrics={"lsh_cap": stats}
     )
+
+
+def incremental_near_dedup(
+    spark,
+    df: DataFrame,
+    state_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_bucket: int = 2000,
+    bucket_stats: dict | None = None,
+) -> DataFrame:
+    """Near-dedup a NEW batch against everything previously committed — the
+    daily-crawl-increment shape: re-running the global batch dedup over
+    10^12 accumulated docs per increment is O(corpus) every day; this is
+    O(batch + collisions).
+
+    Durable state = the MinHash SIGNATURE table (snapshot layer; (id, sig)
+    only — narrow rows; band entries are re-derived as a cheap projection,
+    never stored). Per batch:
+
+      1. signatures for the new batch (one shuffle over its shingles);
+      2. candidates = new-vs-OLD (band join against the state table's
+         derived entries) + new-vs-new (band self-join), both hot-bucket
+         capped;
+      3. estimate + threshold on the signature slots;
+      4. a new doc matching ANY old doc drops; the remaining new docs
+         near-dedup among themselves (components -> min-id survivors);
+      5. survivors' signatures APPEND to the state table (the next batch
+         sees them as old).
+
+    Returns the surviving rows of ``df``. First batch (no state) degrades to
+    the batch-global ``near_dedup_survivors`` and seeds the table.
+    """
+    from ..sources.snapshot import read_table, write_snapshot
+
+    sigs_new = minhash_signatures(df, text_col, id_col, num_perm, shingle_w)
+    sigs_new = _cache_or_self(sigs_new)
+    rpb = num_perm // bands
+    entries_new = _band_entries(sigs_new, id_col, bands, rpb)
+    entries_new = cap_hot_buckets(entries_new, ["band", "bucket"], max_bucket, bucket_stats)
+
+    old_sigs = read_table(spark, state_table)
+    if old_sigs is not None:
+        entries_old = _band_entries(old_sigs, id_col, bands, rpb)
+        entries_old = cap_hot_buckets(entries_old, ["band", "bucket"], max_bucket)
+        vs_old = (
+            entries_new.alias("n")
+            .join(
+                entries_old.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bucket") == F.col("o.bucket")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("id_a"), F.col(f"o.{id_col}").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        est_old = minhash_jaccard_estimate(
+            sigs_new.unionByName(old_sigs), vs_old, id_col
+        )
+        dup_vs_old = (
+            est_old.filter(F.col("jaccard_est") >= threshold)
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        fresh = df.join(dup_vs_old, id_col, "left_anti")
+        sigs_fresh = sigs_new.join(dup_vs_old, id_col, "left_anti")
+    else:
+        fresh = df
+        sigs_fresh = sigs_new
+
+    # new-vs-new among the docs that survived the old-corpus check
+    entries_fresh = _band_entries(sigs_fresh, id_col, bands, rpb)
+    entries_fresh = cap_hot_buckets(entries_fresh, ["band", "bucket"], max_bucket)
+    a = entries_fresh.alias("a")
+    b = entries_fresh.alias("b")
+    nn_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    nn = minhash_jaccard_estimate(sigs_fresh, nn_pairs, id_col).filter(
+        F.col("jaccard_est") >= threshold
+    )
+    survivors = near_dedup_survivors(fresh, nn, id_col)
+    write_snapshot(
+        sigs_fresh.join(survivors.select(id_col), id_col, "left_semi"),
+        state_table,
+        "append",
+        key_cols=(id_col,),
+    )
+    return survivors
+
+
+def _cache_or_self(df: DataFrame) -> DataFrame:
+    """Persist a frame consumed by several downstream actions (signatures
+    feed the old-join, the self-join, the estimates AND the state commit)."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def near_dedup_survivors(

@@ -421,3 +421,41 @@ def test_cosine_pairs_exact_matches_numpy(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == pytest.approx(exp[k], abs=2e-6)
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """Batch 2 must drop docs near-duplicating BATCH-1 survivors (via the
+    persisted signature table) AND its own internal near-dups, without ever
+    rescanning batch-1 content; the state table grows by batch-2 survivors."""
+    from extractors_metadata_spark.operators.dedup import incremental_near_dedup
+    from extractors_metadata_spark.sources import snapshot as snap
+
+    state = str(tmp_path / "sigs")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight while stars shine")
+    other = ("completely different content about database engines columnar "
+             "execution vectorized hash joins and shuffle partitioning")
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, other)], "doc_id int, text string"
+    )
+    s1 = incremental_near_dedup(spark, b1, state, threshold=0.5)
+    kept1 = sorted(r["doc_id"] for r in s1.collect())
+    assert kept1 == [1, 3]  # 2 is a near-dup of 1 within the batch
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " again"),              # near-dup of OLD doc 1 -> drop
+            (11, "a totally novel short poem about mountains rivers and snow "
+                 "written in plain words for testing purposes only today"),
+            (12, "a totally novel short poem about mountains rivers and snow "
+                 "written in plain words for testing purposes only tonight"),  # near-dup of 11
+        ],
+        "doc_id int, text string",
+    )
+    s2 = incremental_near_dedup(spark, b2, state, threshold=0.5)
+    kept2 = sorted(r["doc_id"] for r in s2.collect())
+    assert kept2 == [11]
+    # state table = batch-1 survivors + batch-2 survivors
+    ids = sorted(r["doc_id"] for r in snap.read_table(spark, state).collect())
+    assert ids == [1, 3, 11]
