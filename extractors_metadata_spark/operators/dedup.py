@@ -536,8 +536,12 @@ def incremental_near_dedup(
     """
     from ..sources.snapshot import read_table, write_snapshot
 
+    from .pip_knn import _cache_scoped
+
     sigs_new = minhash_signatures(df, text_col, id_col, num_perm, shingle_w)
-    sigs_new = _cache_or_self(sigs_new)
+    # scoped persist (released on the NEXT incremental call — signatures feed
+    # the old-join, the self-join, both estimates AND the state commit)
+    sigs_new = _cache_scoped("incremental_sigs", sigs_new)
     rpb = num_perm // bands
     entries_new = _band_entries(sigs_new, id_col, bands, rpb)
     entries_new = cap_hot_buckets(entries_new, ["band", "bucket"], max_bucket, bucket_stats)
@@ -598,14 +602,6 @@ def incremental_near_dedup(
         key_cols=(id_col,),
     )
     return survivors
-
-
-def _cache_or_self(df: DataFrame) -> DataFrame:
-    """Persist a frame consumed by several downstream actions (signatures
-    feed the old-join, the self-join, the estimates AND the state commit)."""
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def near_dedup_survivors(
