@@ -911,8 +911,8 @@ def q_multimodal_dims_verify(spark, sf_dir):
     html is SQL-reconstructible byte-for-byte, and the stubbed decoder's
     dimension derivation (63-bit FNV-1a over the payload) is exact integer
     arithmetic DuckDB replays with HUGEINT — verifies the whole mapInPandas
-    Arrow path end-to-end. The feature vector (PCG64 normals) stays under
-    the rows-only twin multimodal_features."""
+    Arrow path end-to-end. The feature vector (SplitMix64+Box-Muller
+    normals) stays under the rows-only twin multimodal_features."""
     from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
 
     pages = _probe_pages(spark, sf_dir, max_events=2000)

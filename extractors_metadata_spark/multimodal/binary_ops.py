@@ -30,20 +30,69 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_sha long"
 
 
-def _fake_dims(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic pseudo-decode: dims derived from the payload hash."""
-    h = hash_bytes(payload)
-    return 320 + int(h % 1024), 240 + int((h >> 10) % 768), 3
+def hash_bytes_batch(payloads) -> np.ndarray:
+    """Stable 63-bit FNV-1a over the first 4096 bytes of each payload,
+    vectorized across the batch: the byte matrix is scatter-filled in one
+    pass and the FNV fold runs one numpy op per byte POSITION (≤ 4096),
+    never a Python-level loop per byte per row. Identical values to the
+    scalar definition (the ``multimodal_dims_verify`` oracle replays this
+    exact fold in DuckDB HUGEINT arithmetic). No Python hash() —
+    PYTHONHASHSEED varies."""
+    trunc = [(bytes(b) if b is not None else b"")[:4096] for b in payloads]
+    n = len(trunc)
+    h = np.full(n, 14695981039346656037, dtype=np.uint64)
+    if n == 0:
+        return h
+    lens = np.fromiter((len(t) for t in trunc), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    if max_len:
+        mat = np.zeros((n, max_len), dtype=np.uint8)
+        flat = np.frombuffer(b"".join(trunc), dtype=np.uint8)
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+        mat[row_idx, col_idx] = flat
+        prime = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for j in range(max_len):
+                upd = (h ^ mat[:, j].astype(np.uint64)) * prime
+                h = np.where(lens > j, upd, h)
+    return h & np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 def hash_bytes(b: bytes) -> int:
-    """Stable 63-bit FNV-1a (no Python hash() — PYTHONHASHSEED varies)."""
-    h = np.uint64(14695981039346656037)
-    prime = np.uint64(1099511628211)
+    """Scalar convenience wrapper over ``hash_bytes_batch`` (same values)."""
+    return int(hash_bytes_batch([b])[0])
+
+
+def _fake_dims_batch(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic pseudo-decode dims derived from the payload hashes."""
+    return (320 + (h % np.uint64(1024))).astype(np.int32), (
+        240 + ((h >> np.uint64(10)) % np.uint64(768))
+    ).astype(np.int32)
+
+
+def _normals_from_seeds(seeds: np.ndarray, n_features: int) -> np.ndarray:
+    """Deterministic per-seed standard normals in ONE vectorized pass:
+    SplitMix64 over a (seed, counter) grid -> 53-bit uniforms -> Box-Muller.
+    Replaces per-row ``default_rng(seed)`` construction (which dominated the
+    stub path's cost) while keeping the same contract: same payload -> same
+    feature vector."""
+    n = len(seeds)
+    pairs = (n_features + 1) // 2
+    ctr = np.arange(1, 2 * pairs + 1, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for chunk in np.frombuffer(b[:4096], dtype=np.uint8):
-            h = np.uint64(h ^ np.uint64(chunk)) * prime
-    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+        z = seeds[:, None].astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * ctr[None, :]
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    u = (z >> np.uint64(11)).astype(np.float64) * (2.0**-53)
+    u1 = np.maximum(u[:, :pairs], 1e-300)  # guard log(0)
+    u2 = u[:, pairs : 2 * pairs]
+    r = np.sqrt(-2.0 * np.log(u1))
+    out = np.empty((n, 2 * pairs), dtype=np.float64)
+    out[:, 0::2] = r * np.cos(2.0 * np.pi * u2)
+    out[:, 1::2] = r * np.sin(2.0 * np.pi * u2)
+    return out[:, :n_features].astype(np.float32)
 
 
 def decode_image_features(
@@ -66,21 +115,16 @@ def decode_image_features(
                     "no image codec in this environment; deploy with PIL/libvips "
                     "and implement the decode here"
                 )
-            urls = pdf[id_col]
-            dims = [_fake_dims(bytes(b) if b is not None else b"") for b in pdf[binary_col]]
-            seeds = np.array([hash_bytes(bytes(b) if b is not None else b"") for b in pdf[binary_col]])
-            # deterministic per-payload features (fake embedding)
-            feats = [
-                np.random.default_rng(s).standard_normal(n_features).astype(np.float32).tolist()
-                for s in seeds
-            ]
+            seeds = hash_bytes_batch(pdf[binary_col])
+            widths, heights = _fake_dims_batch(seeds)
+            feats = _normals_from_seeds(seeds, n_features)
             yield pd.DataFrame(
                 {
-                    "url": urls,
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
-                    "features": feats,
+                    "url": pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "channels": np.full(len(pdf), 3, dtype=np.int32),
+                    "features": list(feats),
                 }
             )
 
@@ -102,13 +146,18 @@ def sample_frames(
         for pdf in batches:
             if real_decode:
                 raise NotImplementedError("no video codec in this environment")
-            out_url, out_idx, out_sha = [], [], []
-            for url, payload in zip(pdf[id_col], pdf[binary_col]):
-                base = hash_bytes(bytes(payload) if payload is not None else b"")
-                for j in range(n_frames):
-                    out_url.append(url)
-                    out_idx.append(j * every_n)
-                    out_sha.append((base + j * every_n) & 0x7FFFFFFFFFFFFFFF)
-            yield pd.DataFrame({"url": out_url, "frame_idx": out_idx, "frame_sha": out_sha})
+            base = hash_bytes_batch(pdf[binary_col])
+            idx = np.tile(np.arange(n_frames, dtype=np.int64) * every_n, len(pdf))
+            with np.errstate(over="ignore"):
+                sha = (
+                    np.repeat(base, n_frames) + idx.astype(np.uint64)
+                ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(pdf[id_col].to_numpy(), n_frames),
+                    "frame_idx": idx.astype(np.int32),
+                    "frame_sha": sha.astype(np.int64),
+                }
+            )
 
     return df.select(id_col, binary_col).mapInPandas(gen, FRAME_SAMPLE_SCHEMA)

@@ -7,8 +7,12 @@ plain parquet:
 
 - a table directory holds ``data/snap-NNNNN/`` immutable parquet dirs plus
   ``snapshots/snap-NNNNN.json`` manifests and a ``snapshots/current`` pointer;
-- each manifest records parent snapshot, row count, per-file row counts
-  (file-level lineage, like Iceberg manifest entries), wall time and rows/sec;
+- each manifest records parent snapshot, row count, file count, a capped
+  per-partition rollup, wall time and rows/sec; per-file row counts (file-level
+  lineage, like Iceberg manifest entries) live in a parquet SIDE TABLE
+  (``lineage_dir``, see ``read_lineage``) and are inlined into the JSON only
+  for small snapshots — the manifest and the driver collect building it stay
+  bounded at any snapshot size (~10^6 files at 100 TB / 128 MB);
 - ``resume_gap`` anti-joins the input against already-committed keys so a
   killed run reprocesses only the gap (reference analog: the repairer's
   "check outputs exist, redo only missing" loop,
@@ -31,6 +35,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Per-file lineage stays INLINE in the JSON manifest only below this file
+# count; bigger snapshots record the detail in a parquet side table
+# (``lineage_dir``). At 100 TB / 128 MB files a snapshot commits ~10^6 files —
+# a JSON list that size (and the collect building it) would blow up the
+# driver, so the manifest itself is bounded regardless of snapshot size.
+INLINE_FILES_CAP = 64
+# Per-partition rollup entries kept in the JSON manifest (a snapshot
+# partitioned by e.g. date rarely exceeds this; ``partitions_truncated``
+# flags when it does — no silent caps).
+PARTITION_ROLLUP_CAP = 1024
+
 
 def _snap_ids(table_path: str) -> list[int]:
     d = os.path.join(table_path, "snapshots")
@@ -44,6 +59,30 @@ def _snap_ids(table_path: str) -> list[int]:
 def _load_manifest(table_path: str, snap_id: int) -> dict:
     with open(os.path.join(table_path, "snapshots", f"snap-{snap_id:05d}.json")) as f:
         return json.load(f)
+
+
+def _files_count(manifest: dict) -> int:
+    """File count for any manifest vintage (``files_count`` field, falling
+    back to the inline per-file list for pre-side-table manifests)."""
+    if manifest.get("files_count") is not None:
+        return manifest["files_count"]
+    return len(manifest.get("files") or [])
+
+
+def read_lineage(
+    spark: SparkSession, table_path: str, snap_id: int
+) -> DataFrame | None:
+    """Per-file lineage detail (file, rows) for one snapshot as a DataFrame —
+    the scale-safe way to inspect manifest entries (the JSON manifest inlines
+    the list only below ``INLINE_FILES_CAP`` files)."""
+    m = _load_manifest(table_path, snap_id)
+    if m.get("lineage_dir") and os.path.isdir(m["lineage_dir"]):
+        return spark.read.parquet(m["lineage_dir"])
+    if m.get("files"):
+        return spark.createDataFrame(
+            [(e["file"], e["rows"]) for e in m["files"]], "file string, rows long"
+        )
+    return None
 
 
 def live_snapshots(table_path: str) -> list[dict]:
@@ -96,15 +135,55 @@ def write_snapshot(
     elapsed = time.time() - t0
 
     spark = df.sparkSession
-    # file-level lineage from the committed files themselves (manifest entries)
-    lineage = [
-        {"file": r["f"], "rows": r["rows"]}
-        for r in spark.read.parquet(data_dir)
-        .groupBy(F.input_file_name().alias("f"))
-        .agg(F.count("*").alias("rows"))
-        .collect()
-    ]
-    total = sum(e["rows"] for e in lineage)
+    # File-level lineage from the committed files themselves (Iceberg manifest
+    # entries), computed DISTRIBUTED and written as a parquet side table: the
+    # driver never collects one row per file. The JSON manifest carries only a
+    # bounded rollup (total rows, file count, per-partition counts) plus the
+    # inline per-file list for small snapshots (<= INLINE_FILES_CAP files).
+    committed = spark.read.parquet(data_dir)
+    lineage_dir = os.path.join(
+        table_path, "lineage", f"snap-{snap_id:05d}-{run_uuid[:8]}"
+    )
+    committed.groupBy(F.input_file_name().alias("file")).agg(
+        F.count("*").alias("rows")
+    ).coalesce(1).write.mode("error").parquet(lineage_dir)
+    lineage_df = spark.read.parquet(lineage_dir)
+    n_files, total = lineage_df.agg(
+        F.count("*"), F.coalesce(F.sum("rows"), F.lit(0))
+    ).collect()[0]
+    n_files, total = int(n_files), int(total)
+    inline_files = (
+        [
+            {"file": r["file"], "rows": r["rows"]}
+            for r in lineage_df.orderBy("file").collect()
+        ]
+        if n_files <= INLINE_FILES_CAP
+        else None
+    )
+
+    def _jsonable(v):
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+    partitions = None
+    partitions_truncated = False
+    if partition_by:
+        # partition columns come from directory names and count(*) rides the
+        # parquet footers, so this rollup scan reads no data columns
+        prows = (
+            committed.groupBy(*partition_by)
+            .agg(F.count("*").alias("rows"))
+            .orderBy(*partition_by)
+            .limit(PARTITION_ROLLUP_CAP + 1)
+            .collect()
+        )
+        partitions_truncated = len(prows) > PARTITION_ROLLUP_CAP
+        partitions = [
+            {
+                **{c: _jsonable(r[c]) for c in partition_by},
+                "rows": r["rows"],
+            }
+            for r in prows[:PARTITION_ROLLUP_CAP]
+        ]
     keys_dir = None
     if key_cols:
         keys_dir = os.path.join(
@@ -122,7 +201,11 @@ def write_snapshot(
         "mode": mode,
         "data_dir": data_dir,
         "rows": total,
-        "files": lineage,
+        "files": inline_files,  # None when > INLINE_FILES_CAP; see lineage_dir
+        "files_count": n_files,
+        "lineage_dir": lineage_dir,
+        "partitions": partitions,
+        "partitions_truncated": partitions_truncated,
         "wall_s": round(elapsed, 4),
         "rows_per_sec": round(total / elapsed, 2) if elapsed > 0 else None,
         "partition_by": list(partition_by),
@@ -142,7 +225,7 @@ def write_snapshot(
     return manifest
 
 
-def gc_orphans(table_path: str, grace_s: float = 0.0) -> list[str]:
+def gc_orphans(table_path: str, grace_s: float = 300.0) -> list[str]:
     """Remove data dirs no manifest references (debris of mid-write kills).
 
     SINGLE-WRITER assumption: an IN-FLIGHT ``write_snapshot`` has its data dir
@@ -151,23 +234,33 @@ def gc_orphans(table_path: str, grace_s: float = 0.0) -> list[str]:
     always safe: a dir becomes visible only via its manifest, which is renamed
     into place strictly after the parquet write completes). ``grace_s`` skips
     dirs modified within the last N seconds as an extra belt against clock-
-    adjacent writers; stray non-directory files under data/ are left alone."""
+    adjacent writers — it defaults to 5 minutes so a gc fired while a writer
+    is unexpectedly active skips anything recent by default; pass 0.0 only
+    when the single-writer assumption is positively known to hold (e.g. an
+    offline maintenance window, or the test suite). Stray non-directory files
+    under data/ are left alone."""
     import shutil
 
     data_root = os.path.join(table_path, "data")
     if not os.path.isdir(data_root):
         return []
-    live = {
-        os.path.basename(_load_manifest(table_path, i)["data_dir"])
-        for i in _snap_ids(table_path)
-    }
     manifests = [_load_manifest(table_path, i) for i in _snap_ids(table_path)]
+    live = {os.path.basename(m["data_dir"]) for m in manifests}
     live_keys = {
         os.path.basename(m["keys_dir"]) for m in manifests if m.get("keys_dir")
     }
+    live_lineage = {
+        os.path.basename(m["lineage_dir"])
+        for m in manifests
+        if m.get("lineage_dir")
+    }
     removed = []
     now = time.time()
-    for root, live_set in ((data_root, live), (os.path.join(table_path, "keys"), live_keys)):
+    for root, live_set in (
+        (data_root, live),
+        (os.path.join(table_path, "keys"), live_keys),
+        (os.path.join(table_path, "lineage"), live_lineage),
+    ):
         if not os.path.isdir(root):
             continue
         for d in os.listdir(root):
@@ -208,7 +301,7 @@ def compact_snapshots(
     df = read_table(spark, table_path)
     if target_partitions is not None:
         df = df.coalesce(target_partitions)
-    files_before = sum(len(m["files"]) for m in live)
+    files_before = sum(_files_count(m) for m in live)
     manifest = write_snapshot(
         df, table_path, mode="replace", partition_by=partition_by,
         key_cols=key_cols,
@@ -219,7 +312,7 @@ def compact_snapshots(
             }
         },
     )
-    manifest["metrics"]["compaction"]["files_after"] = len(manifest["files"])
+    manifest["metrics"]["compaction"]["files_after"] = _files_count(manifest)
     # re-persist the enriched manifest (same id, atomic swap)
     snap_dir = os.path.join(table_path, "snapshots")
     tmp = os.path.join(snap_dir, f".tmp-{manifest['uuid']}-m.json")
@@ -229,12 +322,16 @@ def compact_snapshots(
     return manifest
 
 
-def expire_snapshots(table_path: str, before_id: int) -> list[int]:
+def expire_snapshots(
+    table_path: str, before_id: int, grace_s: float = 0.0
+) -> list[int]:
     """Iceberg-style expire: drop manifests with id < ``before_id`` that no
-    longer contribute to the CURRENT state, then reclaim their data/keys dirs
-    via ``gc_orphans``. Time travel to expired ids stops working (exactly
-    Iceberg's contract); expiring a snapshot the current state still reads
-    from is refused. Single-writer assumption as ``gc_orphans``."""
+    longer contribute to the CURRENT state, then reclaim their data/keys/
+    lineage dirs via ``gc_orphans``. Time travel to expired ids stops working
+    (exactly Iceberg's contract); expiring a snapshot the current state still
+    reads from is refused. Expire already requires the single-writer
+    assumption (it deletes manifests), so the gc grace defaults to 0 here —
+    raise ``grace_s`` if a writer might be racing."""
     live_ids = {m["snapshot_id"] for m in live_snapshots(table_path)}
     expired = []
     for i in _snap_ids(table_path):
@@ -243,7 +340,7 @@ def expire_snapshots(table_path: str, before_id: int) -> list[int]:
         os.remove(os.path.join(table_path, "snapshots", f"snap-{i:05d}.json"))
         expired.append(i)
     if expired:
-        gc_orphans(table_path)
+        gc_orphans(table_path, grace_s=grace_s)
     return expired
 
 
@@ -284,7 +381,7 @@ def upsert_snapshot(
     df: DataFrame,
     table_path: str,
     key_cols: tuple[str, ...],
-    partition_by: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] | None = None,
     metrics: dict | None = None,
 ) -> dict:
     """Geostreams-style upsert (the reference sink updates-or-inserts a
@@ -301,8 +398,17 @@ def upsert_snapshot(
     touches a bounded key range; a merge-on-read variant (delete files +
     reconciling reader) is the next step if upserts dominate the workload —
     the snapshot log's manifest structure already supports adding it.
+
+    ``partition_by=None`` (the default) inherits the layout recorded in the
+    latest live manifest, so an upsert can never silently flatten a
+    partitioned table's layout (which would defeat ``resume_gap``'s
+    partition-pruned path on later reads); pass an explicit tuple (possibly
+    ``()``) to deliberately re-layout in the replace snapshot.
     """
     spark = df.sparkSession
+    if partition_by is None:
+        live = live_snapshots(table_path)
+        partition_by = tuple(live[-1].get("partition_by") or ()) if live else ()
     current = read_table(spark, table_path)
     if current is None:
         return write_snapshot(

@@ -48,9 +48,14 @@ def test_mid_write_kill_does_not_deadlock(spark, table):
     back = snap.read_table(spark, table)
     assert back.count() == 20  # orphan rows invisible
     assert back.agg(F.max("id")).collect()[0][0] == 19
-    removed = snap.gc_orphans(table)
+    # grace_s=0.0: offline maintenance — single-writer assumption known-good
+    removed = snap.gc_orphans(table, grace_s=0.0)
     assert removed == ["snap-00001-deadbeef"]
     assert snap.read_table(spark, table).count() == 20
+    assert snap.gc_orphans(table, grace_s=0.0) == []
+    # the default grace (5 min) keeps young debris: belt against live writers
+    orphan2 = os.path.join(table, "data", "snap-00002-deadbeef")
+    spark.range(3).write.parquet(orphan2)
     assert snap.gc_orphans(table) == []
 
 
@@ -159,7 +164,7 @@ def test_gc_orphans_respects_grace_and_files(spark, table):
     okeys = os.path.join(table, "keys", "snap-00001-feedbeef")
     spark.range(3).write.parquet(okeys)
     assert snap.gc_orphans(table, grace_s=3600.0) == []  # young: kept
-    removed = set(snap.gc_orphans(table))
+    removed = set(snap.gc_orphans(table, grace_s=0.0))
     assert removed == {"snap-00001-feedbeef"}
     assert not os.path.isdir(orphan) and not os.path.isdir(okeys)
     assert os.path.isfile(stray)
@@ -190,6 +195,58 @@ def test_compact_and_expire(spark, table):
     # superseded data dirs reclaimed, current one kept
     data_dirs = os.listdir(os.path.join(table, "data"))
     assert len(data_dirs) == 1 and data_dirs[0] == os.path.basename(m["data_dir"])
+
+
+def test_many_file_snapshot_manifest_stays_bounded(spark, table):
+    """A snapshot committing more files than INLINE_FILES_CAP keeps the JSON
+    manifest bounded (no inline per-file list, no per-file driver collect);
+    the per-file detail lives in the lineage parquet side table and still
+    accounts for every row."""
+    n_parts = snap.INLINE_FILES_CAP + 16
+    m = snap.write_snapshot(spark.range(2000).repartition(n_parts), table)
+    assert m["files"] is None
+    assert m["files_count"] == n_parts
+    assert m["rows"] == 2000
+    # manifest JSON on disk is small regardless of file count
+    mpath = os.path.join(table, "snapshots", "snap-00000.json")
+    assert os.path.getsize(mpath) < 4096
+    lin = snap.read_lineage(spark, table, 0)
+    agg = lin.agg(F.count("*").alias("n"), F.sum("rows").alias("r")).collect()[0]
+    assert (agg["n"], agg["r"]) == (n_parts, 2000)
+    # small snapshots still inline the list AND expose it via read_lineage
+    m2 = snap.write_snapshot(spark.range(10).coalesce(1), table)
+    assert m2["files"] is not None and m2["files_count"] == len(m2["files"])
+    assert snap.read_lineage(spark, table, 1).count() == m2["files_count"]
+    # gc with live lineage dirs: nothing reclaimed
+    assert snap.gc_orphans(table, grace_s=0.0) == []
+    assert os.path.isdir(m["lineage_dir"])
+
+
+def test_partition_rollup_in_manifest(spark, table):
+    inp = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 30, "2016-05-07").otherwise("2016-05-08").alias("date"),
+    )
+    m = snap.write_snapshot(inp, table, partition_by=("date",))
+    assert m["partitions_truncated"] is False
+    rollup = {p["date"]: p["rows"] for p in m["partitions"]}
+    assert rollup == {"2016-05-07": 30, "2016-05-08": 70}
+
+
+def test_upsert_inherits_partition_layout(spark, table):
+    """Default upsert keeps the table's recorded partition_by: the replace
+    snapshot must still be laid out on disk by date (ADVICE r3)."""
+    inp = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 20, "2016-05-07").otherwise("2016-05-08").alias("date"),
+    )
+    snap.write_snapshot(inp, table, partition_by=("date",), key_cols=("k",))
+    batch = spark.createDataFrame([(5, "2016-05-07"), (50, "2016-05-09")], "k long, date string")
+    m = snap.upsert_snapshot(batch, table, key_cols=("k",))
+    assert m["mode"] == "replace" and m["partition_by"] == ["date"]
+    # physical layout: hive-style date= dirs in the replace snapshot
+    assert any(d.startswith("date=") for d in os.listdir(m["data_dir"]))
+    assert snap.read_table(spark, table).count() == 41
 
 
 def test_upsert_snapshot_merge_and_time_travel(spark, table):
