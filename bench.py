@@ -10,6 +10,11 @@ Env knobs:
   SPARK_GRAFT_CPUS        local[N] cores     (default 32)
   SPARK_GRAFT_BENCH_DOCS  synthetic webpage rows for the headline pipeline
                           (default 150000)
+  SPARK_GRAFT_BENCH_MIN_GBPS   cold-page probe trust threshold (default 2.0);
+                          below it the bench sleep-retries before starting
+  SPARK_GRAFT_BENCH_MAX_WAIT_S max total sleep-retry (default 1800); if the
+                          host is still degraded the run proceeds with
+                          "host_degraded": true in the JSON
 
 The headline measures end-to-end docs/sec of:
   synth input_hint table -> JVM parse -> Arrow footprint kernel -> H3/S2 encode
@@ -32,18 +37,45 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    # In-band host-health indicator: cold-page first-touch bandwidth. This
+    # In-band host-health GATE: cold-page first-touch bandwidth. This
     # sandbox's memory backing intermittently degrades ~1000x for cold pages
     # (measured + documented in BENCH/BASELINE.md) while CPU stays full
-    # speed; recording the probe WITH the timings lets a reader separate
-    # plan cost from page-fault service time. Healthy: > 2 GB/s.
+    # speed — timings captured in that window measure the host's page-fault
+    # service, not plans (BENCH_r03.json was such an artifact). The bench now
+    # REFUSES to start while the probe reads < SPARK_GRAFT_BENCH_MIN_GBPS
+    # (default 2 GB/s), sleep-retrying up to SPARK_GRAFT_BENCH_MAX_WAIT_S
+    # (default 1800 s). If the window never clears, it runs anyway but marks
+    # the artifact "host_degraded": true and re-probes after the suite, so a
+    # contaminated capture is always self-describing.
     import numpy as np
 
-    _x = np.zeros(10_000_000)
-    _t = time.time()
-    _x.copy()
-    host_gbps = round(8 * 10_000_000 / max(time.time() - _t, 1e-9) / 1e9, 3)
-    del _x
+    def _probe_gbps() -> float:
+        x = np.zeros(10_000_000)
+        t = time.time()
+        x.copy()
+        return round(8 * 10_000_000 / max(time.time() - t, 1e-9) / 1e9, 3)
+
+    trust_gbps = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_GBPS", "2.0"))
+    max_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "1800"))
+    host_gbps = _probe_gbps()
+    waited = 0.0
+    while host_gbps < trust_gbps and waited < max_wait_s:
+        print(
+            f"[bench] cold-page probe {host_gbps} GB/s < {trust_gbps} GB/s "
+            f"(degraded host window) — retrying in 60s "
+            f"({int(waited)}/{int(max_wait_s)}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(60.0)
+        waited += 60.0
+        host_gbps = _probe_gbps()
+    host_degraded = host_gbps < trust_gbps
+    if host_degraded:
+        print(
+            f"[bench] WARNING: probe still {host_gbps} GB/s after "
+            f"{int(waited)}s — running anyway; artifact marked host_degraded",
+            file=sys.stderr,
+        )
 
     import __spark_entry__ as entrymod
     from extractors_metadata_spark.plans.pipeline import run_pipeline_counts
@@ -130,6 +162,8 @@ def main() -> None:
                 "cpus": cpus,
                 "runs_per_query": runs_per_query,
                 "host_cold_page_gbps": host_gbps,
+                "host_cold_page_gbps_end": _probe_gbps(),
+                "host_degraded": host_degraded,
             }
         )
     )

@@ -20,6 +20,16 @@ only swaps the leaf hash.
 The affine coefficients are generated once here (seeded, driver-side) and
 consumed by BOTH the Spark expressions and the SQL generator in
 ``__spark_entry__.py`` — single source, the two sides can never drift.
+
+ASCII PRECONDITION: cross-engine replayability is established for printable
+ASCII input only (the parity test generates chars 32-126, and ``F.ascii`` /
+DuckDB ``ascii`` agree only there). Outside ASCII the two engines may not
+even tokenize alike — Spark's ``split('')`` walks Java UTF-16 code units
+while DuckDB's ``string_split('')`` walks grapheme clusters — so non-BMP or
+multi-byte text can silently break the three-way hash parity the oracles
+depend on. Callers hashing arbitrary text for ORACLE purposes must normalize
+first (e.g. strip to ASCII); the production xxhash64 family has no such
+restriction.
 """
 
 from __future__ import annotations
@@ -52,7 +62,8 @@ def _codes(col: Column) -> Column:
 
 
 def poly_hash(col: Column, base: int = BASE1) -> Column:
-    """Rolling hash of a string, mod 2^31-1 — pure JVM higher-order fold."""
+    """Rolling hash of a string, mod 2^31-1 — pure JVM higher-order fold.
+    Cross-engine parity holds for ASCII input only (module docstring)."""
     return F.aggregate(
         _codes(col),
         F.lit(0).cast("long"),

@@ -511,6 +511,7 @@ def incremental_near_dedup(
     shingle_w: int = 3,
     max_bucket: int = 2000,
     bucket_stats: dict | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dedup a NEW batch against everything previously committed — the
     daily-crawl-increment shape: re-running the global batch dedup over
@@ -533,22 +534,34 @@ def incremental_near_dedup(
 
     Returns the surviving rows of ``df``. First batch (no state) degrades to
     the batch-global ``near_dedup_survivors`` and seeds the table.
+
+    PRECONDITION: ``id_col`` must be globally unique across batches (it keys
+    the durable signature table). Exact REDELIVERY of an id already committed
+    is tolerated — such rows are anti-joined away up front (they were already
+    adjudicated last batch; keeping them would fan out the estimate joins and
+    append a duplicate (id, sig) state row) — but two DIFFERENT documents
+    sharing an id across batches is a caller bug.
     """
     from ..sources.snapshot import read_table, write_snapshot
 
     from .pip_knn import _cache_scoped
 
-    sigs_new = minhash_signatures(df, text_col, id_col, num_perm, shingle_w)
+    old_ids_sigs = read_table(spark, state_table)
+    if old_ids_sigs is not None:
+        df = df.join(old_ids_sigs.select(id_col), id_col, "left_anti")
+
+    plain = hash_family == "poly"
+    sigs_new = minhash_signatures(df, text_col, id_col, num_perm, shingle_w, hash_family)
     # scoped persist (released on the NEXT incremental call — signatures feed
     # the old-join, the self-join, both estimates AND the state commit)
     sigs_new = _cache_scoped("incremental_sigs", sigs_new)
     rpb = num_perm // bands
-    entries_new = _band_entries(sigs_new, id_col, bands, rpb)
+    entries_new = _band_entries(sigs_new, id_col, bands, rpb, plain)
     entries_new = cap_hot_buckets(entries_new, ["band", "bucket"], max_bucket, bucket_stats)
 
-    old_sigs = read_table(spark, state_table)
+    old_sigs = old_ids_sigs
     if old_sigs is not None:
-        entries_old = _band_entries(old_sigs, id_col, bands, rpb)
+        entries_old = _band_entries(old_sigs, id_col, bands, rpb, plain)
         entries_old = cap_hot_buckets(entries_old, ["band", "bucket"], max_bucket)
         vs_old = (
             entries_new.alias("n")
@@ -577,7 +590,7 @@ def incremental_near_dedup(
         sigs_fresh = sigs_new
 
     # new-vs-new among the docs that survived the old-corpus check
-    entries_fresh = _band_entries(sigs_fresh, id_col, bands, rpb)
+    entries_fresh = _band_entries(sigs_fresh, id_col, bands, rpb, plain)
     entries_fresh = cap_hot_buckets(entries_fresh, ["band", "bucket"], max_bucket)
     a = entries_fresh.alias("a")
     b = entries_fresh.alias("b")

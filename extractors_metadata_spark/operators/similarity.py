@@ -78,9 +78,12 @@ def cosine_pairs_exact(
     )
     return (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", _cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        # threshold on the ROUNDED sim: the predicate then uses the same
+        # drift-absorbed value the row reports, so a pair within a few ulps
+        # of the threshold lands identically in any engine (ADVICE r3)
         .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .select("id_a", "id_b", "sim")
     )
 
 
@@ -129,11 +132,10 @@ def cosine_near_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        _cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        F.round(_cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
     )
-    return pairs.filter(F.col("sim") >= threshold).select(
-        "id_a", "id_b", F.round("sim", 6).alias("sim")
-    )
+    # rounded-sim threshold: predicate and reported value agree (ADVICE r3)
+    return pairs.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
 
 
 def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
