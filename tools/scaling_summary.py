@@ -47,10 +47,12 @@ def main() -> None:
 
     eff_best = summary[n4]["best"] / (4 * summary[n]["best"])
     eff_mob3 = summary[n4]["median_of_best3"] / (4 * summary[n]["median_of_best3"])
+    eff_med = summary[n4]["median_all"] / (4 * summary[n]["median_all"])
     out = {
         "levels": summary,
         "efficiency_best": round(eff_best, 3),
         "efficiency_median_of_best3": round(eff_mob3, 3),
+        "efficiency_median_all": round(eff_med, 3),
     }
     print(json.dumps(out, indent=1))
 
