@@ -105,6 +105,8 @@ def write_snapshot(
     partition_by: tuple[str, ...] = (),
     metrics: dict | None = None,
     key_cols: tuple[str, ...] = (),
+    cluster_by: tuple[str, ...] = (),
+    cluster_partitions: int | None = None,
 ) -> dict:
     """Commit ``df`` as a new immutable snapshot; returns the manifest.
 
@@ -116,8 +118,25 @@ def write_snapshot(
     these columns, read back from the committed files) is written next to the
     data dir and recorded as ``"keys_dir"`` — ``resume_gap`` then anti-joins
     against the narrow keys table instead of scanning the full output
-    (the 10^12-row resume shape its docstring prescribes)."""
+    (the 10^12-row resume shape its docstring prescribes).
+
+    ``cluster_by``: data-layout clustering (Iceberg SORTED BY analog) for
+    scan pruning at scale. The rows are sorted WITHIN each output file on
+    these columns before the parquet write, so every file's footer carries
+    tight min/max column stats and a filtered read (e.g. a cell-ID range
+    probe over a spatial table) skips whole files/row-groups instead of
+    scanning 100 TB. With ``cluster_partitions`` set, the frame is first
+    ``repartitionByRange`` on the cluster columns — one extra shuffle, but
+    files then cover DISJOINT cluster-key ranges (global clustering: a point
+    probe touches ~1 file); without it, only the per-file sort applies (no
+    shuffle — each existing partition's files become prunable individually).
+    ``compact_snapshots`` is the natural place to (re)cluster a table that
+    accumulated unsorted appends."""
     assert mode in ("append", "replace")
+    if cluster_by:
+        if cluster_partitions is not None:
+            df = df.repartitionByRange(cluster_partitions, *cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
     ids = _snap_ids(table_path)
     snap_id = (ids[-1] + 1) if ids else 0
     run_uuid = str(uuid.uuid4())
@@ -209,6 +228,7 @@ def write_snapshot(
         "wall_s": round(elapsed, 4),
         "rows_per_sec": round(total / elapsed, 2) if elapsed > 0 else None,
         "partition_by": list(partition_by),
+        "cluster_by": list(cluster_by),
         "key_cols": list(key_cols),
         "keys_dir": keys_dir,
         "metrics": metrics or {},
@@ -280,6 +300,7 @@ def compact_snapshots(
     partition_by: tuple[str, ...] = (),
     key_cols: tuple[str, ...] = (),
     target_partitions: int | None = None,
+    cluster_by: tuple[str, ...] = (),
 ) -> dict | None:
     """Rewrite the current table state as ONE 'replace' snapshot.
 
@@ -294,17 +315,23 @@ def compact_snapshots(
     ``target_partitions``: coalesce the rewrite to this many output files
     (e.g. total_bytes / 512 MB on a real table); default leaves Spark's
     partitioning as-is.
+
+    ``cluster_by``: re-cluster the rewrite on these columns (range partition
+    to ``target_partitions`` when given, + in-file sort — see
+    ``write_snapshot``); compaction is the natural moment to restore a sorted
+    layout over a table that accumulated unsorted streaming appends.
     """
     live = live_snapshots(table_path)
     if not any(m["rows"] > 0 for m in live):
         return None
     df = read_table(spark, table_path)
-    if target_partitions is not None:
+    if target_partitions is not None and not cluster_by:
         df = df.coalesce(target_partitions)
     files_before = sum(_files_count(m) for m in live)
     manifest = write_snapshot(
         df, table_path, mode="replace", partition_by=partition_by,
-        key_cols=key_cols,
+        key_cols=key_cols, cluster_by=cluster_by,
+        cluster_partitions=(target_partitions if cluster_by else None),
         metrics={
             "compaction": {
                 "compacted_snapshot_ids": [m["snapshot_id"] for m in live],

@@ -233,6 +233,54 @@ def test_partition_rollup_in_manifest(spark, table):
     assert rollup == {"2016-05-07": 30, "2016-05-08": 70}
 
 
+def test_cluster_by_layout_enables_file_pruning(spark, table):
+    """cluster_by range-partitions + sorts the write, so every parquet file
+    covers a DISJOINT cluster-key range with tight footer min/max stats: a
+    point/range probe touches one file instead of the whole table — the
+    100 TB spatial-scan pruning shape (cell-ID clustered layout)."""
+    import pyarrow.parquet as pq
+
+    inp = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 4096).alias("cell")
+    )
+    m = snap.write_snapshot(inp, table, cluster_by=("cell",), cluster_partitions=8)
+    assert m["cluster_by"] == ["cell"]
+    files = [
+        os.path.join(m["data_dir"], f)
+        for f in os.listdir(m["data_dir"])
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for i in range(rgm.num_columns):
+                col = rgm.column(i)
+                if col.path_in_schema == "cell":
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    # disjoint file ranges (global clustering via repartitionByRange)
+    for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo
+    # a point probe's value lands inside exactly one file's span
+    probe = 1234
+    assert sum(1 for lo, hi in spans if lo <= probe <= hi) == 1
+    # and the predicate reaches the parquet scan (footer stats get used)
+    plan = (
+        snap.read_table(spark, table)
+        .filter(F.col("cell") == probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "cell" in plan
+
+
 def test_upsert_inherits_partition_layout(spark, table):
     """Default upsert keeps the table's recorded partition_by: the replace
     snapshot must still be laid out on disk by date (ADVICE r3)."""
