@@ -107,6 +107,7 @@ def write_snapshot(
     key_cols: tuple[str, ...] = (),
     cluster_by: tuple[str, ...] = (),
     cluster_partitions: int | None = None,
+    deletes_prior: bool = False,
 ) -> dict:
     """Commit ``df`` as a new immutable snapshot; returns the manifest.
 
@@ -131,8 +132,18 @@ def write_snapshot(
     probe touches ~1 file); without it, only the per-file sort applies (no
     shuffle — each existing partition's files become prunable individually).
     ``compact_snapshots`` is the natural place to (re)cluster a table that
-    accumulated unsorted appends."""
+    accumulated unsorted appends.
+
+    ``deletes_prior``: merge-on-read marker (requires ``key_cols``). The
+    snapshot's compact keys table doubles as an EQUALITY-DELETE set over all
+    EARLIER snapshots: readers drop any earlier row whose key appears in it
+    (``read_table`` reconciles; this snapshot's own rows survive). This is
+    the Iceberg-v2 equality-delete shape — an upsert writes O(batch) instead
+    of CoW's O(table); ``compact_snapshots`` clears the delete debt. The
+    marker rides in the SAME manifest as the data commit, so the
+    append+delete pair is atomic."""
     assert mode in ("append", "replace")
+    assert not deletes_prior or key_cols, "deletes_prior requires key_cols"
     if cluster_by:
         if cluster_partitions is not None:
             df = df.repartitionByRange(cluster_partitions, *cluster_by)
@@ -230,9 +241,17 @@ def write_snapshot(
         "partition_by": list(partition_by),
         "cluster_by": list(cluster_by),
         "key_cols": list(key_cols),
+        "deletes_prior": deletes_prior,
         "keys_dir": keys_dir,
         "metrics": metrics or {},
     }
+    _commit_manifest(table_path, manifest)
+    return manifest
+
+
+def _commit_manifest(table_path: str, manifest: dict) -> None:
+    """Atomically publish a manifest (tmp write + rename) and bump current."""
+    snap_id = manifest["snapshot_id"]
     snap_dir = os.path.join(table_path, "snapshots")
     os.makedirs(snap_dir, exist_ok=True)
     tmp = os.path.join(snap_dir, f".tmp-{manifest['uuid']}.json")
@@ -242,7 +261,6 @@ def write_snapshot(
     os.rename(tmp, final)  # atomic commit
     with open(os.path.join(snap_dir, "current"), "w") as f:
         f.write(str(snap_id))
-    return manifest
 
 
 def gc_orphans(table_path: str, grace_s: float = 300.0) -> list[str]:
@@ -265,7 +283,9 @@ def gc_orphans(table_path: str, grace_s: float = 300.0) -> list[str]:
     if not os.path.isdir(data_root):
         return []
     manifests = [_load_manifest(table_path, i) for i in _snap_ids(table_path)]
-    live = {os.path.basename(m["data_dir"]) for m in manifests}
+    live = {
+        os.path.basename(m["data_dir"]) for m in manifests if m.get("data_dir")
+    }
     live_keys = {
         os.path.basename(m["keys_dir"]) for m in manifests if m.get("keys_dir")
     }
@@ -374,11 +394,12 @@ def expire_snapshots(
 def read_table(
     spark: SparkSession, table_path: str, as_of: int | None = None
 ) -> DataFrame | None:
-    """Table state = union of live snapshots' data dirs.
+    """Table state = union of live snapshots' data dirs, reconciled against
+    any merge-on-read delete sets (``deletes_prior`` manifests).
 
     ``as_of``: time travel — read the state as of that snapshot id (inclusive),
-    exactly like Iceberg's snapshot-id reads: replays the append/replace log up
-    to that point."""
+    exactly like Iceberg's snapshot-id reads: replays the append/replace/
+    delete log up to that point."""
     manifests = [_load_manifest(table_path, i) for i in _snap_ids(table_path)]
     if as_of is not None:
         manifests = [m for m in manifests if m["snapshot_id"] <= as_of]
@@ -390,18 +411,120 @@ def read_table(
             live.append(m)
     if not live:
         return None
-    dirs = [m["data_dir"] for m in live if m["rows"] > 0]
-    if not dirs:
+    datas = [(ord_, m) for ord_, m in enumerate(live) if m["rows"] > 0]
+    deletes = [
+        (ord_, m) for ord_, m in enumerate(live) if m.get("deletes_prior")
+    ]
+    if not datas:
         return None
-    if len(dirs) == 1:
-        return spark.read.parquet(dirs[0])
-    # per-dir reads unioned: snapshots written with partitionBy keep their
-    # partition columns discoverable (a single multi-path read would fail
-    # basePath inference across snap-NNNNN roots)
-    out = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        out = out.unionByName(spark.read.parquet(d))
-    return out
+    if not deletes:
+        # fast path: plain union — per-dir reads so snapshots written with
+        # partitionBy keep their partition columns discoverable (a single
+        # multi-path read would fail basePath inference across snap roots)
+        out = spark.read.parquet(datas[0][1]["data_dir"])
+        for _, m in datas[1:]:
+            out = out.unionByName(spark.read.parquet(m["data_dir"]))
+        return out
+    # merge-on-read reconciliation: a row from snapshot ordinal j is dead iff
+    # some delete set at ordinal > j contains its key. One equi-join against
+    # the aggregated (key -> max delete ordinal) frame — delete sets are
+    # narrow keys tables, so Catalyst auto-broadcasts them while small; the
+    # delete debt is cleared wholesale by compact_snapshots.
+    kc = deletes[0][1]["key_cols"]
+    assert all(
+        m["key_cols"] == kc for _, m in deletes
+    ), "merge-on-read delete sets must share key_cols"
+    out = None
+    for ord_, m in datas:
+        part = spark.read.parquet(m["data_dir"]).withColumn(
+            "_snap_ord", F.lit(ord_)
+        )
+        out = part if out is None else out.unionByName(part)
+    dels = None
+    for ord_, m in deletes:
+        dd = spark.read.parquet(m["keys_dir"]).withColumn("_del_ord", F.lit(ord_))
+        dels = dd if dels is None else dels.unionByName(dd)
+    dels_agg = dels.groupBy(*kc).agg(F.max("_del_ord").alias("_max_del_ord"))
+    return (
+        out.join(dels_agg, list(kc), "left")
+        .filter(
+            F.col("_max_del_ord").isNull()
+            | (F.col("_max_del_ord") <= F.col("_snap_ord"))
+        )
+        .drop("_max_del_ord", "_snap_ord")
+    )
+
+
+def upsert_snapshot_mor(
+    df: DataFrame,
+    table_path: str,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] | None = None,
+    metrics: dict | None = None,
+) -> dict:
+    """Merge-on-read upsert: append ``df`` with its keys marked as an
+    equality-delete set over all prior snapshots (``deletes_prior``) — the
+    Iceberg-v2 MERGE shape. Writes O(batch) where ``upsert_snapshot`` (CoW)
+    rewrites O(table); reads pay one reconciling join until
+    ``compact_snapshots`` folds the log (which clears the delete debt because
+    ``read_table`` resolves it during the rewrite). Same key-uniqueness
+    contract as the CoW upsert; time travel sees every pre-upsert state.
+    ``partition_by=None`` inherits the live layout (as ``upsert_snapshot``)."""
+    if partition_by is None:
+        live = live_snapshots(table_path)
+        partition_by = tuple(live[-1].get("partition_by") or ()) if live else ()
+    return write_snapshot(
+        df,
+        table_path,
+        "append",
+        partition_by,
+        metrics,
+        key_cols,
+        deletes_prior=True,
+    )
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys_df: DataFrame,
+    key_cols: tuple[str, ...],
+) -> dict:
+    """Pure merge-on-read DELETE: commit a data-less snapshot whose keys
+    table is an equality-delete set over all prior snapshots (the reference's
+    metadata-delete, S11, without rewriting the table — ``write_snapshot``
+    mode='replace' remains the CoW path). Readers reconcile; resume_gap
+    treats deleted keys as NOT committed (they reprocess); compaction
+    physically drops the dead rows."""
+    ids = _snap_ids(table_path)
+    snap_id = (ids[-1] + 1) if ids else 0
+    run_uuid = str(uuid.uuid4())
+    keys_dir = os.path.join(table_path, "keys", f"snap-{snap_id:05d}-{run_uuid[:8]}")
+    t0 = time.time()
+    keys_df.select(*key_cols).distinct().write.mode("error").parquet(keys_dir)
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": ids[-1] if ids else None,
+        "uuid": run_uuid,
+        "mode": "delete",
+        "data_dir": None,
+        "rows": 0,
+        "files": [],
+        "files_count": 0,
+        "lineage_dir": None,
+        "partitions": None,
+        "partitions_truncated": False,
+        "wall_s": round(time.time() - t0, 4),
+        "rows_per_sec": None,
+        "partition_by": [],
+        "cluster_by": [],
+        "key_cols": list(key_cols),
+        "deletes_prior": True,
+        "keys_dir": keys_dir,
+        "metrics": {},
+    }
+    _commit_manifest(table_path, manifest)
+    return manifest
 
 
 def upsert_snapshot(
@@ -473,14 +596,50 @@ def resume_gap(
     live = live_snapshots(table_path)
     if not live:
         return input_df
-    keyed = [m for m in live if m["rows"] > 0]
-    if keyed and all(
-        m.get("keys_dir") and key_col in m.get("key_cols", []) for m in keyed
+    keyed = [(o, m) for o, m in enumerate(live) if m["rows"] > 0]
+    deletes = [
+        (o, m)
+        for o, m in enumerate(live)
+        if m.get("deletes_prior") and m.get("keys_dir")
+    ]
+    if (
+        keyed
+        and all(
+            m.get("keys_dir") and key_col in m.get("key_cols", [])
+            for _, m in keyed
+        )
+        and all(key_col in m.get("key_cols", []) for _, m in deletes)
     ):
-        keys = spark.read.parquet(keyed[0]["keys_dir"]).select(key_col)
-        for m in keyed[1:]:
-            keys = keys.unionByName(spark.read.parquet(m["keys_dir"]).select(key_col))
-        return input_df.join(keys.distinct(), key_col, "left_anti")
+        keys = None
+        for o, m in keyed:
+            k = spark.read.parquet(m["keys_dir"]).select(key_col).withColumn(
+                "_ord", F.lit(o)
+            )
+            keys = k if keys is None else keys.unionByName(k)
+        if deletes:
+            # merge-on-read: a key counts as committed only if its latest
+            # data snapshot is not superseded by a later delete set —
+            # deleted keys fall back into the gap and reprocess
+            dels = None
+            for o, m in deletes:
+                d = spark.read.parquet(m["keys_dir"]).select(key_col).withColumn(
+                    "_dord", F.lit(o)
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            committed = (
+                keys.groupBy(key_col)
+                .agg(F.max("_ord").alias("_ko"))
+                .join(
+                    dels.groupBy(key_col).agg(F.max("_dord").alias("_do")),
+                    key_col,
+                    "left",
+                )
+                .filter(F.col("_do").isNull() | (F.col("_do") <= F.col("_ko")))
+                .select(key_col)
+            )
+        else:
+            committed = keys.select(key_col).distinct()
+        return input_df.join(committed, key_col, "left_anti")
     existing = read_table(spark, table_path)
     if existing is None:
         return input_df

@@ -297,6 +297,62 @@ def test_upsert_inherits_partition_layout(spark, table):
     assert snap.read_table(spark, table).count() == 41
 
 
+def test_upsert_mor_and_delete_keys(spark, table):
+    """Merge-on-read upsert/delete (Iceberg-v2 equality-delete shape): the
+    upsert writes only its batch; readers reconcile; deleted keys fall back
+    into the resume gap; compaction clears the delete debt; every pre-change
+    state stays time-travelable."""
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    m0 = snap.write_snapshot(base, table, key_cols=("k",))
+    batch = spark.createDataFrame([(2, "b", 99), (4, "d", 40)], "k int, s string, v int")
+    m1 = snap.upsert_snapshot_mor(batch, table, key_cols=("k",))
+    assert m1["rows"] == 2 and m1["deletes_prior"]  # O(batch), not O(table)
+    assert {(r.k, r.v) for r in snap.read_table(spark, table).collect()} == {
+        (1, 10), (2, 99), (3, 30), (4, 40),
+    }
+    assert {
+        (r.k, r.v)
+        for r in snap.read_table(spark, table, as_of=m0["snapshot_id"]).collect()
+    } == {(1, 10), (2, 20), (3, 30)}
+
+    md = snap.delete_keys(spark, table, spark.createDataFrame([(1,)], "k int"), ("k",))
+    assert md["mode"] == "delete" and md["rows"] == 0 and md["data_dir"] is None
+    assert {(r.k, r.v) for r in snap.read_table(spark, table).collect()} == {
+        (2, 99), (3, 30), (4, 40),
+    }
+    # resume: the deleted key is NOT committed anymore; 5 never was
+    inp = spark.range(1, 6).select(F.col("id").cast("int").alias("k"))
+    assert {r.k for r in snap.resume_gap(spark, inp, table, "k").collect()} == {1, 5}
+
+    # re-inserting a deleted key via a later MoR upsert recommits it
+    snap.upsert_snapshot_mor(
+        spark.createDataFrame([(1, "a2", 11)], "k int, s string, v int"),
+        table,
+        key_cols=("k",),
+    )
+    assert {(r.k, r.v) for r in snap.read_table(spark, table).collect()} == {
+        (1, 11), (2, 99), (3, 30), (4, 40),
+    }
+    assert {r.k for r in snap.resume_gap(spark, inp, table, "k").collect()} == {5}
+
+    # compaction folds the log and clears the delete debt
+    mc = snap.compact_snapshots(spark, table, key_cols=("k",), target_partitions=1)
+    assert mc["mode"] == "replace"
+    assert not any(m.get("deletes_prior") for m in snap.live_snapshots(table))
+    assert {(r.k, r.v) for r in snap.read_table(spark, table).collect()} == {
+        (1, 11), (2, 99), (3, 30), (4, 40),
+    }
+    # time travel to before the delete still shows the original key-1 row
+    assert (1, 10) in {
+        (r.k, r.v)
+        for r in snap.read_table(spark, table, as_of=m1["snapshot_id"]).collect()
+    }
+    # gc with a data-less delete manifest in the log: nothing live reclaimed
+    assert snap.gc_orphans(table, grace_s=0.0) == []
+
+
 def test_upsert_snapshot_merge_and_time_travel(spark, table):
     """Geostreams-upsert semantics: matched keys replaced, new keys inserted,
     unmatched rows carried forward; pre-upsert state stays time-travelable."""
