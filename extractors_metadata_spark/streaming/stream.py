@@ -102,7 +102,17 @@ def stream_pipeline(
         pages = batch_df.dropDuplicates(["url"])
         todo = resume_gap(spark, pages, output_table, "url")
         out = batch_fn(spark, todo)
-        write_snapshot(out, output_table, "append")
+        # key_cols: each commit records its urls in a compact keys table, so
+        # the NEXT batch's resume anti-join reads only the narrow keys path
+        # instead of re-scanning the growing wide output (the per-batch fixed
+        # cost called out in BENCH/BASELINE.md's streaming section).
+        # cluster_by cell: in-file sort (no shuffle) keeps every committed
+        # file's cell-ID footer range tight — the datapoint table stays
+        # prunable for spatial range probes as it accumulates.
+        cluster = ("cell_r9",) if "cell_r9" in out.columns else ()
+        write_snapshot(
+            out, output_table, "append", key_cols=("url",), cluster_by=cluster
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)
