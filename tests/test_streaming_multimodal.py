@@ -38,6 +38,17 @@ def test_stream_drain_and_idempotent_restart(spark, tmp_path_factory, plots_pdf)
     # every url with positional metadata appears exactly once
     assert final.groupBy("url").count().filter(F.col("count") > 1).count() == 0
     assert final.count() == final.select("url").distinct().count() <= total_unique
+    # the per-batch resume anti-join reads ONLY the narrow keys tables, never
+    # the growing wide output (each commit records key_cols=('url',))
+    gap = snap.resume_gap(spark, pages, table, "url")
+    files = gap.inputFiles()
+    assert files and all(("/keys/" in f) or ("/in/" in f) for f in files)
+    # and commits are cell-clustered (manifest records the layout)
+    assert all(
+        m["cluster_by"] == ["cell_r9"]
+        for m in snap.live_snapshots(table)
+        if m["rows"] > 0
+    )
 
 
 def test_decode_image_features_shapes(spark):
