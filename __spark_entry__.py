@@ -1129,8 +1129,14 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_extract_text_verify(spark, sf_dir):
-    """The byte-identical invariant as a query: re-extract text from html and
-    count matches (rows-only; the pytest goldens hash-lock the function)."""
+    """The byte-identical invariant (BASELINE input_hint: text ==
+    extract_text(html) per url) as an ORACLE-BACKED query: re-extract text
+    from the synth html and count matches. The oracle pins n_identical ==
+    n_docs — if extract_text (or the synth contract) drifted by one byte on
+    one document, the equality breaks. n replays the query's
+    max(1000, 100_000*sf) sizing from the events row count (events = 10^6*sf
+    per TESTDATA.md). extract_text's per-byte behavior is separately
+    hash-checked by extract_text_probe and the frozen pytest goldens."""
     from extractors_metadata_spark.functions.spark_udfs import extract_text_udf
     from extractors_metadata_spark.synth import synth_webpages
 
@@ -1153,12 +1159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-60: oracle-backed queries whose primitive is already
+    2. entries 51-61: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) — still exact-checked locally by
        ``tools/check_oracles.py`` (results committed per round);
-    3. entries 61-70: the rows-only twins (xxhash64/approximate/html-derived
-       kernels) — each names its oracle-twin in its docstring.
+    3. entries 62-70: the rows-only twins (xxhash64/approximate kernels) —
+       each names its oracle-twin in its docstring.
     """
     return {
         # -- tier 1: oracle-backed, driver-checked window -------------------
@@ -1223,7 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_tokens": q_word_tokens,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dedup_exact": q_near_dedup_exact,
-        # -- tier 3: rows-only twins (positions 61-70) ----------------------
+        "extract_text_verify": q_extract_text_verify,
+        # -- tier 3: rows-only twins (positions 62-70) ----------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
         "minhash_pairs": q_minhash_pairs,
@@ -1233,7 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_pairs": q_embed_near_pairs,
         "multi_render": q_multi_render,
         "multimodal_features": q_multimodal_features,
-        "extract_text_verify": q_extract_text_verify,
     }
 
 
@@ -2414,6 +2420,10 @@ def oracle_sql() -> dict[str, str]:
                             '&quot;', '"'), '&#39;', '''') AS s
                    FROM s3)
             SELECT event_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text FROM s4
+        """,
+        "extract_text_verify": """
+            SELECT greatest(1000, CAST(0.1 * (SELECT count(*) FROM events) AS BIGINT)) AS n_docs,
+                   greatest(1000, CAST(0.1 * (SELECT count(*) FROM events) AS BIGINT)) AS n_identical
         """,
         "multimodal_dims_verify": f"""
             WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
