@@ -984,6 +984,29 @@ def q_multimodal_dims_verify(spark, sf_dir):
     return out.select("url", "width", "height", "channels")
 
 
+def q_multimodal_features_verify(spark, sf_dir):
+    """The stub decoder's FEATURE GENERATOR under a FULL oracle (extends
+    multimodal_dims_verify, which already oracles the FNV dims): DuckDB
+    replays FNV-1a seed -> SplitMix64 counter grid -> Box-Muller -> float32
+    bit-exactly, and the vector is checked as the Spark query's rounded
+    left-fold norm (lists are unhashable in the driver's canonicalizer).
+    With this, the entire vectorized stub path — hash, dims, features — is
+    hash-checked; multimodal_features stays as the rows-only twin on the
+    synth-html input."""
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
+
+    pages = _probe_pages(spark, sf_dir, max_events=2000)
+    out = decode_image_features(pages, n_features=8)
+    norm2 = F.aggregate(
+        F.transform("features", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return out.select(
+        "url", "width", "height", "channels", F.round(norm2, 6).alias("feat_norm2")
+    )
+
+
 def q_prefix_remap(spark, sf_dir):
     # P11: longest-prefix mount-path rewrite (terra_mdcleaner.py:118-125)
     from extractors_metadata_spark.functions.textstats import remap_prefix
@@ -1230,7 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "near_dedup_exact": q_near_dedup_exact,
         "extract_text_verify": q_extract_text_verify,
-        # -- tier 3: rows-only twins (positions 62-70) ----------------------
+        "multimodal_features_verify": q_multimodal_features_verify,
+        # -- tier 3: rows-only twins (positions 63-71) ----------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
         "minhash_pairs": q_minhash_pairs,
@@ -1727,6 +1751,64 @@ def _fnv_sql(expr: str) -> str:
         f"(h, c) -> (CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)"
         f" * 1099511628211) % 18446744073709551616) % 9223372036854775808 AS BIGINT)"
     )
+
+
+def _splitmix_features_sql(n_features: int = 8) -> str:
+    """SQL replay of multimodal/binary_ops._normals_from_seeds — SplitMix64
+    over a (seed, counter) grid -> 53-bit uniforms -> Box-Muller -> float32
+    cast — verified BIT-exact vs NumPy on this host (same libm for
+    ln/sqrt/cos/sin; DuckDB ``CAST AS FLOAT`` == ``astype(float32)``). The
+    64-bit wraparound multiplies run in 32-bit limbs (a full 64x64 product
+    overflows HUGEINT at 2^127); each xor-shift stage is a MATERIALIZED CTE
+    (inlined, the expression tree doubles per stage — see CLAUDE.md).
+    Consumes CTE ``hh(event_id, h63)``; ends with
+    ``feats(event_id, feat_norm2)`` where feat_norm2 mirrors the Spark
+    query's left-associated sum of float32 squares, rounded to 6."""
+    pairs = (n_features + 1) // 2
+    m64 = "18446744073709551616"
+
+    def mul(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"(((CAST({a} AS HUGEINT) * {bl}) % {m64}"
+            f" + (((CAST({a} AS HUGEINT) * {bh}) % 4294967296) * 4294967296)) % {m64})"
+        )
+
+    def xs(z: str, s: int) -> str:
+        return f"xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {s})"
+
+    u_cols = ", ".join(
+        f"max(CASE WHEN c = {i + 1} THEN u END) AS u{i + 1}"
+        for i in range(2 * pairs)
+    )
+    f_exprs = []
+    for j in range(n_features):
+        p = j // 2
+        r = f"sqrt(-2.0 * ln(greatest(u{p + 1}, 1e-300)))"
+        tr = "cos" if j % 2 == 0 else "sin"
+        f_exprs.append(
+            f"CAST({r} * {tr}(6.283185307179586 * u{pairs + p + 1}) AS FLOAT) AS f{j + 1}"
+        )
+    norm = " + ".join(
+        f"CAST(f{j + 1} AS DOUBLE) * CAST(f{j + 1} AS DOUBLE)"
+        for j in range(n_features)
+    )
+    return f"""
+        ctrs AS (SELECT unnest(range(1, {2 * pairs + 1})) AS c),
+        z0 AS MATERIALIZED (
+          SELECT event_id, CAST(c AS INT) AS c,
+                 (CAST(h63 AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT) * c) % {m64} AS z
+          FROM hh, ctrs),
+        z1 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM z0),
+        z2 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 27), 0x94D049BB133111EB)} AS z FROM z1),
+        uu AS MATERIALIZED (
+          SELECT event_id, c,
+                 CAST(({xs('z', 31)}) >> 11 AS DOUBLE) * 1.1102230246251565e-16 AS u
+          FROM z2),
+        up AS (SELECT event_id, {u_cols} FROM uu GROUP BY event_id),
+        fx AS (SELECT event_id, {', '.join(f_exprs)} FROM up),
+        feats AS (SELECT event_id, round({norm}, 6) AS feat_norm2 FROM fx)
+    """
 
 
 def _probe_html_sql() -> str:
@@ -2434,6 +2516,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(240 + (h63 // 1024) % 768 AS INT) AS height,
                    CAST(3 AS INT) AS channels
             FROM hh
+        """,
+        "multimodal_features_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_splitmix_features_sql(8)}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(320 + h63 % 1024 AS INT) AS width,
+                   CAST(240 + (h63 // 1024) % 768 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   feat_norm2
+            FROM hh JOIN feats USING (event_id)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
