@@ -353,6 +353,42 @@ def test_upsert_mor_and_delete_keys(spark, table):
     assert snap.gc_orphans(table, grace_s=0.0) == []
 
 
+def test_mor_log_random_model(spark, table):
+    """Model check: a seeded random interleaving of CoW writes, MoR upserts,
+    MoR deletes, and a mid-sequence compaction must equal a plain dict model
+    at every step (including after compaction clears the delete debt)."""
+    import random
+
+    rng = random.Random(42)
+    model: dict[int, int] = {}
+
+    def mk(rows):
+        return spark.createDataFrame([(k, v) for k, v in rows], "k int, v int")
+
+    # seed
+    first = [(k, rng.randrange(1000)) for k in rng.sample(range(30), 10)]
+    snap.write_snapshot(mk(first), table, key_cols=("k",))
+    model.update(dict(first))
+
+    for step in range(12):
+        op = rng.choice(["upsert", "upsert", "delete", "compact"])
+        if op == "upsert":
+            batch = [(k, rng.randrange(1000)) for k in rng.sample(range(30), rng.randrange(1, 6))]
+            snap.upsert_snapshot_mor(mk(batch), table, key_cols=("k",))
+            model.update(dict(batch))
+        elif op == "delete":
+            if not model:
+                continue
+            ks = rng.sample(sorted(model), min(len(model), rng.randrange(1, 4)))
+            snap.delete_keys(spark, table, mk([(k, 0) for k in ks]).select("k"), ("k",))
+            for k in ks:
+                model.pop(k)
+        else:
+            snap.compact_snapshots(spark, table, key_cols=("k",), target_partitions=1)
+        got = {(r.k, r.v) for r in snap.read_table(spark, table).collect()}
+        assert got == set(model.items()), f"step {step} op {op}"
+
+
 def test_upsert_snapshot_merge_and_time_travel(spark, table):
     """Geostreams-upsert semantics: matched keys replaced, new keys inserted,
     unmatched rows carried forward; pre-upsert state stays time-travelable."""
