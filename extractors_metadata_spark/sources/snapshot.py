@@ -19,7 +19,11 @@ plain parquet:
   ``/root/reference/repairer/terra_repairer.py:41-66``, and the
   skip-if-already-processed gate ``terra_sensorposition.py:31-37``);
 - ``replace`` snapshots supersede all parents (the reference's
-  delete-then-reupload metadata cycle, ``terra_mdcleaner.py:64-67,93-94``).
+  delete-then-reupload metadata cycle, ``terra_mdcleaner.py:64-67,93-94``);
+- merge-on-read: ``upsert_snapshot_mor`` / ``delete_keys`` commit Iceberg-v2
+  style equality-delete sets (``deletes_prior`` manifests) that readers
+  reconcile — O(batch) mutation vs CoW's O(table) rewrite — and
+  ``compact_snapshots`` clears the delete debt.
 
 On a real cluster the same layout works on any Hadoop-compatible FS; commits
 are atomic via manifest-file rename-into-place.
