@@ -59,8 +59,12 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1].split(",") if len(args) > 1 else None
 
     import __spark_entry__ as entrymod
     from extractors_metadata_spark.session import get_spark
@@ -76,6 +80,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -84,27 +89,50 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
-            ok = len(sdf) >= 0
             print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "rows_only", "rows": len(sdf),
+                "wall_s": round(time.time() - t0, 1),
+            }
             n_rowsonly += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error {e}")
+            results[name] = {"status": "fail", "err": f"oracle: {e}"}
             n_fail += 1
             continue
         issues = compare(name, sdf, odf)
         if issues:
             print(f"FAIL  {name} ({len(sdf)} rows): " + " | ".join(issues[:4]))
+            results[name] = {"status": "fail", "rows": len(sdf), "issues": issues[:4]}
             n_fail += 1
         else:
             print(f"pass  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass", "rows": len(sdf),
+                "wall_s": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "totals": {"pass": n_pass, "rows_only": n_rowsonly, "fail": n_fail},
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
