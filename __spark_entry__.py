@@ -1174,6 +1174,17 @@ def q_extract_text_verify(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup (operators/sessions.py)
+    over the events table: 30-min inactivity gap, exact int64-microsecond
+    arithmetic, (ts, event_id) tie-break, decimal value sums. One shuffle
+    keyed by user_id (plan-shape pinned in test_sessions.py). FULL oracle:
+    DuckDB replays the identical lag/running-sum/aggregate pipeline."""
+    from extractors_metadata_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1182,11 +1193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-61: oracle-backed queries whose primitive is already
+    2. entries 51-63: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
-       all_targets ~ targets_complete) — still exact-checked locally by
+       all_targets ~ targets_complete) or added after the window froze
+       (session_stats) — still exact-checked locally by
        ``tools/check_oracles.py`` (results committed per round);
-    3. entries 62-70: the rows-only twins (xxhash64/approximate kernels) —
+    3. entries 64-72: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
     return {
@@ -1254,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_exact": q_near_dedup_exact,
         "extract_text_verify": q_extract_text_verify,
         "multimodal_features_verify": q_multimodal_features_verify,
+        "session_stats": q_session_stats,
         # -- tier 3: rows-only twins (positions 63-71) ----------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -2528,6 +2541,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS channels,
                    feat_norm2
             FROM hh JOIN feats USING (event_id)
+        """,
+        "session_stats": """
+            WITH x AS (
+              SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS pus
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM x),
+            s AS (
+              SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+                          AS session_seq
+              FROM f)
+            SELECT user_id, session_seq,
+                   CAST(user_id AS VARCHAR) || '-'
+                     || CAST(session_seq AS VARCHAR) AS session_id,
+                   count(*) AS n_events,
+                   max(us) - min(us) AS duration_us,
+                   count(DISTINCT event_type) AS n_types,
+                   CAST(round(sum(CAST(value AS DECIMAL(20,2))), 2) AS DOUBLE)
+                     AS sum_value
+            FROM s GROUP BY 1, 2, 3
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)

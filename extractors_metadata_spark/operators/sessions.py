@@ -1,0 +1,91 @@
+"""Gap-based sessionization over event streams.
+
+Engine-added capability (task mandate: operations a large-scale web/training
+pipeline needs): group per-user event sequences into sessions split at
+inactivity gaps — the standard preprocessing step for clickstream corpora,
+dialogue-turn assembly, and per-session quality filtering before a crawl's
+events feed a training set.
+
+Scale design (100 TB): both operators are a single shuffle keyed by
+``user_col`` — hash-uniform (billions of users, no hot key), no global sort.
+The window functions (``lag``, running ``sum``) and the downstream aggregate
+all ride the SAME partitioning, so Catalyst plans exactly one Exchange; the
+per-user sort is local to each partition. Nothing collects to the driver.
+Contrast the streaming shape in ``streaming/stateful.py`` (session windows
+with watermarks) — this is the batch/backfill twin of that operator.
+
+Determinism contract (driver oracle): event ordering is (ts, id) — the id
+tiebreak makes equal timestamps deterministic; gap comparison is exact int64
+microsecond arithmetic (``unix_micros`` == DuckDB ``epoch_us``), and the value
+sum goes through DECIMAL(20,2) so both engines add exactly (CLAUDE.md money
+rule). Reference analog: none — the reference (terraref/extractors-metadata)
+processes datasets one message at a time and has no cross-event windowing;
+this is the engine widening that per-message model to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Assign each event a per-user session: adds ``session_seq`` (1-based
+    per-user session index) and ``session_id`` ("<user>-<seq>").
+
+    A new session starts at the first event per user and whenever the gap to
+    the previous event exceeds ``gap_s`` (strict >, exact microseconds).
+    Plan: one Exchange on ``user_col``; lag + running sum share the sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # parquet timestamps read as TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the cast is wall-clock-exact and unix_micros equals
+    # DuckDB epoch_us on the naive value.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_sess = (
+        prev_us.isNull() | (us - prev_us > F.lit(int(gap_s) * 1_000_000))
+    ).cast("long")
+    # (ts, id) is unique per partition, so the default RANGE frame of an
+    # ordered window equals ROWS UNBOUNDED PRECEDING..CURRENT ROW — the
+    # oracle spells the ROWS frame explicitly.
+    seq = F.sum(new_sess).over(w)
+    return df.withColumn("session_seq", seq).withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: event count, span, distinct types, exact value sum.
+
+    Columns: (user, session_seq, session_id, n_events, duration_us,
+    n_types, sum_value). ``duration_us`` stays exact int64; ``sum_value``
+    sums through DECIMAL(20,2) then rounds — exact in any engine.
+    The aggregate reuses the sessionize Exchange (same key prefix), so the
+    whole operator is one shuffle end-to-end.
+    """
+    s = sessionize(df, user_col, ts_col, id_col, gap_s)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return s.groupBy(user_col, "session_seq", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.countDistinct(type_col).alias("n_types"),
+        F.round(F.sum(F.col(value_col).cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
