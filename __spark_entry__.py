@@ -1185,6 +1185,46 @@ def q_session_stats(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup (operators/dedup.url_dedup over the
+    functions/urltools.py frozen canonical rule set). The messy URL is
+    synthesized deterministically from doc_id/source so every rule fires
+    (case, www, default port, tracking params, param sort, trailing slash,
+    fragment); the oracle derives the expected canonical form in CLOSED FORM
+    from the same arithmetic — an independent derivation, so the regex
+    parsing path is genuinely cross-checked, not replayed. Canonicalization
+    is pure codegen; the survivor flag is ONE shuffle keyed by the canonical
+    string (hash-uniform at crawl scale)."""
+    from extractors_metadata_spark.operators.dedup import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    m2, m3, m4, m5, m10 = m % 2, m % 3, m % 4, m % 5, m % 10
+    url = F.concat(
+        F.when(m3 == 0, F.lit("HTTP"))
+        .when(m3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(m2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(m4 < 2, F.upper("source")).otherwise(F.col("source")),
+        F.when(m4 == 0, F.lit(".Example.CO.uk")).otherwise(F.lit(".Example.COM")),
+        F.when(
+            m5 == 0, F.when(m3 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+        ).otherwise(F.lit("")),
+        F.lit("/p/"),
+        m10.cast("string"),
+        F.when(m2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(m3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?utm_source=track&z="), m3.cast("string"), F.lit("&a=1"))
+        ),
+        F.when(m2 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    messy = d.select("doc_id", url.alias("url"))
+    return url_dedup(messy).select(
+        "doc_id", "url", "url_canonical", "domain", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1193,12 +1233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-63: oracle-backed queries whose primitive is already
+    2. entries 51-64: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
-       (session_stats) — still exact-checked locally by
+       (session_stats, url_dedup) — still exact-checked locally by
        ``tools/check_oracles.py`` (results committed per round);
-    3. entries 64-72: the rows-only twins (xxhash64/approximate kernels) —
+    3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
     return {
@@ -1267,7 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_verify": q_extract_text_verify,
         "multimodal_features_verify": q_multimodal_features_verify,
         "session_stats": q_session_stats,
-        # -- tier 3: rows-only twins (positions 63-71) ----------------------
+        "url_dedup": q_url_dedup,
+        # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
         "minhash_pairs": q_minhash_pairs,
@@ -2568,6 +2609,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(20,2))), 2) AS DOUBLE)
                      AS sum_value
             FROM s GROUP BY 1, 2, 3
+        """,
+        "url_dedup": """
+            -- Closed-form derivation: the canonical URL is computed directly
+            -- from the construction arithmetic (NOT by replaying the Spark
+            -- regexes), so the engine's regex parsing path is independently
+            -- cross-checked.
+            WITH u AS (
+              SELECT doc_id, source,
+                     doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4,
+                     doc_id % 5 AS m5, doc_id % 10 AS m10
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     (CASE WHEN m3 = 0 THEN 'HTTP'
+                           WHEN m3 = 1 THEN 'https' ELSE 'HTTPS' END)
+                     || '://' || (CASE WHEN m2 = 0 THEN 'WWW.' ELSE '' END)
+                     || (CASE WHEN m4 < 2 THEN upper(source) ELSE source END)
+                     || (CASE WHEN m4 = 0 THEN '.Example.CO.uk'
+                              ELSE '.Example.COM' END)
+                     || (CASE WHEN m5 = 0 THEN
+                           (CASE WHEN m3 = 0 THEN ':80' ELSE ':443' END)
+                         ELSE '' END)
+                     || '/p/' || CAST(m10 AS VARCHAR)
+                     || (CASE WHEN m2 = 1 THEN '/' ELSE '' END)
+                     || (CASE WHEN m3 = 0 THEN ''
+                         ELSE '?utm_source=track&z=' || CAST(m3 AS VARCHAR)
+                              || '&a=1' END)
+                     || (CASE WHEN m2 = 1 THEN '#frag' ELSE '' END) AS url,
+                     (CASE WHEN m3 = 0 THEN 'http' ELSE 'https' END) || '://'
+                     || lower(source)
+                     || (CASE WHEN m4 = 0 THEN '.example.co.uk'
+                              ELSE '.example.com' END)
+                     || '/p/' || CAST(m10 AS VARCHAR)
+                     || (CASE WHEN m3 = 0 THEN ''
+                         ELSE '?a=1&z=' || CAST(m3 AS VARCHAR) END)
+                       AS url_canonical,
+                     (CASE WHEN m4 = 0 THEN 'example.co.uk'
+                           ELSE 'example.com' END) AS domain
+              FROM u)
+            SELECT doc_id, url, url_canonical, domain,
+                   CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canonical)
+                        AS INT) AS keep
+            FROM m
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)

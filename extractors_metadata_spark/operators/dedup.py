@@ -710,3 +710,32 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: the cheap first pass of a crawl pipeline —
+    canonicalize every URL (functions/urltools.py frozen rule set) and keep
+    the min-id row per canonical key, BEFORE any content hash touches the
+    payload.
+
+    Adds ``url_canonical``, ``domain`` (registrable-domain-lite of the
+    canonical host) and ``keep`` (min-id survivor flag; losers stay visible
+    for funnel accounting, filter ``keep`` to materialize survivors).
+
+    Scale: canonicalization is pure codegen (zero shuffle); the survivor
+    flag is ONE shuffle keyed by the canonical string — hash-uniform at
+    billions of URLs. Payloads may ride through: the window adds no sort
+    spill (min over an unordered frame is a running aggregate), but at
+    100 TB prefer projecting (id, url) through this and joining survivors
+    back (CLAUDE.md narrow-fan-out rule).
+    """
+    from ..functions.urltools import canonicalize_url, registrable_domain, url_host
+
+    u = F.col(url_col)
+    keyed = df.withColumn("url_canonical", canonicalize_url(u)).withColumn(
+        "domain", registrable_domain(url_host(u))
+    )
+    w = Window.partitionBy("url_canonical")
+    return keyed.withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
