@@ -1225,6 +1225,43 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): each purchase matched with
+    the user's most recent view at-or-before it, 1-day staleness bound.
+    The union/last-carry-forward plan is ONE key-hash shuffle (no range
+    explosion); the oracle is DuckDB's NATIVE ASOF LEFT JOIN — a genuinely
+    independent implementation of the same semantics."""
+    from extractors_metadata_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(left, right, on="user_id", left_id="event_id", tolerance_s=86400)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id_r").alias("view_event_id"),
+        "asof_gap_us",
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document quota (operators/skew.domain_cap): keep k=5 docs
+    per source by verifiable-hash priority via the skew-safe two-phase
+    salted top-k (top_k_per_key). The oracle replays the poly hash and a
+    single-window ranking — also cross-checking that the salted two-phase
+    plan equals the plain window exactly."""
+    from extractors_metadata_spark.operators.skew import domain_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_cap(d, key_col="source", id_col="doc_id", k=5).select(
+        "doc_id", "source", "priority", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1233,11 +1270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-64: oracle-backed queries whose primitive is already
+    2. entries 51-66: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
-       (session_stats, url_dedup) — still exact-checked locally by
-       ``tools/check_oracles.py`` (results committed per round);
+       (session_stats, url_dedup, asof_join, domain_cap) — still
+       exact-checked locally by ``tools/check_oracles.py`` (results
+       committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
@@ -1308,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_verify": q_multimodal_features_verify,
         "session_stats": q_session_stats,
         "url_dedup": q_url_dedup,
+        "asof_join": q_asof_join,
+        "domain_cap": q_domain_cap,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -2652,6 +2692,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canonical)
                         AS INT) AS keep
             FROM m
+        """,
+        "asof_join": """
+            -- DuckDB's NATIVE ASOF JOIN as an independent implementation of
+            -- the union/last-carry-forward plan (inclusive backward match,
+            -- 1-day tolerance nulls the match but keeps the row).
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, event_id AS view_event_id,
+                              epoch_us(ts) AS rts_us
+                       FROM events WHERE event_type = 'view'),
+                 j AS (SELECT l.event_id, l.user_id, l.ts_us,
+                              r.view_event_id, l.ts_us - r.rts_us AS gap
+                       FROM l ASOF LEFT JOIN r
+                         ON l.user_id = r.user_id AND l.ts_us >= r.rts_us)
+            SELECT event_id, user_id, ts_us,
+                   CASE WHEN gap <= 86400000000 THEN view_event_id END
+                     AS view_event_id,
+                   CASE WHEN gap <= 86400000000 THEN gap END AS asof_gap_us
+            FROM j
+        """,
+        "domain_cap": f"""
+            WITH p AS (SELECT doc_id, source,
+                              {_poly_sql("CAST(doc_id AS VARCHAR)", 131)}
+                                AS priority
+                       FROM documents),
+                 r AS (SELECT doc_id, source, priority,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY priority, doc_id)
+                                AS rk
+                       FROM p)
+            SELECT doc_id, source, priority, CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 5
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
