@@ -1262,6 +1262,36 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Temporal interval join (operators/rangejoin.py): clicks inside the
+    2-day window after each signup, per user. The bucket-decomposed plan
+    (probe side never exploded, interval side fans out <= 3 buckets at
+    bucket_s=86400) is checked against the semantically-primitive SQL theta
+    join — so the covering-bucket rewrite itself is what the oracle tests."""
+    from extractors_metadata_spark.operators.rangejoin import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    iv = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("hi"),
+    )
+    out = interval_join(clicks, iv, on="user_id", bucket_s=86400)
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("lo").cast("timestamp"))
+        ).alias("offset_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1270,11 +1300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-66: oracle-backed queries whose primitive is already
+    2. entries 51-67: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
-       (session_stats, url_dedup, asof_join, domain_cap) — still
-       exact-checked locally by ``tools/check_oracles.py`` (results
+       (session_stats, url_dedup, asof_join, domain_cap, interval_join) —
+       still exact-checked locally by ``tools/check_oracles.py`` (results
        committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
@@ -1348,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "asof_join": q_asof_join,
         "domain_cap": q_domain_cap,
+        "interval_join": q_interval_join,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -2724,6 +2755,19 @@ def oracle_sql() -> dict[str, str]:
                        FROM p)
             SELECT doc_id, source, priority, CAST(rk AS INT) AS rank
             FROM r WHERE rk <= 5
+        """,
+        "interval_join": """
+            -- semantically-primitive theta join: checks the engine's
+            -- covering-bucket decomposition (probe side never exploded)
+            WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'click'),
+                 s AS (SELECT event_id AS signup_id, user_id,
+                              epoch_us(ts) AS lo
+                       FROM events WHERE event_type = 'signup')
+            SELECT c.event_id, c.user_id, s.signup_id, c.us - s.lo AS offset_us
+            FROM c JOIN s
+              ON c.user_id = s.user_id
+             AND c.us >= s.lo AND c.us <= s.lo + 172800000000
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
