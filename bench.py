@@ -136,6 +136,12 @@ def main() -> None:
         # round-3 additions: corpus stats + SRP near-pairs (aggregates keep
         # every upstream column load-bearing under count())
         "vocab_topk", "tfidf_topk", "srp_pairs_verify",
+        # round-4 additions — each stays load-bearing under count(): the
+        # session agg groups on window output, asof's window feeds the
+        # match-back join keys, interval_join is an inner join, domain_cap
+        # filters on rank. (url_dedup is NOT timed here: count() would prune
+        # its survivor window + canonicalization to a bare scan.)
+        "session_stats", "asof_join", "interval_join", "domain_cap",
     ]
     qs = entrymod.queries()
     for name in suite:
