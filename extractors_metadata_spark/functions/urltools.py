@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# query = first '?' BEFORE any '#' (RFC 3986): the lazy [^#]*? prefix keeps a
+# '?' that only appears inside the fragment from being read as a query
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 _TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 
