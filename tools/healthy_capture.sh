@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-4 background healthy-window capture orchestrator.
+#
+# The host's cold-page pathology (CLAUDE.md) makes official timings
+# meaningless while active; this script loop-probes cold-page bandwidth and,
+# on a CONFIRMED healthy window (two probes >= 2 GB/s, 5 s apart, no live
+# Spark JVM), captures — in priority order, never concurrently —
+#   1. an official-quality bench artifact (/tmp/bench_healthy_r04.json;
+#      promoted only if bench.py's own in-band gate also read healthy), then
+#   2. the 5-pair N-vs-4N scaling protocol (tools/run_scaling.sh, which
+#      re-gates per pair).
+# Bounded to DEADLINE_S total; logs every probe to /tmp/healthy_capture.log.
+set -u
+cd "$(dirname "$0")/.."
+DEADLINE_S=${1:-14400}
+START=$(date +%s)
+LOG=/tmp/healthy_capture.log
+echo "orchestrator start $(date -u +%T) deadline ${DEADLINE_S}s" >> "$LOG"
+
+probe() {
+  python - <<'PYEOF'
+import numpy as np, time
+x = np.zeros(10_000_000)
+t = time.time(); x.copy()
+print(round(8 * 10_000_000 / max(time.time() - t, 1e-9) / 1e9, 3))
+PYEOF
+}
+
+# never overlap a harness that is already mid-capture
+while pgrep -f "tools/run_scaling.sh" > /dev/null 2>&1; do
+  sleep 60
+  [ $(( $(date +%s) - START )) -ge "$DEADLINE_S" ] && { echo "deadline during wait-for-harness" >> "$LOG"; exit 1; }
+done
+echo "prior harness done $(date -u +%T)" >> "$LOG"
+
+BENCH_DONE=0
+while [ $(( $(date +%s) - START )) -lt "$DEADLINE_S" ]; do
+  G=$(probe)
+  echo "$(date -u +%T) probe $G" >> "$LOG"
+  OK=$(python -c "print(1 if float('$G') >= 2.0 else 0)")
+  if [ "$OK" = "1" ] && ! pgrep -f "org.apache.spark" > /dev/null 2>&1; then
+    # confirm with a second probe 5s later (windows flap)
+    sleep 5
+    G2=$(probe)
+    OK2=$(python -c "print(1 if float('$G2') >= 2.0 else 0)")
+    if [ "$OK2" = "1" ]; then
+      if [ "$BENCH_DONE" = "0" ]; then
+        echo "$(date -u +%T) HEALTHY ($G/$G2) -> bench" >> "$LOG"
+        SPARK_GRAFT_BENCH_MAX_WAIT_S=120 timeout 3600 python bench.py \
+          > /tmp/bench_healthy_r04.json 2>> "$LOG"
+        DEGRADED=$(python -c "
+import json
+try: print(json.load(open('/tmp/bench_healthy_r04.json'))['host_degraded'])
+except Exception: print('True')")
+        echo "$(date -u +%T) bench done degraded=$DEGRADED" >> "$LOG"
+        if [ "$DEGRADED" = "False" ]; then BENCH_DONE=1; fi
+      else
+        echo "$(date -u +%T) HEALTHY ($G/$G2) -> scaling pairs" >> "$LOG"
+        SPARK_GRAFT_SCALING_N=1 SPARK_GRAFT_SCALING_DOCS=1500000 \
+        SPARK_GRAFT_SCALING_PAIRS=5 SPARK_GRAFT_MAX_WAIT_S=900 \
+        SPARK_GRAFT_SCALING_OUT=/tmp/scaling_r04d.jsonl \
+          timeout 7200 bash tools/run_scaling.sh >> "$LOG" 2>&1
+        echo "$(date -u +%T) scaling exit $?" >> "$LOG"
+        exit 0
+      fi
+    fi
+  fi
+  sleep 120
+done
+echo "deadline reached; bench_done=$BENCH_DONE" >> "$LOG"
