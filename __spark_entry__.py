@@ -1292,6 +1292,102 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def _sketch_key():
+    return F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (operators/sketches.hll_sketch) for the
+    distinct count of user:event_type — all 256 (bucket, rho) rows, exact
+    integers. FULL oracle: DuckDB replays poly hash -> mix31 avalanche ->
+    bucket/leading-zero rank -> per-bucket max, bit-identical (max is
+    order-independent, so the register CONTENT is exactly checkable)."""
+    from extractors_metadata_spark.operators.sketches import hll_sketch
+
+    return hll_sketch(_t(spark, sf_dir, "events"), _sketch_key(), p=8)
+
+
+def q_hll_estimate(spark, sf_dir):
+    """HLL distinct-count estimate (operators/sketches.hll_estimate): the
+    harmonic sum runs as an exact 2^(60-rho) integer sum (DECIMAL(38,0),
+    emitted as a string), and only the final alpha*m^2*2^60/num division is
+    a double — same literal arithmetic both engines, double-rounded. The
+    linear-counting branch (JVM log vs DuckDB ln, not bit-pinned) does not
+    fire at the driver's sf0.01 (raw estimate ~750 > 2.5m = 640)."""
+    from extractors_metadata_spark.operators.sketches import hll_estimate, hll_sketch
+
+    regs = hll_sketch(_t(spark, sf_dir, "events"), _sketch_key(), p=8)
+    return hll_estimate(regs, p=8).select(
+        "m",
+        "n_zero",
+        F.col("harm_num").cast("string").alias("harm_num"),
+        "estimate",
+    )
+
+
+def q_cms_verify(spark, sf_dir):
+    """Count-min sketch round-trip (operators/sketches.cms_sketch +
+    cms_lookup): build the d=4 x w=1024 counter grid over user:event_type,
+    then estimate every distinct key and report est vs exact count and the
+    overcount (the CMS guarantee est >= exact is visible in the data:
+    over >= 0 on every row). FULL oracle: grid cells, min-over-rows and
+    exact counts are all integers DuckDB replays literally."""
+    from extractors_metadata_spark.operators.sketches import cms_lookup, cms_sketch
+
+    e = _t(spark, sf_dir, "events")
+    grid = cms_sketch(e, _sketch_key(), d=4, w=1024)
+    keys = e.select(_sketch_key().alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    est = cms_lookup(grid, keys, F.col("k"), d=4, w=1024)
+    return est.select(
+        "k", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+    )
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter runtime pruning (operators/sketches.bloom_build +
+    bloom_prune): the build side is the ~N/6 users with error events and
+    user_id % 3 == 0; the probe is 2N sequential ids, so half can never
+    match. Output = probe keys PASSING the 2048-bit/5-hash filter, each
+    flagged hit=1 (true member) or 0 (false positive) — no false negative
+    can exist by construction and the oracle proves it on real data. FULL
+    oracle: bit positions and the all-k-hits count replay exactly."""
+    from extractors_metadata_spark.operators.sketches import bloom_build, bloom_prune
+
+    e = _t(spark, sf_dir, "events")
+    build = (
+        e.filter((F.col("event_type") == "error") & (F.col("user_id") % 3 == 0))
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    n = e.agg(F.max("user_id")).first()[0] + 1
+    probe = spark.range(2 * n).select(F.col("id").alias("k"))
+    pos = bloom_build(build, F.col("k").cast("string"), n_bits=2048, k=5)
+    kept = bloom_prune(probe, pos, F.col("k").cast("string"), n_bits=2048, k=5)
+    return kept.join(
+        build.select("k", F.lit(1).alias("hit")), "k", "left"
+    ).select("k", F.coalesce("hit", F.lit(0)).cast("int").alias("hit"))
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (operators/linkgraph.pagerank), 5
+    damped iterations over the deterministic event link graph
+    (user -> (user*131 + event*7) mod N, plus the outdeg-guaranteeing
+    ring). Ranks are int64 micro-units with floor division everywhere, so
+    the result is bit-identical under any partitioning — the property that
+    makes a FULL oracle possible at all (float PageRank is aggregation-
+    order dependent). DuckDB replays the 5 iterations as unrolled CTE
+    stages per the repo's DuckDB iteration rule."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        event_link_graph,
+        pagerank,
+    )
+
+    edges, nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    return pagerank(edges, nodes, iterations=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1379,6 +1475,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "domain_cap": q_domain_cap,
         "interval_join": q_interval_join,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
+        "cms_verify": q_cms_verify,
+        "bloom_prune": q_bloom_prune,
+        "pagerank": q_pagerank,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1545,6 +1646,183 @@ def _poly_sql(expr: str, base: int) -> str:
         f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(a, b) -> (a * {base} + b) % 2147483647)"
     )
+
+
+def _mix31_sql(expr: str) -> str:
+    """vhash.mix31 (murmur3-style multiply-xorshift finalizer in 31-bit
+    state) as DuckDB SQL — exact BIGINT arithmetic, every product < 2^63.
+    Constants imported from the single source. Pass a SHORT column
+    reference: the xor stages duplicate the input expression 8x."""
+    from extractors_metadata_spark.functions.vhash import M31, MIX_C1, MIX_C2
+
+    z = f"xor({expr}, ({expr}) >> 16)"
+    z = f"((({z}) * {MIX_C1}) % {M31})"
+    z = f"xor({z}, ({z}) >> 13)"
+    z = f"((({z}) * {MIX_C2}) % {M31})"
+    return f"xor({z}, ({z}) >> 16)"
+
+
+def _hll_cte_sql(p: int = 8) -> str:
+    """Shared CTE block for the two HLL oracles: poly hash -> mix31 ->
+    bucket/rank -> per-bucket max -> zero-filled full register table.
+    Mirrors operators/sketches.hll_sketch literally."""
+    m = 1 << p
+    return f"""
+        keys AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                 FROM events),
+        h0 AS (SELECT {_poly_sql('k', 131)} AS wr, {_poly_sql('k', 137)} AS br
+               FROM keys),
+        h1 AS (SELECT {_mix31_sql('wr')} AS w, {_mix31_sql('br')} AS bh FROM h0),
+        rnk AS (SELECT bh % {m} AS bucket,
+                       CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+                FROM h1),
+        regs AS (SELECT bucket, max(rho) AS rho FROM rnk GROUP BY bucket),
+        full_regs AS (
+          SELECT t.bucket, CAST(coalesce(regs.rho, 0) AS INTEGER) AS rho
+          FROM (SELECT range AS bucket FROM range(0, {m})) t
+          LEFT JOIN regs USING (bucket))"""
+
+
+def _hll_estimate_sql(p: int = 8) -> str:
+    """hll_estimate mirror: exact integer harmonic sum (power-of-two terms,
+    HUGEINT), then the identical literal double arithmetic for the raw
+    estimator; the linear-counting CASE branch matches the Spark predicate
+    but does not fire at sf0.01 (see q_hll_estimate docstring)."""
+    from extractors_metadata_spark.operators.sketches import HLL_SCALE, _hll_alpha
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    # every float literal CAST AS DOUBLE — a bare decimal literal is
+    # DECIMAL-typed in DuckDB and overflows the fixed-point multiply
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST(harm AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST(n_zero AS DOUBLE)))"
+    )
+    return f"""
+        WITH {_hll_cte_sql(p)},
+        agg AS (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+                FROM full_regs)
+        SELECT CAST({m} AS INTEGER) AS m,
+               CAST(n_zero AS BIGINT) AS n_zero,
+               CAST(harm AS VARCHAR) AS harm_num,
+               round(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND n_zero > 0
+                           THEN {lc} ELSE {raw} END, 6), 3) AS estimate
+        FROM agg
+    """
+
+
+def _cms_sql(d: int = 4, w: int = 1024) -> str:
+    """cms_sketch + cms_lookup mirror: the d affine cell hashes come from
+    vhash.perm_coeffs — the same literals the Spark expressions use."""
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    cs = perm_coeffs(d)
+    cells = "\n          UNION ALL ".join(
+        f"SELECT {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM hm"
+        for i, (a, b) in enumerate(cs)
+    )
+    probe = "\n          UNION ALL ".join(
+        f"SELECT k, exact, {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM kx"
+        for i, (a, b) in enumerate(cs)
+    )
+    return f"""
+        WITH keys AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                      FROM events),
+        h0 AS (SELECT k, {_poly_sql('k', 131)} AS hr FROM keys),
+        hm AS MATERIALIZED (SELECT k, {_mix31_sql('hr')} AS h FROM h0),
+        cells AS ({cells}),
+        grid AS MATERIALIZED (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+        kx AS MATERIALIZED (SELECT k, h, count(*) AS exact FROM hm GROUP BY k, h),
+        probe AS ({probe}),
+        est AS (SELECT k, exact, min(coalesce(g.cnt, 0)) AS est
+                FROM probe p LEFT JOIN grid g ON p.r = g.r AND p.c = g.c
+                GROUP BY k, exact)
+        SELECT k, est, exact, est - exact AS overcount FROM est
+    """
+
+
+def _bloom_sql(n_bits: int = 2048, k: int = 5) -> str:
+    """bloom_build + bloom_prune mirror: k bit positions per key from the
+    perm_coeffs affine family over the mix31-finalized poly hash; a probe
+    key survives iff all k positions are set, then is flagged by true
+    membership (hit=0 rows are the filter's false positives)."""
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    cs = perm_coeffs(k)
+    bcells = "\n          UNION ALL ".join(
+        f"SELECT (({a} * h + {b}) % {P31}) % {n_bits} AS p FROM bh" for a, b in cs
+    )
+    pcells = "\n          UNION ALL ".join(
+        f"SELECT k, (({a} * h + {b}) % {P31}) % {n_bits} AS p FROM ph" for a, b in cs
+    )
+    return f"""
+        WITH build AS MATERIALIZED (
+          SELECT DISTINCT user_id AS k FROM events
+          WHERE event_type = 'error' AND user_id % 3 = 0),
+        bh0 AS (SELECT k, {_poly_sql('CAST(k AS VARCHAR)', 131)} AS hr FROM build),
+        bh AS MATERIALIZED (SELECT k, {_mix31_sql('hr')} AS h FROM bh0),
+        pos AS MATERIALIZED (SELECT DISTINCT p FROM ({bcells})),
+        probe AS (SELECT rn - 1 AS k FROM (
+                    SELECT row_number() OVER (ORDER BY event_id) AS rn
+                    FROM events) q
+                  WHERE rn <= 2 * (SELECT max(user_id) + 1 FROM events)),
+        ph0 AS (SELECT k, {_poly_sql('CAST(k AS VARCHAR)', 131)} AS hr FROM probe),
+        ph AS MATERIALIZED (SELECT k, {_mix31_sql('hr')} AS h FROM ph0),
+        pc AS ({pcells}),
+        hits AS (SELECT pc.k, count(*) AS nh
+                 FROM pc JOIN pos USING (p) GROUP BY pc.k)
+        SELECT hits.k,
+               CAST(CASE WHEN build.k IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS hit
+        FROM hits LEFT JOIN build ON hits.k = build.k
+        WHERE nh = {k}
+    """
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """linkgraph.pagerank mirror: the damped integer fixed-point update
+    unrolled as one CTE stage per iteration (the repo's DuckDB rule:
+    iterative folds become generated stages). All arithmetic is integer
+    floor division — HUGEINT sums, BIGINT ranks — so the replay is exact."""
+    from extractors_metadata_spark.operators.linkgraph import PR_MASS
+
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+        it{i} AS (
+          SELECT nodes.node,
+                 CAST((15 * ({PR_MASS} // (SELECT n FROM nn))) // 100
+                      + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS insum
+            FROM edges e JOIN {prev} r ON e.src = r.node
+                         JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s ON nodes.node = s.node)""")
+        prev = f"it{i}"
+    body = ",".join(its)
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, {PR_MASS} // (SELECT n FROM nn) AS rank FROM nodes),
+        {body}
+        SELECT node, rank FROM {prev}
+    """
 
 
 def _minhash_match_sum(num_perm: int = 64) -> str:
@@ -2780,4 +3058,10 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, q WHERE vec_id <> query_id)
             WHERE rank <= 5
         """,
+        "hll_registers": f"WITH {_hll_cte_sql(8)}\n"
+        "        SELECT bucket, rho FROM full_regs",
+        "hll_estimate": _hll_estimate_sql(8),
+        "cms_verify": _cms_sql(4, 1024),
+        "bloom_prune": _bloom_sql(2048, 5),
+        "pagerank": _pagerank_sql(5),
     }

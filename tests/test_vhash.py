@@ -105,3 +105,38 @@ def test_poly_hash_three_way_parity_random_strings(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strings)))
     got_duck = dict(con.sql(f"SELECT i, {_poly_sql('s', BASE1)} FROM t").fetchall())
     assert got_duck == expect
+
+
+def test_mix31_three_way_parity(spark):
+    """Python reference == Spark JVM expression == DuckDB _mix31_sql replay
+    over the full structural range of 31-bit inputs (boundaries + spread)."""
+    import duckdb
+
+    from extractors_metadata_spark.functions.vhash import M31, MIX_C1, MIX_C2, mix31
+
+    def py_mix(z: int) -> int:
+        z ^= z >> 16
+        z = (z * MIX_C1) % M31
+        z ^= z >> 13
+        z = (z * MIX_C2) % M31
+        return z ^ (z >> 16)
+
+    vals = [0, 1, 2, 12345, 2**16, 2**30 + 7, P31 - 1, 987654321] + [
+        (i * 2_654_435_761) % P31 for i in range(50)
+    ]
+    expect = {v: py_mix(v) for v in vals}
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_spark = {r["v"]: r["m"] for r in df.select("v", mix31(F.col("v")).alias("m")).collect()}
+    assert got_spark == expect
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _mix31_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = dict(con.sql(f"SELECT v, {_mix31_sql('v')} FROM t").fetchall())
+    assert got_duck == expect
