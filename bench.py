@@ -142,6 +142,11 @@ def main() -> None:
         # filters on rank. (url_dedup is NOT timed here: count() would prune
         # its survivor window + canonicalization to a bare scan.)
         "session_stats", "asof_join", "interval_join", "domain_cap",
+        # sketch suite + linkgraph: hll_estimate's single-row aggregate keeps
+        # the whole register build load-bearing (hll_registers would be a
+        # row-preserving left join under count()); cms/bloom/pagerank all
+        # filter or aggregate through their joins.
+        "hll_estimate", "cms_verify", "bloom_prune", "pagerank",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -231,3 +231,39 @@ def bloom_prune(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return hits.filter(F.col("n_hits") == k).select(*cols)
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union HLL sketches: per-bucket max across register tables. This is
+    what makes the sketch a 100 TB operator — per-shard (or per-day)
+    sketches roll up WITHOUT revisiting the data, and because max is
+    associative+commutative+idempotent the merged registers are
+    BIT-IDENTICAL to sketching the concatenated input (pinned in pytest).
+    Feed the result to ``hll_estimate`` unchanged."""
+    out = register_tables[0]
+    for other in register_tables[1:]:
+        out = out.unionByName(other)
+    return (
+        out.groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Union count-min sketches: cell-wise sum across grids (counts add).
+    Merged grid == grid of the concatenated input, exactly — per-shard
+    frequency state rolls up in d*w rows per shard."""
+    out = counter_tables[0]
+    for other in counter_tables[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def bloom_merge(*position_tables: DataFrame) -> DataFrame:
+    """Union bloom filters: set-union of bit positions. Merged filter
+    answers membership for the union of build sides — same one-sided
+    error contract, still <= n_bits rows."""
+    out = position_tables[0]
+    for other in position_tables[1:]:
+        out = out.unionByName(other)
+    return out.distinct()

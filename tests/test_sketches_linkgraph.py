@@ -154,3 +154,33 @@ def test_pagerank_ring_is_uniform(spark):
     nodes = spark.range(n).select(F.col("id").alias("node"))
     pr = pagerank(ring, nodes, iterations=4)
     assert pr.select("rank").distinct().count() == 1
+
+
+def test_sketch_merges_equal_whole(spark, events):
+    """THE mergeability contract: per-shard sketches rolled up with
+    hll_merge/cms_merge/bloom_merge are bit-identical to sketching the
+    whole input — no approximation is introduced by sharding, which is
+    what lets 100 TB of per-partition state reduce without a re-scan."""
+    from extractors_metadata_spark.operators.sketches import (
+        bloom_merge,
+        cms_merge,
+        hll_merge,
+    )
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+
+    whole = hll_sketch(events, _key(), p=7).collect()
+    merged = hll_merge(hll_sketch(a, _key(), p=7), hll_sketch(b, _key(), p=7))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole))
+
+    wg = cms_sketch(events, _key(), d=4, w=512).collect()
+    mg = cms_merge(cms_sketch(a, _key(), d=4, w=512), cms_sketch(b, _key(), d=4, w=512))
+    assert sorted(map(tuple, mg.collect())) == sorted(map(tuple, wg))
+
+    key = F.col("user_id").cast("string")
+    wp = bloom_build(events, key, n_bits=1024, k=4).collect()
+    mp = bloom_merge(
+        bloom_build(a, key, n_bits=1024, k=4), bloom_build(b, key, n_bits=1024, k=4)
+    )
+    assert sorted(r["pos"] for r in mp.collect()) == sorted(r["pos"] for r in wp)
