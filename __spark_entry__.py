@@ -1388,6 +1388,60 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, nodes, iterations=5)
 
 
+def q_stream_hll_verify(spark, sf_dir):
+    """Structured-Streaming sketch maintenance under a FULL oracle
+    (streaming/sketch_stream.stream_hll_distinct): the events table is
+    drained through an AvailableNow stream in 3-file micro-batches, each
+    batch max-merging its own HLL sketch into a durable snapshot state
+    table. Because the per-bucket max merge is associative/commutative/
+    idempotent, the streamed END STATE must be bit-identical to the
+    one-shot batch sketch — so the oracle is literally hll_registers' SQL
+    replay. This is the rare shape where a streaming pipeline gets an
+    exact value-hash check, not a rows-only pass."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import read_table
+    from extractors_metadata_spark.streaming.sketch_stream import (
+        stream_hll_distinct,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_shll_")
+    events = _t(spark, sf_dir, "events")
+    events.repartition(8).write.parquet(base + "/in")
+    q = stream_hll_distinct(
+        spark, base + "/in", base + "/state", base + "/ckpt",
+        key=_sketch_key(), p=8, max_files_per_trigger=3, schema=events.schema,
+    )
+    q.awaitTermination(600)
+    return read_table(spark, base + "/state").select("bucket", "rho")
+
+
+def q_stream_cms_verify(spark, sf_dir):
+    """Streamed count-min maintenance under a FULL oracle
+    (streaming/sketch_stream.stream_cms_counts): same AvailableNow drain
+    of the events table, but counts ADD — correctness rests on the
+    manifest batch-id guard applying every micro-batch exactly once, so
+    the final grid equals the one-shot cms_sketch of the whole table and
+    the oracle replays that grid cell-exactly (vhash affine family)."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import read_table
+    from extractors_metadata_spark.streaming.sketch_stream import (
+        stream_cms_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_scms_")
+    events = _t(spark, sf_dir, "events")
+    events.repartition(8).write.parquet(base + "/in")
+    q = stream_cms_counts(
+        spark, base + "/in", base + "/state", base + "/ckpt",
+        key=_sketch_key(), d=4, w=1024, max_files_per_trigger=3,
+        schema=events.schema,
+    )
+    q.awaitTermination(600)
+    return read_table(spark, base + "/state").select("row", "col", "cnt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1481,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_verify": q_cms_verify,
         "bloom_prune": q_bloom_prune,
         "pagerank": q_pagerank,
+        "stream_hll_verify": q_stream_hll_verify,
+        "stream_cms_verify": q_stream_cms_verify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1744,6 +1800,27 @@ def _cms_sql(d: int = 4, w: int = 1024) -> str:
                 FROM probe p LEFT JOIN grid g ON p.r = g.r AND p.c = g.c
                 GROUP BY k, exact)
         SELECT k, est, exact, est - exact AS overcount FROM est
+    """
+
+
+def _cms_grid_sql(d: int = 4, w: int = 1024) -> str:
+    """cms_sketch GRID mirror (cells only, no probe) — the oracle for the
+    streamed count-min state: since the batch-id guard applies each
+    micro-batch exactly once and cell counts add, the streamed end state
+    must equal this one-shot grid cell-for-cell."""
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    cells = "\n          UNION ALL ".join(
+        f"SELECT {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM hm"
+        for i, (a, b) in enumerate(perm_coeffs(d))
+    )
+    return f"""
+        WITH keys AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                      FROM events),
+        h0 AS (SELECT k, {_poly_sql('k', 131)} AS hr FROM keys),
+        hm AS MATERIALIZED (SELECT {_mix31_sql('hr')} AS h FROM h0),
+        cells AS ({cells})
+        SELECT r AS "row", c AS "col", count(*) AS cnt FROM cells GROUP BY r, c
     """
 
 
@@ -3065,4 +3142,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_verify": _cms_sql(4, 1024),
         "bloom_prune": _bloom_sql(2048, 5),
         "pagerank": _pagerank_sql(5),
+        # streamed sketch end-states are exactly the batch sketches (HLL:
+        # max-merge idempotence; CMS: manifest batch-id guard), so their
+        # oracles are the same one-shot SQL replays
+        "stream_hll_verify": f"WITH {_hll_cte_sql(8)}\n"
+        "        SELECT bucket, rho FROM full_regs",
+        "stream_cms_verify": _cms_grid_sql(4, 1024),
     }

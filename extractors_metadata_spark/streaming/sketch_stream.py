@@ -68,13 +68,17 @@ def stream_hll_distinct(
     key: Column | None = None,
     p: int = 12,
     max_files_per_trigger: int = 4,
+    schema=None,
 ):
     """Maintain an HLL register table for the stream-lifetime distinct
-    count of ``key`` (default: the url column). Each micro-batch sketches
-    its own rows (shuffle <= 2^p rows) and max-merges into the durable
-    register snapshot; ``hll_estimate`` over ``read_table(state_table)``
-    answers at any time, including as-of past snapshots."""
+    count of ``key`` (default: the url column of a WEBPAGES stream; pass
+    ``schema`` to sketch any other parquet stream). Each micro-batch
+    sketches its own rows (shuffle <= 2^p rows) and max-merges into the
+    durable register snapshot; ``hll_estimate`` over
+    ``read_table(state_table)`` answers at any time, including as-of past
+    snapshots."""
     key = key if key is not None else F.col("url")
+    schema = schema if schema is not None else WEBPAGES
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_regs = hll_sketch(batch_df, key, p=p)
@@ -87,7 +91,7 @@ def stream_hll_distinct(
         )
 
     return (
-        spark.readStream.schema(WEBPAGES)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
         .writeStream.foreachBatch(process_batch)
@@ -106,12 +110,15 @@ def stream_cms_counts(
     d: int = 4,
     w: int = 1024,
     max_files_per_trigger: int = 4,
+    schema=None,
 ):
-    """Maintain a count-min grid over the stream (default key: url).
-    Counts add, so redelivered batches WOULD double-count — the manifest
-    batch-id guard skips any batch already applied, making the counter
-    state effectively-once under at-least-once delivery."""
+    """Maintain a count-min grid over the stream (default key: the url
+    column of a WEBPAGES stream; pass ``schema`` for any other parquet
+    stream). Counts add, so redelivered batches WOULD double-count — the
+    manifest batch-id guard skips any batch already applied, making the
+    counter state effectively-once under at-least-once delivery."""
     key = key if key is not None else F.col("url")
+    schema = schema if schema is not None else WEBPAGES
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in _applied_batch_ids(state_table):
@@ -124,7 +131,7 @@ def stream_cms_counts(
         )
 
     return (
-        spark.readStream.schema(WEBPAGES)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
         .writeStream.foreachBatch(process_batch)
