@@ -1442,6 +1442,75 @@ def q_stream_cms_verify(spark, sf_dir):
     return read_table(spark, base + "/state").select("row", "col", "cnt")
 
 
+def q_quantile_sketch_verify(spark, sf_dir):
+    """Mergeable HDR quantile sketch (operators/quantiles.quantile_sketch)
+    over doc lengths — the SCALE path for length_quantiles (exact
+    percentiles need a sort; this is one map-side-combining groupBy with
+    shuffle bounded by the sketch size). FULL oracle: the bin mapping is
+    exact int64 bit arithmetic (length(bin(v)), expression shifts) shared
+    VERBATIM with DuckDB — the register-content check, like
+    hll_registers."""
+    from extractors_metadata_spark.operators.quantiles import quantile_sketch
+
+    return quantile_sketch(_t(spark, sf_dir, "documents"), F.col("n_chars"), k=6)
+
+
+def q_quantile_estimate_verify(spark, sf_dir):
+    """Quantile answers off the sketch (operators/quantiles.
+    quantile_estimate): first bin whose cumulative count reaches
+    ceil(q*n), emitted with its exact [lo, hi] value bracket (relative
+    width <= 2^-6; bracketing of the true rank statistic pinned in
+    pytest). FULL oracle: cumulative window + q-join + bounds inversion
+    replayed in DuckDB; the one float, ceil(q*n), uses identical literal
+    double arithmetic both sides."""
+    from extractors_metadata_spark.operators.quantiles import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    sk = quantile_sketch(_t(spark, sf_dir, "documents"), F.col("n_chars"), k=6)
+    return quantile_estimate(sk, qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=6)
+
+
+_QUANTILE_V_CTE = """v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars >= 0)"""
+
+
+def _quantile_sketch_sql(k: int = 6) -> str:
+    """quantile_sketch mirror: the bin expression comes from the SAME
+    bin_sql() the Spark operator selectExpr's — one source of truth."""
+    from extractors_metadata_spark.operators.quantiles import bin_sql
+
+    return f"""
+        WITH {_QUANTILE_V_CTE}
+        SELECT {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1
+    """
+
+
+def _quantile_estimate_sql(qs: tuple[float, ...], k: int = 6) -> str:
+    """quantile_estimate mirror: sketch -> cumulative window -> per-q
+    first-reaching bin -> bounds inversion, all exact integers except the
+    literal-identical ceil(q*n)."""
+    from extractors_metadata_spark.operators.quantiles import bin_sql, bounds_sql
+
+    lo, hi = bounds_sql(k)
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+        WITH {_QUANTILE_V_CTE},
+        sk AS MATERIALIZED (
+          SELECT {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1),
+        cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM sk),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+        qs(q) AS (VALUES {qvals}),
+        tq AS (SELECT q, n,
+                      greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS target
+               FROM qs, tot),
+        hit AS (SELECT q, n, min(bin) AS bin
+                FROM tq JOIN cum ON cum.cum >= tq.target GROUP BY q, n)
+        SELECT q, n, bin, {lo} AS lo, {hi} AS hi FROM hit
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries (CORRECTNESS_r03 was
@@ -1537,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "stream_hll_verify": q_stream_hll_verify,
         "stream_cms_verify": q_stream_cms_verify,
+        "quantile_sketch_verify": q_quantile_sketch_verify,
+        "quantile_estimate_verify": q_quantile_estimate_verify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3148,4 +3219,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_verify": f"WITH {_hll_cte_sql(8)}\n"
         "        SELECT bucket, rho FROM full_regs",
         "stream_cms_verify": _cms_grid_sql(4, 1024),
+        "quantile_sketch_verify": _quantile_sketch_sql(6),
+        "quantile_estimate_verify": _quantile_estimate_sql(
+            (0.25, 0.5, 0.75, 0.9, 0.99), 6
+        ),
     }
