@@ -1472,6 +1472,61 @@ def q_quantile_estimate_verify(spark, sf_dir):
     return quantile_estimate(sk, qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=6)
 
 
+def q_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized cosine top-k (similarity.sq_encode/sq_topk) —
+    the ANN STORAGE scale path (4x smaller corpus scan). FULL oracle,
+    unlike float ANN: max-abs scale + HALF_EVEN rounding (bround ==
+    round_even == np.rint, the pinned rule) make the quantized vectors
+    integer-exact, so dot/norms are order-independent int64 sums DuckDB
+    replays bit-for-bit, and qsim's one float step (int / sqrt(int*int))
+    is IEEE-exact from exact integers."""
+    from extractors_metadata_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qsim"
+    )
+
+
+def _sq_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    """sq_topk mirror: encode (max-abs scale, round_even int8), exact
+    integer dot/norms via list_inner_product over exact-int doubles
+    (every term and sum << 2^53), identical float division/sqrt."""
+    return f"""
+        WITH enc AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / CAST(127.0 AS DOUBLE) AS scale,
+                 embedding AS v
+          FROM embeddings),
+        qv AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(round_even(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q
+          FROM enc WHERE scale > 0),
+        n AS MATERIALIZED (
+          SELECT vec_id, q,
+                 CAST(list_inner_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS qn
+          FROM qv),
+        pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(list_inner_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])) AS BIGINT) AS dot,
+                 a.qn AS qa, b.qn AS qb
+          FROM n a JOIN n b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {n_queries}),
+        sims AS (
+          SELECT query_id, neighbor_id,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) AS qsim,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) DESC,
+                            neighbor_id ASC) AS rank
+          FROM pairs)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qsim
+        FROM sims WHERE rank <= {k}
+    """
+
+
 _QUANTILE_V_CTE = """v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
                    WHERE n_chars IS NOT NULL AND n_chars >= 0)"""
 
@@ -1608,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_verify": q_stream_cms_verify,
         "quantile_sketch_verify": q_quantile_sketch_verify,
         "quantile_estimate_verify": q_quantile_estimate_verify,
+        "sq_topk": q_sq_topk,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3223,4 +3279,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_estimate_verify": _quantile_estimate_sql(
             (0.25, 0.5, 0.75, 0.9, 0.99), 6
         ),
+        "sq_topk": _sq_topk_sql(5, 10),
     }

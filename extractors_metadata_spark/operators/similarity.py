@@ -214,3 +214,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def sq_encode(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 scalar quantization — the 100 TB ANN STORAGE path: per-vector
+    symmetric max-abs scaling to [-127, 127] cuts the corpus footprint 4x
+    (and makes every downstream dot product exact int64 arithmetic, which
+    is what lets sq_topk carry a FULL oracle — float dots are fold-order
+    dependent, integer dots are not).
+
+    Output (id, scale, qvec array<int>, qnorm bigint). All JVM codegen:
+    transform/aggregate lambdas, no Python in the path. Rounding is
+    HALF_EVEN (F.bround == DuckDB round_even == np.rint — the repo's
+    pinned cross-engine rule). Zero vectors are dropped (no direction to
+    quantize; both engines filter identically).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    with_scale = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    ).filter(F.col("scale") > 0)
+    enc = with_scale.select(
+        "id",
+        "scale",
+        F.transform(
+            F.col("v"), lambda x: F.bround(x / F.col("scale")).cast("int")
+        ).alias("qvec"),
+    )
+    qnorm = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qvec"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return enc.select("id", "scale", "qvec", qnorm.alias("qnorm"))
+
+
+def sq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: (query_id,
+    neighbor_id, rank, qsim). The scan reads 1/4 the bytes of the float
+    corpus; the dot product and both norms are EXACT int64 sums (order-
+    independent => identical under any partitioning, and bit-replayable
+    in SQL — qsim's one float step, int/sqrt(int*int), is IEEE-exact from
+    exact integers). Queries broadcast; ties break on neighbor id."""
+    q = sq_encode(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("qnorm").alias("qn"),
+    )
+    c = sq_encode(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("qvec").alias("cq"),
+        F.col("qnorm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    sims = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "qsim",
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("qn") * F.col("cn")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qsim")
+    )
