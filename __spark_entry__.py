@@ -1442,6 +1442,53 @@ def q_stream_cms_verify(spark, sf_dir):
     return read_table(spark, base + "/state").select("row", "col", "cnt")
 
 
+_MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+
+
+def q_source_mix(spark, sf_dir):
+    """Deterministic data-mixing down-sample (sampling.mix_sources): keep
+    the largest corpus whose language proportions hit 4:2:2:1:1, rows
+    chosen by the content-stable vhash rule (re-runs reproduce the same
+    subset). FULL oracle: group counts -> N = min floor(n*W/w) -> integer
+    thresholds replayed in HUGEINT, same poly hash filter."""
+    from extractors_metadata_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_sources(docs, "lang", _MIX_WEIGHTS, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def _source_mix_sql(weights: dict[str, int]) -> str:
+    """mix_sources mirror: HUGEINT replay of the exact Python-bigint
+    threshold arithmetic + the same mix31-finalized poly-hash keep rule
+    (raw poly is biased on sequential keys — see mix_sources)."""
+    from extractors_metadata_spark.functions.vhash import M31
+
+    W = sum(weights.values())
+    langs = ", ".join(f"'{g}'" for g in weights)
+    wvals = ", ".join(
+        f"('{g}', CAST({w} AS HUGEINT))" for g, w in weights.items()
+    )
+    return f"""
+        WITH counts AS (
+          SELECT lang AS g, CAST(count(*) AS HUGEINT) AS n FROM documents
+          WHERE lang IN ({langs}) GROUP BY 1),
+        w(g, wt) AS (VALUES {wvals}),
+        j AS (SELECT counts.g, n, wt FROM counts JOIN w USING (g)),
+        nn AS (SELECT min(n * {W} // wt) AS nt FROM j),
+        thr AS MATERIALIZED (
+          SELECT g, (wt * nt // {W}) * CAST({M31} AS HUGEINT) // n AS thr
+          FROM j, nn),
+        h0 AS (SELECT doc_id, lang,
+                      {_poly_sql("'mix:' || CAST(doc_id AS VARCHAR)", 131)} AS hr
+               FROM documents),
+        h AS (SELECT doc_id, lang, {_mix31_sql('hr')} AS hk FROM h0)
+        SELECT h.doc_id, h.lang FROM h JOIN thr ON h.lang = thr.g
+        WHERE hk < thr
+    """
+
+
 def q_quantile_sketch_verify(spark, sf_dir):
     """Mergeable HDR quantile sketch (operators/quantiles.quantile_sketch)
     over doc lengths — the SCALE path for length_quantiles (exact
@@ -1664,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_verify": q_quantile_sketch_verify,
         "quantile_estimate_verify": q_quantile_estimate_verify,
         "sq_topk": q_sq_topk,
+        "source_mix": q_source_mix,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3280,4 +3328,5 @@ def oracle_sql() -> dict[str, str]:
             (0.25, 0.5, 0.75, 0.9, 0.99), 6
         ),
         "sq_topk": _sq_topk_sql(5, 10),
+        "source_mix": _source_mix_sql(_MIX_WEIGHTS),
     }

@@ -96,3 +96,61 @@ def pack_sequences(
     return out.withColumn("cum_tokens", cum).withColumn(
         "bin_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget))
     )
+
+
+def mix_sources(
+    df: DataFrame, group_col: str, weights: dict[str, int],
+    key_col: str, salt: str = "mix",
+) -> DataFrame:
+    """Deterministic DOWN-SAMPLING to a target mixture — the data-mixing
+    op of a training pipeline ("2 parts web : 1 part wiki : 1 part
+    books"). ``weights`` are integer mixture parts per group; the op
+    computes the largest total N whose per-group needs fit the data
+    (N = min_s floor(n_s * W / w_s), exact integers), then keeps each
+    group's share by a content-stable hash rule: row kept iff
+    mix31(hash(salt:key)) < k_s * 2^31 / n_s. The mix31 avalanche
+    finalizer is REQUIRED here (same reason as HLL ranks): the raw linear
+    poly hash is badly biased on structured keys — measured 490/500
+    sequential doc-ids landing in one decile — while the finalized value
+    is uniform, so achieved group sizes track k_s.
+
+    Properties: pure function of (key, group counts) — re-runs reproduce
+    the same subset; groups without a weight are dropped; a weighted group
+    absent from the data simply contributes nothing (the mix is computed
+    over groups present). Per-group counts are collected to the driver —
+    bounded by the number of mixture groups, never by rows (same bounded-
+    collect precedent as pip_knn's dim build). The keep filter itself is a
+    zero-shuffle narrow projection after one tiny broadcast join.
+
+    Achieved sizes track k_s with hash-uniform deviation (exact-count
+    mixing would need a per-group rank = a sort; the threshold rule is the
+    100 TB shape). Exact arithmetic end to end: thresholds use Python
+    bigints, the filter compares int64 — replayable in any engine
+    (HUGEINT in the DuckDB oracle).
+    """
+    from ..functions.vhash import M31, mix31
+
+    W = sum(weights.values())
+    rows = (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .count()
+        .collect()
+    )
+    counts = {r[group_col]: r["count"] for r in rows}
+    if not counts:
+        return df.filter(F.lit(False))
+    n_total = min(counts[g] * W // weights[g] for g in counts)
+    thresholds = [
+        (g, (weights[g] * n_total // W) * M31 // counts[g]) for g in counts
+    ]
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        thresholds, f"{group_col} string, _mix_thr long"
+    )
+    h = mix31(_key_hash(F.col(key_col), salt))
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(h < F.col("_mix_thr"))
+        .drop("_mix_thr")
+    )
