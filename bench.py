@@ -147,6 +147,12 @@ def main() -> None:
         # row-preserving left join under count()); cms/bloom/pagerank all
         # filter or aggregate through their joins.
         "hll_estimate", "cms_verify", "bloom_prune", "pagerank",
+        # late round-4 additions: sq_topk's rank filter keeps the int8
+        # encode + integer dots load-bearing; the quantile estimate
+        # aggregates through the sketch build; source_mix's threshold
+        # filter forces the hash. (stream_* queries are excluded — they
+        # are foreachBatch drains timed by tools/stream_bench.py.)
+        "sq_topk", "quantile_estimate_verify", "source_mix",
     ]
     qs = entrymod.queries()
     for name in suite:
