@@ -1621,13 +1621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-72: oracle-backed queries whose primitive is already
+    2. entries 51-78: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
        the sketch suite hll_registers/hll_estimate/cms_verify/bloom_prune,
-       pagerank) — still exact-checked locally by
-       ``tools/check_oracles.py`` (results committed per round);
+       pagerank, the streamed-sketch states stream_hll/cms_verify, the
+       HDR quantile sketch pair, sq_topk, source_mix) — still
+       exact-checked locally by ``tools/check_oracles.py`` (results
+       committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
