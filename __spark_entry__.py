@@ -1489,6 +1489,104 @@ def _source_mix_sql(weights: dict[str, int]) -> str:
     """
 
 
+_BANNER1 = "accept all cookies to continue reading this site"
+_BANNER2 = "subscribe to our newsletter for daily updates now"
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence LINE dedup (operators/linededup.py —
+    CCNet/RefinedWeb-style boilerplate removal, the sub-document twin of
+    dedup_exact). Duplicate lines are injected deterministically: every doc
+    is prefixed with a shared 8-word cookie banner, even doc_ids with a
+    second banner, so the first-occurrence rule fires at two duplication
+    frequencies while the original word streams stay unique. The engine
+    uses the skew-safe map-side-combining min(struct) aggregate; the FULL
+    oracle independently replays with the window form (row_number = 1) —
+    exact integers + exact strings end-to-end."""
+    from extractors_metadata_spark.operators.linededup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BANNER1 + " "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_BANNER2 + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return line_dedup(probe, id_col="doc_id", text_col="text", words_per_line=8)
+
+
+_LINE_DEDUP_SQL = f"""
+    WITH probe AS (
+      SELECT doc_id,
+             '{_BANNER1} ' ||
+             (CASE WHEN doc_id % 2 = 0 THEN '{_BANNER2} ' ELSE '' END) ||
+             text AS text
+      FROM documents),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM probe),
+    idx AS (SELECT doc_id, w, unnest(range((len(w) + 7) // 8)) AS pos
+            FROM words),
+    lines AS (SELECT doc_id, pos,
+                     array_to_string(w[pos*8+1 : pos*8+8], ' ') AS line
+              FROM idx),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines)
+    SELECT doc_id,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                    '') AS clean_text
+    FROM ranked GROUP BY doc_id
+"""
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) write-layout key (functions/zcurve.py — the
+    clustering key behind operators/layout.zorder_layout, the engine's
+    OPTIMIZE-ZORDER twin for Iceberg-scale file pruning): z12 tile coords
+    of each event (the proven tile_assign kernel) interleaved by pure
+    JVM-codegen magic-number spreads. FULL oracle: DuckDB replays the tile
+    formula + the identical five mask stages as generated CTEs (exact int64
+    shift/or/and — bit-identical by construction)."""
+    from extractors_metadata_spark.functions.zcurve import z_value
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr(LAT_IN).alias("lat"), F.expr(LON_IN).alias("lon")
+    )
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    t = tile_assign(pts, zooms=(12,), id_cols=("event_id",))
+    return t.select(
+        "event_id", "x", "y", z_value(F.col("x"), F.col("y")).alias("zval")
+    )
+
+
+def _zorder_key_sql() -> str:
+    from extractors_metadata_spark.functions.zcurve import z_stages_sql
+
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+        zbase AS (
+          SELECT event_id,
+            CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+            CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y
+          FROM pts),
+        zb2 AS (SELECT event_id, x, y, x AS zx, y AS zy FROM zbase),
+        {z_stages_sql('zb2', 'event_id, x, y')}
+        SELECT event_id, x, y, zval FROM zfin
+    """
+
+
 def q_quantile_sketch_verify(spark, sf_dir):
     """Mergeable HDR quantile sketch (operators/quantiles.quantile_sketch)
     over doc lengths — the SCALE path for length_quantiles (exact
@@ -1714,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_estimate_verify": q_quantile_estimate_verify,
         "sq_topk": q_sq_topk,
         "source_mix": q_source_mix,
+        "line_dedup": q_line_dedup,
+        "zorder_key": q_zorder_key,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3331,4 +3431,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sq_topk": _sq_topk_sql(5, 10),
         "source_mix": _source_mix_sql(_MIX_WEIGHTS),
+        "line_dedup": _LINE_DEDUP_SQL,
+        "zorder_key": _zorder_key_sql(),
     }

@@ -153,6 +153,12 @@ def main() -> None:
         # filter forces the hash. (stream_* queries are excluded — they
         # are foreachBatch drains timed by tools/stream_bench.py.)
         "sq_topk", "quantile_estimate_verify", "source_mix",
+        # line_dedup's row count flows through explode -> winner agg ->
+        # keep join -> doc agg, so count() pays every shuffle (only the
+        # final string reassembly prunes). zorder_key is NOT timed: count()
+        # would prune the bit-interleave to the tile kernel already timed
+        # by tile_assign (CLAUDE.md count() rule).
+        "line_dedup",
     ]
     qs = entrymod.queries()
     for name in suite:
