@@ -1587,6 +1587,44 @@ def _zorder_key_sql() -> str:
     """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (operators/decontam.py — the GPT-3-style
+    13-gram leakage check, cross-table containment vs the dedup suite's
+    self-join). The eval set is synthesized deterministically as 30-word
+    excerpts (words 6-35) of every 50th document — exactly the real shape:
+    eval questions drawn verbatim from crawled pages — so the excerpt's
+    source docs must come back contaminated and every other random stream
+    clean. Exact strings + exact counts: FULL oracle (same slice/join gram
+    assembly, clamping included, replayed in SQL)."""
+    from extractors_metadata_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ev = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.array_join(F.slice(words, 6, 30), " ").alias("text")
+    )
+    return decontaminate(d, ev, n=13)
+
+
+_DECONTAMINATE_SQL = """
+    WITH twords AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ewords AS (SELECT w[6:35] AS ew FROM twords WHERE doc_id % 50 = 0),
+    eg AS (SELECT DISTINCT array_to_string(ew[i+1:i+13], ' ') AS gram
+           FROM (SELECT ew, unnest(range(len(ew) - 12)) AS i
+                 FROM ewords WHERE len(ew) >= 13)),
+    tg AS (SELECT doc_id, array_to_string(w[i+1:i+13], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(len(w) - 12)) AS i
+                 FROM twords WHERE len(w) >= 13)),
+    hits AS (SELECT doc_id, count(*) AS n_hits
+             FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+    SELECT t.doc_id,
+           greatest(len(w) - 12, 0) AS n_grams,
+           coalesce(n_hits, 0) AS n_hits,
+           CAST(coalesce(n_hits, 0) > 0 AS INT) AS contaminated
+    FROM twords t LEFT JOIN hits USING (doc_id)
+"""
+
+
 def q_quantile_sketch_verify(spark, sf_dir):
     """Mergeable HDR quantile sketch (operators/quantiles.quantile_sketch)
     over doc lengths — the SCALE path for length_quantiles (exact
@@ -1814,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "line_dedup": q_line_dedup,
         "zorder_key": q_zorder_key,
+        "decontaminate": q_decontaminate,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3433,4 +3472,5 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": _source_mix_sql(_MIX_WEIGHTS),
         "line_dedup": _LINE_DEDUP_SQL,
         "zorder_key": _zorder_key_sql(),
+        "decontaminate": _DECONTAMINATE_SQL,
     }
