@@ -1587,6 +1587,55 @@ def _zorder_key_sql() -> str:
     """
 
 
+def q_bbox_overlap(spark, sf_dir):
+    """Polygon x bbox overlap join (operators/overlap.py — the REGION-query
+    widening of the pip/kNN point suite): event-centered boxes
+    (+-0.00004 lat, +-0.00006 lon — edge margins to the nearest plot
+    boundary are >= 3.2e-8 deg ~ 3.6 mm, 8 orders above cross-engine float
+    noise) vs the 864-plot broadcast dim. Engine path: bbox_cells_batch
+    covering fan-out -> broadcast cell equi-join -> pair distinct -> exact
+    rect_overlap refine (vertex-in-rect / corner-in-poly / edge
+    intersection). FULL oracle: for axis-aligned plots, overlap reduces to
+    closed-form interval comparisons — an independent derivation, so the
+    whole covering+refine machinery is genuinely cross-checked. Output is
+    the PAIR SET (event_id, plot_id) only: Spark parses the box-bound
+    literals as decimal(38,11) while DuckDB computes doubles — a ~2e-10 deg
+    value drift 2+ orders below the decision margins (the pair set is
+    identical; the bound VALUES are not hash-comparable)."""
+    from extractors_metadata_spark.operators.overlap import bbox_overlap_join
+    from extractors_metadata_spark.synth import plot_rings
+
+    boxes = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.expr(LAT_IN) - 0.00004).alias("min_lat"),
+        (F.expr(LON_IN) - 0.00006).alias("min_lon"),
+        (F.expr(LAT_IN) + 0.00004).alias("max_lat"),
+        (F.expr(LON_IN) + 0.00006).alias("max_lon"),
+    )
+    out = bbox_overlap_join(spark, boxes, plot_rings(), box_id="event_id")
+    return out.select("event_id", "plot_id")
+
+
+_BBOX_OVERLAP_SQL = f"""
+    WITH pts AS (
+      SELECT event_id,
+             ({LAT_IN}) - 0.00004 AS min_lat, ({LON_IN}) - 0.00006 AS min_lon,
+             ({LAT_IN}) + 0.00004 AS max_lat, ({LON_IN}) + 0.00006 AS max_lon
+      FROM events),
+    plots AS (
+      SELECT CAST(r AS VARCHAR) || '-' || CAST(p AS VARCHAR) AS plot_id,
+             33.0745 + (r - 1) * 0.0000365 AS lat_s,
+             33.0745 + r * 0.0000365 AS lat_n,
+             -111.9750833333 + (p - 1) * 0.00005 AS lon_w,
+             -111.9750833333 + p * 0.00005 AS lon_e
+      FROM range(1, 55) t(r), range(1, 17) t2(p))
+    SELECT event_id, plot_id
+    FROM pts JOIN plots
+      ON min_lat <= lat_n AND max_lat >= lat_s
+     AND min_lon <= lon_e AND max_lon >= lon_w
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Eval-set decontamination (operators/decontam.py — the GPT-3-style
     13-gram leakage check, cross-table containment vs the dedup suite's
@@ -1853,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "zorder_key": q_zorder_key,
         "decontaminate": q_decontaminate,
+        "bbox_overlap": q_bbox_overlap,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3473,4 +3523,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "zorder_key": _zorder_key_sql(),
         "decontaminate": _DECONTAMINATE_SQL,
+        "bbox_overlap": _BBOX_OVERLAP_SQL,
     }

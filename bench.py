@@ -159,6 +159,11 @@ def main() -> None:
         # would prune the bit-interleave to the tile kernel already timed
         # by tile_assign (CLAUDE.md count() rule).
         "line_dedup",
+        # bbox_overlap's row count IS the refine filter's output (box-cover
+        # UDF + cell join + pair distinct + rect_overlap kernel all load-
+        # bearing); decontaminate is NOT timed: its left join back to the
+        # flag base is count()-prunable (provably unique build side).
+        "bbox_overlap",
     ]
     qs = entrymod.queries()
     for name in suite:

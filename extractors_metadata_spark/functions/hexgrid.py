@@ -179,6 +179,56 @@ def grid_distance(cell_a, cell_b) -> np.ndarray:
     return (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
 
 
+def bbox_cells_batch(
+    min_lat, min_lon, max_lat, max_lon, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sound covering cells for a BATCH of axis-aligned lat/lon boxes — the
+    vectorized executor-side twin of ``polyfill``'s bbox cover (same
+    inflation + center-in-inflated-bbox rule, so it inherits the same
+    property-tested guarantee: every point inside box i maps via
+    ``h3_encode`` to a cell in segment i).
+
+    Returns ``(box_idx, cells)`` ragged pairs (like ``kring_batch``):
+    ``cells[box_idx == i]`` covers box i. The projection is separable and
+    monotone (x from lon, y from lat), so two corners bound the box."""
+    size = float(res_size_m(res))
+    pad = size * 1.0001
+    x_lo, y_lo = project(min_lat, min_lon)
+    x_hi, y_hi = project(max_lat, max_lon)
+    min_x, max_x = x_lo - pad, x_hi + pad
+    min_y, max_y = y_lo - pad, y_hi + pad
+
+    # axial corner ranges of the inflated bbox, +-1 (mirror polyfill)
+    qs, rs = [], []
+    for cx, cy in ((min_x, min_y), (min_x, max_y), (max_x, min_y), (max_x, max_y)):
+        qf, rf = _xy_to_axial(cx, cy, size)
+        qs.append(qf)
+        rs.append(rf)
+    qs, rs = np.stack(qs), np.stack(rs)
+    q_lo = np.floor(qs.min(axis=0)).astype(np.int64) - 1
+    q_hi = np.ceil(qs.max(axis=0)).astype(np.int64) + 1
+    r_lo = np.floor(rs.min(axis=0)).astype(np.int64) - 1
+    r_hi = np.ceil(rs.max(axis=0)).astype(np.int64) + 1
+
+    nq = q_hi - q_lo + 1
+    nr = r_hi - r_lo + 1
+    counts = nq * nr
+    total = int(counts.sum())
+    box_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(total, dtype=np.int64) - starts[box_idx]
+    q = q_lo[box_idx] + local // nr[box_idx]
+    r = r_lo[box_idx] + local % nr[box_idx]
+
+    ctr_x, ctr_y = _axial_to_xy(q, r, size)
+    keep = (
+        (ctr_x >= min_x[box_idx]) & (ctr_x <= max_x[box_idx])
+        & (ctr_y >= min_y[box_idx]) & (ctr_y <= max_y[box_idx])
+    )
+    box_idx, q, r = box_idx[keep], q[keep], r[keep]
+    return box_idx, pack(np.full(len(q), res, dtype=np.int64), q, r)
+
+
 def polyfill(ring_lonlat: np.ndarray, res: int) -> np.ndarray:
     """Sound covering cells for a polygon ring at ``res``.
 

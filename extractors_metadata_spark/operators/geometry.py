@@ -121,3 +121,59 @@ class PreparedPolygons:
         dmin = d.min(axis=1)
         dmin = np.where(self.contains(poly_idx, px, py), 0.0, dmin)
         return dmin
+
+    def rect_overlap(self, poly_idx: np.ndarray, min_x: np.ndarray,
+                     min_y: np.ndarray, max_x: np.ndarray,
+                     max_y: np.ndarray) -> np.ndarray:
+        """Exact polygon x axis-aligned-rectangle overlap for pairs
+        (poly_idx[i], rect i); touching counts (the engine-wide Touches=>
+        match rule). x = lon, y = lat in ring degrees.
+
+        Three-way decomposition (complete for simple polygons): (a) some
+        polygon vertex inside the rect, (b) some rect corner inside the
+        polygon, or (c) some polygon edge intersects some rect edge —
+        (c) catches the plus-sign overlaps where neither (a) nor (b) holds.
+        Edge intersection = both straddle tests (orientation products <= 0)
+        plus a segment-bbox overlap guard, which keeps collinear-but-
+        disjoint segments out while keeping touches in. NaN edge padding
+        falls out of every test (NaN comparisons are False)."""
+        x1 = self.x1[poly_idx]
+        y1 = self.y1[poly_idx]
+        x2 = self.x2[poly_idx]
+        y2 = self.y2[poly_idx]
+        mnx, mny = min_x[:, None], min_y[:, None]
+        mxx, mxy = max_x[:, None], max_y[:, None]
+
+        with np.errstate(invalid="ignore"):
+            # (a) any polygon vertex inside the rect
+            hit = np.any(
+                (x1 >= mnx) & (x1 <= mxx) & (y1 >= mny) & (y1 <= mxy), axis=1
+            )
+            # (b) any rect corner inside the polygon
+            for cx, cy in ((min_x, min_y), (min_x, max_y),
+                           (max_x, min_y), (max_x, max_y)):
+                todo = ~hit
+                if todo.any():
+                    hit[todo] |= self.contains(poly_idx[todo], cx[todo], cy[todo])
+            # (c) any polygon edge x any rect edge
+            rect_edges = (
+                (mnx, mny, mxx, mny), (mxx, mny, mxx, mxy),
+                (mxx, mxy, mnx, mxy), (mnx, mxy, mnx, mny),
+            )
+            for ax1, ay1, ax2, ay2 in rect_edges:
+                # straddle: rect edge endpoints vs each polygon edge's line
+                o1 = (x2 - x1) * (ay1 - y1) - (y2 - y1) * (ax1 - x1)
+                o2 = (x2 - x1) * (ay2 - y1) - (y2 - y1) * (ax2 - x1)
+                # and polygon edge endpoints vs the rect edge's line
+                o3 = (ax2 - ax1) * (y1 - ay1) - (ay2 - ay1) * (x1 - ax1)
+                o4 = (ax2 - ax1) * (y2 - ay1) - (ay2 - ay1) * (x2 - ax1)
+                bbox_ok = (
+                    (np.maximum(x1, x2) >= np.minimum(ax1, ax2))
+                    & (np.minimum(x1, x2) <= np.maximum(ax1, ax2))
+                    & (np.maximum(y1, y2) >= np.minimum(ay1, ay2))
+                    & (np.minimum(y1, y2) <= np.maximum(ay1, ay2))
+                )
+                hit |= np.any(
+                    (o1 * o2 <= 0) & (o3 * o4 <= 0) & bbox_ok, axis=1
+                )
+        return hit
