@@ -153,3 +153,53 @@ def test_tfidf_ranking_partitions_by_doc(spark):
     # would show a windowspec without the doc key + a SinglePartition gather)
     assert re.search(r"windowspecdefinition\(doc_id#\d+", plan)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bbox_overlap_join_is_broadcast_no_cartesian(spark):
+    """The region join's candidate stage must be a broadcast equi-join on
+    the cell key — the probe (box) side never sort-shuffles for the join
+    and nothing degenerates to a cartesian product."""
+    from extractors_metadata_spark.operators.overlap import bbox_overlap_join
+    from extractors_metadata_spark.synth import plot_rings
+
+    boxes = spark.createDataFrame(
+        pd.DataFrame({
+            "event_id": [1], "min_lat": [33.0746], "min_lon": [-111.9749],
+            "max_lat": [33.0747], "max_lon": [-111.9748],
+        })
+    )
+    plan = _explain(bbox_overlap_join(spark, boxes, plot_rings()))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_winner_is_narrow_min_agg(spark):
+    """Corpus-wide first-occurrence selection must be the map-side-combining
+    min(struct) aggregate, never a per-line Window sort (a hot boilerplate
+    line would funnel every occurrence into one reducer's sort)."""
+    import re
+
+    from extractors_metadata_spark.operators.linededup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b e f"]})
+    )
+    plan = _explain(line_dedup(docs, words_per_line=2))
+    assert "Window" not in plan
+    # partial+final pairs exist for both the winner agg and the reassembly
+    aggs = re.findall(r"^\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan, re.M)
+    assert len(aggs) >= 2
+
+
+def test_decontaminate_gram_probe_is_broadcast_semi(spark):
+    """With a broadcastable eval side the gram probe must plan as a
+    broadcast LEFT-SEMI join: the exploded train grams never shuffle."""
+    from extractors_metadata_spark.operators.decontam import decontaminate
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+    )
+    ev = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["b c d"]}))
+    plan = _explain(decontaminate(train, ev, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
