@@ -1587,6 +1587,33 @@ def _zorder_key_sql() -> str:
     """
 
 
+def q_profile_table(spark, sf_dir):
+    """Per-column table statistics (operators/profile.py — the engine's
+    ANALYZE TABLE): row/null/distinct counts + typed min/max, one scan via
+    a melted single aggregate. Profiles the documents table's int/string
+    columns (floats excluded: min/max go through string casts and double
+    shortest-repr is the one cross-engine formatting surface; covered
+    separately by multi_render_verify). FULL oracle: exact counts + casts
+    replayed per column with UNION ALL."""
+    from extractors_metadata_spark.operators.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d, cols=("doc_id", "lang", "source", "n_chars"))
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s
+    FROM documents
+    """
+    for c in ("doc_id", "lang", "source", "n_chars")
+)
+
+
 def q_bbox_overlap(spark, sf_dir):
     """Polygon x bbox overlap join (operators/overlap.py — the REGION-query
     widening of the pip/kNN point suite): event-centered boxes
@@ -1806,15 +1833,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-78: oracle-backed queries whose primitive is already
+    2. entries 51-83: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
        the sketch suite hll_registers/hll_estimate/cms_verify/bloom_prune,
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
-       HDR quantile sketch pair, sq_topk, source_mix) — still
-       exact-checked locally by ``tools/check_oracles.py`` (results
-       committed per round);
+       HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
+       zorder_key, decontaminate, bbox_overlap, profile_table) — still exact-checked
+       locally by ``tools/check_oracles.py`` (results committed per
+       round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
@@ -1903,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "decontaminate": q_decontaminate,
         "bbox_overlap": q_bbox_overlap,
+        "profile_table": q_profile_table,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3524,4 +3553,5 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _zorder_key_sql(),
         "decontaminate": _DECONTAMINATE_SQL,
         "bbox_overlap": _BBOX_OVERLAP_SQL,
+        "profile_table": _PROFILE_SQL,
     }
