@@ -1442,6 +1442,48 @@ def q_stream_cms_verify(spark, sf_dir):
     return read_table(spark, base + "/state").select("row", "col", "cnt")
 
 
+def q_stream_tiles_verify(spark, sf_dir):
+    """Streamed per-tile rollup under a FULL oracle
+    (streaming/tile_stream.stream_tile_counts — the spatial x streaming
+    fusion: live crawl heatmap as durable snapshot state). AvailableNow
+    drain of the events table in multi-file micro-batches; counts ADD, so
+    correctness rests on the manifest batch-id guard (exactly-once
+    application); the end state must equal the one-shot per-tile counts,
+    which the oracle computes independently from the tile formula."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import read_table
+    from extractors_metadata_spark.streaming.tile_stream import (
+        stream_tile_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_stile_")
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(LAT_IN).cast("double").alias("lat"),
+        F.expr(LON_IN).cast("double").alias("lon"),
+    )
+    pts.repartition(8).write.parquet(base + "/in")
+    q = stream_tile_counts(
+        spark, base + "/in", base + "/state", base + "/ckpt",
+        schema=pts.schema, zooms=(12, 20), max_files_per_trigger=3,
+    )
+    q.awaitTermination(600)
+    return read_table(spark, base + "/state").select("z", "x", "y", "n")
+
+
+_STREAM_TILES_SQL = f"""
+    WITH pts AS (
+      SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    zs AS (SELECT unnest([12, 20]) AS z)
+    SELECT z,
+      CAST(FLOOR((lon + 180) / 360 * pow(2, z)) AS BIGINT) AS x,
+      CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, z)) AS BIGINT) AS y,
+      count(*) AS n
+    FROM pts, zs GROUP BY 1, 2, 3
+"""
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -1833,14 +1875,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-83: oracle-backed queries whose primitive is already
+    2. entries 51-84: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
        the sketch suite hll_registers/hll_estimate/cms_verify/bloom_prune,
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
-       zorder_key, decontaminate, bbox_overlap, profile_table) — still exact-checked
+       zorder_key, decontaminate, bbox_overlap, profile_table,
+       stream_tiles_verify) — still exact-checked
        locally by ``tools/check_oracles.py`` (results committed per
        round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
@@ -1932,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "bbox_overlap": q_bbox_overlap,
         "profile_table": q_profile_table,
+        "stream_tiles_verify": q_stream_tiles_verify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3554,4 +3598,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "bbox_overlap": _BBOX_OVERLAP_SQL,
         "profile_table": _PROFILE_SQL,
+        "stream_tiles_verify": _STREAM_TILES_SQL,
     }
