@@ -1442,6 +1442,33 @@ def q_stream_cms_verify(spark, sf_dir):
     return read_table(spark, base + "/state").select("row", "col", "cnt")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (operators/chunking.py — the dual
+    of pack_sequences: split long docs into overlapping fixed-token
+    windows, zero shuffles). chunk=24, overlap=8 over the documents table
+    (~25-100 words/doc -> 2-6 windows each, short docs exercise the
+    single-whole-doc branch). FULL oracle: exact integer window arithmetic
+    + exact list slicing replayed in SQL."""
+    from extractors_metadata_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=24, overlap=8
+    )
+
+
+_CHUNK_DOCS_SQL = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(greatest((len(w) - 8 + 15) // 16, 1))) AS chunk_idx
+      FROM words)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least(24, len(w) - chunk_idx * 16) AS INT) AS n_tokens,
+           array_to_string(w[chunk_idx*16+1 : chunk_idx*16+24], ' ') AS chunk_text
+    FROM idx
+"""
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -1875,7 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-84: oracle-backed queries whose primitive is already
+    2. entries 51-85: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
@@ -1883,7 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
        zorder_key, decontaminate, bbox_overlap, profile_table,
-       stream_tiles_verify) — still exact-checked
+       stream_tiles_verify, chunk_documents) — still exact-checked
        locally by ``tools/check_oracles.py`` (results committed per
        round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
@@ -1976,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap": q_bbox_overlap,
         "profile_table": q_profile_table,
         "stream_tiles_verify": q_stream_tiles_verify,
+        "chunk_documents": q_chunk_documents,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3599,4 +3627,5 @@ def oracle_sql() -> dict[str, str]:
         "bbox_overlap": _BBOX_OVERLAP_SQL,
         "profile_table": _PROFILE_SQL,
         "stream_tiles_verify": _STREAM_TILES_SQL,
+        "chunk_documents": _CHUNK_DOCS_SQL,
     }
