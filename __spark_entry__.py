@@ -1456,16 +1456,60 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
-_CHUNK_DOCS_SQL = """
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    idx AS (
-      SELECT doc_id, w,
-             unnest(range(greatest((len(w) - 8 + 15) // 16, 1))) AS chunk_idx
-      FROM words)
+def _chunk_sql(src: str, chunk: int = 24, overlap: int = 8) -> str:
+    """chunk_documents mirror over any (doc_id, text) relation ``src`` —
+    shared by the standalone query and the training_prep composition."""
+    stride = chunk - overlap
+    return f"""
     SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-           CAST(least(24, len(w) - chunk_idx * 16) AS INT) AS n_tokens,
-           array_to_string(w[chunk_idx*16+1 : chunk_idx*16+24], ' ') AS chunk_text
-    FROM idx
+           CAST(least({chunk}, len(w) - chunk_idx * {stride}) AS INT) AS n_tokens,
+           array_to_string(w[chunk_idx*{stride}+1 : chunk_idx*{stride}+{chunk}], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, w,
+             unnest(range(greatest((len(w) - {overlap} + {stride - 1}) // {stride}, 1))) AS chunk_idx
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}))
+    """
+
+
+_CHUNK_DOCS_SQL = _chunk_sql("documents")
+
+
+def q_training_prep(spark, sf_dir):
+    """The COMPOSED training-corpus pipeline (operators/trainprep.py):
+    banner-injected docs -> corpus-wide line dedup -> keep + size gates ->
+    sliding context windows, planned as ONE Catalyst job. Both stages are
+    individually oracle-checked (line_dedup, chunk_documents); this query
+    checks that the contracts survive composition — the same SQL stages
+    chained as CTEs (FULL oracle)."""
+    from extractors_metadata_spark.operators.trainprep import (
+        prep_training_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BANNER1 + " "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_BANNER2 + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return prep_training_corpus(
+        probe, min_tokens=8, chunk_tokens=24, overlap=8
+    )
+
+
+def _training_prep_sql() -> str:
+    # lazy: _LINE_DEDUP_SQL is defined later in the module (evaluated at
+    # oracle_sql() call time, when the module is fully loaded)
+    return f"""
+    WITH ld AS ({_LINE_DEDUP_SQL}),
+    survivors AS (
+      SELECT doc_id, clean_text AS text FROM ld
+      WHERE n_kept > 0 AND len(string_split(clean_text, ' ')) >= 8)
+    {_chunk_sql('survivors')}
 """
 
 
@@ -1902,7 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-85: oracle-backed queries whose primitive is already
+    2. entries 51-86: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
@@ -1910,9 +1954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
        zorder_key, decontaminate, bbox_overlap, profile_table,
-       stream_tiles_verify, chunk_documents) — still exact-checked
-       locally by ``tools/check_oracles.py`` (results committed per
-       round);
+       stream_tiles_verify, chunk_documents, training_prep) — still
+       exact-checked locally by ``tools/check_oracles.py`` (results
+       committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
@@ -2004,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "stream_tiles_verify": q_stream_tiles_verify,
         "chunk_documents": q_chunk_documents,
+        "training_prep": q_training_prep,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3628,4 +3673,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": _PROFILE_SQL,
         "stream_tiles_verify": _STREAM_TILES_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
+        "training_prep": _training_prep_sql(),
     }
