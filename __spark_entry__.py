@@ -1513,6 +1513,59 @@ def _training_prep_sql() -> str:
 """
 
 
+def _latlon_dbl():
+    """LAT_IN/LON_IN as explicit DOUBLE Column arithmetic — bit-equal to
+    the DuckDB/Python double chain (pytest-checked). F.expr parses the
+    same literals as decimal(38,11), whose ~2e-10 deg value drift is fine
+    behind floor()/margins but NOT under a cm-rounded distance output."""
+    lat = F.lit(33.0745) + (
+        (F.col("event_id") % 1000).cast("double") + F.lit(0.5)
+    ) / F.lit(1000.0) * F.lit(54.0) * F.lit(0.0000365)
+    lon = F.lit(-111.9750833333) + (
+        (F.col("event_id") % 640).cast("double") + F.lit(0.5)
+    ) / F.lit(640.0) * F.lit(16.0) * F.lit(0.00005)
+    return lat.alias("lat"), lon.alias("lon")
+
+
+def q_radius_pairs(spark, sf_dir):
+    """Within-radius point<->point self-join (operators/radius_join.py —
+    the no-broadcast-side distance join: cell-bucketed shuffle equi-join,
+    one side explodes a bounded k-ring, each unordered pair survives
+    exactly once via id_a < id_b, exact equirect refine rounded to cm with
+    the threshold on the ROUNDED value). FULL oracle: brute-force O(n^2)
+    theta join over the first 3000 events with the literal identical
+    distance arithmetic — an independent derivation that also proves the
+    ring bound loses no pair."""
+    from extractors_metadata_spark.operators.radius_join import (
+        radius_self_join,
+    )
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", lat, lon)
+    )
+    return radius_self_join(spark, pts, radius_m=1.0)
+
+
+_RADIUS_PAIRS_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) AS dist_m
+      FROM pts a JOIN pts b ON a.id < b.id)
+    SELECT id_a, id_b, dist_m FROM pairs WHERE dist_m <= 1.0
+"""
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -1946,7 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-86: oracle-backed queries whose primitive is already
+    2. entries 51-87: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
@@ -1954,9 +2007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
        zorder_key, decontaminate, bbox_overlap, profile_table,
-       stream_tiles_verify, chunk_documents, training_prep) — still
-       exact-checked locally by ``tools/check_oracles.py`` (results
-       committed per round);
+       stream_tiles_verify, chunk_documents, training_prep, radius_pairs)
+       — still exact-checked locally by ``tools/check_oracles.py``
+       (results committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring.
     """
@@ -2049,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tiles_verify": q_stream_tiles_verify,
         "chunk_documents": q_chunk_documents,
         "training_prep": q_training_prep,
+        "radius_pairs": q_radius_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3674,4 +3728,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_tiles_verify": _STREAM_TILES_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
         "training_prep": _training_prep_sql(),
+        "radius_pairs": _RADIUS_PAIRS_SQL,
     }

@@ -1,0 +1,141 @@
+"""Within-radius point<->point self-join (distance join, both sides huge).
+
+Engine-added capability (J-family widening): "every pair of points within
+r meters" — co-visit detection, proximity dedup of POI extractions,
+cluster seeding. This is a genuinely different scale shape from the
+pip/kNN suite: there is NO broadcastable dim — both sides are the full
+point table — so the join must be a CELL-BUCKETED shuffle equi-join.
+
+Scale design (10^12 points):
+- Points are narrow (id, lat, lon) + one h3 cell; ONE side explodes its
+  k-ring (bounded: ring chosen so 3k^2+3k+1 stays ~19-37 cells) and the
+  equi-join on the cell key co-partitions both sides — no broadcast, no
+  cross join, shuffle keyed by cells (spatially uniform keys unless the
+  data is point-degenerate; dense hotspots bound candidates by local
+  density x ring cells — cap/salt with ``operators/skew`` if a single
+  cell's density is pathological).
+- Soundness (same lattice bound as ``pip_knn._ring_reach_m``): hex centers
+  at grid distance g are >= 1.5*g*s apart in projected meters; each point
+  is within s of its cell center; true meters >= projected * cos(lat). So
+  any pair within ``radius_m`` true meters has grid distance
+  g <= (radius/(s*cos) + 2) / 1.5 — ``ring`` is that ceiling (with
+  ``max_abs_lat`` bounding cos), and the default ``res`` is the finest
+  cell with s >= 2*radius so ring lands at ~2.
+- Each unordered pair survives exactly once: the k-ring is symmetric, so
+  (a, b) appears from both orientations and ``id_a < id_b`` keeps one —
+  no distinct pass.
+- The exact refine is the engine's frozen equirectangular formula
+  (anchored at the smaller id's latitude), Arrow-batched, distance
+  reported rounded to cm (the knn oracles' proven cross-engine surface).
+
+Reference analog: none — the reference never relates two observations;
+this is the corpus-scale widening of its single-point plot lookup.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import hexgrid
+from ..functions.geodesy import R_MEAN
+from ..functions.spark_udfs import h3_udf
+from .pip_knn import _ensure_parallel
+
+_DEG = math.pi / 180.0 * R_MEAN
+
+
+def _kring_udf(ring: int):
+    @pandas_udf("array<long>")
+    def _f(cell: pd.Series) -> pd.Series:
+        cells = cell.to_numpy(np.int64)
+        idx, dilated = hexgrid.kring_batch(cells, ring)
+        counts = np.bincount(idx, minlength=len(cells))
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        return pd.Series([dilated[offs[i]:offs[i + 1]] for i in range(len(cells))])
+
+    return _f
+
+
+def _pair_dist_udf():
+    @pandas_udf("double")
+    def _f(lat_a: pd.Series, lon_a: pd.Series,
+           lat_b: pd.Series, lon_b: pd.Series) -> pd.Series:
+        ya = lat_a.to_numpy(np.float64)
+        xa = lon_a.to_numpy(np.float64)
+        yb = lat_b.to_numpy(np.float64)
+        xb = lon_b.to_numpy(np.float64)
+        # frozen equirect plane anchored at point a's latitude — written as
+        # explicit products so the DuckDB oracle replays it literally.
+        # Returned UNROUNDED: cm rounding happens JVM-side via F.round,
+        # which matches DuckDB round() (half-up; np.round is half-EVEN —
+        # the knn queries' proven pairing)
+        dx = (xb - xa) * np.cos(np.radians(ya)) * _DEG
+        dy = (yb - ya) * _DEG
+        return pd.Series(np.sqrt(dx * dx + dy * dy))
+
+    return _f
+
+
+def pick_res_ring(radius_m: float, max_abs_lat: float = 66.0) -> tuple[int, int]:
+    """Finest resolution with cell size >= 2*radius, and the sound ring."""
+    res = hexgrid.MIN_RES
+    for r in range(hexgrid.MIN_RES, hexgrid.MAX_RES + 1):
+        if float(hexgrid.res_size_m(r)) >= 2.0 * radius_m:
+            res = r
+        else:
+            break
+    s = float(hexgrid.res_size_m(res))
+    cos_min = math.cos(math.radians(max_abs_lat))
+    ring = math.ceil((radius_m / (s * cos_min) + 2.0) / 1.5)
+    return res, ring
+
+
+def radius_self_join(
+    spark,
+    pts: DataFrame,
+    radius_m: float,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+    ring: int | None = None,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """All unordered pairs within ``radius_m`` meters:
+    (id_a, id_b, dist_m) with id_a < id_b, dist_m rounded to cm and the
+    threshold applied to the ROUNDED value (cross-engine-stable)."""
+    if res is None or ring is None:
+        d_res, d_ring = pick_res_ring(radius_m, max_abs_lat)
+        res = d_res if res is None else res
+        ring = d_ring if ring is None else ring
+
+    narrow = _ensure_parallel(
+        spark, pts.select(id_col, lat_col, lon_col)
+    ).withColumn("_cell", h3_udf(res)(lat_col, lon_col))
+
+    left = narrow.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("_lat_a"),
+        F.col(lon_col).alias("_lon_a"),
+        F.explode(_kring_udf(ring)("_cell")).alias("_kcell"),
+    )
+    right = narrow.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("_lat_b"),
+        F.col(lon_col).alias("_lon_b"),
+        F.col("_cell").alias("_cell_b"),
+    )
+    cand = left.join(right, left["_kcell"] == right["_cell_b"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    out = cand.withColumn(
+        "dist_m",
+        F.round(_pair_dist_udf()("_lat_a", "_lon_a", "_lat_b", "_lon_b"), 2),
+    ).filter(F.col("dist_m") <= radius_m)
+    return out.select("id_a", "id_b", "dist_m")
