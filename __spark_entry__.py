@@ -1566,6 +1566,34 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash encoding (functions/geohash.py — the interoperability index
+    family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
+    quantize -> zcurve bit spread -> base-32 lookup). Precision 8 (even —
+    the lon-on-the-shifted-slot parity branch; the odd branch is pinned
+    against the public reference algorithm in pytest). FULL oracle: the
+    identical mask stages + substr lookups replayed in SQL on bit-identical
+    double inputs, so floor needs no margins."""
+    from extractors_metadata_spark.functions.geohash import geohash_encode
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    return pts.select(
+        "event_id", geohash_encode(F.col("lat"), F.col("lon"), 8).alias("gh")
+    )
+
+
+def _geohash_oracle_sql() -> str:
+    from extractors_metadata_spark.functions.geohash import geohash_sql
+
+    return f"""
+        WITH ghbase AS (
+          SELECT event_id, ({LAT_IN}) AS glat, ({LON_IN}) AS glon FROM events),
+        {geohash_sql(8)}
+        SELECT event_id, gh FROM ghfin
+    """
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -1999,7 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-87: oracle-backed queries whose primitive is already
+    2. entries 51-88: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
@@ -2007,7 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
        zorder_key, decontaminate, bbox_overlap, profile_table,
-       stream_tiles_verify, chunk_documents, training_prep, radius_pairs)
+       stream_tiles_verify, chunk_documents, training_prep, radius_pairs, geohash)
        — still exact-checked locally by ``tools/check_oracles.py``
        (results committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
@@ -2103,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "training_prep": q_training_prep,
         "radius_pairs": q_radius_pairs,
+        "geohash": q_geohash,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3729,4 +3758,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_DOCS_SQL,
         "training_prep": _training_prep_sql(),
         "radius_pairs": _RADIUS_PAIRS_SQL,
+        "geohash": _geohash_oracle_sql(),
     }
