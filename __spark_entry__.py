@@ -101,6 +101,27 @@ def q_pip_contains(spark, sf_dir):
     return out.select("event_id", "plot_id")
 
 
+def q_pip_bigdim(spark, sf_dir):
+    """Point-in-polygon with a DISTRIBUTED polygon dim
+    (operators/pip_bigdim.py — the non-broadcastable-dim regime: covering
+    cells built in one Arrow pass over the polygon table, candidates via a
+    shuffle_hash cell equi-join, refine = the SAME frozen raycast kernel as
+    the broadcast path). Same probe and FULL oracle as pip_contains, so the
+    two regimes are checked against the identical closed-form truth."""
+    import numpy as np
+
+    from extractors_metadata_spark.operators.pip_bigdim import pip_join_bigdim
+
+    pdf = _plots_pdf().copy()
+    pdf["ring"] = [
+        [[float(v[0]), float(v[1])] for v in np.asarray(r)] for r in pdf["ring"]
+    ]
+    polys = spark.createDataFrame(pdf[["plot_id", "ring"]])
+    pts = _event_points(spark, sf_dir)
+    out = pip_join_bigdim(spark, pts, polys, point_id="event_id")
+    return out.select("event_id", "plot_id")
+
+
 def q_knn_nearest(spark, sf_dir):
     """k=1 nearest over the FULL point range, with dist_m oracle-checked
     numerically (the knn_topk SQL machinery at rank<=1 — round to cm, see
@@ -2027,7 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-88: oracle-backed queries whose primitive is already
+    2. entries 51-89: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
@@ -2035,7 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
        zorder_key, decontaminate, bbox_overlap, profile_table,
-       stream_tiles_verify, chunk_documents, training_prep, radius_pairs, geohash)
+       stream_tiles_verify, chunk_documents, training_prep, radius_pairs, geohash, pip_bigdim)
        — still exact-checked locally by ``tools/check_oracles.py``
        (results committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
@@ -2132,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "radius_pairs": q_radius_pairs,
         "geohash": q_geohash,
+        "pip_bigdim": q_pip_bigdim,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3759,4 +3781,9 @@ def oracle_sql() -> dict[str, str]:
         "training_prep": _training_prep_sql(),
         "radius_pairs": _RADIUS_PAIRS_SQL,
         "geohash": _geohash_oracle_sql(),
+        "pip_bigdim": f"""
+            SELECT event_id,
+                   ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id
+            FROM events
+        """,
     }

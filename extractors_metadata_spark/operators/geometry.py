@@ -15,6 +15,33 @@ import numpy as np
 import pandas as pd
 
 
+def raycast_contains(x1, y1, x2, y2, px, py,
+                     boundary_eps: float = 1e-12) -> np.ndarray:
+    """Exact ray-cast PIP over PER-ROW edge arrays (n, kmax): row i tests
+    point (px[i], py[i]) against its own NaN-padded edge set. Shared by
+    ``PreparedPolygons.contains`` (broadcast dim) and the big-dim path
+    (``pip_knn.pip_join_bigdim``), so both regimes run one frozen kernel.
+    Boundary points count as inside (Touches => match)."""
+    px_ = px[:, None]
+    py_ = py[:, None]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        crosses = (y1 > py_) != (y2 > py_)
+        x_int = (x2 - x1) * (py_ - y1) / (y2 - y1) + x1
+        inside = (np.where(crosses & (px_ < x_int), 1, 0).sum(axis=1) % 2) == 1
+
+        cross = (x2 - x1) * (py_ - y1) - (y2 - y1) * (px_ - x1)
+        seg_len = np.abs(x2 - x1) + np.abs(y2 - y1)
+        on_line = np.abs(cross) <= boundary_eps * np.maximum(seg_len, 1.0)
+        in_box = (
+            (px_ >= np.minimum(x1, x2) - boundary_eps)
+            & (px_ <= np.maximum(x1, x2) + boundary_eps)
+            & (py_ >= np.minimum(y1, y2) - boundary_eps)
+            & (py_ <= np.maximum(y1, y2) + boundary_eps)
+        )
+        on_boundary = np.any(on_line & in_box, axis=1)
+    return inside | on_boundary
+
+
 def ring_array(r) -> np.ndarray:
     """Coerce a ring to an (n, 2) float array — handles plain lists and Spark
     toPandas' object-dtype ndarray-of-ndarrays for array<array<double>>."""
@@ -64,29 +91,11 @@ class PreparedPolygons:
         match (``plotid_by_latlon.py:57``). ``boundary_eps`` (degrees, ~0.1 um)
         only absorbs float round-off on the on-segment test.
         """
-        x1 = self.x1[poly_idx]
-        y1 = self.y1[poly_idx]
-        x2 = self.x2[poly_idx]
-        y2 = self.y2[poly_idx]
-        px_ = px[:, None]
-        py_ = py[:, None]
-
-        with np.errstate(invalid="ignore", divide="ignore"):
-            crosses = (y1 > py_) != (y2 > py_)
-            x_int = (x2 - x1) * (py_ - y1) / (y2 - y1) + x1
-            inside = (np.where(crosses & (px_ < x_int), 1, 0).sum(axis=1) % 2) == 1
-
-            cross = (x2 - x1) * (py_ - y1) - (y2 - y1) * (px_ - x1)
-            seg_len = np.abs(x2 - x1) + np.abs(y2 - y1)
-            on_line = np.abs(cross) <= boundary_eps * np.maximum(seg_len, 1.0)
-            in_box = (
-                (px_ >= np.minimum(x1, x2) - boundary_eps)
-                & (px_ <= np.maximum(x1, x2) + boundary_eps)
-                & (py_ >= np.minimum(y1, y2) - boundary_eps)
-                & (py_ <= np.maximum(y1, y2) + boundary_eps)
-            )
-            on_boundary = np.any(on_line & in_box, axis=1)
-        return inside | on_boundary
+        return raycast_contains(
+            self.x1[poly_idx], self.y1[poly_idx],
+            self.x2[poly_idx], self.y2[poly_idx],
+            px, py, boundary_eps,
+        )
 
     def distance_m(self, poly_idx: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Min point-to-ring distance in meters (equirectangular local plane,
