@@ -1615,6 +1615,76 @@ def _geohash_oracle_sql() -> str:
     """
 
 
+def q_tile_hll_density(spark, sf_dir):
+    """Distinct users per z20 tile via GROUPED HLL
+    (sketches.hll_sketch_grouped/hll_estimate_grouped) — the sketch path
+    for tile_density's exact salted distinct: at 100 TB the exact form
+    shuffles every distinct pair, the grouped sketch shuffles <= m rows
+    per group per partition. FULL oracle: poly/mix31 hash replay -> sparse
+    per-group registers -> exact HUGEINT harmonic sum (empty buckets as
+    (m - n_obs)*2^60) -> the identical literal double estimator, incl. the
+    linear-counting branch (which fires here: ~32 small tiles)."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+    from extractors_metadata_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", lat, lon)
+    t = e.withColumn("_t", tile_xy_udf(20)("lat", "lon")).select(
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"), "user_id"
+    )
+    regs = hll_sketch_grouped(
+        t, ("x", "y"), F.col("user_id").cast("string"), p=8
+    )
+    return hll_estimate_grouped(regs, ("x", "y"), p=8)
+
+
+def _tile_hll_density_sql(p: int = 8) -> str:
+    from extractors_metadata_spark.operators.sketches import (
+        HLL_SCALE,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    harm = (
+        f"(harm_obs + CAST(({m} - n_obs) AS HUGEINT)"
+        f" * CAST({1 << HLL_SCALE} AS HUGEINT))"
+    )
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST({harm} AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_obs AS DOUBLE)))"
+    )
+    return f"""
+        WITH pts AS (
+          SELECT CAST(user_id AS VARCHAR) AS k,
+            CAST(FLOOR((({LON_IN}) + 180) / 360 * pow(2, 20)) AS BIGINT) AS x,
+            CAST(FLOOR((1 - ln(tan(radians(({LAT_IN}))) + 1/cos(radians(({LAT_IN}))))/pi())/2 * pow(2, 20)) AS BIGINT) AS y
+          FROM events),
+        h0 AS (SELECT x, y, {_poly_sql('k', 131)} AS wr, {_poly_sql('k', 137)} AS br
+               FROM pts),
+        h1 AS (SELECT x, y, {_mix31_sql('wr')} AS w, {_mix31_sql('br')} AS bh FROM h0),
+        rnk AS (SELECT x, y, bh % {m} AS bucket,
+                       CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+                FROM h1),
+        regs AS (SELECT x, y, bucket, max(rho) AS rho FROM rnk GROUP BY 1, 2, 3),
+        agg AS (SELECT x, y,
+                       sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm_obs,
+                       count(*) AS n_obs
+                FROM regs GROUP BY 1, 2)
+        SELECT x, y, CAST({m} - n_obs AS BIGINT) AS n_zero,
+               round(round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_obs > 0
+                                THEN {lc} ELSE {raw} END, 6), 3) AS estimate
+        FROM agg
+    """
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -2048,7 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. entries 1-50: oracle-backed queries spanning every operator family,
        prioritizing queries the official record has never shown (the corpus/
        sampling/DAG suite, the new envelope + incremental-dedup oracles);
-    2. entries 51-89: oracle-backed queries whose primitive is already
+    2. entries 51-90: oracle-backed queries whose primitive is already
        covered by an in-window sibling (e.g. word_tokens ~ token_stats,
        all_targets ~ targets_complete) or added after the window froze
        (session_stats, url_dedup, asof_join, domain_cap, interval_join,
@@ -2056,7 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        pagerank, the streamed-sketch states stream_hll/cms_verify, the
        HDR quantile sketch pair, sq_topk, source_mix, line_dedup,
        zorder_key, decontaminate, bbox_overlap, profile_table,
-       stream_tiles_verify, chunk_documents, training_prep, radius_pairs, geohash, pip_bigdim)
+       stream_tiles_verify, chunk_documents, training_prep, radius_pairs, geohash, pip_bigdim, tile_hll_density)
        — still exact-checked locally by ``tools/check_oracles.py``
        (results committed per round);
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
@@ -2154,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_pairs": q_radius_pairs,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
+        "tile_hll_density": q_tile_hll_density,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -3781,6 +3852,7 @@ def oracle_sql() -> dict[str, str]:
         "training_prep": _training_prep_sql(),
         "radius_pairs": _RADIUS_PAIRS_SQL,
         "geohash": _geohash_oracle_sql(),
+        "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""
             SELECT event_id,
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id

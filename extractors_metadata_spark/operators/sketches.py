@@ -103,6 +103,73 @@ def hll_sketch(df: DataFrame, key: Column, p: int = 8) -> DataFrame:
     )
 
 
+def hll_sketch_grouped(
+    df: DataFrame, group_cols: tuple[str, ...], key: Column, p: int = 8
+) -> DataFrame:
+    """Per-GROUP HLL registers — the sketch path for distinct-per-key
+    rollups (distinct users per tile, per domain, per day) where the exact
+    salted aggregate (``skew.salted_distinct_count``) would shuffle every
+    distinct pair at 100 TB. Rows are (group..., bucket, rho), SPARSE:
+    only observed buckets (a dense m-row pad per group would dwarf the
+    data at billions of groups). Observed rho is always >= 1 (the rank is
+    31-bit), so ``n_zero = m - count(buckets)`` per group EXACTLY — the
+    estimator needs no pad. One map-side-combining shuffle keyed by
+    (group, bucket): <= m rows per group per map partition; per-shard
+    sketches merge by the same groupBy-max (associative/idempotent)."""
+    m = 1 << p
+    w = mix31(poly_hash(key))
+    rho = (
+        F.when(w == 0, F.lit(32))
+        .otherwise(F.lit(32) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    return (
+        df.select(
+            *group_cols, (mix31(poly_hash(key, BASE2)) % m).alias("bucket"), rho
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: tuple[str, ...], p: int = 8
+) -> DataFrame:
+    """Per-group estimates off sparse grouped registers: (group...,
+    n_zero, estimate). Same estimator as ``hll_estimate`` (exact DECIMAL
+    harmonic sum, one literal double division, double-rounded; linear
+    counting below 2.5m when zero registers exist — the branch predicate
+    is deterministic cross-engine because the raw value is a single float
+    op on integer-exact inputs); empty buckets contribute
+    (m - n_obs) * 2^HLL_SCALE to the harmonic sum in exact integers."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    term = F.expr(f"shiftleft(1L, {HLL_SCALE} - rho)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term.cast("decimal(38,0)")).alias("_harm_obs"),
+        F.count(F.lit(1)).alias("_n_obs"),
+    )
+    harm = F.col("_harm_obs") + F.expr(
+        f"CAST(({m} - _n_obs) AS DECIMAL(20,0))"
+        f" * CAST({1 << HLL_SCALE} AS DECIMAL(20,0))"
+    )
+    n_zero = (F.lit(m) - F.col("_n_obs")).cast("long")
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(1 << HLL_SCALE))
+        / harm.cast("double")
+    )
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_zero > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        n_zero.alias("n_zero"),
+        F.round(F.round(est, 6), 3).alias("estimate"),
+    )
+
+
 def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     """One-row HLL estimate from a register table: (m, n_zero, harm_num,
     estimate) where harm_num = sum(2^(60-rho)) exactly in DECIMAL(38,0) and
