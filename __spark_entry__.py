@@ -2016,6 +2016,27 @@ def q_quantile_estimate_verify(spark, sf_dir):
     return quantile_estimate(sk, qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=6)
 
 
+def q_quantile_grouped_verify(spark, sf_dir):
+    """Per-KEY quantile brackets off grouped sketches (operators/quantiles.
+    quantile_sketch_grouped + quantile_estimate_grouped): p50/p90/p99 doc
+    length per language — the scale path for per-key percentiles where
+    corpus.length_quantiles' exact percentile buffer pays per-group sort
+    state. The whole pipeline stays keyed: sketch = one map-side-combining
+    groupBy(lang, bin), cumulative window PARTITIONED by lang, q-join on
+    the key — nothing scales with rows, only with groups x bins. FULL
+    oracle: same exact-int bin/bounds expressions (shared bin_sql/
+    bounds_sql source) replayed per group in DuckDB."""
+    from extractors_metadata_spark.operators.quantiles import (
+        quantile_estimate_grouped,
+        quantile_sketch_grouped,
+    )
+
+    sk = quantile_sketch_grouped(
+        _t(spark, sf_dir, "documents"), ("lang",), F.col("n_chars"), k=6
+    )
+    return quantile_estimate_grouped(sk, ("lang",), qs=(0.5, 0.9, 0.99), k=6)
+
+
 def q_sq_topk(spark, sf_dir):
     """Int8 scalar-quantized cosine top-k (similarity.sq_encode/sq_topk) —
     the ANN STORAGE scale path (4x smaller corpus scan). FULL oracle,
@@ -2107,6 +2128,35 @@ def _quantile_estimate_sql(qs: tuple[float, ...], k: int = 6) -> str:
         hit AS (SELECT q, n, min(bin) AS bin
                 FROM tq JOIN cum ON cum.cum >= tq.target GROUP BY q, n)
         SELECT q, n, bin, {lo} AS lo, {hi} AS hi FROM hit
+    """
+
+
+def _quantile_grouped_sql(qs: tuple[float, ...], k: int = 6) -> str:
+    """quantile_sketch_grouped + quantile_estimate_grouped mirror: the
+    per-group sketch, the group-partitioned cumulative window, the keyed
+    q-join and the bounds inversion — same shared bin_sql/bounds_sql
+    expressions, exact integers except the literal-identical ceil(q*n)."""
+    from extractors_metadata_spark.operators.quantiles import bin_sql, bounds_sql
+
+    lo, hi = bounds_sql(k)
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+        WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        sk AS MATERIALIZED (
+          SELECT lang, {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+        cum AS (SELECT lang, bin,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+                FROM sk),
+        tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+        qs(q) AS (VALUES {qvals}),
+        tq AS (SELECT lang, q, n,
+                      greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS target
+               FROM qs, tot),
+        hit AS (SELECT tq.lang AS lang, q, n, min(cum.bin) AS bin
+                FROM tq JOIN cum ON cum.lang = tq.lang AND cum.cum >= tq.target
+                GROUP BY 1, 2, 3)
+        SELECT lang, q, n, bin, {lo} AS lo, {hi} AS hi FROM hit
     """
 
 
@@ -2211,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_verify": q_stream_cms_verify,
         "quantile_sketch_verify": q_quantile_sketch_verify,
         "quantile_estimate_verify": q_quantile_estimate_verify,
+        "quantile_grouped_verify": q_quantile_grouped_verify,
         "sq_topk": q_sq_topk,
         "source_mix": q_source_mix,
         "line_dedup": q_line_dedup,
@@ -3840,6 +3891,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_estimate_verify": _quantile_estimate_sql(
             (0.25, 0.5, 0.75, 0.9, 0.99), 6
         ),
+        "quantile_grouped_verify": _quantile_grouped_sql((0.5, 0.9, 0.99), 6),
         "sq_topk": _sq_topk_sql(5, 10),
         "source_mix": _source_mix_sql(_MIX_WEIGHTS),
         "line_dedup": _LINE_DEDUP_SQL,

@@ -92,6 +92,70 @@ def quantile_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
 
 
+def quantile_sketch_grouped(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value: Column,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-GROUP (group..., bin, cnt) sketches — the sketch path for
+    per-key percentiles at scale ("p99 doc length per language / per
+    source / per day"), where ``corpus.length_quantiles``'s exact
+    percentile buffer pays per-group sort state.  Same contract as the
+    global sketch: one narrow projection + one map-side-combining
+    groupBy keyed by (group, bin); shuffle <= bins-per-group rows per
+    input partition, per-shard sketches merge by the same groupBy-sum
+    (associative, bit-exact — the ``hll_sketch_grouped`` pattern)."""
+    v = df.select(*group_cols, value.cast("long").alias("v")).filter(
+        F.col("v").isNotNull() & (F.col("v") >= 0)
+    )
+    return (
+        v.selectExpr(*group_cols, f"{bin_sql(k)} AS bin")
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_estimate_grouped(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-group quantile brackets off grouped sketches: (group..., q, n,
+    bin, lo, hi) — same estimator as ``quantile_estimate`` with the
+    cumulative window PARTITIONED by group (state = one group's bins, a
+    constant) and the q-join keyed on the group columns, so the plan is
+    one sketch-sized shuffle + one broadcast of the literal q values:
+    nothing scales with data rows, only with groups x bins."""
+    spark = sketch.sparkSession
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.select(*group_cols, "bin", F.sum("cnt").over(w).alias("cum"))
+    total = sketch.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    tq = total.crossJoin(F.broadcast(qdf)).withColumn(
+        "target",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")).cast("long")
+        ),
+    )
+    cond = F.col("c.cum") >= F.col("t.target")
+    for g in group_cols:
+        cond = (F.col(f"t.{g}") == F.col(f"c.{g}")) & cond
+    hit = (
+        tq.alias("t")
+        .join(cum.alias("c"), cond)
+        .groupBy(*[F.col(f"t.{g}") for g in group_cols], "t.q", "t.n")
+        .agg(F.min("c.bin").alias("bin"))
+    )
+    lo, hi = bounds_sql(k)
+    return hit.selectExpr(*group_cols, "q", "n", "bin", f"{lo} AS lo", f"{hi} AS hi")
+
+
 def quantile_estimate(
     sketch: DataFrame,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),

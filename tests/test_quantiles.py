@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 from extractors_metadata_spark.operators.quantiles import (
     bounds_sql,
     quantile_estimate,
+    quantile_estimate_grouped,
     quantile_merge,
     quantile_sketch,
+    quantile_sketch_grouped,
 )
 
 
@@ -57,6 +59,39 @@ def test_merge_equals_whole_sketch_exactly(spark):
         )
     )
     assert merged == whole
+
+
+def test_grouped_sketch_and_estimate_match_per_group(spark):
+    df = _values(spark).withColumn("g", F.pmod(F.col("v"), F.lit(4)).cast("int"))
+    gsk = quantile_sketch_grouped(df, ("g",), F.col("v"))
+    # each group's slice of the grouped sketch == the ungrouped sketch of
+    # that group's rows (the grouped path adds nothing but the key)
+    for g in range(4):
+        sliced = sorted(
+            (r["bin"], r["cnt"])
+            for r in gsk.filter(F.col("g") == g).select("bin", "cnt").collect()
+        )
+        solo = sorted(
+            map(
+                tuple,
+                quantile_sketch(df.filter(F.col("g") == g), F.col("v")).collect(),
+            )
+        )
+        assert sliced == solo
+    qs = (0.5, 0.9, 0.99)
+    est = {
+        (r["g"], r["q"]): r
+        for r in quantile_estimate_grouped(gsk, ("g",), qs=qs).collect()
+    }
+    rows = df.collect()
+    for g in range(4):
+        vals = sorted(r["v"] for r in rows if r["g"] == g)
+        n = len(vals)
+        for q in qs:
+            exact = vals[max(1, math.ceil(q * n)) - 1]
+            r = est[(g, q)]
+            assert r["n"] == n
+            assert r["lo"] <= exact <= r["hi"], (g, q, exact, r)
 
 
 def test_estimate_brackets_exact_rank_statistic(spark):
