@@ -1587,6 +1587,55 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def q_spatial_cluster(spark, sf_dir):
+    """Single-linkage spatial clustering (radius_join.spatial_cluster):
+    connected components of the within-1m pair graph over the first 3000
+    events -> (id, cluster_id, cluster_size), cluster_id = min id in the
+    component, singletons included. Composition of the proven radius_pairs
+    edge generator and the cluster_pairs label propagation. FULL oracle:
+    the O(n^2) literal-identical distance pairs + a recursive-CTE
+    reachability closure (min-reachable-id == propagated min label)."""
+    from extractors_metadata_spark.operators.radius_join import spatial_cluster
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", lat, lon)
+    )
+    return spatial_cluster(spark, pts, radius_m=1.0)
+
+
+_SPATIAL_CLUSTER_SQL = f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) <= 1.0),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+    ),
+    labels AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+    allpts AS (SELECT p.id, coalesce(l.cluster_id, p.id) AS cluster_id
+               FROM pts p LEFT JOIN labels l ON l.id = p.id),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM allpts GROUP BY 1)
+    SELECT id, a.cluster_id, cluster_size
+    FROM allpts a JOIN sizes USING (cluster_id)
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -2273,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "training_prep": q_training_prep,
         "radius_pairs": q_radius_pairs,
+        "spatial_cluster": q_spatial_cluster,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -3903,6 +3953,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_DOCS_SQL,
         "training_prep": _training_prep_sql(),
         "radius_pairs": _RADIUS_PAIRS_SQL,
+        "spatial_cluster": _SPATIAL_CLUSTER_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""

@@ -139,3 +139,55 @@ def radius_self_join(
         F.round(_pair_dist_udf()("_lat_a", "_lon_a", "_lat_b", "_lon_b"), 2),
     ).filter(F.col("dist_m") <= radius_m)
     return out.select("id_a", "id_b", "dist_m")
+
+
+def spatial_cluster(
+    spark,
+    pts: DataFrame,
+    radius_m: float,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_iters: int = 40,
+    **radius_kwargs,
+) -> DataFrame:
+    """Single-linkage spatial clustering: connected components of the
+    within-``radius_m`` pair graph -> (id, cluster_id, cluster_size).
+
+    The DBSCAN-shaped primitive (minPts=1 single linkage) for POI
+    consolidation / duplicate-extraction collapse / scan-stop detection:
+    two points share a cluster iff a chain of <= radius_m hops connects
+    them.  cluster_id is the MIN point id in the component (the engine-wide
+    canonical tie-break); points with no neighbor are their own singleton
+    cluster, so every input row comes back exactly once.
+
+    Pure composition of two proven operators — the edge generator is
+    ``radius_self_join`` (cell-bucketed, no broadcast side, bounded k-ring
+    fan-out; never O(n^2)) and the component solver is
+    ``dedup.cluster_pairs`` (checkpointed min-label propagation, one
+    id-keyed shuffle per round, O(graph diameter) rounds — chain-shaped
+    point strings are the deep case; raise ``max_iters`` there).  The
+    size annotation adds one cluster_id-keyed count + join back, both on
+    the narrow (id, cluster_id) frame.
+
+    Reference analog: none (the reference never relates two observations);
+    this widens its single-point plot lookup to corpus-scale geometry.
+    """
+    from .dedup import cluster_pairs
+
+    pairs = radius_self_join(
+        spark, pts, radius_m, id_col=id_col, lat_col=lat_col,
+        lon_col=lon_col, **radius_kwargs,
+    )
+    comp = cluster_pairs(pairs.select("id_a", "id_b"), max_iters=max_iters)
+    labeled = (
+        pts.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("canonical_id", F.col("id")).alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "id", "cluster_id", "cluster_size"
+    )

@@ -63,3 +63,66 @@ def test_pick_res_ring_is_sound_and_bounded():
         assert 1.5 * ring * s - 2.0 * s >= radius / cos_min - 1e-9
         # and the fan-out stays bounded
         assert 3 * ring * ring + 3 * ring + 1 <= 37
+
+
+def test_spatial_cluster_chains_and_singletons(spark):
+    """A 5-point chain (each hop ~0.8 m, ends ~3.2 m apart) must be ONE
+    cluster under single linkage; a far singleton keeps its own id."""
+    from extractors_metadata_spark.functions.geodesy import R_MEAN
+    from extractors_metadata_spark.operators.radius_join import spatial_cluster
+
+    deg_per_m = 1.0 / (math.pi / 180.0 * R_MEAN)
+    rows = [(i, 33.07, -111.98 + 0.8 * i * deg_per_m) for i in range(5)]
+    rows.append((99, 33.07, -111.98 + 500.0 * deg_per_m))  # isolated
+    pts = spark.createDataFrame(rows, "event_id long, lat double, lon double")
+    got = {
+        r["id"]: (r["cluster_id"], r["cluster_size"])
+        for r in spatial_cluster(spark, pts, radius_m=1.0).collect()
+    }
+    assert len(got) == 6
+    for i in range(5):
+        assert got[i] == (0, 5), got
+    assert got[99] == (99, 1), got
+
+
+def test_spatial_cluster_matches_bruteforce_components(spark):
+    """Random dense cloud: clusters == connected components of the brute
+    O(n^2) pair graph (min-id canonical labels, sizes included)."""
+    from extractors_metadata_spark.operators.radius_join import spatial_cluster
+
+    rng = np.random.default_rng(23)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "lat": 33.07 + rng.uniform(0, 2.5e-4, n),
+            "lon": -111.98 + rng.uniform(0, 3e-4, n),
+        }
+    )
+    want_pairs = _brute(pdf, 1.0)
+    adj = {i: set() for i in range(n)}
+    for a, b in want_pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for start in range(n):
+        if start in want:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u] - seen:
+                seen.add(v)
+                stack.append(v)
+        lab = min(comp)
+        for u in comp:
+            want[u] = (lab, len(comp))
+    got = {
+        r["id"]: (r["cluster_id"], r["cluster_size"])
+        for r in spatial_cluster(
+            spark, spark.createDataFrame(pdf), radius_m=1.0
+        ).collect()
+    }
+    assert got == want
