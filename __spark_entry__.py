@@ -1587,6 +1587,49 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def q_tile_smooth(spark, sf_dir):
+    """Tile-grid kernel smoothing (operators/heatmap.tile_smooth): the
+    heatmap rendering primitive — sparse z12 per-tile event counts
+    convolved with the separable binomial 3x3 kernel in SCATTER form
+    (x9 literal fan-out, pure codegen, ONE map-side-combining re-sum;
+    support dilates one ring, x wraps mod 2^z, y clamps at the poles).
+    FULL oracle: exact int64 scatter replayed in DuckDB with the kernel's
+    closed form (2-|dx|)*(2-|dy|)."""
+    from extractors_metadata_spark.operators.heatmap import tile_smooth
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(12,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return tile_smooth(counts, z=12)
+
+
+_TILE_SMOOTH_SQL = f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y,
+             count(*) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offx AS (SELECT unnest([-1, 0, 1]) AS dx),
+    offy AS (SELECT unnest([-1, 0, 1]) AS dy),
+    scatter AS (
+      SELECT (x + dx + 4096) % 4096 AS x, y + dy AS y,
+             cnt * (2 - abs(dx)) * (2 - abs(dy)) AS wc
+      FROM counts, offx, offy
+      WHERE y + dy >= 0 AND y + dy < 4096)
+    SELECT 12 AS z, x, y, CAST(sum(wc) AS BIGINT) AS smooth
+    FROM scatter GROUP BY 2, 3
+"""
+
+
 def q_spatial_cluster(spark, sf_dir):
     """Single-linkage spatial clustering (radius_join.spatial_cluster):
     connected components of the within-1m pair graph over the first 3000
@@ -2323,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "radius_pairs": q_radius_pairs,
         "spatial_cluster": q_spatial_cluster,
+        "tile_smooth": q_tile_smooth,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -3954,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "training_prep": _training_prep_sql(),
         "radius_pairs": _RADIUS_PAIRS_SQL,
         "spatial_cluster": _SPATIAL_CLUSTER_SQL,
+        "tile_smooth": _TILE_SMOOTH_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""

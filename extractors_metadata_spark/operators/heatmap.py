@@ -1,0 +1,77 @@
+"""Tile-grid kernel smoothing — the heatmap rendering primitive.
+
+Raster-style spatial aggregation over the engine's slippy-tile keys
+(J7 widening): a live crawl/scan heatmap rendered straight from per-tile
+counts looks speckled at high zoom; the standard fix is a small-kernel
+convolution (Gaussian-ish blur) over the tile grid.  On a 10^12-point
+table the grid is SPARSE (only occupied tiles have rows), so the
+convolution is expressed in scatter form: every occupied tile CONTRIBUTES
+``w * cnt`` to each of its 3x3 neighbors, and one groupBy re-sums.
+
+Scale design:
+- input is the narrow (x, y, cnt) frame (already aggregated — tiny vs the
+  point table); fan-out is a constant x9 posexplode of a literal offsets
+  array, pure whole-stage codegen (integer adds, no UDF);
+- the re-sum is ONE map-side-combining shuffle keyed by the output tile —
+  partial sums collapse the x9 before the exchange, so shuffled rows
+  <= occupied-neighborhood tiles per partition;
+- scatter == gather for the symmetric kernel, and the output support
+  dilates by exactly one ring (a tile with zero count but an occupied
+  neighbor gets a row — renderers need that halo);
+- x wraps across the antimeridian (mod 2^z on the already-positive
+  ``x + dx + 2^z``); y rows falling off the pole edge are dropped.
+
+Everything is exact int64 arithmetic, so the DuckDB oracle replays the
+scatter bit-identically (the default kernel's weights are the separable
+``(2 - |dx|) * (2 - |dy|)`` — written as that closed form in the SQL).
+
+Reference analog: none — the reference renders single-dataset GeoJSON
+(``/root/reference/sensorposition/terra_sensorposition.py:60-64``); this
+is the corpus-scale rendering path over the engine's tile assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: separable binomial 3x3 kernel: w(dx, dy) = (2 - |dx|) * (2 - |dy|)
+DEFAULT_KERNEL = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+
+
+def tile_smooth(
+    tile_counts: DataFrame,
+    z: int,
+    kernel: tuple[tuple[int, int, int], ...] = DEFAULT_KERNEL,
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Convolve sparse per-tile counts at zoom ``z`` with a 3x3 integer
+    ``kernel`` -> (z, x, y, smooth).  ``kernel[dy + 1][dx + 1]`` is the
+    weight a tile contributes to its neighbor at offset (dx, dy)."""
+    n = 1 << z
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(kernel[dy + 1][dx + 1]).alias("w"),
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    scattered = (
+        tile_counts.select("x", "y", F.col(cnt_col).alias("_c"))
+        .select("x", "y", "_c", F.explode(offsets).alias("o"))
+        .select(
+            ((F.col("x") + F.col("o.dx") + n) % n).alias("x"),
+            (F.col("y") + F.col("o.dy")).alias("y"),
+            (F.col("_c") * F.col("o.w")).alias("_wc"),
+        )
+        .filter((F.col("y") >= 0) & (F.col("y") < n))
+    )
+    return (
+        scattered.groupBy("x", "y")
+        .agg(F.sum("_wc").alias("smooth"))
+        .select(F.lit(z).alias("z"), "x", "y", "smooth")
+    )

@@ -1,0 +1,61 @@
+"""Tile-grid kernel smoothing (operators/heatmap.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from extractors_metadata_spark.operators.heatmap import tile_smooth
+
+
+def test_impulse_response_is_the_kernel(spark):
+    counts = spark.createDataFrame(
+        pd.DataFrame({"x": [10], "y": [10], "cnt": [1]})
+    )
+    got = {(r.x, r.y): r.smooth for r in tile_smooth(counts, z=12).collect()}
+    want = {
+        (10 + dx, 10 + dy): (2 - abs(dx)) * (2 - abs(dy))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    assert got == want
+    assert all(r.z == 12 for r in tile_smooth(counts, z=12).collect())
+
+
+def test_antimeridian_wrap_and_pole_clamp(spark):
+    # z=3 grid is 8x8; a tile at x=0 spills to x=7, a tile at y=0 loses
+    # its y=-1 row (total mass drops by the clipped kernel column)
+    counts = spark.createDataFrame(
+        pd.DataFrame({"x": [0], "y": [0], "cnt": [3]})
+    )
+    got = {(r.x, r.y): r.smooth for r in tile_smooth(counts, z=3).collect()}
+    assert got[(7, 0)] == 3 * 2  # dx=-1 wraps, dy=0
+    assert got[(7, 1)] == 3 * 1
+    assert (0, -1) not in got and (7, -1) not in got
+    assert got[(0, 0)] == 3 * 4
+    assert sum(got.values()) == 3 * (16 - 1 - 2 - 1)  # top kernel row clipped
+
+
+def test_two_tiles_superpose_exactly(spark):
+    # overlapping neighborhoods: smoothing is linear, so the sum of the
+    # two impulse responses must equal the joint response
+    counts = spark.createDataFrame(
+        pd.DataFrame({"x": [100, 101], "y": [50, 50], "cnt": [2, 5]})
+    )
+    joint = {(r.x, r.y): r.smooth for r in tile_smooth(counts, z=10).collect()}
+    solo = {}
+    for xx, cc in ((100, 2), (101, 5)):
+        one = spark.createDataFrame(pd.DataFrame({"x": [xx], "y": [50], "cnt": [cc]}))
+        for r in tile_smooth(one, z=10).collect():
+            solo[(r.x, r.y)] = solo.get((r.x, r.y), 0) + r.smooth
+    assert joint == solo
+
+
+def test_plan_is_single_shuffle_no_udf(spark):
+    counts = spark.createDataFrame(
+        pd.DataFrame({"x": [1, 2], "y": [1, 2], "cnt": [1, 1]})
+    )
+    plan = tile_smooth(counts, z=12)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
