@@ -1587,6 +1587,70 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def q_cdc_verify(spark, sf_dir):
+    """Snapshot CDC under a FULL oracle (sources/snapshot.table_changes —
+    the Iceberg table_changes / Delta CDF analog). Builds a snapshot table
+    from deterministic slices of documents: base append (doc_id%3!=2),
+    merge-on-read upsert (doc_id%5==0, n_chars+1000 for lang='en' only —
+    non-en upserts are byte-identical and must emit NOTHING), then an
+    equality-delete (doc_id%7==3, including never-present keys which must
+    also emit nothing). The diff of the two time-travel states must equal
+    the closed-form insert/delete/update_pre/update_post sets the oracle
+    derives straight from documents."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import (
+        delete_keys,
+        table_changes,
+        upsert_snapshot_mor,
+        write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_cdc_") + "/t"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    m0 = write_snapshot(
+        docs.filter("doc_id % 3 != 2"), base, "append", key_cols=("doc_id",)
+    )
+    ups = docs.filter("doc_id % 5 = 0").withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("lang") == "en", F.lit(1000)).otherwise(F.lit(0)),
+    )
+    upsert_snapshot_mor(ups, base, ("doc_id",))
+    m2 = delete_keys(
+        spark, base, docs.filter("doc_id % 7 = 3").select("doc_id"), ("doc_id",)
+    )
+    return table_changes(
+        spark, base, m0["snapshot_id"], m2["snapshot_id"], ("doc_id",)
+    )
+
+
+_CDC_SQL = """
+    WITH d AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+    ins AS (
+      SELECT doc_id, text, lang, source,
+             n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS n_chars,
+             'insert' AS _change
+      FROM d WHERE doc_id % 5 = 0 AND doc_id % 3 = 2 AND doc_id % 7 != 3),
+    del AS (
+      SELECT doc_id, text, lang, source, n_chars, 'delete' AS _change
+      FROM d WHERE doc_id % 3 != 2 AND doc_id % 7 = 3),
+    upre AS (
+      SELECT doc_id, text, lang, source, n_chars, 'update_pre' AS _change
+      FROM d WHERE doc_id % 3 != 2 AND doc_id % 5 = 0 AND doc_id % 7 != 3
+              AND lang = 'en'),
+    upost AS (
+      SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars,
+             'update_post' AS _change
+      FROM d WHERE doc_id % 3 != 2 AND doc_id % 5 = 0 AND doc_id % 7 != 3
+              AND lang = 'en')
+    SELECT * FROM ins UNION ALL SELECT * FROM del
+    UNION ALL SELECT * FROM upre UNION ALL SELECT * FROM upost
+"""
+
+
 def q_tile_smooth(spark, sf_dir):
     """Tile-grid kernel smoothing (operators/heatmap.tile_smooth): the
     heatmap rendering primitive — sparse z12 per-tile event counts
@@ -2367,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_pairs": q_radius_pairs,
         "spatial_cluster": q_spatial_cluster,
         "tile_smooth": q_tile_smooth,
+        "cdc_verify": q_cdc_verify,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -3999,6 +4064,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_pairs": _RADIUS_PAIRS_SQL,
         "spatial_cluster": _SPATIAL_CLUSTER_SQL,
         "tile_smooth": _TILE_SMOOTH_SQL,
+        "cdc_verify": _CDC_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""

@@ -421,3 +421,75 @@ def test_upsert_snapshot_merge_and_time_travel(spark, table):
     )
     assert vals4 == [41, 42]
     assert snap.read_table(spark, table).count() == 5
+
+
+def test_table_changes_append_fast_path(spark, table):
+    m0 = snap.write_snapshot(spark.range(0, 5).withColumn("v", F.col("id")), table)
+    m1 = snap.write_snapshot(spark.range(5, 8).withColumn("v", F.col("id")), table)
+    m2 = snap.write_snapshot(spark.range(8, 9).withColumn("v", F.col("id")), table)
+    ch = snap.table_changes(spark, table, m0["snapshot_id"], m2["snapshot_id"], ("id",))
+    got = sorted((r.id, r.v, r._change) for r in ch.collect())
+    assert got == [(i, i, "insert") for i in range(5, 9)]
+    # fast path: the plan scans ONLY the delta snapshot dirs — no join
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    files = ch.inputFiles()
+    assert files and all(
+        m1["data_dir"] in f or m2["data_dir"] in f for f in files
+    )
+    assert not any(m0["data_dir"] in f for f in files)
+
+
+def test_table_changes_state_diff_semantics(spark, table):
+    m0 = snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+        ),
+        table,
+        key_cols=("id",),
+    )
+    # upsert: 2 changed, 3 re-upserted IDENTICAL (must emit nothing), 9 new
+    snap.upsert_snapshot_mor(
+        spark.createDataFrame(
+            [(2, "B"), (3, "c"), (9, "z")], "id long, v string"
+        ),
+        table,
+        ("id",),
+    )
+    # delete: 4 present, 77 never present (must emit nothing)
+    m2 = snap.delete_keys(
+        spark,
+        table,
+        spark.createDataFrame([(4,), (77,)], "id long"),
+        ("id",),
+    )
+    ch = snap.table_changes(spark, table, m0["snapshot_id"], m2["snapshot_id"], ("id",))
+    got = sorted((r.id, r.v, r._change) for r in ch.collect())
+    assert got == [
+        (2, "B", "update_post"),
+        (2, "b", "update_pre"),
+        (4, "d", "delete"),
+        (9, "z", "insert"),
+    ]
+    # applying the changes to the before-state reproduces the after-state
+    after = {(r.id, r.v) for r in snap.read_table(spark, table).collect()}
+    assert after == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
+
+
+def test_table_changes_from_empty_and_replace(spark, table):
+    m0 = snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), table
+    )
+    m1 = snap.write_snapshot(
+        spark.createDataFrame([(2, "B"), (5, "e")], "id long, v string"),
+        table,
+        mode="replace",
+    )
+    ch = snap.table_changes(spark, table, m0["snapshot_id"], m1["snapshot_id"], ("id",))
+    got = sorted((r.id, r.v, r._change) for r in ch.collect())
+    assert got == [
+        (1, "a", "delete"),
+        (2, "B", "update_post"),
+        (2, "b", "update_pre"),
+        (5, "e", "insert"),
+    ]
