@@ -164,6 +164,14 @@ def main() -> None:
         # bearing); decontaminate is NOT timed: its left join back to the
         # flag base is count()-prunable (provably unique build side).
         "bbox_overlap",
+        # session additions: spatial_cluster's label propagation runs
+        # EAGERLY (checkpointed rounds) inside the timed construction, and
+        # its size join keeps the radius edges load-bearing; tile_smooth's
+        # count() is the post-scatter groupBy cardinality, so the x9
+        # fan-out + re-sum (and the upstream per-tile counts) all execute.
+        # cdc_verify is NOT timed: it is snapshot-write-dominated (3 commits
+        # to a temp table), which stream_bench-style harnesses own.
+        "spatial_cluster", "tile_smooth",
     ]
     qs = entrymod.queries()
     for name in suite:
