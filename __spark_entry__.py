@@ -1587,6 +1587,102 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def _sql_chr_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, spelling every
+    non-printable as chr(n) — so probe literals with controls/CR/tabs are
+    constructed byte-identically on both engines."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts) if parts else "''"
+
+
+# normalization probe suffixes: every artifact class the frozen chain
+# handles (CR/CRLF endings, tab runs, C0 controls + DEL, ragged line
+# edges, blank-line stacks, outer whitespace)
+_NORM_P0 = "\r\n  Header \t\t tabs  \r\rnext  line\x00\x1f\x0b end\n\n\n\n  tail  \n \n"
+_NORM_P2 = "\tindent\x7f mid\r\n\r\n\r\n\r\n\r\nblank stack\n\n \n\t\n done "
+
+
+def q_text_normalize(spark, sf_dir):
+    """Frozen training-text normalization (functions/textnorm.normalize_text:
+    line-ending unification -> control strip -> horizontal-run collapse ->
+    line-edge trim -> blank-stack cap -> outer trim; pure codegen, zero
+    shuffle). The synth corpus is clean, so deterministic artifact suffixes
+    are appended to doc_id%4 in {0,2} BOTH sides (chr()-spelled in SQL).
+    FULL oracle: the identical Java==RE2 regex chain replayed via
+    norm_rules_sql — the pii_counts pairing extended from extraction to
+    rewriting."""
+    from extractors_metadata_spark.functions.textnorm import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    probe = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_NORM_P0))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_NORM_P2))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", normalize_text(probe).alias("norm")
+    ).withColumn("n_len", F.length("norm"))
+
+
+def _text_normalize_sql() -> str:
+    from extractors_metadata_spark.functions.textnorm import norm_rules_sql
+
+    return f"""
+        WITH probe AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN {_sql_chr_str(_NORM_P0)}
+                   WHEN 2 THEN {_sql_chr_str(_NORM_P2)}
+                   ELSE '' END AS t
+          FROM documents),
+        n AS (SELECT doc_id, {norm_rules_sql('t')} AS norm FROM probe)
+        SELECT doc_id, norm, length(norm) AS n_len FROM n
+    """
+
+
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index (operators/index_build.inverted_index):
+    (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
+    tokenization, stopwords pruned at max_df=50. The postings aggregate is
+    (word, doc)-keyed so stopword skew cannot form there; df re-aggregates
+    the collapsed postings frame. FULL oracle: the same split/ordinality/
+    list-ordered replay in DuckDB (exact ints + exact strings)."""
+    from extractors_metadata_spark.operators.index_build import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_df=50)
+
+
+_INVERTED_INDEX_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    postings AS (
+      SELECT tok, doc_id, list(pos ORDER BY pos) AS positions,
+             count(*) AS n_hits
+      FROM tt GROUP BY 1, 2),
+    wdf AS (SELECT tok, count(*) AS df_docs FROM postings GROUP BY 1)
+    SELECT tok AS word, df_docs, doc_id, positions, n_hits
+    FROM postings JOIN wdf USING (tok)
+    WHERE df_docs <= 50
+"""
+
+
 def q_cdc_verify(spark, sf_dir):
     """Snapshot CDC under a FULL oracle (sources/snapshot.table_changes —
     the Iceberg table_changes / Delta CDF analog). Builds a snapshot table
@@ -2432,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_cluster": q_spatial_cluster,
         "tile_smooth": q_tile_smooth,
         "cdc_verify": q_cdc_verify,
+        "text_normalize": q_text_normalize,
+        "inverted_index": q_inverted_index,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4065,6 +4163,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_cluster": _SPATIAL_CLUSTER_SQL,
         "tile_smooth": _TILE_SMOOTH_SQL,
         "cdc_verify": _CDC_SQL,
+        "text_normalize": _text_normalize_sql(),
+        "inverted_index": _INVERTED_INDEX_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""

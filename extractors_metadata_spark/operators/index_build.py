@@ -1,0 +1,63 @@
+"""Positional inverted-index build — the retrieval-side corpus product.
+
+Engine-added capability: the (word -> postings) index a search/RAG stack
+builds over the crawl.  One row per (word, doc) posting:
+
+    (word, df_docs, doc_id, positions, n_hits)
+
+with ``positions`` the sorted 0-based token offsets of the word in the
+document (the engine's frozen tokenization: casefold -> whitespace split,
+the same rule as vocabulary/tf-idf, so the index is consistent with the
+corpus stats) and ``df_docs`` the word's true document frequency.
+
+Scale design (10^12 docs):
+- the explode emits only (word, doc_id, pos) — narrow, never the text;
+- the postings aggregate is keyed by (word, doc_id): a stopword's rows
+  SPREAD over documents, so the hot key the word-keyed groupBy would melt
+  on simply does not exist at this stage — per-group state is one doc's
+  offsets of one word (bounded by doc length);
+- df_docs comes from re-aggregating the POSTINGS frame (one row per
+  (word, doc) — counting rows per word IS df), so the raw token explosion
+  is scanned once and the second aggregate's input is collapsed already;
+- the df join back is word-keyed; a stopword's df rows land one reducer —
+  that is the one skewable exchange, which is why ``max_df`` prunes
+  stopwords IMMEDIATELY after (AQE skew-join splits the transient hot
+  partition; the pruned index never stores them).  Dropped words are the
+  caller-visible ``df_docs > max_df`` set — never a silent cap: the
+  returned frame's own df column documents the rule.
+
+Reference analog: none (the reference computes no corpus statistics);
+this widens the vocabulary/tf-idf suite to a materializable index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build positional postings; words with ``df_docs > max_df`` (corpus
+    stopwords) are excluded from the returned index."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    postings = toks.groupBy("tok", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    wdf = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    out = postings.join(wdf, "tok")
+    if max_df is not None:
+        out = out.filter(F.col("df_docs") <= max_df)
+    return out.select(
+        F.col("tok").alias("word"), "df_docs", "doc_id", "positions", "n_hits"
+    )

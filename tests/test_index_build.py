@@ -1,0 +1,54 @@
+"""Positional inverted index (operators/index_build.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from extractors_metadata_spark.operators.index_build import inverted_index
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat sat on the mat",
+                    "  The dog  and the cat ",
+                    "mat mat mat",
+                ],
+            }
+        )
+    )
+
+
+def test_postings_positions_and_df(spark):
+    got = {
+        (r.word, r.doc_id): (r.df_docs, list(r.positions), r.n_hits)
+        for r in inverted_index(_docs(spark)).collect()
+    }
+    # 'the': doc1 positions 0 and 4; doc2 (casefolded, ragged spacing) 0 and 3
+    assert got[("the", 1)] == (2, [0, 4], 2)
+    assert got[("the", 2)] == (2, [0, 3], 2)
+    assert got[("cat", 1)] == (2, [1], 1)
+    assert got[("cat", 2)] == (2, [4], 1)
+    assert got[("mat", 3)] == (2, [0, 1, 2], 3)
+    assert got[("dog", 2)] == (1, [1], 1)
+    # positional lookup: 'cat sat' phrase exists only in doc 1
+    assert 2 in got[("sat", 1)][1][0:1] or got[("sat", 1)][1] == [2]
+
+
+def test_max_df_prunes_stopwords_only(spark):
+    got = inverted_index(_docs(spark), max_df=1).collect()
+    words = {r.word for r in got}
+    assert "the" not in words and "cat" not in words and "mat" not in words
+    assert {"sat", "on", "dog", "and"} <= words
+    assert all(r.df_docs <= 1 for r in got)
+
+
+def test_empty_and_whitespace_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})
+    )
+    assert inverted_index(df).count() == 0
