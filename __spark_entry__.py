@@ -1652,6 +1652,60 @@ def _text_normalize_sql() -> str:
     """
 
 
+def q_scan_legs(spark, sf_dir):
+    """Trajectory scan-leg segmentation (operators/trajectory.scan_legs):
+    per-user maximal constant-heading runs — lag window + change-flag
+    cumulative sum + (user, leg) rollup all on ONE user-keyed Exchange.
+    FULL oracle: the direction-code CASE, the running break sum, and the
+    frozen equirect step distance (rounded to exact int cm BEFORE the
+    order-independent sum) replayed in DuckDB window SQL."""
+    from extractors_metadata_spark.operators.trajectory import scan_legs
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", lat, lon
+    )
+    return scan_legs(pts)
+
+
+_SCAN_LEGS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(ts) OVER w AS pts_
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    steps AS (
+      SELECT *,
+        CASE WHEN abs(lon - plon) >= abs(lat - plat)
+             THEN CASE WHEN lon - plon >= 0 THEN 0 ELSE 1 END
+             ELSE CASE WHEN lat - plat >= 0 THEN 2 ELSE 3 END END AS code,
+        CAST(round(sqrt(
+            ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          * ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          + ((lat - plat) * (pi() / 180.0 * 6371008.8))
+          * ((lat - plat) * (pi() / 180.0 * 6371008.8))
+        ) * 100.0, 0) AS BIGINT) AS dcm
+      FROM s WHERE plat IS NOT NULL),
+    marked AS (
+      SELECT *,
+        CASE WHEN lag(code) OVER w2 IS NULL OR code != lag(code) OVER w2
+             THEN 1 ELSE 0 END AS brk
+      FROM steps WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    legs0 AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS leg_id
+      FROM marked)
+    SELECT user_id, CAST(leg_id AS BIGINT) AS leg_id,
+           min(code) AS dir_code, count(*) AS n_steps,
+           CAST(sum(dcm) AS BIGINT) AS length_cm,
+           min(pts_) AS t_start, max(ts) AS t_end
+    FROM legs0 GROUP BY 1, 2
+"""
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -2530,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_verify": q_cdc_verify,
         "text_normalize": q_text_normalize,
         "inverted_index": q_inverted_index,
+        "scan_legs": q_scan_legs,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4165,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_verify": _CDC_SQL,
         "text_normalize": _text_normalize_sql(),
         "inverted_index": _INVERTED_INDEX_SQL,
+        "scan_legs": _SCAN_LEGS_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""
