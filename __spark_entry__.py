@@ -1652,6 +1652,82 @@ def _text_normalize_sql() -> str:
     """
 
 
+def q_hll_set_ops(spark, sf_dir):
+    """HLL distinct-count set algebra (sketches.hll_set_estimates): union
+    by exact per-bucket max-merge, intersection by inclusion-exclusion,
+    over two overlapping event populations (event_id%2==0 vs %3==0 —
+    their key sets genuinely overlap). FULL oracle: three full register
+    replays (poly/mix31 family) + the identical estimator arithmetic +
+    the one extra literal double subtraction."""
+    from extractors_metadata_spark.operators.sketches import (
+        hll_set_estimates,
+        hll_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    ra = hll_sketch(e.filter("event_id % 2 = 0"), _sketch_key(), p=8)
+    rb = hll_sketch(e.filter("event_id % 3 = 0"), _sketch_key(), p=8)
+    return hll_set_estimates(ra, rb, p=8)
+
+
+def _hll_set_sql(p: int = 8) -> str:
+    """hll_set_estimates mirror: per-population register replay (the
+    _hll_cte_sql block, suffixed + filtered), greatest()-merged union
+    registers, and the hll_estimate arithmetic applied to all three."""
+    from extractors_metadata_spark.operators.sketches import HLL_SCALE, _hll_alpha
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+
+    def regs(sfx: str, filt: str) -> str:
+        return f"""
+        keys_{sfx} AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                 FROM events WHERE {filt}),
+        h0_{sfx} AS (SELECT {_poly_sql('k', 131)} AS wr, {_poly_sql('k', 137)} AS br
+               FROM keys_{sfx}),
+        h1_{sfx} AS (SELECT {_mix31_sql('wr')} AS w, {_mix31_sql('br')} AS bh FROM h0_{sfx}),
+        rnk_{sfx} AS (SELECT bh % {m} AS bucket,
+                       CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+                FROM h1_{sfx}),
+        regs_{sfx} AS (SELECT bucket, max(rho) AS rho FROM rnk_{sfx} GROUP BY bucket),
+        full_regs_{sfx} AS (
+          SELECT t.bucket, CAST(coalesce(regs_{sfx}.rho, 0) AS INTEGER) AS rho
+          FROM (SELECT range AS bucket FROM range(0, {m})) t
+          LEFT JOIN regs_{sfx} USING (bucket))"""
+
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST(harm AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST(n_zero AS DOUBLE)))"
+    )
+
+    def est(sfx: str, src: str) -> str:
+        return f"""
+        agg_{sfx} AS (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+                FROM {src}),
+        est_{sfx} AS (SELECT round(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+                                 AND n_zero > 0 THEN {lc} ELSE {raw} END, 6), 3) AS est
+                FROM agg_{sfx})"""
+
+    return f"""
+        WITH {regs('a', 'event_id % 2 = 0')},
+        {regs('b', 'event_id % 3 = 0')},
+        full_regs_u AS (
+          SELECT a.bucket, greatest(a.rho, b.rho) AS rho
+          FROM full_regs_a a JOIN full_regs_b b USING (bucket)),
+        {est('ea', 'full_regs_a')},
+        {est('eb', 'full_regs_b')},
+        {est('eu', 'full_regs_u')}
+        SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+               round(ea.est + eb.est - eu.est, 3) AS est_intersection
+        FROM est_ea ea, est_eb eb, est_eu eu
+    """
+
+
 def q_scan_legs(spark, sf_dir):
     """Trajectory scan-leg segmentation (operators/trajectory.scan_legs):
     per-user maximal constant-heading runs — lag window + change-flag
@@ -2585,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "inverted_index": q_inverted_index,
         "scan_legs": q_scan_legs,
+        "hll_set_ops": q_hll_set_ops,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4221,6 +4298,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _text_normalize_sql(),
         "inverted_index": _INVERTED_INDEX_SQL,
         "scan_legs": _SCAN_LEGS_SQL,
+        "hll_set_ops": _hll_set_sql(8),
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""

@@ -316,6 +316,42 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     )
 
 
+def hll_set_estimates(
+    regs_a: DataFrame, regs_b: DataFrame, p: int = 8
+) -> DataFrame:
+    """Distinct-count SET ALGEBRA over two HLL register tables: one row
+    (est_a, est_b, est_union, est_intersection).
+
+    Union is exact in sketch space (per-bucket max — ``hll_merge``'s
+    bit-identity contract), so est_union is just the estimator on the
+    merged registers; intersection is inclusion-exclusion on the three
+    estimates (standard HLL practice — relative error grows as the true
+    intersection shrinks; use the audience-overlap/dedup-planning regime,
+    not tiny intersections).  All three paths are the proven
+    ``hll_estimate`` arithmetic (exact integer harmonic sums, one literal
+    double division each, double-rounded), and the final subtraction is
+    one more literal double op — the whole row replays in SQL.  Register
+    tables are constant-size, so every input here is m rows: the set
+    algebra costs nothing at any data scale."""
+    ea = hll_estimate(regs_a, p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(regs_b, p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(regs_a, regs_b), p).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 3
+            ).alias("est_intersection"),
+        )
+    )
+
+
 def cms_merge(*counter_tables: DataFrame) -> DataFrame:
     """Union count-min sketches: cell-wise sum across grids (counts add).
     Merged grid == grid of the concatenated input, exactly — per-shard

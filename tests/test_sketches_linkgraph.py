@@ -184,3 +184,41 @@ def test_sketch_merges_equal_whole(spark, events):
         bloom_build(a, key, n_bits=1024, k=4), bloom_build(b, key, n_bits=1024, k=4)
     )
     assert sorted(r["pos"] for r in mp.collect()) == sorted(r["pos"] for r in wp)
+
+
+def test_hll_set_estimates_accuracy_and_union_exactness(spark, events):
+    from extractors_metadata_spark.operators.sketches import (
+        hll_merge,
+        hll_set_estimates,
+    )
+
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 3 = 0")
+    row = hll_set_estimates(
+        hll_sketch(a, _key(), p=8), hll_sketch(b, _key(), p=8), p=8
+    ).first()
+    ka = {f"{r.user_id}:{r.event_type}" for r in a.collect()}
+    kb = {f"{r.user_id}:{r.event_type}" for r in b.collect()}
+    for est, true in (
+        (row.est_a, len(ka)),
+        (row.est_b, len(kb)),
+        (row.est_union, len(ka | kb)),
+    ):
+        assert abs(est - true) / true < 0.15, (est, true)
+    # inclusion-exclusion identity holds exactly on the emitted values
+    assert row.est_intersection == round(
+        row.est_a + row.est_b - row.est_union, 3
+    )
+    # intersection is genuinely exercised (the populations overlap)
+    assert len(ka & kb) > 0
+    assert abs(row.est_intersection - len(ka & kb)) / len(ka & kb) < 0.5
+    # sketch-space union == sketching the union input, bit-for-bit
+    merged = sorted(
+        map(tuple, hll_merge(
+            hll_sketch(a, _key(), p=8), hll_sketch(b, _key(), p=8)
+        ).collect())
+    )
+    whole = sorted(
+        map(tuple, hll_sketch(a.unionByName(b), _key(), p=8).collect())
+    )
+    assert merged == whole
