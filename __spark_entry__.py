@@ -1652,6 +1652,46 @@ def _text_normalize_sql() -> str:
     """
 
 
+def q_cell_compact(spark, sf_dir):
+    """Quadtree cell-set compaction (operators/cellset.s2_compact): the
+    CellUnion-normalization op — complete sibling quartets merge into
+    parents recursively, level 8 down to 0. Input cells are constructed
+    from event ids in exact int arithmetic (the s2 ENCODING pathway is
+    proven separately by cells_encode; this isolates the set algebra on a
+    trivially replayable set: a solid pos range compacts massively, its
+    ragged boundary must survive verbatim). FULL oracle: every per-level
+    round replayed as a generated CTE stage (the hilbert-stages pattern)."""
+    from extractors_metadata_spark.operators.cellset import s2_compact
+
+    cells = _t(spark, sf_dir, "events").selectExpr(
+        "CAST((event_id % 50000) * 32 + 8 AS BIGINT) AS cell"
+    )
+    return s2_compact(cells, min_level=0)
+
+
+def _s2_compact_sql(top_level: int = 8) -> str:
+    from extractors_metadata_spark.operators.cellset import _POS_MASK
+
+    stages = [
+        f"cur{top_level} AS (SELECT DISTINCT CAST((event_id % 50000) * 32 + {top_level} AS BIGINT) AS cell FROM events)"
+    ]
+    for lv in range(top_level, 0, -1):
+        p = (
+            f"(((cell >> 57) << 57) | (((((cell >> 5) & {_POS_MASK}) >> 2) << 5))"
+            f" | {lv - 1})"
+        )
+        stages.append(
+            f"""lv{lv} AS (SELECT cell FROM cur{lv} WHERE (cell & 31) = {lv}),
+        rest{lv} AS (SELECT cell FROM cur{lv} WHERE (cell & 31) != {lv}),
+        g{lv} AS (SELECT {p} AS p, count(*) AS n, list(cell ORDER BY cell) AS cs
+                  FROM lv{lv} GROUP BY 1),
+        cur{lv - 1} AS (
+          SELECT unnest(CASE WHEN n = 4 THEN [p] ELSE cs END) AS cell FROM g{lv}
+          UNION ALL SELECT cell FROM rest{lv})"""
+        )
+    return "WITH " + ",\n        ".join(stages) + "\n        SELECT cell FROM cur0"
+
+
 def q_hll_set_ops(spark, sf_dir):
     """HLL distinct-count set algebra (sketches.hll_set_estimates): union
     by exact per-bucket max-merge, intersection by inclusion-exclusion,
@@ -2662,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "scan_legs": q_scan_legs,
         "hll_set_ops": q_hll_set_ops,
+        "cell_compact": q_cell_compact,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4299,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "scan_legs": _SCAN_LEGS_SQL,
         "hll_set_ops": _hll_set_sql(8),
+        "cell_compact": _s2_compact_sql(8),
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""
