@@ -1652,6 +1652,64 @@ def _text_normalize_sql() -> str:
     """
 
 
+def q_polygon_stats(spark, sf_dir):
+    """Footprint polygon area/perimeter (operators/polystats.polygon_stats):
+    per-event quad rings (the tile_assign probe offsets) measured on the
+    frozen equirect plane anchored at the ring's first vertex — each
+    shoelace cross term and each edge rounded HALF-EVEN to exact integer
+    µm²/cm before order-independent int64 sums. FULL oracle: the quad
+    unrolls to closed-form SQL with the identical per-term arithmetic
+    (np.rint == round_even; NumPy trig == DuckDB trig on this host)."""
+    from extractors_metadata_spark.operators.polystats import polygon_stats
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    la0 = F.col("lat") - 0.0002
+    la1 = F.col("lat") + 0.0002
+    lo0 = F.col("lon") - 0.0003
+    lo1 = F.col("lon") + 0.0003
+    rings = e.select(
+        "event_id",
+        F.array(la0, la0, la1, la1).alias("ring_lats"),
+        F.array(lo0, lo1, lo1, lo0).alias("ring_lons"),
+    )
+    return polygon_stats(rings).select("event_id", "area2_um2", "perim_cm")
+
+
+_POLYGON_STATS_SQL = f"""
+    WITH base AS (
+      SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    v AS (
+      SELECT event_id,
+             lat - 0.0002 AS la0, lat + 0.0002 AS la1,
+             lon - 0.0003 AS lo0, lon + 0.0003 AS lo1
+      FROM base),
+    pl AS (
+      SELECT event_id,
+             (lo0 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x0,
+             (la0 - la0) * (pi() / 180.0 * 6371008.8) AS y0,
+             (lo1 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x1,
+             (la0 - la0) * (pi() / 180.0 * 6371008.8) AS y1,
+             (lo1 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x2,
+             (la1 - la0) * (pi() / 180.0 * 6371008.8) AS y2,
+             (lo0 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x3,
+             (la1 - la0) * (pi() / 180.0 * 6371008.8) AS y3
+      FROM v),
+    terms AS (
+      SELECT event_id,
+        CAST(round_even((x0 * y1 - x1 * y0) * 1000000.0, 0) AS BIGINT)
+      + CAST(round_even((x1 * y2 - x2 * y1) * 1000000.0, 0) AS BIGINT)
+      + CAST(round_even((x2 * y3 - x3 * y2) * 1000000.0, 0) AS BIGINT)
+      + CAST(round_even((x3 * y0 - x0 * y3) * 1000000.0, 0) AS BIGINT) AS s,
+        CAST(round_even(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) * 100.0, 0) AS BIGINT)
+      + CAST(round_even(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) * 100.0, 0) AS BIGINT)
+      + CAST(round_even(sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2)) * 100.0, 0) AS BIGINT)
+      + CAST(round_even(sqrt((x0 - x3) * (x0 - x3) + (y0 - y3) * (y0 - y3)) * 100.0, 0) AS BIGINT) AS perim_cm
+      FROM pl)
+    SELECT event_id, abs(s) AS area2_um2, perim_cm FROM terms
+"""
+
+
 def q_cell_compact(spark, sf_dir):
     """Quadtree cell-set compaction (operators/cellset.s2_compact): the
     CellUnion-normalization op — complete sibling quartets merge into
@@ -2703,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_legs": q_scan_legs,
         "hll_set_ops": q_hll_set_ops,
         "cell_compact": q_cell_compact,
+        "polygon_stats": q_polygon_stats,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4341,6 +4400,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_legs": _SCAN_LEGS_SQL,
         "hll_set_ops": _hll_set_sql(8),
         "cell_compact": _s2_compact_sql(8),
+        "polygon_stats": _POLYGON_STATS_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""
