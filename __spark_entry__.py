@@ -1652,6 +1652,49 @@ def _text_normalize_sql() -> str:
     """
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: the region-analytics composition (J1 pip join ->
+    per-polygon rollup). Narrow-first per the engine's fan-out rule: only
+    (event_id, lat, lon) flows through the cell join + raycast refine,
+    measures join back by id, ONE plot-keyed aggregate. Every aggregate is
+    exactness-safe: counts + exact distinct + min/max (order-free) + a sum
+    of per-row HALF-EVEN-rounded integer micro-units (F.bround == DuckDB
+    round_even), never a raw double sum. FULL oracle: closed-form grid
+    plot assignment + the identical aggregate arithmetic."""
+    from extractors_metadata_spark.operators.pip_knn import pip_join
+
+    pts = _event_points(spark, sf_dir)
+    hits = pip_join(spark, pts, _plots_pdf(), point_id="event_id").select(
+        "event_id", "plot_id"
+    )
+    m = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        hits.join(m, "event_id")
+        .groupBy("plot_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.bround(F.col("value") * 1000000.0, 0).cast("long")
+            ).alias("value_sum_u"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+
+
+_ZONAL_STATS_SQL = f"""
+    WITH z AS (
+      SELECT ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id,
+             user_id, value
+      FROM events)
+    SELECT plot_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS value_sum_u,
+           min(value) AS value_min, max(value) AS value_max
+    FROM z GROUP BY 1
+"""
+
+
 def q_polygon_stats(spark, sf_dir):
     """Footprint polygon area/perimeter (operators/polystats.polygon_stats):
     per-event quad rings (the tile_assign probe offsets) measured on the
@@ -2762,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_ops": q_hll_set_ops,
         "cell_compact": q_cell_compact,
         "polygon_stats": q_polygon_stats,
+        "zonal_stats": q_zonal_stats,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4401,6 +4445,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_set_ops": _hll_set_sql(8),
         "cell_compact": _s2_compact_sql(8),
         "polygon_stats": _POLYGON_STATS_SQL,
+        "zonal_stats": _ZONAL_STATS_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""
