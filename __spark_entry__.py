@@ -1652,6 +1652,35 @@ def _text_normalize_sql() -> str:
     """
 
 
+def q_embed_centroids(spark, sf_dir):
+    """Deterministic embedding centroids (similarity.embedding_centroids):
+    per-label dimension-wise means via exact half-even integer micro-unit
+    sums — the reproducible IVF-training aggregate (float vector means are
+    aggregation-order dependent; this is bit-identical under any
+    partitioning). FULL oracle: unnest-with-ordinality replay + identical
+    round_even/division arithmetic."""
+    from extractors_metadata_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    return embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+_EMBED_CENTROIDS_SQL = """
+    WITH e AS (
+      SELECT label, CAST(i AS INT) AS dim, embedding[i + 1] AS v
+      FROM (SELECT label, embedding, unnest(range(len(embedding))) AS i
+            FROM embeddings)),
+    agg AS (
+      SELECT label, dim, count(*) AS n,
+             CAST(sum(CAST(round_even(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_u
+      FROM e GROUP BY 1, 2)
+    SELECT label, dim, n, sum_u,
+           CAST(sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean
+    FROM agg
+"""
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics: the region-analytics composition (J1 pip join ->
     per-polygon rollup). Narrow-first per the engine's fan-out rule: only
@@ -2806,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "polygon_stats": q_polygon_stats,
         "zonal_stats": q_zonal_stats,
+        "embed_centroids": q_embed_centroids,
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
@@ -4446,6 +4476,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_compact": _s2_compact_sql(8),
         "polygon_stats": _POLYGON_STATS_SQL,
         "zonal_stats": _ZONAL_STATS_SQL,
+        "embed_centroids": _EMBED_CENTROIDS_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
         "pip_bigdim": f"""

@@ -296,3 +296,45 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qsim")
     )
+
+
+def embedding_centroids(
+    df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group embedding centroids as EXACT integer accumulation:
+    (group, dim, n, sum_u, mean) with sum_u = sum of each component
+    rounded half-even to integer micro-units (F.bround == DuckDB
+    round_even) and mean = one literal double division off it.
+
+    Float vector means are normally aggregation-order dependent — the
+    same nondeterminism integer PageRank fixes for graph mass — which
+    makes IVF centroid training unreproducible across partitionings.
+    This is the deterministic twin: bit-identical under any partitioning
+    / cluster size (quantization error ≤ 0.5 µunit per component, far
+    below any embedding's noise floor).
+
+    Plan: pure JVM posexplode (dims x rows narrow ints) -> ONE
+    map-side-combining (group, dim)-keyed aggregate; shuffle rows ≤
+    groups x dims per input partition. No UDF, no vector state.
+    """
+    e = df.select(group_col, F.posexplode(vec_col).alias("dim", "v"))
+    agg = e.groupBy(group_col, "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.bround(F.col("v").cast("double") * 1000000.0, 0).cast("long")
+        ).alias("sum_u"),
+    )
+    return agg.select(
+        group_col,
+        "dim",
+        "n",
+        "sum_u",
+        # UNROUNDED: sum_u and n are exact ints on every engine, so one
+        # multiply + one divide is bit-identical IEEE — rounding would only
+        # ADD a cross-engine hazard (fractional half-even differs between
+        # BigDecimal shortest-repr and exact-binary semantics)
+        (
+            F.col("sum_u").cast("double")
+            / (F.col("n").cast("double") * 1000000.0)
+        ).alias("mean"),
+    )

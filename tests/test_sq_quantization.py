@@ -58,3 +58,37 @@ def test_sq_topk_recall_vs_exact(spark):
         F.abs(F.col("sim") - F.col("qsim")).alias("d")
     )
     assert both.agg(F.max("d")).first()[0] < 0.02
+
+
+def test_embedding_centroids_exact_and_partition_invariant(spark):
+    import numpy as np
+
+    from extractors_metadata_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r.label, r.dim): (r.n, r.sum_u, r.mean)
+        for r in embedding_centroids(emb).collect()
+    }
+    # NumPy reference with the identical micro-unit rounding
+    rows = emb.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            np.asarray(r.embedding, np.float64)
+        )
+    for lab, vecs in by_label.items():
+        m = np.stack(vecs)
+        sum_u = np.rint(m * 1e6).astype(np.int64).sum(axis=0)
+        for d in range(m.shape[1]):
+            n, su, mean = got[(lab, d)]
+            assert n == len(vecs) and su == sum_u[d]
+            assert mean == float(su) / (float(n) * 1e6)
+    # bit-identical under a different partitioning (the determinism claim)
+    again = {
+        (r.label, r.dim): (r.n, r.sum_u, r.mean)
+        for r in embedding_centroids(emb.repartition(17)).collect()
+    }
+    assert again == got
