@@ -2568,6 +2568,57 @@ def q_quantile_estimate_verify(spark, sf_dir):
     return quantile_estimate(sk, qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=6)
 
 
+def q_sketch_gate(spark, sf_dir):
+    """Sketch-DRIVEN curation gate: the grouped quantile sketch actually
+    steering a filter — per-language p10 doc-length brackets set the
+    threshold (hi edge of the p10 bin, an exact integer), and docs at or
+    below it drop. One broadcast join of the per-lang thresholds against
+    the corpus; the sketch side never touches data rows beyond its one
+    map-side-combining build. FULL oracle: the grouped sketch/estimate
+    CTEs (shared bin/bounds SQL) + the identical integer join-filter."""
+    from extractors_metadata_spark.operators.quantiles import (
+        quantile_estimate_grouped,
+        quantile_sketch_grouped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = quantile_sketch_grouped(docs, ("lang",), F.col("n_chars"), k=6)
+    est = quantile_estimate_grouped(sk, ("lang",), qs=(0.1,), k=6)
+    thr = est.select("lang", F.col("hi").alias("thr"))
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_chars") > F.col("thr"))
+        .select("doc_id", "lang", "n_chars", "thr")
+    )
+
+
+def _sketch_gate_sql(k: int = 6) -> str:
+    from extractors_metadata_spark.operators.quantiles import bin_sql, bounds_sql
+
+    lo, hi = bounds_sql(k)
+    return f"""
+        WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        sk AS MATERIALIZED (
+          SELECT lang, {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+        cum AS (SELECT lang, bin,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+                FROM sk),
+        tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+        tq AS (SELECT lang, n,
+                      greatest(CAST(1 AS BIGINT),
+                               CAST(ceil(CAST(0.1 AS DOUBLE) * n) AS BIGINT)) AS target
+               FROM tot),
+        hit AS (SELECT tq.lang AS lang, min(cum.bin) AS bin
+                FROM tq JOIN cum ON cum.lang = tq.lang AND cum.cum >= tq.target
+                GROUP BY 1),
+        thr AS (SELECT lang, {hi} AS thr FROM hit)
+        SELECT d.doc_id, d.lang, d.n_chars, thr.thr
+        FROM documents d JOIN thr ON thr.lang = d.lang
+        WHERE d.n_chars > thr.thr
+    """
+
+
 def q_quantile_grouped_verify(spark, sf_dir):
     """Per-KEY quantile brackets off grouped sketches (operators/quantiles.
     quantile_sketch_grouped + quantile_estimate_grouped): p50/p90/p99 doc
@@ -2814,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_verify": q_quantile_sketch_verify,
         "quantile_estimate_verify": q_quantile_estimate_verify,
         "quantile_grouped_verify": q_quantile_grouped_verify,
+        "sketch_gate": q_sketch_gate,
         "sq_topk": q_sq_topk,
         "source_mix": q_source_mix,
         "line_dedup": q_line_dedup,
@@ -4455,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
             (0.25, 0.5, 0.75, 0.9, 0.99), 6
         ),
         "quantile_grouped_verify": _quantile_grouped_sql((0.5, 0.9, 0.99), 6),
+        "sketch_gate": _sketch_gate_sql(6),
         "sq_topk": _sq_topk_sql(5, 10),
         "source_mix": _source_mix_sql(_MIX_WEIGHTS),
         "line_dedup": _LINE_DEDUP_SQL,
