@@ -172,6 +172,13 @@ def main() -> None:
         # cdc_verify is NOT timed: it is snapshot-write-dominated (3 commits
         # to a temp table), which stream_bench-style harnesses own.
         "spatial_cluster", "tile_smooth",
+        # inverted_index's count() is the postings cardinality (explode +
+        # both aggregates + the df join all load-bearing); cell_compact's
+        # per-level rounds run eagerly in construction; sketch_gate's
+        # filter forces the sketch build + broadcast threshold join.
+        # scan_legs / polygon_stats / text_normalize are NOT timed:
+        # count() prunes their UDF/projection output (CLAUDE.md rule).
+        "inverted_index", "cell_compact", "sketch_gate",
     ]
     qs = entrymod.queries()
     for name in suite:
