@@ -1983,6 +1983,31 @@ _INVERTED_INDEX_SQL = r"""
 """
 
 
+def q_stream_index_verify(spark, sf_dir):
+    """Streamed inverted-index maintenance under a FULL oracle
+    (streaming/index_stream.stream_inverted_index): AvailableNow drain of
+    the documents table in multi-file micro-batches, state = append-only
+    raw postings snapshots behind the batch-id guard; the read-side df
+    annotation (read_index, max_df=50) must equal the one-shot batch
+    index — the oracle is the SAME SQL replay as inverted_index."""
+    import tempfile
+
+    from extractors_metadata_spark.streaming.index_stream import (
+        read_index,
+        stream_inverted_index,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_sidx_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(8).write.parquet(base + "/in")
+    q = stream_inverted_index(
+        spark, base + "/in", base + "/state", base + "/ckpt",
+        schema=docs.schema, max_files_per_trigger=3,
+    )
+    q.awaitTermination(600)
+    return read_index(spark, base + "/state", max_df=50)
+
+
 def q_cdc_verify(spark, sf_dir):
     """Snapshot CDC under a FULL oracle (sources/snapshot.table_changes —
     the Iceberg table_changes / Delta CDF analog). Builds a snapshot table
@@ -2882,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_verify": q_cdc_verify,
         "text_normalize": q_text_normalize,
         "inverted_index": q_inverted_index,
+        "stream_index_verify": q_stream_index_verify,
         "scan_legs": q_scan_legs,
         "hll_set_ops": q_hll_set_ops,
         "cell_compact": q_cell_compact,
@@ -4524,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_verify": _CDC_SQL,
         "text_normalize": _text_normalize_sql(),
         "inverted_index": _INVERTED_INDEX_SQL,
+        "stream_index_verify": _INVERTED_INDEX_SQL,
         "scan_legs": _SCAN_LEGS_SQL,
         "hll_set_ops": _hll_set_sql(8),
         "cell_compact": _s2_compact_sql(8),

@@ -36,6 +36,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def doc_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw (word, doc_id, positions, n_hits) postings — no df annotation.
+    One row per (word, doc): the append-only unit of the index (a doc's
+    postings never change once built), which is what makes the streaming
+    maintenance path (``streaming/index_stream.py``) pure O(batch)
+    appends."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select(
+            F.col("tok").alias("word"), "doc_id", "positions", "n_hits"
+        )
+    )
+
+
+def annotate_df(postings: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Add df_docs to raw postings (one word-keyed re-aggregate of the
+    collapsed postings frame + one join); prune words above ``max_df``."""
+    wdf = postings.groupBy("word").agg(F.count(F.lit(1)).alias("df_docs"))
+    out = postings.join(wdf, "word")
+    if max_df is not None:
+        out = out.filter(F.col("df_docs") <= max_df)
+    return out.select("word", "df_docs", "doc_id", "positions", "n_hits")
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",
@@ -44,20 +80,4 @@ def inverted_index(
 ) -> DataFrame:
     """Build positional postings; words with ``df_docs > max_df`` (corpus
     stopwords) are excluded from the returned index."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("pos", "tok"),
-    ).filter(F.length("tok") > 0)
-    postings = toks.groupBy("tok", "doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.count(F.lit(1)).alias("n_hits"),
-    )
-    wdf = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
-    out = postings.join(wdf, "tok")
-    if max_df is not None:
-        out = out.filter(F.col("df_docs") <= max_df)
-    return out.select(
-        F.col("tok").alias("word"), "df_docs", "doc_id", "positions", "n_hits"
-    )
+    return annotate_df(doc_postings(df, text_col, id_col), max_df)
