@@ -1983,6 +1983,65 @@ _INVERTED_INDEX_SQL = r"""
 """
 
 
+def q_ivm_counts(spark, sf_dir):
+    """Incremental view maintenance under a FULL oracle (operators/ivm):
+    a per-language (n, sum_u) view initialized from the BEFORE state is
+    maintained through the cdc_verify change feed (insert/update/delete
+    on deterministic documents slices) and must hash-equal the
+    closed-form aggregate of the AFTER state — the IVM identity
+    agg(to) == apply(agg(from), changes), exact int64 throughout."""
+    import tempfile
+
+    from extractors_metadata_spark.operators.ivm import (
+        counts_of,
+        maintain_counts,
+    )
+    from extractors_metadata_spark.sources.snapshot import (
+        delete_keys,
+        read_table,
+        table_changes,
+        upsert_snapshot_mor,
+        write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_ivm_") + "/t"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    m0 = write_snapshot(
+        docs.filter("doc_id % 3 != 2"), base, "append", key_cols=("doc_id",)
+    )
+    ups = docs.filter("doc_id % 5 = 0").withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("lang") == "en", F.lit(1000)).otherwise(F.lit(0)),
+    )
+    upsert_snapshot_mor(ups, base, ("doc_id",))
+    m2 = delete_keys(
+        spark, base, docs.filter("doc_id % 7 = 3").select("doc_id"), ("doc_id",)
+    )
+    state = counts_of(
+        read_table(spark, base, as_of=m0["snapshot_id"]), "lang", "n_chars"
+    )
+    changes = table_changes(
+        spark, base, m0["snapshot_id"], m2["snapshot_id"], ("doc_id",)
+    )
+    return maintain_counts(state, changes, "lang", "n_chars")
+
+
+_IVM_COUNTS_SQL = """
+    WITH after AS (
+      SELECT lang, n_chars FROM documents
+      WHERE doc_id % 3 != 2 AND doc_id % 5 != 0 AND doc_id % 7 != 3
+      UNION ALL
+      SELECT lang, n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 != 3)
+    SELECT lang, count(*) AS n,
+           CAST(sum(CAST(round_even(CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_u
+    FROM after GROUP BY 1
+"""
+
+
 def q_stream_index_verify(spark, sf_dir):
     """Streamed inverted-index maintenance under a FULL oracle
     (streaming/index_stream.stream_inverted_index): AvailableNow drain of
@@ -2908,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "inverted_index": q_inverted_index,
         "stream_index_verify": q_stream_index_verify,
+        "ivm_counts": q_ivm_counts,
         "scan_legs": q_scan_legs,
         "hll_set_ops": q_hll_set_ops,
         "cell_compact": q_cell_compact,
@@ -4551,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _text_normalize_sql(),
         "inverted_index": _INVERTED_INDEX_SQL,
         "stream_index_verify": _INVERTED_INDEX_SQL,
+        "ivm_counts": _IVM_COUNTS_SQL,
         "scan_legs": _SCAN_LEGS_SQL,
         "hll_set_ops": _hll_set_sql(8),
         "cell_compact": _s2_compact_sql(8),
