@@ -1782,6 +1782,52 @@ _POLYGON_STATS_SQL = f"""
 """
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation from count-min sketches
+    (sketches.cms_join_size): |A JOIN B on user:event_type| estimated as
+    the min over rows of the grids' inner product — the planner-side
+    sketch consult, costing one constant-size cell join. Populations are
+    the hll_set_ops pair (event_id%2==0 vs %3==0). FULL oracle: both
+    filtered grids replayed (poly/mix31 + affine cell family) + the
+    identical exact-int dot/min arithmetic."""
+    from extractors_metadata_spark.operators.sketches import (
+        cms_join_size,
+        cms_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    ca = cms_sketch(e.filter("event_id % 2 = 0"), _sketch_key(), d=4, w=1024)
+    cb = cms_sketch(e.filter("event_id % 3 = 0"), _sketch_key(), d=4, w=1024)
+    return cms_join_size(ca, cb)
+
+
+def _cms_join_sql(d: int = 4, w: int = 1024) -> str:
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    def grid(sfx: str, filt: str) -> str:
+        cells = "\n          UNION ALL ".join(
+            f"SELECT {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM hm_{sfx}"
+            for i, (a, b) in enumerate(perm_coeffs(d))
+        )
+        return f"""
+        keys_{sfx} AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                      FROM events WHERE {filt}),
+        h0_{sfx} AS (SELECT k, {_poly_sql('k', 131)} AS hr FROM keys_{sfx}),
+        hm_{sfx} AS MATERIALIZED (SELECT {_mix31_sql('hr')} AS h FROM h0_{sfx}),
+        cells_{sfx} AS ({cells}),
+        grid_{sfx} AS (SELECT r, c, count(*) AS cnt FROM cells_{sfx} GROUP BY r, c)"""
+
+    return f"""
+        WITH {grid('a', 'event_id % 2 = 0')},
+        {grid('b', 'event_id % 3 = 0')},
+        dots AS (
+          SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+          FROM grid_a a JOIN grid_b b ON a.r = b.r AND a.c = b.c
+          GROUP BY a.r)
+        SELECT CAST(min(dot) AS BIGINT) AS join_size_est FROM dots
+    """
+
+
 def q_cell_compact(spark, sf_dir):
     """Quadtree cell-set compaction (operators/cellset.s2_compact): the
     CellUnion-normalization op — complete sibling quartets merge into
@@ -2971,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_legs": q_scan_legs,
         "hll_set_ops": q_hll_set_ops,
         "cell_compact": q_cell_compact,
+        "cms_join_size": q_cms_join_size,
         "polygon_stats": q_polygon_stats,
         "zonal_stats": q_zonal_stats,
         "embed_centroids": q_embed_centroids,
@@ -4615,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_legs": _SCAN_LEGS_SQL,
         "hll_set_ops": _hll_set_sql(8),
         "cell_compact": _s2_compact_sql(8),
+        "cms_join_size": _cms_join_sql(4, 1024),
         "polygon_stats": _POLYGON_STATS_SQL,
         "zonal_stats": _ZONAL_STATS_SQL,
         "embed_centroids": _EMBED_CENTROIDS_SQL,

@@ -352,6 +352,32 @@ def hll_set_estimates(
     )
 
 
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min grids: one row
+    (join_size_est).
+
+    |A JOIN B on k| = sum_k n_A(k) * n_B(k) — exactly what the inner
+    product of one counter row estimates (the AMS/count-min join-size
+    construction: collisions only ADD, so each row's dot product is an
+    OVERestimate and the min over the d independent rows is the tightest;
+    est >= true always, pinned in pytest).  This is the sketch a planner
+    consults before choosing a join strategy: both inputs are d*w counter
+    grids, so the estimate costs one cell-aligned join of two constant-
+    size frames — nothing scales with the data.  Exact int64 arithmetic
+    throughout (counts and products), so the DuckDB oracle replays it
+    bit-identically."""
+    j = cms_a.select(
+        "row", "col", F.col("cnt").alias("_ca")
+    ).join(
+        cms_b.select("row", "col", F.col("cnt").alias("_cb")),
+        ["row", "col"],
+    )
+    per_row = j.groupBy("row").agg(
+        F.sum(F.col("_ca") * F.col("_cb")).alias("dot")
+    )
+    return per_row.agg(F.min("dot").alias("join_size_est"))
+
+
 def cms_merge(*counter_tables: DataFrame) -> DataFrame:
     """Union count-min sketches: cell-wise sum across grids (counts add).
     Merged grid == grid of the concatenated input, exactly — per-shard

@@ -222,3 +222,28 @@ def test_hll_set_estimates_accuracy_and_union_exactness(spark, events):
         map(tuple, hll_sketch(a.unionByName(b), _key(), p=8).collect())
     )
     assert merged == whole
+
+
+def test_cms_join_size_overestimates_within_slack(spark, events):
+    from extractors_metadata_spark.operators.sketches import (
+        cms_join_size,
+        cms_sketch,
+    )
+
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 3 = 0")
+    est = cms_join_size(
+        cms_sketch(a, _key(), d=4, w=1024), cms_sketch(b, _key(), d=4, w=1024)
+    ).first()["join_size_est"]
+    ka, kb = {}, {}
+    for r in a.collect():
+        ka[f"{r.user_id}:{r.event_type}"] = ka.get(f"{r.user_id}:{r.event_type}", 0) + 1
+    for r in b.collect():
+        kb[f"{r.user_id}:{r.event_type}"] = kb.get(f"{r.user_id}:{r.event_type}", 0) + 1
+    true = sum(n * kb[k] for k, n in ka.items() if k in kb)
+    assert true > 0
+    assert est >= true  # collisions only add — never an underestimate
+    # count-min join-size bound: E[row error] = (N_a*N_b - true)/w; the
+    # min over d=4 rows should sit well inside 3x that expectation
+    n_a, n_b = sum(ka.values()), sum(kb.values())
+    assert est <= true + 3 * (n_a * n_b) / 1024, (est, true, n_a, n_b)
