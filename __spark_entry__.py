@@ -2029,6 +2029,39 @@ _INVERTED_INDEX_SQL = r"""
 """
 
 
+def q_exact_split(spark, sf_dir):
+    """Exactly-sized per-stratum train/val/test splits
+    (sampling.exact_count_split): rows rank by the salted mix31 hash
+    within each language, integer-permille boundaries cut EXACT counts
+    (hash_split is proportional only in expectation — eval sets need
+    exact sizes). One stratum-keyed Exchange. FULL oracle: the poly/mix31
+    rank order and the DIV-1000 boundary CASE replayed verbatim."""
+    from extractors_metadata_spark.operators.sampling import exact_count_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_count_split(d, "lang", "doc_id")
+
+
+def _exact_split_sql() -> str:
+    return f"""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 {_mix31_sql(_poly_sql("'xsplit:' || CAST(doc_id AS VARCHAR)", 131))} AS hv
+          FROM documents),
+        w AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM h)
+        SELECT doc_id, lang,
+               CASE WHEN rn <= n - ((n * 50) // 1000) - ((n * 50) // 1000)
+                    THEN 'train'
+                    WHEN rn <= n - ((n * 50) // 1000) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM w
+    """
+
+
 def q_ivm_counts(spark, sf_dir):
     """Incremental view maintenance under a FULL oracle (operators/ivm):
     a per-language (n, sum_u) view initialized from the BEFORE state is
@@ -3014,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "stream_index_verify": q_stream_index_verify,
         "ivm_counts": q_ivm_counts,
+        "exact_split": q_exact_split,
         "scan_legs": q_scan_legs,
         "hll_set_ops": q_hll_set_ops,
         "cell_compact": q_cell_compact,
@@ -4659,6 +4693,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "stream_index_verify": _INVERTED_INDEX_SQL,
         "ivm_counts": _IVM_COUNTS_SQL,
+        "exact_split": _exact_split_sql(),
         "scan_legs": _SCAN_LEGS_SQL,
         "hll_set_ops": _hll_set_sql(8),
         "cell_compact": _s2_compact_sql(8),

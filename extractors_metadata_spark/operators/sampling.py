@@ -154,3 +154,50 @@ def mix_sources(
         .filter(h < F.col("_mix_thr"))
         .drop("_mix_thr")
     )
+
+
+def exact_count_split(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+    salt: str = "xsplit",
+) -> DataFrame:
+    """EXACTLY-sized per-stratum splits (eval-set construction).
+
+    ``hash_split`` buckets are proportional only in expectation — a 5%
+    val cut of a 40-doc stratum can be 0 or 5 docs.  Eval sets want exact
+    counts: within each stratum, rows rank by the SALTED MIX31 hash of
+    the key (content-stable pseudo-random order — raw poly is badly
+    biased on sequential keys, CLAUDE.md; ties break on the key) and
+    integer-permille boundaries cut exact sizes: test gets
+    (n*w_test) DIV 1000, val (n*w_val) DIV 1000, train the remainder.
+    Deterministic in content: the same corpus gives the same split on
+    every run, engine, and partitioning.
+
+    Plan: the rank window, the stratum count, and the boundary CASE all
+    ride ONE stratum-keyed Exchange.
+    """
+    from ..functions.vhash import mix31
+
+    weights = weights or {"train": 900, "val": 50, "test": 50}
+    assert sum(weights.values()) == 1000 and list(weights)[0] == "train"
+    w_val = weights.get("val", 0)
+    w_test = weights.get("test", 0)
+    h = mix31(_key_hash(F.col(key_col), salt))
+    wrank = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    out = (
+        df.withColumn("_rn", F.row_number().over(wrank))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+        )
+    )
+    kv = F.expr(f"(_n * {w_val}) DIV 1000")
+    kt = F.expr(f"(_n * {w_test}) DIV 1000")
+    split = (
+        F.when(F.col("_rn") <= F.col("_n") - kv - kt, "train")
+        .when(F.col("_rn") <= F.col("_n") - kt, "val")
+        .otherwise("test")
+    )
+    return out.withColumn(out_col, split).drop("_rn", "_n")

@@ -55,3 +55,47 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(docs):
             run = cum
         bins = [b for _, _, _, b in seq]
         assert bins == sorted(bins)  # contiguous, monotone bins
+
+
+def test_exact_count_split_sizes_and_determinism(spark):
+    import pandas as pd
+
+    from extractors_metadata_spark.operators.sampling import exact_count_split
+
+    # strata with awkward sizes: exact-count semantics must hold per stratum
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(7)] \
+        + [(200 + i, "c") for i in range(1)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    out = exact_count_split(df, "lang", "doc_id").collect()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r.lang, {}).setdefault(r.split, 0)
+        sizes[r.lang][r.split] += 1
+    # 40 docs: floor(40*50/1000)=2 each for val/test, 36 train — EXACT
+    assert sizes["a"] == {"train": 36, "val": 2, "test": 2}
+    # 7 docs: floor(7*50/1000)=0 -> all train
+    assert sizes["b"] == {"train": 7}
+    assert sizes["c"] == {"train": 1}
+    # deterministic under repartition
+    again = {
+        (r.doc_id, r.split)
+        for r in exact_count_split(df.repartition(9), "lang", "doc_id").collect()
+    }
+    assert again == {(r.doc_id, r.split) for r in out}
+
+
+def test_exact_count_split_single_exchange(spark):
+    import pandas as pd
+
+    from extractors_metadata_spark.operators.sampling import exact_count_split
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "lang": ["x"] * 20})
+    )
+    plan = (
+        exact_count_split(df, "lang", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
