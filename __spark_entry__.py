@@ -2029,6 +2029,208 @@ _INVERTED_INDEX_SQL = r"""
 """
 
 
+# BM25 query set: one literal list drives BOTH engines (terms drawn from the
+# synthetic corpus' closed vocabulary; a term absent at some SF just inner-
+# joins away identically on both sides)
+_BM25_QUERIES: list[tuple[str, str]] = [
+    ("q1", "spark"), ("q1", "join"),
+    ("q2", "window"), ("q2", "merge"), ("q2", "scan"),
+    ("q3", "customer"), ("q3", "table"), ("q3", "filter"),
+    ("q4", "vector"), ("q4", "query"),
+    ("q5", "stream"), ("q5", "batch"), ("q5", "dup"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per query (operators/retrieval.bm25_topk) over the
+    frozen tokenization — the retrieval/RAG serving path on the inverted-
+    index suite. Scale shape: query terms are the broadcast dim (corpus df
+    filtered to the query vocabulary), only candidate postings leave the
+    scan, one doc_id-keyed shuffle for lengths, one (query, doc) aggregate.
+    FULL oracle: exact-int tf/df/dl + identical-path double chain (NumPy
+    libm ln == DuckDB ln, pinned by the z20 tile oracle) with per-term
+    HALF-EVEN 1e-9 fixed-point rounding before the order-free int64 sum;
+    ranking ties broken (score_fp desc, doc_id asc) in both engines."""
+    from extractors_metadata_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, word string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of bm25_topk: same tokenization CTEs as the inverted
+    index, scalar constants inlined as the EXACT Python-derived doubles the
+    pandas UDF broadcasts (repr round-trips through DECIMAL -> DOUBLE)."""
+    vals = ", ".join(f"('{q}', '{w}')" for q, w in _BM25_QUERIES)
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    return rf"""
+        WITH arrs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+          FROM documents),
+        tt AS (
+          SELECT doc_id, arr[i + 1] AS tok
+          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+          WHERE length(arr[i + 1]) > 0),
+        postings AS (
+          SELECT tok, doc_id, count(*) AS tf FROM tt GROUP BY 1, 2),
+        doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM doclen),
+        wdf AS (SELECT tok, count(*) AS df_docs FROM postings GROUP BY 1),
+        qt AS (SELECT * FROM (VALUES {vals}) AS t(query_id, word)),
+        sc AS (
+          SELECT qt.query_id, p.doc_id,
+                 CAST(round_even(
+                   ln(1.0 + (((s.n_docs - CAST(w.df_docs AS DOUBLE)) + 0.5)
+                             / (CAST(w.df_docs AS DOUBLE) + 0.5)))
+                   * ((CAST(p.tf AS DOUBLE) * CAST({k1p1!r} AS DOUBLE))
+                      / (CAST(p.tf AS DOUBLE)
+                         + (CAST({k1!r} AS DOUBLE)
+                            * (CAST({omb!r} AS DOUBLE)
+                               + (CAST({b!r} AS DOUBLE)
+                                  * (CAST(d.dl AS DOUBLE) / s.avgdl))))))
+                   * 1e9, 0) AS BIGINT) AS s_fp
+          FROM postings p
+          JOIN qt ON p.tok = qt.word
+          JOIN wdf w ON w.tok = p.tok
+          JOIN doclen d ON d.doc_id = p.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(sum(s_fp) AS BIGINT) AS score_fp
+          FROM sc GROUP BY 1, 2),
+        rnk AS (
+          SELECT query_id, doc_id, score_fp,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_fp DESC, doc_id) AS INT) AS rank
+          FROM agg)
+        SELECT query_id, doc_id, score_fp, rank FROM rnk WHERE rank <= {k}
+    """
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted order sampling (sampling.weighted_order_sample):
+    top-20 docs per language with inclusion probability proportional to
+    n_chars, as a pure function of doc_id (reproducible across runs /
+    engines / backfills — the data-mixing upgrade over uniform
+    stratified_sample). FULL oracle: mix31 hash replay -> exact double
+    u -> ln(u)/w ordering; the compared output is the SELECTED SET + rank
+    (+ exact weight), not the raw key — NumPy's SIMD log and DuckDB's libm
+    ln differ by 1 ulp on ~15% of inputs (measured here; the z20 tile
+    oracle hides the same drift behind floor()), which cannot flip an
+    ordering unless two keys collide within 1 ulp."""
+    from extractors_metadata_spark.operators.sampling import weighted_order_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_order_sample(
+        d, weight_col="n_chars", k=20, key_col="doc_id", per_col="lang"
+    )
+    return out.select("doc_id", "lang", "n_chars", "rank")
+
+
+def _weighted_sample_sql(k: int = 20) -> str:
+    ph = _poly_sql("'wsample:' || CAST(doc_id AS VARCHAR)", 131)
+    return f"""
+        WITH h0 AS (
+          SELECT doc_id, lang, n_chars, {ph} AS hr FROM documents
+          WHERE n_chars > 0),
+        h1 AS (SELECT doc_id, lang, n_chars, {_mix31_sql('hr')} AS hv FROM h0),
+        a AS (
+          SELECT doc_id, lang, n_chars,
+                 ln((CAST(hv AS DOUBLE) + 0.5) / 2147483648.0)
+                   / CAST(n_chars AS DOUBLE) AS akey
+          FROM h1),
+        r AS (
+          SELECT doc_id, lang, n_chars, akey,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY akey DESC, doc_id) AS INT) AS rank
+          FROM a)
+        SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= {k}
+    """
+
+
+def q_kmeans_verify(spark, sf_dir):
+    """Distributed exact-integer k-means (operators/kmeans.kmeans_assign):
+    3 Lloyd rounds, k=8, over the quantized embedding table — every step
+    int64 (fixed-point quantize, int argmin assignment, per-(cluster, dim)
+    integer sums, HALF-EVEN integer-division centroid update), so the
+    result is bit-identical under any partitioning AND fully SQL-
+    replayable. FULL oracle: unrolled CTE stages per round (the Hilbert/
+    PageRank strategy) — hash-ranked seeds, cross-join assign with
+    (d2, cid) tie-break, the same integer rounding, empty clusters carry
+    forward."""
+    from extractors_metadata_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(spark, emb, k=8, iters=3)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
+
+    ph = _poly_sql("'km:' || CAST(vec_id AS VARCHAR)", 131)
+    ctes = [
+        f"""q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
+                        + {OFFSET}) AS v
+          FROM embeddings)""",
+        f"h0 AS (SELECT vec_id, v, {ph} AS hr FROM q)",
+        f"h1 AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM h0)",
+        f"""c0 AS MATERIALIZED (
+          SELECT CAST(rn - 1 AS INT) AS cid, v AS c FROM (
+            SELECT v, row_number() OVER (ORDER BY hv, vec_id) AS rn FROM h1)
+          WHERE rn <= {k})""",
+    ]
+    half_even = (
+        "CAST(CASE WHEN 2 * (s % n) > n OR (2 * (s % n) = n AND (s // n) % 2 = 1) "
+        "THEN s // n + 1 ELSE s // n END AS BIGINT)"
+    )
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes += [
+            f"""d{r} AS (
+              SELECT q.vec_id, c{p}.cid,
+                     CAST(list_sum(list_transform(list_zip(q.v, c{p}.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+              FROM q CROSS JOIN c{p})""",
+            f"""a{r} AS MATERIALIZED (
+              SELECT vec_id, cid AS cluster, d2 FROM (
+                SELECT vec_id, cid, d2,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM d{r}) WHERE rn = 1)""",
+            f"""s{r} AS (
+              SELECT a{r}.cluster, t.i, sum(q.v[t.i + 1]) AS s, count(*) AS n
+              FROM a{r} JOIN q USING (vec_id), unnest(range({dim})) t(i)
+              GROUP BY 1, 2)""",
+            f"n{r} AS (SELECT cluster, i, {half_even} AS coord FROM s{r})",
+            f"""c{r} AS MATERIALIZED (
+              SELECT c{p}.cid, COALESCE(nc.c, c{p}.c) AS c
+              FROM c{p} LEFT JOIN (
+                SELECT cluster AS cid, list(coord ORDER BY i) AS c
+                FROM n{r} GROUP BY 1) nc USING (cid))""",
+        ]
+    ctes.append(
+        f"""df AS (
+          SELECT q.vec_id, c{iters}.cid,
+                 CAST(list_sum(list_transform(list_zip(q.v, c{iters}.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c{iters})"""
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT vec_id, CAST(cluster AS INT) AS cluster, d2 FROM (
+          SELECT vec_id, cid AS cluster, d2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM df) WHERE rn = 1
+    """
+
+
 def q_exact_split(spark, sf_dir):
     """Exactly-sized per-stratum train/val/test splits
     (sampling.exact_count_split): rows rank by the salted mix31 hash
@@ -2397,6 +2599,52 @@ def _tile_hll_density_sql(p: int = 8) -> str:
                round(round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_obs > 0
                                 THEN {lc} ELSE {raw} END, 6), 3) AS estimate
         FROM agg
+    """
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile pyramid (operators/tile_rollup.tile_pyramid):
+    per-tile (n_points, sum_fp) at every zoom z18..z24, where only the z24
+    base aggregate touches the point table and each coarser level
+    re-aggregates the previous LEVEL (parent = child >> 1) — the
+    hypertable-rollup shape: cascade shuffle volume <= 4/3 of one base
+    aggregate vs 7 full-table shuffles for per-zoom-from-raw. Values are
+    per-point half-even fixed-point (F.bround == round_even at 0 decimals)
+    so every level is exact int64. FULL oracle: DuckDB aggregates EVERY
+    level directly from raw lat/lon with the literal slippy formula at that
+    z — equality proves the floor(g*2^(z-1)) == floor(g*2^z) >> 1 halving
+    identity end-to-end through the engine's cascade."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+    from extractors_metadata_spark.operators.tile_rollup import tile_pyramid
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", "value", lat, lon)
+    tiles = e.withColumn("_t", tile_xy_udf(24)("lat", "lon")).select(
+        F.col("_t.x").alias("x"),
+        F.col("_t.y").alias("y"),
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("value_fp"),
+    )
+    out, _caches = tile_pyramid(tiles, z_max=24, z_min=18, value_fp_col="value_fp")
+    return out
+
+
+def _tile_pyramid_sql(z_max: int = 24, z_min: int = 18) -> str:
+    levels = []
+    for z in range(z_max, z_min - 1, -1):
+        levels.append(f"""
+        SELECT {z} AS z,
+               CAST(FLOOR((lon + 180) / 360 * pow(2, {z})) AS BIGINT) AS x,
+               CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, {z})) AS BIGINT) AS y,
+               count(*) AS n_points,
+               CAST(sum(fp) AS BIGINT) AS sum_fp
+        FROM pts GROUP BY 1, 2, 3""")
+    union = "\n        UNION ALL\n".join(levels)
+    return f"""
+        WITH pts AS (
+          SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon,
+                 CAST(round_even(value * 100.0, 0) AS BIGINT) AS fp
+          FROM events)
+        {union}
     """
 
 
@@ -3058,6 +3306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "pip_bigdim": q_pip_bigdim,
         "tile_hll_density": q_tile_hll_density,
+        "tile_pyramid": q_tile_pyramid,
+        "bm25_topk": q_bm25_topk,
+        "weighted_sample": q_weighted_sample,
+        "kmeans_verify": q_kmeans_verify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -4703,6 +4955,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_centroids": _EMBED_CENTROIDS_SQL,
         "geohash": _geohash_oracle_sql(),
         "tile_hll_density": _tile_hll_density_sql(8),
+        "tile_pyramid": _tile_pyramid_sql(),
+        "bm25_topk": _bm25_sql(),
+        "weighted_sample": _weighted_sample_sql(),
+        "kmeans_verify": _kmeans_sql(),
         "pip_bigdim": f"""
             SELECT event_id,
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id

@@ -1,0 +1,130 @@
+"""BM25 ranked retrieval over the engine's inverted index.
+
+The query side of the index_build suite: given a small query table
+(query_id, word), score documents with Okapi BM25 and return the top-k per
+query — the retrieval/RAG primitive a webtext corpus engine serves.
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    s(t, d)     = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    bm25(q, d)  = sum_t s(t, d)
+
+Scale design (10^12 docs, thousands of queries):
+- postings are (word, doc)-keyed (``index_build.doc_postings`` — stopword
+  skew cannot form at the aggregate);
+- the QUERY TERMS are the tiny dim: corpus-wide df is computed once, then
+  filtered to the query vocabulary by a broadcast join, and that
+  (term, df, idf-inputs) frame — |distinct query terms| rows — broadcasts
+  into the postings scan, so only candidate postings (sum of df over query
+  terms) ever leave the scan;
+- doc lengths join the CANDIDATE frame on doc_id (one shuffle of the
+  candidate set — the classic scatter-gather; the corpus-sized doclen frame
+  is never broadcast);
+- one (query_id, doc_id)-keyed aggregate sums per-term scores, one window
+  takes top-k over the per-query candidate lists.
+
+Exactness design (the engine's cross-engine float rule): ln and the rational
+BM25 chain are evaluated in ONE Arrow pass with NumPy, every input
+(tf, df, dl, N) is an exact integer and avgdl an identical-path double, and
+the per-(term, doc) score is HALF-EVEN rounded to 1e-9 fixed point
+(np.rint == round_even) BEFORE the sum — so the aggregate is
+order-independent int64 arithmetic and ranking/ties (score_fp desc, doc_id
+asc) are deterministic in both engines.  NumPy's SIMD log drifts ~1 ulp
+from DuckDB's libm ln on some inputs (measured in weighted_order_sample);
+here the fixed-point rounding absorbs it with ~9 orders of margin — a
+1-ulp score wobble is ~3e-7 fixed-point units vs the 0.5 rounding
+threshold, so score_fp only diverges if a score sits within ~1e-6 of a
+half-integer AND the engines' ln disagree there.
+
+Reference analog: none (the reference computes no corpus statistics) —
+this widens vocabulary/tf-idf/inverted_index to the serving-side ranker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index_build import doc_postings
+
+
+def _score_fp_udf(k1: float, b: float):
+    @F.pandas_udf("long")
+    def score_fp(
+        tf: pd.Series, df: pd.Series, dl: pd.Series, n_docs: pd.Series, avgdl: pd.Series
+    ) -> pd.Series:
+        tf_ = tf.to_numpy(np.float64)
+        df_ = df.to_numpy(np.float64)
+        dl_ = dl.to_numpy(np.float64)
+        n_ = n_docs.to_numpy(np.float64)
+        ad = avgdl.to_numpy(np.float64)
+        # literal arithmetic order mirrored in the DuckDB oracle — do not
+        # refactor (log1p, fused constants, etc. are NOT bit-equal)
+        idf = np.log(1.0 + (((n_ - df_) + 0.5) / (df_ + 0.5)))
+        denom = tf_ + (k1 * ((1.0 - b) + (b * (dl_ / ad))))
+        score = idf * ((tf_ * (k1 + 1.0)) / denom)
+        return pd.Series(np.rint(score * 1e9).astype(np.int64))
+
+    return score_fp
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 -> (query_id, doc_id,
+    score_fp, rank); ``score_fp`` is the exact 1e-9 fixed-point score sum.
+
+    ``queries``: (query_id, word) pairs — terms must be unique per query
+    (a repeated term would double-count; the distinct() here makes that a
+    contract, not a silent bug). Frozen tokenization (casefold ->
+    whitespace split) keeps scores consistent with the index/corpus suite.
+    """
+    postings = doc_postings(docs, text_col, id_col)
+    # corpus scalars: exact ints -> one tiny collect (bounded, 1 row)
+    doclen = postings.groupBy("doc_id").agg(F.sum("n_hits").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).collect()[0]
+    n_docs = int(stats.n_docs)
+    avgdl = float(stats.total_tokens) / float(n_docs)
+
+    terms = queries.select("query_id", "word").distinct()
+    # corpus-wide df, filtered to the query vocabulary (broadcast the tiny
+    # term set INTO the vocab-sized df aggregate, then broadcast the result)
+    wdf = postings.groupBy("word").agg(F.count(F.lit(1)).alias("df_docs"))
+    term_df = wdf.join(
+        F.broadcast(terms.select("word").distinct()), "word"
+    )
+    # (query_id, word, df_docs) — still query-dim sized; ONE broadcast join
+    # against the postings scan emits only candidate postings
+    qterms = terms.join(term_df, "word")
+    cand = postings.join(F.broadcast(qterms), "word")
+    scored = cand.join(doclen, "doc_id").select(
+        "query_id",
+        "doc_id",
+        _score_fp_udf(k1, b)(
+            F.col("n_hits").cast("double"),
+            F.col("df_docs").cast("double"),
+            F.col("dl").cast("double"),
+            F.lit(float(n_docs)),
+            F.lit(avgdl),
+        ).alias("s_fp"),
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s_fp").alias("score_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_fp", F.col("rank").cast("int").alias("rank"))
+    )

@@ -21,10 +21,13 @@ world — at scale, shard = date/source bucket sized to executor memory).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import token_count
+from ..functions.vhash import mix31 as _mix31
 from ..functions.vhash import poly_hash
 
 
@@ -69,6 +72,60 @@ def stratified_sample(
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     thr = thr.otherwise(int(round(default_fraction * 1_000_000)))
     return df.filter(bucket < thr)
+
+
+def weighted_order_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    per_col: str | None = None,
+    salt: str = "wsample",
+    out_col: str = "akey",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, order-sampling form (A-ES /
+    Efraimidis-Spirakis): rank rows by ``ln(u) / w`` with ``u`` derived from
+    the verifiable hash of ``key_col`` and take the top-``k`` (per
+    ``per_col`` group if given) — each row's inclusion probability is
+    proportional to its weight, yet the sample is a PURE FUNCTION of the
+    keys (re-runs and engines agree row-for-row; ln(u)/w is the monotone
+    log of the classic u^(1/w) key, so the selected set is identical).
+
+    Exactness: u = (mix31(hash) + 0.5) / 2^31 is exact double arithmetic
+    from exact ints (mix31 because threshold/order decisions on the raw
+    poly value are biased — CLAUDE.md); ln runs in ONE Arrow pass with
+    NumPy. NumPy's SIMD log is NOT bit-equal to libm/DuckDB ln (~1 ulp on
+    ~15% of inputs, measured) — so ``akey`` is an ORDERING key, not an
+    exact cross-engine value: the selected set and ranks replay exactly
+    (a 1-ulp wobble can only flip an order if two keys collide within
+    1 ulp), but oracles must compare set+rank, never raw akey. Ties
+    (impossible for distinct keys, but contractual) break by ``key_col``.
+
+    Plan: narrow projection + one Arrow pass + ONE window shuffle keyed by
+    the group (k << group size; the window's sort is the standard top-k
+    shape — groups are the parallelism unit, as in window_topk). Rows with
+    weight <= 0 are excluded (zero-weight rows must never be sampled; ln/0
+    is the alternative).
+    """
+    hv = _mix31(_key_hash(F.col(key_col), salt))
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(2147483648.0)
+
+    @F.pandas_udf("double")
+    def _akey(us: pd.Series, ws: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.log(us.to_numpy(np.float64)) / ws.to_numpy(np.float64)
+        )
+
+    out = df.filter(F.col(weight_col) > 0).withColumn(
+        out_col, _akey(u, F.col(weight_col).cast("double"))
+    )
+    part = [per_col] if per_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col(out_col).desc(), F.col(key_col).asc()
+    )
+    return out.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
 
 
 def pack_sequences(
