@@ -1998,6 +1998,115 @@ _SCAN_LEGS_SQL = f"""
 """
 
 
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (operators/staypoints.stay_points): maximal
+    within-30m runs per user over the gantry position stream — dwell
+    analysis, the movement-pause complement of scan_legs. FULL oracle:
+    same frozen equirect step kernel + half-up cm (the scan_legs pairing),
+    round_even 1e-7-deg centroid fixed point with nonneg-shifted HALF-EVEN
+    integer division (the kmeans rule), exact microsecond durations
+    (unix_micros == epoch_us), is_stay emitted as a labeled column so the
+    oracle sees negatives too."""
+    from extractors_metadata_spark.operators.staypoints import stay_points
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", lat, lon)
+    return stay_points(e, d_cm=3000, min_dur_s=36_000, min_pings=3)
+
+
+def _stay_points_sql(d_cm: int = 3000, min_dur_s: int = 36_000, min_pings: int = 3) -> str:
+    from extractors_metadata_spark.operators.staypoints import LAT_OFF, LON_OFF
+
+    def he(s, n):
+        return (
+            f"CAST(CASE WHEN 2 * ({s} % {n}) > {n} OR "
+            f"(2 * ({s} % {n}) = {n} AND ({s} // {n}) % 2 = 1) "
+            f"THEN {s} // {n} + 1 ELSE {s} // {n} END AS BIGINT)"
+        )
+
+    dist = """CAST(round(sqrt(
+            ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          * ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          + ((lat - plat) * (pi() / 180.0 * 6371008.8))
+          * ((lat - plat) * (pi() / 180.0 * 6371008.8))
+        ) * 100.0, 0) AS BIGINT)"""
+    return f"""
+        WITH pts AS (
+          SELECT user_id, ts, event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, lat, lon,
+                 lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+          FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        st AS (
+          SELECT *, CASE WHEN plat IS NULL THEN NULL ELSE {dist} END AS cm
+          FROM s),
+        m AS (
+          SELECT *,
+                 CASE WHEN cm IS NULL OR cm > {d_cm} THEN 1 ELSE 0 END AS brk,
+                 CAST(round_even(lat * 10000000.0, 0) AS BIGINT) + {LAT_OFF} AS qlat,
+                 CAST(round_even(lon * 10000000.0, 0) AS BIGINT) + {LON_OFF} AS qlon
+          FROM st),
+        r AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM m),
+        g AS (
+          SELECT user_id, CAST(run AS BIGINT) AS stay_id, count(*) AS n_pings,
+                 min(ts) AS t_start, max(ts) AS t_end,
+                 sum(qlat) AS slat, sum(qlon) AS slon,
+                 sum(CASE WHEN cm <= {d_cm} THEN cm END) AS len
+          FROM r GROUP BY 1, 2)
+        SELECT user_id, stay_id, n_pings, t_start, t_end,
+               epoch_us(t_end) - epoch_us(t_start) AS dur_us,
+               {he('slat', 'n_pings')} - {LAT_OFF} AS clat_e7,
+               {he('slon', 'n_pings')} - {LON_OFF} AS clon_e7,
+               CAST(COALESCE(len, 0) AS BIGINT) AS length_cm,
+               (epoch_us(t_end) - epoch_us(t_start) >= {int(min_dur_s) * 1_000_000}
+                AND n_pings >= {min_pings}) AS is_stay
+        FROM g
+    """
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Word co-occurrence + PMI (operators/cooccur.pmi_pairs): banded
+    presence self-join per doc -> exact pair counts -> 1e-9 fixed-point
+    PMI (int64 numerator/denominator exact, single correctly-rounded
+    division, rint margin absorbs ln ulp drift — the bm25 recipe). FULL
+    oracle: same tokenization CTEs, distinct presence, pair join, literal
+    arithmetic."""
+    from extractors_metadata_spark.operators.cooccur import pmi_pairs
+
+    return pmi_pairs(_t(spark, sf_dir, "documents"), min_pair=2)
+
+
+_PMI_PAIRS_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT doc_id, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    pres AS MATERIALIZED (SELECT DISTINCT tok, doc_id FROM tt),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    wdf AS (SELECT tok, count(*) AS dfd FROM pres GROUP BY 1),
+    pairs AS (
+      SELECT a.tok AS wa, b.tok AS wb, count(*) AS cab
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    j AS (
+      SELECT wa AS word_a, wb AS word_b, cab AS c_ab,
+             x.dfd AS c_a, y.dfd AS c_b
+      FROM pairs JOIN wdf x ON x.tok = wa JOIN wdf y ON y.tok = wb
+      WHERE cab >= 2)
+    SELECT word_a, word_b, c_ab, c_a, c_b,
+           CAST(round_even(ln((c_ab * n) / (c_a * c_b)) * 1e9, 0) AS BIGINT)
+             AS pmi_fp
+    FROM j CROSS JOIN nd
+"""
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -3310,6 +3419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "weighted_sample": q_weighted_sample,
         "kmeans_verify": q_kmeans_verify,
+        "stay_points": q_stay_points,
+        "pmi_pairs": q_pmi_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -4959,6 +5070,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "kmeans_verify": _kmeans_sql(),
+        "stay_points": _stay_points_sql(),
+        "pmi_pairs": _PMI_PAIRS_SQL,
         "pip_bigdim": f"""
             SELECT event_id,
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id

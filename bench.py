@@ -179,6 +179,20 @@ def main() -> None:
         # scan_legs / polygon_stats / text_normalize are NOT timed:
         # count() prunes their UDF/projection output (CLAUDE.md rule).
         "inverted_index", "cell_compact", "sketch_gate",
+        # session additions: tile_pyramid's count() is the union of every
+        # level's aggregate (base Arrow tile pass + full cascade execute);
+        # bm25_topk and weighted_sample count() through rank filters, so
+        # scoring UDF + window + joins are load-bearing; kmeans_verify's
+        # three Lloyd rounds run EAGERLY (driver centroid sync per round)
+        # inside the timed construction — the final count() prunes only
+        # the last assignment projection.
+        "tile_pyramid", "bm25_topk", "weighted_sample", "kmeans_verify",
+        # stay_points: count() is the (user, run) group cardinality — run
+        # ids depend on the step-distance UDF, so the Arrow kernel + both
+        # windows are load-bearing. pmi_pairs: count() passes the
+        # c_ab >= min_pair filter, so presence build + pair join + count
+        # aggregate all execute (only the PMI projection prunes).
+        "stay_points", "pmi_pairs",
     ]
     qs = entrymod.queries()
     for name in suite:
