@@ -2107,6 +2107,91 @@ _PMI_PAIRS_SQL = r"""
 """
 
 
+def q_shingle_cosine(spark, sf_dir):
+    """Sparse tf-cosine doc pairs (operators/sparse_sim.shingle_cosine_pairs):
+    the weighted cousin of ngram_jaccard — exact int64 dots/norms in
+    banded 3-word-shingle space (max_df caps the worst shingle's df^2
+    fan-out AND defines the vector space), cosine as half-even 1e-9 fixed
+    point; IEEE sqrt/divide are correctly rounded in every engine, so the
+    whole operator is pure JVM codegen with no Arrow pass. FULL oracle:
+    the minhash suite's shingle CTE + literal arithmetic."""
+    from extractors_metadata_spark.operators.sparse_sim import shingle_cosine_pairs
+
+    return shingle_cosine_pairs(
+        _t(spark, sf_dir, "documents"), w=3, max_df=50, min_sim_fp=200_000_000
+    )
+
+
+def _shingle_cosine_sql(max_df: int = 50, min_sim_fp: int = 200_000_000) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        shm AS (
+          SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+          FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+        tf0 AS MATERIALIZED (
+          SELECT doc_id, shingle, count(*) AS tf FROM shm GROUP BY 1, 2),
+        band AS MATERIALIZED (
+          SELECT tf0.* FROM tf0 JOIN (
+            SELECT shingle FROM tf0 GROUP BY shingle
+            HAVING count(*) <= {max_df}) s USING (shingle)),
+        norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                  FROM band GROUP BY 1),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+          FROM band a JOIN band b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+                 CAST(round_even(dot / sqrt(CAST(na.n2 AS DOUBLE)
+                   * CAST(nb.n2 AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+                   AS sim_fp
+          FROM dots
+          JOIN norms na ON na.doc_id = id_a
+          JOIN norms nb ON nb.doc_id = id_b)
+        SELECT * FROM scored WHERE sim_fp >= {min_sim_fp}
+    """
+
+
+def q_rollup_stats(spark, sf_dir):
+    """Multi-level ROLLUP aggregate (operators/rollup_stats.rollup_stats):
+    per-(event_type, month) detail + per-type subtotals + grand total in
+    ONE grouping-set aggregate (one shuffle, N levels — never N scans).
+    grouping_id disambiguates subtotal rows from NULL dim values (Spark
+    bit order == DuckDB GROUPING(dims...)). FULL oracle: GROUP BY ROLLUP
+    with the zonal_stats fixed-point value sums."""
+    from extractors_metadata_spark.operators.rollup_stats import rollup_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        # integer month key: subtotal rows carry NULL dims, and a nullable
+        # DATE round-trips as parse-hostile strings in compare harnesses —
+        # exact ints never do
+        (F.year(F.col("ts").cast("timestamp")) * 100
+         + F.month(F.col("ts").cast("timestamp"))).cast("int").alias("month"),
+        "user_id",
+        "value",
+    )
+    return rollup_stats(e, ["event_type", "month"])
+
+
+_ROLLUP_STATS_SQL = """
+    WITH e AS (
+      SELECT event_type, CAST(year(ts) * 100 + month(ts) AS INT) AS month,
+             user_id,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type, month,
+           CAST(GROUPING(event_type, month) AS BIGINT) AS gid,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(v) AS BIGINT) AS value_sum_u
+    FROM e GROUP BY ROLLUP (event_type, month)
+"""
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -3421,6 +3506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_verify": q_kmeans_verify,
         "stay_points": q_stay_points,
         "pmi_pairs": q_pmi_pairs,
+        "shingle_cosine": q_shingle_cosine,
+        "rollup_stats": q_rollup_stats,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5072,6 +5159,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_verify": _kmeans_sql(),
         "stay_points": _stay_points_sql(),
         "pmi_pairs": _PMI_PAIRS_SQL,
+        "shingle_cosine": _shingle_cosine_sql(),
+        "rollup_stats": _ROLLUP_STATS_SQL,
         "pip_bigdim": f"""
             SELECT event_id,
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id

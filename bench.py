@@ -193,6 +193,11 @@ def main() -> None:
         # c_ab >= min_pair filter, so presence build + pair join + count
         # aggregate all execute (only the PMI projection prunes).
         "stay_points", "pmi_pairs",
+        # shingle_cosine: count() passes the sim_fp threshold filter, so
+        # the banded shingle build + pair join + dots/norms all execute
+        # (pure codegen — no UDF to prune). rollup_stats: count() is the
+        # grouping-set output cardinality (Expand + aggregate execute).
+        "shingle_cosine", "rollup_stats",
     ]
     qs = entrymod.queries()
     for name in suite:
