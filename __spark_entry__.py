@@ -2192,6 +2192,98 @@ _ROLLUP_STATS_SQL = """
 """
 
 
+def q_resample_track(spark, sf_dir):
+    """Trajectory resampling (operators/resample.resample_track): hourly
+    linear interpolation within <= 12 h segments (longer gaps are data
+    gaps — not interpolated; both branches fire at this SF). Pure-codegen
+    exact int64: µs grid arithmetic + signed half-even rational
+    interpolation (DQ_MAX-shifted numerator — truncating division ==
+    floor once nonnegative). FULL oracle: identical integer forms."""
+    from extractors_metadata_spark.operators.resample import resample_track
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", lat, lon)
+    return resample_track(e, grid_s=3600, max_gap_s=43_200)
+
+
+def _resample_sql(grid_s: int = 3600, max_gap_s: int = 43_200) -> str:
+    from extractors_metadata_spark.operators.resample import DQ_MAX
+
+    g = grid_s * 1_000_000
+    gap = max_gap_s * 1_000_000
+
+    def he(num: str, den: str) -> str:
+        a = f"({num} + {DQ_MAX} * {den})"
+        q = f"({a} // {den})"
+        return (
+            f"(CAST(CASE WHEN 2 * ({a} % {den}) > {den} OR "
+            f"(2 * ({a} % {den}) = {den} AND {q} % 2 = 1) "
+            f"THEN {q} + 1 ELSE {q} END AS BIGINT) - {DQ_MAX})"
+        )
+
+    den = "(t1 - t0)"
+    latn = "((qlat1 - qlat0) * (g_us - t0))"
+    lonn = "((qlon1 - qlon0) * (g_us - t0))"
+    return f"""
+        WITH pts AS (
+          SELECT user_id, ts, event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+          FROM events),
+        q AS (
+          SELECT user_id, ts, event_id, epoch_us(ts) AS t1,
+                 CAST(round_even(lat * 10000000.0, 0) AS BIGINT) AS qlat1,
+                 CAST(round_even(lon * 10000000.0, 0) AS BIGINT) AS qlon1
+          FROM pts),
+        s AS (
+          SELECT *, lag(t1) OVER w AS t0,
+                 lag(qlat1) OVER w AS qlat0, lag(qlon1) OVER w AS qlon0
+          FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        seg AS (
+          SELECT * FROM s
+          WHERE t0 IS NOT NULL AND t1 > t0 AND t1 - t0 <= {gap}),
+        gs AS (
+          SELECT *, t0 - t0 % {g} + {g} AS gstart, t1 - t1 % {g} AS gend
+          FROM seg),
+        ex AS (
+          SELECT user_id, t0, t1, qlat0, qlat1, qlon0, qlon1,
+                 gstart + {g} * k AS g_us
+          FROM gs, unnest(range((gend - gstart) // {g} + 1)) t(k)
+          WHERE gstart <= gend)
+        SELECT user_id, g_us,
+               qlat0 + {he(latn, den)} AS lat_e7,
+               qlon0 + {he(lonn, den)} AS lon_e7
+        FROM ex
+    """
+
+
+def q_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (operators/timewin.sliding_window_stats):
+    2 h windows sliding every 30 min — every event lands in exactly 4
+    windows via Spark's native F.window Expand, ONE map-side-combining
+    (window, key) aggregate. FULL oracle: the epoch-aligned window set
+    replayed as w_j = (t - t mod s) - j*s in µs integers."""
+    from extractors_metadata_spark.operators.timewin import sliding_window_stats
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_window_stats(e, duration="2 hours", slide="30 minutes")
+
+
+def _sliding_windows_sql(slide_us: int = 1_800_000_000, k: int = 4) -> str:
+    return f"""
+        WITH e AS (
+          SELECT epoch_us(ts) AS t, event_type AS key, user_id,
+                 CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+          FROM events),
+        w AS (
+          SELECT (t - t % {slide_us}) - j * {slide_us} AS window_start_us,
+                 key, user_id, v
+          FROM e, unnest(range({k})) tt(j))
+        SELECT window_start_us, key, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(v) AS BIGINT) AS value_sum_u
+        FROM w GROUP BY 1, 2
+    """
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -3508,6 +3600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "shingle_cosine": q_shingle_cosine,
         "rollup_stats": q_rollup_stats,
+        "resample_track": q_resample_track,
+        "sliding_windows": q_sliding_windows,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5161,6 +5255,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _PMI_PAIRS_SQL,
         "shingle_cosine": _shingle_cosine_sql(),
         "rollup_stats": _ROLLUP_STATS_SQL,
+        "resample_track": _resample_sql(),
+        "sliding_windows": _sliding_windows_sql(),
         "pip_bigdim": f"""
             SELECT event_id,
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id

@@ -46,8 +46,11 @@ LON_OFF = 180 * 10_000_000
 
 def _he_div(a: Column, n: Column) -> Column:
     """round-half-even(a / n) for NONNEGATIVE int columns — pure integer
-    (quotient via exact double division of the divisible part: values
-    < 2^53 by construction, quotient integral => fl-exact)."""
+    (quotient via exact double division of the divisible part).  BOUND:
+    ``a`` must stay < 2^53 — here a = sum of shifted 1e-7-deg coords
+    <= 1.23e9 * n_pings, exact up to ~7e6 pings per stay (beyond that,
+    use the ``div``-based form in resample.py — the double trick measured
+    off-by-one at ~4e18 there)."""
     q = ((a - a % n) / n).cast("long")
     r = a % n
     return F.when((2 * r > n) | ((2 * r == n) & (q % 2 == 1)), q + 1).otherwise(q)
