@@ -2284,6 +2284,88 @@ def _sliding_windows_sql(slide_us: int = 1_800_000_000, k: int = 4) -> str:
     """
 
 
+def q_quality_percentile(spark, sf_dir):
+    """Per-source percentile normalization of the frozen quality score
+    (operators/corpus.quality_percentile) — cross-source score
+    calibration; rank/count/permille are ALL exact integers on ONE
+    group-keyed Exchange. FULL oracle: the proven quality composite +
+    identical window/`div` arithmetic."""
+    from extractors_metadata_spark.operators.corpus import quality_percentile
+
+    return quality_percentile(_t(spark, sf_dir, "documents"), by="source")
+
+
+def q_rolling_window(spark, sf_dir):
+    """Trailing 7-day RANGE-frame rolling aggregates per user
+    (operators/timewin.rolling_user_stats) — value-based frames (time
+    horizon, not row count), exact µs bounds + fixed-point sums, one
+    user-keyed Exchange. FULL oracle: identical RANGE window in DuckDB."""
+    from extractors_metadata_spark.operators.timewin import rolling_user_stats
+
+    return rolling_user_stats(_t(spark, sf_dir, "events"), range_s=7 * 86_400)
+
+
+_ROLLING_WINDOW_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events)
+    SELECT user_id, event_id, t_us,
+           count(*) OVER w AS n_trailing,
+           CAST(sum(v) OVER w AS BIGINT) AS v_sum_u
+    FROM e WINDOW w AS (
+      PARTITION BY user_id ORDER BY t_us
+      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_full_outer(spark, sf_dir):
+    """FULL OUTER reconciliation join (§2.3 completeness): restricted
+    customer dim vs per-customer order rollup — matched, dim-only and
+    fact-only rows all surface with presence flags (the reconciliation
+    shape: neither side's orphans may silently drop). Exact counts +
+    fixed-point money. FULL oracle: same FULL OUTER in DuckDB."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.bround(F.col("o_totalprice") * 100.0, 0).cast("long")
+            ).alias("total_c"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_cust"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("total_c"), F.lit(0)).cast("long").alias("total_c"),
+    )
+
+
+_FULL_OUTER_SQL = """
+    WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 != 0),
+    o AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(round_even(o_totalprice * 100.0, 0) AS BIGINT))
+               AS BIGINT) AS total_c
+      FROM orders GROUP BY 1)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS has_cust,
+           o.o_custkey IS NOT NULL AS has_orders,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.total_c, 0) AS BIGINT) AS total_c
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -3602,6 +3684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stats": q_rollup_stats,
         "resample_track": q_resample_track,
         "sliding_windows": q_sliding_windows,
+        "quality_percentile": q_quality_percentile,
+        "rolling_window": q_rolling_window,
+        "full_outer": q_full_outer,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5257,6 +5342,33 @@ def oracle_sql() -> dict[str, str]:
         "rollup_stats": _ROLLUP_STATS_SQL,
         "resample_track": _resample_sql(),
         "sliding_windows": _sliding_windows_sql(),
+        "rolling_window": _ROLLING_WINDOW_SQL,
+        "full_outer": _FULL_OUTER_SQL,
+        "quality_percentile": f"""
+            WITH t AS (
+              SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
+                     {tok} AS n_tok, {mwl} AS mwl, {punct} AS pr, {upper} AS ur
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     round(
+                       least(n_tok / 100.0, 1.0) * 0.3
+                       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                       + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE ({en_sum}) / n_tok END) * 4.0, 1.0) * 0.3
+                       + greatest(0.0, 1.0 - pr * 4.0 - ur * 2.0) * 0.2,
+                     6) AS quality
+              FROM t),
+            r AS (
+              SELECT doc_id, source, quality,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY quality DESC, doc_id)
+                       AS BIGINT) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM q)
+            SELECT doc_id, source, quality, rk, n,
+                   CAST((rk - 1) * 1000 // greatest(n - 1, 1) AS BIGINT) AS permille
+            FROM r
+        """,
         "pip_bigdim": f"""
             SELECT event_id,
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id

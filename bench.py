@@ -198,6 +198,11 @@ def main() -> None:
         # (pure codegen — no UDF to prune). rollup_stats: count() is the
         # grouping-set output cardinality (Expand + aggregate execute).
         "shingle_cosine", "rollup_stats",
+        # resample_track: count() is the grid-explode cardinality — lag
+        # window, gap filter and sequence fan-out all load-bearing (the
+        # interpolation projection prunes, pure codegen anyway).
+        # sliding_windows: count() is the (window, key) aggregate output.
+        "resample_track", "sliding_windows",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -203,3 +203,36 @@ def length_quantiles(
         for q in quantiles
     ]
     return df.groupBy(group_col).agg(F.count("*").alias("n_docs"), *exprs)
+
+
+def quality_percentile(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile normalization of the frozen quality score —
+    score CALIBRATION across heterogeneous sources (a raw 0.6 from a clean
+    source and from a noisy source mean different things; mixing decisions
+    want the within-source rank).  Output (id, group, quality, rk, n,
+    permille): rk = rank by (quality desc, id), n = group size, permille =
+    (rk - 1) * 1000 div max(n - 1, 1) — ALL exact integers (the quality
+    score itself is the oracle-proven frozen composite, so ordering on it
+    replays exactly; integral ``div`` avoids float percentile drift).
+
+    Plan: ONE group-keyed Exchange carries both the rank window and the
+    group-count window (same partitioning, no second shuffle)."""
+    from ..functions.textstats import quality_score
+
+    w = Window.partitionBy(by)
+    wr = w.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+    out = (
+        df.select(
+            F.col(id_col), F.col(by), quality_score(F.col(text_col)).alias("quality")
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    return out.withColumn(
+        "permille", F.expr("(rk - 1) * 1000 div greatest(n - 1, 1L)")
+    )

@@ -16,7 +16,7 @@ grouping-set rollup; no UDF, no second scan. Aggregates are exactness-safe
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,4 +47,47 @@ def sliding_window_stats(
                 F.bround(F.col(value_col) * 1000000.0, 0).cast("long")
             ).alias("value_sum_u"),
         )
+    )
+
+
+def rolling_user_stats(
+    df: DataFrame,
+    range_s: int = 7 * 86_400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event trailing-``range_s`` rolling aggregates over the user's
+    own stream (velocity/abuse/rate features): for each event, the count
+    and fixed-point value sum of that user's events in the closed µs range
+    [t - range_s, t] — a RANGE window frame (value-based, NOT row-based:
+    gaps and bursts change row counts but not the time horizon).
+
+    Exactness: the frame is keyed on exact µs ints and the sum is per-row
+    half-even fixed point, so every engine computes the identical frame
+    set and identical sums. Tie semantics are RANGE's: same-timestamp rows
+    share a frame (all peers included) regardless of id tie-break — which
+    is why the frame orders by µs alone.
+
+    Plan: ONE user-keyed Exchange; the range frame is a single pass over
+    each partition's sorted run (no self-join, no explode)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = df.select(
+        F.col(user_col),
+        F.col(id_col),
+        us.alias("t_us"),
+        F.bround(F.col(value_col) * 1000000.0, 0).cast("long").alias("_v"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("t_us")
+        .rangeBetween(-int(range_s) * 1_000_000, 0)
+    )
+    return d.select(
+        user_col,
+        id_col,
+        "t_us",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("_v").over(w).alias("v_sum_u"),
     )
