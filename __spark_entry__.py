@@ -2366,6 +2366,69 @@ _FULL_OUTER_SQL = """
 """
 
 
+def q_typo_pairs(spark, sf_dir):
+    """Fuzzy vocabulary pairing (operators/fuzzy.typo_pairs): corpus words
+    within Levenshtein 3, first-char + length-band BLOCKED (the fuzzy-join
+    discipline: worst block = one letter's vocabulary, never |V|^2);
+    max_dist=3 here because the synthetic vocabulary is short closed words
+    (real corpora run 1-2). F.levenshtein == DuckDB levenshtein (textbook
+    DP, integer-exact). FULL oracle."""
+    from extractors_metadata_spark.operators.fuzzy import typo_pairs
+
+    return typo_pairs(_t(spark, sf_dir, "documents"), max_dist=3)
+
+
+_TYPO_PAIRS_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT doc_id, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    pres AS (SELECT DISTINCT tok, doc_id FROM tt),
+    vocab AS (
+      SELECT tok AS word, count(*) AS df_docs,
+             substring(tok, 1, 1) AS blk, length(tok) AS ln
+      FROM pres GROUP BY 1)
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS INT) AS dist,
+           a.df_docs AS df_a, b.df_docs AS df_b
+    FROM vocab a JOIN vocab b
+      ON a.blk = b.blk AND a.word < b.word
+         AND abs(a.ln - b.ln) <= 3
+    WHERE levenshtein(a.word, b.word) <= 3
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier flags (operators/robust.mad_outliers):
+    median/MAD via Spark native percentile == DuckDB quantile_cont (the
+    length_quantiles pairing), identical-path threshold compare so even
+    boundary rows flag identically; k=1.5 here so both branches fire on
+    the uniform synthetic values (production default 4.4478). FULL
+    oracle, med/mad emitted unrounded."""
+    from extractors_metadata_spark.operators.robust import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), k=1.5)
+
+
+_MAD_OUTLIERS_SQL = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    wm AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM wm GROUP BY 1)
+    SELECT event_id, event_type, value, med, mad,
+           (abs(value - med) > 1.5 * mad) AS is_outlier
+    FROM wm JOIN mad USING (event_type)
+"""
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -3687,6 +3750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "rolling_window": q_rolling_window,
         "full_outer": q_full_outer,
+        "typo_pairs": q_typo_pairs,
+        "mad_outliers": q_mad_outliers,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5344,6 +5409,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_windows": _sliding_windows_sql(),
         "rolling_window": _ROLLING_WINDOW_SQL,
         "full_outer": _FULL_OUTER_SQL,
+        "typo_pairs": _TYPO_PAIRS_SQL,
+        "mad_outliers": _MAD_OUTLIERS_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

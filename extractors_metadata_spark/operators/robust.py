@@ -1,0 +1,63 @@
+"""Robust outlier detection: per-group median/MAD flagging.
+
+Data-quality gate over numeric streams: mean/stddev break down under the
+very outliers being hunted; the robust pair (median, MAD = median absolute
+deviation) does not.  Flag x as an outlier in its group when
+
+    |x - med| > k * MAD        (k ~ 4.4478 = 3 sigma-equivalents * 1.4826)
+
+Exactness: both medians use Spark's native interpolated percentile, which
+is BIT-equal to DuckDB ``quantile_cont`` (type-7 — the length_quantiles
+pairing); |x - med| and the threshold comparison are identical-path IEEE
+doubles on both engines, so even boundary rows flag identically.  med/mad
+are emitted UNROUNDED (identical-path rule).
+
+Scale design: two group-keyed aggregates (med, then MAD of deviations) +
+two BROADCAST joins of the tiny per-group stats back to the stream — the
+stream itself is never re-shuffled.  Exact medians sort per group at
+scale; for 10^12-row groups swap in approx_percentile at the call site
+(the profile_table precedent) — the flag rule is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 3 * 1.4826 (the normal-consistency constant), written as ONE literal so
+#: both engines parse the identical double — never as a product
+K_DEFAULT = 4.4478
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = K_DEFAULT,
+) -> DataFrame:
+    """(id, group, value, med, mad, is_outlier) per input row."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    with_med = df.select(group_col, id_col, value_col).join(
+        F.broadcast(med), group_col
+    )
+    mad = (
+        with_med.select(
+            group_col, F.abs(F.col(value_col) - F.col("med")).alias("_dev")
+        )
+        .groupBy(group_col)
+        .agg(F.percentile("_dev", F.lit(0.5)).alias("mad"))
+    )
+    out = with_med.join(F.broadcast(mad), group_col)
+    return out.select(
+        id_col,
+        group_col,
+        value_col,
+        "med",
+        "mad",
+        (
+            F.abs(F.col(value_col) - F.col("med")) > F.lit(float(k)) * F.col("mad")
+        ).alias("is_outlier"),
+    )
