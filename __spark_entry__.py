@@ -2429,6 +2429,69 @@ _MAD_OUTLIERS_SQL = """
 """
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Strict-progression funnel (operators/funnel.funnel_steps): per-user
+    view -> click -> signup -> purchase times in ONE shuffle via a JVM
+    higher-order sorted fold (no UDF); strictness makes the fold and the
+    min-chain provably equivalent, and the FULL oracle exploits that:
+    DuckDB replays k unrolled min-chain CTEs (its list_reduce struct
+    folds are broken — CLAUDE.md)."""
+    from extractors_metadata_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"))
+
+
+def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "signup", "purchase")) -> str:
+    k = len(steps)
+    inlist = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"""ev AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS us, event_type AS ty
+          FROM events WHERE event_type IN ({inlist}))""",
+        "u AS (SELECT DISTINCT user_id FROM ev)",
+        f"""s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+          WHERE ty = '{steps[0]}' GROUP BY 1)""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""s{i} AS (SELECT ev.user_id, min(us) AS t{i}
+              FROM ev JOIN s{i - 1} USING (user_id)
+              WHERE ty = '{steps[i - 1]}' AND us > t{i - 1} GROUP BY 1)"""
+        )
+    case = " ".join(
+        f"WHEN t{i} IS NOT NULL THEN {i}" for i in range(k, 0, -1)
+    )
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, k + 1))
+    cols = ", ".join(f"t{i} AS t{i}_us" for i in range(1, k + 1))
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT u.user_id, {cols},
+               CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
+        FROM u {joins}
+    """
+
+
+def q_event_transitions(spark, sf_dir):
+    """Markov transition counts (operators/funnel.event_transitions):
+    per-user ordered event-type bigrams -> global (prev, next) counts.
+    One user-keyed Exchange + one map-side-combining count. FULL oracle."""
+    from extractors_metadata_spark.operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT event_type AS ty,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_ty
+      FROM events)
+    SELECT prev_ty AS prev_type, ty AS type, count(*) AS n
+    FROM s WHERE prev_ty IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -3752,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer": q_full_outer,
         "typo_pairs": q_typo_pairs,
         "mad_outliers": q_mad_outliers,
+        "funnel_steps": q_funnel_steps,
+        "event_transitions": q_event_transitions,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5411,6 +5476,8 @@ def oracle_sql() -> dict[str, str]:
         "full_outer": _FULL_OUTER_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
         "mad_outliers": _MAD_OUTLIERS_SQL,
+        "funnel_steps": _funnel_sql(),
+        "event_transitions": _TRANSITIONS_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
