@@ -3817,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
+        "triangles": q_triangles,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -4180,6 +4181,67 @@ def _pagerank_sql(iters: int = 5) -> str:
         r0 AS (SELECT node, {PR_MASS} // (SELECT n FROM nn) AS rank FROM nodes),
         {body}
         SELECT node, rank FROM {prev}
+    """
+
+
+def q_triangles(spark, sf_dir):
+    """Distinct triangles of the undirected event link graph
+    (operators/linkgraph.triangle_list) under degree-ordered orientation —
+    each triangle produced EXACTLY once at its lowest-degree apex, hub
+    wedge fan-out bounded by higher-degree neighbors (the arboricity
+    bound). FULL oracle: identical orientation + wedge-close replay."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        event_link_graph,
+        triangle_list,
+    )
+
+    edges, _nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    return triangle_list(edges)
+
+
+def _triangles_sql() -> str:
+    return """
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        deg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+          GROUP BY 1),
+        ann AS (
+          SELECT a, b, da.deg AS dega, db.deg AS degb
+          FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        ori AS MATERIALIZED (
+          SELECT CASE WHEN dega < degb OR (dega = degb AND a < b)
+                      THEN a ELSE b END AS u,
+                 CASE WHEN dega < degb OR (dega = degb AND a < b)
+                      THEN b ELSE a END AS w,
+                 CASE WHEN dega < degb OR (dega = degb AND a < b)
+                      THEN degb ELSE dega END AS dw
+          FROM ann),
+        wedge AS (
+          SELECT o1.u AS u, o1.w AS v, o2.w AS w
+          FROM ori o1 JOIN ori o2 ON o1.u = o2.u
+          WHERE o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w)),
+        tri AS (
+          SELECT u, v, w FROM wedge
+          WHERE EXISTS (SELECT 1 FROM ori WHERE ori.u = wedge.v AND ori.w = wedge.w))
+        SELECT least(u, v, w) AS x,
+               (u + v + w) - least(u, v, w) - greatest(u, v, w) AS y,
+               greatest(u, v, w) AS z
+        FROM tri
     """
 
 
@@ -5478,6 +5540,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_OUTLIERS_SQL,
         "funnel_steps": _funnel_sql(),
         "event_transitions": _TRANSITIONS_SQL,
+        "triangles": _triangles_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
