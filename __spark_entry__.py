@@ -3184,6 +3184,48 @@ _STREAM_TILES_SQL = f"""
 """
 
 
+def q_stream_upsert_verify(spark, sf_dir):
+    """Streaming last-write-wins upsert (streaming/upsert_stream): events
+    as a keyed CDC feed (key = event_id % 997, version = event_id),
+    drained AvailableNow in 3-file micro-batches into a snapshot state
+    table. The per-key struct-max merge is associative/commutative/
+    IDEMPOTENT — no batch-id guard needed; at-least-once is already
+    exactly-right, and the end state is a pure function of the input SET.
+    FULL oracle: the one-shot per-key argmax replay."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import read_table
+    from extractors_metadata_spark.streaming.upsert_stream import stream_upsert
+
+    base = tempfile.mkdtemp(prefix="q_supsert_")
+    feed = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 997).alias("key"),
+        F.col("event_id").alias("version"),
+        F.col("event_type"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v_u"),
+    )
+    feed.repartition(9).write.parquet(base + "/in")
+    q = stream_upsert(
+        spark, base + "/in", base + "/state", base + "/ckpt",
+        schema=feed.schema, key_col="key",
+        ordered_cols=["version", "event_type", "v_u"],
+    )
+    q.awaitTermination(600)
+    return read_table(spark, base + "/state").select(
+        "key", "version", "event_type", "v_u"
+    )
+
+
+_STREAM_UPSERT_SQL = """
+    SELECT key, version, event_type, v_u FROM (
+      SELECT event_id % 997 AS key, event_id AS version, event_type,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v_u,
+             row_number() OVER (
+               PARTITION BY event_id % 997 ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -3818,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
         "triangles": q_triangles,
+        "stream_upsert_verify": q_stream_upsert_verify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5541,6 +5584,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _funnel_sql(),
         "event_transitions": _TRANSITIONS_SQL,
         "triangles": _triangles_sql(),
+        "stream_upsert_verify": _STREAM_UPSERT_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
