@@ -3861,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "triangles": q_triangles,
         "stream_upsert_verify": q_stream_upsert_verify,
+        "pq_topk": q_pq_topk,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -4285,6 +4286,82 @@ def _triangles_sql() -> str:
                (u + v + w) - least(u, v, w) - greatest(u, v, w) AS y,
                greatest(u, v, w) AS z
         FROM tri
+    """
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.pq_topk): m=4 subspaces,
+    k=16 seed codebooks (mix31-verifiable sample; production trains with
+    the proven kmeans), integer-exact encode + ADC tables, top-10 per
+    hash-ranked query. FULL oracle: seeds -> subspace argmin codes -> ADC
+    join replayed entirely in exact SQL integers."""
+    from extractors_metadata_spark.operators.pq import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), m=4, k=16, n_queries=5, topk=10)
+
+
+def _pq_sql(m: int = 4, k: int = 16, n_queries: int = 5, topk: int = 10, dim: int = 64) -> str:
+    from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
+
+    sub = dim // m
+    ph_cb = _poly_sql("'pq:' || CAST(vec_id AS VARCHAR)", 131)
+    ph_q = _poly_sql("'pqq:' || CAST(vec_id AS VARCHAR)", 131)
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
+                        + {OFFSET}) AS v
+          FROM embeddings),
+        hcb0 AS (SELECT vec_id, v, {ph_cb} AS hr FROM q),
+        hcb AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM hcb0),
+        cb AS MATERIALIZED (
+          SELECT CAST(rn - 1 AS INT) AS code, v AS c FROM (
+            SELECT v, row_number() OVER (ORDER BY hv, vec_id) AS rn FROM hcb)
+          WHERE rn <= {k}),
+        hq0 AS (SELECT vec_id, v, {ph_q} AS hr FROM q),
+        hq AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM hq0),
+        qs AS MATERIALIZED (
+          SELECT vec_id AS qid, v FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn
+            FROM hq) WHERE rn <= {n_queries}),
+        subs AS MATERIALIZED (
+          SELECT vec_id, CAST(j AS INT) AS j,
+                 v[(j * {sub}) + 1 : (j * {sub}) + {sub}] AS sv
+          FROM q, unnest(range({m})) t(j)),
+        cbsubs AS MATERIALIZED (
+          SELECT code, CAST(j AS INT) AS j,
+                 c[(j * {sub}) + 1 : (j * {sub}) + {sub}] AS cv
+          FROM cb, unnest(range({m})) t(j)),
+        enc0 AS (
+          SELECT s.vec_id, s.j, cs.code,
+                 {d2.format(a='s.sv', b='cs.cv')} AS d2
+          FROM subs s JOIN cbsubs cs ON s.j = cs.j),
+        codes AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM enc0) WHERE rn = 1),
+        qsubs AS (
+          SELECT qid, CAST(j AS INT) AS j,
+                 v[(j * {sub}) + 1 : (j * {sub}) + {sub}] AS sv
+          FROM qs, unnest(range({m})) t(j)),
+        qtab AS MATERIALIZED (
+          SELECT qu.qid, cs.j, cs.code,
+                 {d2.format(a='qu.sv', b='cs.cv')} AS td
+          FROM qsubs qu JOIN cbsubs cs ON qu.j = cs.j),
+        adcs AS (
+          SELECT qt.qid, c.vec_id, CAST(sum(td) AS BIGINT) AS adc
+          FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.code = c.code
+          GROUP BY 1, 2)
+        SELECT qid AS query_id, vec_id, adc, CAST(rn AS INT) AS rank FROM (
+          SELECT qid, vec_id, adc,
+                 row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+          FROM adcs) WHERE rn <= {topk}
     """
 
 
@@ -5585,6 +5662,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _TRANSITIONS_SQL,
         "triangles": _triangles_sql(),
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
+        "pq_topk": _pq_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
