@@ -3862,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "stream_upsert_verify": q_stream_upsert_verify,
         "pq_topk": q_pq_topk,
+        "overlay_area": q_overlay_area,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -4362,6 +4363,142 @@ def _pq_sql(m: int = 4, k: int = 16, n_queries: int = 5, topk: int = 10, dim: in
           SELECT qid, vec_id, adc,
                  row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
           FROM adcs) WHERE rn <= {topk}
+    """
+
+
+# overlay quad geometry: corner offsets of the 3-4-5-rotated quad are
+# PYTHON-computed constants shared verbatim by both engines (one add per
+# coordinate — no cross-engine product-order hazard). cos=0.6, sin=0.8 is
+# a RATIONAL rotation: every coordinate stays an exact short decimal.
+_OVL_W1, _OVL_H1 = 0.0003, 0.0002
+_OVL_OX = [0.6 * sx * 0.00025 - 0.8 * sy * 0.00018 for sx, sy in
+           [(-1, -1), (1, -1), (1, 1), (-1, 1)]]
+_OVL_OY = [0.8 * sx * 0.00025 + 0.6 * sy * 0.00018 for sx, sy in
+           [(-1, -1), (1, -1), (1, 1), (-1, 1)]]
+
+
+def q_overlay_area(spark, sf_dir):
+    """Convex polygon overlay (operators/clip.convex_intersection_area):
+    per-event axis quad x 3-4-5-rotated offset quad -> intersection vertex
+    count + exact fixed-point doubled area. The candidate-vertex
+    enumeration (P-in-Q, Q-in-P, edge intersections) replaces iterative
+    clipping with a bounded explode — pure codegen, no UDF. FULL oracle:
+    the identical enumeration, pseudoangle ring sort and centered shoelace
+    replayed in SQL."""
+    from extractors_metadata_spark.operators.clip import convex_intersection_area
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    cx, cy = F.col("lon"), F.col("lat")
+    cx2 = cx + (F.col("event_id") % 5).cast("double") * 0.0003 - 0.0006
+    cy2 = cy + (F.col("event_id") % 3).cast("double") * 0.00025 - 0.00025
+    pairs = e.select(
+        "event_id",
+        F.array(cx - _OVL_W1, cx + _OVL_W1, cx + _OVL_W1, cx - _OVL_W1).alias("ax"),
+        F.array(cy - _OVL_H1, cy - _OVL_H1, cy + _OVL_H1, cy + _OVL_H1).alias("ay"),
+        F.array(*[cx2 + F.lit(o) for o in _OVL_OX]).alias("bx"),
+        F.array(*[cy2 + F.lit(o) for o in _OVL_OY]).alias("by"),
+    )
+    return convex_intersection_area(pairs, ["event_id"])
+
+
+def _overlay_sql() -> str:
+    from extractors_metadata_spark.operators.clip import A_SCALE, C_SCALE
+
+    def inside(px: str, py: str, qx: str, qy: str) -> str:
+        conds = []
+        for j in range(4):
+            j1, j2 = j + 1, ((j + 1) % 4) + 1
+            conds.append(
+                f"(({qx}[{j2}] - {qx}[{j1}]) * (({py}) - {qy}[{j1}])"
+                f" - ({qy}[{j2}] - {qy}[{j1}]) * (({px}) - {qx}[{j1}]) >= 0)"
+            )
+        return " AND ".join(conds)
+
+    bx = ", ".join(f"cx2 + {o!r}" for o in _OVL_OX)
+    by = ", ".join(f"cy2 + {o!r}" for o in _OVL_OY)
+    he = lambda a, n: (
+        f"(CASE WHEN 2 * ((({a} % {n}) + {n}) % {n}) > {n} "
+        f"OR (2 * ((({a} % {n}) + {n}) % {n}) = {n} "
+        f"AND (({a} - ((({a} % {n}) + {n}) % {n})) // {n}) % 2 = 1) "
+        f"THEN ({a} - ((({a} % {n}) + {n}) % {n})) // {n} + 1 "
+        f"ELSE ({a} - ((({a} % {n}) + {n}) % {n})) // {n} END)"
+    )
+    return f"""
+        WITH e AS (
+          SELECT event_id, ({LAT_IN}) AS cy, ({LON_IN}) AS cx FROM events),
+        ctr AS (
+          SELECT event_id, cx, cy,
+                 cx + CAST(event_id % 5 AS DOUBLE) * 0.0003 - 0.0006 AS cx2,
+                 cy + CAST(event_id % 3 AS DOUBLE) * 0.00025 - 0.00025 AS cy2
+          FROM e),
+        quads AS MATERIALIZED (
+          SELECT event_id,
+                 [cx - {_OVL_W1!r}, cx + {_OVL_W1!r}, cx + {_OVL_W1!r}, cx - {_OVL_W1!r}] AS ax,
+                 [cy - {_OVL_H1!r}, cy - {_OVL_H1!r}, cy + {_OVL_H1!r}, cy + {_OVL_H1!r}] AS ay,
+                 [{bx}] AS bx, [{by}] AS by
+          FROM ctr),
+        va AS (
+          SELECT event_id, ax[i + 1] AS x, ay[i + 1] AS y
+          FROM quads, unnest(range(4)) t(i)
+          WHERE {inside('ax[i + 1]', 'ay[i + 1]', 'bx', 'by')}),
+        vb AS (
+          SELECT event_id, bx[i + 1] AS x, by[i + 1] AS y
+          FROM quads, unnest(range(4)) t(i)
+          WHERE {inside('bx[i + 1]', 'by[i + 1]', 'ax', 'ay')}),
+        segs AS (
+          SELECT event_id,
+                 ax[(ij % 4) + 1] AS p0x, ay[(ij % 4) + 1] AS p0y,
+                 ax[(((ij % 4) + 1) % 4) + 1] - ax[(ij % 4) + 1] AS d1x,
+                 ay[(((ij % 4) + 1) % 4) + 1] - ay[(ij % 4) + 1] AS d1y,
+                 bx[(ij // 4) + 1] AS q0x, by[(ij // 4) + 1] AS q0y,
+                 bx[(((ij // 4) + 1) % 4) + 1] - bx[(ij // 4) + 1] AS d2x,
+                 by[(((ij // 4) + 1) % 4) + 1] - by[(ij // 4) + 1] AS d2y
+          FROM quads, unnest(range(16)) t(ij)),
+        params AS (
+          SELECT event_id, p0x, p0y, d1x, d1y,
+                 ((q0x - p0x) * d2y - (q0y - p0y) * d2x)
+                   / (d1x * d2y - d1y * d2x) AS t,
+                 ((q0x - p0x) * d1y - (q0y - p0y) * d1x)
+                   / (d1x * d2y - d1y * d2x) AS u
+          FROM segs WHERE d1x * d2y - d1y * d2x != 0),
+        inter AS (
+          SELECT event_id, p0x + t * d1x AS x, p0y + t * d1y AS y
+          FROM params WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1),
+        cand AS MATERIALIZED (
+          SELECT * FROM va UNION ALL SELECT * FROM vb
+          UNION ALL SELECT * FROM inter),
+        agg AS (
+          SELECT event_id, count(*) AS n_vertices,
+                 CAST(sum(CAST(round_even(x * {C_SCALE!r}, 0) AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(sum(CAST(round_even(y * {C_SCALE!r}, 0) AS BIGINT)) AS BIGINT) AS sy
+          FROM cand GROUP BY 1 HAVING count(*) >= 3),
+        anch AS (
+          SELECT event_id, n_vertices,
+                 CAST({he('sx', 'n_vertices')} AS DOUBLE) / {C_SCALE!r} AS cxf,
+                 CAST({he('sy', 'n_vertices')} AS DOUBLE) / {C_SCALE!r} AS cyf
+          FROM agg),
+        cc AS (
+          SELECT c.event_id, a.n_vertices,
+                 c.x - a.cxf AS dx, c.y - a.cyf AS dy
+          FROM cand c JOIN anch a USING (event_id)),
+        pp AS (
+          SELECT event_id, n_vertices, dx, dy,
+                 CASE WHEN abs(dx) + abs(dy) = 0 THEN -1.0
+                      WHEN dy >= 0 THEN 1.0 - dx / (abs(dx) + abs(dy))
+                      ELSE 3.0 + dx / (abs(dx) + abs(dy)) END AS p
+          FROM cc),
+        rings AS (
+          SELECT event_id, n_vertices,
+                 list(struct_pack(p := p, dx := dx, dy := dy)
+                      ORDER BY p, dx, dy) AS ring
+          FROM pp GROUP BY 1, 2)
+        SELECT event_id, n_vertices,
+               CAST(list_sum(list_transform(range(len(ring)),
+                 i -> CAST(round_even((ring[i + 1].dx * ring[((i + 1) % len(ring)) + 1].dy
+                         - ring[((i + 1) % len(ring)) + 1].dx * ring[i + 1].dy)
+                         * {A_SCALE!r}, 0) AS BIGINT))) AS BIGINT) AS area2_fp
+        FROM rings
     """
 
 
@@ -5663,6 +5800,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql(),
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
         "pq_topk": _pq_sql(),
+        "overlay_area": _overlay_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
