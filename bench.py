@@ -203,6 +203,14 @@ def main() -> None:
         # interpolation projection prunes, pure codegen anyway).
         # sliding_windows: count() is the (window, key) aggregate output.
         "resample_track", "sliding_windows",
+        # typo_pairs / funnel_steps / triangles / overlay_area / pq_topk:
+        # every one of these counts() through a filter, top-k rank, or
+        # join-shaped aggregate, so the candidate generation (blocked
+        # lev join, sorted fold, wedge join, 24x explode + window, ADC)
+        # is load-bearing end-to-end. (quality_percentile/mad_outliers
+        # are row-preserving projections — count() would prune them to a
+        # scan, so they are NOT timed; CLAUDE.md count() rule.)
+        "typo_pairs", "funnel_steps", "triangles", "overlay_area", "pq_topk",
     ]
     qs = entrymod.queries()
     for name in suite:
