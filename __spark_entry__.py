@@ -3226,6 +3226,52 @@ _STREAM_UPSERT_SQL = """
 """
 
 
+def q_stream_join_verify(spark, sf_dir):
+    """Stream-stream interval join (streaming/join_stream): view/click
+    events vs signup/purchase events of the same user within 24 h, both
+    sides AvailableNow file streams with dual watermarks (the state-
+    bounding contract). With watermark >= max disorder no valid match
+    evicts, so the streamed output equals the batch interval join — a
+    FULL value-hash oracle for a stateful dual-stream plan."""
+    import tempfile
+
+    from extractors_metadata_spark.streaming.join_stream import (
+        stream_interval_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_sjoin_")
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("lid"), "ts"
+    )
+    right = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", F.col("event_id").alias("rid"), "ts"
+    )
+    left.repartition(6).write.parquet(base + "/l")
+    right.repartition(6).write.parquet(base + "/r")
+    q = stream_interval_join(
+        spark, base + "/l", base + "/r", base + "/out", base + "/ckpt",
+        left_schema=left.schema, right_schema=right.schema, band_s=86_400,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(base + "/out").select(
+        "user_id", "lid", "rid", "lt_us", "rt_us"
+    )
+
+
+_STREAM_JOIN_SQL = """
+    WITH l AS (
+      SELECT user_id, event_id AS lid, epoch_us(ts) AS lt_us FROM events
+      WHERE event_type IN ('view', 'click')),
+    r AS (
+      SELECT user_id, event_id AS rid, epoch_us(ts) AS rt_us FROM events
+      WHERE event_type IN ('signup', 'purchase'))
+    SELECT l.user_id, lid, rid, lt_us, rt_us
+    FROM l JOIN r ON l.user_id = r.user_id
+      AND rt_us >= lt_us - 86400000000 AND rt_us <= lt_us + 86400000000
+"""
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -3863,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_verify": q_stream_upsert_verify,
         "pq_topk": q_pq_topk,
         "overlay_area": q_overlay_area,
+        "stream_join_verify": q_stream_join_verify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5801,6 +5848,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
         "pq_topk": _pq_sql(),
         "overlay_area": _overlay_sql(),
+        "stream_join_verify": _STREAM_JOIN_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -425,9 +425,15 @@ def read_table(
         # fast path: plain union — per-dir reads so snapshots written with
         # partitionBy keep their partition columns discoverable (a single
         # multi-path read would fail basePath inference across snap roots)
+        # allowMissingColumns = schema evolution on read: a snapshot written
+        # after an added column unions with older snapshots null-filled
+        # (Iceberg add-column semantics); dropped columns null-fill the
+        # other way. Same-schema reads are unaffected.
         out = spark.read.parquet(datas[0][1]["data_dir"])
         for _, m in datas[1:]:
-            out = out.unionByName(spark.read.parquet(m["data_dir"]))
+            out = out.unionByName(
+                spark.read.parquet(m["data_dir"]), allowMissingColumns=True
+            )
         return out
     # merge-on-read reconciliation: a row from snapshot ordinal j is dead iff
     # some delete set at ordinal > j contains its key. One equi-join against
@@ -443,7 +449,11 @@ def read_table(
         part = spark.read.parquet(m["data_dir"]).withColumn(
             "_snap_ord", F.lit(ord_)
         )
-        out = part if out is None else out.unionByName(part)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
     dels = None
     for ord_, m in deletes:
         dd = spark.read.parquet(m["keys_dir"]).withColumn("_del_ord", F.lit(ord_))

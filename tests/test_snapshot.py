@@ -493,3 +493,29 @@ def test_table_changes_from_empty_and_replace(spark, table):
         (2, "b", "update_pre"),
         (5, "e", "insert"),
     ]
+
+
+def test_schema_evolution_on_read(spark, tmp_path):
+    """Appending a snapshot with an added column reads as a superset
+    schema with older rows null-filled (Iceberg add-column semantics);
+    time travel before the evolution sees the old schema."""
+    import pandas as pd
+
+    from extractors_metadata_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "evo")
+    d1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    m1 = write_snapshot(d1, t, "append")
+    d2 = spark.createDataFrame(
+        pd.DataFrame({"k": [3], "v": [30], "extra": ["x"]})
+    )
+    write_snapshot(d2, t, "append")
+    out = read_table(spark, t)
+    assert set(out.columns) == {"k", "v", "extra"}
+    rows = {r.k: (r.v, r.extra) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "x")}
+    old = read_table(spark, t, as_of=m1["snapshot_id"])
+    assert set(old.columns) == {"k", "v"}
