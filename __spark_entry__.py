@@ -3272,6 +3272,73 @@ _STREAM_JOIN_SQL = """
 """
 
 
+# reference polyline for linear referencing (lon, lat) — crosses the
+# event cloud diagonally; anchor latitude for the equirect cosine
+_LR_PATH = [
+    (-111.97505, 33.0746), (-111.97490, 33.0752), (-111.97475, 33.0750),
+    (-111.97460, 33.0760), (-111.97445, 33.0758),
+]
+_LR_ANCHOR = 33.0755
+
+
+def q_snap_to_path(spark, sf_dir):
+    """Linear referencing (operators/linear_ref.snap_to_path): nearest
+    path segment + cross-track distance + along-track chainage per event.
+    ZERO runtime transcendentals (scale/len2/chainage are Python-
+    precomputed literals shared by both engines; one IEEE sqrt), winner =
+    pure-codegen array_min of per-segment structs — a narrow zero-Exchange
+    projection. FULL oracle."""
+    from extractors_metadata_spark.operators.linear_ref import (
+        path_constants,
+        snap_to_path,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    return snap_to_path(e, path_constants(_LR_PATH, _LR_ANCHOR))
+
+
+def _snap_to_path_sql() -> str:
+    from extractors_metadata_spark.operators.linear_ref import path_constants
+
+    c = path_constants(_LR_PATH, _LR_ANCHOR)
+    # every literal CAST AS DOUBLE: DuckDB parses 17-digit literals as
+    # DECIMAL(38,x) and mixed DECIMAL/DOUBLE arithmetic diverges ~1e-10
+    # from the pure-double chain (measured: t differed mid-range)
+    L = lambda x: f"CAST({x!r} AS DOUBLE)"
+    legs = []
+    for k in range(len(c["len2"])):
+        ax, ay = L(c["xs"][k]), L(c["ys"][k])
+        bx, by = L(c["xs"][k + 1]), L(c["ys"][k + 1])
+        t_raw = (
+            f"(((px - {ax}) * ({bx} - {ax}) + (py - {ay}) * ({by} - {ay}))"
+            f" / {L(c['len2'][k])})"
+        )
+        t = f"least(greatest({t_raw}, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))"
+        legs.append(f"""
+          SELECT event_id, {k} AS seg,
+                 (px - ({ax} + {t} * ({bx} - {ax})))
+                   * (px - ({ax} + {t} * ({bx} - {ax})))
+                 + (py - ({ay} + {t} * ({by} - {ay})))
+                   * (py - ({ay} + {t} * ({by} - {ay}))) AS d2,
+                 {L(c['cum'][k])} + {t} * {L(c['seglen'][k])} AS chain
+          FROM pts""")
+    union = "\n          UNION ALL".join(legs)
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({LON_IN}) * {L(c['xscale'])} AS px,
+                 ({LAT_IN}) * {L(c['yscale'])} AS py
+          FROM events),
+        u AS ({union})
+        SELECT event_id, CAST(seg AS INT) AS seg,
+               CAST(round(sqrt(d2) * 100.0, 0) AS BIGINT) AS dist_cm,
+               CAST(round(chain * 100.0, 0) AS BIGINT) AS chain_cm
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY event_id ORDER BY d2, seg) AS rn FROM u)
+        WHERE rn = 1
+    """
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -3910,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "overlay_area": q_overlay_area,
         "stream_join_verify": q_stream_join_verify,
+        "snap_to_path": q_snap_to_path,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -5849,6 +5917,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_sql(),
         "overlay_area": _overlay_sql(),
         "stream_join_verify": _STREAM_JOIN_SQL,
+        "snap_to_path": _snap_to_path_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
