@@ -3339,6 +3339,63 @@ def _snap_to_path_sql() -> str:
     """
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination matrix (trajectory composition): each user's
+    first and last event (by ts, event_id — the frozen tie-break) assign
+    z22 tiles; counts per (origin, destination) tile pair. min/max of
+    struct(us, event_id) picks endpoints in ONE user-keyed aggregate
+    (min_by discipline — no window sort); one tiny (o, d) count after.
+    FULL oracle: epoch_us endpoint argmin/argmax + the literal tile
+    formula."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", lat, lon,
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ends = e.groupBy("user_id").agg(
+        F.min_by(F.struct("lat", "lon"), F.struct("us", "event_id")).alias("o"),
+        F.max_by(F.struct("lat", "lon"), F.struct("us", "event_id")).alias("d"),
+    )
+    t = ends.select(
+        "user_id",
+        tile_xy_udf(22)(F.col("o.lat"), F.col("o.lon")).alias("ot"),
+        tile_xy_udf(22)(F.col("d.lat"), F.col("d.lon")).alias("dt"),
+    )
+    return (
+        t.groupBy(
+            F.col("ot.x").alias("o_x"), F.col("ot.y").alias("o_y"),
+            F.col("dt.x").alias("d_x"), F.col("dt.y").alias("d_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_OD_MATRIX_SQL = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events),
+    ends AS (
+      SELECT user_id,
+             first(struct_pack(lat := lat, lon := lon)
+                   ORDER BY us, event_id) AS o,
+             last(struct_pack(lat := lat, lon := lon)
+                  ORDER BY us, event_id) AS d
+      FROM e GROUP BY 1),
+    tiles AS (
+      SELECT
+        CAST(FLOOR((o.lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS o_x,
+        CAST(FLOOR((1 - ln(tan(radians(o.lat)) + 1/cos(radians(o.lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS o_y,
+        CAST(FLOOR((d.lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS d_x,
+        CAST(FLOOR((1 - ln(tan(radians(d.lat)) + 1/cos(radians(d.lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS d_y
+      FROM ends)
+    SELECT o_x, o_y, d_x, d_y, count(*) AS n_users
+    FROM tiles GROUP BY 1, 2, 3, 4
+"""
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -3978,6 +4035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_area": q_overlay_area,
         "stream_join_verify": q_stream_join_verify,
         "snap_to_path": q_snap_to_path,
+        "od_matrix": q_od_matrix,
+        "pq_recall": q_pq_recall,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -4614,6 +4673,53 @@ def _overlay_sql() -> str:
                          - ring[((i + 1) % len(ring)) + 1].dx * ring[i + 1].dy)
                          * {A_SCALE!r}, 0) AS BIGINT))) AS BIGINT) AS area2_fp
         FROM rings
+    """
+
+
+def q_pq_recall(spark, sf_dir):
+    """PQ retrieval-quality evaluation as an engine query
+    (operators/pq.pq_recall): recall@10 of the ADC answer vs the exact
+    integer-L2 top-10 on the same quantized vectors/queries. FULL oracle:
+    the pq SQL nested as a derived table + an exact-distance top-k CTE +
+    the same semi-join count."""
+    from extractors_metadata_spark.operators.pq import pq_recall
+
+    return pq_recall(_t(spark, sf_dir, "embeddings"), m=4, k=16, n_queries=5, topk=10)
+
+
+def _pq_recall_sql(n_queries: int = 5, topk: int = 10) -> str:
+    from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
+
+    ph_q = _poly_sql("'pqq:' || CAST(vec_id AS VARCHAR)", 131)
+    pq = _pq_sql(n_queries=n_queries, topk=topk)
+    return f"""
+        WITH qz AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
+                        + {OFFSET}) AS v
+          FROM embeddings),
+        hq0 AS (SELECT vec_id, v, {ph_q} AS hr FROM qz),
+        hq AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM hq0),
+        qs AS (
+          SELECT vec_id AS qid, v AS qv FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn
+            FROM hq) WHERE rn <= {n_queries}),
+        dd AS (
+          SELECT qs.qid, qz.vec_id,
+                 CAST(list_sum(list_transform(list_zip(qz.v, qs.qv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+          FROM qz CROSS JOIN qs),
+        ex AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+            FROM dd) WHERE rn <= {topk}),
+        pq AS (SELECT * FROM ({pq}))
+        SELECT pq.query_id, CAST(count(e.vec_id) AS BIGINT) AS hits
+        FROM pq LEFT JOIN ex e
+          ON e.qid = pq.query_id AND e.vec_id = pq.vec_id
+        GROUP BY 1
     """
 
 
@@ -5918,6 +6024,8 @@ def oracle_sql() -> dict[str, str]:
         "overlay_area": _overlay_sql(),
         "stream_join_verify": _STREAM_JOIN_SQL,
         "snap_to_path": _snap_to_path_sql(),
+        "od_matrix": _OD_MATRIX_SQL,
+        "pq_recall": _pq_recall_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -112,3 +112,58 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "adc", "rank")
     )
+
+
+def pq_recall(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_queries: int = 5,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Self-measuring retrieval quality: recall@topk of the PQ/ADC answer
+    against the EXACT integer-L2 top-k on the same quantized vectors and
+    the same hash-ranked queries -> (query_id, hits).  The evaluation is
+    itself an engine query (exact ints end to end), so index quality is a
+    monitorable, oracle-checkable table — not an offline notebook number.
+
+    Scale: the exact side cross-joins the TINY broadcast query set against
+    the vectors (|queries| fan-out, JVM zip_with d2 — no UDF) — the same
+    bounded shape as ann brute force; the semi-join and per-query count
+    are query-dim sized."""
+    approx = pq_topk(df, m, k, n_queries, topk, vec_col, id_col)
+    q = quantize(df, vec_col, id_col)
+    qy_ids = _seed_ids(q, n_queries, "pqq")
+    qvecs = q.filter(F.col("vec_id").isin(qy_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        q.crossJoin(F.broadcast(qvecs))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "vec_id")
+    )
+    hit = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        approx.select("query_id")
+        .distinct()
+        .join(
+            hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id", F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits")
+        )
+    )
