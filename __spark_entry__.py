@@ -3396,6 +3396,52 @@ _OD_MATRIX_SQL = f"""
 """
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K pair counts (spatial point-pattern statistics): exact
+    within-r pair counts at r = 5/10/20 m over the first 3000 events,
+    computed from ONE cell-bucketed radius self-join at the largest radius
+    (the proven radius_pairs machinery — never 3 separate joins) + a x3
+    literal radius explode and a map-side-combining count. Threshold
+    compares the cm-ROUNDED distance (the value radius_pairs proves
+    bit-equal cross-engine). FULL oracle: brute-force O(n^2) replay."""
+    from extractors_metadata_spark.operators.radius_join import radius_self_join
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", lat, lon)
+    )
+    pairs = radius_self_join(spark, pts, radius_m=20.0)
+    return (
+        pairs.select(
+            F.explode(F.array(F.lit(5.0), F.lit(10.0), F.lit(20.0))).alias("r_m"),
+            "dist_m",
+        )
+        .filter(F.col("dist_m") <= F.col("r_m"))
+        .groupBy("r_m")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_RIPLEY_K_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) AS dist_m
+      FROM pts a JOIN pts b ON a.id < b.id),
+    rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r_m)
+    SELECT CAST(r_m AS DOUBLE) AS r_m, count(*) AS n_pairs
+    FROM pairs, rr WHERE dist_m <= r_m GROUP BY 1
+"""
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -4037,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_to_path": q_snap_to_path,
         "od_matrix": q_od_matrix,
         "pq_recall": q_pq_recall,
+        "ripley_k": q_ripley_k,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6026,6 +6073,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_to_path": _snap_to_path_sql(),
         "od_matrix": _OD_MATRIX_SQL,
         "pq_recall": _pq_recall_sql(),
+        "ripley_k": _RIPLEY_K_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
