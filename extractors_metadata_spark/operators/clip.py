@@ -33,7 +33,7 @@ bbox_overlap join — never all-pairs); per pair the fan-out is a constant
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 C_SCALE = 1e12  # centroid fixed point (1e-12 deg)
@@ -41,7 +41,8 @@ A_SCALE = 1e18  # shoelace term fixed point (1e-18 deg^2)
 
 
 def _pt(arr_x: str, arr_y: str, i) -> tuple[Column, Column]:
-    ix = (i % 4) + 1 if isinstance(i, int) else (i % 4) + 1
+    """quad vertex i (wrapped mod 4; int or Column index, 1-based arrays)."""
+    ix = (i % 4) + 1
     return F.element_at(F.col(arr_x), ix), F.element_at(F.col(arr_y), ix)
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vhash import mix31, poly_hash
-from .kmeans import OFFSET, SCALE, quantize
+from .kmeans import quantize
 
 
 def _seed_ids(q: DataFrame, n: int, salt: str) -> list[int]:

@@ -18,7 +18,7 @@ this is the engine-added multi-level rollup over the same aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
