@@ -3442,6 +3442,60 @@ _RIPLEY_K_SQL = f"""
 """
 
 
+def q_session_rules(spark, sf_dir):
+    """Association rules over sessions (operators/assoc.session_rules):
+    basket = distinct event types per 12 h-gap session; support/confidence/
+    lift as ratios of exact counts, 1e-9 half-even fixed point (exact
+    int64 numerators, single correctly-rounded divisions). The distinct-
+    first collapse caps pair fan-out by the TYPE vocabulary, not session
+    length. FULL oracle: session replay + identical ratio arithmetic."""
+    from extractors_metadata_spark.operators.assoc import session_rules
+
+    return session_rules(_t(spark, sf_dir, "events"), gap_s=43_200)
+
+
+_SESSION_RULES_SQL = """
+    WITH x AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pus
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN pus IS NULL OR us - pus > 43200000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM x),
+    s AS (
+      SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM f),
+    basket AS MATERIALIZED (
+      SELECT DISTINCT
+             CAST(user_id AS VARCHAR) || '-' || CAST(session_seq AS VARCHAR)
+               AS sid,
+             event_type AS ty
+      FROM s),
+    nn AS (SELECT count(DISTINCT sid) AS n FROM basket),
+    tc AS (SELECT ty, count(*) AS n_ty FROM basket GROUP BY 1),
+    pr AS (
+      SELECT a.ty AS ante, b.ty AS cons, count(*) AS n_both
+      FROM basket a JOIN basket b ON a.sid = b.sid AND a.ty != b.ty
+      GROUP BY 1, 2)
+    SELECT ante, cons, n_both, na.n_ty AS n_ante, nc.n_ty AS n_cons,
+           CAST(n AS BIGINT) AS n_sessions,
+           CAST(round_even(CAST(n_both AS DOUBLE) / CAST(na.n_ty AS DOUBLE)
+                           * 1000000000.0, 0) AS BIGINT) AS conf_fp,
+           CAST(round_even(CAST(n_both * n AS DOUBLE)
+                           / CAST(na.n_ty * nc.n_ty AS DOUBLE)
+                           * 1000000000.0, 0) AS BIGINT) AS lift_fp
+    FROM pr
+    JOIN tc na ON na.ty = ante
+    JOIN tc nc ON nc.ty = cons
+    CROSS JOIN nn
+"""
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -4084,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "pq_recall": q_pq_recall,
         "ripley_k": q_ripley_k,
+        "session_rules": q_session_rules,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6074,6 +6129,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": _OD_MATRIX_SQL,
         "pq_recall": _pq_recall_sql(),
         "ripley_k": _RIPLEY_K_SQL,
+        "session_rules": _SESSION_RULES_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
