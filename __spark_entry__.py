@@ -3496,6 +3496,45 @@ _SESSION_RULES_SQL = """
 """
 
 
+def q_overlay_alloc(spark, sf_dir):
+    """Areal interpolation (the overlay's consumer): each event's value
+    reapportioned to its B-region by intersection share — share =
+    area2_fp / (2 * A_SCALE * area(A)), a single identical-path division
+    by a Python-constant denominator; allocation in half-even 1e-6 fixed
+    point. FULL oracle: the overlay SQL as a derived table + the same
+    literal arithmetic."""
+    from extractors_metadata_spark.operators.clip import A_SCALE
+
+    area_a = (2.0 * _OVL_W1) * (2.0 * _OVL_H1)
+    denom = 2.0 * A_SCALE * area_a
+    ov = q_overlay_area(spark, sf_dir)
+    v = _t(spark, sf_dir, "events").select("event_id", "value")
+    share = F.col("area2_fp").cast("double") / F.lit(denom)
+    return ov.join(v, "event_id").select(
+        "event_id",
+        "n_vertices",
+        "area2_fp",
+        F.bround(F.col("value") * share * 1000000.0, 0)
+        .cast("long")
+        .alias("alloc_u"),
+    )
+
+
+def _overlay_alloc_sql() -> str:
+    from extractors_metadata_spark.operators.clip import A_SCALE
+
+    area_a = (2.0 * _OVL_W1) * (2.0 * _OVL_H1)
+    denom = 2.0 * A_SCALE * area_a
+    return f"""
+        WITH ov AS ({_overlay_sql()})
+        SELECT ov.event_id, ov.n_vertices, ov.area2_fp,
+               CAST(round_even(e.value * (CAST(ov.area2_fp AS DOUBLE)
+                 / CAST({denom!r} AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+                 AS alloc_u
+        FROM ov JOIN events e USING (event_id)
+    """
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
@@ -4139,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ripley_k": q_ripley_k,
         "session_rules": q_session_rules,
+        "overlay_alloc": q_overlay_alloc,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6130,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall": _pq_recall_sql(),
         "ripley_k": _RIPLEY_K_SQL,
         "session_rules": _SESSION_RULES_SQL,
+        "overlay_alloc": _overlay_alloc_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
