@@ -3142,6 +3142,76 @@ def _tile_pyramid_sql(z_max: int = 24, z_min: int = 18) -> str:
     """
 
 
+def q_hll_pyramid(spark, sf_dir):
+    """Sketch pyramid (sketches.hll_tile_pyramid): distinct users per tile
+    at z16..z20 via the register-max cascade — mergeability composed with
+    the rollup (parent sketch = bucket-wise max of children; raw data
+    touched once). FULL oracle: every level independently re-sketched
+    from raw in SQL — equality proves cascade == direct per level."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+    from extractors_metadata_spark.operators.sketches import (
+        hll_sketch_grouped,
+        hll_tile_pyramid,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", lat, lon)
+    t = e.withColumn("_t", tile_xy_udf(20)("lat", "lon")).select(
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"), "user_id"
+    )
+    regs = hll_sketch_grouped(t, ("x", "y"), F.col("user_id").cast("string"), p=8)
+    out, _caches = hll_tile_pyramid(regs, z_max=20, z_min=16, p=8)
+    return out
+
+
+def _hll_pyramid_sql(p: int = 8, z_max: int = 20, z_min: int = 16) -> str:
+    from extractors_metadata_spark.operators.sketches import (
+        HLL_SCALE,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    harm = (
+        f"(harm_obs + CAST(({m} - n_obs) AS HUGEINT)"
+        f" * CAST({1 << HLL_SCALE} AS HUGEINT))"
+    )
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST({harm} AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_obs AS DOUBLE)))"
+    )
+    blocks = []
+    for z in range(z_max, z_min - 1, -1):
+        blocks.append(f"""
+        SELECT {z} AS z, x, y, CAST({m} - n_obs AS BIGINT) AS n_zero,
+               round(round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_obs > 0
+                                THEN {lc} ELSE {raw} END, 6), 3) AS estimate
+        FROM (
+          SELECT x, y,
+                 sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm_obs,
+                 count(*) AS n_obs
+          FROM (
+            SELECT x, y, bucket, max(rho) AS rho FROM (
+              SELECT
+                CAST(FLOOR((lon + 180) / 360 * pow(2, {z})) AS BIGINT) AS x,
+                CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, {z})) AS BIGINT) AS y,
+                {_mix31_sql('bh')} % {m} AS bucket,
+                CASE WHEN {_mix31_sql('wr')} = 0 THEN 32
+                     ELSE 32 - length(bin({_mix31_sql('wr')})) END AS rho
+              FROM (
+                SELECT ({LON_IN}) AS lon, ({LAT_IN}) AS lat,
+                       {_poly_sql("CAST(user_id AS VARCHAR)", 131)} AS wr,
+                       {_poly_sql("CAST(user_id AS VARCHAR)", 137)} AS bh
+                FROM events) base)
+            GROUP BY 1, 2, 3)
+          GROUP BY 1, 2)""")
+    return "\n        UNION ALL".join(blocks)
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -4179,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "session_rules": q_session_rules,
         "overlay_alloc": q_overlay_alloc,
+        "hll_pyramid": q_hll_pyramid,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6171,6 +6242,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": _RIPLEY_K_SQL,
         "session_rules": _SESSION_RULES_SQL,
         "overlay_alloc": _overlay_alloc_sql(),
+        "hll_pyramid": _hll_pyramid_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

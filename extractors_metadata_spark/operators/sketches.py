@@ -396,3 +396,47 @@ def bloom_merge(*position_tables: DataFrame) -> DataFrame:
     for other in position_tables[1:]:
         out = out.unionByName(other)
     return out.distinct()
+
+
+def hll_tile_pyramid(
+    regs: DataFrame,
+    z_max: int,
+    z_min: int,
+    p: int = 8,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Multi-zoom distinct-count pyramid from per-tile HLL registers —
+    MERGEABILITY composed with the rollup cascade: a parent tile's sketch
+    is exactly the bucket-wise MAX of its four children's registers
+    (max is associative/idempotent and slippy parents partition children
+    exactly — the tile_rollup halving identity), so every coarser level
+    costs one register-table-sized groupBy-max, the raw data is touched
+    ONCE (the z_max sketch build), and the per-level estimates are
+    IDENTICAL to sketching each level directly from raw — which is what
+    the oracle checks level by level.
+
+    This is the sketch answer to "distinct users per tile at every zoom":
+    the exact pyramid would re-shuffle distinct pairs per level; here the
+    cascade moves <= m rows per occupied tile per level, shrinking ~4x
+    each step.  Returns (union of per-level estimates, persisted caches —
+    caller releases after the consuming action)."""
+    levels: list[DataFrame] = []
+    caches: list[DataFrame] = []
+    level = regs  # (x, y, bucket, rho) at z_max
+    for z in range(z_max, z_min - 1, -1):
+        if z > z_min:  # feeds next level AND the estimate union
+            level = level.persist()
+            caches.append(level)
+        est = hll_estimate_grouped(level, ("x", "y"), p)
+        levels.append(
+            est.select(F.lit(z).alias("z"), "x", "y", "n_zero", "estimate")
+        )
+        if z > z_min:
+            level = level.groupBy(
+                F.shiftright("x", 1).alias("x"),
+                F.shiftright("y", 1).alias("y"),
+                "bucket",
+            ).agg(F.max("rho").alias("rho"))
+    out = levels[0]
+    for lf in levels[1:]:
+        out = out.unionByName(lf)
+    return out, caches

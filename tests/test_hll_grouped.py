@@ -79,3 +79,46 @@ def test_grouped_hll_shard_merge_is_exact(spark):
         )
     )
     assert merged == whole
+
+
+def test_pyramid_cascade_equals_direct_sketch(spark):
+    """Register-max cascade at z-1 == sketching z-1 tiles directly from
+    raw (mergeability x halving identity — the hll_tile_pyramid core)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.functions.tiles import tile_xyz
+    from extractors_metadata_spark.operators.sketches import (
+        hll_sketch_grouped,
+        hll_tile_pyramid,
+    )
+
+    i = np.arange(600)
+    lat = 33.0 + (i % 223) / 223.0 * 0.02
+    lon = -112.0 + (i % 97) / 97.0 * 0.03
+    x, y = tile_xyz(lat, lon, 18)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": x, "y": y, "user": (i % 37).astype("int64")})
+    )
+    regs = hll_sketch_grouped(df, ("x", "y"), F.col("user").cast("string"), p=6)
+    out, caches = hll_tile_pyramid(regs, z_max=18, z_min=16, p=6)
+    got = {(r.z, r.x, r.y): (r.n_zero, r.estimate) for r in out.collect()}
+    for c in caches:
+        c.unpersist()
+    from extractors_metadata_spark.operators.sketches import (
+        hll_estimate_grouped,
+    )
+
+    for shift, z in ((1, 17), (2, 16)):
+        d2 = spark.createDataFrame(
+            pd.DataFrame(
+                {"x": x >> shift, "y": y >> shift, "user": (i % 37).astype("int64")}
+            )
+        )
+        regs2 = hll_sketch_grouped(d2, ("x", "y"), F.col("user").cast("string"), p=6)
+        direct = {
+            (z, r.x, r.y): (r.n_zero, r.estimate)
+            for r in hll_estimate_grouped(regs2, ("x", "y"), p=6).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == z} == direct
