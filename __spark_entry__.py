@@ -3212,6 +3212,36 @@ def _hll_pyramid_sql(p: int = 8, z_max: int = 20, z_min: int = 16) -> str:
     return "\n        UNION ALL".join(blocks)
 
 
+def q_cube_stats(spark, sf_dir):
+    """Full CUBE lattice (rollup_stats with cube=True): all four grouping
+    sets over (event_type, cohort) — detail, both one-dim marginals, grand
+    total — in ONE Expand + aggregate. Complements rollup_stats (which
+    pins the hierarchy shape); gid disambiguates every lattice level.
+    FULL oracle: GROUP BY CUBE replay."""
+    from extractors_metadata_spark.operators.rollup_stats import rollup_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).alias("cohort"),
+        "user_id",
+        "value",
+    )
+    return rollup_stats(e, ["event_type", "cohort"], cube=True)
+
+
+_CUBE_STATS_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id % 4 AS cohort, user_id,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type, cohort,
+           CAST(GROUPING(event_type, cohort) AS BIGINT) AS gid,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(v) AS BIGINT) AS value_sum_u
+    FROM e GROUP BY CUBE (event_type, cohort)
+"""
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -4250,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rules": q_session_rules,
         "overlay_alloc": q_overlay_alloc,
         "hll_pyramid": q_hll_pyramid,
+        "cube_stats": q_cube_stats,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6243,6 +6274,7 @@ def oracle_sql() -> dict[str, str]:
         "session_rules": _SESSION_RULES_SQL,
         "overlay_alloc": _overlay_alloc_sql(),
         "hll_pyramid": _hll_pyramid_sql(),
+        "cube_stats": _CUBE_STATS_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -211,6 +211,13 @@ def main() -> None:
         # are row-preserving projections — count() would prune them to a
         # scan, so they are NOT timed; CLAUDE.md count() rule.)
         "typo_pairs", "funnel_steps", "triangles", "overlay_area", "pq_topk",
+        # late additions: ripley_k / od_matrix / session_rules / hll_pyramid
+        # count() through aggregates whose keys depend on the full upstream
+        # (radius join, endpoint argmin + tile UDF, session windows + pair
+        # join, register cascade). snap_to_path / quality_percentile /
+        # mad_outliers are row-preserving projections — NOT timed
+        # (CLAUDE.md count() rule).
+        "ripley_k", "od_matrix", "session_rules", "hll_pyramid",
     ]
     qs = entrymod.queries()
     for name in suite:
