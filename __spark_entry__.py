@@ -3242,6 +3242,67 @@ _CUBE_STATS_SQL = """
 """
 
 
+def q_idw_surface(spark, sf_dir):
+    """IDW value surface (operators/idw.idw_surface): per-z20-tile
+    inverse-distance-weighted event values over the 3x3 neighborhood, in
+    MERCATOR unit space (tile centers are linear — the only trig is the
+    event's slippy-y chain, whose few-ulp drift the 1e-9 per-term
+    fixed-point margin absorbs, the bm25 recipe). One Arrow pass + x9
+    literal scatter + ONE map-side-combining tile aggregate. FULL
+    oracle."""
+    from extractors_metadata_spark.operators.idw import idw_surface
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("value", lat, lon)
+    return idw_surface(e, z=20)
+
+
+def _idw_sql(z: int = 20) -> str:
+    from extractors_metadata_spark.operators.idw import MT
+
+    n = 1 << z
+    nf = repr(float(n))
+    w = f"(CAST({float(MT * MT)!r} AS DOUBLE) / CAST(d2 + {MT * MT // 4} AS DOUBLE))"
+    return f"""
+        WITH base AS (
+          SELECT value AS v,
+                 CAST(round_even(((({LON_IN}) + 180.0) / 360.0)
+                   * CAST({nf} AS DOUBLE) * {MT}, 0) AS BIGINT) AS tx,
+                 CAST(round_even(((1.0 - ln(tan(radians(({LAT_IN})))
+                   + 1.0 / cos(radians(({LAT_IN}))))/pi()) / 2.0)
+                   * CAST({nf} AS DOUBLE) * {MT}, 0) AS BIGINT) AS ty
+          FROM events),
+        e2 AS (
+          SELECT v, tx, ty, tx // {MT} AS ex, ty // {MT} AS ey FROM base),
+        offx AS (SELECT unnest([-1, 0, 1]) AS dx),
+        offy AS (SELECT unnest([-1, 0, 1]) AS dy),
+        sc AS (
+          SELECT v, tx, ty, ex + dx AS nx, ey + dy AS ny
+          FROM e2, offx, offy
+          WHERE ey + dy >= 0 AND ey + dy < {n}),
+        dd AS (
+          SELECT v, nx, ny,
+                 (tx - (nx * {MT} + {MT // 2})) * (tx - (nx * {MT} + {MT // 2}))
+                 + (ty - (ny * {MT} + {MT // 2})) * (ty - (ny * {MT} + {MT // 2}))
+                   AS d2
+          FROM sc),
+        t AS (
+          SELECT ((nx + {n}) % {n}) AS x, ny AS y,
+                 CAST(round_even({w} * 1000000000.0, 0) AS BIGINT) AS w_fp,
+                 CAST(round_even(v * {w} * 1000000000.0, 0) AS BIGINT) AS vw_fp
+          FROM dd),
+        agg AS (
+          SELECT x, y, count(*) AS n_contrib,
+                 CAST(sum(w_fp) AS BIGINT) AS den_fp,
+                 CAST(sum(vw_fp) AS BIGINT) AS num_fp
+          FROM t GROUP BY 1, 2)
+        SELECT x, y, n_contrib, den_fp, num_fp,
+               CAST(round_even(CAST(num_fp AS DOUBLE) / CAST(den_fp AS DOUBLE)
+                               * 1000000.0, 0) AS BIGINT) AS idw_fp
+        FROM agg
+    """
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -4281,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_alloc": q_overlay_alloc,
         "hll_pyramid": q_hll_pyramid,
         "cube_stats": q_cube_stats,
+        "idw_surface": q_idw_surface,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6275,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_alloc": _overlay_alloc_sql(),
         "hll_pyramid": _hll_pyramid_sql(),
         "cube_stats": _CUBE_STATS_SQL,
+        "idw_surface": _idw_sql(),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
