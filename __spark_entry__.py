@@ -2998,6 +2998,73 @@ _SPATIAL_CLUSTER_SQL = f"""
 """
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN (radius_join.dbscan): eps = 1 m, min_pts = 3 over the first
+    3000 events — core/border/noise with the border ambiguity resolved
+    DETERMINISTICALLY (min core-neighbor cluster id; order-dependence is
+    what an exact oracle cannot tolerate). FULL oracle: brute-force
+    eps-graph + degrees + recursive components over core-core edges +
+    the same border rule."""
+    from extractors_metadata_spark.operators.radius_join import dbscan
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", lat, lon)
+    )
+    return dbscan(spark, pts, eps_m=1.0, min_pts=3)
+
+
+_DBSCAN_SQL = f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) <= 1.0),
+    sym AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs
+      UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+    deg AS (SELECT id_a AS id, count(*) + 1 AS n FROM sym GROUP BY 1),
+    cores AS MATERIALIZED (
+      SELECT p.id FROM pts p LEFT JOIN deg d ON d.id = p.id
+      WHERE coalesce(d.n, 1) >= 3),
+    cedges AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a IN (SELECT id FROM cores) AND id_b IN (SELECT id FROM cores)),
+    ce2 AS (SELECT id_a AS src, id_b AS dst FROM cedges
+            UNION SELECT id_b, id_a FROM cedges),
+    reach AS (
+      SELECT src AS id, dst AS r FROM ce2
+      UNION
+      SELECT e.src, rch.r FROM ce2 e JOIN reach rch ON rch.id = e.dst),
+    labels AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id),
+    corelab AS (
+      SELECT c.id, coalesce(l.cl, c.id) AS cluster_id
+      FROM cores c LEFT JOIN labels l ON l.id = c.id),
+    bord AS (
+      SELECT s.id_a AS id, min(cl.cluster_id) AS bcl
+      FROM sym s JOIN corelab cl ON cl.id = s.id_b GROUP BY 1)
+    SELECT p.id,
+           CAST(coalesce(c.cluster_id,
+                         CASE WHEN c.id IS NULL THEN b.bcl END,
+                         -1) AS BIGINT) AS cluster_id,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.bcl IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts p
+    LEFT JOIN corelab c ON c.id = p.id
+    LEFT JOIN bord b ON b.id = p.id
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -3301,6 +3368,48 @@ def _idw_sql(z: int = 20) -> str:
                                * 1000000.0, 0) AS BIGINT) AS idw_fp
         FROM agg
     """
+
+
+def q_co_visitation(spark, sf_dir):
+    """Co-visitation pairs: users sharing >= 3 distinct z22 tiles — the
+    bipartite (tile, user) projection, the co-location analytics shape.
+    The pmi_pairs candidate discipline applies verbatim: DISTINCT
+    presence first, then a tile-keyed self-join whose worst tile costs
+    (users-in-tile)^2 — at scale a max_df band caps it (here the synth
+    grid keeps tiles small; the band hook is max_users). FULL oracle."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", lat, lon)
+    t = e.withColumn("_t", tile_xy_udf(22)("lat", "lon")).select(
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"), "user_id"
+    )
+    pres = t.select("x", "y", "user_id").distinct()
+    a = pres.select("x", "y", F.col("user_id").alias("u_a"))
+    b = pres.select("x", "y", F.col("user_id").alias("u_b"))
+    return (
+        a.join(b, ["x", "y"])
+        .filter(F.col("u_a") < F.col("u_b"))
+        .groupBy("u_a", "u_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+_CO_VISITATION_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS y,
+        user_id
+      FROM pts)
+    SELECT a.user_id AS u_a, b.user_id AS u_b, count(*) AS n_shared
+    FROM pres a JOIN pres b
+      ON a.x = b.x AND a.y = b.y AND a.user_id < b.user_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+"""
 
 
 def q_stream_tiles_verify(spark, sf_dir):
@@ -4343,6 +4452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_pyramid": q_hll_pyramid,
         "cube_stats": q_cube_stats,
         "idw_surface": q_idw_surface,
+        "co_visitation": q_co_visitation,
+        "dbscan": q_dbscan,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6338,6 +6449,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_pyramid": _hll_pyramid_sql(),
         "cube_stats": _CUBE_STATS_SQL,
         "idw_surface": _idw_sql(),
+        "co_visitation": _CO_VISITATION_SQL,
+        "dbscan": _DBSCAN_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -191,3 +191,84 @@ def spatial_cluster(
     return labeled.join(sizes, "cluster_id").select(
         "id", "cluster_id", "cluster_size"
     )
+
+
+def dbscan(
+    spark,
+    pts: DataFrame,
+    eps_m: float,
+    min_pts: int,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN) -> (id, cluster_id, role).
+
+    Standard semantics on the engine's exact pair graph: a point is CORE
+    iff its closed eps-neighborhood has >= min_pts points (itself
+    included); clusters are connected components of the CORE-CORE
+    eps-graph (pointer-jumping ``dedup.cluster_pairs`` — O(log diameter)
+    rounds); BORDER points (non-core within eps of a core) join the
+    SMALLEST cluster id among their core neighbors (the deterministic
+    resolution of DBSCAN's classic border ambiguity — order-dependence is
+    exactly what an exact oracle cannot tolerate); everything else is
+    NOISE with cluster_id = -1.  cluster_id = min member id.
+
+    Scale: one cell-bucketed radius self-join builds the eps-graph (the
+    radius_self_join machinery — no broadcast side, bounded ring
+    fan-out); degrees/core flags are one symmetric-edge aggregate; the
+    component rounds touch only core-core edges.  min_pts-1 caps nothing
+    silently: a dense blob's edges are already bounded by the radius
+    join's cell discipline."""
+    from .pip_knn import _cache_scoped
+    from .dedup import cluster_pairs
+
+    pairs = _cache_scoped(
+        "dbscan_pairs",
+        radius_self_join(spark, pts, eps_m, id_col, lat_col, lon_col).select(
+            "id_a", "id_b"
+        ),
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = sym.groupBy(F.col("id_a").alias("id")).agg(
+        F.count(F.lit(1)).alias("_nbrs")
+    )
+    ids = pts.select(F.col(id_col).alias("id"))
+    deg_all = ids.join(deg, "id", "left").select(
+        "id", (F.coalesce(F.col("_nbrs"), F.lit(0)) + 1).alias("_n")
+    )
+    cores = deg_all.filter(F.col("_n") >= min_pts).select("id")
+    core_edges = (
+        pairs.join(cores.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(cores.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    comp = cluster_pairs(core_edges)
+    core_label = cores.join(comp, "id", "left").select(
+        "id", F.coalesce(F.col("canonical_id"), F.col("id")).alias("cluster_id")
+    )
+    nbr_core = sym.join(
+        core_label.select(F.col("id").alias("id_b"), "cluster_id"), "id_b"
+    ).groupBy(F.col("id_a").alias("id")).agg(
+        F.min("cluster_id").alias("_bcl")
+    )
+    out = (
+        ids.join(core_label.withColumn("_role", F.lit("core")), "id", "left")
+        .join(nbr_core, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("cluster_id"),
+                F.when(F.col("_role").isNull(), F.col("_bcl")),
+                F.lit(-1),
+            ).cast("long").alias("cluster_id"),
+            F.coalesce(
+                F.col("_role"),
+                F.when(F.col("_bcl").isNotNull(), F.lit("border")),
+                F.lit("noise"),
+            ).alias("role"),
+        )
+    )
+    return out
