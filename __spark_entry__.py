@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # --- shared point-derivation expressions (identical strings on both sides) ----
@@ -3065,6 +3065,115 @@ _DBSCAN_SQL = f"""
 """
 
 
+def q_kdist(spark, sf_dir):
+    """k-distance curve (DBSCAN's eps-selection companion): per point the
+    distance to its 4th-nearest neighbor within a 5 m cap, from ONE
+    cell-bucketed radius join (points with < 4 capped neighbors are
+    excluded — the curve's tail beyond the cap is exactly what the cap
+    prices, stated not hidden). Ranking on the cm-rounded distance with
+    neighbor-id tie-break. FULL oracle: brute-force replay."""
+    from extractors_metadata_spark.operators.radius_join import radius_self_join
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", lat, lon)
+    )
+    pairs = radius_self_join(spark, pts, radius_m=5.0)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "dist_m"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "dist_m"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("dist_m").asc(), F.col("nbr").asc()
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 4)
+        .select("id", F.round(F.col("dist_m") * 100.0, 0).cast("long").alias("kdist_cm"))
+    )
+
+
+_KDIST_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) AS dist_m
+      FROM pts a JOIN pts b ON a.id < b.id),
+    capped AS (SELECT * FROM pairs WHERE dist_m <= 5.0),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr, dist_m FROM capped
+      UNION ALL SELECT id_b, id_a, dist_m FROM capped)
+    SELECT id, CAST(round(dist_m * 100.0, 0) AS BIGINT) AS kdist_cm
+    FROM (SELECT id, dist_m,
+                 row_number() OVER (PARTITION BY id ORDER BY dist_m, nbr) AS rn
+          FROM sym)
+    WHERE rn = 4
+"""
+
+
+def q_co_movement(spark, sf_dir):
+    """Spatiotemporal co-movement: user pairs sharing >= 2 distinct
+    (z22 tile, UTC hour) buckets — co_visitation's temporal upgrade (same
+    place AND same time), the co-travel detection shape. Same candidate
+    discipline: distinct presence first, bucket-keyed self-join. FULL
+    oracle."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", lat, lon,
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.pmod(F.unix_micros(F.col("ts").cast("timestamp")), 3_600_000_000)
+         ).alias("hour_us"),
+    )
+    t = e.withColumn("_t", tile_xy_udf(22)("lat", "lon")).select(
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"), "hour_us", "user_id"
+    )
+    pres = t.distinct()
+    a = pres.select("x", "y", "hour_us", F.col("user_id").alias("u_a"))
+    b = pres.select("x", "y", "hour_us", F.col("user_id").alias("u_b"))
+    return (
+        a.join(b, ["x", "y", "hour_us"])
+        .filter(F.col("u_a") < F.col("u_b"))
+        .groupBy("u_a", "u_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+_CO_MOVEMENT_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000)
+                             % 3600000000) AS hour_us,
+             ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS y,
+        hour_us, user_id
+      FROM pts)
+    SELECT a.user_id AS u_a, b.user_id AS u_b, count(*) AS n_shared
+    FROM pres a JOIN pres b
+      ON a.x = b.x AND a.y = b.y AND a.hour_us = b.hour_us
+         AND a.user_id < b.user_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4454,6 +4563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_surface": q_idw_surface,
         "co_visitation": q_co_visitation,
         "dbscan": q_dbscan,
+        "kdist": q_kdist,
+        "co_movement": q_co_movement,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6451,6 +6562,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_surface": _idw_sql(),
         "co_visitation": _CO_VISITATION_SQL,
         "dbscan": _DBSCAN_SQL,
+        "kdist": _KDIST_SQL,
+        "co_movement": _CO_MOVEMENT_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
