@@ -3174,6 +3174,39 @@ _CO_MOVEMENT_SQL = f"""
 """
 
 
+def q_winsorized_mean(spark, sf_dir):
+    """Per-type winsorized mean (robust.winsorized_mean): clamp to the
+    group's [p05, p95] (bit-equal interpolated percentiles), then the
+    exact fixed-point mean (half-even micro-units -> int sums -> half-even
+    integer division). FULL oracle."""
+    from extractors_metadata_spark.operators.robust import winsorized_mean
+
+    return winsorized_mean(_t(spark, sf_dir, "events"))
+
+
+_WINSORIZED_SQL = """
+    WITH stats AS (
+      SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT e.event_type, s.p_lo, s.p_hi,
+             least(greatest(e.value, s.p_lo), s.p_hi) AS cv
+      FROM events e JOIN stats s USING (event_type)),
+    agg AS (
+      SELECT event_type, p_lo, p_hi, count(*) AS n,
+             CAST(sum(CAST(round_even(cv * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM j GROUP BY 1, 2, 3)
+    SELECT event_type, n, p_lo, p_hi,
+           CAST(CASE WHEN 2 * (((s % n) + n) % n) > n
+                     OR (2 * (((s % n) + n) % n) = n
+                         AND ((s - (((s % n) + n) % n)) // n) % 2 = 1)
+                     THEN (s - (((s % n) + n) % n)) // n + 1
+                     ELSE (s - (((s % n) + n) % n)) // n END AS BIGINT) AS wmean_u
+    FROM agg
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4565,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "kdist": q_kdist,
         "co_movement": q_co_movement,
+        "winsorized_mean": q_winsorized_mean,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6564,6 +6598,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": _DBSCAN_SQL,
         "kdist": _KDIST_SQL,
         "co_movement": _CO_MOVEMENT_SQL,
+        "winsorized_mean": _WINSORIZED_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

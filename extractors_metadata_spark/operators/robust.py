@@ -61,3 +61,41 @@ def mad_outliers(
             F.abs(F.col(value_col) - F.col("med")) > F.lit(float(k)) * F.col("mad")
         ).alias("is_outlier"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized mean: values clamp to the group's [lo, hi]
+    interpolated percentiles (bit-equal cross-engine — the mad_outliers
+    pairing), then a fixed-point exact mean (per-row half-even 1e-6
+    micro-units -> order-free int64 sum -> half-even integer division) —
+    the robust location estimate that, unlike the trimmed mean, keeps N
+    constant.  Output (group, n, p_lo, p_hi, wmean_u): wmean_u is the
+    mean in exact micro-units.
+
+    Plan: one stats aggregate broadcast back + one group aggregate — the
+    stream is scanned twice, shuffled never (broadcast join + partial
+    aggs)."""
+    stats = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(float(lo))).alias("p_lo"),
+        F.percentile(value_col, F.lit(float(hi))).alias("p_hi"),
+    )
+    j = df.select(group_col, value_col).join(F.broadcast(stats), group_col)
+    clamped = F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi"))
+    agg = j.groupBy(group_col, "p_lo", "p_hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.bround(clamped * 1000000.0, 0).cast("long")).alias("_s"),
+    )
+    # half-even integer division of the nonnegative micro-unit sum
+    wmean = F.expr(
+        "CASE WHEN 2 * pmod(_s, n) > n "
+        "OR (2 * pmod(_s, n) = n AND ((_s - pmod(_s, n)) div n) % 2 = 1) "
+        "THEN (_s - pmod(_s, n)) div n + 1 "
+        "ELSE (_s - pmod(_s, n)) div n END"
+    )
+    return agg.select(group_col, "n", "p_lo", "p_hi", wmean.alias("wmean_u"))
