@@ -3207,6 +3207,47 @@ _WINSORIZED_SQL = """
 """
 
 
+def q_type_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy + HHI concentration
+    of the event-type distribution. Counts are exact; p = c/n is one
+    correctly-rounded division; entropy terms p*ln(p) round HALF-EVEN to
+    1e-9 fixed point BEFORE the order-free int sum (the bm25 ln-margin
+    recipe), HHI terms are pure rational fixed point. FULL oracle."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = c.join(n, "user_id")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent_term = F.bround(-(p * F.log(p)) * 1000000000.0, 0).cast("long")
+    hhi_term = F.bround(p * p * 1000000000.0, 0).cast("long")
+    return (
+        j.select("user_id", "n", ent_term.alias("_e"), hhi_term.alias("_h"))
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("_e").alias("entropy_fp"),
+            F.sum("_h").alias("hhi_fp"),
+        )
+    )
+
+
+_TYPE_ENTROPY_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+    n AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    j AS (
+      SELECT c.user_id, n.n,
+             CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+      FROM c JOIN n USING (user_id))
+    SELECT user_id, n, count(*) AS n_types,
+           CAST(sum(CAST(round_even(-(p * ln(p)) * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS entropy_fp,
+           CAST(sum(CAST(round_even(p * p * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS hhi_fp
+    FROM j GROUP BY 1, 2
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4599,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kdist": q_kdist,
         "co_movement": q_co_movement,
         "winsorized_mean": q_winsorized_mean,
+        "type_entropy": q_type_entropy,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6599,6 +6641,7 @@ def oracle_sql() -> dict[str, str]:
         "kdist": _KDIST_SQL,
         "co_movement": _CO_MOVEMENT_SQL,
         "winsorized_mean": _WINSORIZED_SQL,
+        "type_entropy": _TYPE_ENTROPY_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
