@@ -3248,6 +3248,56 @@ _TYPE_ENTROPY_SQL = """
 """
 
 
+def q_cusum(spark, sf_dir):
+    """CUSUM change detection (operators/cusum.cusum_detect) — the
+    sequential fold rewritten as running-sum-minus-running-min windows
+    (s_t = P_t - min(0, min P_j)), so a 'needs a UDF' statistic becomes
+    one key-partitioned Exchange of exact int64 codegen. FULL oracle:
+    identical window forms."""
+    from extractors_metadata_spark.operators.cusum import cusum_detect
+
+    return cusum_detect(_t(spark, sf_dir, "events"))
+
+
+_CUSUM_SQL = """
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    stats AS (
+      SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+      FROM base GROUP BY 1),
+    mu AS (
+      SELECT user_id, n,
+             CAST(CASE WHEN 2 * (((s % n) + n) % n) > n
+                       OR (2 * (((s % n) + n) % n) = n
+                           AND ((s - (((s % n) + n) % n)) // n) % 2 = 1)
+                       THEN (s - (((s % n) + n) % n)) // n + 1
+                       ELSE (s - (((s % n) + n) % n)) // n END AS BIGINT) AS mu_u
+      FROM stats),
+    d AS (
+      SELECT b.user_id, b.event_id, b.us, m.n, m.mu_u,
+             b.v - m.mu_u - 200000 AS dd
+      FROM base b JOIN mu m USING (user_id)),
+    p0 AS (
+      SELECT *, sum(dd) OVER w AS pp
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p AS (
+      SELECT *, least(CAST(0 AS BIGINT), min(pp) OVER w) AS pmin
+      FROM p0
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, n, mu_u,
+           CAST(max(pp - pmin) AS BIGINT) AS max_cusum_u,
+           CAST(sum(CASE WHEN pp - pmin > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over,
+           min(CASE WHEN pp - pmin > 2000000 THEN us END) AS first_over_us
+    FROM p GROUP BY 1, 2, 3
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4641,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_movement": q_co_movement,
         "winsorized_mean": q_winsorized_mean,
         "type_entropy": q_type_entropy,
+        "cusum": q_cusum,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6642,6 +6693,7 @@ def oracle_sql() -> dict[str, str]:
         "co_movement": _CO_MOVEMENT_SQL,
         "winsorized_mean": _WINSORIZED_SQL,
         "type_entropy": _TYPE_ENTROPY_SQL,
+        "cusum": _CUSUM_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
