@@ -3298,6 +3298,54 @@ _CUSUM_SQL = """
 """
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per user: the median of all pairwise slopes
+    (v_j - v_i) / hours_between — outlier-immune where OLS is not. The
+    per-user pair fan-out is n^2/2 (bounded by per-key stream length —
+    the operator contract; at 10^12 rows sample per key first). Slopes
+    are identical-path doubles from exact ints, so the interpolated
+    median (percentile == quantile_cont) is bit-equal and emitted
+    UNROUNDED. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v_u"),
+    )
+    a = e.select("user_id", F.col("event_id").alias("i"),
+                 F.col("us").alias("t_i"), F.col("v_u").alias("v_i"))
+    b = e.select("user_id", F.col("event_id").alias("j"),
+                 F.col("us").alias("t_j"), F.col("v_u").alias("v_j"))
+    pairs = a.join(b, "user_id").filter(
+        (F.col("i") < F.col("j")) & (F.col("t_i") != F.col("t_j"))
+    )
+    # slope in value-units per hour: exact-int delta ratio, one division
+    slope = (F.col("v_j") - F.col("v_i")).cast("double") / (
+        (F.col("t_j") - F.col("t_i")).cast("double") / F.lit(3600000000.0)
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(slope, F.lit(0.5)).alias("slope_med"),
+    )
+
+
+_THEIL_SEN_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(b.v - a.v AS DOUBLE)
+               / (CAST(b.us - a.us AS DOUBLE) / 3600000000.0) AS slope
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.us != b.us)
+    SELECT user_id, count(*) AS n_pairs,
+           quantile_cont(slope, 0.5) AS slope_med
+    FROM pairs GROUP BY 1
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4692,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_mean": q_winsorized_mean,
         "type_entropy": q_type_entropy,
         "cusum": q_cusum,
+        "theil_sen": q_theil_sen,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6694,6 +6743,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_mean": _WINSORIZED_SQL,
         "type_entropy": _TYPE_ENTROPY_SQL,
         "cusum": _CUSUM_SQL,
+        "theil_sen": _THEIL_SEN_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
