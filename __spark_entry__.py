@@ -3346,6 +3346,68 @@ _THEIL_SEN_SQL = """
 """
 
 
+def q_ols_slope(spark, sf_dir):
+    """Per-user OLS trend (the classical contrast to theil_sen): slope =
+    (n*Stv - St*Sv) / (n*Stt - St^2) over EXACT integer moment sums —
+    time centered per user to SECONDS since the user's first event so
+    every moment fits int64 (t' <= ~1e7, t'^2 sums ~1e16; the µs overflow
+    is why centering is part of the semantics, not an optimization); the
+    final combination crosses into doubles only where products exceed
+    2^63, with every factor exactly representable (< 2^53) so both
+    engines compute the identical slope, emitted UNROUNDED. FULL
+    oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v_u"),
+    )
+    t0 = e.groupBy("user_id").agg(F.min("us").alias("us0"))
+    c = e.join(t0, "user_id").select(
+        "user_id",
+        F.expr("(us - us0) div 1000000").alias("t"),
+        "v_u",
+    )
+    m = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("v_u").alias("sv"),
+        F.sum(F.col("t") * F.col("v_u")).alias("stv"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    num = (F.col("n") * F.col("stv")).cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("sv").cast("double")
+    den = (F.col("n") * F.col("stt")).cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st").cast("double")
+    return m.filter(F.col("n") >= 2).select(
+        "user_id", "n", (num / den).alias("slope_u_per_s")
+    )
+
+
+_OLS_SLOPE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    t0 AS (SELECT user_id, min(us) AS us0 FROM e GROUP BY 1),
+    c AS (
+      SELECT e.user_id, (e.us - t0.us0) // 1000000 AS t, e.v
+      FROM e JOIN t0 USING (user_id)),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(t) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(t * v) AS BIGINT) AS stv,
+             CAST(sum(t * t) AS BIGINT) AS stt
+      FROM c GROUP BY 1)
+    SELECT user_id, n,
+           (CAST(n * stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+           / (CAST(n * stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             AS slope_u_per_s
+    FROM m WHERE n >= 2
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4741,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_entropy": q_type_entropy,
         "cusum": q_cusum,
         "theil_sen": q_theil_sen,
+        "ols_slope": q_ols_slope,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6744,6 +6807,7 @@ def oracle_sql() -> dict[str, str]:
         "type_entropy": _TYPE_ENTROPY_SQL,
         "cusum": _CUSUM_SQL,
         "theil_sen": _THEIL_SEN_SQL,
+        "ols_slope": _OLS_SLOPE_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
