@@ -3408,6 +3408,67 @@ _OLS_SLOPE_SQL = """
 """
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U between 'click' and 'error' values — the
+    hypothesis-test statistic family, EXACT: tie mid-ranks carried as
+    doubled integers (2*mr = 2*cnt_less + cnt_eq + 1, from one running
+    sum over the distinct-value frame), U in doubled units (u1_x2 =
+    2*R1 - n1*(n1+1)); no floats anywhere. FULL oracle."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    ).select(
+        "event_type",
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    vc = e.groupBy("v").agg(
+        F.count(F.lit(1)).alias("eq"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("eq1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.withColumn(
+        "cum_less", F.coalesce(F.sum("eq").over(w), F.lit(0)).cast("long")
+    ).withColumn("mr2", 2 * F.col("cum_less") + F.col("eq") + 1)
+    agg = ranked.agg(
+        F.sum("eq1").alias("n1"),
+        F.sum(F.col("eq") - F.col("eq1")).alias("n2"),
+        F.sum(F.col("mr2") * F.col("eq1")).alias("r1_x2"),
+    )
+    u1 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1.cast("long").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).cast("long").alias("u2_x2"),
+    )
+
+
+_MANN_WHITNEY_SQL = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'error')),
+    vc AS (
+      SELECT v, count(*) AS eq,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eq1
+      FROM e GROUP BY 1),
+    ranked AS (
+      SELECT *, 2 * coalesce(sum(eq) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) + eq + 1 AS mr2
+      FROM vc),
+    agg AS (
+      SELECT CAST(sum(eq1) AS BIGINT) AS n1,
+             CAST(sum(eq - eq1) AS BIGINT) AS n2,
+             CAST(sum(mr2 * eq1) AS BIGINT) AS r1_x2
+      FROM ranked)
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2
+    FROM agg
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4804,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "theil_sen": q_theil_sen,
         "ols_slope": q_ols_slope,
+        "mann_whitney": q_mann_whitney,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6808,6 +6870,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum": _CUSUM_SQL,
         "theil_sen": _THEIL_SEN_SQL,
         "ols_slope": _OLS_SLOPE_SQL,
+        "mann_whitney": _MANN_WHITNEY_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
