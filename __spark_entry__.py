@@ -3469,6 +3469,61 @@ _MANN_WHITNEY_SQL = """
 """
 
 
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence test over the (event_type x user cohort)
+    contingency table: observed counts exact ints, expected = row*col/N a
+    single identical-path division, per-cell (O-E)^2/E contributions
+    HALF-EVEN rounded to 1e-6 fixed point before the order-free sum.
+    Emits the table-level statistic + dof — the categorical counterpart
+    of mann_whitney. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    )
+    obs = e.groupBy("event_type", "cohort").agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n = e.count()
+    j = obs.join(F.broadcast(rows), "event_type").join(F.broadcast(cols), "cohort")
+    expd = (F.col("r") * F.col("c")).cast("double") / F.lit(float(n))
+    cell = F.bround(
+        (F.col("o").cast("double") - expd)
+        * (F.col("o").cast("double") - expd)
+        / expd
+        * 1000000.0,
+        0,
+    ).cast("long")
+    nr = rows.count()
+    nc = cols.count()
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(cell).alias("chi2_fp"),
+        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+    )
+
+
+_CHI_SQUARE_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id % 4 AS cohort FROM events),
+    obs AS (SELECT event_type, cohort, count(*) AS o FROM e GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    c AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    cells AS (
+      SELECT CAST(round_even(
+               (CAST(o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / nn.n)
+               * (CAST(o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / nn.n)
+               / (CAST(r.r * c.c AS DOUBLE) / nn.n) * 1000000.0, 0)
+             AS BIGINT) AS cell
+      FROM obs JOIN r USING (event_type) JOIN c USING (cohort)
+      CROSS JOIN nn)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(cell) AS BIGINT) AS chi2_fp,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof
+    FROM cells
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4866,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "ols_slope": q_ols_slope,
         "mann_whitney": q_mann_whitney,
+        "chi_square": q_chi_square,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6871,6 +6927,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": _THEIL_SEN_SQL,
         "ols_slope": _OLS_SLOPE_SQL,
         "mann_whitney": _MANN_WHITNEY_SQL,
+        "chi_square": _CHI_SQUARE_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
