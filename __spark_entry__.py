@@ -3442,6 +3442,26 @@ def q_mann_whitney(spark, sf_dir):
     )
 
 
+_KENDALL_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    p AS (
+      SELECT a.user_id, b.us - a.us AS dt, b.v - a.v AS dv
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.us != b.us)
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN (dt > 0 AND dv > 0) OR (dt < 0 AND dv < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN (dt > 0 AND dv < 0) OR (dt < 0 AND dv > 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vtie
+    FROM p GROUP BY 1
+"""
+
+
 _MANN_WHITNEY_SQL = """
     WITH e AS (
       SELECT event_type,
@@ -3522,6 +3542,37 @@ _CHI_SQUARE_SQL = """
                 * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof
     FROM cells
 """
+
+
+def q_kendall(spark, sf_dir):
+    """Kendall concordance counts per user (value vs time): for every
+    event pair, classify concordant / discordant / value-tie by the sign
+    of (dt * dv) — PURE exact counting, no ranks, no floats; tau-b is a
+    consumer-side ratio of these exact counts. Pair fan-out bounded by
+    per-key stream length (the theil_sen contract). FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    a = e.select("user_id", F.col("event_id").alias("i"),
+                 F.col("us").alias("t_i"), F.col("v").alias("v_i"))
+    b = e.select("user_id", F.col("event_id").alias("j"),
+                 F.col("us").alias("t_j"), F.col("v").alias("v_j"))
+    p = a.join(b, "user_id").filter(
+        (F.col("i") < F.col("j")) & (F.col("t_i") != F.col("t_j"))
+    )
+    dt = F.col("t_j") - F.col("t_i")
+    dv = F.col("v_j") - F.col("v_i")
+    # sign comparison, never the product (dt_us * dv_u overflows int64)
+    conc = ((dt > 0) & (dv > 0)) | ((dt < 0) & (dv < 0))
+    disc = ((dt > 0) & (dv < 0)) | ((dt < 0) & (dv > 0))
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(conc.cast("long")).alias("nc"),
+        F.sum(disc.cast("long")).alias("nd"),
+        F.sum((dv == 0).cast("long")).alias("n_vtie"),
+    )
 
 
 def q_geohash(spark, sf_dir):
@@ -4922,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_slope": q_ols_slope,
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
+        "kendall": q_kendall,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6928,6 +6980,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_slope": _OLS_SLOPE_SQL,
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
+        "kendall": _KENDALL_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
