@@ -3575,6 +3575,127 @@ def q_kendall(spark, sf_dir):
     )
 
 
+_SPEARMAN_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS x,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS y
+      FROM events),
+    r AS (
+      SELECT user_id,
+             2 * (rank() OVER (PARTITION BY user_id ORDER BY x) - 1)
+               + count(*) OVER (PARTITION BY user_id, x) AS rx2,
+             2 * (rank() OVER (PARTITION BY user_id ORDER BY y) - 1)
+               + count(*) OVER (PARTITION BY user_id, y) AS ry2
+      FROM e)
+    SELECT user_id, count(*) AS n,
+           CAST(sum(rx2 * ry2) AS BIGINT) AS sxy2,
+           CAST(sum(rx2 * rx2) AS BIGINT) AS sxx2,
+           CAST(sum(ry2 * ry2) AS BIGINT) AS syy2
+    FROM r GROUP BY 1
+"""
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rank-correlation moments per user (value vs time): both
+    variables converted to DOUBLED tie mid-ranks (2*mr = 2*(rank-1) +
+    cnt_eq + 1, all integers — the mann_whitney rank machinery applied
+    per-key to two variables), then the exact integer moments n, sum(rx*ry),
+    sum(rx^2), sum(ry^2); rho is a consumer-side ratio (sum(r) == n(n+1)
+    identically, so first moments are derivable and omitted). Doubled
+    midranks <= 2n keep every moment within int64 up to ~1e6 rows per key
+    (the theil_sen per-key contract). One shuffle on user_id serves both
+    rank windows and the final aggregate. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("y"),
+    )
+
+    def mr2(col):
+        rank_w = Window.partitionBy("user_id").orderBy(col)
+        eq_w = Window.partitionBy("user_id", col)
+        return (2 * (F.rank().over(rank_w) - 1) + F.count(F.lit(1)).over(eq_w))
+
+    r = e.select(
+        "user_id", mr2("x").alias("rx2"), mr2("y").alias("ry2")
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy2"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx2"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy2"),
+    )
+
+
+_KS_TEST_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')),
+    c AS (
+      SELECT user_id, v, CAST(sum(g1) AS BIGINT) AS eq1,
+             CAST(sum(1 - g1) AS BIGINT) AS eq2
+      FROM e GROUP BY 1, 2),
+    w AS (
+      SELECT user_id,
+             sum(eq1) OVER (PARTITION BY user_id ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(eq2) OVER (PARTITION BY user_id ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum2,
+             sum(eq1) OVER (PARTITION BY user_id) AS n1,
+             sum(eq2) OVER (PARTITION BY user_id) AS n2
+      FROM c)
+    SELECT user_id, CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num
+    FROM w WHERE n1 > 0 AND n2 > 0 GROUP BY 1
+"""
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D per user ('click' vs 'view'
+    values), EXACT: D's numerator max|n2*F1(v) - n1*F2(v)| over the
+    distinct-value frame is a pure integer (cumulative counts times
+    sample sizes; D = d_num/(n1*n2) consumer-side) — the ECDF-statistic
+    sibling of mann_whitney's rank machinery, one running sum per group
+    over the same frame. Products bounded by n^2 per key (int64-safe to
+    ~3e9 rows/key). FULL oracle."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    c = e.groupBy("user_id", "v").agg(
+        F.sum("g1").cast("long").alias("eq1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("eq2"),
+    )
+    cum_w = Window.partitionBy("user_id").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    all_w = Window.partitionBy("user_id")
+    w = c.select(
+        "user_id",
+        F.sum("eq1").over(cum_w).alias("cum1"),
+        F.sum("eq2").over(cum_w).alias("cum2"),
+        F.sum("eq1").over(all_w).alias("n1"),
+        F.sum("eq2").over(all_w).alias("n2"),
+    )
+    return (
+        w.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(
+                F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+            ).cast("long").alias("d_num"),
+        )
+    )
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -4974,6 +5095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
         "kendall": q_kendall,
+        "spearman": q_spearman,
+        "ks_test": q_ks_test,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -6981,6 +7104,8 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
         "kendall": _KENDALL_SQL,
+        "spearman": _SPEARMAN_SQL,
+        "ks_test": _KS_TEST_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
