@@ -3696,6 +3696,72 @@ def q_ks_test(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_SQL = "\n    SELECT user_id,\n" + ",\n".join(
+    f"           CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}_n,\n"
+    f"           CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN "
+    f"CAST(round_even(value * 100.0, 0) AS BIGINT) END), 0) AS BIGINT) AS {t}_cents"
+    for t in _EVENT_TYPES
+) + "\n    FROM events GROUP BY 1\n"
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Long->wide pivot (the groupBy().pivot() API surface — §2.4's other
+    reshaping op beside ROLLUP/CUBE): per user one column pair per event
+    type (count + exact fixed-point cents sum). The pivot VALUES are
+    declared explicitly — never the two-pass collect-distinct Spark falls
+    back to, which is a full extra scan at 100 TB and nondeterministic
+    column order. One shuffle; missing cells are 0-filled so the wide
+    schema is total. FULL oracle (conditional-aggregation replay)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(F.coalesce(F.col(f"{t}_cents"), F.lit(0)).cast("long").alias(f"{t}_cents"))
+    return wide.select(*cols)
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide->long unpivot (DataFrame.unpivot / SQL stack()): melts the
+    pivoted per-user matrix back to (user_id, event_type, n, cents) rows
+    and drops all-empty cells — the exact inverse of q_pivot_counts, so
+    the pair is a round-trip identity on the engine side. Zero extra
+    shuffle beyond the pivot's own: unpivot is a narrow row-generator.
+    FULL oracle (the long form is just the grouped aggregate)."""
+    wide = q_pivot_counts(spark, sf_dir)
+    pairs = []
+    for t in _EVENT_TYPES:
+        pairs.append(F.struct(
+            F.lit(t).alias("event_type"),
+            F.col(f"{t}_n").alias("n"),
+            F.col(f"{t}_cents").alias("cents"),
+        ))
+    return (
+        wide.select("user_id", F.explode(F.array(*pairs)).alias("m"))
+        .select("user_id", "m.event_type", "m.n", "m.cents")
+        .filter(F.col("n") > 0)
+    )
+
+
+_UNPIVOT_SQL = """
+    SELECT user_id, event_type, count(*) AS n,
+           CAST(sum(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+"""
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -5097,6 +5163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall": q_kendall,
         "spearman": q_spearman,
         "ks_test": q_ks_test,
+        "pivot_counts": q_pivot_counts,
+        "unpivot": q_unpivot,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -7106,6 +7174,8 @@ def oracle_sql() -> dict[str, str]:
         "kendall": _KENDALL_SQL,
         "spearman": _SPEARMAN_SQL,
         "ks_test": _KS_TEST_SQL,
+        "pivot_counts": _PIVOT_SQL,
+        "unpivot": _UNPIVOT_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
