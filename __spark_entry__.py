@@ -3762,6 +3762,65 @@ _UNPIVOT_SQL = """
 """
 
 
+_TRACK_CROSSINGS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    segs AS (
+      SELECT user_id,
+             row_number() OVER w AS i,
+             xi AS ax, yi AS ay,
+             lead(xi) OVER w AS bx, lead(yi) OVER w AS by
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT * FROM segs WHERE bx IS NOT NULL),
+    n AS (SELECT user_id, count(*) AS n_segments FROM s GROUP BY 1),
+    p AS (
+      SELECT a.user_id,
+             (a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax) AS o1,
+             (a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax) AS o2,
+             (b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax) AS o3,
+             (b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax) AS o4
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND b.i > a.i + 1
+       AND greatest(a.ax, a.bx) >= least(b.ax, b.bx)
+       AND greatest(b.ax, b.bx) >= least(a.ax, a.bx)
+       AND greatest(a.ay, a.by) >= least(b.ay, b.by)
+       AND greatest(b.ay, b.by) >= least(a.ay, a.by)),
+    c AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+                            AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+      FROM p GROUP BY 1)
+    SELECT n.user_id, CAST(n.n_segments AS BIGINT) AS n_segments,
+           coalesce(c.n_crossings, 0) AS n_crossings
+    FROM n LEFT JOIN c USING (user_id)
+"""
+
+
+def q_track_crossings(spark, sf_dir):
+    """Trajectory self-intersection counts (trajectory.track_crossings):
+    strictly-proper segment crossings per user via four exact-integer
+    orientation sign tests on nanodegree-quantized coordinates — the
+    sweep-line primitive of geometry engines as a per-key bounded pair
+    join. The quantize-once rule (idw_surface) makes the doubles
+    bit-identical before they become ints; everything downstream is
+    exact. FULL oracle."""
+    from extractors_metadata_spark.operators.trajectory import track_crossings
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", lat, lon
+    ).select(
+        "user_id", "ts", "event_id",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("xi"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("yi"),
+    )
+    return track_crossings(e)
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -5165,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "pivot_counts": q_pivot_counts,
         "unpivot": q_unpivot,
+        "track_crossings": q_track_crossings,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -7176,6 +7236,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test": _KS_TEST_SQL,
         "pivot_counts": _PIVOT_SQL,
         "unpivot": _UNPIVOT_SQL,
+        "track_crossings": _TRACK_CROSSINGS_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

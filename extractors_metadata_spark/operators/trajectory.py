@@ -85,3 +85,95 @@ def scan_legs(
         F.min("_pts").alias("t_start"),
         F.max(ts_col).alias("t_end"),
     )
+
+
+def track_crossings(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "xi",
+    y_col: str = "yi",
+) -> DataFrame:
+    """Per-trajectory SELF-INTERSECTION count: how often a user's path
+    crosses itself — a sweep-line primitive in classical geometry engines,
+    here a per-key bounded pair join over EXACT INTEGER coordinates.
+
+    Input coordinates must already be quantized to integers (the
+    ``idw_surface`` rule: quantize once, derive all geometry from exact
+    ints).  Consecutive points (ordered by ``(ts, id)`` — the frozen
+    sessionization tie-break) form segments; a CROSSING is a strictly
+    proper intersection between two non-adjacent segments of the same
+    user, decided by four orientation SIGN tests (never the o1*o2
+    product, which squares the magnitude budget — the ``kendall`` rule).
+    Degenerate cases are excluded by strictness itself: shared endpoints,
+    touchings, and collinear overlaps all make some orientation 0.
+
+    Scale design: pair fan-out is n_segments^2/2 PER KEY (the
+    ``theil_sen`` per-key stream-length contract); the join is one
+    user-keyed shuffle reusing the window's Exchange, a cheap integer
+    bounding-box reject runs before the orientation tests, and the
+    output is one row per user (crossings + segment count), so nothing
+    wide survives the fan-out.  Coordinate DELTAS bound the products:
+    with per-key coordinate spans < 2^31 units every orientation fits
+    int64 regardless of the absolute quantized magnitude.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    segs = (
+        df.select(user_col, ts_col, id_col, x_col, y_col)
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_bx", F.lead(x_col).over(w))
+        .withColumn("_by", F.lead(y_col).over(w))
+        .filter(F.col("_bx").isNotNull())
+        .select(
+            F.col(user_col),
+            F.col("_i"),
+            F.col(x_col).alias("_ax"),
+            F.col(y_col).alias("_ay"),
+            "_bx",
+            "_by",
+        )
+    )
+    n_segs = segs.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    a = segs
+    b = (
+        segs.select(
+            F.col(user_col),
+            F.col("_i").alias("_j"),
+            F.col("_ax").alias("_cx"),
+            F.col("_ay").alias("_cy"),
+            F.col("_bx").alias("_dx"),
+            F.col("_by").alias("_dy"),
+        )
+    )
+    p = a.join(b, user_col).filter(F.col("_j") > F.col("_i") + 1)
+    # integer bounding-box reject before the orientation arithmetic
+    p = p.filter(
+        (F.greatest("_ax", "_bx") >= F.least("_cx", "_dx"))
+        & (F.greatest("_cx", "_dx") >= F.least("_ax", "_bx"))
+        & (F.greatest("_ay", "_by") >= F.least("_cy", "_dy"))
+        & (F.greatest("_cy", "_dy") >= F.least("_ay", "_by"))
+    )
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (F.col(bx) - F.col(ax)) * (F.col(cy) - F.col(ay)) - (
+            F.col(by) - F.col(ay)
+        ) * (F.col(cx) - F.col(ax))
+
+    o1 = orient("_ax", "_ay", "_bx", "_by", "_cx", "_cy")
+    o2 = orient("_ax", "_ay", "_bx", "_by", "_dx", "_dy")
+    o3 = orient("_cx", "_cy", "_dx", "_dy", "_ax", "_ay")
+    o4 = orient("_cx", "_cy", "_dx", "_dy", "_bx", "_by")
+    cross = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    counts = p.groupBy(user_col).agg(
+        F.sum(cross.cast("long")).alias("n_crossings")
+    )
+    return n_segs.join(counts, user_col, "left").select(
+        F.col(user_col),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.coalesce(F.col("n_crossings"), F.lit(0)).cast("long").alias("n_crossings"),
+    )
