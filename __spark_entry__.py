@@ -3821,6 +3821,58 @@ def q_track_crossings(spark, sf_dir):
     return track_crossings(e)
 
 
+_LOCAL_MORAN_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 50000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) // 100000 AS cy,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    cells AS (
+      SELECT cx, cy, CAST(sum(cents) AS BIGINT) AS x
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                        (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    shifted AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xn
+      FROM cells c CROSS JOIN offs o),
+    lagf AS (
+      SELECT cx, cy, count(*) AS w_deg, CAST(sum(xn) AS BIGINT) AS lag
+      FROM shifted GROUP BY 1, 2)
+    SELECT c.cx, c.cy, c.x,
+           CAST(coalesce(l.w_deg, 0) AS BIGINT) AS w_deg,
+           coalesce(l.lag, 0) AS lag
+    FROM cells c LEFT JOIN lagf l USING (cx, cy)
+"""
+
+
+def q_local_moran(spark, sf_dir):
+    """Local Moran spatial lag (operators/spatial_autocorr.local_moran):
+    queen-adjacency neighbor sums per grid cell over exact fixed-point
+    cell value sums — global Moran's I and per-cell LISA are consumer-side
+    ratios of these exact integers. Adjacency is an 8-offset explode +
+    one cell-keyed equi-join (never a distance self-join). Nanodegree
+    quantize-once, nonneg shift before integer floor-division (trunc ==
+    floor only on nonneg — both engines). FULL oracle."""
+    from extractors_metadata_spark.operators.spatial_autocorr import local_moran
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        lat, lon,
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    ).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(50000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(100000)).cast("long").alias("cy"),
+        "cents",
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    return local_moran(cells)
+
+
 def q_geohash(spark, sf_dir):
     """Geohash encoding (functions/geohash.py — the interoperability index
     family completing H3-style/S2-style/XYZ/Z-order; pure codegen:
@@ -5225,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "unpivot": q_unpivot,
         "track_crossings": q_track_crossings,
+        "local_moran": q_local_moran,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -7237,6 +7290,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts": _PIVOT_SQL,
         "unpivot": _UNPIVOT_SQL,
         "track_crossings": _TRACK_CROSSINGS_SQL,
+        "local_moran": _LOCAL_MORAN_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
