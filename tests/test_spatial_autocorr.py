@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+from extractors_metadata_spark.operators.spatial_autocorr import local_moran
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "cx long, cy long, x long")
+
+
+def test_isolated_and_paired_cells(spark):
+    out = {
+        (r.cx, r.cy): (r.x, r.w_deg, r.lag)
+        for r in local_moran(
+            _rows(spark, [(0, 0, 5), (0, 1, 7), (5, 5, 3)])
+        ).collect()
+    }
+    assert out == {
+        (0, 0): (5, 1, 7),   # one existing neighbor: (0,1)
+        (0, 1): (7, 1, 5),
+        (5, 5): (3, 0, 0),   # isolated cell: zero degree, zero lag
+    }
+
+
+def test_full_queen_block(spark):
+    # 3x3 block, x = 10*cx + cy + 1 so every value is distinct
+    data = [(cx, cy, 10 * cx + cy + 1) for cx in range(3) for cy in range(3)]
+    out = {
+        (r.cx, r.cy): (r.w_deg, r.lag)
+        for r in local_moran(_rows(spark, data)).collect()
+    }
+    val = {(cx, cy): x for cx, cy, x in data}
+
+    def expect(cx, cy):
+        nbrs = [
+            val[(cx + dx, cy + dy)]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (cx + dx, cy + dy) in val
+        ]
+        return (len(nbrs), sum(nbrs))
+
+    assert out == {c: expect(*c) for c in val}
+    # center touches all 8; corners touch 3; edges touch 5
+    assert out[(1, 1)][0] == 8
+    assert out[(0, 0)][0] == 3
+    assert out[(1, 0)][0] == 5
+    # every directed adjacency is counted once on each side
+    assert sum(w for w, _ in out.values()) % 2 == 0
+
+
+def test_phantom_neighbors_not_emitted(spark):
+    # neighbors-of-real-cells that hold no points must not appear as rows
+    out = local_moran(_rows(spark, [(2, 2, 9)])).collect()
+    assert len(out) == 1 and out[0].w_deg == 0 and out[0].lag == 0
