@@ -3544,6 +3544,92 @@ _CHI_SQUARE_SQL = """
 """
 
 
+def q_anova(spark, sf_dir):
+    """One-way ANOVA F over event_type groups on exact fixed-point cents:
+    per-group moments (n_g, S_g, Q_g) are exact int64; each group's
+    S_g^2/n_g between-term is an identical-path double HALF-EVEN rounded
+    to 1e-6 fixed point BEFORE the order-free int64 sum (the chi_square
+    recipe — double sums over groups are order-dependent, int sums are
+    not), and F itself is a pure ratio of those exact ints via
+    identical-path divisions, emitted UNROUNDED (identical-exact-int
+    rule). The S*S products go through double FIRST (cast then multiply)
+    so no integer overflow exists at any SF; Q*1e6 bounds the int64
+    budget at ~1e18 per 600k-row group (stated contract, the ols_slope
+    rule). Completes the classical-test family (mann_whitney / chi_square
+    / ks_test) with the k-group mean comparison. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("x"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("q_g"),
+    )
+    t_g = F.bround(
+        F.col("s_g").cast("double") * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double") * 1000000.0, 0,
+    ).cast("long")
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(t_g).alias("t_groups"),
+    )
+    t_all = F.bround(
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double") * 1000000.0, 0,
+    ).cast("long")
+    ssb = F.col("t_groups") - t_all
+    ssw = F.col("q") * F.lit(1000000) - F.col("t_groups")
+    return tot.select(
+        "k", "n",
+        ssb.alias("ssb_fp"),
+        ssw.alias("ssw_fp"),
+        (
+            ssb.cast("double") / (F.col("k") - F.lit(1)).cast("double")
+            / (ssw.cast("double") / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+_ANOVA_SQL = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS x
+      FROM events),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS s_g,
+             CAST(sum(x * x) AS BIGINT) AS q_g
+      FROM e GROUP BY 1),
+    gt AS (
+      SELECT n_g, s_g, q_g,
+             CAST(round_even(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                  / CAST(n_g AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS t_g
+      FROM g),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(q_g) AS BIGINT) AS q,
+             CAST(sum(t_g) AS BIGINT) AS t_groups
+      FROM gt)
+    SELECT k, n,
+           t_groups
+             - CAST(round_even(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ssb_fp,
+           q * 1000000 - t_groups AS ssw_fp,
+           (CAST(t_groups
+                 - CAST(round_even(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+                 AS DOUBLE)
+            / CAST(k - 1 AS DOUBLE))
+           / (CAST(q * 1000000 - t_groups AS DOUBLE)
+              / CAST(n - k AS DOUBLE)) AS f_stat
+    FROM tot
+"""
+
+
 def q_kendall(spark, sf_dir):
     """Kendall concordance counts per user (value vs time): for every
     event pair, classify concordant / discordant / value-tie by the sign
@@ -5271,6 +5357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_slope": q_ols_slope,
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
+        "anova_f": q_anova,
         "kendall": q_kendall,
         "spearman": q_spearman,
         "ks_test": q_ks_test,
@@ -7284,6 +7371,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_slope": _OLS_SLOPE_SQL,
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
+        "anova_f": _ANOVA_SQL,
         "kendall": _KENDALL_SQL,
         "spearman": _SPEARMAN_SQL,
         "ks_test": _KS_TEST_SQL,
