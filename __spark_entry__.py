@@ -3544,6 +3544,73 @@ _CHI_SQUARE_SQL = """
 """
 
 
+def q_acf(spark, sf_dir):
+    """Per-user lag-k autocorrelation moments (k = 1..3): each user's
+    value series ordered by the frozen (ts, event_id) tie-break, lagged
+    pairs built by ONE window pass computing all three leads (never three
+    shuffles), then a narrow struct-explode x3 and exact int64 Pearson
+    moments per (user, lag) — n, sums, cross/product sums all exact
+    cents integers, the autocorrelation r is a consumer-side ratio (the
+    kendall rule). The time-series primitive the stats family lacked:
+    spearman/ols correlate value against TIME, acf correlates the series
+    against ITSELF. int64 budget: cents^2 * series length ~1e12 per user
+    — five orders of slack. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    led = e.select(
+        "user_id", "v",
+        *[F.lead("v", k).over(w).alias(f"v{k}") for k in (1, 2, 3)],
+    )
+    pairs = (
+        led.select(
+            "user_id", "v",
+            F.explode(F.array(*[
+                F.struct(F.lit(k).alias("lag_k"), F.col(f"v{k}").alias("y"))
+                for k in (1, 2, 3)
+            ])).alias("p"),
+        )
+        .select("user_id", "v", "p.lag_k", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    return pairs.groupBy("user_id", "lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("v") * F.col("y")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+
+_ACF_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS v
+      FROM events),
+    led AS (
+      SELECT user_id, v,
+             lead(v, 1) OVER w AS v1,
+             lead(v, 2) OVER w AS v2,
+             lead(v, 3) OVER w AS v3
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    pairs AS (
+      SELECT user_id, v, l.lag_k,
+             CASE l.lag_k WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS y
+      FROM led CROSS JOIN (VALUES (1), (2), (3)) l(lag_k))
+    SELECT user_id, lag_k, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(v * y) AS BIGINT) AS sxy,
+           CAST(sum(v * v) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs WHERE y IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
 def q_anova(spark, sf_dir):
     """One-way ANOVA F over event_type groups on exact fixed-point cents:
     per-group moments (n_g, S_g, Q_g) are exact int64; each group's
@@ -5358,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
         "anova_f": q_anova,
+        "acf": q_acf,
         "kendall": q_kendall,
         "spearman": q_spearman,
         "ks_test": q_ks_test,
@@ -7372,6 +7440,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
         "anova_f": _ANOVA_SQL,
+        "acf": _ACF_SQL,
         "kendall": _KENDALL_SQL,
         "spearman": _SPEARMAN_SQL,
         "ks_test": _KS_TEST_SQL,
