@@ -5400,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
         "triangles": q_triangles,
+        "assortativity": q_assortativity,
         "stream_upsert_verify": q_stream_upsert_verify,
         "pq_topk": q_pq_topk,
         "overlay_area": q_overlay_area,
@@ -5797,6 +5798,57 @@ def _pagerank_sql(iters: int = 5) -> str:
         {body}
         SELECT node, rank FROM {prev}
     """
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity moments of the directed event link graph:
+    for every edge (u, v), pair (outdeg(u), indeg(v)) and reduce to the
+    exact int64 Pearson moments (m, sx, sy, sxy, sxx, syy) — the
+    assortativity coefficient r is a consumer-side ratio (the kendall
+    rule). Plan: two degree aggregates broadcast back onto the edge scan
+    (host-level graphs; at page scale the joins shuffle on src/dst — the
+    same keys the edge table is partitioned by, so no extra Exchange),
+    then ONE order-free integer aggregate. Completes the link-graph
+    suite (pagerank/triangles) with the mixing statistic: do hubs link
+    to hubs? FULL oracle."""
+    from extractors_metadata_spark.operators.linkgraph import event_link_graph
+
+    edges, _nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dx"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("dy"))
+    j = edges.join(F.broadcast(outd), "src").join(F.broadcast(ind), "dst")
+    return j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+
+
+_ASSORTATIVITY_SQL = """
+    WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+    nodes AS MATERIALIZED (
+      SELECT rn - 1 AS node FROM (
+        SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+      WHERE rn <= (SELECT n FROM nn)),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT user_id AS src,
+               (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+        FROM events
+        UNION ALL
+        SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS dx FROM edges GROUP BY 1),
+    indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS dy FROM edges GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dy * dy) AS BIGINT) AS syy
+    FROM edges JOIN outdeg USING (src) JOIN indeg USING (dst)
+"""
 
 
 def q_triangles(spark, sf_dir):
@@ -7415,6 +7467,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _funnel_sql(),
         "event_transitions": _TRANSITIONS_SQL,
         "triangles": _triangles_sql(),
+        "assortativity": _ASSORTATIVITY_SQL,
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
         "pq_topk": _pq_sql(),
         "overlay_area": _overlay_sql(),
