@@ -933,6 +933,18 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (operators/corpus.vocab_growth): new
+    3-word shingles + cumulative shingle vocabulary per doc-id decile,
+    where a unit arrives at its FIRST document — one shingle-keyed
+    aggregate, never a cumulative-distinct window. (Shingles, not words:
+    this corpus's closed 31-word vocabulary saturates by doc 8.) All
+    exact integers. FULL oracle."""
+    from extractors_metadata_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language doc-length quantiles (corpus-health profile);
     Spark native percentile (type-7 interpolation) == DuckDB quantile_cont."""
@@ -5309,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
+        "vocab_growth": q_vocab_growth,
         "tfidf_topk": q_tfidf_topk,
         "length_quantiles": q_length_quantiles,
         "hash_split": q_hash_split,
@@ -7129,6 +7142,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS word, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
+        """,
+        "vocab_growth": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents),
+            shm AS (
+              SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+              FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+            nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            firsts AS (SELECT shingle, min(doc_id) AS fd FROM shm GROUP BY 1),
+            counts AS (
+              SELECT (fd * 10) // (SELECT n FROM nn) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_new
+              FROM firsts GROUP BY 1)
+            SELECT bucket, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+            FROM counts
         """,
         "tfidf_topk": r"""
             WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
