@@ -5414,6 +5414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "triangles": q_triangles,
         "assortativity": q_assortativity,
+        "k_core": q_k_core,
         "stream_upsert_verify": q_stream_upsert_verify,
         "pq_topk": q_pq_topk,
         "overlay_area": q_overlay_area,
@@ -5862,6 +5863,50 @@ _ASSORTATIVITY_SQL = """
            CAST(sum(dy * dy) AS BIGINT) AS syy
     FROM edges JOIN outdeg USING (src) JOIN indeg USING (dst)
 """
+
+
+def q_k_core(spark, sf_dir):
+    """k-core of the skewed (Zipf in-degree) deterministic link graph
+    (operators/linkgraph.k_core over zipf_link_graph): bounded
+    simultaneous peeling, 8 rounds at k=7 — this graph converges at
+    depth 6 (measured), so the bounded result IS the true 7-core here.
+    FULL oracle: the peel rounds are unrolled as generated CTE stages
+    (the Hilbert/pagerank/kmeans iteration rule), each stage's surviving
+    edge set MATERIALIZED because degree + join reference it twice."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        k_core,
+        zipf_link_graph,
+    )
+
+    return k_core(zipf_link_graph(_t(spark, sf_dir, "events")), k=7, rounds=8)
+
+
+def _k_core_sql(k: int = 7, rounds: int = 8) -> str:
+    stages = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        k{i} AS (
+          SELECT v FROM (
+            SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev})
+          GROUP BY v HAVING count(*) >= {k}),
+        e{i} AS MATERIALIZED (
+          SELECT {prev}.a, {prev}.b FROM {prev}
+          JOIN k{i} ka ON {prev}.a = ka.v
+          JOIN k{i} kb ON {prev}.b = kb.v)""")
+        prev = f"e{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        {body}
+        SELECT a, b FROM {prev}
+    """
 
 
 def q_triangles(spark, sf_dir):
@@ -7499,6 +7544,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _TRANSITIONS_SQL,
         "triangles": _triangles_sql(),
         "assortativity": _ASSORTATIVITY_SQL,
+        "k_core": _k_core_sql(7, 8),
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
         "pq_topk": _pq_sql(),
         "overlay_area": _overlay_sql(),

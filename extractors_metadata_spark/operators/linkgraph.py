@@ -173,3 +173,69 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     ).select(
         "x", (F.col("_s") - F.col("x") - F.col("z")).alias("y"), "z"
     ).select("x", "y", "z")
+
+
+def zipf_link_graph(events: DataFrame, n_nodes: int = 1000) -> DataFrame:
+    """Deterministic SKEWED link graph derived from the events table: one
+    edge per event,  src = (event_id * 131 + user_id) mod n_nodes,
+    dst = n_nodes div (1 + event_id mod n_nodes)  (distinct).  The
+    harmonic dst map gives a Zipf-like in-degree (node n_nodes div j is
+    hit by ~the j-th harmonic share), producing the hub-and-tail degree
+    structure that ``event_link_graph``'s near-regular graph lacks —
+    the shape k-core peeling and degeneracy analyses are about.  All
+    arithmetic is nonneg integer mod/div — exact in any engine."""
+    return events.select(
+        ((F.col("event_id") * 131 + F.col("user_id")) % n_nodes).alias("src"),
+        F.expr(f"{int(n_nodes)} div (1 + (event_id % {int(n_nodes)}))").alias("dst"),
+    ).distinct()
+
+
+def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """Undirected k-core via bounded SIMULTANEOUS peeling (Matula-Beck
+    parallel variant): each round drops every node whose degree in the
+    CURRENT surviving graph is < k, all at once.  ``rounds`` bounds the
+    unrolled work (the pagerank/kmeans fixed-iteration rule, which is
+    what makes an exact cross-engine oracle possible); peeling is
+    monotone, so once stable the remaining rounds are no-ops and the
+    bounded result EQUALS the true k-core whenever the peel depth fits
+    the bound (the operator early-exits on stability, and the caller can
+    read convergence off the returned frame being degree->=k-closed).
+
+    Returns the surviving undirected edge set (a < b, exact ints).
+
+    Scale design: each round is one degree aggregate (map-side combined)
+    + two semi-join-shaped equi-joins against the keep set — all keyed
+    shuffles linear in surviving edges; rounds localCheckpoint (tiny
+    JVM-only iterative frames — the cluster_pairs lineage rule).  At
+    web scale the keep set broadcasts while node count stays under the
+    broadcast threshold, degrading gracefully to shuffle joins above it.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    cur = und.localCheckpoint(eager=True)
+    n_prev = cur.count()
+    for _ in range(int(rounds)):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionByName(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "a"), "a")
+            .join(keep.withColumnRenamed("v", "b"), "b")
+            .select("a", "b")
+        )
+        cur = nxt.localCheckpoint(eager=True)
+        n_cur = cur.count()
+        if n_cur == n_prev or n_cur == 0:
+            break
+        n_prev = n_cur
+    return cur
