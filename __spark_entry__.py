@@ -3556,6 +3556,83 @@ _CHI_SQUARE_SQL = """
 """
 
 
+def q_interval_union(spark, sf_dir):
+    """Per-user interval-union coverage (gaps-and-islands sweep): each
+    event spans [ts, ts + value seconds] in exact µs ints; islands open
+    where start exceeds the running max of all PRECEDING ends (one
+    ordered window pass, the CUSUM window-identity discipline — no
+    interval self-join, which is quadratic per user), then two exact
+    aggregates give covered time + island count. Touching intervals
+    (start == prev end) merge. The calendar/occupancy primitive the
+    interval_join family lacked: union length, not pair matching.
+    FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.bround(F.col("value") * 100.0, 0).cast("long") * F.lit(10000)
+        ).alias("en"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "en", "event_id")
+    prev_max = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = e.select(
+        "user_id", "event_id", "s", "en",
+        (prev_max.isNull() | (F.col("s") > prev_max))
+        .cast("long").alias("is_new"),
+    ).select(
+        "user_id", "s", "en",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    islands = stepped.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_s"),
+        F.max("en").alias("i_en"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_en") - F.col("i_s")).alias("covered_us"),
+        F.sum("n_iv").alias("n_intervals"),
+    )
+
+
+_INTERVAL_UNION_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + CAST(round_even(value * 100.0, 0) AS BIGINT) * 10000 AS en
+      FROM events),
+    stepped AS (
+      SELECT user_id, event_id, s, en,
+             CASE WHEN max(en) OVER (PARTITION BY user_id
+                    ORDER BY s, en, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL THEN 1
+                  WHEN s > max(en) OVER (PARTITION BY user_id
+                    ORDER BY s, en, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    isl AS (
+      SELECT user_id, s, en,
+             sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY s, en, event_id ROWS UNBOUNDED PRECEDING) AS island
+      FROM stepped),
+    agg AS (
+      SELECT user_id, island, min(s) AS i_s, max(en) AS i_en,
+             CAST(count(*) AS BIGINT) AS n_iv
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_en - i_s) AS BIGINT) AS covered_us,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals
+    FROM agg GROUP BY 1
+"""
+
+
 def q_acf(spark, sf_dir):
     """Per-user lag-k autocorrelation moments (k = 1..3): each user's
     value series ordered by the frozen (ts, event_id) tie-break, lagged
@@ -5441,6 +5518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "anova_f": q_anova,
         "acf": q_acf,
+        "interval_union": q_interval_union,
         "kendall": q_kendall,
         "spearman": q_spearman,
         "ks_test": q_ks_test,
@@ -7571,6 +7649,7 @@ def oracle_sql() -> dict[str, str]:
         "chi_square": _CHI_SQUARE_SQL,
         "anova_f": _ANOVA_SQL,
         "acf": _ACF_SQL,
+        "interval_union": _INTERVAL_UNION_SQL,
         "kendall": _KENDALL_SQL,
         "spearman": _SPEARMAN_SQL,
         "ks_test": _KS_TEST_SQL,
