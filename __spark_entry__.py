@@ -3556,6 +3556,76 @@ _CHI_SQUARE_SQL = """
 """
 
 
+def q_streaks(spark, sf_dir):
+    """Longest same-event-type streak per user: value-change islands
+    (new streak where the lagged type differs — the dual of
+    interval_union's overlap islands) over the frozen (ts, event_id)
+    order, then min_by argmax on (len desc, start asc) — the exact
+    deterministic tie-break, aggregation not window sort (the CLAUDE.md
+    top-1 rule). One user-keyed Exchange serves both windows and the
+    rollup. All exact ints + a categorical. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.select(
+        "user_id", "event_id", "event_type", "us",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    ).select(
+        "user_id", "event_type", "us",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("streak"),
+    )
+    streaks = marked.groupBy("user_id", "streak").agg(
+        F.any_value("event_type").alias("stype"),
+        F.count(F.lit(1)).alias("len"),
+        F.min("us").alias("s0"),
+    )
+    # argmax by (len desc, s0 asc): min_by on the exact composite key
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("best_len"),
+        F.min_by(
+            "stype", F.struct((-F.col("len")).alias("a"), F.col("s0").alias("b"))
+        ).alias("best_type"),
+    )
+
+
+_STREAKS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    isl AS (
+      SELECT user_id, event_type, us,
+             sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS streak
+      FROM marked),
+    streaks AS (
+      SELECT user_id, streak, any_value(event_type) AS stype,
+             CAST(count(*) AS BIGINT) AS len, min(us) AS s0
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, n_streaks, best_len, stype AS best_type FROM (
+      SELECT user_id, stype, len, s0,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+             CAST(max(len) OVER (PARTITION BY user_id) AS BIGINT) AS best_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, s0 ASC) AS rn
+      FROM streaks) q
+    WHERE rn = 1
+"""
+
+
 def q_interval_union(spark, sf_dir):
     """Per-user interval-union coverage (gaps-and-islands sweep): each
     event spans [ts, ts + value seconds] in exact µs ints; islands open
@@ -5519,6 +5589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_f": q_anova,
         "acf": q_acf,
         "interval_union": q_interval_union,
+        "streaks": q_streaks,
         "kendall": q_kendall,
         "spearman": q_spearman,
         "ks_test": q_ks_test,
@@ -7650,6 +7721,7 @@ def oracle_sql() -> dict[str, str]:
         "anova_f": _ANOVA_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
+        "streaks": _STREAKS_SQL,
         "kendall": _KENDALL_SQL,
         "spearman": _SPEARMAN_SQL,
         "ks_test": _KS_TEST_SQL,
