@@ -752,6 +752,91 @@ def q_ann_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankings (the serving-side
+    ensemble primitive): per query, rank the corpus by exact cosine AND
+    by L2, fuse with RRF(60) = 1/(60+r_cos) + 1/(60+r_l2), take top-5 by
+    fused score (neighbor-id tie-break). Ranks are exact ints once each
+    metric's ORDERING agrees cross-engine (the ann_topk precedent: only
+    orderings are compared, never raw float sums), and the fused score is
+    then an identical-path double of exact ints — emitted unrounded.
+    One broadcast of the 10-query side; all three windows share the one
+    query-keyed Exchange. FULL oracle."""
+    from extractors_metadata_spark.operators.similarity import _cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = _cosine(F.col("qv"), F.col("cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda s, v: s + v,
+    )
+    wq = Window.partitionBy("query_id")
+    scored = j.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(
+            wq.orderBy(sim.desc(), F.col("neighbor_id").asc())
+        ).alias("r_cos"),
+        F.row_number().over(
+            wq.orderBy(d2.asc(), F.col("neighbor_id").asc())
+        ).alias("r_l2"),
+    )
+    fused = (
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_cos").cast("double"))
+        + F.lit(1.0) / (F.lit(60.0) + F.col("r_l2").cast("double"))
+    )
+    out = scored.select(
+        "query_id", "neighbor_id", "r_cos", "r_l2", fused.alias("fused"),
+        F.row_number().over(
+            wq.orderBy(fused.desc(), F.col("neighbor_id").asc())
+        ).alias("rrf_rank"),
+    )
+    return out.filter(F.col("rrf_rank") <= 5).select(
+        "query_id", "neighbor_id",
+        F.col("r_cos").cast("int").alias("r_cos"),
+        F.col("r_l2").cast("int").alias("r_l2"),
+        "fused",
+        F.col("rrf_rank").cast("int").alias("rrf_rank"),
+    )
+
+
+_RRF_FUSION_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC,
+                        vec_id ASC) AS r_cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_distance(qv, CAST(embedding AS DOUBLE[])) ASC,
+                        vec_id ASC) AS r_l2
+      FROM embeddings, q WHERE vec_id <> query_id),
+    fusedt AS (
+      SELECT query_id, neighbor_id, r_cos, r_l2,
+             1.0 / (60.0 + CAST(r_cos AS DOUBLE))
+               + 1.0 / (60.0 + CAST(r_l2 AS DOUBLE)) AS fused
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(r_cos AS INT) AS r_cos,
+           CAST(r_l2 AS INT) AS r_l2, fused,
+           CAST(rrf_rank AS INT) AS rrf_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY fused DESC, neighbor_id ASC) AS rrf_rank
+      FROM fusedt) z
+    WHERE rrf_rank <= 5
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat approximate top-k (rows-only: approximate by design)."""
     from extractors_metadata_spark.operators.similarity import ivf_topk
@@ -5466,6 +5551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "srp_pairs_verify": q_srp_pairs_verify,
         "ann_topk": q_ann_topk,
+        "rrf_fusion": q_rrf_fusion,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
         "vocab_growth": q_vocab_growth,
@@ -7629,6 +7715,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, q WHERE vec_id <> query_id)
             WHERE rank <= 5
         """,
+        "rrf_fusion": _RRF_FUSION_SQL,
         "hll_registers": f"WITH {_hll_cte_sql(8)}\n"
         "        SELECT bucket, rho FROM full_regs",
         "hll_estimate": _hll_estimate_sql(8),
