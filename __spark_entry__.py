@@ -5648,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "assortativity": q_assortativity,
         "k_core": q_k_core,
+        "k_hop": q_k_hop,
         "stream_upsert_verify": q_stream_upsert_verify,
         "pq_topk": q_pq_topk,
         "overlay_area": q_overlay_area,
@@ -6141,6 +6142,56 @@ def _k_core_sql(k: int = 7, rounds: int = 8) -> str:
           FROM edges WHERE src != dst),
         {body}
         SELECT a, b FROM {prev}
+    """
+
+
+def q_k_hop(spark, sf_dir):
+    """Bounded BFS (operators/linkgraph.k_hop): minimum-hop distance
+    from seed node 0 over the undirected zipf link graph, 4 rounds of
+    DELTA frontier expansion (settled nodes never re-join). FULL oracle:
+    rounds unrolled as generated CTE stages with EXCEPT as the
+    anti-join twin."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        k_hop,
+        zipf_link_graph,
+    )
+
+    edges = zipf_link_graph(_t(spark, sf_dir, "events"))
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    return k_hop(edges, seeds, hops=4)
+
+
+def _k_hop_sql(hops: int = 4) -> str:
+    stages = []
+    prev_s = "s0"
+    prev_f = "s0"
+    for i in range(1, hops + 1):
+        stages.append(f"""
+        n{i} AS (
+          SELECT DISTINCT sym.dst AS node
+          FROM sym JOIN {prev_f} f ON sym.src = f.node),
+        new{i} AS MATERIALIZED (
+          SELECT node, {i} AS hop FROM (
+            SELECT node FROM n{i} EXCEPT SELECT node FROM {prev_s}) q),
+        s{i} AS MATERIALIZED (
+          SELECT node, hop FROM {prev_s}
+          UNION ALL SELECT node, hop FROM new{i})""")
+        prev_s = f"s{i}"
+        prev_f = f"new{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src != dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges WHERE src != dst)),
+        s0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hop),
+        {body}
+        SELECT node, hop FROM {prev_s}
     """
 
 
@@ -7781,6 +7832,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql(),
         "assortativity": _ASSORTATIVITY_SQL,
         "k_core": _k_core_sql(7, 8),
+        "k_hop": _k_hop_sql(4),
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
         "pq_topk": _pq_sql(),
         "overlay_area": _overlay_sql(),

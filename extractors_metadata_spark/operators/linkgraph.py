@@ -239,3 +239,46 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
             break
         n_prev = n_cur
     return cur
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, hops: int = 4) -> DataFrame:
+    """(node, hop): minimum-hop distance from the seed set over the
+    UNDIRECTED graph, bounded to ``hops`` rounds — the crawl-frontier /
+    blast-radius primitive.  Delta BFS: each round expands only the
+    NEWLY discovered frontier (settled nodes are never re-joined, so
+    total join work is sum over rounds of frontier-adjacent edges, not
+    rounds x graph); discovery joins are node-keyed equi-joins against
+    the symmetrized edge table, anti-join settles the delta.  Rounds
+    localCheckpoint (tiny JVM-only iterative frames) and the loop
+    early-exits when a frontier drains.  ``seeds``: (node) frame, hop 0.
+    Exact ints everywhere; the oracle unrolls rounds as generated CTE
+    stages (EXCEPT set-difference == the anti-join)."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    settled = seeds.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = settled.select("node")
+    for i in range(1, int(hops) + 1):
+        nbrs = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return settled
