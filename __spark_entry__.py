@@ -4197,6 +4197,75 @@ _TRACK_CROSSINGS_SQL = f"""
 """
 
 
+def q_move_rose(spark, sf_dir):
+    """Movement direction rose: per-user consecutive step vectors
+    (nanodegree ints, quantize-once) classified into 8 compass octants
+    with ZERO trig — sector boundaries at 45-degree multiples are exact
+    integer sign/magnitude comparisons (half-open [k*45, (k+1)*45), the
+    branch chain proven per-boundary in test_move_rose). Zero steps
+    drop. Emits per (user, sector) step counts + exact Chebyshev step
+    mass. The compass-histogram primitive without a single
+    transcendental — contrast idw/tiles where the trig is quantized
+    once; here it is eliminated. FULL oracle."""
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        lat, lon,
+    ).select(
+        "user_id", "event_id", "us",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("xi"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("yi"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dx = F.col("xi") - F.lag("xi").over(w)
+    dy = F.col("yi") - F.lag("yi").over(w)
+    steps = e.select("user_id", dx.alias("dx"), dy.alias("dy")).filter(
+        F.col("dx").isNotNull() & ~((F.col("dx") == 0) & (F.col("dy") == 0))
+    )
+    from extractors_metadata_spark.operators.trajectory import octant_sector
+
+    dxc, dyc = F.col("dx"), F.col("dy")
+    sector = octant_sector(dxc, dyc)
+    return steps.groupBy("user_id", sector.alias("sector")).agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(F.greatest(F.abs(dxc), F.abs(dyc))).alias("cheb_sum"),
+    )
+
+
+_MOVE_ROSE_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    steps AS (
+      SELECT user_id,
+             xi - lag(xi) OVER w AS dx,
+             yi - lag(yi) OVER w AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    nz AS (
+      SELECT * FROM steps
+      WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)),
+    cls AS (
+      SELECT user_id, dx, dy,
+             CASE
+               WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+               WHEN dy > 0 AND dx > 0 THEN 1
+               WHEN dx <= 0 AND dy > 0 AND dy > (-dx) THEN 2
+               WHEN dy > 0 AND dx < 0 THEN 3
+               WHEN dx < 0 AND dy <= 0 AND (-dx) > (-dy) THEN 4
+               WHEN dy < 0 AND dx < 0 THEN 5
+               WHEN dx >= 0 AND dy < 0 AND (-dy) > dx THEN 6
+               ELSE 7
+             END AS sector
+      FROM nz)
+    SELECT user_id, sector, CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(greatest(abs(dx), abs(dy))) AS BIGINT) AS cheb_sum
+    FROM cls GROUP BY 1, 2
+"""
+
+
 def q_track_crossings(spark, sf_dir):
     """Trajectory self-intersection counts (trajectory.track_crossings):
     strictly-proper segment crossings per user via four exact-integer
@@ -5684,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "track_crossings": q_track_crossings,
         "local_moran": q_local_moran,
+        "move_rose": q_move_rose,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -7868,6 +7938,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot": _UNPIVOT_SQL,
         "track_crossings": _TRACK_CROSSINGS_SQL,
         "local_moran": _LOCAL_MORAN_SQL,
+        "move_rose": _MOVE_ROSE_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -177,3 +177,22 @@ def track_crossings(
         F.col("n_segments").cast("long").alias("n_segments"),
         F.coalesce(F.col("n_crossings"), F.lit(0)).cast("long").alias("n_crossings"),
     )
+
+
+def octant_sector(dx, dy):
+    """Column: compass octant 0..7 of an integer step vector (dx, dy),
+    half-open sectors [k*45, (k+1)*45) counterclockwise from east —
+    ZERO trig, pure sign/magnitude integer comparisons, so the
+    classification is exact in any engine (the boundary cases are
+    pinned per-degree in tests/test_move_rose.py).  Caller must drop
+    (0, 0) steps; the chain's ELSE would otherwise absorb them."""
+    return (
+        F.when((dx > 0) & (dy >= 0) & (dx > dy), 0)
+        .when((dy > 0) & (dx > 0), 1)
+        .when((dx <= 0) & (dy > 0) & (dy > (-dx)), 2)
+        .when((dy > 0) & (dx < 0), 3)
+        .when((dx < 0) & (dy <= 0) & ((-dx) > (-dy)), 4)
+        .when((dy < 0) & (dx < 0), 5)
+        .when((dx >= 0) & (dy < 0) & ((-dy) > dx), 6)
+        .otherwise(7)
+    )
