@@ -4312,6 +4312,86 @@ _LOCAL_MORAN_SQL = f"""
 """
 
 
+def q_hotspot_persist(spark, sf_dir):
+    """Spatio-temporal hotspot persistence: per grid cell, the
+    consecutive-HOT-HOUR run structure (a cell is hot in an hour when
+    its event count >= 13, the corpus median+1). Islands open where the
+    hour gap exceeds 1 (the interval_union discipline applied to the
+    TIME axis of a SPATIAL key — persistence, not momentary density:
+    tile_density says where is busy, this says where STAYS busy).
+    Nanodegree quantize-once cells, nonneg shift before integer
+    division, exact hour buckets — all int64. FULL oracle."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), lat, lon,
+    ).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+        # div, not /: at us ~ 1.7e15 the double quotient's half-ulp
+        # (2.9e-11) exceeds the 1/3.6e9 fraction gap — cast could round up
+        F.expr("us div 3600000000").alias("hour"),
+    )
+    hot = pts.groupBy("cx", "cy", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    ).filter(F.col("n") >= 13)
+    w = Window.partitionBy("cx", "cy").orderBy("hour")
+    marked = hot.select(
+        "cx", "cy", "hour",
+        F.when(
+            F.lag("hour").over(w).isNull()
+            | ((F.col("hour") - F.lag("hour").over(w)) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    ).select(
+        "cx", "cy", "hour",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run"),
+    )
+    runs = marked.groupBy("cx", "cy", "run").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("cx", "cy").agg(
+        F.sum("len").alias("n_hot_hours"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("len").alias("max_run"),
+    )
+
+
+_HOTSPOT_PERSIST_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    hot AS (
+      SELECT cx, cy, hour, count(*) AS n
+      FROM pts GROUP BY 1, 2, 3 HAVING count(*) >= 13),
+    marked AS (
+      SELECT cx, cy, hour,
+             CASE WHEN lag(hour) OVER w IS NULL
+                       OR hour - lag(hour) OVER w > 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hot WINDOW w AS (PARTITION BY cx, cy ORDER BY hour)),
+    isl AS (
+      SELECT cx, cy, hour,
+             sum(is_new) OVER (PARTITION BY cx, cy
+               ORDER BY hour ROWS UNBOUNDED PRECEDING) AS run
+      FROM marked),
+    runs AS (
+      SELECT cx, cy, run, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT cx, cy, CAST(sum(len) AS BIGINT) AS n_hot_hours,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run
+    FROM runs GROUP BY 1, 2
+"""
+
+
 def q_local_moran(spark, sf_dir):
     """Local Moran spatial lag (operators/spatial_autocorr.local_moran):
     queen-adjacency neighbor sums per grid cell over exact fixed-point
@@ -5754,6 +5834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_crossings": q_track_crossings,
         "local_moran": q_local_moran,
         "move_rose": q_move_rose,
+        "hotspot_persist": q_hotspot_persist,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -7939,6 +8020,7 @@ def oracle_sql() -> dict[str, str]:
         "track_crossings": _TRACK_CROSSINGS_SQL,
         "local_moran": _LOCAL_MORAN_SQL,
         "move_rose": _MOVE_ROSE_SQL,
+        "hotspot_persist": _HOTSPOT_PERSIST_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
