@@ -1443,6 +1443,115 @@ def q_hll_estimate(spark, sf_dir):
     )
 
 
+def q_hll_intersect(spark, sf_dir):
+    """HLL set-intersection estimate by inclusion-exclusion (the one set
+    operation register-max merging cannot express directly): sketch the
+    click-side and view-side (user, hour) presence sets at p=5, merge
+    registers bucket-wise (union), and estimate |A inter B| as
+    est(A) + est(B) - est(A u B) on the emitted double-rounded
+    estimates — identical-path arithmetic on identical inputs. p=5 keeps
+    all three raw estimates above the 2.5m linear-counting threshold
+    (the branch whose ln is not bit-pinned — the hll_estimate rule), so
+    only HUGEINT harmonic sums + one literal double chain are compared.
+    FULL oracle."""
+    from extractors_metadata_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .alias("hour"),
+    )
+    key = F.concat_ws(":", F.col("user_id"), F.col("hour"))
+    a = hll_sketch(e.filter(F.col("event_type") == "click"), key, p=5)
+    b = hll_sketch(e.filter(F.col("event_type") == "view"), key, p=5)
+    u = a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    ea = hll_estimate(a, p=5).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(b, p=5).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(u, p=5).select("m", F.col("estimate").alias("est_u"))
+    return eu.crossJoin(ea).crossJoin(eb).select(
+        "m", "est_a", "est_b", "est_u",
+        (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+        .alias("est_inter"),
+    )
+
+
+def _hll_intersect_sql(p: int = 5) -> str:
+    from extractors_metadata_spark.operators.sketches import (
+        HLL_SCALE,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+
+    def _regs(name: str, where: str) -> str:
+        return f"""
+        keys_{name} AS (
+          SELECT CAST(user_id AS VARCHAR) || ':'
+                 || CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS k
+          FROM events WHERE {where}),
+        h0_{name} AS (SELECT {_poly_sql('k', 131)} AS wr,
+                             {_poly_sql('k', 137)} AS br FROM keys_{name}),
+        h1_{name} AS (SELECT {_mix31_sql('wr')} AS w,
+                             {_mix31_sql('br')} AS bh FROM h0_{name}),
+        rnk_{name} AS (SELECT bh % {m} AS bucket,
+               CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+               FROM h1_{name}),
+        pregs_{name} AS (SELECT bucket, max(rho) AS rho
+                         FROM rnk_{name} GROUP BY bucket),
+        regs_{name} AS MATERIALIZED (
+          SELECT t.bucket, CAST(coalesce(pregs_{name}.rho, 0) AS INTEGER) AS rho
+          FROM (SELECT range AS bucket FROM range(0, {m})) t
+          LEFT JOIN pregs_{name} USING (bucket))"""
+
+    def _est(src: str) -> str:
+        raw = (
+            f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+            f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE)"
+            f" / CAST(harm_{src} AS DOUBLE))"
+        )
+        lc = (
+            f"(CAST({float(m)!r} AS DOUBLE)"
+            f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST(nz_{src} AS DOUBLE)))"
+        )
+        return (
+            f"round(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)"
+            f" AND nz_{src} > 0 THEN {lc} ELSE {raw} END, 6), 3)"
+        )
+
+    return f"""
+        WITH {_regs('a', "event_type = 'click'")},
+        {_regs('b', "event_type = 'view'")},
+        regs_u AS (
+          SELECT a.bucket, greatest(a.rho, b.rho) AS rho
+          FROM regs_a a JOIN regs_b b USING (bucket)),
+        agg AS (
+          SELECT
+            (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT))
+             FROM regs_a) AS harm_a,
+            (SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+             FROM regs_a) AS nz_a,
+            (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT))
+             FROM regs_b) AS harm_b,
+            (SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+             FROM regs_b) AS nz_b,
+            (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT))
+             FROM regs_u) AS harm_u,
+            (SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+             FROM regs_u) AS nz_u),
+        est AS (
+          SELECT {_est('a')} AS est_a, {_est('b')} AS est_b,
+                 {_est('u')} AS est_u
+          FROM agg)
+        SELECT CAST({m} AS INTEGER) AS m, est_a, est_b, est_u,
+               est_a + est_b - est_u AS est_inter
+        FROM est
+    """
+
+
 def q_cms_verify(spark, sf_dir):
     """Count-min sketch round-trip (operators/sketches.cms_sketch +
     cms_lookup): build the d=4 x w=1024 counter grid over user:event_type,
@@ -5739,6 +5848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "hll_registers": q_hll_registers,
         "hll_estimate": q_hll_estimate,
+        "hll_intersect": q_hll_intersect,
         "cms_verify": q_cms_verify,
         "bloom_prune": q_bloom_prune,
         "pagerank": q_pagerank,
@@ -7921,6 +8031,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": f"WITH {_hll_cte_sql(8)}\n"
         "        SELECT bucket, rho FROM full_regs",
         "hll_estimate": _hll_estimate_sql(8),
+        "hll_intersect": _hll_intersect_sql(5),
         "cms_verify": _cms_sql(4, 1024),
         "bloom_prune": _bloom_sql(2048, 5),
         "pagerank": _pagerank_sql(5),
