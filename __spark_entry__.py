@@ -3964,6 +3964,73 @@ _ACF_SQL = """
 """
 
 
+def q_gini(spark, sf_dir):
+    """Gini concentration of per-user spend within each event type: the
+    inequality statistic via the exact rank-moment identity
+    num = sum((2i - n - 1) * x_(i)) over the ascending-sorted user
+    totals — within a tied block the coefficient multiset is fixed and x
+    constant, so the numerator is TIE-ORDER INVARIANT (exact int64, no
+    midranks needed; ranks use the (x, user) order purely for
+    determinism). G = num / (n * S) is consumer-side; also emitted as an
+    identical-path double, unrounded. One group-keyed Exchange serves
+    the ranking window and the aggregate. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    tot = e.groupBy("event_type", "user_id").agg(
+        F.sum("cents").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = tot.select(
+        "event_type", "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).cast("long").alias("n"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(
+            (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("x")
+        ).alias("num"),
+    )
+    return agg.select(
+        "event_type", "n", "s", "num",
+        (
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+        ).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    tot AS (
+      SELECT event_type, user_id, CAST(sum(cents) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY x, user_id) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM tot),
+    agg AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS num
+      FROM ranked GROUP BY 1)
+    SELECT event_type, n, s, num,
+           CAST(num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+    FROM agg
+"""
+
+
 def q_anova(spark, sf_dir):
     """One-way ANOVA F over event_type groups on exact fixed-point cents:
     per-group moments (n_g, S_g, Q_g) are exact int64; each group's
@@ -5933,6 +6000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
         "anova_f": q_anova,
+        "gini": q_gini,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8120,6 +8188,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
         "anova_f": _ANOVA_SQL,
+        "gini": _GINI_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
