@@ -218,6 +218,15 @@ def main() -> None:
         # mad_outliers are row-preserving projections — NOT timed
         # (CLAUDE.md count() rule).
         "ripley_k", "od_matrix", "session_rules", "hll_pyramid",
+        # round-4 late additions: interval_union / streaks count() through
+        # per-user aggregates fed by ordered windows (islands load-bearing);
+        # gini counts the 5-group aggregate (window + rollup execute);
+        # rrf_fusion's rank filter keeps all three window sorts; k_core's
+        # peel rounds run EAGERLY (localCheckpoint per round) inside the
+        # timed construction. (move_rose / acf / local_moran are
+        # row-preserving or near-projection shapes close to already-timed
+        # plans — NOT timed, CLAUDE.md count() rule.)
+        "interval_union", "streaks", "gini", "rrf_fusion", "k_core",
     ]
     qs = entrymod.queries()
     for name in suite:
