@@ -837,6 +837,94 @@ _RRF_FUSION_SQL = """
 """
 
 
+def q_mmr_select(spark, sf_dir):
+    """MMR diversified top-3 (operators/similarity.mmr_select): greedy
+    relevance-vs-redundancy re-ranking where BOTH terms are exact
+    int8-quantization dot products, so every greedy decision is exact
+    int64 (score = 2*rel - max sim to selected, lambda=1/2 scaled x2).
+    Candidates = top-20 by integer relevance per query (3 queries).
+    FULL oracle: the greedy rounds unroll as generated CTE stages with
+    row_number argmax (the k_core strategy applied to a serving-side
+    loop)."""
+    from extractors_metadata_spark.operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb.filter(F.col("vec_id") < 3), emb, k_cand=20, k_sel=3
+    )
+
+
+def _mmr_sql(k_cand: int = 20, k_sel: int = 3, n_queries: int = 3) -> str:
+    stages = []
+    sel_union = "SELECT query_id, doc_id FROM p1"
+    for i in range(1, k_sel + 1):
+        if i == 1:
+            scored = """
+        scored1 AS (
+          SELECT query_id, doc_id, 2 * rel AS score FROM cand)"""
+        else:
+            prev_sel = " UNION ALL ".join(
+                f"SELECT query_id, doc_id FROM p{j}" for j in range(1, i)
+            )
+            scored = f"""
+        sel{i} AS ({prev_sel}),
+        ms{i} AS (
+          SELECT s.query_id, s.id_a AS doc_id, max(s.sim) AS max_sim
+          FROM csims s JOIN sel{i} t
+            ON s.query_id = t.query_id AND s.id_b = t.doc_id
+          GROUP BY 1, 2),
+        scored{i} AS (
+          SELECT c.query_id, c.doc_id, 2 * c.rel - m.max_sim AS score
+          FROM cand c JOIN ms{i} m USING (query_id, doc_id)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sel{i} x
+            WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id))"""
+        stages.append(scored + f""",
+        p{i} AS MATERIALIZED (
+          SELECT query_id, doc_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored{i}) z
+          WHERE rn = 1)""")
+    body = ",".join(stages)
+    final = " UNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS INT) AS pick, doc_id, score FROM p{i}"
+        for i in range(1, k_sel + 1)
+    )
+    return f"""
+        WITH enc AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / CAST(127.0 AS DOUBLE) AS scale,
+                 embedding AS v
+          FROM embeddings),
+        qv AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(round_even(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q
+          FROM enc WHERE scale > 0),
+        relp AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS doc_id, b.q AS cq,
+                 CAST(list_inner_product(CAST(a.q AS DOUBLE[]),
+                                         CAST(b.q AS DOUBLE[])) AS BIGINT) AS rel
+          FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {n_queries}),
+        cand AS MATERIALIZED (
+          SELECT query_id, doc_id, rel, cq FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, doc_id ASC) AS rk
+            FROM relp) z
+          WHERE rk <= {k_cand}),
+        csims AS MATERIALIZED (
+          SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(list_inner_product(CAST(a.cq AS DOUBLE[]),
+                                         CAST(b.cq AS DOUBLE[])) AS BIGINT) AS sim
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+        {body}
+        {final}
+    """
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat approximate top-k (rows-only: approximate by design)."""
     from extractors_metadata_spark.operators.similarity import ivf_topk
@@ -5877,6 +5965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_pairs_verify": q_srp_pairs_verify,
         "ann_topk": q_ann_topk,
         "rrf_fusion": q_rrf_fusion,
+        "mmr_select": q_mmr_select,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
         "vocab_growth": q_vocab_growth,
@@ -8096,6 +8185,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "rrf_fusion": _RRF_FUSION_SQL,
+        "mmr_select": _mmr_sql(20, 3, 3),
         "hll_registers": f"WITH {_hll_cte_sql(8)}\n"
         "        SELECT bucket, rho FROM full_regs",
         "hll_estimate": _hll_estimate_sql(8),

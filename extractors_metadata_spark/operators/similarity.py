@@ -338,3 +338,114 @@ def embedding_centroids(
             / (F.col("n").cast("double") * 1000000.0)
         ).alias("mean"),
     )
+
+
+def mmr_select(
+    queries: DataFrame, corpus: DataFrame, k_cand: int = 20, k_sel: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k — the serving-side
+    re-ranker that trades relevance against redundancy (the dedup idea
+    applied INSIDE a result list).  Greedy: pick argmax relevance, then
+    repeatedly argmax of  score = 2*rel(q, d) - max_{s in S} sim(d, s)
+    (lambda = 1/2, scaled x2 so the score stays an INTEGER — relevance
+    and redundancy are both exact int8-quantization dot products, the
+    sq_topk trick, so every greedy decision is exact int64 arithmetic
+    and the whole operator carries a FULL oracle; ties break on doc id).
+
+    The greedy rounds are unrolled as joins over the BOUNDED candidate
+    frame (top-k_cand by relevance per query), so the quadratic
+    redundancy matrix is k_cand^2 per query — never corpus-sized; at
+    10^12 docs the candidate generator above this (ivf/sq/pq) bounds
+    the pool exactly the same way.  Returns (query_id, pick, doc_id,
+    score): pick = selection order 1..k_sel.
+    """
+    q = sq_encode(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    c = sq_encode(corpus, id_col, vec_col).select(
+        F.col("id").alias("doc_id"), F.col("qvec").alias("cq")
+    )
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"), lambda s, v: s + v,
+        )
+    rel = c.join(broadcast(q), F.col("doc_id") != F.col("query_id")).withColumn(
+        "rel", _dot(F.col("qq"), F.col("cq"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        rel.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k_cand)
+        .select("query_id", "doc_id", "rel", "cq")
+    )
+    a = cand.select(
+        "query_id", F.col("doc_id").alias("id_a"), F.col("cq").alias("va")
+    )
+    b = cand.select(
+        "query_id", F.col("doc_id").alias("id_b"), F.col("cq").alias("vb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")))
+        .select("query_id", "id_a", "id_b", "sim")
+    )
+    pool = cand.select("query_id", "doc_id", "rel")
+    picks: list[DataFrame] = []
+    selected: DataFrame | None = None
+    for i in range(1, int(k_sel) + 1):
+        if selected is None:
+            scored = pool.select(
+                "query_id", "doc_id",
+                (F.lit(2) * F.col("rel")).alias("score"),
+            )
+        else:
+            ms = (
+                sims.join(
+                    selected.select(
+                        "query_id", F.col("doc_id").alias("id_b")
+                    ),
+                    ["query_id", "id_b"],
+                )
+                .groupBy("query_id", F.col("id_a").alias("doc_id"))
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = pool.join(ms, ["query_id", "doc_id"]).select(
+                "query_id", "doc_id",
+                (F.lit(2) * F.col("rel") - F.col("max_sim")).alias("score"),
+            )
+        pick = (
+            scored.groupBy("query_id")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "score"),
+                    F.struct(
+                        (-F.col("score")).alias("a"),
+                        F.col("doc_id").alias("b"),
+                    ),
+                ).alias("p")
+            )
+            .select(
+                "query_id",
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.score").alias("score"),
+                F.lit(i).alias("pick"),
+            )
+        )
+        picks.append(pick)
+        selected = pick if selected is None else selected.unionByName(pick)
+        pool = pool.join(
+            pick.select("query_id", "doc_id"), ["query_id", "doc_id"],
+            "left_anti",
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id", F.col("pick").cast("int").alias("pick"),
+        "doc_id", "score",
+    )
