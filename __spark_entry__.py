@@ -4052,6 +4052,61 @@ _ACF_SQL = """
 """
 
 
+def q_decay_score(spark, sf_dir):
+    """Recency-decayed engagement score per user with a POWER-OF-TWO
+    half-life (1 hour): score = sum(cents_i * 2^(32 - age_h)) for ages
+    <= 32 hours before the corpus max hour, else 0 — the exponential-
+    decay ranking signal made EXACT int64 (2^k scaling only shifts the
+    exponent, the tile_pyramid halving identity applied to TIME; float
+    exp() decay is fold-order dependent and unreplayable). Budget:
+    cents*2^32*rows ~ 4e17 << 2^63. Consumers normalize by 2^32 — the
+    ratio is the conventional decayed score. The as-of point is the
+    corpus max hour (exact int, same aggregate both engines).
+    FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    mx = e.agg(F.max("hour")).first()[0]
+    age = F.lit(int(mx)) - F.col("hour")
+    term = F.when(
+        age <= 32,
+        F.col("cents")
+        * F.pow(F.lit(2.0), (F.lit(32) - age).cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return e.groupBy("user_id").agg(
+        F.sum(term).alias("decayed_fp"),
+        F.sum((age <= 32).cast("long")).alias("n_live"),
+        F.lit(int(mx)).cast("long").alias("as_of_hour"),
+    )
+
+
+_DECAY_SCORE_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    mx AS (SELECT max(hour) AS m FROM e),
+    terms AS (
+      SELECT user_id,
+             CASE WHEN (SELECT m FROM mx) - hour <= 32
+                  THEN cents * CAST(power(2, 32 - ((SELECT m FROM mx) - hour))
+                               AS BIGINT)
+                  ELSE 0 END AS term,
+             CASE WHEN (SELECT m FROM mx) - hour <= 32
+                  THEN 1 ELSE 0 END AS live
+      FROM e)
+    SELECT user_id, CAST(sum(term) AS BIGINT) AS decayed_fp,
+           CAST(sum(live) AS BIGINT) AS n_live,
+           (SELECT m FROM mx) AS as_of_hour
+    FROM terms GROUP BY 1
+"""
+
+
 def q_gini(spark, sf_dir):
     """Gini concentration of per-user spend within each event type: the
     inequality statistic via the exact rank-moment identity
@@ -6090,6 +6145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "anova_f": q_anova,
         "gini": q_gini,
+        "decay_score": q_decay_score,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8279,6 +8335,7 @@ def oracle_sql() -> dict[str, str]:
         "chi_square": _CHI_SQUARE_SQL,
         "anova_f": _ANOVA_SQL,
         "gini": _GINI_SQL,
+        "decay_score": _DECAY_SCORE_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
