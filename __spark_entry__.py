@@ -5085,6 +5085,61 @@ _CO_VISITATION_SQL = f"""
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot changelog (sources/snapshot.diff_snapshots): the CDC-read
+    shape — added/removed/changed keys between two committed versions of
+    a table, computed as ONE full-outer key join over two time-travel
+    reads with null-safe value comparison. The table history is built
+    deterministically from events (v1 = all keys; v2 = replace that
+    drops id%97==0, bumps id%10==0, adds 500 shifted keys), so the diff
+    is a pure function the oracle rebuilds from the same predicates —
+    the snapshot machinery (commit, time travel, full-outer diff) is
+    what is actually under test. FULL oracle."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import (
+        diff_snapshots,
+        write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_sdiff_")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    m1 = write_snapshot(e, base, "append")
+    v2 = (
+        e.filter(F.col("event_id") % 97 != 0)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.col("cents") + 1)
+            .otherwise(F.col("cents")).alias("cents"),
+        )
+        .unionByName(
+            e.filter(F.col("event_id") < 500).select(
+                (F.col("event_id") + F.lit(1000000)).alias("event_id"),
+                "cents",
+            )
+        )
+    )
+    m2 = write_snapshot(v2, base, "replace")
+    return diff_snapshots(
+        spark, base, m1["snapshot_id"], m2["snapshot_id"], ("event_id",)
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH base AS (SELECT event_id FROM events)
+    SELECT 'removed' AS change, event_id FROM base WHERE event_id % 97 = 0
+    UNION ALL
+    SELECT 'changed' AS change, event_id FROM base
+    WHERE event_id % 97 != 0 AND event_id % 10 = 0
+    UNION ALL
+    SELECT 'added' AS change, event_id + 1000000 AS event_id FROM base
+    WHERE event_id < 500
+"""
+
+
 def q_stream_tiles_verify(spark, sf_dir):
     """Streamed per-tile rollup under a FULL oracle
     (streaming/tile_stream.stream_tile_counts — the spatial x streaming
@@ -6158,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_moran": q_local_moran,
         "move_rose": q_move_rose,
         "hotspot_persist": q_hotspot_persist,
+        "snapshot_diff": q_snapshot_diff,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -8348,6 +8404,7 @@ def oracle_sql() -> dict[str, str]:
         "local_moran": _LOCAL_MORAN_SQL,
         "move_rose": _MOVE_ROSE_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -774,3 +774,57 @@ def run_incremental(
     todo = resume_gap(spark, input_df, table_path, key_col)
     out = transform(todo)
     return write_snapshot(out, table_path, "append", partition_by)
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    table_path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Row-level diff between two snapshot versions — the Iceberg
+    changelog / CDC-read shape: what would a consumer that last saw
+    ``v_old`` have to apply to reach ``v_new``?
+
+    Returns (change, *key_cols) with change in {'added', 'removed',
+    'changed'}: keys only in v_new are added, only in v_old removed,
+    present in both with ANY non-key column differing are changed
+    (null-safe comparison via eqNullSafe; unchanged keys are dropped —
+    the diff is sparse by design).
+
+    Plan: two time-travel reads -> ONE full-outer key join with
+    presence flags (the q_full_outer reconciliation shape applied to
+    the table's own history); non-key comparison happens inside the
+    join projection, so nothing but the join shuffles. Cost is
+    O(v_old + v_new) scan + one key-partitioned Exchange — at 10^12
+    rows prefer partition-pruned diffs (pass the partition filter down
+    via read_table's partition layout) or MoR delete-set inspection;
+    this is the exact, general fallback.
+    """
+    old = read_table(spark, table_path, as_of=v_old)
+    new = read_table(spark, table_path, as_of=v_new)
+    if old is None or new is None:
+        raise ValueError("both snapshot versions must exist and be nonempty")
+    keys = list(key_cols)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys,
+        F.struct(*[F.col(c) for c in val_cols]).alias("_vo"),
+        F.lit(1).alias("_po"),
+    )
+    n = new.select(
+        *keys,
+        F.struct(*[F.col(c) for c in val_cols]).alias("_vn"),
+        F.lit(1).alias("_pn"),
+    )
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_po").isNull(), "added")
+        .when(F.col("_pn").isNull(), "removed")
+        .when(~F.col("_vo").eqNullSafe(F.col("_vn")), "changed")
+    )
+    return (
+        j.select(change.alias("change"), *keys)
+        .filter(F.col("change").isNotNull())
+    )
