@@ -4052,6 +4052,69 @@ _ACF_SQL = """
 """
 
 
+def q_skyline(spark, sf_dir):
+    """2D skyline (Pareto frontier) of users on (total spend, activity):
+    a user survives iff no other user strictly dominates on both axes.
+    The textbook sort-order identity replaces the O(n^2) dominance
+    self-join: ordered by (x desc, y desc, id), a point is dominated iff
+    some PRECEDING point has strictly larger x AND y — equivalently
+    iff max(y) over preceding rows with larger x exceeds y; with equal
+    x never dominating on x, that is the prefix-max of per-x-block y
+    maxima over the [unbounded, 1 PRECEDING] frame — one group
+    aggregate + one window. Implemented with exact ints only: spend cents
+    and event counts. ONE sort-shuffle, zero joins. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum("cents").alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    # prefix max of y over all rows with STRICTLY larger x: rank x-blocks
+    # descending, take each block's max y, then the running max of all
+    # PRECEDING blocks (lag of the cumulative max over block rows).
+    wb = Window.orderBy(F.col("x").desc())
+    blocks = (
+        u.groupBy("x").agg(F.max("y").alias("block_max"))
+        .select(
+            "x",
+            F.max("block_max").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ).alias("prev_max_y"),
+        )
+    )
+    return (
+        u.join(blocks, "x")
+        .filter(
+            F.col("prev_max_y").isNull()
+            | (F.col("y") >= F.col("prev_max_y"))
+        )
+        .select("user_id", "x", "y")
+    )
+
+
+_SKYLINE_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    u AS (
+      SELECT user_id, CAST(sum(cents) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM e GROUP BY 1),
+    blocks AS (
+      SELECT x,
+             max(block_max) OVER (ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_y
+      FROM (SELECT x, max(y) AS block_max FROM u GROUP BY 1) b)
+    SELECT user_id, x, y
+    FROM u JOIN blocks USING (x)
+    WHERE prev_max_y IS NULL OR y >= prev_max_y
+"""
+
+
 def q_decay_score(spark, sf_dir):
     """Recency-decayed engagement score per user with a POWER-OF-TWO
     half-life (1 hour): score = sum(cents_i * 2^(32 - age_h)) for ages
@@ -6201,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_f": q_anova,
         "gini": q_gini,
         "decay_score": q_decay_score,
+        "skyline": q_skyline,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8392,6 +8456,7 @@ def oracle_sql() -> dict[str, str]:
         "anova_f": _ANOVA_SQL,
         "gini": _GINI_SQL,
         "decay_score": _DECAY_SCORE_SQL,
+        "skyline": _SKYLINE_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
