@@ -4052,6 +4052,81 @@ _ACF_SQL = """
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift monitor: the value distribution
+    of the FIRST time-half of the corpus vs the SECOND (split at the
+    exact integer mid hour), over 10 fixed decile bins — the standard
+    ML-serving input-drift gauge. Bin counts exact ints; per-bin
+    (p-q)*ln(p/q) is an identical-path double HALF-EVEN rounded to 1e-9
+    fixed point BEFORE the order-free sum (the bm25 recipe — ~9 orders
+    of slack over the JVM-vs-DuckDB ln ulp), psi total rides every row
+    via a full-frame window. Bins empty on either side are excluded
+    IDENTICALLY on both engines (documented contract; this corpus
+    populates all 10). FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    lohi = e.agg(F.min("hour"), F.max("hour")).first()
+    mid = (int(lohi[0]) + int(lohi[1]) + 1) // 2
+    binned = e.select(
+        F.least(F.expr("cents div 1000"), F.lit(9).cast("long")).alias("bin"),
+        (F.col("hour") < mid).cast("long").alias("s1"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("s1").alias("n1"),
+        F.sum(F.lit(1) - F.col("s1")).alias("n2"),
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nt1 = F.sum("n1").over(wall)
+    nt2 = F.sum("n2").over(wall)
+    p = F.col("n1").cast("double") / nt1.cast("double")
+    q = F.col("n2").cast("double") / nt2.cast("double")
+    term_fp = F.bround((p - q) * F.log(p / q) * 1000000000.0, 0).cast("long")
+    scored = counts.select("bin", "n1", "n2", term_fp.alias("term_fp"))
+    return scored.select(
+        "bin", "n1", "n2", "term_fp",
+        F.sum("term_fp").over(wall).alias("psi_fp"),
+    )
+
+
+_PSI_DRIFT_SQL = """
+    WITH e AS (
+      SELECT CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    mid AS (SELECT (min(hour) + max(hour) + 1) // 2 AS m FROM e),
+    binned AS (
+      SELECT least(cents // 1000, 9) AS bin,
+             CASE WHEN hour < (SELECT m FROM mid) THEN 1 ELSE 0 END AS s1
+      FROM e),
+    counts AS (
+      SELECT bin, CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(1 - s1) AS BIGINT) AS n2
+      FROM binned GROUP BY 1
+      HAVING sum(s1) > 0 AND sum(1 - s1) > 0),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS nt1,
+             CAST(sum(n2) AS BIGINT) AS nt2 FROM counts),
+    terms AS (
+      SELECT bin, n1, n2,
+             CAST(round_even(
+               (CAST(n1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+                - CAST(n2 AS DOUBLE) / CAST(nt2 AS DOUBLE))
+               * ln((CAST(n1 AS DOUBLE) / CAST(nt1 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) / CAST(nt2 AS DOUBLE)))
+               * 1000000000.0, 0) AS BIGINT) AS term_fp
+      FROM counts CROSS JOIN tot)
+    SELECT bin, n1, n2, term_fp,
+           CAST(sum(term_fp) OVER () AS BIGINT) AS psi_fp
+    FROM terms
+"""
+
+
 def q_skyline(spark, sf_dir):
     """2D skyline (Pareto frontier) of users on (total spend, activity):
     a user survives iff no other user strictly dominates on both axes.
@@ -6265,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "decay_score": q_decay_score,
         "skyline": q_skyline,
+        "psi_drift": q_psi_drift,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8457,6 +8533,7 @@ def oracle_sql() -> dict[str, str]:
         "gini": _GINI_SQL,
         "decay_score": _DECAY_SCORE_SQL,
         "skyline": _SKYLINE_SQL,
+        "psi_drift": _PSI_DRIFT_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
