@@ -4654,6 +4654,93 @@ _TRACK_CROSSINGS_SQL = f"""
 """
 
 
+def q_rdp_simplify(spark, sf_dir):
+    """Bounded-depth RDP polyline simplification
+    (operators/trajectory.rdp_keep): per-user kept vertices at depth 2,
+    eps = 600 microdegrees — perpendicular tests as exact integer
+    cross^2 > eps^2*chord^2 comparisons (MICROdegrees, not nano: the
+    depth-2 cross^2 budget), splitter = (|cross| desc, seq asc) exact
+    argmax. FULL oracle: both levels replayed with row_number argmax
+    (the DuckDB min_by-struct fallback)."""
+    from extractors_metadata_spark.operators.trajectory import rdp_keep
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        lat, lon,
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pts = e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.bround(F.col("lon") * 1000000.0, 0).cast("long").alias("x"),
+        F.bround(F.col("lat") * 1000000.0, 0).cast("long").alias("y"),
+    )
+    return rdp_keep(pts, eps=600)
+
+
+_RDP_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq,
+             CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) AS x,
+             CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) AS y
+      FROM events),
+    n AS (SELECT user_id, max(seq) AS n FROM pts GROUP BY 1),
+    a AS (SELECT user_id, x AS xa, y AS ya FROM pts WHERE seq = 1),
+    b AS (SELECT pts.user_id, x AS xb, y AS yb
+          FROM pts JOIN n USING (user_id) WHERE seq = n.n),
+    ends AS (
+      SELECT pts.user_id, seq, x, y FROM pts JOIN n USING (user_id)
+      WHERE seq = 1 OR seq = n.n),
+    int1 AS MATERIALIZED (
+      SELECT pts.user_id, seq, x, y FROM pts JOIN n USING (user_id)
+      WHERE seq > 1 AND seq < n.n),
+    sc1 AS (
+      SELECT i.user_id, i.seq, i.x, i.y,
+             abs((i.x - xa) * (yb - ya) - (i.y - ya) * (xb - xa)) AS ac,
+             (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) AS l2
+      FROM int1 i JOIN a USING (user_id) JOIN b USING (user_id)),
+    m1 AS MATERIALIZED (
+      SELECT user_id, seq, x, y, ac, l2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ac DESC, seq ASC) AS rn
+        FROM sc1) z
+      WHERE rn = 1 AND ac * ac > 360000 * l2),
+    i2 AS (
+      SELECT i.user_id,
+             CASE WHEN i.seq < m.seq THEN 0 ELSE 1 END AS side,
+             i.seq, i.x, i.y
+      FROM int1 i JOIN m1 m USING (user_id)
+      WHERE i.seq != m.seq),
+    a2 AS (
+      SELECT a.user_id, 0 AS side, xa, ya FROM a JOIN m1 USING (user_id)
+      UNION ALL
+      SELECT user_id, 1 AS side, x AS xa, y AS ya FROM m1),
+    b2 AS (
+      SELECT user_id, 0 AS side, x AS xb, y AS yb FROM m1
+      UNION ALL
+      SELECT b.user_id, 1 AS side, xb, yb FROM b JOIN m1 USING (user_id)),
+    sc2 AS (
+      SELECT i.user_id, i.side, i.seq, i.x, i.y,
+             abs((i.x - xa) * (yb - ya) - (i.y - ya) * (xb - xa)) AS ac,
+             (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) AS l2
+      FROM i2 i JOIN a2 USING (user_id, side) JOIN b2 USING (user_id, side)),
+    m2 AS (
+      SELECT user_id, seq, x, y FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, side
+                  ORDER BY ac DESC, seq ASC) AS rn
+        FROM sc2) z
+      WHERE rn = 1 AND ac * ac > 360000 * l2)
+    SELECT DISTINCT user_id, seq, x, y FROM (
+      SELECT user_id, seq, x, y FROM ends
+      UNION ALL SELECT user_id, seq, x, y FROM m1
+      UNION ALL SELECT user_id, seq, x, y FROM m2) all_kept
+"""
+
+
 def q_move_rose(spark, sf_dir):
     """Movement direction rose: per-user consecutive step vectors
     (nanodegree ints, quantize-once) classified into 8 compass octants
@@ -6352,6 +6439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_crossings": q_track_crossings,
         "local_moran": q_local_moran,
         "move_rose": q_move_rose,
+        "rdp_simplify": q_rdp_simplify,
         "hotspot_persist": q_hotspot_persist,
         "snapshot_diff": q_snapshot_diff,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
@@ -8545,6 +8633,7 @@ def oracle_sql() -> dict[str, str]:
         "track_crossings": _TRACK_CROSSINGS_SQL,
         "local_moran": _LOCAL_MORAN_SQL,
         "move_rose": _MOVE_ROSE_SQL,
+        "rdp_simplify": _RDP_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "quality_percentile": f"""

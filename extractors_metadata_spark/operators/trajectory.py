@@ -196,3 +196,117 @@ def octant_sector(dx, dy):
         .when((dx >= 0) & (dy < 0) & ((-dy) > dx), 6)
         .otherwise(7)
     )
+
+
+def rdp_keep(
+    pts: DataFrame, eps: int, user_col: str = "user_id",
+) -> DataFrame:
+    """Bounded-depth (2-level) Ramer-Douglas-Peucker polyline keep set —
+    trajectory compression with EXACT integer geometry: the
+    perpendicular-distance test  dist > eps  is evaluated as
+    cross^2 > eps^2 * |chord|^2  (both sides exact int64 — the
+    track_crossings orientation discipline applied to magnitudes), and
+    the per-segment splitter is the (|cross| desc, seq asc) argmax via
+    min_by, so every decision is exact and cross-engine replayable.
+
+    ``pts``: (user, seq, x, y) — seq ordered 1..n per user, x/y integer
+    MICROdegrees (the depth-2 budget: cross ~ span^2 must stay < 2^63,
+    which nanodegrees break at city-scale spans; callers with bigger
+    spans re-scale accordingly).  Depth is FIXED at 2 (the pagerank
+    bounded-iteration rule — full RDP recursion depth is data-dependent
+    and unreplayable as a static plan): level 1 splits on the
+    first..last chord, level 2 on each significant half.  Returns the
+    kept (user, seq, x, y) rows: endpoints + up to 3 splitters.
+
+    Plan: every level is one endpoints aggregate + one interior join +
+    one min_by argmax — three user-keyed shuffles total, no UDF, no
+    recursion."""
+    n = pts.groupBy(user_col).agg(F.max("seq").alias("n"))
+    ends = (
+        pts.join(n, user_col)
+        .filter((F.col("seq") == 1) | (F.col("seq") == F.col("n")))
+    )
+    a = pts.filter(F.col("seq") == 1).select(
+        user_col, F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = (
+        pts.join(n, user_col)
+        .filter(F.col("seq") == F.col("n"))
+        .select(user_col, F.col("x").alias("xb"), F.col("y").alias("yb"))
+    )
+
+    def _split(interior: DataFrame, aa: DataFrame, bb: DataFrame,
+               extra_keys: list[str]) -> DataFrame:
+        """argmax-|cross| splitter per (user, *extra_keys), kept iff
+        cross^2 > eps^2 * chord^2."""
+        j = interior.join(aa, [user_col] + extra_keys).join(
+            bb, [user_col] + extra_keys
+        )
+        cross = (
+            (F.col("x") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+            - (F.col("y") - F.col("ya")) * (F.col("xb") - F.col("xa"))
+        )
+        scored = j.select(
+            user_col, *extra_keys, "seq", "x", "y",
+            F.abs(cross).alias("ac"),
+            (
+                (F.col("xb") - F.col("xa")) * (F.col("xb") - F.col("xa"))
+                + (F.col("yb") - F.col("ya")) * (F.col("yb") - F.col("ya"))
+            ).alias("l2"),
+        )
+        win = scored.groupBy(user_col, *extra_keys).agg(
+            F.min_by(
+                F.struct("seq", "x", "y", "ac", "l2"),
+                F.struct((-F.col("ac")).alias("k1"), F.col("seq").alias("k2")),
+            ).alias("p")
+        ).select(
+            user_col, *extra_keys,
+            F.col("p.seq").alias("seq"), F.col("p.x").alias("x"),
+            F.col("p.y").alias("y"), F.col("p.ac").alias("ac"),
+            F.col("p.l2").alias("l2"),
+        )
+        return win.filter(
+            F.col("ac") * F.col("ac") > F.lit(int(eps) * int(eps)) * F.col("l2")
+        )
+
+    interior1 = (
+        pts.join(n, user_col)
+        .filter((F.col("seq") > 1) & (F.col("seq") < F.col("n")))
+        .select(user_col, "seq", "x", "y")
+    )
+    m1 = _split(interior1, a, b, [])
+    m1k = m1.select(user_col, F.col("seq").alias("mseq"),
+                    F.col("x").alias("xm"), F.col("y").alias("ym"))
+    # level 2: interiors of (first..m) and (m..last) for users with a split
+    i2 = interior1.join(m1k, user_col).filter(F.col("seq") != F.col("mseq"))
+    left = i2.filter(F.col("seq") < F.col("mseq")).withColumn(
+        "side", F.lit(0)
+    )
+    right = i2.filter(F.col("seq") > F.col("mseq")).withColumn(
+        "side", F.lit(1)
+    )
+    i2s = left.unionByName(right).select(user_col, "side", "seq", "x", "y")
+    a2 = (
+        a.join(m1k, user_col)
+        .select(user_col, F.lit(0).alias("side"), "xa", "ya")
+        .unionByName(
+            m1k.select(user_col, F.lit(1).alias("side"),
+                       F.col("xm").alias("xa"), F.col("ym").alias("ya"))
+        )
+    )
+    b2 = (
+        m1k.select(user_col, F.lit(0).alias("side"),
+                   F.col("xm").alias("xb"), F.col("ym").alias("yb"))
+        .unionByName(
+            b.join(m1k, user_col)
+            .select(user_col, F.lit(1).alias("side"), "xb", "yb")
+        )
+    )
+    m2 = _split(i2s, a2, b2, ["side"])
+    kept = (
+        ends.select(user_col, "seq", "x", "y")
+        .unionByName(m1.select(user_col, "seq", "x", "y"))
+        .unionByName(m2.select(user_col, "seq", "x", "y"))
+        .distinct()
+    )
+    return kept
