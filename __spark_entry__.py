@@ -4127,6 +4127,74 @@ _PSI_DRIFT_SQL = """
 """
 
 
+def q_join_profile(spark, sf_dir):
+    """Join-skew profile WITHOUT running the join — the planning
+    diagnostic behind this repo's salting rules: for orders JOIN lineitem
+    ON custkey-derived keys, the exact output cardinality is
+    sum_k n1_k * n2_k over the key histograms (two aggregates + one
+    key-keyed equi-join of COUNTS — never the join itself), plus the
+    skew shape that decides salting: max and top-decile per-key pair
+    counts, distinct/matched key counts. All exact int64. At 100 TB this
+    is the cheap pre-flight that catches the 10^12-pair hot key before
+    it takes the cluster down. FULL oracle."""
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n1"))
+    l = _t(spark, sf_dir, "lineitem").groupBy(
+        (F.col("l_orderkey") % 1500).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n2"))
+    m = o.join(l, "k")
+    pairs = (F.col("n1") * F.col("n2")).alias("pairs")
+    per_key = m.select("k", pairs)
+    w = Window.orderBy(F.col("pairs").desc(), F.col("k").asc())
+    ranked = per_key.select(
+        "pairs",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("nk"),
+    )
+    return ranked.agg(
+        F.sum("pairs").alias("total_pairs"),
+        F.max("nk").alias("matched_keys"),
+        F.max("pairs").alias("max_key_pairs"),
+        # top-decile mass: the salting trigger — pairs carried by the
+        # hottest 10% of keys (rank <= ceil(nk/10), exact ints)
+        F.sum(
+            F.when(
+                F.col("rn") <= F.expr("(nk + 9) div 10"),
+                F.col("pairs"),
+            ).otherwise(F.lit(0))
+        ).alias("top_decile_pairs"),
+    )
+
+
+_JOIN_PROFILE_SQL = """
+    WITH o AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n1
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT l_orderkey % 1500 AS k, CAST(count(*) AS BIGINT) AS n2
+      FROM lineitem GROUP BY 1),
+    per_key AS (
+      SELECT o.k, n1 * n2 AS pairs FROM o JOIN l USING (k)),
+    ranked AS (
+      SELECT pairs,
+             CAST(row_number() OVER (ORDER BY pairs DESC, k ASC)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS nk
+      FROM per_key)
+    SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+           CAST(max(nk) AS BIGINT) AS matched_keys,
+           CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+           CAST(sum(CASE WHEN rn <= (nk + 9) // 10
+                    THEN pairs ELSE 0 END) AS BIGINT) AS top_decile_pairs
+    FROM ranked
+"""
+
+
 def q_skyline(spark, sf_dir):
     """2D skyline (Pareto frontier) of users on (total spend, activity):
     a user survives iff no other user strictly dominates on both axes.
@@ -6428,6 +6496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_score": q_decay_score,
         "skyline": q_skyline,
         "psi_drift": q_psi_drift,
+        "join_profile": q_join_profile,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8622,6 +8691,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": _DECAY_SCORE_SQL,
         "skyline": _SKYLINE_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
+        "join_profile": _JOIN_PROFILE_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
