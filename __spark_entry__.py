@@ -4127,6 +4127,65 @@ _PSI_DRIFT_SQL = """
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST event week (exact µs div), each later week
+    of activity lands in (cohort_week, week_offset) with a distinct-user
+    count; retention rate = n_active / cohort_size, an identical-path
+    double emitted unrounded. Two aggregates + one broadcast-shaped
+    cohort join (first-event table is |users|), all exact ints; the
+    week key is integer `div` (the hotspot_persist µs rule). FULL
+    oracle."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("week"),
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    act = (
+        e.join(F.broadcast(first), "user_id")
+        .select("cohort", (F.col("week") - F.col("cohort")).alias("offset"),
+                "user_id")
+        .distinct()
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cohort").select(
+        "cohort", "offset", "n_active", "cohort_users",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_users").cast("double")
+        ).alias("retention"),
+    )
+
+
+_COHORT_RETENTION_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS week FROM events
+      WHERE event_type = 'purchase'),
+    first AS (
+      SELECT user_id, min(week) AS cohort FROM e GROUP BY 1),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first GROUP BY 1),
+    act AS (
+      SELECT cohort, week - cohort AS "offset",
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      FROM e JOIN first USING (user_id)
+      GROUP BY 1, 2)
+    SELECT cohort, "offset", n_active, cohort_users,
+           CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+             AS retention
+    FROM act JOIN sizes USING (cohort)
+"""
+
+
 def q_join_profile(spark, sf_dir):
     """Join-skew profile WITHOUT running the join — the planning
     diagnostic behind this repo's salting rules: for orders JOIN lineitem
@@ -6497,6 +6556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "psi_drift": q_psi_drift,
         "join_profile": q_join_profile,
+        "cohort_retention": q_cohort_retention,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8692,6 +8752,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline": _SKYLINE_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
