@@ -4127,6 +4127,78 @@ _PSI_DRIFT_SQL = """
 """
 
 
+def q_event_study(spark, sf_dir):
+    """Event-study around purchases (the econometrics before/after
+    shape): every same-user event within 1 hour of a purchase anchor is
+    binned pre/post (same-timestamp rows are DROPPED — no defensible
+    side; the anchor excludes itself by event id), then one exact
+    aggregate yields n/sum per side and the diff-in-means as an
+    identical-path double, unrounded. The pair fan-out is per-user
+    anchors x events — the kendall per-key bounded contract. FULL
+    oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        "event_type",
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("pus"),
+    )
+    j = e.join(p, "user_id").filter(
+        (F.col("event_id") != F.col("pid"))
+        & (F.abs(F.col("us") - F.col("pus")) <= 3600000000)
+        & (F.col("us") != F.col("pus"))
+    )
+    pre = (F.col("us") < F.col("pus")).cast("long")
+    post = (F.col("us") > F.col("pus")).cast("long")
+    agg = j.agg(
+        F.sum(pre).alias("n_pre"),
+        F.sum(pre * F.col("cents")).alias("s_pre"),
+        F.sum(post).alias("n_post"),
+        F.sum(post * F.col("cents")).alias("s_post"),
+    )
+    return agg.select(
+        "n_pre", "s_pre", "n_post", "s_post",
+        (
+            F.col("s_post").cast("double") / F.col("n_post").cast("double")
+            - F.col("s_pre").cast("double") / F.col("n_pre").cast("double")
+        ).alias("did_cents"),
+    )
+
+
+_EVENT_STUDY_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             event_type
+      FROM events),
+    p AS (
+      SELECT user_id, event_id AS pid, us AS pus
+      FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT e.cents,
+             CASE WHEN e.us < p.pus THEN 1 ELSE 0 END AS pre,
+             CASE WHEN e.us > p.pus THEN 1 ELSE 0 END AS post
+      FROM e JOIN p USING (user_id)
+      WHERE e.event_id != p.pid
+        AND abs(e.us - p.pus) <= 3600000000
+        AND e.us != p.pus),
+    agg AS (
+      SELECT CAST(sum(pre) AS BIGINT) AS n_pre,
+             CAST(sum(pre * cents) AS BIGINT) AS s_pre,
+             CAST(sum(post) AS BIGINT) AS n_post,
+             CAST(sum(post * cents) AS BIGINT) AS s_post
+      FROM j)
+    SELECT n_pre, s_pre, n_post, s_post,
+           CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE)
+             - CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE) AS did_cents
+    FROM agg
+"""
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix — the product-analytics staple: users
     cohorted by their FIRST event week (exact µs div), each later week
@@ -6557,6 +6629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "join_profile": q_join_profile,
         "cohort_retention": q_cohort_retention,
+        "event_study": q_event_study,
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
@@ -8753,6 +8826,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_DRIFT_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "event_study": _EVENT_STUDY_SQL,
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
