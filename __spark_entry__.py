@@ -602,6 +602,60 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
 
 
+def q_prefix_join(spark, sf_dir):
+    """EXACT all-pairs Jaccard >= 0.5 via prefix filtering
+    (operators/dedup.prefix_jaccard_join — the AllPairs/PPJoin family):
+    the exact complement to the MinHash LSH path — zero recall loss,
+    candidate volume bounded by the prefix theorem (a qualifying pair
+    MUST share a token in each side's rarest-first |d|-ceil(t|d|)+1
+    prefix). Verify is pure integer: 100*inter >= t*union. FULL
+    oracle."""
+    from extractors_metadata_spark.operators.dedup import prefix_jaccard_join
+
+    return prefix_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold_pct=50
+    )
+
+
+_PREFIX_JOIN_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    shm AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(tk[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+    freq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+             FROM shm GROUP BY 1),
+    ranked AS (
+      SELECT doc, shingle,
+             CAST(row_number() OVER (PARTITION BY doc
+                  ORDER BY df, shingle) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY doc) AS BIGINT) AS sz
+      FROM shm JOIN freq USING (shingle)),
+    pref AS MATERIALIZED (
+      SELECT doc, shingle FROM ranked
+      WHERE rk <= sz - (50 * sz + 99) // 100 + 1),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM pref a JOIN pref b USING (shingle)
+      WHERE a.doc < b.doc),
+    shared AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN shm sa ON sa.doc = c.id_a
+      JOIN shm sb ON sb.doc = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz
+              FROM shm GROUP BY 1)
+    SELECT id_a, id_b, inter, za.sz + zb.sz - inter AS uni
+    FROM shared
+    JOIN sizes za ON za.doc = id_a
+    JOIN sizes zb ON zb.doc = id_b
+    WHERE 100 * inter >= 50 * (za.sz + zb.sz - inter)
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from extractors_metadata_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -6503,6 +6557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
         "vocab_growth": q_vocab_growth,
+        "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,
         "length_quantiles": q_length_quantiles,
         "hash_split": q_hash_split,
@@ -8434,6 +8489,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
         """,
+        "prefix_join": _PREFIX_JOIN_SQL,
         "vocab_growth": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk

@@ -759,3 +759,78 @@ def url_dedup(
     )
     w = Window.partitionBy("url_canonical")
     return keyed.withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+
+
+def prefix_jaccard_join(
+    df: DataFrame, threshold_pct: int = 50,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via PREFIX FILTERING (AllPairs /
+    PPJoin family) — the exact complement to the MinHash LSH path: no
+    probabilistic recall loss, candidates bounded by a THEOREM instead
+    of banding luck.  Sets are the distinct 3-word shingles per doc,
+    canonically ordered RAREST-FIRST by global frequency (ties on the
+    shingle string); if J(a, b) >= t then a and b MUST share a token in
+    each one's first  |d| - ceil(t*|d|) + 1  tokens (else the overlap
+    cap contradicts J >= t), so the candidate join runs only on those
+    prefixes.  threshold_pct is an integer percent so the final verify
+    is EXACT integer arithmetic:  100 * |inter| >= t_pct * |union|.
+
+    Output (id_a < id_b, inter, uni) for every pair with J >= t —
+    exact, no misses.  Plan: one shingle aggregate (global order), one
+    per-doc rank window, a prefix-token equi-join for candidates, and a
+    token join scoped to candidate docs for the exact overlap — the
+    rare-first order makes hot-token prefix buckets provably small
+    (a frequent token appears only in prefixes of docs where it still
+    ranks early, i.e. docs of near-maximal size for that token).
+    """
+    t = int(threshold_pct)
+    sh = word_shingles(df, text_col, id_col, w=3).select(
+        F.col(id_col).alias("doc"), "shingle"
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = sh.join(freq, "shingle")
+    wd = Window.partitionBy("doc").orderBy("df", "shingle")
+    ranked = ordered.select(
+        "doc", "shingle",
+        F.row_number().over(wd).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        .cast("long").alias("sz"),
+    )
+    # prefix length |d| - ceil(t|d|/100) + 1 = |d| - (t|d| + 99) div 100 + 1
+    pref = ranked.filter(
+        F.col("rk")
+        <= F.col("sz") - F.expr(f"({t} * sz + 99) div 100") + F.lit(1)
+    )
+    cand = (
+        pref.select(F.col("doc").alias("id_a"), "shingle")
+        .join(pref.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = ranked.groupBy("doc").agg(F.max("sz").alias("sz"))
+    a_tok = sh.select(F.col("doc").alias("id_a"), "shingle")
+    b_tok = sh.select(F.col("doc").alias("id_b"), "shingle")
+    shared = (
+        cand.join(a_tok, "id_a")
+        .join(b_tok, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("uni"),
+        )
+        .filter(F.lit(100) * F.col("inter") >= F.lit(t) * F.col("uni"))
+    )
+    return out
