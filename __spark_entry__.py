@@ -4312,6 +4312,80 @@ _COHORT_RETENTION_SQL = """
 """
 
 
+def q_referential_audit(spark, sf_dir):
+    """Referential-integrity audit across the warehouse FKs — the data-
+    quality gate a 100 TB ingest runs before publishing a snapshot:
+    for each declared FK edge (lineitem.l_orderkey -> orders,
+    orders.o_custkey -> customer, customer.c_nationkey -> nation,
+    supplier.s_nationkey -> nation), the EXACT count of child rows,
+    orphan child rows (left-anti), and distinct orphan keys. Each edge
+    is one anti-join against the (broadcastable) parent key set — four
+    independent scans, no cross-edge shuffle. FULL oracle."""
+    def edge(name, child, ckey, parent, pkey):
+        c = _t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        return (
+            c.agg(F.count(F.lit(1)).alias("child_rows")).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).alias("orphan_rows"),
+                    F.countDistinct("k").alias("orphan_keys"),
+                )
+            ).select(
+                F.lit(name).alias("fk"),
+                "child_rows", "orphan_rows", "orphan_keys",
+            )
+        )
+
+    edges = [
+        edge("lineitem.orderkey", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("orders.custkey", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("customer.nationkey", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("supplier.nationkey", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+_REFERENTIAL_AUDIT_SQL = """
+    SELECT 'lineitem.orderkey' AS fk,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS child_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS orphan_rows,
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS orphan_keys
+    UNION ALL
+    SELECT 'orders.custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer.nationkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+           (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'supplier.nationkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+           (SELECT CAST(count(DISTINCT s_nationkey) AS BIGINT) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
 def q_join_profile(spark, sf_dir):
     """Join-skew profile WITHOUT running the join — the planning
     diagnostic behind this repo's salting rules: for orders JOIN lineitem
@@ -4648,6 +4722,61 @@ _ANOVA_SQL = """
            / (CAST(q * 1000000 - t_groups AS DOUBLE)
               / CAST(n - k AS DOUBLE)) AS f_stat
     FROM tot
+"""
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information of (event_type, user cohort) — the information-
+    theoretic sibling of chi_square on the same contingency table:
+    MI = sum p_ij * ln(p_ij / (p_i * q_j)), each cell an identical-path
+    double HALF-EVEN rounded to 1e-9 fixed point before the order-free
+    int sum (the bm25/psi ln recipe; all probability inputs are exact
+    integer counts over one N). FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    )
+    obs = e.groupBy("event_type", "cohort").agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n = e.count()
+    j = obs.join(F.broadcast(rows), "event_type").join(
+        F.broadcast(cols), "cohort"
+    )
+    nd = F.lit(float(n))
+    pij = F.col("o").cast("double") / nd
+    pi = F.col("r").cast("double") / nd
+    qj = F.col("c").cast("double") / nd
+    cell = F.bround(
+        pij * F.log(pij / (pi * qj)) * 1000000000.0, 0
+    ).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.lit(int(n)).cast("long").alias("n"),
+        F.sum(cell).alias("mi_fp"),
+    )
+
+
+_MUTUAL_INFO_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id % 4 AS cohort FROM events),
+    obs AS (SELECT event_type, cohort, count(*) AS o FROM e GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    c AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(*) AS BIGINT) AS ni FROM e),
+    cells AS (
+      SELECT CAST(round_even(
+               (CAST(o AS DOUBLE) / nn.n)
+               * ln((CAST(o AS DOUBLE) / nn.n)
+                    / ((CAST(r.r AS DOUBLE) / nn.n)
+                       * (CAST(c.c AS DOUBLE) / nn.n)))
+               * 1000000000.0, 0) AS BIGINT) AS cell
+      FROM obs JOIN r USING (event_type) JOIN c USING (cohort)
+      CROSS JOIN nn)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           (SELECT ni FROM nn) AS n,
+           CAST(sum(cell) AS BIGINT) AS mi_fp
+    FROM cells
 """
 
 
@@ -6677,12 +6806,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_slope": q_ols_slope,
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
+        "mutual_info": q_mutual_info,
         "anova_f": q_anova,
         "gini": q_gini,
         "decay_score": q_decay_score,
         "skyline": q_skyline,
         "psi_drift": q_psi_drift,
         "join_profile": q_join_profile,
+        "referential_audit": q_referential_audit,
         "cohort_retention": q_cohort_retention,
         "event_study": q_event_study,
         "acf": q_acf,
@@ -8875,12 +9006,14 @@ def oracle_sql() -> dict[str, str]:
         "ols_slope": _OLS_SLOPE_SQL,
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
+        "mutual_info": _MUTUAL_INFO_SQL,
         "anova_f": _ANOVA_SQL,
         "gini": _GINI_SQL,
         "decay_score": _DECAY_SCORE_SQL,
         "skyline": _SKYLINE_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
+        "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_study": _EVENT_STUDY_SQL,
         "acf": _ACF_SQL,
