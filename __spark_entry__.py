@@ -4253,6 +4253,90 @@ _EVENT_STUDY_SQL = """
 """
 
 
+def q_rfm_scores(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary) — the marketing
+    staple, made exact: per-user last-purchase µs, purchase count and
+    cents sum, each mapped to a quintile by the EXACT rank identity
+    ((rank - 1) * 5) div n (never ntile, whose tie placement is
+    engine-dependent; ranks tie-break on user_id so the mapping is a
+    pure function). Emits the three quintiles + the packed RFM code.
+    One user aggregate + three rank windows over the same Exchange.
+    FULL oracle."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("cents").alias("money"),
+    )
+    n = F.count(F.lit(1)).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).cast("long")
+    ranked = u.select(
+        "user_id", "last_us", "freq", "money",
+        F.row_number().over(
+            Window.orderBy(F.col("last_us").desc(), F.col("user_id").asc())
+        ).cast("long").alias("r_rk"),
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+        ).cast("long").alias("f_rk"),
+        F.row_number().over(
+            Window.orderBy(F.col("money").desc(), F.col("user_id").asc())
+        ).cast("long").alias("m_rk"),
+        n.alias("nu"),
+    )
+    out = ranked.select(
+        "user_id",
+        F.expr("((r_rk - 1) * 5) div nu").alias("r_q"),
+        F.expr("((f_rk - 1) * 5) div nu").alias("f_q"),
+        F.expr("((m_rk - 1) * 5) div nu").alias("m_q"),
+    )
+    return out.select(
+        "user_id", "r_q", "f_q", "m_q",
+        (
+            F.col("r_q") * F.lit(100) + F.col("f_q") * F.lit(10)
+            + F.col("m_q")
+        ).alias("rfm_code"),
+    )
+
+
+_RFM_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, max(us) AS last_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(cents) AS BIGINT) AS money
+      FROM e GROUP BY 1),
+    ranked AS (
+      SELECT user_id,
+             CAST(row_number() OVER (ORDER BY last_us DESC, user_id ASC)
+                  AS BIGINT) AS r_rk,
+             CAST(row_number() OVER (ORDER BY freq DESC, user_id ASC)
+                  AS BIGINT) AS f_rk,
+             CAST(row_number() OVER (ORDER BY money DESC, user_id ASC)
+                  AS BIGINT) AS m_rk,
+             CAST(count(*) OVER () AS BIGINT) AS nu
+      FROM u)
+    SELECT user_id,
+           ((r_rk - 1) * 5) // nu AS r_q,
+           ((f_rk - 1) * 5) // nu AS f_q,
+           ((m_rk - 1) * 5) // nu AS m_q,
+           (((r_rk - 1) * 5) // nu) * 100 + (((f_rk - 1) * 5) // nu) * 10
+             + ((m_rk - 1) * 5) // nu AS rfm_code
+    FROM ranked
+"""
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix — the product-analytics staple: users
     cohorted by their FIRST event week (exact µs div), each later week
@@ -6814,6 +6898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
+        "rfm_scores": q_rfm_scores,
         "cohort_retention": q_cohort_retention,
         "event_study": q_event_study,
         "acf": q_acf,
@@ -9014,6 +9099,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_DRIFT_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
+        "rfm_scores": _RFM_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_study": _EVENT_STUDY_SQL,
         "acf": _ACF_SQL,
