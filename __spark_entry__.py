@@ -4809,6 +4809,120 @@ _ANOVA_SQL = """
 """
 
 
+def q_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: per user, µs from the FIRST view to
+    the first purchase strictly after it (two argmin aggregates + one
+    user-keyed band join — never a window over the full event stream),
+    then exact-µs quantiles over converting users (Spark native
+    percentile == DuckDB quantile_cont bit-equal, the length_quantiles
+    pairing). The funnel's latency profile — funnel_steps counts who
+    converts, this measures how fast. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v0 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v0")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("pus")
+    )
+    conv = (
+        p.join(F.broadcast(v0), "user_id")
+        .filter(F.col("pus") > F.col("v0"))
+        .groupBy("user_id")
+        .agg((F.min("pus") - F.min("v0")).alias("gap"))
+    )
+    qs = F.percentile(F.col("gap"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.9)
+    ))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        qs.getItem(0).alias("p25_us"),
+        qs.getItem(1).alias("p50_us"),
+        qs.getItem(2).alias("p90_us"),
+    )
+
+
+_TIME_TO_CONVERT_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v0 AS (
+      SELECT user_id, min(us) AS v0 FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+    conv AS (
+      SELECT e.user_id, min(e.us) - min(v0.v0) AS gap
+      FROM e JOIN v0 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > v0.v0
+      GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(gap, 0.25) AS p25_us,
+           quantile_cont(gap, 0.5) AS p50_us,
+           quantile_cont(gap, 0.9) AS p90_us
+    FROM conv
+"""
+
+
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B report: users split into arms by id parity
+    (the hash_split discipline — assignment is a pure function of the
+    key), conversion = purchase share of events per arm; exact counts
+    plus the pooled two-proportion z statistic as an identical-path
+    double of exact ints (single correctly-rounded sqrt/divisions),
+    emitted unrounded. The experimentation primitive the stats family
+    lacked — chi_square tests the whole table, this tests ONE contrast.
+    FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("event_type") == "purchase").cast("long").alias("conv"),
+    )
+    g = e.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("x"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    j = a.crossJoin(b)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    p1 = F.col("x1").cast("double") / n1d
+    p2 = F.col("x2").cast("double") / n2d
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        (F.col("n1") + F.col("n2")).cast("double")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)
+    )
+    return j.select("n1", "x1", "n2", "x2", z.alias("z"))
+
+
+_AB_TEST_SQL = """
+    WITH e AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS x
+      FROM e GROUP BY 1),
+    a AS (SELECT n AS n1, x AS x1 FROM g WHERE arm = 0),
+    b AS (SELECT n AS n2, x AS x2 FROM g WHERE arm = 1)
+    SELECT n1, x1, n2, x2,
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(
+               (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
+             ) AS z
+    FROM a CROSS JOIN b
+"""
+
+
 def q_mutual_info(spark, sf_dir):
     """Mutual information of (event_type, user cohort) — the information-
     theoretic sibling of chi_square on the same contingency table:
@@ -6891,6 +7005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
         "mutual_info": q_mutual_info,
+        "ab_test": q_ab_test,
+        "time_to_convert": q_time_to_convert,
         "anova_f": q_anova,
         "gini": q_gini,
         "decay_score": q_decay_score,
@@ -9092,6 +9208,8 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _MANN_WHITNEY_SQL,
         "chi_square": _CHI_SQUARE_SQL,
         "mutual_info": _MUTUAL_INFO_SQL,
+        "ab_test": _AB_TEST_SQL,
+        "time_to_convert": _TIME_TO_CONVERT_SQL,
         "anova_f": _ANOVA_SQL,
         "gini": _GINI_SQL,
         "decay_score": _DECAY_SCORE_SQL,
