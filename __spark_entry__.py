@@ -4253,6 +4253,151 @@ _EVENT_STUDY_SQL = """
 """
 
 
+def q_lorenz_points(spark, sf_dir):
+    """Lorenz-curve / ABC concentration points per event type: the
+    revenue share captured by the top 10% and top 50% of users — gini's
+    rank machinery read as the planner actually uses it (which slice of
+    the key space carries the mass). Exact ints: descending rank,
+    top-k%% membership via the exact rank identity rk <= (p*n + 99) div
+    100, shares as identical-path doubles unrounded. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    tot = e.groupBy("event_type", "user_id").agg(
+        F.sum("cents").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").desc(), F.col("user_id").asc()
+    )
+    ranked = tot.select(
+        "event_type", "x",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).cast("long").alias("n"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_users"),
+        F.sum("x").alias("total"),
+        F.sum(
+            F.when(
+                F.col("rk") <= F.expr("(10 * n + 99) div 100"), F.col("x")
+            ).otherwise(F.lit(0))
+        ).alias("top10"),
+        F.sum(
+            F.when(
+                F.col("rk") <= F.expr("(50 * n + 99) div 100"), F.col("x")
+            ).otherwise(F.lit(0))
+        ).alias("top50"),
+    )
+    return agg.select(
+        "event_type", "n_users", "total", "top10", "top50",
+        (F.col("top10").cast("double") / F.col("total").cast("double"))
+        .alias("share10"),
+        (F.col("top50").cast("double") / F.col("total").cast("double"))
+        .alias("share50"),
+    )
+
+
+_LORENZ_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    tot AS (
+      SELECT event_type, user_id, CAST(sum(cents) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY x DESC, user_id ASC) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM tot),
+    agg AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN rk <= (10 * n + 99) // 100
+                      THEN x ELSE 0 END) AS BIGINT) AS top10,
+             CAST(sum(CASE WHEN rk <= (50 * n + 99) // 100
+                      THEN x ELSE 0 END) AS BIGINT) AS top50
+      FROM ranked GROUP BY 1)
+    SELECT event_type, n_users, total, top10, top50,
+           CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE) AS share10,
+           CAST(top50 AS DOUBLE) / CAST(total AS DOUBLE) AS share50
+    FROM agg
+"""
+
+
+def q_embed_drift(spark, sf_dir):
+    """Embedding-centroid drift between corpus halves — the vector twin
+    of psi_drift for ML monitoring: per dimension, the exact-integer
+    micro-unit centroids (the embedding_centroids discipline) of
+    vec_id-even vs vec_id-odd vectors; the squared per-dim mean shift is
+    HALF-EVEN 1e-9 fixed point BEFORE the order-free int sum (double
+    sums over 64 dims are fold-order dependent). One posexplode + one
+    (half, dim) aggregate. FULL oracle."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    )
+    agg = e.groupBy("half", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.bround(F.col("v").cast("double") * 1000000.0, 0).cast("long")
+        ).alias("sum_u"),
+    )
+    a = agg.filter(F.col("half") == 0).select(
+        "dim", F.col("n").alias("n0"), F.col("sum_u").alias("s0")
+    )
+    b = agg.filter(F.col("half") == 1).select(
+        "dim", F.col("n").alias("n1"), F.col("sum_u").alias("s1")
+    )
+    j = a.join(b, "dim")
+    d = (
+        F.col("s0").cast("double") / F.col("n0").cast("double")
+        - F.col("s1").cast("double") / F.col("n1").cast("double")
+    )
+    term = F.bround(d * d * 1000.0, 0).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("n0").alias("n_even"),
+        F.max("n1").alias("n_odd"),
+        F.sum(term).alias("shift2_fp"),
+    )
+
+
+_EMBED_DRIFT_SQL = """
+    WITH e AS (
+      SELECT half, CAST(i AS INT) AS dim,
+             CAST(round_even(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT) AS vu
+      FROM (SELECT vec_id % 2 AS half, embedding,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings)),
+    agg AS (
+      SELECT half, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS sum_u
+      FROM e GROUP BY 1, 2),
+    a AS (SELECT dim, n AS n0, sum_u AS s0 FROM agg WHERE half = 0),
+    b AS (SELECT dim, n AS n1, sum_u AS s1 FROM agg WHERE half = 1),
+    terms AS (
+      SELECT CAST(round_even(
+               (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * 1000.0, 0) AS BIGINT) AS term,
+             n0, n1
+      FROM a JOIN b USING (dim))
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(max(n0) AS BIGINT) AS n_even,
+           CAST(max(n1) AS BIGINT) AS n_odd,
+           CAST(sum(term) AS BIGINT) AS shift2_fp
+    FROM terms
+"""
+
+
 def q_rfm_scores(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary) — the marketing
     staple, made exact: per-user last-purchase µs, purchase count and
@@ -7015,6 +7160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
         "rfm_scores": q_rfm_scores,
+        "lorenz_points": q_lorenz_points,
+        "embed_drift": q_embed_drift,
         "cohort_retention": q_cohort_retention,
         "event_study": q_event_study,
         "acf": q_acf,
@@ -9218,6 +9365,8 @@ def oracle_sql() -> dict[str, str]:
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "rfm_scores": _RFM_SQL,
+        "lorenz_points": _LORENZ_SQL,
+        "embed_drift": _EMBED_DRIFT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_study": _EVENT_STUDY_SQL,
         "acf": _ACF_SQL,
