@@ -5379,6 +5379,87 @@ _TRACK_CROSSINGS_SQL = f"""
 """
 
 
+def q_turn_stats(spark, sf_dir):
+    """Per-user turning behavior: consecutive step-vector pairs
+    classified left / right / straight-on / reverse by the SIGNS of the
+    exact integer cross and dot products (the track_crossings
+    orientation discipline applied to successive steps — zero trig,
+    like move_rose but about CHANGE of heading, not heading). Zero
+    steps are dropped before pairing so every classified turn is
+    well-defined. Nanodegree quantize-once; cross/dot ~1e12 << 2^63.
+    FULL oracle."""
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        lat, lon,
+    ).select(
+        "user_id", "event_id", "us",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("xi"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("yi"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = e.select(
+        "user_id", "us", "event_id",
+        (F.col("xi") - F.lag("xi").over(w)).alias("dx"),
+        (F.col("yi") - F.lag("yi").over(w)).alias("dy"),
+    ).filter(
+        F.col("dx").isNotNull() & ~((F.col("dx") == 0) & (F.col("dy") == 0))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = steps.select(
+        "user_id",
+        F.lag("dx").over(w2).alias("ax"),
+        F.lag("dy").over(w2).alias("ay"),
+        F.col("dx").alias("bx"),
+        F.col("dy").alias("by"),
+    ).filter(F.col("ax").isNotNull())
+    cross = F.col("ax") * F.col("by") - F.col("ay") * F.col("bx")
+    dot = F.col("ax") * F.col("bx") + F.col("ay") * F.col("by")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((cross > 0).cast("long")).alias("n_left"),
+        F.sum((cross < 0).cast("long")).alias("n_right"),
+        F.sum(((cross == 0) & (dot > 0)).cast("long")).alias("n_straight"),
+        F.sum(((cross == 0) & (dot < 0)).cast("long")).alias("n_reverse"),
+    )
+
+
+_TURN_STATS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    steps AS (
+      SELECT user_id, us, event_id,
+             xi - lag(xi) OVER w AS dx,
+             yi - lag(yi) OVER w AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    nz AS (
+      SELECT * FROM steps
+      WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)),
+    pairs AS (
+      SELECT user_id,
+             lag(dx) OVER w AS ax, lag(dy) OVER w AS ay,
+             dx AS bx, dy AS byv
+      FROM nz WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    cls AS (
+      SELECT user_id,
+             ax * byv - ay * bx AS cr,
+             ax * bx + ay * byv AS dt
+      FROM pairs WHERE ax IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+           CAST(sum(CASE WHEN cr = 0 AND dt > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straight,
+           CAST(sum(CASE WHEN cr = 0 AND dt < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reverse
+    FROM cls GROUP BY 1
+"""
+
+
 def q_rdp_simplify(spark, sf_dir):
     """Bounded-depth RDP polyline simplification
     (operators/trajectory.rdp_keep): per-user kept vertices at depth 2,
@@ -7176,6 +7257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_moran": q_local_moran,
         "move_rose": q_move_rose,
         "rdp_simplify": q_rdp_simplify,
+        "turn_stats": q_turn_stats,
         "hotspot_persist": q_hotspot_persist,
         "snapshot_diff": q_snapshot_diff,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
@@ -9381,6 +9463,7 @@ def oracle_sql() -> dict[str, str]:
         "local_moran": _LOCAL_MORAN_SQL,
         "move_rose": _MOVE_ROSE_SQL,
         "rdp_simplify": _RDP_SQL,
+        "turn_stats": _TURN_STATS_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "quality_percentile": f"""
