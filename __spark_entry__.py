@@ -5379,6 +5379,101 @@ _TRACK_CROSSINGS_SQL = f"""
 """
 
 
+def q_convoy_pairs(spark, sf_dir):
+    """Convoy detection (flock mining): user pairs co-located in the
+    same z22 tile for >= 3 CONSECUTIVE hours — co_movement's bucket
+    pairs upgraded with the temporal-contiguity requirement via the
+    islands discipline (hour-gap > 1 opens a new run) applied to PAIR
+    presence. Emits per-pair total co-located hours, run count and the
+    longest run, keeping only pairs whose max run >= 3. Candidate
+    generation stays bucket-local (distinct presence -> bucket-keyed
+    self-join — the pmi/co_visitation discipline); the pair-keyed
+    windows ride one Exchange. FULL oracle."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", lat, lon,
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    t = e.withColumn("_t", tile_xy_udf(22)("lat", "lon")).select(
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"),
+        "user_id", "hour",
+    )
+    pres = t.select("x", "y", "hour", "user_id").distinct()
+    a = pres.select("x", "y", "hour", F.col("user_id").alias("u_a"))
+    b = pres.select("x", "y", "hour", F.col("user_id").alias("u_b"))
+    ph = (
+        a.join(b, ["x", "y", "hour"])
+        .filter(F.col("u_a") < F.col("u_b"))
+        .select("u_a", "u_b", "hour")
+        .distinct()
+    )
+    w = Window.partitionBy("u_a", "u_b").orderBy("hour")
+    marked = ph.select(
+        "u_a", "u_b", "hour",
+        F.when(
+            F.lag("hour").over(w).isNull()
+            | ((F.col("hour") - F.lag("hour").over(w)) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    ).select(
+        "u_a", "u_b", "hour",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run"),
+    )
+    runs = marked.groupBy("u_a", "u_b", "run").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("u_a", "u_b").agg(
+        F.sum("len").alias("n_hours"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("len").alias("max_run"),
+    ).filter(F.col("max_run") >= 3)
+
+
+_CONVOY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+             * pow(2, 22)) AS BIGINT) AS y,
+        user_id, hour
+      FROM pts),
+    ph AS (
+      SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b, a.hour
+      FROM pres a JOIN pres b
+        ON a.x = b.x AND a.y = b.y AND a.hour = b.hour
+           AND a.user_id < b.user_id),
+    marked AS (
+      SELECT u_a, u_b, hour,
+             CASE WHEN lag(hour) OVER w IS NULL
+                       OR hour - lag(hour) OVER w > 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ph WINDOW w AS (PARTITION BY u_a, u_b ORDER BY hour)),
+    isl AS (
+      SELECT u_a, u_b, hour,
+             sum(is_new) OVER (PARTITION BY u_a, u_b
+               ORDER BY hour ROWS UNBOUNDED PRECEDING) AS run
+      FROM marked),
+    runs AS (
+      SELECT u_a, u_b, run, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT u_a, u_b, CAST(sum(len) AS BIGINT) AS n_hours,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run
+    FROM runs GROUP BY 1, 2
+    HAVING max(len) >= 3
+"""
+
+
 def q_turn_stats(spark, sf_dir):
     """Per-user turning behavior: consecutive step-vector pairs
     classified left / right / straight-on / reverse by the SIGNS of the
@@ -7258,6 +7353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_rose": q_move_rose,
         "rdp_simplify": q_rdp_simplify,
         "turn_stats": q_turn_stats,
+        "convoy_pairs": q_convoy_pairs,
         "hotspot_persist": q_hotspot_persist,
         "snapshot_diff": q_snapshot_diff,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
@@ -9464,6 +9560,7 @@ def oracle_sql() -> dict[str, str]:
         "move_rose": _MOVE_ROSE_SQL,
         "rdp_simplify": _RDP_SQL,
         "turn_stats": _TURN_STATS_SQL,
+        "convoy_pairs": _CONVOY_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "quality_percentile": f"""
