@@ -5379,6 +5379,110 @@ _TRACK_CROSSINGS_SQL = f"""
 """
 
 
+def q_edge_churn(spark, sf_dir):
+    """Graph-evolution churn: the co-visitation edge set (pairs sharing
+    >= 2 distinct tiles) built independently on the FIRST and SECOND
+    time-halves of the corpus, then compared as sets — stable /
+    disappeared / new edge counts and the identical-path Jaccard
+    stability ratio. The monitoring layer for every graph operator in
+    the repo: how fast does the relationship structure drift? One
+    presence pass per half (same scan, split by the exact mid hour),
+    full-outer pair join with presence flags (the snapshot_diff shape
+    on a DERIVED table). FULL oracle."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", lat, lon,
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    lohi = e.agg(F.min("hour"), F.max("hour")).first()
+    mid = (int(lohi[0]) + int(lohi[1]) + 1) // 2
+    t = e.withColumn("_t", tile_xy_udf(22)("lat", "lon")).select(
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"),
+        "user_id",
+        (F.col("hour") < mid).cast("int").alias("early"),
+    )
+    pres = t.distinct()
+
+    def pair_edges(flag):
+        p = pres.filter(F.col("early") == flag)
+        a = p.select("x", "y", F.col("user_id").alias("u_a"))
+        b = p.select("x", "y", F.col("user_id").alias("u_b"))
+        return (
+            a.join(b, ["x", "y"])
+            .filter(F.col("u_a") < F.col("u_b"))
+            .groupBy("u_a", "u_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+            .select("u_a", "u_b")
+        )
+
+    e1 = pair_edges(1).withColumn("p1", F.lit(1))
+    e2 = pair_edges(0).withColumn("p2", F.lit(1))
+    j = e1.join(e2, ["u_a", "u_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("p1"), F.lit(0))).alias("n_early"),
+        F.sum(F.coalesce(F.col("p2"), F.lit(0))).alias("n_late"),
+        F.sum(
+            (F.col("p1").isNotNull() & F.col("p2").isNotNull())
+            .cast("long")
+        ).alias("n_stable"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return agg.select(
+        "n_early", "n_late", "n_stable", "n_union",
+        (
+            F.col("n_stable").cast("double") / F.col("n_union").cast("double")
+        ).alias("jaccard"),
+    )
+
+
+_EDGE_CHURN_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    mid AS (SELECT (min(hour) + max(hour) + 1) // 2 AS m FROM pts),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+             * pow(2, 22)) AS BIGINT) AS y,
+        user_id,
+        CASE WHEN hour < (SELECT m FROM mid) THEN 1 ELSE 0 END AS early
+      FROM pts),
+    e1 AS MATERIALIZED (
+      SELECT a.user_id AS u_a, b.user_id AS u_b
+      FROM pres a JOIN pres b
+        ON a.x = b.x AND a.y = b.y AND a.user_id < b.user_id
+      WHERE a.early = 1 AND b.early = 1
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    e2 AS MATERIALIZED (
+      SELECT a.user_id AS u_a, b.user_id AS u_b
+      FROM pres a JOIN pres b
+        ON a.x = b.x AND a.y = b.y AND a.user_id < b.user_id
+      WHERE a.early = 0 AND b.early = 0
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    j AS (
+      SELECT coalesce(e1.in1, 0) AS p1, coalesce(e2.in2, 0) AS p2 FROM
+        (SELECT u_a, u_b, 1 AS in1 FROM e1) e1
+        FULL OUTER JOIN
+        (SELECT u_a, u_b, 1 AS in2 FROM e2) e2
+        USING (u_a, u_b))
+    SELECT CAST(sum(p1) AS BIGINT) AS n_early,
+           CAST(sum(p2) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS jaccard
+    FROM j
+"""
+
+
 def q_convoy_pairs(spark, sf_dir):
     """Convoy detection (flock mining): user pairs co-located in the
     same z22 tile for >= 3 CONSECUTIVE hours — co_movement's bucket
@@ -7354,6 +7458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdp_simplify": q_rdp_simplify,
         "turn_stats": q_turn_stats,
         "convoy_pairs": q_convoy_pairs,
+        "edge_churn": q_edge_churn,
         "hotspot_persist": q_hotspot_persist,
         "snapshot_diff": q_snapshot_diff,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
@@ -9561,6 +9666,7 @@ def oracle_sql() -> dict[str, str]:
         "rdp_simplify": _RDP_SQL,
         "turn_stats": _TURN_STATS_SQL,
         "convoy_pairs": _CONVOY_SQL,
+        "edge_churn": _EDGE_CHURN_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "quality_percentile": f"""
