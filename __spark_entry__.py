@@ -3892,6 +3892,66 @@ _CHI_SQUARE_SQL = """
 """
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from the event stream: a
+    user's 'current event type' is a dimension attribute; each CHANGE
+    opens a new validity interval [valid_from, valid_to) closed by the
+    next change (exact µs lead window), the final row open-ended
+    (valid_to = -1 sentinel, is_current = 1 — a sentinel, not NULL:
+    null-ordering conventions differ across engines but exact ints
+    never do). Change rows are the streak islands' FIRST rows, so the
+    whole dimension history is two windows on one user-keyed Exchange.
+    The warehouse-history shape (Kimball SCD2) the snapshot layer's
+    time travel complements: time travel versions the TABLE, SCD2
+    versions the KEY. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = e.select(
+        "user_id", "event_type", "us", "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_change"),
+    ).filter(F.col("is_change") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    out = changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("us").alias("valid_from"),
+        F.coalesce(
+            F.lead("us").over(w2), F.lit(-1).cast("long")
+        ).alias("valid_to"),
+        F.lead("us").over(w2).isNull().cast("int").alias("is_current"),
+    )
+    return out
+
+
+_SCD2_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_type, us, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    changes AS (
+      SELECT user_id, event_type, us, event_id
+      FROM marked WHERE is_change = 1)
+    SELECT user_id, event_type AS attr, us AS valid_from,
+           coalesce(lead(us) OVER w2, -1) AS valid_to,
+           CAST(CASE WHEN lead(us) OVER w2 IS NULL THEN 1 ELSE 0 END
+                AS INT) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
 def q_streaks(spark, sf_dir):
     """Longest same-event-type streak per user: value-change islands
     (new streak where the lagged type differs — the dual of
@@ -7447,6 +7507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "interval_union": q_interval_union,
         "streaks": q_streaks,
+        "scd2_intervals": q_scd2_intervals,
         "kendall": q_kendall,
         "spearman": q_spearman,
         "ks_test": q_ks_test,
@@ -9655,6 +9716,7 @@ def oracle_sql() -> dict[str, str]:
         "acf": _ACF_SQL,
         "interval_union": _INTERVAL_UNION_SQL,
         "streaks": _STREAKS_SQL,
+        "scd2_intervals": _SCD2_SQL,
         "kendall": _KENDALL_SQL,
         "spearman": _SPEARMAN_SQL,
         "ks_test": _KS_TEST_SQL,
