@@ -227,6 +227,13 @@ def main() -> None:
         # row-preserving or near-projection shapes close to already-timed
         # plans — NOT timed, CLAUDE.md count() rule.)
         "interval_union", "streaks", "gini", "rrf_fusion", "k_core",
+        # prefix_join's count() is the qualifying-pair cardinality (global
+        # order aggregate + rank windows + candidate and verify joins all
+        # load-bearing); convoy_pairs counts through the max_run filter, so
+        # tile UDF + pair join + islands windows all execute; mmr_select's
+        # 9-row output depends on every greedy stage (persisted candidate
+        # scan runs once — the plan-audit fix).
+        "prefix_join", "convoy_pairs", "mmr_select",
     ]
     qs = entrymod.queries()
     for name in suite:
