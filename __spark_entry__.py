@@ -910,7 +910,6 @@ def q_mmr_select(spark, sf_dir):
 
 def _mmr_sql(k_cand: int = 20, k_sel: int = 3, n_queries: int = 3) -> str:
     stages = []
-    sel_union = "SELECT query_id, doc_id FROM p1"
     for i in range(1, k_sel + 1):
         if i == 1:
             scored = """
