@@ -4465,7 +4465,10 @@ def q_rfm_scores(spark, sf_dir):
     engine-dependent; ranks tie-break on user_id so the mapping is a
     pure function). Emits the three quintiles + the packed RFM code.
     One user aggregate + three rank windows over the same Exchange.
-    FULL oracle."""
+    Scale note: global rank windows single-task past ~10^8 users —
+    there, swap the exact rank for range-partitioned rank (sort +
+    per-partition offsets) or quantile-sketch bucket edges. FULL
+    oracle."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select(
@@ -4683,7 +4686,10 @@ def q_join_profile(spark, sf_dir):
     skew shape that decides salting: max and top-decile per-key pair
     counts, distinct/matched key counts. All exact int64. At 100 TB this
     is the cheap pre-flight that catches the 10^12-pair hot key before
-    it takes the cluster down. FULL oracle."""
+    it takes the cluster down. (The rank window runs over the MATCHED
+    KEY histogram — already two aggregations smaller than the data; at
+    10^10 keys swap the exact decile for a pairs-weighted quantile
+    sketch.) FULL oracle."""
     o = _t(spark, sf_dir, "orders").groupBy(
         F.col("o_custkey").alias("k")
     ).agg(F.count(F.lit(1)).alias("n1"))
@@ -4752,7 +4758,11 @@ def q_skyline(spark, sf_dir):
     x never dominating on x, that is the prefix-max of per-x-block y
     maxima over the [unbounded, 1 PRECEDING] frame — one group
     aggregate + one window. Implemented with exact ints only: spend cents
-    and event counts. ONE sort-shuffle, zero joins. FULL oracle."""
+    and event counts. ONE sort-shuffle, zero joins. Scale note: the
+    unpartitioned window runs on ONE task over the distinct-x frame
+    (already aggregated — narrow and far smaller than the input); past
+    ~10^8 distinct values, range-partition by x and stitch the per-range
+    prefix maxima (an associative scan). FULL oracle."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
