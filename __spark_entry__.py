@@ -4165,6 +4165,64 @@ _ACF_SQL = """
 """
 
 
+def q_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each hour's event count
+    by the SAME HOUR ONE DAY EARLIER (the baseline every real forecaster
+    must beat), scored per event type over every hour with a lagged
+    observation — MAE numerator and totals as EXACT integer sums
+    (|count - count_lag24| is an int; no float ever enters), MAE itself
+    an identical-path double. Missing base hours are skipped (not
+    zero-filled) — documented contract, identical predicate both
+    engines. One (type, hour) aggregate + one equi-join on the exact
+    (type, hour - 24) key — a VALUE shift, not a 24-ROW window lag,
+    which silently misaligns after any missing hour. The model-eval
+    primitive (backtesting) the stats family lacked. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    counts = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = counts.select(
+        "event_type",
+        (F.col("hour") + F.lit(24)).alias("hour"),
+        F.col("n").alias("n24"),
+    )
+    lagged = counts.join(base, ["event_type", "hour"])
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(F.col("n") - F.col("n24"))).alias("abs_err_sum"),
+        F.sum("n").alias("actual_sum"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("n24"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mae"),
+    )
+
+
+_FORECAST_BACKTEST_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    lagged AS (
+      SELECT c.event_type, c.hour, c.n, b.n AS n24
+      FROM counts c JOIN counts b
+        ON b.event_type = c.event_type AND b.hour = c.hour - 24)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(n - n24)) AS BIGINT) AS abs_err_sum,
+           CAST(sum(n) AS BIGINT) AS actual_sum,
+           CAST(sum(abs(n - n24)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mae
+    FROM lagged
+    GROUP BY 1
+"""
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift monitor: the value distribution
     of the FIRST time-half of the corpus vs the SECOND (split at the
@@ -7506,6 +7564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_score": q_decay_score,
         "skyline": q_skyline,
         "psi_drift": q_psi_drift,
+        "forecast_backtest": q_forecast_backtest,
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
         "rfm_scores": q_rfm_scores,
@@ -9715,6 +9774,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": _DECAY_SCORE_SQL,
         "skyline": _SKYLINE_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
+        "forecast_backtest": _FORECAST_BACKTEST_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "rfm_scores": _RFM_SQL,
