@@ -4165,6 +4165,51 @@ _ACF_SQL = """
 """
 
 
+def q_trigram_paths(spark, sf_dir):
+    """Top-20 length-3 event paths: per-user ordered type trigrams from
+    ONE window pass computing both leads (the acf discipline), global
+    counts, top-k as distributed TakeOrdered with the (count desc, path
+    asc) frozen tie-break — sequence mining one step past
+    event_transitions' bigrams, where the interesting structure
+    (view>click>purchase vs view>view>view) actually lives. FULL
+    oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tri = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", F.col("a"), F.col("b"), F.col("c"))
+            .alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+_TRIGRAM_PATHS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    tri AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Seasonal-naive forecast backtest: predict each hour's event count
     by the SAME HOUR ONE DAY EARLIER (the baseline every real forecaster
@@ -7565,6 +7610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "psi_drift": q_psi_drift,
         "forecast_backtest": q_forecast_backtest,
+        "trigram_paths": q_trigram_paths,
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
         "rfm_scores": q_rfm_scores,
@@ -9775,6 +9821,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline": _SKYLINE_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
         "forecast_backtest": _FORECAST_BACKTEST_SQL,
+        "trigram_paths": _TRIGRAM_PATHS_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "rfm_scores": _RFM_SQL,
