@@ -5750,6 +5750,87 @@ _CONVOY_SQL = f"""
 """
 
 
+def q_gravity_residuals(spark, sf_dir):
+    """Gravity-model residuals over the step-level OD flow matrix — the
+    spatial-interaction analysis classic: observed flow n_ij between
+    origin/destination cells vs the marginal-product expectation
+    O_i * D_j / T, emitting per-flow exact counts, the identical-path
+    expectation and the 1e-6 fixed-point chi residual (O-E)^2/E (the
+    chi_square recipe on a SPATIAL contingency). Flows from consecutive
+    same-user steps (one lag window), cells nanodegree-quantized with
+    nonneg shift. Marginals broadcast back onto the flow table. FULL
+    oracle."""
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        lat, lon,
+    ).select(
+        "user_id", "us", "event_id",
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = e.select(
+        F.lag("cx").over(w).alias("ox"),
+        F.lag("cy").over(w).alias("oy"),
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+    ).filter(F.col("ox").isNotNull())
+    flows = steps.groupBy("ox", "oy", "dx", "dy").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    og = flows.groupBy("ox", "oy").agg(F.sum("n").alias("o_tot"))
+    dg = flows.groupBy("dx", "dy").agg(F.sum("n").alias("d_tot"))
+    t = steps.count()
+    j = flows.join(F.broadcast(og), ["ox", "oy"]).join(
+        F.broadcast(dg), ["dx", "dy"]
+    )
+    expd = (F.col("o_tot") * F.col("d_tot")).cast("double") / F.lit(float(t))
+    resid = F.bround(
+        (F.col("n").cast("double") - expd)
+        * (F.col("n").cast("double") - expd) / expd * 1000000.0, 0,
+    ).cast("long")
+    return j.select(
+        "ox", "oy", "dx", "dy", "n", "o_tot", "d_tot",
+        resid.alias("resid_fp"),
+    )
+
+
+_GRAVITY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    steps AS (
+      SELECT lag(cx) OVER w AS ox, lag(cy) OVER w AS oy,
+             cx AS dx, cy AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    nz AS (SELECT * FROM steps WHERE ox IS NOT NULL),
+    flows AS (
+      SELECT ox, oy, dx, dy, CAST(count(*) AS BIGINT) AS n
+      FROM nz GROUP BY 1, 2, 3, 4),
+    og AS (SELECT ox, oy, CAST(sum(n) AS BIGINT) AS o_tot
+           FROM flows GROUP BY 1, 2),
+    dg AS (SELECT dx, dy, CAST(sum(n) AS BIGINT) AS d_tot
+           FROM flows GROUP BY 1, 2),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM nz)
+    SELECT ox, oy, dx, dy, n, o_tot, d_tot,
+           CAST(round_even(
+             (CAST(n AS DOUBLE) - CAST(o_tot * d_tot AS DOUBLE) / tt.t)
+             * (CAST(n AS DOUBLE) - CAST(o_tot * d_tot AS DOUBLE) / tt.t)
+             / (CAST(o_tot * d_tot AS DOUBLE) / tt.t) * 1000000.0, 0)
+             AS BIGINT) AS resid_fp
+    FROM flows JOIN og USING (ox, oy) JOIN dg USING (dx, dy)
+    CROSS JOIN tt
+"""
+
+
 def q_turn_stats(spark, sf_dir):
     """Per-user turning behavior: consecutive step-vector pairs
     classified left / right / straight-on / reverse by the SIGNS of the
@@ -7632,6 +7713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_rose": q_move_rose,
         "rdp_simplify": q_rdp_simplify,
         "turn_stats": q_turn_stats,
+        "gravity_residuals": q_gravity_residuals,
         "convoy_pairs": q_convoy_pairs,
         "edge_churn": q_edge_churn,
         "hotspot_persist": q_hotspot_persist,
@@ -9843,6 +9925,7 @@ def oracle_sql() -> dict[str, str]:
         "move_rose": _MOVE_ROSE_SQL,
         "rdp_simplify": _RDP_SQL,
         "turn_stats": _TURN_STATS_SQL,
+        "gravity_residuals": _GRAVITY_SQL,
         "convoy_pairs": _CONVOY_SQL,
         "edge_churn": _EDGE_CHURN_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
