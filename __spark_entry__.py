@@ -4165,6 +4165,58 @@ _ACF_SQL = """
 """
 
 
+def q_fano_burstiness(spark, sf_dir):
+    """Fano-factor burstiness per event type: dispersion of hourly
+    arrival counts (variance / mean over the hour grid — F >> 1 means
+    bursty, ~1 Poisson-like). Moments are EXACT int64 (counts, count
+    squares over the exact hour key); the factor is the identical-path
+    double ((q/k) - (s/k)^2) / (s/k), emitted unrounded. The time-
+    dispersion sibling of anova's cross-group decomposition. Hours with
+    zero events are NOT imputed (documented: the grid is the observed
+    hour set per type, identical predicate both engines). FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    counts = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    kd = F.col("k").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    return agg.select(
+        "event_type", "k", "s", "q",
+        ((qd / kd - (sd / kd) * (sd / kd)) / (sd / kd)).alias("fano"),
+    )
+
+
+_FANO_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS q
+      FROM counts GROUP BY 1)
+    SELECT event_type, k, s, q,
+           (CAST(q AS DOUBLE) / CAST(k AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)))
+           / (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) AS fano
+    FROM agg
+"""
+
+
 def q_trigram_paths(spark, sf_dir):
     """Top-20 length-3 event paths: per-user ordered type trigrams from
     ONE window pass computing both leads (the acf discipline), global
@@ -7692,6 +7744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "forecast_backtest": q_forecast_backtest,
         "trigram_paths": q_trigram_paths,
+        "fano_burstiness": q_fano_burstiness,
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
         "rfm_scores": q_rfm_scores,
@@ -9904,6 +9957,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_DRIFT_SQL,
         "forecast_backtest": _FORECAST_BACKTEST_SQL,
         "trigram_paths": _TRIGRAM_PATHS_SQL,
+        "fano_burstiness": _FANO_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "rfm_scores": _RFM_SQL,
