@@ -64,3 +64,21 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)  # every oracle has a query
     assert len(qs) >= 30
+
+
+def test_registry_tier_ordering():
+    # The driver's correctness harness checks a PREFIX of queries() in
+    # dict order (CORRECTNESS_r03 was exactly the first 50 entries), so
+    # the ordering is LOAD-BEARING: every oracle-backed query must come
+    # before every rows-only twin. Regression guard for the round-3
+    # verdict's item 2.
+    import __spark_entry__ as e
+
+    keys = list(e.queries())
+    oracles = set(e.oracle_sql())
+    rows_only = [k for k in keys if k not in oracles]
+    n = len(rows_only)
+    assert keys[-n:] == rows_only, (
+        "rows-only queries must occupy the final registry positions"
+    )
+    assert all(k in oracles for k in keys[:-n])
