@@ -4165,6 +4165,64 @@ _ACF_SQL = """
 """
 
 
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of the money column — the classic
+    fabricated-data screen: observed first-significant-digit counts of
+    positive cents vs the Benford expectation log10(1 + 1/d). Digit
+    extraction is EXACT via string head (no log10 on the data path —
+    transcendentals only enter as Python-precomputed literals shared by
+    both engines); per-digit chi contributions are the 1e-6 fixed-point
+    chi_square recipe. FULL oracle."""
+    import math
+
+    e = _t(spark, sf_dir, "events").select(
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    obs = e.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_tot = e.count()
+    # Benford expected share literals, precomputed once in Python
+    p = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    exp_share = F.when(F.col("d") == 1, F.lit(p[1]))
+    for d in range(2, 10):
+        exp_share = exp_share.when(F.col("d") == d, F.lit(p[d]))
+    expd = exp_share * F.lit(float(n_tot))
+    cell = F.bround(
+        (F.col("n").cast("double") - expd)
+        * (F.col("n").cast("double") - expd) / expd * 1000000.0, 0,
+    ).cast("long")
+    return obs.select("d", "n", cell.alias("chi_fp"))
+
+
+def _benford_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    pos AS (SELECT cents FROM e WHERE cents > 0),
+    obs AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pos GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM pos)
+    SELECT d, n,
+           CAST(round_even(
+             (CAST(n AS DOUBLE) - (CASE d {cases} END) * nn.t)
+             * (CAST(n AS DOUBLE) - (CASE d {cases} END) * nn.t)
+             / ((CASE d {cases} END) * nn.t) * 1000000.0, 0) AS BIGINT)
+             AS chi_fp
+    FROM obs CROSS JOIN nn
+    """
+
+
 def q_fano_burstiness(spark, sf_dir):
     """Fano-factor burstiness per event type: dispersion of hourly
     arrival counts (variance / mean over the hour grid — F >> 1 means
@@ -7745,6 +7803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "trigram_paths": q_trigram_paths,
         "fano_burstiness": q_fano_burstiness,
+        "benford_audit": q_benford_audit,
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
         "rfm_scores": q_rfm_scores,
@@ -9958,6 +10017,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_backtest": _FORECAST_BACKTEST_SQL,
         "trigram_paths": _TRIGRAM_PATHS_SQL,
         "fano_burstiness": _FANO_SQL,
+        "benford_audit": _benford_sql(),
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "rfm_scores": _RFM_SQL,
