@@ -4165,6 +4165,67 @@ _ACF_SQL = """
 """
 
 
+def q_haar_energy(spark, sf_dir):
+    """Single-level Haar decomposition of the hourly arrival series per
+    event type: hours pair as (2k, 2k+1); approx = sum, detail = diff —
+    EXACT integers (the Haar transform needs no floats when the signal
+    is counts), and the energy split sum(a^2) vs sum(d^2) measures how
+    much structure lives at the finest time scale (white noise splits
+    ~proportionally; smooth load puts energy in approx). A missing hour
+    whose pair-sibling exists counts 0; pairs with BOTH hours empty
+    emit no row (stated contract, identical both engines). One
+    aggregate onto the exact pair key hour div 2. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    counts = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # dense per-pair aggregate: missing hours contribute 0 implicitly
+    # because sum/diff run over whichever parity rows exist
+    paired = counts.select(
+        "event_type",
+        F.expr("hour div 2").alias("pair"),
+        F.when(F.col("hour") % 2 == 0, F.col("n"))
+        .otherwise(F.lit(0)).alias("even_n"),
+        F.when(F.col("hour") % 2 == 1, F.col("n"))
+        .otherwise(F.lit(0)).alias("odd_n"),
+    ).groupBy("event_type", "pair").agg(
+        F.sum("even_n").alias("a0"),
+        F.sum("odd_n").alias("a1"),
+    )
+    a = F.col("a0") + F.col("a1")
+    d = F.col("a0") - F.col("a1")
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(a * a).alias("energy_approx"),
+        F.sum(d * d).alias("energy_detail"),
+    )
+
+
+_HAAR_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    paired AS (
+      SELECT event_type, hour // 2 AS pair,
+             CAST(sum(CASE WHEN hour % 2 = 0 THEN n ELSE 0 END)
+                  AS BIGINT) AS a0,
+             CAST(sum(CASE WHEN hour % 2 = 1 THEN n ELSE 0 END)
+                  AS BIGINT) AS a1
+      FROM counts GROUP BY 1, 2)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum((a0 + a1) * (a0 + a1)) AS BIGINT) AS energy_approx,
+           CAST(sum((a0 - a1) * (a0 - a1)) AS BIGINT) AS energy_detail
+    FROM paired GROUP BY 1
+"""
+
+
 def q_benford_audit(spark, sf_dir):
     """Benford first-digit audit of the money column — the classic
     fabricated-data screen: observed first-significant-digit counts of
@@ -7804,6 +7865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_paths": q_trigram_paths,
         "fano_burstiness": q_fano_burstiness,
         "benford_audit": q_benford_audit,
+        "haar_energy": q_haar_energy,
         "join_profile": q_join_profile,
         "referential_audit": q_referential_audit,
         "rfm_scores": q_rfm_scores,
@@ -10018,6 +10080,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_paths": _TRIGRAM_PATHS_SQL,
         "fano_burstiness": _FANO_SQL,
         "benford_audit": _benford_sql(),
+        "haar_energy": _HAAR_SQL,
         "join_profile": _JOIN_PROFILE_SQL,
         "referential_audit": _REFERENTIAL_AUDIT_SQL,
         "rfm_scores": _RFM_SQL,
