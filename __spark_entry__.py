@@ -6285,6 +6285,66 @@ _LOCAL_MORAN_SQL = f"""
 """
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Zonal majority filter — the raster-GIS classic: per grid cell,
+    the MODAL event type (count argmax, ties to the lexicographically
+    smallest type — frozen rule) plus its count and the cell total.
+    One (cell, type) aggregate + one min_by argmax per cell (the
+    CLAUDE.md top-1 rule: aggregation, never a window sort); oracle
+    replays with the row_number argmax fallback. Nanodegree
+    quantize-once cells, nonneg shift before integer division. FULL
+    oracle."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select("event_type", lat, lon).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+        "event_type",
+    )
+    counts = pts.groupBy("cx", "cy", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("cx", "cy").agg(
+        F.sum("n").alias("cell_total"),
+        F.min_by(
+            F.struct(F.col("event_type").alias("t"), F.col("n").alias("c")),
+            F.struct((-F.col("n")).alias("k1"),
+                     F.col("event_type").alias("k2")),
+        ).alias("m"),
+    ).select(
+        "cx", "cy",
+        F.col("m.t").alias("majority_type"),
+        F.col("m.c").alias("majority_n"),
+        "cell_total",
+    )
+
+
+_ZONAL_MAJORITY_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy,
+             event_type
+      FROM events),
+    counts AS (
+      SELECT cx, cy, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT cx, cy, CAST(sum(n) AS BIGINT) AS cell_total
+      FROM counts GROUP BY 1, 2)
+    SELECT c.cx, c.cy, c.event_type AS majority_type, c.n AS majority_n,
+           t.cell_total
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY cx, cy
+                ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts) c
+    JOIN tot t ON t.cx = c.cx AND t.cy = c.cy
+    WHERE c.rn = 1
+"""
+
+
 def q_hotspot_persist(spark, sf_dir):
     """Spatio-temporal hotspot persistence: per grid cell, the
     consecutive-HOT-HOUR run structure (a cell is hot in an hour when
@@ -7891,6 +7951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convoy_pairs": q_convoy_pairs,
         "edge_churn": q_edge_churn,
         "hotspot_persist": q_hotspot_persist,
+        "zonal_majority": q_zonal_majority,
         "snapshot_diff": q_snapshot_diff,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
@@ -10106,6 +10167,7 @@ def oracle_sql() -> dict[str, str]:
         "convoy_pairs": _CONVOY_SQL,
         "edge_churn": _EDGE_CHURN_SQL,
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
+        "zonal_majority": _ZONAL_MAJORITY_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "quality_percentile": f"""
             WITH t AS (
