@@ -648,7 +648,8 @@ _PREFIX_JOIN_SQL = r"""
       GROUP BY 1, 2),
     sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz
               FROM shm GROUP BY 1)
-    SELECT id_a, id_b, inter, za.sz + zb.sz - inter AS uni
+    SELECT id_a, id_b, inter, za.sz + zb.sz - inter AS uni,
+           za.sz AS sza, zb.sz AS szb
     FROM shared
     JOIN sizes za ON za.doc = id_a
     JOIN sizes zb ON zb.doc = id_b

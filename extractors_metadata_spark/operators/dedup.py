@@ -830,6 +830,9 @@ def prefix_jaccard_join(
         .select(
             "id_a", "id_b", "inter",
             (F.col("sza") + F.col("szb") - F.col("inter")).alias("uni"),
+            # per-side sizes make the ASYMMETRIC containment ratios
+            # inter/sza ("a quoted inside b") consumer-derivable exactly
+            "sza", "szb",
         )
         .filter(F.lit(100) * F.col("inter") >= F.lit(t) * F.col("uni"))
     )
