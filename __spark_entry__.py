@@ -6321,6 +6321,58 @@ def q_zonal_majority(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style n-gram LM perplexity scoring (operators/lm_quality.
+    ngram_lm_score): an add-1 bigram model trained on the even-doc_id
+    split scores every odd-doc_id document — exact bigram / OOV counts
+    plus the total log-probability as per-term half-even 1e-9 fixed
+    point (exact int64 num/den, one correctly-rounded division, rint
+    margin absorbs ln ulp drift — the bm25 recipe) summed as exact
+    int64 (order-free; the psi_drift discipline). Mean NLL /
+    perplexity are consumer-side ratios of the emitted ints. FULL
+    oracle: same tokenization, array-side pairing, counts, and literal
+    arithmetic."""
+    from extractors_metadata_spark.operators.lm_quality import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+_LM_QUALITY_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    big AS MATERIALIZED (
+      SELECT doc_id, arr[i + 1] AS w1, arr[i + 2] AS w2
+      FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS i FROM arrs)),
+    tr AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT w1 AS tok FROM big WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT w2 AS tok FROM big WHERE doc_id % 2 = 0)),
+    terms AS (
+      SELECT b.doc_id,
+             CASE WHEN t.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+             CAST(round_even(
+               ln(CAST(coalesce(t.c12, 0) + 1 AS DOUBLE)
+                  / (coalesce(c.c1, 0) + v.vsz)) * 1e9, 0) AS BIGINT) AS fp
+      FROM big b
+      LEFT JOIN tr t ON t.w1 = b.w1 AND t.w2 = b.w2
+      LEFT JOIN ctx c ON c.w1 = b.w1
+      CROSS JOIN v
+      WHERE b.doc_id % 2 = 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+           CAST(sum(fp) AS BIGINT) AS logprob_fp
+    FROM terms GROUP BY 1
+"""
+
+
 _ZONAL_MAJORITY_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -7954,6 +8006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_persist": q_hotspot_persist,
         "zonal_majority": q_zonal_majority,
         "snapshot_diff": q_snapshot_diff,
+        "lm_quality": q_lm_quality,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10170,6 +10223,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_persist": _HOTSPOT_PERSIST_SQL,
         "zonal_majority": _ZONAL_MAJORITY_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "lm_quality": _LM_QUALITY_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
