@@ -6373,6 +6373,88 @@ _LM_QUALITY_SQL = r"""
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge-rule induction (operators/bpe.bpe_merges): 8 rounds of
+    most-frequent-adjacent-pair fusion over the corpus vocabulary —
+    tokenizer training. Greedy in-word merging is expressed as islands +
+    parity (even offsets within a candidate run), so the whole round is
+    stacked windows on one word-keyed Exchange, and the oracle replays it
+    literally as 8 unrolled CTE stage groups (the _hilbert_stages /
+    k_core discipline — no sequential folds, DuckDB list_reduce is
+    broken for struct state). Frozen tie-break (count desc, left asc,
+    right asc); exact int64 pair counts. FULL oracle."""
+    from extractors_metadata_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=8)
+
+
+def _bpe_stages_sql(rounds: int) -> str:
+    """Generated oracle for q_bpe_merges: tokenize -> word frequencies ->
+    ``rounds`` unrolled (pair-count argmax -> islands+parity merge) stage
+    groups. Every s{r} is referenced twice (next round's pair count AND
+    explode) -> MATERIALIZED (CLAUDE.md re-inlining rule)."""
+    parts = [
+        r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT arr[i + 1] AS tok
+      FROM (SELECT arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    s0 AS MATERIALIZED (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_append(string_split(tok, ''), '</w>') AS syms
+      FROM tt GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    pr{r} AS (
+      SELECT syms[i + 1] AS l, syms[i + 2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i FROM s{p})
+      GROUP BY 1, 2),
+    bst{r} AS MATERIALIZED (
+      SELECT l, r, cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rn
+        FROM pr{r})
+      WHERE rn = 1),
+    cd{r} AS (
+      SELECT e.*, CASE WHEN s = b.l AND s_next IS NOT DISTINCT FROM b.r
+                       THEN 1 ELSE 0 END AS cand
+      FROM (SELECT word, freq, i, s,
+                   lead(s) OVER (PARTITION BY word ORDER BY i) AS s_next
+            FROM (SELECT word, freq, unnest(range(len(syms))) AS i,
+                         unnest(syms) AS s FROM s{p})) e
+      CROSS JOIN bst{r} b),
+    gp{r} AS (
+      SELECT *, sum(run_head) OVER (PARTITION BY word ORDER BY i
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+      FROM (SELECT *, CASE WHEN cand = 1 AND coalesce(
+                     lag(cand) OVER (PARTITION BY word ORDER BY i), 0) = 0
+                 THEN 1 ELSE 0 END AS run_head FROM cd{r})),
+    sl{r} AS (
+      SELECT *, CASE WHEN cand = 1 AND (i - run_start) % 2 = 0
+                     THEN 1 ELSE 0 END AS selected
+      FROM (SELECT *, min(CASE WHEN cand = 1 THEN i END)
+                        OVER (PARTITION BY word, grp) AS run_start
+            FROM gp{r})),
+    s{r} AS MATERIALIZED (
+      SELECT word, freq,
+             list(CASE WHEN selected = 1 THEN s || s_next ELSE s END
+                  ORDER BY i) AS syms
+      FROM (SELECT *, coalesce(lag(selected)
+                        OVER (PARTITION BY word ORDER BY i), 0) AS absorbed
+            FROM sl{r})
+      WHERE absorbed = 0 GROUP BY word, freq)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_sym, r AS right_sym, cnt AS pair_freq"
+        f" FROM bst{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",".join(parts) + "\n    " + union
+
+
 _ZONAL_MAJORITY_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8007,6 +8089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "snapshot_diff": q_snapshot_diff,
         "lm_quality": q_lm_quality,
+        "bpe_merges": q_bpe_merges,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10224,6 +10307,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_majority": _ZONAL_MAJORITY_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "lm_quality": _LM_QUALITY_SQL,
+        "bpe_merges": _bpe_stages_sql(8),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -1,0 +1,70 @@
+"""BPE merge induction (operators/bpe.py): closed-form merge order on a hand
+corpus, the greedy-overlap parity rule, and the reconstruction invariant;
+the driver oracle (bpe_merges) covers scale + the unrolled SQL replay."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # word freqs: low=3, lower=2, newest=1 (the Sennrich toy shape)
+    rows = [
+        (1, "low low lower"),
+        (2, "low lower newest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_merge_order_closed_form(docs, spark):
+    from extractors_metadata_spark.operators.bpe import bpe_merges
+
+    rows = bpe_merges(docs, rounds=3).orderBy("round").collect()
+    # pair counts round 1: (l,o)=5, (o,w)=5, (w,</w>)=3, (w,e)=2, (e,r)=2,
+    # (r,</w>)=2, newest pairs=1 each -> tie (l,o) vs (o,w) breaks to (l,o)
+    assert (rows[0]["left_sym"], rows[0]["right_sym"], rows[0]["pair_freq"]) == (
+        "l", "o", 5,
+    )
+    # round 2: (lo,w)=5 wins
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_freq"]) == (
+        "lo", "w", 5,
+    )
+    # round 3: (low,</w>)=3 wins
+    assert (rows[2]["left_sym"], rows[2]["right_sym"], rows[2]["pair_freq"]) == (
+        "low", "</w>", 3,
+    )
+
+
+def test_bpe_greedy_overlap_parity(spark):
+    from extractors_metadata_spark.operators.bpe import (
+        _initial_symbols,
+        _merge_round,
+    )
+
+    words = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1), ("aba", 1)], "word string, tf long"
+    )
+    out = {
+        r["word"]: r["syms"]
+        for r in _merge_round(_initial_symbols(words), "a", "a").collect()
+    }
+    assert out["aaaa"] == ["aa", "aa", "</w>"]  # every other candidate
+    assert out["aaa"] == ["aa", "a", "</w>"]    # greedy left-to-right
+    assert out["aba"] == ["a", "b", "a", "</w>"]  # no candidates
+
+
+def test_bpe_symbols_reconstruct_words(docs):
+    from extractors_metadata_spark.operators.bpe import (
+        _initial_symbols,
+        _merge_round,
+        bpe_merges,
+    )
+    from extractors_metadata_spark.operators.corpus import vocabulary
+
+    merges = bpe_merges(docs, rounds=3).orderBy("round").collect()
+    wsyms = _initial_symbols(vocabulary(docs).select("word", "tf"))
+    for m in merges:
+        wsyms = _merge_round(wsyms, m["left_sym"], m["right_sym"])
+    for r in wsyms.collect():
+        assert "".join(r["syms"]) == r["word"] + "</w>"
