@@ -8090,6 +8090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "lm_quality": q_lm_quality,
         "bpe_merges": q_bpe_merges,
+        "shortest_paths": q_shortest_paths,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -8598,6 +8599,54 @@ def _k_hop_sql(hops: int = 4) -> str:
         s0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hop),
         {body}
         SELECT node, hop FROM {prev_s}
+    """
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Bounded weighted SSSP (operators/linkgraph.shortest_paths): exact
+    minimum path weight from seed node 0 over the zipf link graph with
+    deterministic integer weights w = 1 + (src + 3*dst) % 7, 6 rounds of
+    DELTA Bellman-Ford (only last round's improved nodes relax — equals
+    full Bellman-Ford at every round index, see the operator docstring).
+    FULL oracle: the simple full-relaxation recurrence unrolled as
+    generated CTE stages (the k_hop/k_core discipline)."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        shortest_paths,
+        zipf_link_graph,
+    )
+
+    edges = zipf_link_graph(_t(spark, sf_dir, "events")).withColumn(
+        "w", (F.lit(1) + (F.col("src") + 3 * F.col("dst")) % 7).cast("long")
+    )
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    return shortest_paths(edges, seeds, rounds=6)
+
+
+def _shortest_paths_sql(rounds: int = 6) -> str:
+    stages = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        d{i} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT ew.dst AS node, d.dist + ew.w AS dist
+            FROM ew JOIN {prev} d ON d.node = ew.src)
+          GROUP BY node)""")
+        prev = f"d{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        ew AS MATERIALIZED (
+          SELECT src, dst, CAST(1 + (src + 3 * dst) % 7 AS BIGINT) AS w
+          FROM edges),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        {body}
+        SELECT node, dist FROM {prev}
     """
 
 
@@ -10308,6 +10357,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "lm_quality": _LM_QUALITY_SQL,
         "bpe_merges": _bpe_stages_sql(8),
+        "shortest_paths": _shortest_paths_sql(6),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -282,3 +282,66 @@ def k_hop(edges: DataFrame, seeds: DataFrame, hops: int = 4) -> DataFrame:
         settled = settled.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("node")
     return settled
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    weight_col: str = "w",
+) -> DataFrame:
+    """(node, dist): exact minimum path WEIGHT from the seed set over the
+    DIRECTED weighted graph, bounded to paths of <= ``rounds`` edges — the
+    weighted widening of ``k_hop`` (routing cost / crawl latency / trust
+    propagation, where hop count is the wrong metric).
+
+    Delta Bellman-Ford: each round relaxes only edges out of nodes whose
+    distance IMPROVED last round.  This equals full Bellman-Ford at every
+    round index (induction: a node whose distance did not improve already
+    had all its outgoing relaxations folded into the running min when it
+    last improved — the min-merge is monotone), which is what lets the
+    oracle replay the SIMPLE full-relaxation recurrence as unrolled CTE
+    stages while the engine runs the cheap frontier form.
+
+    Weights must be exact nonneg int64 (the engine's graph discipline:
+    float path sums are fold-order dependent, int sums are not).
+
+    Scale design: per round ONE src-keyed equi-join (frontier against the
+    edge table — frontier broadcasts while small, the common case after
+    the first rounds; edges pre-partitioned by src reuse their Exchange
+    across rounds) + node-keyed min aggregates with map-side combine;
+    settled work never re-joins; localCheckpoint per round (the
+    cluster_pairs lineage rule); early exit on a drained frontier.
+    """
+    dist = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(int(rounds)):
+        relax = edges.join(
+            frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                "dist", "sdist"
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("sdist") + F.col(weight_col)).alias("dist"),
+        )
+        merged = (
+            dist.unionByName(relax.groupBy("node").agg(F.min("dist").alias("dist")))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+        if improved.count() == 0:
+            break
+        frontier = improved
+    return dist
