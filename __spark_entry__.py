@@ -6321,6 +6321,55 @@ def q_zonal_majority(spark, sf_dir):
     )
 
 
+def q_quadtree(spark, sf_dir):
+    """Adaptive quadtree histogram (operators/quadtree.quadtree_leaves):
+    density-adaptive spatial binning — cells over 40 points split into
+    their four children, z18 down to z24; output is the disjoint LEAF
+    cover with exact counts. Trig runs ONCE at z_max (frozen kernel);
+    every coarser cell is an exact integer shift (the tile_pyramid
+    halving identity — never per-level trig, the idw lesson). Points are
+    touched once; all decisions run on the occupied-tile frame. FULL
+    oracle: identical base-tile formula + shift/count/min-when replay."""
+    from extractors_metadata_spark.operators.quadtree import quadtree_leaves
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(lat, lon)
+    return quadtree_leaves(pts, z_min=18, z_max=24, cap=40)
+
+
+def _quadtree_sql(z_min: int = 18, z_max: int = 24, cap: int = 40) -> str:
+    zs = ", ".join(str(z) for z in range(z_min, z_max + 1))
+    return f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR((({LON_IN}) + 180) / 360 * pow(2, {z_max})) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(({LAT_IN})))
+                    + 1/cos(radians(({LAT_IN}))))/pi())/2 * pow(2, {z_max}))
+                  AS BIGINT) AS y
+      FROM events),
+    base AS MATERIALIZED (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    chain AS MATERIALIZED (
+      SELECT b.x, b.y, b.n, zz.z,
+             b.x // CAST(pow(2, {z_max} - zz.z) AS BIGINT) AS xz,
+             b.y // CAST(pow(2, {z_max} - zz.z) AS BIGINT) AS yz
+      FROM base b CROSS JOIN (SELECT unnest([{zs}]) AS z) zz),
+    lvls AS (
+      SELECT z, xz, yz, CAST(sum(n) AS BIGINT) AS cnt
+      FROM chain GROUP BY 1, 2, 3),
+    leaf AS (
+      SELECT c.x, c.y, c.n,
+             coalesce(min(CASE WHEN l.cnt <= {cap} THEN c.z END), {z_max})
+               AS leaf_z
+      FROM chain c JOIN lvls l ON l.z = c.z AND l.xz = c.xz AND l.yz = c.yz
+      GROUP BY 1, 2, 3)
+    SELECT leaf_z AS z,
+           x // CAST(pow(2, {z_max} - leaf_z) AS BIGINT) AS x,
+           y // CAST(pow(2, {z_max} - leaf_z) AS BIGINT) AS y,
+           CAST(sum(n) AS BIGINT) AS n_points
+    FROM leaf GROUP BY 1, 2, 3
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style n-gram LM perplexity scoring (operators/lm_quality.
     ngram_lm_score): an add-1 bigram model trained on the even-doc_id
@@ -8091,6 +8140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "bpe_merges": q_bpe_merges,
         "shortest_paths": q_shortest_paths,
+        "quadtree": q_quadtree,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10358,6 +10408,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": _LM_QUALITY_SQL,
         "bpe_merges": _bpe_stages_sql(8),
         "shortest_paths": _shortest_paths_sql(6),
+        "quadtree": _quadtree_sql(18, 24, 40),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
