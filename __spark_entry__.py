@@ -8141,6 +8141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "shortest_paths": q_shortest_paths,
         "quadtree": q_quadtree,
+        "label_prop": q_label_prop,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -8697,6 +8698,57 @@ def _shortest_paths_sql(rounds: int = 6) -> str:
         d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
         {body}
         SELECT node, dist FROM {prev}
+    """
+
+
+def q_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/linkgraph.
+    label_propagation): 4 bounded rounds over the undirected zipf graph,
+    every node adopting its neighbors' modal previous-round label with
+    the frozen count-desc/min-label tie-break — deterministic,
+    cluster-size independent, and exactly replayable (async LPA is
+    schedule-dependent and can have no oracle). FULL oracle: rounds
+    unrolled as generated CTE stages, row_number argmax."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        label_propagation,
+        zipf_link_graph,
+    )
+
+    return label_propagation(
+        zipf_link_graph(_t(spark, sf_dir, "events")), rounds=4
+    )
+
+
+def _label_prop_sql(rounds: int = 4) -> str:
+    stages = []
+    prev = "lbl0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        c{i} AS (
+          SELECT s.dst AS node, l.label, count(*) AS cnt
+          FROM sym s JOIN {prev} l ON l.node = s.src
+          GROUP BY 1, 2),
+        lbl{i} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY node
+                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM c{i})
+          WHERE rn = 1)""")
+        prev = f"lbl{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src != dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges WHERE src != dst)),
+        lbl0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        {body}
+        SELECT node, label FROM {prev}
     """
 
 
@@ -10409,6 +10461,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_stages_sql(8),
         "shortest_paths": _shortest_paths_sql(6),
         "quadtree": _quadtree_sql(18, 24, 40),
+        "label_prop": _label_prop_sql(4),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

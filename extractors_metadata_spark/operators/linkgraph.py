@@ -345,3 +345,59 @@ def shortest_paths(
             break
         frontier = improved
     return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """(node, label): community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) over the undirected graph, bounded to
+    ``rounds`` — the cheap community/near-partition signal (host clusters,
+    link farms, topic pockets) complementing k_core (density) and
+    cluster_pairs (connectivity).
+
+    Deterministic variant: every node starts labeled with its own id; each
+    round EVERY node simultaneously adopts the most frequent label among
+    its neighbors' previous-round labels, ties to the smallest label (the
+    frozen count-desc/min tie-break used engine-wide).  Synchronous + a
+    fixed round bound + frozen ties = bit-reproducible on any cluster
+    size, and replayable as unrolled CTE stages (asynchronous LPA is
+    schedule-dependent and cannot have an exact oracle).
+
+    Scale design: per round ONE src-keyed equi-join (labels against the
+    symmetrized edge table) + a (node, label)-keyed count with map-side
+    combine (a hub's messages collapse per label before the shuffle) + a
+    node-keyed min_by argmax (aggregation, never a window sort);
+    localCheckpoint per round (the cluster_pairs lineage rule).
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(rounds)):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        cnt = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min_by(
+                    F.col("label"),
+                    F.struct((-F.col("cnt")).alias("k1"),
+                             F.col("label").alias("k2")),
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
