@@ -807,6 +807,39 @@ def q_ann_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN graph (operators/similarity.mutual_knn): unordered pairs
+    where each vector is in the other's exact cosine top-5 — the
+    hubness-suppressed kNN structure (UMAP/HDBSCAN-style graph edges,
+    dedup clusters). Ranks-only output (exact ints; the ann_topk
+    precedent — orderings agree cross-engine, raw float sums never
+    emitted). One top-k pass + one reversed-key self-join. FULL oracle."""
+    from extractors_metadata_spark.operators.similarity import mutual_knn
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return mutual_knn(emb, k=5)
+
+
+_MUTUAL_KNN_SQL = """
+    WITH sub AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 400),
+    tk AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                          b.vec_id ASC) AS rank
+        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 5)
+    SELECT ab.query_id AS id_a, ab.neighbor_id AS id_b,
+           CAST(ab.rank AS INT) AS rank_ab, CAST(ba.rank AS INT) AS rank_ba
+    FROM tk ab JOIN tk ba
+      ON ba.query_id = ab.neighbor_id AND ba.neighbor_id = ab.query_id
+    WHERE ab.query_id < ab.neighbor_id
+"""
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two retrieval rankings (the serving-side
     ensemble primitive): per query, rank the corpus by exact cosine AND
@@ -8142,6 +8175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "quadtree": q_quadtree,
         "label_prop": q_label_prop,
+        "mutual_knn": q_mutual_knn,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10462,6 +10496,7 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _shortest_paths_sql(6),
         "quadtree": _quadtree_sql(18, 24, 40),
         "label_prop": _label_prop_sql(4),
+        "mutual_knn": _MUTUAL_KNN_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

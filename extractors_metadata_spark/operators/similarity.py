@@ -457,3 +457,42 @@ def mmr_select(
         "query_id", F.col("pick").cast("int").alias("pick"),
         "doc_id", "score",
     )
+
+
+def mutual_knn(
+    df: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN graph: (id_a, id_b, rank_ab, rank_ba) for unordered pairs
+    where EACH vector is in the other's exact cosine top-k (a < b).
+
+    The reciprocal constraint is the standard robustness filter on kNN
+    structure (hubness suppression, dedup-cluster edges, UMAP/HDBSCAN-style
+    graph construction): a hub appearing in everyone's top-k keeps only the
+    edges it reciprocates.  Output carries both ranks (exact ints — the
+    ann_topk precedent: orderings are compared cross-engine, never raw
+    float sums), no float columns.
+
+    Scale design: the top-k frame is computed once and self-joined on the
+    REVERSED key pair — a (query, neighbor)-keyed equi-join of two
+    corpus x k row frames, never a second distance pass; at 100 TB the
+    same reciprocal join applies unchanged to IVF/SRP-generated candidate
+    top-k (this exact form is the verify path).
+    """
+    topk = brute_force_topk(df, df, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    ab = topk.filter(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank").alias("rank_ab"),
+    )
+    ba = topk.filter(F.col("query_id") > F.col("neighbor_id")).select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return ab.join(ba, ["id_a", "id_b"]).select(
+        "id_a", "id_b",
+        F.col("rank_ab").cast("int").alias("rank_ab"),
+        F.col("rank_ba").cast("int").alias("rank_ba"),
+    )
