@@ -6403,6 +6403,50 @@ def _quadtree_sql(z_min: int = 18, z_max: int = 24, cap: int = 40) -> str:
 """
 
 
+def q_source_divergence(spark, sf_dir):
+    """Per-source vocabulary drift (operators/corpus.source_divergence):
+    KL(P_source || P_corpus) over word unigram distributions — the text
+    twin of psi_drift's numeric bins, finite without smoothing because
+    source words are corpus words. Per-word 1e12 fixed-point
+    p_s ln(p_s/p_all) terms (exact int64 ratios, correctly-rounded
+    divisions, rint margin absorbs ln drift) summed as exact int64. FULL
+    oracle: same tokenization + literal arithmetic."""
+    from extractors_metadata_spark.operators.corpus import source_divergence
+
+    return source_divergence(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_DIVERGENCE_SQL = r"""
+    WITH arrs AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT source, arr[i + 1] AS tok
+      FROM (SELECT source, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    csw AS MATERIALIZED (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS csw
+      FROM tt GROUP BY 1, 2),
+    cw AS (SELECT tok, CAST(sum(csw) AS BIGINT) AS cw FROM csw GROUP BY 1),
+    ns AS MATERIALIZED (
+      SELECT source, CAST(sum(csw) AS BIGINT) AS ns FROM csw GROUP BY 1),
+    n AS (SELECT CAST(sum(csw) AS BIGINT) AS n FROM csw),
+    terms AS (
+      SELECT c.source,
+             CAST(round_even(
+               (c.csw / s.ns) * ln((c.csw * t.n) / (s.ns * w.cw)) * 1e12,
+               0) AS BIGINT) AS term_fp
+      FROM csw c
+      JOIN cw w ON w.tok = c.tok
+      JOIN ns s ON s.source = c.source
+      CROSS JOIN n t)
+    SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+           s.ns AS n_tokens, CAST(sum(term_fp) AS BIGINT) AS kl_fp
+    FROM terms t JOIN ns s ON s.source = t.source
+    GROUP BY 1, 3
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style n-gram LM perplexity scoring (operators/lm_quality.
     ngram_lm_score): an add-1 bigram model trained on the even-doc_id
@@ -8176,6 +8220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadtree": q_quadtree,
         "label_prop": q_label_prop,
         "mutual_knn": q_mutual_knn,
+        "source_divergence": q_source_divergence,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10497,6 +10542,7 @@ def oracle_sql() -> dict[str, str]:
         "quadtree": _quadtree_sql(18, 24, 40),
         "label_prop": _label_prop_sql(4),
         "mutual_knn": _MUTUAL_KNN_SQL,
+        "source_divergence": _SOURCE_DIVERGENCE_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

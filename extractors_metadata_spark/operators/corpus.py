@@ -23,6 +23,8 @@ All three carry FULL DuckDB oracles in __spark_entry__.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,3 +277,75 @@ def quality_percentile(
     return out.withColumn(
         "permille", F.expr("(rk - 1) * 1000 div greatest(n - 1, 1L)")
     )
+
+
+def _kl_term_fp_udf():
+    @F.pandas_udf("long")
+    def _term_fp(
+        csw: pd.Series, ns: pd.Series, cw: pd.Series, n: pd.Series
+    ) -> pd.Series:
+        # p_s * ln(p_s / p_all) with both ratios formed from EXACT int64
+        # products (< 2^53): each division correctly rounded, ln ulp drift
+        # absorbed by the 1e12 rint margin (the bm25 recipe), one more
+        # correctly-rounded multiply — then per-term half-even fixed point
+        # BEFORE the order-free int sum (the mutual_info/psi discipline).
+        a = csw.to_numpy(np.int64)
+        b = ns.to_numpy(np.int64)
+        c = cw.to_numpy(np.int64)
+        m = n.to_numpy(np.int64)
+        t = (a / b) * np.log((a * m) / (b * c)) * 1e12
+        return pd.Series(np.rint(t).astype(np.int64))
+
+    return _term_fp
+
+
+def source_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary drift: KL(P_source || P_corpus) over word
+    unigram distributions — the corpus-mixture monitor (which crawl
+    sources diverge from the blend; the text twin of psi_drift's numeric
+    bins).  KL against the CORPUS marginal is always finite (every source
+    word is a corpus word), needs no binning and no smoothing.
+
+    Returns (source, n_words, n_tokens, kl_fp): distinct words, token
+    count, and the exact int64 sum of per-word 1e12 fixed-point
+    p_s ln(p_s/p_all) terms (KL = kl_fp / 1e12, consumer-side).
+
+    Scale design: ONE token explode (narrow (source, tok)); the
+    (source, word) count is the only data-sized aggregate (map-side
+    combine); corpus word counts and per-source totals RE-AGGREGATE that
+    collapsed frame; the word-keyed marginal join is the one skewable
+    exchange (AQE skew-join handles the transient stopword partition);
+    one Arrow pass for the terms."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("tok"),
+    )
+    csw = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("csw"))
+    cw = csw.groupBy("tok").agg(F.sum("csw").alias("cw"))
+    ns = csw.groupBy("source").agg(F.sum("csw").alias("ns"))
+    n = csw.agg(F.sum("csw").alias("n"))
+    terms = (
+        csw.join(cw, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            _kl_term_fp_udf()(
+                F.col("csw"), F.col("ns"), F.col("cw"), F.col("n")
+            ).alias("term_fp"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("term_fp").alias("kl_fp"),
+    )
+    return agg.join(
+        ns.select("source", F.col("ns").alias("n_tokens")), "source"
+    ).select("source", "n_words", "n_tokens", "kl_fp")
