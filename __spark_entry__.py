@@ -840,6 +840,52 @@ _MUTUAL_KNN_SQL = """
 """
 
 
+def q_principal_axis(spark, sf_dir):
+    """Exact-integer power iteration (operators/spectral.principal_axis):
+    the embedding cloud's dominant Gram-matrix eigendirection after 6
+    rounds — milli-unit quantize-once, int64 matvecs, power-of-two
+    renormalization from the max bit length (never a float norm), sign-
+    split truncation identical in both engines. FULL oracle: rounds
+    unrolled as generated CTE stages, shift from length(bin(max))."""
+    from extractors_metadata_spark.operators.spectral import principal_axis
+
+    return principal_axis(_t(spark, sf_dir, "embeddings"), rounds=6)
+
+
+def _principal_axis_sql(rounds: int = 6, dim: int = 64) -> str:
+    stages = []
+    prev = "u0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        s{i} AS (
+          SELECT q.vec_id, CAST(sum(q.qv * u.u) AS BIGINT) AS s
+          FROM q JOIN {prev} u ON u.j = q.j GROUP BY 1),
+        t{i} AS MATERIALIZED (
+          SELECT q.j, CAST(sum(q.qv * s.s) AS BIGINT) AS t
+          FROM q JOIN s{i} s ON s.vec_id = q.vec_id GROUP BY 1),
+        m{i} AS (
+          SELECT greatest(length(bin(max(abs(t)))) - 20, 0) AS sh FROM t{i}),
+        u{i} AS MATERIALIZED (
+          SELECT j, CASE WHEN t < 0
+                         THEN -((-t) // CAST(pow(2, sh) AS BIGINT))
+                         ELSE t // CAST(pow(2, sh) AS BIGINT) END AS u
+          FROM t{i} CROSS JOIN m{i})""")
+        prev = f"u{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, j,
+                 CAST(round_even(CAST(embedding[j + 1] AS DOUBLE) * 1000, 0)
+                      AS BIGINT) AS qv
+          FROM (SELECT vec_id, embedding, unnest(range({dim})) AS j
+                FROM embeddings)),
+        u0 AS (SELECT j, CAST({1 << 19} AS BIGINT) AS u
+               FROM (SELECT unnest(range({dim})) AS j)),
+        {body}
+        SELECT j AS dim, CAST(u AS BIGINT) AS u_fp FROM {prev}
+    """
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two retrieval rankings (the serving-side
     ensemble primitive): per query, rank the corpus by exact cosine AND
@@ -8221,6 +8267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "mutual_knn": q_mutual_knn,
         "source_divergence": q_source_divergence,
+        "principal_axis": q_principal_axis,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10543,6 +10590,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": _label_prop_sql(4),
         "mutual_knn": _MUTUAL_KNN_SQL,
         "source_divergence": _SOURCE_DIVERGENCE_SQL,
+        "principal_axis": _principal_axis_sql(6, 64),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
