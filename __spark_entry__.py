@@ -6449,6 +6449,58 @@ def _quadtree_sql(z_min: int = 18, z_max: int = 24, cap: int = 40) -> str:
 """
 
 
+def q_exact_substr(spark, sf_dir):
+    """ExactSubstr duplication coverage (operators/substr_dedup.
+    exact_substr_coverage): Lee-et-al substring-level dedup statistic —
+    per doc, how many 20-token windows repeat corpus-wide and how many
+    token positions they cover (interval union via the islands
+    discipline, one doc-keyed Exchange). Window keys are the literal
+    token strings (exact replay; hash them at 100 TB). FULL oracle."""
+    from extractors_metadata_spark.operators.substr_dedup import (
+        exact_substr_coverage,
+    )
+
+    return exact_substr_coverage(_t(spark, sf_dir, "documents"), window=20)
+
+
+_EXACT_SUBSTR_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    base AS MATERIALIZED (
+      SELECT doc_id, arr, len(arr) AS n FROM arrs WHERE len(arr) >= 20),
+    win AS MATERIALIZED (
+      SELECT doc_id, i AS pos, array_to_string(arr[i + 1 : i + 20], ' ') AS wkey
+      FROM (SELECT doc_id, arr, unnest(range(len(arr) - 19)) AS i FROM base)),
+    cnt AS (SELECT wkey, count(*) AS c FROM win GROUP BY 1),
+    dup AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN cnt ON cnt.wkey = w.wkey WHERE cnt.c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                          ORDER BY pos) > 20 THEN 1 ELSE 0 END AS brk
+            FROM dup)),
+    seg AS (
+      SELECT doc_id, isl, max(pos) - min(pos) + 20 AS cov,
+             count(*) AS nw
+      FROM isl GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_token_cov,
+             CAST(sum(nw) AS BIGINT) AS dup_windows
+      FROM seg GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           coalesce(p.dup_windows, 0) AS dup_windows,
+           coalesce(p.dup_token_cov, 0) AS dup_token_cov
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+"""
+
+
 def q_source_divergence(spark, sf_dir):
     """Per-source vocabulary drift (operators/corpus.source_divergence):
     KL(P_source || P_corpus) over word unigram distributions — the text
@@ -8268,6 +8320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "source_divergence": q_source_divergence,
         "principal_axis": q_principal_axis,
+        "exact_substr": q_exact_substr,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10591,6 +10644,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn": _MUTUAL_KNN_SQL,
         "source_divergence": _SOURCE_DIVERGENCE_SQL,
         "principal_axis": _principal_axis_sql(6, 64),
+        "exact_substr": _EXACT_SUBSTR_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
