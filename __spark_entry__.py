@@ -6340,6 +6340,60 @@ def q_track_crossings(spark, sf_dir):
     return track_crossings(e)
 
 
+def q_contact_crossings(spark, sf_dir):
+    """Cross-user path-crossing join (trajectory.contact_crossings):
+    strictly-proper intersections between two users' SAME-HOUR movement
+    segments — encounter mining with temporal blocking as the scale
+    contract (per-hour bounded pair fan-out, never all user pairs).
+    Nanodegree quantize-once coords, integer bbox reject, four
+    orientation sign tests. FULL oracle."""
+    from extractors_metadata_spark.operators.trajectory import contact_crossings
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", lat, lon
+    ).select(
+        "user_id", "ts", "event_id",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("xi"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("yi"),
+    )
+    return contact_crossings(e)
+
+
+_CONTACT_CROSSINGS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    segs AS (
+      SELECT user_id,
+             epoch_us(ts) // 3600000000 AS hr,
+             xi AS ax, yi AS ay,
+             lead(xi) OVER w AS bx, lead(yi) OVER w AS by
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS MATERIALIZED (SELECT * FROM segs WHERE bx IS NOT NULL),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             (a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax) AS o1,
+             (a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax) AS o2,
+             (b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax) AS o3,
+             (b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax) AS o4
+      FROM s a JOIN s b
+        ON a.hr = b.hr AND a.user_id < b.user_id
+       AND greatest(a.ax, a.bx) >= least(b.ax, b.bx)
+       AND greatest(b.ax, b.bx) >= least(a.ax, a.bx)
+       AND greatest(a.ay, a.by) >= least(b.ay, b.by)
+       AND greatest(b.ay, b.by) >= least(a.ay, a.by))
+    SELECT ua AS user_a, ub AS user_b,
+           CAST(count(*) AS BIGINT) AS n_crossings
+    FROM p
+    WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+      AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+    GROUP BY 1, 2
+"""
+
+
 _LOCAL_MORAN_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8321,6 +8375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "principal_axis": q_principal_axis,
         "exact_substr": q_exact_substr,
+        "contact_crossings": q_contact_crossings,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10645,6 +10700,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _SOURCE_DIVERGENCE_SQL,
         "principal_axis": _principal_axis_sql(6, 64),
         "exact_substr": _EXACT_SUBSTR_SQL,
+        "contact_crossings": _CONTACT_CROSSINGS_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -310,3 +310,86 @@ def rdp_keep(
         .distinct()
     )
     return kept
+
+
+def contact_crossings(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "xi",
+    y_col: str = "yi",
+) -> DataFrame:
+    """Cross-USER path-crossing join: (user_a, user_b, n_crossings) counting
+    strictly proper intersections between two users' SAME-HOUR movement
+    segments — the potential-contact / encounter-mining join (epidemiology
+    contact tracing, shared-route discovery), the two-table widening of
+    ``track_crossings``.
+
+    Temporal blocking IS the contract: a segment belongs to the hour of its
+    START point ((ts, id)-ordered — the frozen tie-break), and only
+    same-hour segments are tested, so the pair fan-out is bounded by the
+    per-hour segment volume (the event_study bounded-block rule), never
+    all-pairs over users.  Crossings between segments starting in adjacent
+    hours are out of contract by definition (an encounter implies similar
+    timing).
+
+    Geometry is the track_crossings discipline: exact-integer quantized
+    coordinates (quantize-once), integer bbox reject, four orientation SIGN
+    tests (never the product), strictness excludes all degeneracies.
+
+    Scale design: segments are narrow (user, hour, 4 coords); the one
+    fan-out join is hour-keyed (hash-uniform over time, no hot key), the
+    bbox reject runs inside codegen before the orientation arithmetic, and
+    the (user_a, user_b) count partial-aggregates map-side.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    segs = (
+        df.select(user_col, ts_col, id_col, x_col, y_col)
+        .withColumn("_bx", F.lead(x_col).over(w))
+        .withColumn("_by", F.lead(y_col).over(w))
+        .filter(F.col("_bx").isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 3600000000"
+            ).alias("hr"),
+            F.col(x_col).alias("_ax"),
+            F.col(y_col).alias("_ay"),
+            "_bx",
+            "_by",
+        )
+    )
+    b = segs.select(
+        F.col("u").alias("v"),
+        "hr",
+        F.col("_ax").alias("_cx"),
+        F.col("_ay").alias("_cy"),
+        F.col("_bx").alias("_dx"),
+        F.col("_by").alias("_dy"),
+    )
+    p = segs.join(b, "hr").filter(F.col("u") < F.col("v"))
+    p = p.filter(
+        (F.greatest("_ax", "_bx") >= F.least("_cx", "_dx"))
+        & (F.greatest("_cx", "_dx") >= F.least("_ax", "_bx"))
+        & (F.greatest("_ay", "_by") >= F.least("_cy", "_dy"))
+        & (F.greatest("_cy", "_dy") >= F.least("_ay", "_by"))
+    )
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (F.col(bx) - F.col(ax)) * (F.col(cy) - F.col(ay)) - (
+            F.col(by) - F.col(ay)
+        ) * (F.col(cx) - F.col(ax))
+
+    o1 = orient("_ax", "_ay", "_bx", "_by", "_cx", "_cy")
+    o2 = orient("_ax", "_ay", "_bx", "_by", "_dx", "_dy")
+    o3 = orient("_cx", "_cy", "_dx", "_dy", "_ax", "_ay")
+    o4 = orient("_cx", "_cy", "_dx", "_dy", "_bx", "_by")
+    cross = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    return (
+        p.filter(cross)
+        .groupBy(F.col("u").alias("user_a"), F.col("v").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_crossings"))
+    )
