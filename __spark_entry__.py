@@ -6394,6 +6394,84 @@ _CONTACT_CROSSINGS_SQL = f"""
 """
 
 
+def q_convex_hull(spark, sf_dir):
+    """Per-user convex hull vertex set (operators/hull.
+    convex_hull_vertices): bounded-depth-5 QuickHull on nanodegree
+    quantize-once integers — farthest-point argmax per chord (frozen
+    cross-desc/lex tie-break), strict orientation sign tests, disjoint
+    sub-chord reassignment (proved in the operator docstring). Unordered
+    vertex SET output keeps it exact without a traversal order. FULL
+    oracle: levels unrolled as generated CTE stages, row_number argmax."""
+    from extractors_metadata_spark.operators.hull import convex_hull_vertices
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", lat, lon).select(
+        "user_id",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("px"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("py"),
+    )
+    return convex_hull_vertices(e, depth=5)
+
+
+def _convex_hull_sql(depth: int = 5) -> str:
+    def orient(ax, ay, bx, by, px, py):
+        return f"({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax})"
+
+    stages = []
+    vert_sel = [
+        "SELECT u, ax AS vx, ay AS vy FROM anch",
+        "SELECT u, bx AS vx, by AS vy FROM anch",
+    ]
+    prev = "g0"
+    for i in range(1, depth + 1):
+        stages.append(f"""
+        far{i} AS MATERIALIZED (
+          SELECT u, ax, ay, bx, by, px AS cx, py AS cy FROM (
+            SELECT *, row_number() OVER (PARTITION BY u, ax, ay, bx, by
+              ORDER BY {orient('ax', 'ay', 'bx', 'by', 'px', 'py')} DESC,
+                       px ASC, py ASC) AS rn
+            FROM {prev}) q
+          WHERE rn = 1),
+        g{i} AS MATERIALIZED (
+          SELECT g.u, g.ax, g.ay, f.cx AS bx, f.cy AS by, g.px, g.py
+          FROM {prev} g JOIN far{i} f USING (u, ax, ay, bx, by)
+          WHERE {orient('g.ax', 'g.ay', 'f.cx', 'f.cy', 'g.px', 'g.py')} > 0
+          UNION ALL
+          SELECT g.u, f.cx AS ax, f.cy AS ay, g.bx, g.by, g.px, g.py
+          FROM {prev} g JOIN far{i} f USING (u, ax, ay, bx, by)
+          WHERE {orient('f.cx', 'f.cy', 'g.bx', 'g.by', 'g.px', 'g.py')} > 0)""")
+        vert_sel.append(f"SELECT u, cx AS vx, cy AS vy FROM far{i}")
+        prev = f"g{i}"
+    body = ",".join(stages)
+    union = "\n        UNION ALL ".join(vert_sel)
+    return f"""
+        WITH pts0 AS MATERIALIZED (
+          SELECT DISTINCT user_id AS u,
+                 CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS px,
+                 CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS py
+          FROM events),
+        anch AS MATERIALIZED (
+          SELECT lo.u, lo.px AS ax, lo.py AS ay, hi.px AS bx, hi.py AS by
+          FROM (SELECT u, px, py FROM (
+                  SELECT *, row_number() OVER (PARTITION BY u
+                    ORDER BY px ASC, py ASC) AS rn FROM pts0) a WHERE rn = 1) lo
+          JOIN (SELECT u, px, py FROM (
+                  SELECT *, row_number() OVER (PARTITION BY u
+                    ORDER BY px DESC, py DESC) AS rn FROM pts0) b WHERE rn = 1) hi
+            ON hi.u = lo.u),
+        chords AS (
+          SELECT u, ax, ay, bx, by FROM anch
+          UNION ALL
+          SELECT u, bx AS ax, by AS ay, ax AS bx, ay AS by FROM anch),
+        g0 AS MATERIALIZED (
+          SELECT p.u, c.ax, c.ay, c.bx, c.by, p.px, p.py
+          FROM pts0 p JOIN chords c ON c.u = p.u
+          WHERE {orient('c.ax', 'c.ay', 'c.bx', 'c.by', 'p.px', 'p.py')} > 0),
+        {body}
+        SELECT DISTINCT u AS user_id, vx, vy FROM ({union}) v
+    """
+
+
 _LOCAL_MORAN_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8376,6 +8454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "principal_axis": q_principal_axis,
         "exact_substr": q_exact_substr,
         "contact_crossings": q_contact_crossings,
+        "convex_hull": q_convex_hull,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10701,6 +10780,7 @@ def oracle_sql() -> dict[str, str]:
         "principal_axis": _principal_axis_sql(6, 64),
         "exact_substr": _EXACT_SUBSTR_SQL,
         "contact_crossings": _CONTACT_CROSSINGS_SQL,
+        "convex_hull": _convex_hull_sql(5),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
