@@ -6472,6 +6472,199 @@ def _convex_hull_sql(depth: int = 5) -> str:
     """
 
 
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per user (the TWAP/IoT integral
+    aggregate): each observation holds until the next ((ts, id)-ordered,
+    the frozen tie-break), weight = exact µs gap, value = exact cents —
+    sum(cents*µs) and sum(µs) are exact int64 (products ~1e13/row), the
+    TWAP itself one correctly-rounded division emitted unrounded (the
+    identical-path rule). One user-keyed Exchange. FULL oracle."""
+    e = _t(spark, sf_dir, "events")
+    wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = e.select(
+        "user_id", "ts", "event_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    ).withColumn("dt", F.lead("us", 1).over(wnd) - F.col("us")).filter(
+        F.col("dt").isNotNull()
+    )
+    agg = rows.groupBy("user_id").agg(
+        F.sum("dt").alias("span_us"),
+        F.sum(F.col("cents") * F.col("dt")).alias("vdt_sum"),
+    )
+    return agg.select(
+        "user_id", "span_us", "vdt_sum",
+        (F.col("vdt_sum").cast("double") / F.col("span_us").cast("double"))
+        .alias("twap_cents"),
+    )
+
+
+_TWAP_SQL = """
+    WITH rows0 AS (
+      SELECT user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - epoch_us(ts)
+               AS dt
+      FROM events),
+    agg AS (
+      SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_us,
+             CAST(sum(cents * dt) AS BIGINT) AS vdt_sum
+      FROM rows0 WHERE dt IS NOT NULL GROUP BY 1)
+    SELECT user_id, span_us, vdt_sum,
+           CAST(vdt_sum AS DOUBLE) / CAST(span_us AS DOUBLE) AS twap_cents
+    FROM agg
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-user dispersion + outlier counts: median and MAD in
+    exact DOUBLED/QUADRUPLED cent units (the mann_whitney doubled-int
+    trick — percentile interpolation lands on halves, x2 restores exact
+    ints; Spark percentile == DuckDB quantile_cont, the length_quantiles
+    pairing), outliers = dev > 3*MAD decided entirely in integers
+    (dev4 > 3*mad4). The z-score that survives heavy tails. FULL
+    oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("c"),
+    )
+    med = e.groupBy("user_id").agg(
+        (F.percentile(F.col("c"), F.lit(0.5)) * 2).cast("long").alias("med2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id", "n", "med2",
+        F.abs(F.col("c") * 2 - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("user_id", "n", "med2").agg(
+        (F.percentile(F.col("dev2"), F.lit(0.5)) * 2).cast("long").alias("mad4")
+    )
+    out = (
+        dev.join(mad.select("user_id", "mad4"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("dev2") * 2 > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return mad.join(out, "user_id").select(
+        "user_id", "n", "med2", "mad4", "n_outliers"
+    )
+
+
+_MAD_SQL = """
+    WITH e AS (
+      SELECT user_id, CAST(round_even(value * 100.0, 0) AS BIGINT) AS c
+      FROM events),
+    med AS MATERIALIZED (
+      SELECT user_id, CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1),
+    dev AS MATERIALIZED (
+      SELECT e.user_id, m.n, m.med2, abs(e.c * 2 - m.med2) AS dev2
+      FROM e JOIN med m ON m.user_id = e.user_id),
+    mad AS MATERIALIZED (
+      SELECT user_id, n, med2,
+             CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      FROM dev GROUP BY 1, 2, 3)
+    SELECT d.user_id, m.n, m.med2, m.mad4,
+           CAST(sum(CASE WHEN d.dev2 * 2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.user_id = d.user_id
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_emd_drift(spark, sf_dir):
+    """1D earth-mover distance between event-type hour-of-day profiles:
+    EMD = sum_h |F_a(h) - F_b(h)| — the INTEGRAL counterpart of ks_test's
+    max, computed with the same cross-multiplied integer trick
+    (|cum_a*n_b - cum_b*n_a| summed over the 24 shared hour bins; the
+    /(n_a*n_b) normalization is consumer-side). All unordered type
+    pairs. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24"
+        ).alias("h"),
+    )
+    hours = spark.range(24).select(F.col("id").alias("h"))
+    types = e.select("event_type").distinct()
+    cnt = (
+        types.crossJoin(hours)
+        .join(
+            e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c")),
+            ["event_type", "h"],
+            "left",
+        )
+        .select(
+            "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    wnd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "event_type", "h", F.sum("c").over(wnd).alias("cum")
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("c").alias("n"))
+    a = cum.join(tot, "event_type").select(
+        F.col("event_type").alias("type_a"), "h",
+        F.col("cum").alias("cum_a"), F.col("n").alias("n_a"),
+    )
+    b = cum.join(tot, "event_type").select(
+        F.col("event_type").alias("type_b"), "h",
+        F.col("cum").alias("cum_b"), F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                )
+            ).alias("emd_num")
+        )
+    )
+
+
+_EMD_SQL = """
+    WITH e AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h FROM events),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(range(24)) AS h) g),
+    cnt AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN (
+        SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2) c
+        ON c.event_type = g.event_type AND c.h = g.h),
+    cum AS MATERIALIZED (
+      SELECT event_type, h,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM cnt),
+    tot AS MATERIALIZED (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(sum(abs(a.cum * tb.n - b.cum * ta.n)) AS BIGINT) AS emd_num
+    FROM cum a
+    JOIN cum b ON b.h = a.h AND a.event_type < b.event_type
+    JOIN tot ta ON ta.event_type = a.event_type
+    JOIN tot tb ON tb.event_type = b.event_type
+    GROUP BY 1, 2, 3, 4
+"""
+
+
 _LOCAL_MORAN_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8455,6 +8648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr": q_exact_substr,
         "contact_crossings": q_contact_crossings,
         "convex_hull": q_convex_hull,
+        "twap": q_twap,
+        "mad_outliers": q_mad_outliers,
+        "emd_drift": q_emd_drift,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10781,6 +10977,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr": _EXACT_SUBSTR_SQL,
         "contact_crossings": _CONTACT_CROSSINGS_SQL,
         "convex_hull": _convex_hull_sql(5),
+        "twap": _TWAP_SQL,
+        "mad_outliers": _MAD_SQL,
+        "emd_drift": _EMD_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
