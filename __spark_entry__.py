@@ -6665,6 +6665,179 @@ _EMD_SQL = """
 """
 
 
+def q_locf_resample(spark, sf_dir):
+    """Gap-filled hourly resampling (last observation carried forward):
+    each user's value series becomes a REGULAR hourly grid over the
+    user's own span, holes filled with the latest prior observation —
+    the time-series regularization every downstream window model needs.
+    Observations pre-collapse to one per (user, µs) (max event_id wins,
+    frozen rule); the fill is the group-trick LOCF (cumulative count of
+    observations partitions grid rows to exactly one donor — no IGNORE
+    NULLS dependence, no quadratic as-of scan); grid rows ride the SAME
+    user-keyed Exchange as the window. Users < 30 bound the grid for the
+    compare harness. FULL oracle."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id", "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            F.bround(F.col("value") * 100.0, 0).cast("long").alias("c"),
+        )
+    )
+    obs = e.groupBy("user_id", "us").agg(
+        F.max_by(F.col("c"), F.col("event_id")).alias("c")
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(
+        "user_id",
+        F.expr("mn div 3600000000").alias("h0"),
+        F.expr("mx div 3600000000").alias("h1"),
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    u = grid.select(
+        "user_id",
+        (F.col("hr") * 3600000000).alias("us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("c"),
+    ).unionByName(
+        obs.select("user_id", "us", F.lit(0).alias("side"), "c")
+    )
+    wnd = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("grp", F.count("c").over(wnd)).withColumn(
+        "fill", F.max("c").over(Window.partitionBy("user_id", "grp"))
+    )
+    return filled.filter(F.col("side") == 1).select(
+        "user_id",
+        F.expr("us div 3600000000").alias("hr"),
+        F.col("fill").alias("cents"),
+        F.when(F.col("grp") > 0, F.lit(1)).otherwise(F.lit(0)).alias("has_obs"),
+    )
+
+
+_LOCF_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS c
+      FROM events WHERE user_id < 30),
+    obs AS MATERIALIZED (
+      SELECT user_id, us, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, us
+                                     ORDER BY event_id DESC) AS rn FROM e) q
+      WHERE rn = 1),
+    span AS (
+      SELECT user_id, min(us) // 3600000000 AS h0, max(us) // 3600000000 AS h1
+      FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, h0 + unnest(range(h1 - h0 + 1)) AS hr FROM span),
+    u AS (
+      SELECT user_id, hr * 3600000000 AS us, 1 AS side,
+             CAST(NULL AS BIGINT) AS c
+      FROM grid
+      UNION ALL
+      SELECT user_id, us, 0 AS side, c FROM obs),
+    f AS (
+      SELECT *, count(c) OVER (PARTITION BY user_id ORDER BY us, side
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM u),
+    g2 AS (
+      SELECT *, max(c) OVER (PARTITION BY user_id, grp) AS fill FROM f)
+    SELECT user_id, CAST(us // 3600000000 AS BIGINT) AS hr, fill AS cents,
+           CASE WHEN grp > 0 THEN 1 ELSE 0 END AS has_obs
+    FROM g2 WHERE side = 1
+"""
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX-style symbolic series (PAA + quartile alphabet): each user's
+    (ts, id)-ordered value series splits into 8 segments by the exact
+    rank identity ((rk-1)*8 div n — the RFM rule, never ntile), each
+    segment's MEAN is classified against the user's own quartile
+    breakpoints ENTIRELY in integers (2*sum vs q2*count cross-multiply;
+    quartiles in exact doubled cents — the mad_outliers pairing), and
+    the symbols concatenate into the user's sax word. The time-series
+    shape fingerprint (motif grouping, drift eyeballing). FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("c"),
+    )
+    wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("rk", F.row_number().over(wnd))
+    stats = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.percentile(F.col("c"), F.lit(0.25)) * 2).cast("long").alias("q1_2"),
+        (F.percentile(F.col("c"), F.lit(0.5)) * 2).cast("long").alias("q2_2"),
+        (F.percentile(F.col("c"), F.lit(0.75)) * 2).cast("long").alias("q3_2"),
+    )
+    seg = (
+        ranked.join(stats, "user_id")
+        .select(
+            "user_id", "q1_2", "q2_2", "q3_2",
+            F.expr("(rk - 1) * 8 div n").alias("seg"),
+            "c",
+        )
+        .groupBy("user_id", "seg", "q1_2", "q2_2", "q3_2")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("m"))
+    )
+    sym = seg.select(
+        "user_id", "seg",
+        (
+            F.when(F.col("s") * 2 > F.col("q1_2") * F.col("m"), 1).otherwise(0)
+            + F.when(F.col("s") * 2 > F.col("q2_2") * F.col("m"), 1).otherwise(0)
+            + F.when(F.col("s") * 2 > F.col("q3_2") * F.col("m"), 1).otherwise(0)
+        ).alias("sym"),
+    )
+    return sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "sym"))),
+                lambda x: F.char(F.lit(97) + x["sym"]),
+            ),
+        ).alias("sax_word"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+_SAX_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rk
+      FROM events),
+    stats AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(quantile_cont(c, 0.25) * 2 AS BIGINT) AS q1_2,
+             CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS q2_2,
+             CAST(quantile_cont(c, 0.75) * 2 AS BIGINT) AS q3_2
+      FROM e GROUP BY 1),
+    seg AS (
+      SELECT e.user_id, s.q1_2, s.q2_2, s.q3_2,
+             (e.rk - 1) * 8 // s.n AS seg,
+             CAST(sum(e.c) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS m
+      FROM e JOIN stats s ON s.user_id = e.user_id
+      GROUP BY 1, 2, 3, 4, 5),
+    sym AS (
+      SELECT user_id, seg,
+             (CASE WHEN sm * 2 > q1_2 * m THEN 1 ELSE 0 END
+              + CASE WHEN sm * 2 > q2_2 * m THEN 1 ELSE 0 END
+              + CASE WHEN sm * 2 > q3_2 * m THEN 1 ELSE 0 END) AS sym
+      FROM seg)
+    SELECT user_id,
+           string_agg(chr(97 + sym), '' ORDER BY seg) AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM sym GROUP BY 1
+"""
+
+
 _LOCAL_MORAN_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8651,6 +8824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "mad_outliers": q_mad_outliers,
         "emd_drift": q_emd_drift,
+        "locf_resample": q_locf_resample,
+        "sax_words": q_sax_words,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -10980,6 +11155,8 @@ def oracle_sql() -> dict[str, str]:
         "twap": _TWAP_SQL,
         "mad_outliers": _MAD_SQL,
         "emd_drift": _EMD_SQL,
+        "locf_resample": _LOCF_SQL,
+        "sax_words": _SAX_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
