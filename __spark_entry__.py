@@ -6518,14 +6518,15 @@ _TWAP_SQL = """
 """
 
 
-def q_mad_outliers(spark, sf_dir):
-    """Robust per-user dispersion + outlier counts: median and MAD in
-    exact DOUBLED/QUADRUPLED cent units (the mann_whitney doubled-int
-    trick — percentile interpolation lands on halves, x2 restores exact
-    ints; Spark percentile == DuckDB quantile_cont, the length_quantiles
-    pairing), outliers = dev > 3*MAD decided entirely in integers
-    (dev4 > 3*mad4). The z-score that survives heavy tails. FULL
-    oracle."""
+def q_user_mad(spark, sf_dir):
+    """Robust per-USER dispersion + outlier counts — the all-integer
+    sibling of the per-type mad_outliers (operators/robust): median and
+    MAD in exact DOUBLED/QUADRUPLED cent units (the mann_whitney
+    doubled-int trick — percentile interpolation lands on halves, x2
+    restores exact ints; Spark percentile == DuckDB quantile_cont, the
+    length_quantiles pairing), outliers = dev > 3*MAD decided entirely
+    in integers (dev4 > 3*mad4), so boundary rows cannot ulp-flip even
+    in principle. FULL oracle."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.bround(F.col("value") * 100.0, 0).cast("long").alias("c"),
@@ -8822,7 +8823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contact_crossings": q_contact_crossings,
         "convex_hull": q_convex_hull,
         "twap": q_twap,
-        "mad_outliers": q_mad_outliers,
+        "user_mad": q_user_mad,
         "emd_drift": q_emd_drift,
         "locf_resample": q_locf_resample,
         "sax_words": q_sax_words,
@@ -11153,7 +11154,7 @@ def oracle_sql() -> dict[str, str]:
         "contact_crossings": _CONTACT_CROSSINGS_SQL,
         "convex_hull": _convex_hull_sql(5),
         "twap": _TWAP_SQL,
-        "mad_outliers": _MAD_SQL,
+        "user_mad": _MAD_SQL,
         "emd_drift": _EMD_SQL,
         "locf_resample": _LOCF_SQL,
         "sax_words": _SAX_SQL,

@@ -82,3 +82,29 @@ def test_registry_tier_ordering():
         "rows-only queries must occupy the final registry positions"
     )
     assert all(k in oracles for k in keys[:-n])
+
+
+def test_registry_keys_unique_in_source():
+    # Python dict literals silently keep the LAST duplicate key, so a
+    # name collision between two sessions' queries would shadow the older
+    # operator without any failure (caught live in round 4: a second
+    # "mad_outliers" briefly replaced the per-type original). Scan the
+    # source for duplicate string keys inside the queries() and
+    # oracle_sql() return literals.
+    import re
+
+    src = open("__spark_entry__.py").read()
+
+    def dup_keys(fn_name):
+        m = re.search(rf"def {fn_name}\(\).*?return \{{(.*?)\n    \}}", src, re.S)
+        assert m, f"could not locate {fn_name} return dict"
+        keys = re.findall(r'^\s+"([a-z0-9_]+)":', m.group(1), re.M)
+        seen, dups = set(), []
+        for k in keys:
+            if k in seen:
+                dups.append(k)
+            seen.add(k)
+        return dups
+
+    assert dup_keys("queries") == []
+    assert dup_keys("oracle_sql") == []
