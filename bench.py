@@ -234,6 +234,17 @@ def main() -> None:
         # 9-row output depends on every greedy stage (persisted candidate
         # scan runs once — the plan-audit fix).
         "prefix_join", "convoy_pairs", "mmr_select",
+        # session-4 additions: bpe_merges / principal_axis / shortest_paths
+        # / convex_hull all run their bounded rounds EAGERLY (per-round
+        # collect or localCheckpoint) inside the timed construction — the
+        # final count() prunes only a bounded projection. quadtree's leaf
+        # keys depend on the level-count dims, contact_crossings counts
+        # through the orientation filter + hour join, mutual_knn through
+        # both rank filters + the reciprocal join. (lm_quality /
+        # exact_substr / locf_resample / sax_words are row-preserving or
+        # aggregate-key-prunable under count() — NOT timed, CLAUDE.md rule.)
+        "bpe_merges", "principal_axis", "shortest_paths", "convex_hull",
+        "quadtree", "contact_crossings", "mutual_knn",
     ]
     qs = entrymod.queries()
     for name in suite:
