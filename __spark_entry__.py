@@ -6839,6 +6839,96 @@ _SAX_SQL = """
 """
 
 
+def q_attribution(spark, sf_dir):
+    """First/last-touch attribution: every purchase is credited to the
+    latest and the earliest view/click touch inside its 24h lookback —
+    the marketing-attribution classic. The variable time bound is a
+    RANGE frame on exact µs (rangeBetween(-24h, 0)), the touch row is
+    resolved by a second join against the (user, µs)-collapsed touch dim
+    (max event_id wins — frozen rule; avoids cross-engine struct-max,
+    which DuckDB's binder rejects). Purchases with no touch keep nulls
+    (visible, the curation logging rule). One user-keyed Exchange for
+    the windows + two narrow dim joins. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    wnd = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    marked = e.withColumn("tus", F.when(is_touch, F.col("us")))
+    purch = (
+        marked.withColumn("last_us", F.max("tus").over(wnd))
+        .withColumn("first_us", F.min("tus").over(wnd))
+        .withColumn(
+            "n_touches",
+            F.count("tus").over(wnd),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "us", "n_touches", "last_us", "first_us")
+    )
+    touch_dim = (
+        e.filter(is_touch)
+        .groupBy("user_id", "us")
+        .agg(
+            F.max_by(F.col("event_type"), F.col("event_id")).alias("t_type")
+        )
+    )
+    last_d = touch_dim.select(
+        "user_id", F.col("us").alias("last_us"), F.col("t_type").alias("last_type")
+    )
+    first_d = touch_dim.select(
+        "user_id", F.col("us").alias("first_us"), F.col("t_type").alias("first_type")
+    )
+    return (
+        purch.join(last_d, ["user_id", "last_us"], "left")
+        .join(first_d, ["user_id", "first_us"], "left")
+        .select(
+            "user_id", "event_id", "n_touches",
+            (F.col("us") - F.col("last_us")).alias("last_gap_us"),
+            "last_type",
+            (F.col("us") - F.col("first_us")).alias("first_gap_us"),
+            "first_type",
+        )
+    )
+
+
+_ATTRIBUTION_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT *, CASE WHEN event_type IN ('view', 'click') THEN us END AS tus
+      FROM e),
+    win AS (
+      SELECT user_id, event_id, event_type, us,
+             max(tus) OVER w AS last_us,
+             min(tus) OVER w AS first_us,
+             count(tus) OVER w AS n_touches
+      FROM marked
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+    purch AS (
+      SELECT user_id, event_id, us, CAST(n_touches AS BIGINT) AS n_touches,
+             last_us, first_us
+      FROM win WHERE event_type = 'purchase'),
+    td AS MATERIALIZED (
+      SELECT user_id, us, event_type AS t_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, us
+                                     ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_type IN ('view', 'click')) q
+      WHERE rn = 1)
+    SELECT p.user_id, p.event_id, p.n_touches,
+           p.us - p.last_us AS last_gap_us, l.t_type AS last_type,
+           p.us - p.first_us AS first_gap_us, f.t_type AS first_type
+    FROM purch p
+    LEFT JOIN td l ON l.user_id = p.user_id AND l.us = p.last_us
+    LEFT JOIN td f ON f.user_id = p.user_id AND f.us = p.first_us
+"""
+
+
 _LOCAL_MORAN_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8827,6 +8917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_drift": q_emd_drift,
         "locf_resample": q_locf_resample,
         "sax_words": q_sax_words,
+        "attribution": q_attribution,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11158,6 +11249,7 @@ def oracle_sql() -> dict[str, str]:
         "emd_drift": _EMD_SQL,
         "locf_resample": _LOCF_SQL,
         "sax_words": _SAX_SQL,
+        "attribution": _ATTRIBUTION_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
