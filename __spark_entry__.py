@@ -6929,6 +6929,79 @@ _ATTRIBUTION_SQL = """
 """
 
 
+def q_haar2d(spark, sf_dir):
+    """Single-level 2D Haar energy decomposition of the spatial count
+    field (the 2D widening of haar_energy): per 2x2 block of nanodegree
+    grid cells, separable approx/detail coefficients (LL/LH/HL/HH) from
+    exact integer counts, band energies as exact int64 sums of squares —
+    where the spatial mass sits in frequency (smooth field vs
+    checkerboard noise). Two map-side-combining aggregates, zero
+    floats. FULL oracle."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(lat, lon).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    quad = cells.select(
+        F.expr("cx div 2").alias("bx"),
+        F.expr("cy div 2").alias("by"),
+        (F.col("cx") % 2).alias("qx"),
+        (F.col("cy") % 2).alias("qy"),
+        "n",
+    )
+    blk = quad.groupBy("bx", "by").agg(
+        F.sum(F.when((F.col("qx") == 0) & (F.col("qy") == 0), F.col("n")).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("qx") == 1) & (F.col("qy") == 0), F.col("n")).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("qx") == 0) & (F.col("qy") == 1), F.col("n")).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("qx") == 1) & (F.col("qy") == 1), F.col("n")).otherwise(0)).alias("d"),
+    )
+    co = blk.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("ll"),
+        (F.col("a") - F.col("b") + F.col("c") - F.col("d")).alias("lh"),
+        (F.col("a") + F.col("b") - F.col("c") - F.col("d")).alias("hl"),
+        (F.col("a") - F.col("b") - F.col("c") + F.col("d")).alias("hh"),
+    )
+    return co.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("ll") * F.col("ll")).alias("ll_energy"),
+        F.sum(F.col("lh") * F.col("lh")).alias("lh_energy"),
+        F.sum(F.col("hl") * F.col("hl")).alias("hl_energy"),
+        F.sum(F.col("hh") * F.col("hh")).alias("hh_energy"),
+    )
+
+
+_HAAR2D_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    cells AS (
+      SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    blk AS (
+      SELECT cx // 2 AS bx, cy // 2 AS by,
+             CAST(sum(CASE WHEN cx % 2 = 0 AND cy % 2 = 0 THEN n ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN cx % 2 = 1 AND cy % 2 = 0 THEN n ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN cx % 2 = 0 AND cy % 2 = 1 THEN n ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN cx % 2 = 1 AND cy % 2 = 1 THEN n ELSE 0 END) AS BIGINT) AS d
+      FROM cells GROUP BY 1, 2),
+    co AS (
+      SELECT (a + b + c + d) AS ll, (a - b + c - d) AS lh,
+             (a + b - c - d) AS hl, (a - b - c + d) AS hh
+      FROM blk)
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(ll * ll) AS BIGINT) AS ll_energy,
+           CAST(sum(lh * lh) AS BIGINT) AS lh_energy,
+           CAST(sum(hl * hl) AS BIGINT) AS hl_energy,
+           CAST(sum(hh * hh) AS BIGINT) AS hh_energy
+    FROM co
+"""
+
+
 _LOCAL_MORAN_SQL = f"""
     WITH pts AS (
       SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
@@ -8918,6 +8991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_resample": q_locf_resample,
         "sax_words": q_sax_words,
         "attribution": q_attribution,
+        "clustering_coeff": q_clustering_coeff,
+        "haar2d": q_haar2d,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -9525,6 +9600,70 @@ def _label_prop_sql(rounds: int = 4) -> str:
         lbl0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
         {body}
         SELECT node, label FROM {prev}
+    """
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Global clustering coefficient ingredients: exact triangle count
+    (the degree-oriented exactly-once enumeration, reused) + exact wedge
+    count sum(deg*(deg-1)/2) — C = 3*n_triangles/n_wedges consumer-side
+    (the transitivity summary completing triangles/assortativity). FULL
+    oracle."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        event_link_graph,
+        triangle_list,
+    )
+
+    edges, _nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    tri = triangle_list(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    wedges = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wedges)
+
+
+def _clustering_sql() -> str:
+    return f"""
+        WITH tri AS ({_triangles_sql()}),
+        nn2 AS (SELECT max(user_id) + 1 AS n FROM events),
+        edges2 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn2) AS dst
+            FROM events
+            UNION ALL
+            SELECT rn - 1 AS src, rn % (SELECT n FROM nn2) AS dst
+            FROM (SELECT row_number() OVER (ORDER BY event_id) AS rn
+                  FROM events) q
+            WHERE rn <= (SELECT n FROM nn2))),
+        und2 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges2 WHERE src != dst),
+        deg2 AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM und2 UNION ALL SELECT b AS v FROM und2)
+          GROUP BY 1)
+        SELECT t.n_triangles, w.n_wedges FROM
+          (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri) t
+        CROSS JOIN
+          (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg2) w
     """
 
 
@@ -11250,6 +11389,8 @@ def oracle_sql() -> dict[str, str]:
         "locf_resample": _LOCF_SQL,
         "sax_words": _SAX_SQL,
         "attribution": _ATTRIBUTION_SQL,
+        "clustering_coeff": _clustering_sql(),
+        "haar2d": _HAAR2D_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
