@@ -2014,6 +2014,91 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction statistic (epidemiology/crime-cluster
+    classic): over the first 3000 events, the pair counts that feed
+    Knox's X = observed space-AND-time-close pairs vs the marginal
+    expectation — (n, total_pairs, space_pairs, time_pairs,
+    joint_pairs), all exact ints, the ratio consumer-side. Space-close
+    (<= 2 m, cm-rounded threshold) comes from the bounded
+    radius_self_join; time-close (<= 1 h) is computed WITHOUT the n^2
+    scan: τ-width bins make every same-bin pair close by construction
+    and the only refinement is the adjacent-bin band join (bin-keyed,
+    per-bin bounded) — the interval_join discipline on pair COUNTING.
+    FULL oracle (brute-force n^2 replay on the bounded subset)."""
+    from extractors_metadata_spark.operators.radius_join import radius_self_join
+
+    tau = 3_600_000_000
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        F.col("event_id").alias("id"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        lat, lon,
+    )
+    pts = e.select(F.col("id").alias("event_id"), "lat", "lon")
+    sp = radius_self_join(spark, pts, radius_m=2.0).select("id_a", "id_b")
+    space_pairs = sp.agg(F.count(F.lit(1)).alias("space_pairs"))
+    ts_dim = e.select("id", "us")
+    joint = (
+        sp.join(ts_dim.withColumnRenamed("id", "id_a").withColumnRenamed("us", "us_a"), "id_a")
+        .join(ts_dim.withColumnRenamed("id", "id_b").withColumnRenamed("us", "us_b"), "id_b")
+        .filter(F.abs(F.col("us_a") - F.col("us_b")) <= tau)
+        .agg(F.count(F.lit(1)).alias("joint_pairs"))
+    )
+    binned = e.select("id", "us", F.expr(f"us div {tau}").alias("b"))
+    same_bin = (
+        binned.groupBy("b").agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).alias("p"))
+    )
+    nxt = binned.select((F.col("b") - 1).alias("b"),
+                        F.col("us").alias("us2"), F.col("id").alias("id2"))
+    adj = (
+        binned.join(nxt, "b")
+        .filter(F.col("us2") - F.col("us") <= tau)
+        .agg(F.count(F.lit(1)).alias("p"))
+    )
+    time_pairs = same_bin.crossJoin(adj.withColumnRenamed("p", "p2")).select(
+        (F.coalesce(F.col("p"), F.lit(0)) + F.coalesce(F.col("p2"), F.lit(0)))
+        .alias("time_pairs")
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n")).select(
+        "n", F.expr("n * (n - 1) div 2").alias("total_pairs")
+    )
+    return (
+        n.crossJoin(space_pairs).crossJoin(time_pairs).crossJoin(joint)
+    )
+
+
+_KNOX_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, epoch_us(ts) AS us,
+             ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) AS dist_m,
+             abs(a.us - b.us) AS dt
+      FROM pts a JOIN pts b ON a.id < b.id),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+             CAST(sum(CASE WHEN dist_m <= 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS space_pairs,
+             CAST(sum(CASE WHEN dt <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS time_pairs,
+             CAST(sum(CASE WHEN dist_m <= 2.0 AND dt <= 3600000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS joint_pairs
+      FROM pairs)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n,
+           total_pairs, space_pairs, time_pairs, joint_pairs
+    FROM agg
+"""
+
+
 def _sql_chr_str(s: str) -> str:
     """Render a Python string as a DuckDB expression, spelling every
     non-printable as chr(n) — so probe literals with controls/CR/tabs are
@@ -8993,6 +9078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "clustering_coeff": q_clustering_coeff,
         "haar2d": q_haar2d,
+        "knox_test": q_knox_test,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11391,6 +11477,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ATTRIBUTION_SQL,
         "clustering_coeff": _clustering_sql(),
         "haar2d": _HAAR2D_SQL,
+        "knox_test": _KNOX_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
