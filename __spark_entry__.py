@@ -7359,19 +7359,20 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(_t(spark, sf_dir, "documents"), rounds=8)
 
 
-def _bpe_stages_sql(rounds: int) -> str:
-    """Generated oracle for q_bpe_merges: tokenize -> word frequencies ->
-    ``rounds`` unrolled (pair-count argmax -> islands+parity merge) stage
-    groups. Every s{r} is referenced twice (next round's pair count AND
-    explode) -> MATERIALIZED (CLAUDE.md re-inlining rule)."""
+def _bpe_stages_sql(rounds: int, final: str | None = None) -> str:
+    """Generated oracle for q_bpe_merges / q_bpe_encode: tokenize -> word
+    frequencies -> ``rounds`` unrolled (pair-count argmax -> islands+parity
+    merge) stage groups. Every s{r} is referenced twice (next round's pair
+    count AND explode) -> MATERIALIZED (CLAUDE.md re-inlining rule).
+    ``final`` overrides the closing SELECT (default: the merge table)."""
     parts = [
         r"""
     WITH arrs AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
       FROM documents),
-    tt AS (
-      SELECT arr[i + 1] AS tok
-      FROM (SELECT arr, unnest(range(len(arr))) AS i FROM arrs)
+    tt AS MATERIALIZED (
+      SELECT doc_id, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
       WHERE length(arr[i + 1]) > 0),
     s0 AS MATERIALIZED (
       SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
@@ -7418,12 +7419,36 @@ def _bpe_stages_sql(rounds: int) -> str:
                         OVER (PARTITION BY word ORDER BY i), 0) AS absorbed
             FROM sl{r})
       WHERE absorbed = 0 GROUP BY word, freq)""")
-    union = "\n    UNION ALL ".join(
-        f"SELECT {r} AS round, l AS left_sym, r AS right_sym, cnt AS pair_freq"
-        f" FROM bst{r}"
-        for r in range(1, rounds + 1)
+    if final is None:
+        final = "\n    UNION ALL ".join(
+            f"SELECT {r} AS round, l AS left_sym, r AS right_sym, cnt AS pair_freq"
+            f" FROM bst{r}"
+            for r in range(1, rounds + 1)
+        )
+    return ",".join(parts) + "\n    " + final
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer applied at scale (operators/bpe.bpe_encode): per document
+    the whitespace token count and the BPE token count under the learned
+    8-merge vocabulary — encode costs one word-keyed join because the
+    merge loop already holds every distinct word TYPE's final symbols.
+    FULL oracle: the bpe_merges stage chain closed with the per-doc
+    rollup instead of the merge table."""
+    from extractors_metadata_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), rounds=8)
+
+
+def _bpe_encode_sql(rounds: int = 8) -> str:
+    return _bpe_stages_sql(
+        rounds,
+        final=f"""
+    SELECT tt.doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(s{rounds}.syms)) AS BIGINT) AS bpe_tokens
+    FROM tt JOIN s{rounds} ON s{rounds}.word = tt.tok
+    GROUP BY 1""",
     )
-    return ",".join(parts) + "\n    " + union
 
 
 _ZONAL_MAJORITY_SQL = f"""
@@ -9079,6 +9104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "haar2d": q_haar2d,
         "knox_test": q_knox_test,
+        "bpe_encode": q_bpe_encode,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11478,6 +11504,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _clustering_sql(),
         "haar2d": _HAAR2D_SQL,
         "knox_test": _KNOX_SQL,
+        "bpe_encode": _bpe_encode_sql(8),
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,

@@ -123,21 +123,15 @@ def _merge_round(wsyms: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def bpe_merges(
-    docs: DataFrame,
-    rounds: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Learn ``rounds`` BPE merge rules over the corpus.  Returns the merge
-    table (round, left_sym, right_sym, pair_freq) — round is 1-based, in
-    learning order; pair_freq the corpus-weighted adjacency count the rule
-    won with.  Stops early if the vocabulary runs out of pairs."""
-    spark = docs.sparkSession
+def _learn(
+    docs: DataFrame, rounds: int, text_col: str, id_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge-learning loop; returns (merge rows, final symbol
+    frame) so bpe_merges and bpe_encode share one pass."""
     wsyms = _initial_symbols(
         vocabulary(docs, text_col, id_col).select("word", "tf")
     ).localCheckpoint()
-    out = []
+    out: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         best = _pair_counts(wsyms).agg(
             F.min_by(
@@ -157,6 +151,53 @@ def bpe_merges(
             break
         out.append((r, best["l"], best["r"], int(best["cnt"])))
         wsyms = _merge_round(wsyms, best["l"], best["r"]).localCheckpoint()
-    return spark.createDataFrame(
+    return out, wsyms
+
+
+def bpe_merges(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``rounds`` BPE merge rules over the corpus.  Returns the merge
+    table (round, left_sym, right_sym, pair_freq) — round is 1-based, in
+    learning order; pair_freq the corpus-weighted adjacency count the rule
+    won with.  Stops early if the vocabulary runs out of pairs."""
+    out, _wsyms = _learn(docs, rounds, text_col, id_col)
+    return docs.sparkSession.createDataFrame(
         out, "round int, left_sym string, right_sym string, pair_freq long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned merge table back to the corpus: per document, the
+    whitespace token count and the BPE token count under the ``rounds``-
+    merge vocabulary — the tokenizer-applied-at-scale statistic (sequence
+    budget planning; bpe/ws ratio is the compression the vocab buys).
+
+    The encode costs NOTHING per document beyond one word-keyed join: the
+    merge loop already leaves every distinct word's final symbol sequence
+    (types, not tokens — the whole point of word-level BPE), so per-doc
+    counts are sum(len(syms)) over the doc's words.  Returns
+    (doc_id, ws_tokens, bpe_tokens)."""
+    from .corpus import _tokens
+
+    _out, wsyms = _learn(docs, rounds, text_col, id_col)
+    wt = wsyms.select(
+        F.col("word").alias("tok"), F.size("syms").cast("long").alias("n_sym")
+    )
+    toks = _tokens(docs, text_col, id_col)
+    return (
+        toks.join(wt, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
     )

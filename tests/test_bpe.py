@@ -68,3 +68,15 @@ def test_bpe_symbols_reconstruct_words(docs):
         wsyms = _merge_round(wsyms, m["left_sym"], m["right_sym"])
     for r in wsyms.collect():
         assert "".join(r["syms"]) == r["word"] + "</w>"
+
+
+def test_bpe_encode_counts(docs, spark):
+    from extractors_metadata_spark.operators.bpe import bpe_encode
+
+    out = {r["doc_id"]: r for r in bpe_encode(docs, rounds=3).collect()}
+    # after merges (l,o) (lo,w) (low,</w>): "low" -> 1 sym [low</w>],
+    # "lower" -> 4 [low, e, r, </w>], "newest" -> 7 (6 chars + </w>, no
+    # learned merge applies). doc 1 = "low low lower", doc 2 =
+    # "low lower newest"
+    assert (out[1]["ws_tokens"], out[1]["bpe_tokens"]) == (3, 1 + 1 + 4)
+    assert (out[2]["ws_tokens"], out[2]["bpe_tokens"]) == (3, 1 + 4 + 7)
