@@ -2014,6 +2014,106 @@ _RADIUS_PAIRS_SQL = f"""
 """
 
 
+def q_line_density(spark, sf_dir):
+    """Line-density raster: per nanodegree grid cell, how many movement
+    SEGMENTS cross it — the GIS line-density / corridor-heat classic
+    (tile_smooth rasterizes points; this rasterizes the edges between
+    them). Exact rasterization, no supercover recursion: candidate cells
+    are the segment's bbox cell range (bounded fan-out — cell size is
+    chosen ~ segment scale), membership is the separating-axis test in
+    exact integers (bbox overlap by construction + the four cell corners
+    must straddle the segment line: min orient <= 0 <= max orient).
+    Shifted-nonneg quantize-once coords; one narrow fan-out + one
+    map-side-combining cell count. FULL oracle."""
+    S = 200000
+    lat, lon = _latlon_dbl()
+    wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", lat, lon)
+        .select(
+            "user_id", "ts", "event_id",
+            (F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+             + F.lit(120000000000)).alias("ax"),
+            F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("ay"),
+        )
+        .withColumn("bx", F.lead("ax").over(wnd))
+        .withColumn("by", F.lead("ay").over(wnd))
+        .filter(F.col("bx").isNotNull())
+        .select("ax", "ay", "bx", "by")
+    )
+    cand = segs.select(
+        "ax", "ay", "bx", "by",
+        F.explode(
+            F.sequence(
+                F.expr(f"least(ax, bx) div {S}"),
+                F.expr(f"greatest(ax, bx) div {S}"),
+            )
+        ).alias("cx"),
+    ).select(
+        "ax", "ay", "bx", "by", "cx",
+        F.explode(
+            F.sequence(
+                F.expr(f"least(ay, by) div {S}"),
+                F.expr(f"greatest(ay, by) div {S}"),
+            )
+        ).alias("cy"),
+    )
+
+    def o(px, py):
+        return (F.col("bx") - F.col("ax")) * (py - F.col("ay")) - (
+            F.col("by") - F.col("ay")
+        ) * (px - F.col("ax"))
+
+    x0, y0 = F.col("cx") * S, F.col("cy") * S
+    x1, y1 = x0 + S, y0 + S
+    o1, o2, o3, o4 = o(x0, y0), o(x1, y0), o(x0, y1), o(x1, y1)
+    hit = (F.least(o1, o2, o3, o4) <= 0) & (F.greatest(o1, o2, o3, o4) >= 0)
+    return (
+        cand.filter(hit)
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+    )
+
+
+_LINE_DENSITY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+               + 120000000000 AS ax,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS ay
+      FROM events),
+    segs AS (
+      SELECT ax, ay,
+             lead(ax) OVER w AS bx, lead(ay) OVER w AS by
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS MATERIALIZED (SELECT * FROM segs WHERE bx IS NOT NULL),
+    cand AS (
+      SELECT ax, ay, bx, by,
+             least(ax, bx) // 200000 + unnest(range(
+               greatest(ax, bx) // 200000 - least(ax, bx) // 200000 + 1))
+               AS cx
+      FROM s),
+    cand2 AS (
+      SELECT ax, ay, bx, by, cx,
+             least(ay, by) // 200000 + unnest(range(
+               greatest(ay, by) // 200000 - least(ay, by) // 200000 + 1))
+               AS cy
+      FROM cand),
+    org AS (
+      SELECT cx, cy,
+             (bx - ax) * (cy * 200000 - ay) - (by - ay) * (cx * 200000 - ax) AS o1,
+             (bx - ax) * (cy * 200000 - ay) - (by - ay) * (cx * 200000 + 200000 - ax) AS o2,
+             (bx - ax) * (cy * 200000 + 200000 - ay) - (by - ay) * (cx * 200000 - ax) AS o3,
+             (bx - ax) * (cy * 200000 + 200000 - ay) - (by - ay) * (cx * 200000 + 200000 - ax) AS o4
+      FROM cand2)
+    SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_segments
+    FROM org
+    WHERE least(o1, o2, o3, o4) <= 0 AND greatest(o1, o2, o3, o4) >= 0
+    GROUP BY 1, 2
+"""
+
+
 def q_knox_test(spark, sf_dir):
     """Knox space-time interaction statistic (epidemiology/crime-cluster
     classic): over the first 3000 events, the pair counts that feed
@@ -9105,6 +9205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar2d": q_haar2d,
         "knox_test": q_knox_test,
         "bpe_encode": q_bpe_encode,
+        "line_density": q_line_density,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11505,6 +11606,7 @@ def oracle_sql() -> dict[str, str]:
         "haar2d": _HAAR2D_SQL,
         "knox_test": _KNOX_SQL,
         "bpe_encode": _bpe_encode_sql(8),
+        "line_density": _LINE_DENSITY_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
