@@ -2114,6 +2114,77 @@ _LINE_DENSITY_SQL = f"""
 """
 
 
+def q_ccf_lags(spark, sf_dir):
+    """Lead-lag cross-correlation ingredients between the click and
+    purchase hourly series (the bivariate widening of acf): for every
+    lag in [-3, 3], exact integer Pearson moments (n, sums, cross
+    products) of (click_t, purchase_{t+lag}) over the shared hour grid
+    (zero-filled, so quiet hours count); r per lag is a consumer-side
+    ratio of the emitted exact ints. Which way does the funnel lead?
+    One 7x band self-join of the tiny hourly frame. FULL oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("h"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    span = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    cnt = (
+        grid.join(
+            e.groupBy("h").agg(
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+            ),
+            "h",
+            "left",
+        )
+        .select(
+            "h",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    a = cnt.select("h", "x")
+    b = cnt.select(F.col("h").alias("h2"), "y")
+    return (
+        a.join(b, (F.col("h2") >= F.col("h") - 3) & (F.col("h2") <= F.col("h") + 3))
+        .select((F.col("h2") - F.col("h")).alias("lag"), "x", "y")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+
+
+_CCF_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+    grid AS (SELECT h0 + unnest(range(h1 - h0 + 1)) AS h FROM span),
+    raw AS (
+      SELECT h,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM e GROUP BY 1),
+    cnt AS MATERIALIZED (
+      SELECT g.h, CAST(coalesce(r.x, 0) AS BIGINT) AS x,
+             CAST(coalesce(r.y, 0) AS BIGINT) AS y
+      FROM grid g LEFT JOIN raw r ON r.h = g.h)
+    SELECT b.h - a.h AS lag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+           CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+           CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+           CAST(sum(a.x * b.y) AS BIGINT) AS sxy
+    FROM cnt a JOIN cnt b ON b.h BETWEEN a.h - 3 AND a.h + 3
+    GROUP BY 1
+"""
+
+
 def q_knox_test(spark, sf_dir):
     """Knox space-time interaction statistic (epidemiology/crime-cluster
     classic): over the first 3000 events, the pair counts that feed
@@ -9206,6 +9277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_test": q_knox_test,
         "bpe_encode": q_bpe_encode,
         "line_density": q_line_density,
+        "ccf_lags": q_ccf_lags,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11607,6 +11679,7 @@ def oracle_sql() -> dict[str, str]:
         "knox_test": _KNOX_SQL,
         "bpe_encode": _bpe_encode_sql(8),
         "line_density": _LINE_DENSITY_SQL,
+        "ccf_lags": _CCF_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
