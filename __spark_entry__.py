@@ -7283,6 +7283,74 @@ _LOCAL_MORAN_SQL = f"""
 """
 
 
+def q_getis_ord(spark, sf_dir):
+    """Getis-Ord Gi* hotspot ingredients — the ESDA companion of
+    local_moran (LISA finds covariation, Gi* finds HOT/COLD spots): per
+    occupied cell the 3x3 neighborhood sum INCLUDING self (s_i = x +
+    lag), the actual occupied-neighbor count k_i = w_deg + 1, plus the
+    broadcast global exact moments (n_cells, s_tot, s2_tot) every row
+    needs for the z-score — which stays consumer-side (it has a sqrt;
+    everything emitted is exact int64). Reuses the queen spatial-lag
+    machinery. FULL oracle."""
+    from extractors_metadata_spark.operators.spatial_autocorr import local_moran
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        lat, lon,
+        F.bround(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    ).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(50000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(100000)).cast("long").alias("cy"),
+        "cents",
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.sum("cents").alias("x"))
+    lm = local_moran(cells)
+    glob = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("s_tot"),
+        F.sum(F.col("x") * F.col("x")).alias("s2_tot"),
+    )
+    return lm.crossJoin(F.broadcast(glob)).select(
+        "cx", "cy",
+        (F.col("x") + F.col("lag")).alias("s_i"),
+        (F.col("w_deg") + 1).alias("k_i"),
+        "n_cells", "s_tot", "s2_tot",
+    )
+
+
+_GETIS_ORD_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 50000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) // 100000 AS cy,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    cells AS MATERIALIZED (
+      SELECT cx, cy, CAST(sum(cents) AS BIGINT) AS x
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                        (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    shifted AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xn
+      FROM cells c CROSS JOIN offs o),
+    lagf AS (
+      SELECT cx, cy, count(*) AS w_deg, CAST(sum(xn) AS BIGINT) AS lag
+      FROM shifted GROUP BY 1, 2),
+    gtot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(x) AS BIGINT) AS s_tot,
+             CAST(sum(x * x) AS BIGINT) AS s2_tot
+      FROM cells)
+    SELECT c.cx, c.cy,
+           c.x + coalesce(l.lag, 0) AS s_i,
+           CAST(coalesce(l.w_deg, 0) + 1 AS BIGINT) AS k_i,
+           g.n_cells, g.s_tot, g.s2_tot
+    FROM cells c LEFT JOIN lagf l USING (cx, cy) CROSS JOIN gtot g
+"""
+
+
 def q_zonal_majority(spark, sf_dir):
     """Zonal majority filter — the raster-GIS classic: per grid cell,
     the MODAL event type (count argmax, ties to the lexicographically
@@ -9278,6 +9346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "line_density": q_line_density,
         "ccf_lags": q_ccf_lags,
+        "getis_ord": q_getis_ord,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11680,6 +11749,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(8),
         "line_density": _LINE_DENSITY_SQL,
         "ccf_lags": _CCF_SQL,
+        "getis_ord": _GETIS_ORD_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
