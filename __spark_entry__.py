@@ -595,6 +595,24 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the evaluation query for the
+    lang_id classifier against the corpus's labeled `lang` column:
+    exact (label, prediction) cell counts; accuracy / per-class
+    precision-recall are consumer-side ratios of the emitted ints. The
+    registry's classifier-eval shape (every other op is verified against
+    an oracle; this one is ALSO scored against ground truth). FULL
+    oracle."""
+    from extractors_metadata_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", ts.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_quality_score(spark, sf_dir):
     from extractors_metadata_spark.functions import textstats as ts
 
@@ -9347,6 +9365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_density": q_line_density,
         "ccf_lags": q_ccf_lags,
         "getis_ord": q_getis_ord,
+        "langid_confusion": q_langid_confusion,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11094,6 +11113,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ({de_sum}) > ({en_sum}) AND ({de_sum}) > 0 THEN 'de'
                         ELSE 'unknown' END AS pred_lang
             FROM t
+        """,
+        "langid_confusion": f"""
+            WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS pad
+                       FROM documents),
+            p AS (
+              SELECT lang,
+                     CASE WHEN ({en_sum}) > ({de_sum}) AND ({en_sum}) > 0 THEN 'en'
+                          WHEN ({de_sum}) > ({en_sum}) AND ({de_sum}) > 0 THEN 'de'
+                          ELSE 'unknown' END AS pred_lang
+              FROM t)
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
         """,
         "quality_score": f"""
             WITH t AS (
