@@ -3949,6 +3949,101 @@ _TYPE_ENTROPY_SQL = """
 """
 
 
+def q_radius_gyration(spark, sf_dir):
+    """Radius of gyration per user (Gonzalez et al. — THE human-mobility
+    extent statistic): emitted as exact int64 nanodegree moments
+    (n, sx, sy, sxx, syy); rg^2 = (sxx+syy)/n - (sx/n)^2 - (sy/n)^2 is a
+    consumer-side ratio (it has the squares of means; everything emitted
+    is exact). One map-side-combining aggregate. Quantize-once; shifted
+    lon keeps the moments nonneg. sxx magnitude ~(2e9)^2 * n — the
+    shifted-lon square would overflow int64, so coords are re-centered
+    to the field corner first (span ~2e6, squares ~4e12 * n: safe).
+    FULL oracle."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select("user_id", lat, lon).select(
+        "user_id",
+        (F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+         + F.lit(111_976_000_000)).alias("x"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         - F.lit(33_074_000_000)).alias("y"),
+    )
+    return pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+
+_RADIUS_GYRATION_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+               + 111976000000 AS x,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               - 33074000000 AS y
+      FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pts GROUP BY 1
+"""
+
+
+def q_mobility_entropy(spark, sf_dir):
+    """Per-user mobility entropy (Song et al. predictability): Shannon
+    entropy of the user's TILE-visit distribution — the type_entropy
+    recipe applied to the spatial key (exact counts, one correctly-
+    rounded division, per-term half-even 1e-9 fixed point before the
+    order-free int sum). Low entropy = predictable movement. FULL
+    oracle."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select("user_id", lat, lon).select(
+        "user_id",
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+    )
+    c = pts.groupBy("user_id", "cx", "cy").agg(F.count(F.lit(1)).alias("c"))
+    n = pts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = c.join(n, "user_id")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent_term = F.bround(-(p * F.log(p)) * 1000000000.0, 0).cast("long")
+    return (
+        j.select("user_id", "n", ent_term.alias("_e"))
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("_e").alias("entropy_fp"),
+        )
+    )
+
+
+_MOBILITY_ENTROPY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    c AS (
+      SELECT user_id, cx, cy, count(*) AS c FROM pts GROUP BY 1, 2, 3),
+    n AS (SELECT user_id, count(*) AS n FROM pts GROUP BY 1),
+    j AS (
+      SELECT c.user_id, n.n,
+             CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+      FROM c JOIN n USING (user_id))
+    SELECT user_id, CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(sum(CAST(round_even(-(p * ln(p)) * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS entropy_fp
+    FROM j GROUP BY 1, 2
+"""
+
+
 def q_cusum(spark, sf_dir):
     """CUSUM change detection (operators/cusum.cusum_detect) — the
     sequential fold rewritten as running-sum-minus-running-min windows
@@ -9366,6 +9461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_lags": q_ccf_lags,
         "getis_ord": q_getis_ord,
         "langid_confusion": q_langid_confusion,
+        "radius_gyration": q_radius_gyration,
+        "mobility_entropy": q_mobility_entropy,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11781,6 +11878,8 @@ def oracle_sql() -> dict[str, str]:
         "line_density": _LINE_DENSITY_SQL,
         "ccf_lags": _CCF_SQL,
         "getis_ord": _GETIS_ORD_SQL,
+        "radius_gyration": _RADIUS_GYRATION_SQL,
+        "mobility_entropy": _MOBILITY_ENTROPY_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
