@@ -4044,6 +4044,148 @@ _MOBILITY_ENTROPY_SQL = f"""
 """
 
 
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index estimator over document lengths — web corpora are
+    heavy-tailed and the tail exponent drives storage/packing planning:
+    1/alpha-hat = mean over the top-k order statistics of
+    ln(x_(i) / x_(k+1)). The k+1 largest lengths are an exact
+    TakeOrdered (n_chars desc, doc_id asc frozen tie-break); each term
+    is ln of a ratio of EXACT ints (one correctly-rounded division),
+    half-even 1e-9 fixed point before the order-free int sum (the bm25
+    recipe). Emits (k, x_kplus1, hill_fp_sum); alpha consumer-side.
+    FULL oracle."""
+    k = 100
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    top = (
+        d.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(k + 1)
+    )
+    wnd = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = top.withColumn("rk", F.row_number().over(wnd))
+    thresh = ranked.filter(F.col("rk") == k + 1).select(
+        F.col("n_chars").alias("x_kplus1")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            "x_kplus1",
+            F.bround(
+                F.log(
+                    F.col("n_chars").cast("double")
+                    / F.col("x_kplus1").cast("double")
+                )
+                * 1000000000.0,
+                0,
+            ).cast("long").alias("t"),
+        )
+    )
+    return terms.groupBy("x_kplus1").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t").alias("hill_fp_sum"),
+    ).select("k", "x_kplus1", "hill_fp_sum")
+
+
+_HILL_SQL = """
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents),
+    th AS (SELECT n_chars AS x_kplus1 FROM ranked WHERE rk = 101),
+    terms AS (
+      SELECT t.x_kplus1,
+             CAST(round_even(
+               ln(CAST(r.n_chars AS DOUBLE) / CAST(t.x_kplus1 AS DOUBLE))
+               * 1000000000.0, 0) AS BIGINT) AS trm
+      FROM ranked r CROSS JOIN th t WHERE r.rk <= 100)
+    SELECT CAST(count(*) AS BIGINT) AS k, x_kplus1,
+           CAST(sum(trm) AS BIGINT) AS hill_fp_sum
+    FROM terms GROUP BY 2
+"""
+
+
+def q_transition_entropy(spark, sf_dir):
+    """First-order mobility predictability (the mobility_entropy sequel —
+    Song et al.'s 'actual entropy' proxy): per user, the conditional
+    entropy H(next tile | current tile) of consecutive tile transitions
+    = sum over transitions of -(c_ij/n) ln(c_ij/c_i). Exact transition /
+    context counts, per-term half-even 1e-9 fixed point before the
+    order-free int sum. A user who circulates a fixed route has near-zero
+    H even with many tiles visited. FULL oracle."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", lat, lon
+    ).select(
+        "user_id", "ts", "event_id",
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+    )
+    wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        pts.withColumn("nx", F.lead("cx").over(wnd))
+        .withColumn("ny", F.lead("cy").over(wnd))
+        .filter(F.col("nx").isNotNull())
+    )
+    cij = tr.groupBy("user_id", "cx", "cy", "nx", "ny").agg(
+        F.count(F.lit(1)).alias("cij")
+    )
+    ci = cij.groupBy("user_id", "cx", "cy").agg(F.sum("cij").alias("ci"))
+    n = cij.groupBy("user_id").agg(F.sum("cij").alias("n"))
+    j = cij.join(ci, ["user_id", "cx", "cy"]).join(n, "user_id")
+    term = F.bround(
+        -(
+            (F.col("cij").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("cij").cast("double") / F.col("ci").cast("double"))
+        )
+        * 1000000000.0,
+        0,
+    ).cast("long")
+    return (
+        j.select("user_id", "n", term.alias("t"))
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions_distinct"),
+            F.sum("t").alias("cond_entropy_fp"),
+        )
+    )
+
+
+_TRANSITION_ENTROPY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    tr AS (
+      SELECT user_id, cx, cy,
+             lead(cx) OVER w AS nx, lead(cy) OVER w AS ny
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    cij AS MATERIALIZED (
+      SELECT user_id, cx, cy, nx, ny, CAST(count(*) AS BIGINT) AS cij
+      FROM tr WHERE nx IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+    ci AS (
+      SELECT user_id, cx, cy, CAST(sum(cij) AS BIGINT) AS ci
+      FROM cij GROUP BY 1, 2, 3),
+    n AS (SELECT user_id, CAST(sum(cij) AS BIGINT) AS n FROM cij GROUP BY 1),
+    j AS (
+      SELECT c.user_id, t.n,
+             CAST(c.cij AS DOUBLE) / CAST(t.n AS DOUBLE) AS pj,
+             CAST(c.cij AS DOUBLE) / CAST(x.ci AS DOUBLE) AS pc
+      FROM cij c
+      JOIN ci x ON x.user_id = c.user_id AND x.cx = c.cx AND x.cy = c.cy
+      JOIN n t ON t.user_id = c.user_id)
+    SELECT user_id, n,
+           CAST(count(*) AS BIGINT) AS n_transitions_distinct,
+           CAST(sum(CAST(round_even(-(pj * ln(pc)) * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS cond_entropy_fp
+    FROM j GROUP BY 1, 2
+"""
+
+
 def q_cusum(spark, sf_dir):
     """CUSUM change detection (operators/cusum.cusum_detect) — the
     sequential fold rewritten as running-sum-minus-running-min windows
@@ -9463,6 +9605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "radius_gyration": q_radius_gyration,
         "mobility_entropy": q_mobility_entropy,
+        "hill_tail": q_hill_tail,
+        "transition_entropy": q_transition_entropy,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -11880,6 +12024,8 @@ def oracle_sql() -> dict[str, str]:
         "getis_ord": _GETIS_ORD_SQL,
         "radius_gyration": _RADIUS_GYRATION_SQL,
         "mobility_entropy": _MOBILITY_ENTROPY_SQL,
+        "hill_tail": _HILL_SQL,
+        "transition_entropy": _TRANSITION_ENTROPY_SQL,
         "quality_percentile": f"""
             WITH t AS (
               SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
