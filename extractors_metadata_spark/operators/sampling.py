@@ -142,7 +142,13 @@ def pack_sequences(
 
     One window keyed by shard; ``order_col`` must be unique within a shard
     (frozen determinism rule — ties would make the running sum frame-order
-    dependent)."""
+    dependent).
+
+    ``bin_id`` is PURE-INTEGER: ``(cum - n) div budget`` (both operands
+    non-negative longs, so ``div`` == floor division). The earlier shape —
+    ``floor(double_division)`` — was the only float step in the query and
+    the sole candidate for the round-4 driver hash mismatch; integer ``div``
+    replays bit-exactly in any engine."""
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col)
@@ -151,7 +157,7 @@ def pack_sequences(
     out = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
     cum = F.sum("n_tokens").over(w)
     return out.withColumn("cum_tokens", cum).withColumn(
-        "bin_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget))
+        "bin_id", F.expr(f"(cum_tokens - n_tokens) div {int(budget)}")
     )
 
 

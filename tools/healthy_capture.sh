@@ -1,11 +1,11 @@
 #!/bin/bash
-# Round-4 background healthy-window capture orchestrator.
+# Round-5 background healthy-window capture orchestrator.
 #
 # The host's cold-page pathology (CLAUDE.md) makes official timings
 # meaningless while active; this script loop-probes cold-page bandwidth and,
 # on a CONFIRMED healthy window (two probes >= 2 GB/s, 5 s apart, no live
 # Spark JVM), captures — in priority order, never concurrently —
-#   1. an official-quality bench artifact (/tmp/bench_healthy_r04.json;
+#   1. an official-quality bench artifact (/tmp/bench_healthy_r05.json;
 #      promoted only if bench.py's own in-band gate also read healthy), then
 #   2. the 5-pair N-vs-4N scaling protocol (tools/run_scaling.sh, which
 #      re-gates per pair).
@@ -33,8 +33,12 @@ while pgrep -f "tools/run_scaling.sh" > /dev/null 2>&1; do
 done
 echo "prior harness done $(date -u +%T)" >> "$LOG"
 
+# Round-5 priority: SCALING FIRST (the one open >=0.8 hard bar — VERDICT r4
+# item 3), bench second; keep looping until both are captured or deadline.
+SCALING_DONE=0
 BENCH_DONE=0
 while [ $(( $(date +%s) - START )) -lt "$DEADLINE_S" ]; do
+  [ "$SCALING_DONE" = "1" ] && [ "$BENCH_DONE" = "1" ] && { echo "both captured" >> "$LOG"; exit 0; }
   G=$(probe)
   echo "$(date -u +%T) probe $G" >> "$LOG"
   OK=$(python -c "print(1 if float('$G') >= 2.0 else 0)")
@@ -44,33 +48,39 @@ while [ $(( $(date +%s) - START )) -lt "$DEADLINE_S" ]; do
     G2=$(probe)
     OK2=$(python -c "print(1 if float('$G2') >= 2.0 else 0)")
     if [ "$OK2" = "1" ]; then
-      if [ "$BENCH_DONE" = "0" ]; then
+      if [ "$SCALING_DONE" = "0" ]; then
+        echo "$(date -u +%T) HEALTHY ($G/$G2) -> scaling pairs" >> "$LOG"
+        SPARK_GRAFT_SCALING_N=1 SPARK_GRAFT_SCALING_DOCS=1500000 \
+        SPARK_GRAFT_SCALING_PAIRS=5 SPARK_GRAFT_MAX_WAIT_S=900 \
+        SPARK_GRAFT_SCALING_OUT=/tmp/scaling_r05.jsonl \
+          timeout 10800 bash tools/run_scaling.sh >> "$LOG" 2>&1
+        RC=$?
+        echo "$(date -u +%T) scaling exit $RC" >> "$LOG"
+        if [ -s /tmp/scaling_r05.jsonl ]; then
+          # land pairs in-repo even on partial capture; summary appended when full
+          cp /tmp/scaling_r05.jsonl BENCH/scaling_r05_healthy.jsonl
+          cp /tmp/scaling_r05.jsonl.probes BENCH/scaling_r05_healthy.probes 2>/dev/null || true
+          N_RUNS=$(wc -l < /tmp/scaling_r05.jsonl)
+          [ "$RC" = "0" ] && [ "$N_RUNS" -ge 10 ] && SCALING_DONE=1
+        fi
+      else
         echo "$(date -u +%T) HEALTHY ($G/$G2) -> bench" >> "$LOG"
         SPARK_GRAFT_BENCH_MAX_WAIT_S=120 timeout 3600 python bench.py \
-          > /tmp/bench_healthy_r04.json 2>> "$LOG"
+          > /tmp/bench_healthy_r05.json 2>> "$LOG"
         DEGRADED=$(python -c "
 import json
-try: print(json.load(open('/tmp/bench_healthy_r04.json'))['host_degraded'])
+try: print(json.load(open('/tmp/bench_healthy_r05.json'))['host_degraded'])
 except Exception: print('True')")
         echo "$(date -u +%T) bench done degraded=$DEGRADED" >> "$LOG"
         if [ "$DEGRADED" = "False" ]; then
           BENCH_DONE=1
           # land the artifact IN THE REPO so an end-of-round commit (or the
           # judge reading the tree) sees it even if no session is live
-          cp /tmp/bench_healthy_r04.json BENCH/bench_healthy_r04.json
+          cp /tmp/bench_healthy_r05.json BENCH/bench_healthy_r05.json
         fi
-      else
-        echo "$(date -u +%T) HEALTHY ($G/$G2) -> scaling pairs" >> "$LOG"
-        SPARK_GRAFT_SCALING_N=1 SPARK_GRAFT_SCALING_DOCS=1500000 \
-        SPARK_GRAFT_SCALING_PAIRS=5 SPARK_GRAFT_MAX_WAIT_S=900 \
-        SPARK_GRAFT_SCALING_OUT=/tmp/scaling_r04d.jsonl \
-          timeout 7200 bash tools/run_scaling.sh >> "$LOG" 2>&1
-        echo "$(date -u +%T) scaling exit $?" >> "$LOG"
-        [ -s /tmp/scaling_r04d.jsonl ] && cp /tmp/scaling_r04d.jsonl BENCH/scaling_r04_healthy.jsonl
-        exit 0
       fi
     fi
   fi
   sleep 120
 done
-echo "deadline reached; bench_done=$BENCH_DONE" >> "$LOG"
+echo "deadline reached; scaling_done=$SCALING_DONE bench_done=$BENCH_DONE" >> "$LOG"
