@@ -208,7 +208,9 @@ def q_cells_encode(spark, sf_dir):
 
 def q_pipeline_datapoints(spark, sf_dir):
     """Full document pipeline on the deterministically synthesized input_hint
-    table (rows-only: UTM footprint kernel has no SQL analog)."""
+    table (rows-only: UTM footprint kernel has no SQL analog).
+
+    Oracle twin: pipeline_envelope_verify."""
     from extractors_metadata_spark.plans.pipeline import datapoints
     from extractors_metadata_spark.synth import synth_webpages
 
@@ -558,7 +560,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprint dedup (rows-only: xxhash64 kernel)."""
+    """Normalized-content fingerprint dedup (rows-only: xxhash64 kernel).
+
+    Oracle twin: fingerprint_verify."""
     from extractors_metadata_spark.operators.dedup import dedup_fingerprint
 
     return dedup_fingerprint(_t(spark, sf_dir, "documents")).select(
@@ -683,7 +687,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only: xxhash64 signatures)."""
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64 signatures).
+
+    Oracle twin: minhash_verify."""
     from extractors_metadata_spark.operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -692,7 +698,9 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_near_dedup_survivors(spark, sf_dir):
     """Full near-dedup pipeline: MinHash-LSH pairs -> connected components ->
-    canonical survivors (rows-only: xxhash64 kernels)."""
+    canonical survivors (rows-only: xxhash64 kernels).
+
+    Oracle twin: near_dedup_minhash_verify."""
     from extractors_metadata_spark.operators.dedup import (
         minhash_lsh_dedup,
         near_dedup_survivors,
@@ -718,7 +726,9 @@ def q_near_dedup_exact(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only: xxhash64 bit votes)."""
+    """SimHash fingerprints (rows-only: xxhash64 bit votes).
+
+    Oracle twin: simhash_verify."""
     from extractors_metadata_spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
@@ -1077,7 +1087,9 @@ def _mmr_sql(k_cand: int = 20, k_sel: int = 3, n_queries: int = 3) -> str:
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-flat approximate top-k (rows-only: approximate by design)."""
+    """IVF-flat approximate top-k (rows-only: approximate by design).
+
+    Oracle twin: ann_ivf_exhaustive."""
     from extractors_metadata_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1116,7 +1128,9 @@ def q_cosine_pairs_exact(spark, sf_dir):
 
 
 def q_embed_near_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (rows-only: SRP bucket kernel)."""
+    """Embedding-cosine near-dup pairs (rows-only: SRP bucket kernel).
+
+    Oracle twin: srp_pairs_verify."""
     from extractors_metadata_spark.operators.similarity import cosine_near_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1477,7 +1491,9 @@ def q_files_probe(spark, sf_dir):
 
 
 def q_multi_render(spark, sf_dir):
-    """F17: one parse -> JSON/XML/CDL renderings (rows-only: html-derived)."""
+    """F17: one parse -> JSON/XML/CDL renderings (rows-only: html-derived).
+
+    Oracle twin: multi_render_verify."""
     from extractors_metadata_spark.plans.parse import parse_metadata
     from extractors_metadata_spark.plans.render import multi_render
     from extractors_metadata_spark.synth import synth_webpages
@@ -1492,7 +1508,9 @@ def q_multimodal_features(spark, sf_dir):
     The raw ``features array<float>`` column stays out of the checked
     projection (the driver's canonicalizer sorts column values, and lists
     are unhashable); the vector is reduced to a rounded L2 norm instead —
-    still pins the decode output deterministically."""
+    still pins the decode output deterministically.
+
+    Oracle twin: multimodal_features_verify."""
     from extractors_metadata_spark.multimodal.binary_ops import decode_image_features
     from extractors_metadata_spark.synth import synth_webpages
 
