@@ -15,6 +15,9 @@ Env knobs:
   SPARK_GRAFT_BENCH_MAX_WAIT_S max total sleep-retry (default 1800); if the
                           host is still degraded the run proceeds with
                           "host_degraded": true in the JSON
+  SPARK_GRAFT_BENCH_MID_WAIT_S  total mid-suite sleep-retry budget when a
+                          between-chunk probe reads degraded (default 900)
+  SPARK_GRAFT_BENCH_PROBE_EVERY suite queries per probe bracket (default 6)
 
 The headline measures end-to-end docs/sec of:
   synth input_hint table -> JVM parse -> Arrow footprint kernel -> H3/S2 encode
@@ -120,6 +123,37 @@ def main() -> None:
     t_pipeline = time.time() - t0
     timings["pipeline_datapoints_tiles"] = round(t_pipeline, 3)
     docs_per_sec = round(n_docs / t_pipeline, 1)
+
+    # PER-CHUNK probe gating (round-5): BENCH_r04 passed the start gate and
+    # the host degraded mid-suite (end probe 0.194 GB/s), leaving half the
+    # per-query numbers as unlabeled upper bounds. Now the suite runs in
+    # chunks of PROBE_EVERY queries with a probe between chunks; a query's
+    # number is trusted only if BOTH bracketing probes read >= the threshold,
+    # else it lands in "degraded_queries". On a failed mid-suite probe the
+    # harness sleep-retries within a bounded budget before pressing on.
+    probe_every = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "6"))
+    mid_wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_MID_WAIT_S", "900"))
+    probes: list[float] = []
+    degraded_queries: list[str] = []
+
+    def _gated_probe() -> float:
+        nonlocal mid_wait_budget
+        g = _probe_gbps()
+        while g < trust_gbps and mid_wait_budget > 0:
+            print(
+                f"[bench] mid-suite probe {g} GB/s < {trust_gbps} — sleeping 60s "
+                f"({int(mid_wait_budget)}s budget left)",
+                file=sys.stderr,
+            )
+            time.sleep(60.0)
+            mid_wait_budget -= 60.0
+            g = _probe_gbps()
+        probes.append(g)
+        return g
+
+    headline_probe = _gated_probe()
+    if host_degraded or headline_probe < trust_gbps:
+        degraded_queries.append("pipeline_datapoints_tiles")
 
     # --- operator suite on the driver tables ------------------------------------
     # BEST-OF-K per query (k=3, report min): wall times on this box vary ~2x
@@ -247,13 +281,22 @@ def main() -> None:
         "quadtree", "contact_crossings", "mutual_knn",
     ]
     qs = entrymod.queries()
-    for name in suite:
+    chunk_start_ok = probes[-1] >= trust_gbps
+    chunk_names: list[str] = []
+    for qi, name in enumerate(suite):
         best = float("inf")
         for _ in range(runs_per_query):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        chunk_names.append(name)
+        if (qi + 1) % probe_every == 0 or qi == len(suite) - 1:
+            chunk_end_ok = _gated_probe() >= trust_gbps
+            if not (chunk_start_ok and chunk_end_ok):
+                degraded_queries.extend(chunk_names)
+            chunk_start_ok = chunk_end_ok
+            chunk_names = []
 
     total = round(sum(timings.values()), 3)
     print(
@@ -271,8 +314,13 @@ def main() -> None:
                 "cpus": cpus,
                 "runs_per_query": runs_per_query,
                 "host_cold_page_gbps": host_gbps,
-                "host_cold_page_gbps_end": _probe_gbps(),
-                "host_degraded": host_degraded,
+                "host_cold_page_gbps_end": probes[-1],
+                "probes": probes,
+                "probe_every": probe_every,
+                "degraded_queries": sorted(set(degraded_queries)),
+                # host_degraded now means: ANY per-query number is untrusted
+                # (start gate failed, or any probe bracket failed mid-suite)
+                "host_degraded": host_degraded or bool(degraded_queries),
             }
         )
     )
