@@ -892,12 +892,17 @@ def _principal_axis_sql(rounds: int = 6, dim: int = 64) -> str:
           SELECT q.j, CAST(sum(q.qv * s.s) AS BIGINT) AS t
           FROM q JOIN s{i} s ON s.vec_id = q.vec_id GROUP BY 1),
         m{i} AS (
-          SELECT greatest(length(bin(max(abs(t)))) - 20, 0) AS sh FROM t{i}),
+          SELECT max(abs(t)) AS mx,
+                 greatest(length(bin(max(abs(t)))) - 20, 0) AS sh FROM t{i}),
+        -- zero-matvec edge (ADVICE r4): the engine BREAKS on max|t| = 0 and
+        -- keeps the previous iterate; mirror it by carrying p.u forward when
+        -- mx is 0 (all-zero t) or NULL (empty t under an empty input).
         u{i} AS MATERIALIZED (
-          SELECT j, CASE WHEN t < 0
-                         THEN -((-t) // CAST(pow(2, sh) AS BIGINT))
-                         ELSE t // CAST(pow(2, sh) AS BIGINT) END AS u
-          FROM t{i} CROSS JOIN m{i})""")
+          SELECT p.j, CASE WHEN coalesce(m.mx, 0) = 0 THEN p.u
+                           WHEN t.t < 0
+                           THEN -((-t.t) // CAST(pow(2, m.sh) AS BIGINT))
+                           ELSE t.t // CAST(pow(2, m.sh) AS BIGINT) END AS u
+          FROM {prev} p LEFT JOIN t{i} t ON t.j = p.j CROSS JOIN m{i} m)""")
         prev = f"u{i}"
     body = ",".join(stages)
     return f"""
@@ -2015,8 +2020,9 @@ def q_radius_pairs(spark, sf_dir):
     """Within-radius point<->point self-join (operators/radius_join.py —
     the no-broadcast-side distance join: cell-bucketed shuffle equi-join,
     one side explodes a bounded k-ring, each unordered pair survives
-    exactly once via id_a < id_b, exact equirect refine rounded to cm with
-    the threshold on the ROUNDED value). FULL oracle: brute-force O(n^2)
+    exactly once via id_a < id_b, exact equirect refine to INTEGER cm with
+    the threshold on the integer — dist_m derived as dist_cm / 100.0, no
+    fractional rounding anywhere; ADVICE r4). FULL oracle: brute-force O(n^2)
     theta join over the first 3000 events with the literal identical
     distance arithmetic — an independent derivation that also proves the
     ring bound loses no pair."""
@@ -2039,14 +2045,15 @@ _RADIUS_PAIRS_SQL = f"""
       FROM events WHERE event_id < 3000),
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b,
-             round(sqrt(
+             CAST(round(sqrt(
                ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
                * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
-             ), 2) AS dist_m
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
       FROM pts a JOIN pts b ON a.id < b.id)
-    SELECT id_a, id_b, dist_m FROM pairs WHERE dist_m <= 1.0
+    SELECT id_a, id_b, dist_cm / 100.0 AS dist_m, dist_cm
+    FROM pairs WHERE dist_cm <= 100
 """
 
 
@@ -2060,7 +2067,13 @@ def q_line_density(spark, sf_dir):
     exact integers (bbox overlap by construction + the four cell corners
     must straddle the segment line: min orient <= 0 <= max orient).
     Shifted-nonneg quantize-once coords; one narrow fan-out + one
-    map-side-combining cell count. FULL oracle."""
+    map-side-combining cell count. FULL oracle.
+
+    Orientation precondition (ADVICE r4): per-segment coordinate spans
+    must stay < 2^31 nanodeg (~2 deg) for the int64 cross products —
+    holds by construction here (consecutive same-user events on the
+    synth field; a general caller with longer segments pre-scales to
+    coarser units, see operators/hull._orient)."""
     S = 200000
     lat, lon = _latlon_dbl()
     wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2227,8 +2240,9 @@ def q_knox_test(spark, sf_dir):
     Knox's X = observed space-AND-time-close pairs vs the marginal
     expectation — (n, total_pairs, space_pairs, time_pairs,
     joint_pairs), all exact ints, the ratio consumer-side. Space-close
-    (<= 2 m, cm-rounded threshold) comes from the bounded
-    radius_self_join; time-close (<= 1 h) is computed WITHOUT the n^2
+    (<= 2 m, decided on INTEGER cm — dist_cm <= 200, the 0-decimal
+    rounding pairing, never a fractional round; ADVICE r4) comes from the
+    bounded radius_self_join; time-close (<= 1 h) is computed WITHOUT the n^2
     scan: τ-width bins make every same-bin pair close by construction
     and the only refinement is the adjacent-bin band join (bin-keyed,
     per-bin bounded) — the interval_join discipline on pair COUNTING.
@@ -2283,21 +2297,21 @@ _KNOX_SQL = f"""
       FROM events WHERE event_id < 3000),
     pairs AS MATERIALIZED (
       SELECT a.id AS id_a, b.id AS id_b,
-             round(sqrt(
+             CAST(round(sqrt(
                ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
                * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
-             ), 2) AS dist_m,
+             ) * 100.0, 0) AS BIGINT) AS dist_cm,
              abs(a.us - b.us) AS dt
       FROM pts a JOIN pts b ON a.id < b.id),
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS total_pairs,
-             CAST(sum(CASE WHEN dist_m <= 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN dist_cm <= 200 THEN 1 ELSE 0 END) AS BIGINT)
                AS space_pairs,
              CAST(sum(CASE WHEN dt <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
                AS time_pairs,
-             CAST(sum(CASE WHEN dist_m <= 2.0 AND dt <= 3600000000
+             CAST(sum(CASE WHEN dist_cm <= 200 AND dt <= 3600000000
                            THEN 1 ELSE 0 END) AS BIGINT) AS joint_pairs
       FROM pairs)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n,
@@ -3801,19 +3815,19 @@ def q_kdist(spark, sf_dir):
     )
     pairs = radius_self_join(spark, pts, radius_m=5.0)
     sym = pairs.select(
-        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "dist_m"
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "dist_cm"
     ).unionByName(
         pairs.select(
-            F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "dist_m"
+            F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "dist_cm"
         )
     )
     w = Window.partitionBy("id").orderBy(
-        F.col("dist_m").asc(), F.col("nbr").asc()
+        F.col("dist_cm").asc(), F.col("nbr").asc()
     )
     return (
         sym.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 4)
-        .select("id", F.round(F.col("dist_m") * 100.0, 0).cast("long").alias("kdist_cm"))
+        .select("id", F.col("dist_cm").alias("kdist_cm"))
     )
 
 
@@ -3823,20 +3837,20 @@ _KDIST_SQL = f"""
       FROM events WHERE event_id < 3000),
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b,
-             round(sqrt(
+             CAST(round(sqrt(
                ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
                * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
-             ), 2) AS dist_m
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
       FROM pts a JOIN pts b ON a.id < b.id),
-    capped AS (SELECT * FROM pairs WHERE dist_m <= 5.0),
+    capped AS (SELECT * FROM pairs WHERE dist_cm <= 500),
     sym AS (
-      SELECT id_a AS id, id_b AS nbr, dist_m FROM capped
-      UNION ALL SELECT id_b, id_a, dist_m FROM capped)
-    SELECT id, CAST(round(dist_m * 100.0, 0) AS BIGINT) AS kdist_cm
-    FROM (SELECT id, dist_m,
-                 row_number() OVER (PARTITION BY id ORDER BY dist_m, nbr) AS rn
+      SELECT id_a AS id, id_b AS nbr, dist_cm FROM capped
+      UNION ALL SELECT id_b, id_a, dist_cm FROM capped)
+    SELECT id, dist_cm AS kdist_cm
+    FROM (SELECT id, dist_cm,
+                 row_number() OVER (PARTITION BY id ORDER BY dist_cm, nbr) AS rn
           FROM sym)
     WHERE rn = 4
 """
@@ -7765,9 +7779,10 @@ def q_source_divergence(spark, sf_dir):
     KL(P_source || P_corpus) over word unigram distributions — the text
     twin of psi_drift's numeric bins, finite without smoothing because
     source words are corpus words. Per-word 1e12 fixed-point
-    p_s ln(p_s/p_all) terms (exact int64 ratios, correctly-rounded
-    divisions, rint margin absorbs ln drift) summed as exact int64. FULL
-    oracle: same tokenization + literal arithmetic."""
+    p_s ln(p_s/p_all) terms (factor-wise double ratios of exact int64
+    counts — no int products, overflow-safe to 9e15 tokens; rint margin
+    absorbs ln drift) summed as exact int64. FULL oracle: same
+    tokenization + literal arithmetic."""
     from extractors_metadata_spark.operators.corpus import source_divergence
 
     return source_divergence(_t(spark, sf_dir, "documents"))
@@ -7791,7 +7806,7 @@ _SOURCE_DIVERGENCE_SQL = r"""
     terms AS (
       SELECT c.source,
              CAST(round_even(
-               (c.csw / s.ns) * ln((c.csw * t.n) / (s.ns * w.cw)) * 1e12,
+               (c.csw / s.ns) * ln((c.csw / s.ns) * (t.n / w.cw)) * 1e12,
                0) AS BIGINT) AS term_fp
       FROM csw c
       JOIN cw w ON w.tok = c.tok
@@ -7876,7 +7891,13 @@ def _bpe_stages_sql(rounds: int, final: str | None = None) -> str:
     frequencies -> ``rounds`` unrolled (pair-count argmax -> islands+parity
     merge) stage groups. Every s{r} is referenced twice (next round's pair
     count AND explode) -> MATERIALIZED (CLAUDE.md re-inlining rule).
-    ``final`` overrides the closing SELECT (default: the merge table)."""
+    ``final`` overrides the closing SELECT (default: the merge table).
+
+    bst{r} joins via LEFT JOIN ON 1=1, NOT CROSS JOIN: when the vocabulary
+    exhausts before ``rounds`` (pr{r} empty), a cross join would empty
+    every later stage, while the left join leaves b.l/b.r NULL -> cand=0
+    -> s{r} = s{p} (identity round), mirroring the engine's early break
+    in _learn (ADVICE r4)."""
     parts = [
         r"""
     WITH arrs AS (
@@ -7910,7 +7931,7 @@ def _bpe_stages_sql(rounds: int, final: str | None = None) -> str:
                    lead(s) OVER (PARTITION BY word ORDER BY i) AS s_next
             FROM (SELECT word, freq, unnest(range(len(syms))) AS i,
                          unnest(syms) AS s FROM s{p})) e
-      CROSS JOIN bst{r} b),
+      LEFT JOIN bst{r} b ON 1 = 1),
     gp{r} AS (
       SELECT *, sum(run_head) OVER (PARTITION BY word ORDER BY i
                                     ROWS UNBOUNDED PRECEDING) AS grp
@@ -8756,9 +8777,9 @@ def q_ripley_k(spark, sf_dir):
     within-r pair counts at r = 5/10/20 m over the first 3000 events,
     computed from ONE cell-bucketed radius self-join at the largest radius
     (the proven radius_pairs machinery — never 3 separate joins) + a x3
-    literal radius explode and a map-side-combining count. Threshold
-    compares the cm-ROUNDED distance (the value radius_pairs proves
-    bit-equal cross-engine). FULL oracle: brute-force O(n^2) replay."""
+    literal radius explode and a map-side-combining count. Thresholds
+    compare INTEGER cm (dist_cm <= r_cm — the 0-decimal rounding pairing;
+    ADVICE r4). FULL oracle: brute-force O(n^2) replay."""
     from extractors_metadata_spark.operators.radius_join import radius_self_join
 
     lat, lon = _latlon_dbl()
@@ -8770,11 +8791,17 @@ def q_ripley_k(spark, sf_dir):
     pairs = radius_self_join(spark, pts, radius_m=20.0)
     return (
         pairs.select(
-            F.explode(F.array(F.lit(5.0), F.lit(10.0), F.lit(20.0))).alias("r_m"),
-            "dist_m",
+            F.explode(
+                F.array(
+                    F.lit(500).cast("long"),
+                    F.lit(1000).cast("long"),
+                    F.lit(2000).cast("long"),
+                )
+            ).alias("r_cm"),
+            "dist_cm",
         )
-        .filter(F.col("dist_m") <= F.col("r_m"))
-        .groupBy("r_m")
+        .filter(F.col("dist_cm") <= F.col("r_cm"))
+        .groupBy((F.col("r_cm") / F.lit(100.0)).alias("r_m"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
@@ -8784,16 +8811,16 @@ _RIPLEY_K_SQL = f"""
       SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
       FROM events WHERE event_id < 3000),
     pairs AS (
-      SELECT round(sqrt(
+      SELECT CAST(round(sqrt(
                ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
                + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
                * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
-             ), 2) AS dist_m
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
       FROM pts a JOIN pts b ON a.id < b.id),
-    rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r_m)
-    SELECT CAST(r_m AS DOUBLE) AS r_m, count(*) AS n_pairs
-    FROM pairs, rr WHERE dist_m <= r_m GROUP BY 1
+    rr AS (SELECT CAST(unnest([500, 1000, 2000]) AS BIGINT) AS r_cm)
+    SELECT r_cm / 100.0 AS r_m, count(*) AS n_pairs
+    FROM pairs, rr WHERE dist_cm <= r_cm GROUP BY 1
 """
 
 

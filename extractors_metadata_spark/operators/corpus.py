@@ -284,16 +284,21 @@ def _kl_term_fp_udf():
     def _term_fp(
         csw: pd.Series, ns: pd.Series, cw: pd.Series, n: pd.Series
     ) -> pd.Series:
-        # p_s * ln(p_s / p_all) with both ratios formed from EXACT int64
-        # products (< 2^53): each division correctly rounded, ln ulp drift
-        # absorbed by the 1e12 rint margin (the bm25 recipe), one more
-        # correctly-rounded multiply — then per-term half-even fixed point
-        # BEFORE the order-free int sum (the mutual_info/psi discipline).
+        # p_s * ln(p_s/p_all) with the ln ratio formed FACTOR-WISE —
+        # (a/b) * (m/c), never the int64 products a*m / b*c, which wrap
+        # silently beyond ~3e9 corpus tokens (ADVICE r4). Each factor is a
+        # correctly-rounded division of exact int64 counts (< 2^53), the
+        # product one more correctly-rounded multiply — bit-identical in
+        # any IEEE engine, valid to 9e15 corpus tokens. ln ulp drift is
+        # absorbed by the 1e12 rint margin (the bm25 recipe), then
+        # per-term half-even fixed point BEFORE the order-free int sum
+        # (the mutual_info/psi discipline).
         a = csw.to_numpy(np.int64)
         b = ns.to_numpy(np.int64)
         c = cw.to_numpy(np.int64)
         m = n.to_numpy(np.int64)
-        t = (a / b) * np.log((a * m) / (b * c)) * 1e12
+        r = a / b
+        t = r * np.log(r * (m / c)) * 1e12
         return pd.Series(np.rint(t).astype(np.int64))
 
     return _term_fp

@@ -41,6 +41,14 @@ from pyspark.sql import functions as F
 
 
 def _orient(ax, ay, bx, by, px, py):
+    """Exact int64 orientation sign. PRECONDITION (ADVICE r4): the cross
+    product multiplies coordinate DIFFERENCES — translation-invariant, so
+    only the per-key coordinate SPAN matters, never the global offset.
+    |dx|, |dy| < 2^31 units guarantees both products and their difference
+    fit int64 (2 * (2^31)^2 < 2^63); in nanodegrees that is a ~2-degree
+    per-key extent (the track_crossings discipline).  A key spanning more
+    (e.g. a global trajectory) must pre-scale to coarser units — re-
+    centering cannot help because differences already discard the offset."""
     return (F.col(bx) - F.col(ax)) * (F.col(py) - F.col(ay)) - (
         F.col(by) - F.col(ay)
     ) * (F.col(px) - F.col(ax))

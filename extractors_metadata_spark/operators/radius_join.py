@@ -72,9 +72,9 @@ def _pair_dist_udf():
         xb = lon_b.to_numpy(np.float64)
         # frozen equirect plane anchored at point a's latitude — written as
         # explicit products so the DuckDB oracle replays it literally.
-        # Returned UNROUNDED: cm rounding happens JVM-side via F.round,
-        # which matches DuckDB round() (half-up; np.round is half-EVEN —
-        # the knn queries' proven pairing)
+        # Returned UNROUNDED: integer-cm fixed point happens JVM-side as
+        # round(d * 100, 0) — the 0-decimal F.round == DuckDB round pairing
+        # (the ONLY decimals the families agree at; CLAUDE.md)
         dx = (xb - xa) * np.cos(np.radians(ya)) * _DEG
         dy = (yb - ya) * _DEG
         return pd.Series(np.sqrt(dx * dx + dy * dy))
@@ -108,8 +108,16 @@ def radius_self_join(
     max_abs_lat: float = 66.0,
 ) -> DataFrame:
     """All unordered pairs within ``radius_m`` meters:
-    (id_a, id_b, dist_m) with id_a < id_b, dist_m rounded to cm and the
-    threshold applied to the ROUNDED value (cross-engine-stable)."""
+    (id_a, id_b, dist_m, dist_cm) with id_a < id_b.
+
+    The radius decision is made on an INTEGER: dist_cm = round(d * 100, 0)
+    cast long — the 0-decimal JVM round == DuckDB round pairing CLAUDE.md
+    proves, vs the fractional round(d, 2) <= radius the operator used
+    before, which rode the shortest-repr-vs-exact-binary divergence the
+    engines show at >= 1 decimal (ADVICE r4, knox_test). dist_m is then
+    DERIVED as dist_cm / 100.0 (one correctly-rounded int/double division,
+    bit-identical in any IEEE engine), so no emitted or compared value
+    ever passes through fractional rounding."""
     if res is None or ring is None:
         d_res, d_ring = pick_res_ring(radius_m, max_abs_lat)
         res = d_res if res is None else res
@@ -135,10 +143,15 @@ def radius_self_join(
         F.col("id_a") < F.col("id_b")
     )
     out = cand.withColumn(
-        "dist_m",
-        F.round(_pair_dist_udf()("_lat_a", "_lon_a", "_lat_b", "_lon_b"), 2),
-    ).filter(F.col("dist_m") <= radius_m)
-    return out.select("id_a", "id_b", "dist_m")
+        "dist_cm",
+        F.round(
+            _pair_dist_udf()("_lat_a", "_lon_a", "_lat_b", "_lon_b") * 100.0, 0
+        ).cast("long"),
+    ).filter(F.col("dist_cm") <= int(round(radius_m * 100)))
+    return out.select(
+        "id_a", "id_b", (F.col("dist_cm") / F.lit(100.0)).alias("dist_m"),
+        "dist_cm",
+    )
 
 
 def spatial_cluster(

@@ -337,6 +337,11 @@ def contact_crossings(
     Geometry is the track_crossings discipline: exact-integer quantized
     coordinates (quantize-once), integer bbox reject, four orientation SIGN
     tests (never the product), strictness excludes all degeneracies.
+    Orientation precondition (ADVICE r4): coordinate DIFFERENCES within a
+    tested pair must stay < 2^31 units (~2 deg in nanodegrees) so the
+    int64 cross products cannot overflow — encounters are local by
+    definition, and the hour block never pairs antipodal segments that
+    could reach the ~3.6e11 global span.
 
     Scale design: segments are narrow (user, hour, 4 coords); the one
     fan-out join is hour-keyed (hash-uniform over time, no hot key), the

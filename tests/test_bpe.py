@@ -80,3 +80,35 @@ def test_bpe_encode_counts(docs, spark):
     # "low lower newest"
     assert (out[1]["ws_tokens"], out[1]["bpe_tokens"]) == (3, 1 + 1 + 4)
     assert (out[2]["ws_tokens"], out[2]["bpe_tokens"]) == (3, 1 + 4 + 7)
+
+
+def test_bpe_exhausted_vocab_oracle_parity(docs, spark):
+    """ADVICE r4: when the vocabulary runs out of pairs before ``rounds``,
+    _learn early-exits keeping the last symbol frame; the unrolled oracle
+    must NOT empty later stages (bst{r} joins via LEFT JOIN ON 1=1, so an
+    empty best-pair frame yields identity rounds). Corpus of one 1-char
+    word exhausts after a single merge; rounds=4 forces three exhausted
+    oracle rounds."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from extractors_metadata_spark.operators.bpe import bpe_encode, bpe_merges
+
+    tiny = spark.createDataFrame(
+        [(1, "a a"), (2, "a")], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1, 2], "text": ["a a", "a"]}))
+
+    merges = bpe_merges(tiny, rounds=4).toPandas()
+    assert len(merges) == 1  # only (a, </w>) is learnable
+    om = con.execute(entry._bpe_stages_sql(4)).df()
+    assert len(om) == 1
+    assert (om.iloc[0]["left_sym"], om.iloc[0]["right_sym"]) == ("a", "</w>")
+
+    enc = bpe_encode(tiny, rounds=4).toPandas().sort_values("doc_id")
+    oe = con.execute(entry._bpe_encode_sql(4)).df().sort_values("doc_id")
+    assert len(oe) == 2, "oracle emptied on exhausted vocab"
+    assert enc["ws_tokens"].tolist() == oe["ws_tokens"].tolist() == [2, 1]
+    assert enc["bpe_tokens"].tolist() == oe["bpe_tokens"].tolist() == [2, 1]

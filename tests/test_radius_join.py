@@ -9,9 +9,15 @@ import pandas as pd
 
 
 def _brute(df: pd.DataFrame, radius_m: float):
+    """Replays the kernel's INTEGER-cm decision: round(d*100, 0) half-up on
+    the shortest repr (Decimal(repr(x)) == Java BigDecimal.valueOf ==
+    DuckDB round at 0 decimals) <= radius_cm."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from extractors_metadata_spark.functions.geodesy import R_MEAN
 
     deg = math.pi / 180.0 * R_MEAN
+    radius_cm = round(radius_m * 100)
     want = set()
     rows = df.to_dict("records")
     for i, a in enumerate(rows):
@@ -19,8 +25,12 @@ def _brute(df: pd.DataFrame, radius_m: float):
             lo, hi = (a, b) if a["event_id"] < b["event_id"] else (b, a)
             dx = (hi["lon"] - lo["lon"]) * math.cos(math.radians(lo["lat"])) * deg
             dy = (hi["lat"] - lo["lat"]) * deg
-            d = round(math.sqrt(dx * dx + dy * dy), 2)
-            if d <= radius_m:
+            d_cm = int(
+                Decimal(repr(math.sqrt(dx * dx + dy * dy) * 100.0)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            if d_cm <= radius_cm:
                 want.add((lo["event_id"], hi["event_id"]))
     return want
 

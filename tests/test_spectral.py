@@ -45,3 +45,27 @@ def test_matches_numpy_eigendirection(spark):
     w, vec = np.linalg.eigh(q.T @ q)
     top = vec[:, -1]
     assert abs(float(u @ top)) > 0.999
+
+
+def test_principal_axis_zero_matvec_oracle_parity(spark):
+    """ADVICE r4: all-zero quantized embeddings make round 1's matvec zero;
+    the engine breaks and returns u0 = 2^19 everywhere. The unrolled oracle
+    must carry the previous iterate forward (mx=0 branch), not emit zeros."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from extractors_metadata_spark.operators.spectral import principal_axis
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * 64) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    out = principal_axis(zeros, rounds=3).toPandas().sort_values("dim")
+    assert out["u_fp"].tolist() == [1 << 19] * 64
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame({"vec_id": range(5), "embedding": [[0.0] * 64] * 5})
+    )
+    odf = con.execute(entry._principal_axis_sql(3)).df().sort_values("dim")
+    assert odf["u_fp"].tolist() == [1 << 19] * 64
