@@ -1,0 +1,6262 @@
+"""DuckDB oracle surface for the driver contract: every _*_SQL
+constant, every _*_sql generator, and oracle_sql() itself —
+extracted from __spark_entry__.py (VERDICT r4 item 7) with source
+order preserved. __spark_entry__ re-exports oracle_sql, so the
+driver and tools/check_oracles.py see an unchanged API."""
+
+from __future__ import annotations
+
+from .shared import LAT_IN, LAT_SOUTH, LON_IN, PLOT_GY_CENTERS, _BANNER1, _BANNER2, _BM25_QUERIES, _EVENT_TYPES, _LR_ANCHOR, _LR_PATH, _MIX_WEIGHTS, _NORM_P0, _NORM_P2, _OVL_H1, _OVL_OX, _OVL_OY, _OVL_W1
+
+
+# oracle-side closed forms for the uniform plot grid (synth.py constants)
+RANGE_OF_LAT_IN = "CAST(FLOOR(((event_id % 1000) + 0.5) / 1000.0 * 54) AS INT) + 1"
+
+PASS_OF_LON_IN = "CAST(FLOOR(((event_id % 640) + 0.5) / 640.0 * 16) AS INT) + 1"
+
+PLOT_GX_EXPR = "3.8 + ((event_id % 50) + 0.5) * 4.06"
+
+
+
+# nearest-path probes: gantry x 20.5-59.5 m SOUTH of the grid's south edge
+# (gx = 3.8 maps to the surveyed SE-corner latitude = the grid's lat0), gy at
+# pass centers. The fused resolve finds no covering-cell candidate and takes
+# its exact broadcast re-rank fallback; due-south of a pass interior the
+# nearest plot is row 1 of that pass.
+NEAREST_GX_EXPR = "3.8 - (20.5 + (event_id % 40))"
+
+
+
+_PREFIX_JOIN_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    shm AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(tk[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+    freq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+             FROM shm GROUP BY 1),
+    ranked AS (
+      SELECT doc, shingle,
+             CAST(row_number() OVER (PARTITION BY doc
+                  ORDER BY df, shingle) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY doc) AS BIGINT) AS sz
+      FROM shm JOIN freq USING (shingle)),
+    pref AS MATERIALIZED (
+      SELECT doc, shingle FROM ranked
+      WHERE rk <= sz - (50 * sz + 99) // 100 + 1),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM pref a JOIN pref b USING (shingle)
+      WHERE a.doc < b.doc),
+    shared AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN shm sa ON sa.doc = c.id_a
+      JOIN shm sb ON sb.doc = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz
+              FROM shm GROUP BY 1)
+    SELECT id_a, id_b, inter, za.sz + zb.sz - inter AS uni,
+           za.sz AS sza, zb.sz AS szb
+    FROM shared
+    JOIN sizes za ON za.doc = id_a
+    JOIN sizes zb ON zb.doc = id_b
+    WHERE 100 * inter >= 50 * (za.sz + zb.sz - inter)
+"""
+
+
+
+_MUTUAL_KNN_SQL = """
+    WITH sub AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 400),
+    tk AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                          b.vec_id ASC) AS rank
+        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 5)
+    SELECT ab.query_id AS id_a, ab.neighbor_id AS id_b,
+           CAST(ab.rank AS INT) AS rank_ab, CAST(ba.rank AS INT) AS rank_ba
+    FROM tk ab JOIN tk ba
+      ON ba.query_id = ab.neighbor_id AND ba.neighbor_id = ab.query_id
+    WHERE ab.query_id < ab.neighbor_id
+"""
+
+
+
+def _principal_axis_sql(rounds: int = 6, dim: int = 64) -> str:
+    stages = []
+    prev = "u0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        s{i} AS (
+          SELECT q.vec_id, CAST(sum(q.qv * u.u) AS BIGINT) AS s
+          FROM q JOIN {prev} u ON u.j = q.j GROUP BY 1),
+        t{i} AS MATERIALIZED (
+          SELECT q.j, CAST(sum(q.qv * s.s) AS BIGINT) AS t
+          FROM q JOIN s{i} s ON s.vec_id = q.vec_id GROUP BY 1),
+        m{i} AS (
+          SELECT max(abs(t)) AS mx,
+                 greatest(length(bin(max(abs(t)))) - 20, 0) AS sh FROM t{i}),
+        -- zero-matvec edge (ADVICE r4): the engine BREAKS on max|t| = 0 and
+        -- keeps the previous iterate; mirror it by carrying p.u forward when
+        -- mx is 0 (all-zero t) or NULL (empty t under an empty input).
+        u{i} AS MATERIALIZED (
+          SELECT p.j, CASE WHEN coalesce(m.mx, 0) = 0 THEN p.u
+                           WHEN t.t < 0
+                           THEN -((-t.t) // CAST(pow(2, m.sh) AS BIGINT))
+                           ELSE t.t // CAST(pow(2, m.sh) AS BIGINT) END AS u
+          FROM {prev} p LEFT JOIN t{i} t ON t.j = p.j CROSS JOIN m{i} m)""")
+        prev = f"u{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, j,
+                 CAST(round_even(CAST(embedding[j + 1] AS DOUBLE) * 1000, 0)
+                      AS BIGINT) AS qv
+          FROM (SELECT vec_id, embedding, unnest(range({dim})) AS j
+                FROM embeddings)),
+        u0 AS (SELECT j, CAST({1 << 19} AS BIGINT) AS u
+               FROM (SELECT unnest(range({dim})) AS j)),
+        {body}
+        SELECT j AS dim, CAST(u AS BIGINT) AS u_fp FROM {prev}
+    """
+
+
+
+_RRF_FUSION_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC,
+                        vec_id ASC) AS r_cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_distance(qv, CAST(embedding AS DOUBLE[])) ASC,
+                        vec_id ASC) AS r_l2
+      FROM embeddings, q WHERE vec_id <> query_id),
+    fusedt AS (
+      SELECT query_id, neighbor_id, r_cos, r_l2,
+             1.0 / (60.0 + CAST(r_cos AS DOUBLE))
+               + 1.0 / (60.0 + CAST(r_l2 AS DOUBLE)) AS fused
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(r_cos AS INT) AS r_cos,
+           CAST(r_l2 AS INT) AS r_l2, fused,
+           CAST(rrf_rank AS INT) AS rrf_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY fused DESC, neighbor_id ASC) AS rrf_rank
+      FROM fusedt) z
+    WHERE rrf_rank <= 5
+"""
+
+
+
+def _mmr_sql(k_cand: int = 20, k_sel: int = 3, n_queries: int = 3) -> str:
+    stages = []
+    for i in range(1, k_sel + 1):
+        if i == 1:
+            scored = """
+        scored1 AS (
+          SELECT query_id, doc_id, 2 * rel AS score FROM cand)"""
+        else:
+            prev_sel = " UNION ALL ".join(
+                f"SELECT query_id, doc_id FROM p{j}" for j in range(1, i)
+            )
+            scored = f"""
+        sel{i} AS ({prev_sel}),
+        ms{i} AS (
+          SELECT s.query_id, s.id_a AS doc_id, max(s.sim) AS max_sim
+          FROM csims s JOIN sel{i} t
+            ON s.query_id = t.query_id AND s.id_b = t.doc_id
+          GROUP BY 1, 2),
+        scored{i} AS (
+          SELECT c.query_id, c.doc_id, 2 * c.rel - m.max_sim AS score
+          FROM cand c JOIN ms{i} m USING (query_id, doc_id)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sel{i} x
+            WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id))"""
+        stages.append(scored + f""",
+        p{i} AS MATERIALIZED (
+          SELECT query_id, doc_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored{i}) z
+          WHERE rn = 1)""")
+    body = ",".join(stages)
+    final = " UNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS INT) AS pick, doc_id, score FROM p{i}"
+        for i in range(1, k_sel + 1)
+    )
+    return f"""
+        WITH enc AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / CAST(127.0 AS DOUBLE) AS scale,
+                 embedding AS v
+          FROM embeddings),
+        qv AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(round_even(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q
+          FROM enc WHERE scale > 0),
+        relp AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS doc_id, b.q AS cq,
+                 CAST(list_inner_product(CAST(a.q AS DOUBLE[]),
+                                         CAST(b.q AS DOUBLE[])) AS BIGINT) AS rel
+          FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {n_queries}),
+        cand AS MATERIALIZED (
+          SELECT query_id, doc_id, rel, cq FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, doc_id ASC) AS rk
+            FROM relp) z
+          WHERE rk <= {k_cand}),
+        csims AS MATERIALIZED (
+          SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(list_inner_product(CAST(a.cq AS DOUBLE[]),
+                                         CAST(b.cq AS DOUBLE[])) AS BIGINT) AS sim
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+        {body}
+        {final}
+    """
+
+
+
+def _hll_intersect_sql(p: int = 5) -> str:
+    from extractors_metadata_spark.operators.sketches import (
+        HLL_SCALE,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+
+    def _regs(name: str, where: str) -> str:
+        return f"""
+        keys_{name} AS (
+          SELECT CAST(user_id AS VARCHAR) || ':'
+                 || CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS k
+          FROM events WHERE {where}),
+        h0_{name} AS (SELECT {_poly_sql('k', 131)} AS wr,
+                             {_poly_sql('k', 137)} AS br FROM keys_{name}),
+        h1_{name} AS (SELECT {_mix31_sql('wr')} AS w,
+                             {_mix31_sql('br')} AS bh FROM h0_{name}),
+        rnk_{name} AS (SELECT bh % {m} AS bucket,
+               CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+               FROM h1_{name}),
+        pregs_{name} AS (SELECT bucket, max(rho) AS rho
+                         FROM rnk_{name} GROUP BY bucket),
+        regs_{name} AS MATERIALIZED (
+          SELECT t.bucket, CAST(coalesce(pregs_{name}.rho, 0) AS INTEGER) AS rho
+          FROM (SELECT range AS bucket FROM range(0, {m})) t
+          LEFT JOIN pregs_{name} USING (bucket))"""
+
+    def _est(src: str) -> str:
+        raw = (
+            f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+            f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE)"
+            f" / CAST(harm_{src} AS DOUBLE))"
+        )
+        lc = (
+            f"(CAST({float(m)!r} AS DOUBLE)"
+            f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST(nz_{src} AS DOUBLE)))"
+        )
+        return (
+            f"round(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)"
+            f" AND nz_{src} > 0 THEN {lc} ELSE {raw} END, 6), 3)"
+        )
+
+    return f"""
+        WITH {_regs('a', "event_type = 'click'")},
+        {_regs('b', "event_type = 'view'")},
+        regs_u AS (
+          SELECT a.bucket, greatest(a.rho, b.rho) AS rho
+          FROM regs_a a JOIN regs_b b USING (bucket)),
+        agg AS (
+          SELECT
+            (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT))
+             FROM regs_a) AS harm_a,
+            (SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+             FROM regs_a) AS nz_a,
+            (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT))
+             FROM regs_b) AS harm_b,
+            (SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+             FROM regs_b) AS nz_b,
+            (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT))
+             FROM regs_u) AS harm_u,
+            (SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+             FROM regs_u) AS nz_u),
+        est AS (
+          SELECT {_est('a')} AS est_a, {_est('b')} AS est_b,
+                 {_est('u')} AS est_u
+          FROM agg)
+        SELECT CAST({m} AS INTEGER) AS m, est_a, est_b, est_u,
+               est_a + est_b - est_u AS est_inter
+        FROM est
+    """
+
+
+
+def _chunk_sql(src: str, chunk: int = 24, overlap: int = 8) -> str:
+    """chunk_documents mirror over any (doc_id, text) relation ``src`` —
+    shared by the standalone query and the training_prep composition."""
+    stride = chunk - overlap
+    return f"""
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least({chunk}, len(w) - chunk_idx * {stride}) AS INT) AS n_tokens,
+           array_to_string(w[chunk_idx*{stride}+1 : chunk_idx*{stride}+{chunk}], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, w,
+             unnest(range(greatest((len(w) - {overlap} + {stride - 1}) // {stride}, 1))) AS chunk_idx
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}))
+    """
+
+
+
+_CHUNK_DOCS_SQL = _chunk_sql("documents")
+
+
+
+def _training_prep_sql() -> str:
+    # lazy: _LINE_DEDUP_SQL is defined later in the module (evaluated at
+    # oracle_sql() call time, when the module is fully loaded)
+    return f"""
+    WITH ld AS ({_LINE_DEDUP_SQL}),
+    survivors AS (
+      SELECT doc_id, clean_text AS text FROM ld
+      WHERE n_kept > 0 AND len(string_split(clean_text, ' ')) >= 8)
+    {_chunk_sql('survivors')}
+"""
+
+
+
+_RADIUS_PAIRS_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
+      FROM pts a JOIN pts b ON a.id < b.id)
+    SELECT id_a, id_b, dist_cm / 100.0 AS dist_m, dist_cm
+    FROM pairs WHERE dist_cm <= 100
+"""
+
+
+
+_LINE_DENSITY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+               + 120000000000 AS ax,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS ay
+      FROM events),
+    segs AS (
+      SELECT ax, ay,
+             lead(ax) OVER w AS bx, lead(ay) OVER w AS by
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS MATERIALIZED (SELECT * FROM segs WHERE bx IS NOT NULL),
+    cand AS (
+      SELECT ax, ay, bx, by,
+             least(ax, bx) // 200000 + unnest(range(
+               greatest(ax, bx) // 200000 - least(ax, bx) // 200000 + 1))
+               AS cx
+      FROM s),
+    cand2 AS (
+      SELECT ax, ay, bx, by, cx,
+             least(ay, by) // 200000 + unnest(range(
+               greatest(ay, by) // 200000 - least(ay, by) // 200000 + 1))
+               AS cy
+      FROM cand),
+    org AS (
+      SELECT cx, cy,
+             (bx - ax) * (cy * 200000 - ay) - (by - ay) * (cx * 200000 - ax) AS o1,
+             (bx - ax) * (cy * 200000 - ay) - (by - ay) * (cx * 200000 + 200000 - ax) AS o2,
+             (bx - ax) * (cy * 200000 + 200000 - ay) - (by - ay) * (cx * 200000 - ax) AS o3,
+             (bx - ax) * (cy * 200000 + 200000 - ay) - (by - ay) * (cx * 200000 + 200000 - ax) AS o4
+      FROM cand2)
+    SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_segments
+    FROM org
+    WHERE least(o1, o2, o3, o4) <= 0 AND greatest(o1, o2, o3, o4) >= 0
+    GROUP BY 1, 2
+"""
+
+
+
+_CCF_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+    grid AS (SELECT h0 + unnest(range(h1 - h0 + 1)) AS h FROM span),
+    raw AS (
+      SELECT h,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM e GROUP BY 1),
+    cnt AS MATERIALIZED (
+      SELECT g.h, CAST(coalesce(r.x, 0) AS BIGINT) AS x,
+             CAST(coalesce(r.y, 0) AS BIGINT) AS y
+      FROM grid g LEFT JOIN raw r ON r.h = g.h)
+    SELECT b.h - a.h AS lag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+           CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+           CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+           CAST(sum(a.x * b.y) AS BIGINT) AS sxy
+    FROM cnt a JOIN cnt b ON b.h BETWEEN a.h - 3 AND a.h + 3
+    GROUP BY 1
+"""
+
+
+
+_KNOX_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, epoch_us(ts) AS us,
+             ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ) * 100.0, 0) AS BIGINT) AS dist_cm,
+             abs(a.us - b.us) AS dt
+      FROM pts a JOIN pts b ON a.id < b.id),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+             CAST(sum(CASE WHEN dist_cm <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS space_pairs,
+             CAST(sum(CASE WHEN dt <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS time_pairs,
+             CAST(sum(CASE WHEN dist_cm <= 200 AND dt <= 3600000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS joint_pairs
+      FROM pairs)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n,
+           total_pairs, space_pairs, time_pairs, joint_pairs
+    FROM agg
+"""
+
+
+
+def _sql_chr_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, spelling every
+    non-printable as chr(n) — so probe literals with controls/CR/tabs are
+    constructed byte-identically on both engines."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts) if parts else "''"
+
+
+
+def _text_normalize_sql() -> str:
+    from extractors_metadata_spark.functions.textnorm import norm_rules_sql
+
+    return f"""
+        WITH probe AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN {_sql_chr_str(_NORM_P0)}
+                   WHEN 2 THEN {_sql_chr_str(_NORM_P2)}
+                   ELSE '' END AS t
+          FROM documents),
+        n AS (SELECT doc_id, {norm_rules_sql('t')} AS norm FROM probe)
+        SELECT doc_id, norm, length(norm) AS n_len FROM n
+    """
+
+
+
+_EMBED_CENTROIDS_SQL = """
+    WITH e AS (
+      SELECT label, CAST(i AS INT) AS dim, embedding[i + 1] AS v
+      FROM (SELECT label, embedding, unnest(range(len(embedding))) AS i
+            FROM embeddings)),
+    agg AS (
+      SELECT label, dim, count(*) AS n,
+             CAST(sum(CAST(round_even(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_u
+      FROM e GROUP BY 1, 2)
+    SELECT label, dim, n, sum_u,
+           CAST(sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean
+    FROM agg
+"""
+
+
+
+_ZONAL_STATS_SQL = f"""
+    WITH z AS (
+      SELECT ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id,
+             user_id, value
+      FROM events)
+    SELECT plot_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS value_sum_u,
+           min(value) AS value_min, max(value) AS value_max
+    FROM z GROUP BY 1
+"""
+
+
+
+_POLYGON_STATS_SQL = f"""
+    WITH base AS (
+      SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    v AS (
+      SELECT event_id,
+             lat - 0.0002 AS la0, lat + 0.0002 AS la1,
+             lon - 0.0003 AS lo0, lon + 0.0003 AS lo1
+      FROM base),
+    pl AS (
+      SELECT event_id,
+             (lo0 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x0,
+             (la0 - la0) * (pi() / 180.0 * 6371008.8) AS y0,
+             (lo1 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x1,
+             (la0 - la0) * (pi() / 180.0 * 6371008.8) AS y1,
+             (lo1 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x2,
+             (la1 - la0) * (pi() / 180.0 * 6371008.8) AS y2,
+             (lo0 - lo0) * cos(radians(la0)) * (pi() / 180.0 * 6371008.8) AS x3,
+             (la1 - la0) * (pi() / 180.0 * 6371008.8) AS y3
+      FROM v),
+    terms AS (
+      SELECT event_id,
+        CAST(round_even((x0 * y1 - x1 * y0) * 1000000.0, 0) AS BIGINT)
+      + CAST(round_even((x1 * y2 - x2 * y1) * 1000000.0, 0) AS BIGINT)
+      + CAST(round_even((x2 * y3 - x3 * y2) * 1000000.0, 0) AS BIGINT)
+      + CAST(round_even((x3 * y0 - x0 * y3) * 1000000.0, 0) AS BIGINT) AS s,
+        CAST(round_even(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) * 100.0, 0) AS BIGINT)
+      + CAST(round_even(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) * 100.0, 0) AS BIGINT)
+      + CAST(round_even(sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2)) * 100.0, 0) AS BIGINT)
+      + CAST(round_even(sqrt((x0 - x3) * (x0 - x3) + (y0 - y3) * (y0 - y3)) * 100.0, 0) AS BIGINT) AS perim_cm
+      FROM pl)
+    SELECT event_id, abs(s) AS area2_um2, perim_cm FROM terms
+"""
+
+
+
+def _cms_join_sql(d: int = 4, w: int = 1024) -> str:
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    def grid(sfx: str, filt: str) -> str:
+        cells = "\n          UNION ALL ".join(
+            f"SELECT {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM hm_{sfx}"
+            for i, (a, b) in enumerate(perm_coeffs(d))
+        )
+        return f"""
+        keys_{sfx} AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                      FROM events WHERE {filt}),
+        h0_{sfx} AS (SELECT k, {_poly_sql('k', 131)} AS hr FROM keys_{sfx}),
+        hm_{sfx} AS MATERIALIZED (SELECT {_mix31_sql('hr')} AS h FROM h0_{sfx}),
+        cells_{sfx} AS ({cells}),
+        grid_{sfx} AS (SELECT r, c, count(*) AS cnt FROM cells_{sfx} GROUP BY r, c)"""
+
+    return f"""
+        WITH {grid('a', 'event_id % 2 = 0')},
+        {grid('b', 'event_id % 3 = 0')},
+        dots AS (
+          SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+          FROM grid_a a JOIN grid_b b ON a.r = b.r AND a.c = b.c
+          GROUP BY a.r)
+        SELECT CAST(min(dot) AS BIGINT) AS join_size_est FROM dots
+    """
+
+
+
+def _s2_compact_sql(top_level: int = 8) -> str:
+    from extractors_metadata_spark.operators.cellset import _POS_MASK
+
+    stages = [
+        f"cur{top_level} AS (SELECT DISTINCT CAST((event_id % 50000) * 32 + {top_level} AS BIGINT) AS cell FROM events)"
+    ]
+    for lv in range(top_level, 0, -1):
+        p = (
+            f"(((cell >> 57) << 57) | (((((cell >> 5) & {_POS_MASK}) >> 2) << 5))"
+            f" | {lv - 1})"
+        )
+        stages.append(
+            f"""lv{lv} AS (SELECT cell FROM cur{lv} WHERE (cell & 31) = {lv}),
+        rest{lv} AS (SELECT cell FROM cur{lv} WHERE (cell & 31) != {lv}),
+        g{lv} AS (SELECT {p} AS p, count(*) AS n, list(cell ORDER BY cell) AS cs
+                  FROM lv{lv} GROUP BY 1),
+        cur{lv - 1} AS (
+          SELECT unnest(CASE WHEN n = 4 THEN [p] ELSE cs END) AS cell FROM g{lv}
+          UNION ALL SELECT cell FROM rest{lv})"""
+        )
+    return "WITH " + ",\n        ".join(stages) + "\n        SELECT cell FROM cur0"
+
+
+
+def _hll_set_sql(p: int = 8) -> str:
+    """hll_set_estimates mirror: per-population register replay (the
+    _hll_cte_sql block, suffixed + filtered), greatest()-merged union
+    registers, and the hll_estimate arithmetic applied to all three."""
+    from extractors_metadata_spark.operators.sketches import HLL_SCALE, _hll_alpha
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+
+    def regs(sfx: str, filt: str) -> str:
+        return f"""
+        keys_{sfx} AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                 FROM events WHERE {filt}),
+        h0_{sfx} AS (SELECT {_poly_sql('k', 131)} AS wr, {_poly_sql('k', 137)} AS br
+               FROM keys_{sfx}),
+        h1_{sfx} AS (SELECT {_mix31_sql('wr')} AS w, {_mix31_sql('br')} AS bh FROM h0_{sfx}),
+        rnk_{sfx} AS (SELECT bh % {m} AS bucket,
+                       CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+                FROM h1_{sfx}),
+        regs_{sfx} AS (SELECT bucket, max(rho) AS rho FROM rnk_{sfx} GROUP BY bucket),
+        full_regs_{sfx} AS (
+          SELECT t.bucket, CAST(coalesce(regs_{sfx}.rho, 0) AS INTEGER) AS rho
+          FROM (SELECT range AS bucket FROM range(0, {m})) t
+          LEFT JOIN regs_{sfx} USING (bucket))"""
+
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST(harm AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST(n_zero AS DOUBLE)))"
+    )
+
+    def est(sfx: str, src: str) -> str:
+        return f"""
+        agg_{sfx} AS (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+                FROM {src}),
+        est_{sfx} AS (SELECT round(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+                                 AND n_zero > 0 THEN {lc} ELSE {raw} END, 6), 3) AS est
+                FROM agg_{sfx})"""
+
+    return f"""
+        WITH {regs('a', 'event_id % 2 = 0')},
+        {regs('b', 'event_id % 3 = 0')},
+        full_regs_u AS (
+          SELECT a.bucket, greatest(a.rho, b.rho) AS rho
+          FROM full_regs_a a JOIN full_regs_b b USING (bucket)),
+        {est('ea', 'full_regs_a')},
+        {est('eb', 'full_regs_b')},
+        {est('eu', 'full_regs_u')}
+        SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+               round(ea.est + eb.est - eu.est, 3) AS est_intersection
+        FROM est_ea ea, est_eb eb, est_eu eu
+    """
+
+
+
+_SCAN_LEGS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(ts) OVER w AS pts_
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    steps AS (
+      SELECT *,
+        CASE WHEN abs(lon - plon) >= abs(lat - plat)
+             THEN CASE WHEN lon - plon >= 0 THEN 0 ELSE 1 END
+             ELSE CASE WHEN lat - plat >= 0 THEN 2 ELSE 3 END END AS code,
+        CAST(round(sqrt(
+            ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          * ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          + ((lat - plat) * (pi() / 180.0 * 6371008.8))
+          * ((lat - plat) * (pi() / 180.0 * 6371008.8))
+        ) * 100.0, 0) AS BIGINT) AS dcm
+      FROM s WHERE plat IS NOT NULL),
+    marked AS (
+      SELECT *,
+        CASE WHEN lag(code) OVER w2 IS NULL OR code != lag(code) OVER w2
+             THEN 1 ELSE 0 END AS brk
+      FROM steps WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    legs0 AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS leg_id
+      FROM marked)
+    SELECT user_id, CAST(leg_id AS BIGINT) AS leg_id,
+           min(code) AS dir_code, count(*) AS n_steps,
+           CAST(sum(dcm) AS BIGINT) AS length_cm,
+           min(pts_) AS t_start, max(ts) AS t_end
+    FROM legs0 GROUP BY 1, 2
+"""
+
+
+
+def _stay_points_sql(d_cm: int = 3000, min_dur_s: int = 36_000, min_pings: int = 3) -> str:
+    from extractors_metadata_spark.operators.staypoints import LAT_OFF, LON_OFF
+
+    def he(s, n):
+        return (
+            f"CAST(CASE WHEN 2 * ({s} % {n}) > {n} OR "
+            f"(2 * ({s} % {n}) = {n} AND ({s} // {n}) % 2 = 1) "
+            f"THEN {s} // {n} + 1 ELSE {s} // {n} END AS BIGINT)"
+        )
+
+    dist = """CAST(round(sqrt(
+            ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          * ((lon - plon) * cos(radians(plat)) * (pi() / 180.0 * 6371008.8))
+          + ((lat - plat) * (pi() / 180.0 * 6371008.8))
+          * ((lat - plat) * (pi() / 180.0 * 6371008.8))
+        ) * 100.0, 0) AS BIGINT)"""
+    return f"""
+        WITH pts AS (
+          SELECT user_id, ts, event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, lat, lon,
+                 lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+          FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        st AS (
+          SELECT *, CASE WHEN plat IS NULL THEN NULL ELSE {dist} END AS cm
+          FROM s),
+        m AS (
+          SELECT *,
+                 CASE WHEN cm IS NULL OR cm > {d_cm} THEN 1 ELSE 0 END AS brk,
+                 CAST(round_even(lat * 10000000.0, 0) AS BIGINT) + {LAT_OFF} AS qlat,
+                 CAST(round_even(lon * 10000000.0, 0) AS BIGINT) + {LON_OFF} AS qlon
+          FROM st),
+        r AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM m),
+        g AS (
+          SELECT user_id, CAST(run AS BIGINT) AS stay_id, count(*) AS n_pings,
+                 min(ts) AS t_start, max(ts) AS t_end,
+                 sum(qlat) AS slat, sum(qlon) AS slon,
+                 sum(CASE WHEN cm <= {d_cm} THEN cm END) AS len
+          FROM r GROUP BY 1, 2)
+        SELECT user_id, stay_id, n_pings, t_start, t_end,
+               epoch_us(t_end) - epoch_us(t_start) AS dur_us,
+               {he('slat', 'n_pings')} - {LAT_OFF} AS clat_e7,
+               {he('slon', 'n_pings')} - {LON_OFF} AS clon_e7,
+               CAST(COALESCE(len, 0) AS BIGINT) AS length_cm,
+               (epoch_us(t_end) - epoch_us(t_start) >= {int(min_dur_s) * 1_000_000}
+                AND n_pings >= {min_pings}) AS is_stay
+        FROM g
+    """
+
+
+
+_PMI_PAIRS_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT doc_id, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    pres AS MATERIALIZED (SELECT DISTINCT tok, doc_id FROM tt),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    wdf AS (SELECT tok, count(*) AS dfd FROM pres GROUP BY 1),
+    pairs AS (
+      SELECT a.tok AS wa, b.tok AS wb, count(*) AS cab
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    j AS (
+      SELECT wa AS word_a, wb AS word_b, cab AS c_ab,
+             x.dfd AS c_a, y.dfd AS c_b
+      FROM pairs JOIN wdf x ON x.tok = wa JOIN wdf y ON y.tok = wb
+      WHERE cab >= 2)
+    SELECT word_a, word_b, c_ab, c_a, c_b,
+           CAST(round_even(ln((c_ab * n) / (c_a * c_b)) * 1e9, 0) AS BIGINT)
+             AS pmi_fp
+    FROM j CROSS JOIN nd
+"""
+
+
+
+def _shingle_cosine_sql(max_df: int = 50, min_sim_fp: int = 200_000_000) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        shm AS (
+          SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+          FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+        tf0 AS MATERIALIZED (
+          SELECT doc_id, shingle, count(*) AS tf FROM shm GROUP BY 1, 2),
+        band AS MATERIALIZED (
+          SELECT tf0.* FROM tf0 JOIN (
+            SELECT shingle FROM tf0 GROUP BY shingle
+            HAVING count(*) <= {max_df}) s USING (shingle)),
+        norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                  FROM band GROUP BY 1),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+          FROM band a JOIN band b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+                 CAST(round_even(dot / sqrt(CAST(na.n2 AS DOUBLE)
+                   * CAST(nb.n2 AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+                   AS sim_fp
+          FROM dots
+          JOIN norms na ON na.doc_id = id_a
+          JOIN norms nb ON nb.doc_id = id_b)
+        SELECT * FROM scored WHERE sim_fp >= {min_sim_fp}
+    """
+
+
+
+_ROLLUP_STATS_SQL = """
+    WITH e AS (
+      SELECT event_type, CAST(year(ts) * 100 + month(ts) AS INT) AS month,
+             user_id,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type, month,
+           CAST(GROUPING(event_type, month) AS BIGINT) AS gid,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(v) AS BIGINT) AS value_sum_u
+    FROM e GROUP BY ROLLUP (event_type, month)
+"""
+
+
+
+def _resample_sql(grid_s: int = 3600, max_gap_s: int = 43_200) -> str:
+    from extractors_metadata_spark.operators.resample import DQ_MAX
+
+    g = grid_s * 1_000_000
+    gap = max_gap_s * 1_000_000
+
+    def he(num: str, den: str) -> str:
+        a = f"({num} + {DQ_MAX} * {den})"
+        q = f"({a} // {den})"
+        return (
+            f"(CAST(CASE WHEN 2 * ({a} % {den}) > {den} OR "
+            f"(2 * ({a} % {den}) = {den} AND {q} % 2 = 1) "
+            f"THEN {q} + 1 ELSE {q} END AS BIGINT) - {DQ_MAX})"
+        )
+
+    den = "(t1 - t0)"
+    latn = "((qlat1 - qlat0) * (g_us - t0))"
+    lonn = "((qlon1 - qlon0) * (g_us - t0))"
+    return f"""
+        WITH pts AS (
+          SELECT user_id, ts, event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+          FROM events),
+        q AS (
+          SELECT user_id, ts, event_id, epoch_us(ts) AS t1,
+                 CAST(round_even(lat * 10000000.0, 0) AS BIGINT) AS qlat1,
+                 CAST(round_even(lon * 10000000.0, 0) AS BIGINT) AS qlon1
+          FROM pts),
+        s AS (
+          SELECT *, lag(t1) OVER w AS t0,
+                 lag(qlat1) OVER w AS qlat0, lag(qlon1) OVER w AS qlon0
+          FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        seg AS (
+          SELECT * FROM s
+          WHERE t0 IS NOT NULL AND t1 > t0 AND t1 - t0 <= {gap}),
+        gs AS (
+          SELECT *, t0 - t0 % {g} + {g} AS gstart, t1 - t1 % {g} AS gend
+          FROM seg),
+        ex AS (
+          SELECT user_id, t0, t1, qlat0, qlat1, qlon0, qlon1,
+                 gstart + {g} * k AS g_us
+          FROM gs, unnest(range((gend - gstart) // {g} + 1)) t(k)
+          WHERE gstart <= gend)
+        SELECT user_id, g_us,
+               qlat0 + {he(latn, den)} AS lat_e7,
+               qlon0 + {he(lonn, den)} AS lon_e7
+        FROM ex
+    """
+
+
+
+def _sliding_windows_sql(slide_us: int = 1_800_000_000, k: int = 4) -> str:
+    return f"""
+        WITH e AS (
+          SELECT epoch_us(ts) AS t, event_type AS key, user_id,
+                 CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+          FROM events),
+        w AS (
+          SELECT (t - t % {slide_us}) - j * {slide_us} AS window_start_us,
+                 key, user_id, v
+          FROM e, unnest(range({k})) tt(j))
+        SELECT window_start_us, key, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(v) AS BIGINT) AS value_sum_u
+        FROM w GROUP BY 1, 2
+    """
+
+
+
+_ROLLING_WINDOW_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events)
+    SELECT user_id, event_id, t_us,
+           count(*) OVER w AS n_trailing,
+           CAST(sum(v) OVER w AS BIGINT) AS v_sum_u
+    FROM e WINDOW w AS (
+      PARTITION BY user_id ORDER BY t_us
+      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+
+_FULL_OUTER_SQL = """
+    WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 != 0),
+    o AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(round_even(o_totalprice * 100.0, 0) AS BIGINT))
+               AS BIGINT) AS total_c
+      FROM orders GROUP BY 1)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS has_cust,
+           o.o_custkey IS NOT NULL AS has_orders,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.total_c, 0) AS BIGINT) AS total_c
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+
+_TYPO_PAIRS_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT doc_id, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    pres AS (SELECT DISTINCT tok, doc_id FROM tt),
+    vocab AS (
+      SELECT tok AS word, count(*) AS df_docs,
+             substring(tok, 1, 1) AS blk, length(tok) AS ln
+      FROM pres GROUP BY 1)
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS INT) AS dist,
+           a.df_docs AS df_a, b.df_docs AS df_b
+    FROM vocab a JOIN vocab b
+      ON a.blk = b.blk AND a.word < b.word
+         AND abs(a.ln - b.ln) <= 3
+    WHERE levenshtein(a.word, b.word) <= 3
+"""
+
+
+
+_MAD_OUTLIERS_SQL = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    wm AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM wm GROUP BY 1)
+    SELECT event_id, event_type, value, med, mad,
+           (abs(value - med) > 1.5 * mad) AS is_outlier
+    FROM wm JOIN mad USING (event_type)
+"""
+
+
+
+def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "signup", "purchase")) -> str:
+    k = len(steps)
+    inlist = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"""ev AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS us, event_type AS ty
+          FROM events WHERE event_type IN ({inlist}))""",
+        "u AS (SELECT DISTINCT user_id FROM ev)",
+        f"""s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+          WHERE ty = '{steps[0]}' GROUP BY 1)""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""s{i} AS (SELECT ev.user_id, min(us) AS t{i}
+              FROM ev JOIN s{i - 1} USING (user_id)
+              WHERE ty = '{steps[i - 1]}' AND us > t{i - 1} GROUP BY 1)"""
+        )
+    case = " ".join(
+        f"WHEN t{i} IS NOT NULL THEN {i}" for i in range(k, 0, -1)
+    )
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, k + 1))
+    cols = ", ".join(f"t{i} AS t{i}_us" for i in range(1, k + 1))
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT u.user_id, {cols},
+               CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
+        FROM u {joins}
+    """
+
+
+
+_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT event_type AS ty,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_ty
+      FROM events)
+    SELECT prev_ty AS prev_type, ty AS type, count(*) AS n
+    FROM s WHERE prev_ty IS NOT NULL GROUP BY 1, 2
+"""
+
+
+
+_INVERTED_INDEX_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    postings AS (
+      SELECT tok, doc_id, list(pos ORDER BY pos) AS positions,
+             count(*) AS n_hits
+      FROM tt GROUP BY 1, 2),
+    wdf AS (SELECT tok, count(*) AS df_docs FROM postings GROUP BY 1)
+    SELECT tok AS word, df_docs, doc_id, positions, n_hits
+    FROM postings JOIN wdf USING (tok)
+    WHERE df_docs <= 50
+"""
+
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of bm25_topk: same tokenization CTEs as the inverted
+    index, scalar constants inlined as the EXACT Python-derived doubles the
+    pandas UDF broadcasts (repr round-trips through DECIMAL -> DOUBLE)."""
+    vals = ", ".join(f"('{q}', '{w}')" for q, w in _BM25_QUERIES)
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    return rf"""
+        WITH arrs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+          FROM documents),
+        tt AS (
+          SELECT doc_id, arr[i + 1] AS tok
+          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+          WHERE length(arr[i + 1]) > 0),
+        postings AS (
+          SELECT tok, doc_id, count(*) AS tf FROM tt GROUP BY 1, 2),
+        doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM doclen),
+        wdf AS (SELECT tok, count(*) AS df_docs FROM postings GROUP BY 1),
+        qt AS (SELECT * FROM (VALUES {vals}) AS t(query_id, word)),
+        sc AS (
+          SELECT qt.query_id, p.doc_id,
+                 CAST(round_even(
+                   ln(1.0 + (((s.n_docs - CAST(w.df_docs AS DOUBLE)) + 0.5)
+                             / (CAST(w.df_docs AS DOUBLE) + 0.5)))
+                   * ((CAST(p.tf AS DOUBLE) * CAST({k1p1!r} AS DOUBLE))
+                      / (CAST(p.tf AS DOUBLE)
+                         + (CAST({k1!r} AS DOUBLE)
+                            * (CAST({omb!r} AS DOUBLE)
+                               + (CAST({b!r} AS DOUBLE)
+                                  * (CAST(d.dl AS DOUBLE) / s.avgdl))))))
+                   * 1e9, 0) AS BIGINT) AS s_fp
+          FROM postings p
+          JOIN qt ON p.tok = qt.word
+          JOIN wdf w ON w.tok = p.tok
+          JOIN doclen d ON d.doc_id = p.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(sum(s_fp) AS BIGINT) AS score_fp
+          FROM sc GROUP BY 1, 2),
+        rnk AS (
+          SELECT query_id, doc_id, score_fp,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_fp DESC, doc_id) AS INT) AS rank
+          FROM agg)
+        SELECT query_id, doc_id, score_fp, rank FROM rnk WHERE rank <= {k}
+    """
+
+
+
+def _weighted_sample_sql(k: int = 20) -> str:
+    ph = _poly_sql("'wsample:' || CAST(doc_id AS VARCHAR)", 131)
+    return f"""
+        WITH h0 AS (
+          SELECT doc_id, lang, n_chars, {ph} AS hr FROM documents
+          WHERE n_chars > 0),
+        h1 AS (SELECT doc_id, lang, n_chars, {_mix31_sql('hr')} AS hv FROM h0),
+        a AS (
+          SELECT doc_id, lang, n_chars,
+                 ln((CAST(hv AS DOUBLE) + 0.5) / 2147483648.0)
+                   / CAST(n_chars AS DOUBLE) AS akey
+          FROM h1),
+        r AS (
+          SELECT doc_id, lang, n_chars, akey,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY akey DESC, doc_id) AS INT) AS rank
+          FROM a)
+        SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= {k}
+    """
+
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
+
+    ph = _poly_sql("'km:' || CAST(vec_id AS VARCHAR)", 131)
+    ctes = [
+        f"""q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
+                        + {OFFSET}) AS v
+          FROM embeddings)""",
+        f"h0 AS (SELECT vec_id, v, {ph} AS hr FROM q)",
+        f"h1 AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM h0)",
+        f"""c0 AS MATERIALIZED (
+          SELECT CAST(rn - 1 AS INT) AS cid, v AS c FROM (
+            SELECT v, row_number() OVER (ORDER BY hv, vec_id) AS rn FROM h1)
+          WHERE rn <= {k})""",
+    ]
+    half_even = (
+        "CAST(CASE WHEN 2 * (s % n) > n OR (2 * (s % n) = n AND (s // n) % 2 = 1) "
+        "THEN s // n + 1 ELSE s // n END AS BIGINT)"
+    )
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes += [
+            f"""d{r} AS (
+              SELECT q.vec_id, c{p}.cid,
+                     CAST(list_sum(list_transform(list_zip(q.v, c{p}.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+              FROM q CROSS JOIN c{p})""",
+            f"""a{r} AS MATERIALIZED (
+              SELECT vec_id, cid AS cluster, d2 FROM (
+                SELECT vec_id, cid, d2,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM d{r}) WHERE rn = 1)""",
+            f"""s{r} AS (
+              SELECT a{r}.cluster, t.i, sum(q.v[t.i + 1]) AS s, count(*) AS n
+              FROM a{r} JOIN q USING (vec_id), unnest(range({dim})) t(i)
+              GROUP BY 1, 2)""",
+            f"n{r} AS (SELECT cluster, i, {half_even} AS coord FROM s{r})",
+            f"""c{r} AS MATERIALIZED (
+              SELECT c{p}.cid, COALESCE(nc.c, c{p}.c) AS c
+              FROM c{p} LEFT JOIN (
+                SELECT cluster AS cid, list(coord ORDER BY i) AS c
+                FROM n{r} GROUP BY 1) nc USING (cid))""",
+        ]
+    ctes.append(
+        f"""df AS (
+          SELECT q.vec_id, c{iters}.cid,
+                 CAST(list_sum(list_transform(list_zip(q.v, c{iters}.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c{iters})"""
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT vec_id, CAST(cluster AS INT) AS cluster, d2 FROM (
+          SELECT vec_id, cid AS cluster, d2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM df) WHERE rn = 1
+    """
+
+
+
+def _exact_split_sql() -> str:
+    return f"""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 {_mix31_sql(_poly_sql("'xsplit:' || CAST(doc_id AS VARCHAR)", 131))} AS hv
+          FROM documents),
+        w AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM h)
+        SELECT doc_id, lang,
+               CASE WHEN rn <= n - ((n * 50) // 1000) - ((n * 50) // 1000)
+                    THEN 'train'
+                    WHEN rn <= n - ((n * 50) // 1000) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM w
+    """
+
+
+
+_IVM_COUNTS_SQL = """
+    WITH after AS (
+      SELECT lang, n_chars FROM documents
+      WHERE doc_id % 3 != 2 AND doc_id % 5 != 0 AND doc_id % 7 != 3
+      UNION ALL
+      SELECT lang, n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 != 3)
+    SELECT lang, count(*) AS n,
+           CAST(sum(CAST(round_even(CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_u
+    FROM after GROUP BY 1
+"""
+
+
+
+_CDC_SQL = """
+    WITH d AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+    ins AS (
+      SELECT doc_id, text, lang, source,
+             n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS n_chars,
+             'insert' AS _change
+      FROM d WHERE doc_id % 5 = 0 AND doc_id % 3 = 2 AND doc_id % 7 != 3),
+    del AS (
+      SELECT doc_id, text, lang, source, n_chars, 'delete' AS _change
+      FROM d WHERE doc_id % 3 != 2 AND doc_id % 7 = 3),
+    upre AS (
+      SELECT doc_id, text, lang, source, n_chars, 'update_pre' AS _change
+      FROM d WHERE doc_id % 3 != 2 AND doc_id % 5 = 0 AND doc_id % 7 != 3
+              AND lang = 'en'),
+    upost AS (
+      SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars,
+             'update_post' AS _change
+      FROM d WHERE doc_id % 3 != 2 AND doc_id % 5 = 0 AND doc_id % 7 != 3
+              AND lang = 'en')
+    SELECT * FROM ins UNION ALL SELECT * FROM del
+    UNION ALL SELECT * FROM upre UNION ALL SELECT * FROM upost
+"""
+
+
+
+_TILE_SMOOTH_SQL = f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y,
+             count(*) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offx AS (SELECT unnest([-1, 0, 1]) AS dx),
+    offy AS (SELECT unnest([-1, 0, 1]) AS dy),
+    scatter AS (
+      SELECT (x + dx + 4096) % 4096 AS x, y + dy AS y,
+             cnt * (2 - abs(dx)) * (2 - abs(dy)) AS wc
+      FROM counts, offx, offy
+      WHERE y + dy >= 0 AND y + dy < 4096)
+    SELECT 12 AS z, x, y, CAST(sum(wc) AS BIGINT) AS smooth
+    FROM scatter GROUP BY 2, 3
+"""
+
+
+
+_SPATIAL_CLUSTER_SQL = f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) <= 1.0),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+    ),
+    labels AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+    allpts AS (SELECT p.id, coalesce(l.cluster_id, p.id) AS cluster_id
+               FROM pts p LEFT JOIN labels l ON l.id = p.id),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM allpts GROUP BY 1)
+    SELECT id, a.cluster_id, cluster_size
+    FROM allpts a JOIN sizes USING (cluster_id)
+"""
+
+
+
+_DBSCAN_SQL = f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ), 2) <= 1.0),
+    sym AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs
+      UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+    deg AS (SELECT id_a AS id, count(*) + 1 AS n FROM sym GROUP BY 1),
+    cores AS MATERIALIZED (
+      SELECT p.id FROM pts p LEFT JOIN deg d ON d.id = p.id
+      WHERE coalesce(d.n, 1) >= 3),
+    cedges AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a IN (SELECT id FROM cores) AND id_b IN (SELECT id FROM cores)),
+    ce2 AS (SELECT id_a AS src, id_b AS dst FROM cedges
+            UNION SELECT id_b, id_a FROM cedges),
+    reach AS (
+      SELECT src AS id, dst AS r FROM ce2
+      UNION
+      SELECT e.src, rch.r FROM ce2 e JOIN reach rch ON rch.id = e.dst),
+    labels AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id),
+    corelab AS (
+      SELECT c.id, coalesce(l.cl, c.id) AS cluster_id
+      FROM cores c LEFT JOIN labels l ON l.id = c.id),
+    bord AS (
+      SELECT s.id_a AS id, min(cl.cluster_id) AS bcl
+      FROM sym s JOIN corelab cl ON cl.id = s.id_b GROUP BY 1)
+    SELECT p.id,
+           CAST(coalesce(c.cluster_id,
+                         CASE WHEN c.id IS NULL THEN b.bcl END,
+                         -1) AS BIGINT) AS cluster_id,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.bcl IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts p
+    LEFT JOIN corelab c ON c.id = p.id
+    LEFT JOIN bord b ON b.id = p.id
+"""
+
+
+
+_KDIST_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
+      FROM pts a JOIN pts b ON a.id < b.id),
+    capped AS (SELECT * FROM pairs WHERE dist_cm <= 500),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr, dist_cm FROM capped
+      UNION ALL SELECT id_b, id_a, dist_cm FROM capped)
+    SELECT id, dist_cm AS kdist_cm
+    FROM (SELECT id, dist_cm,
+                 row_number() OVER (PARTITION BY id ORDER BY dist_cm, nbr) AS rn
+          FROM sym)
+    WHERE rn = 4
+"""
+
+
+
+_CO_MOVEMENT_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000)
+                             % 3600000000) AS hour_us,
+             ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS y,
+        hour_us, user_id
+      FROM pts)
+    SELECT a.user_id AS u_a, b.user_id AS u_b, count(*) AS n_shared
+    FROM pres a JOIN pres b
+      ON a.x = b.x AND a.y = b.y AND a.hour_us = b.hour_us
+         AND a.user_id < b.user_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+
+_WINSORIZED_SQL = """
+    WITH stats AS (
+      SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT e.event_type, s.p_lo, s.p_hi,
+             least(greatest(e.value, s.p_lo), s.p_hi) AS cv
+      FROM events e JOIN stats s USING (event_type)),
+    agg AS (
+      SELECT event_type, p_lo, p_hi, count(*) AS n,
+             CAST(sum(CAST(round_even(cv * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM j GROUP BY 1, 2, 3)
+    SELECT event_type, n, p_lo, p_hi,
+           CAST(CASE WHEN 2 * (((s % n) + n) % n) > n
+                     OR (2 * (((s % n) + n) % n) = n
+                         AND ((s - (((s % n) + n) % n)) // n) % 2 = 1)
+                     THEN (s - (((s % n) + n) % n)) // n + 1
+                     ELSE (s - (((s % n) + n) % n)) // n END AS BIGINT) AS wmean_u
+    FROM agg
+"""
+
+
+
+_TYPE_ENTROPY_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+    n AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    j AS (
+      SELECT c.user_id, n.n,
+             CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+      FROM c JOIN n USING (user_id))
+    SELECT user_id, n, count(*) AS n_types,
+           CAST(sum(CAST(round_even(-(p * ln(p)) * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS entropy_fp,
+           CAST(sum(CAST(round_even(p * p * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS hhi_fp
+    FROM j GROUP BY 1, 2
+"""
+
+
+
+_RADIUS_GYRATION_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+               + 111976000000 AS x,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               - 33074000000 AS y
+      FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pts GROUP BY 1
+"""
+
+
+
+_MOBILITY_ENTROPY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    c AS (
+      SELECT user_id, cx, cy, count(*) AS c FROM pts GROUP BY 1, 2, 3),
+    n AS (SELECT user_id, count(*) AS n FROM pts GROUP BY 1),
+    j AS (
+      SELECT c.user_id, n.n,
+             CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+      FROM c JOIN n USING (user_id))
+    SELECT user_id, CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(sum(CAST(round_even(-(p * ln(p)) * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS entropy_fp
+    FROM j GROUP BY 1, 2
+"""
+
+
+
+_HILL_SQL = """
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents),
+    th AS (SELECT n_chars AS x_kplus1 FROM ranked WHERE rk = 101),
+    terms AS (
+      SELECT t.x_kplus1,
+             CAST(round_even(
+               ln(CAST(r.n_chars AS DOUBLE) / CAST(t.x_kplus1 AS DOUBLE))
+               * 1000000000.0, 0) AS BIGINT) AS trm
+      FROM ranked r CROSS JOIN th t WHERE r.rk <= 100)
+    SELECT CAST(count(*) AS BIGINT) AS k, x_kplus1,
+           CAST(sum(trm) AS BIGINT) AS hill_fp_sum
+    FROM terms GROUP BY 2
+"""
+
+
+
+_TRANSITION_ENTROPY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    tr AS (
+      SELECT user_id, cx, cy,
+             lead(cx) OVER w AS nx, lead(cy) OVER w AS ny
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    cij AS MATERIALIZED (
+      SELECT user_id, cx, cy, nx, ny, CAST(count(*) AS BIGINT) AS cij
+      FROM tr WHERE nx IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+    ci AS (
+      SELECT user_id, cx, cy, CAST(sum(cij) AS BIGINT) AS ci
+      FROM cij GROUP BY 1, 2, 3),
+    n AS (SELECT user_id, CAST(sum(cij) AS BIGINT) AS n FROM cij GROUP BY 1),
+    j AS (
+      SELECT c.user_id, t.n,
+             CAST(c.cij AS DOUBLE) / CAST(t.n AS DOUBLE) AS pj,
+             CAST(c.cij AS DOUBLE) / CAST(x.ci AS DOUBLE) AS pc
+      FROM cij c
+      JOIN ci x ON x.user_id = c.user_id AND x.cx = c.cx AND x.cy = c.cy
+      JOIN n t ON t.user_id = c.user_id)
+    SELECT user_id, n,
+           CAST(count(*) AS BIGINT) AS n_transitions_distinct,
+           CAST(sum(CAST(round_even(-(pj * ln(pc)) * 1000000000.0, 0)
+                         AS BIGINT)) AS BIGINT) AS cond_entropy_fp
+    FROM j GROUP BY 1, 2
+"""
+
+
+
+_CUSUM_SQL = """
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    stats AS (
+      SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+      FROM base GROUP BY 1),
+    mu AS (
+      SELECT user_id, n,
+             CAST(CASE WHEN 2 * (((s % n) + n) % n) > n
+                       OR (2 * (((s % n) + n) % n) = n
+                           AND ((s - (((s % n) + n) % n)) // n) % 2 = 1)
+                       THEN (s - (((s % n) + n) % n)) // n + 1
+                       ELSE (s - (((s % n) + n) % n)) // n END AS BIGINT) AS mu_u
+      FROM stats),
+    d AS (
+      SELECT b.user_id, b.event_id, b.us, m.n, m.mu_u,
+             b.v - m.mu_u - 200000 AS dd
+      FROM base b JOIN mu m USING (user_id)),
+    p0 AS (
+      SELECT *, sum(dd) OVER w AS pp
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p AS (
+      SELECT *, least(CAST(0 AS BIGINT), min(pp) OVER w) AS pmin
+      FROM p0
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, n, mu_u,
+           CAST(max(pp - pmin) AS BIGINT) AS max_cusum_u,
+           CAST(sum(CASE WHEN pp - pmin > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over,
+           min(CASE WHEN pp - pmin > 2000000 THEN us END) AS first_over_us
+    FROM p GROUP BY 1, 2, 3
+"""
+
+
+
+_THEIL_SEN_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(b.v - a.v AS DOUBLE)
+               / (CAST(b.us - a.us AS DOUBLE) / 3600000000.0) AS slope
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.us != b.us)
+    SELECT user_id, count(*) AS n_pairs,
+           quantile_cont(slope, 0.5) AS slope_med
+    FROM pairs GROUP BY 1
+"""
+
+
+
+_OLS_SLOPE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    t0 AS (SELECT user_id, min(us) AS us0 FROM e GROUP BY 1),
+    c AS (
+      SELECT e.user_id, (e.us - t0.us0) // 1000000 AS t, e.v
+      FROM e JOIN t0 USING (user_id)),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(t) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(t * v) AS BIGINT) AS stv,
+             CAST(sum(t * t) AS BIGINT) AS stt
+      FROM c GROUP BY 1)
+    SELECT user_id, n,
+           (CAST(n * stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+           / (CAST(n * stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             AS slope_u_per_s
+    FROM m WHERE n >= 2
+"""
+
+
+
+_KENDALL_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events),
+    p AS (
+      SELECT a.user_id, b.us - a.us AS dt, b.v - a.v AS dv
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.us != b.us)
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN (dt > 0 AND dv > 0) OR (dt < 0 AND dv < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN (dt > 0 AND dv < 0) OR (dt < 0 AND dv > 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vtie
+    FROM p GROUP BY 1
+"""
+
+
+
+_MANN_WHITNEY_SQL = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'error')),
+    vc AS (
+      SELECT v, count(*) AS eq,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eq1
+      FROM e GROUP BY 1),
+    ranked AS (
+      SELECT *, 2 * coalesce(sum(eq) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) + eq + 1 AS mr2
+      FROM vc),
+    agg AS (
+      SELECT CAST(sum(eq1) AS BIGINT) AS n1,
+             CAST(sum(eq - eq1) AS BIGINT) AS n2,
+             CAST(sum(mr2 * eq1) AS BIGINT) AS r1_x2
+      FROM ranked)
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2
+    FROM agg
+"""
+
+
+
+_CHI_SQUARE_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id % 4 AS cohort FROM events),
+    obs AS (SELECT event_type, cohort, count(*) AS o FROM e GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    c AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    cells AS (
+      SELECT CAST(round_even(
+               (CAST(o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / nn.n)
+               * (CAST(o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / nn.n)
+               / (CAST(r.r * c.c AS DOUBLE) / nn.n) * 1000000.0, 0)
+             AS BIGINT) AS cell
+      FROM obs JOIN r USING (event_type) JOIN c USING (cohort)
+      CROSS JOIN nn)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(cell) AS BIGINT) AS chi2_fp,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof
+    FROM cells
+"""
+
+
+
+_SCD2_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_type, us, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    changes AS (
+      SELECT user_id, event_type, us, event_id
+      FROM marked WHERE is_change = 1)
+    SELECT user_id, event_type AS attr, us AS valid_from,
+           coalesce(lead(us) OVER w2, -1) AS valid_to,
+           CAST(CASE WHEN lead(us) OVER w2 IS NULL THEN 1 ELSE 0 END
+                AS INT) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+
+_STREAKS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    isl AS (
+      SELECT user_id, event_type, us,
+             sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS streak
+      FROM marked),
+    streaks AS (
+      SELECT user_id, streak, any_value(event_type) AS stype,
+             CAST(count(*) AS BIGINT) AS len, min(us) AS s0
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, n_streaks, best_len, stype AS best_type FROM (
+      SELECT user_id, stype, len, s0,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+             CAST(max(len) OVER (PARTITION BY user_id) AS BIGINT) AS best_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, s0 ASC) AS rn
+      FROM streaks) q
+    WHERE rn = 1
+"""
+
+
+
+_INTERVAL_UNION_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + CAST(round_even(value * 100.0, 0) AS BIGINT) * 10000 AS en
+      FROM events),
+    stepped AS (
+      SELECT user_id, event_id, s, en,
+             CASE WHEN max(en) OVER (PARTITION BY user_id
+                    ORDER BY s, en, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL THEN 1
+                  WHEN s > max(en) OVER (PARTITION BY user_id
+                    ORDER BY s, en, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    isl AS (
+      SELECT user_id, s, en,
+             sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY s, en, event_id ROWS UNBOUNDED PRECEDING) AS island
+      FROM stepped),
+    agg AS (
+      SELECT user_id, island, min(s) AS i_s, max(en) AS i_en,
+             CAST(count(*) AS BIGINT) AS n_iv
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_en - i_s) AS BIGINT) AS covered_us,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals
+    FROM agg GROUP BY 1
+"""
+
+
+
+_ACF_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS v
+      FROM events),
+    led AS (
+      SELECT user_id, v,
+             lead(v, 1) OVER w AS v1,
+             lead(v, 2) OVER w AS v2,
+             lead(v, 3) OVER w AS v3
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    pairs AS (
+      SELECT user_id, v, l.lag_k,
+             CASE l.lag_k WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS y
+      FROM led CROSS JOIN (VALUES (1), (2), (3)) l(lag_k))
+    SELECT user_id, lag_k, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(v * y) AS BIGINT) AS sxy,
+           CAST(sum(v * v) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs WHERE y IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+
+_HAAR_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    paired AS (
+      SELECT event_type, hour // 2 AS pair,
+             CAST(sum(CASE WHEN hour % 2 = 0 THEN n ELSE 0 END)
+                  AS BIGINT) AS a0,
+             CAST(sum(CASE WHEN hour % 2 = 1 THEN n ELSE 0 END)
+                  AS BIGINT) AS a1
+      FROM counts GROUP BY 1, 2)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum((a0 + a1) * (a0 + a1)) AS BIGINT) AS energy_approx,
+           CAST(sum((a0 - a1) * (a0 - a1)) AS BIGINT) AS energy_detail
+    FROM paired GROUP BY 1
+"""
+
+
+
+def _benford_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    pos AS (SELECT cents FROM e WHERE cents > 0),
+    obs AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pos GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM pos)
+    SELECT d, n,
+           CAST(round_even(
+             (CAST(n AS DOUBLE) - (CASE d {cases} END) * nn.t)
+             * (CAST(n AS DOUBLE) - (CASE d {cases} END) * nn.t)
+             / ((CASE d {cases} END) * nn.t) * 1000000.0, 0) AS BIGINT)
+             AS chi_fp
+    FROM obs CROSS JOIN nn
+    """
+
+
+
+_FANO_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS q
+      FROM counts GROUP BY 1)
+    SELECT event_type, k, s, q,
+           (CAST(q AS DOUBLE) / CAST(k AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)))
+           / (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) AS fano
+    FROM agg
+"""
+
+
+
+_TRIGRAM_PATHS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    tri AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+
+
+_FORECAST_BACKTEST_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    lagged AS (
+      SELECT c.event_type, c.hour, c.n, b.n AS n24
+      FROM counts c JOIN counts b
+        ON b.event_type = c.event_type AND b.hour = c.hour - 24)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(n - n24)) AS BIGINT) AS abs_err_sum,
+           CAST(sum(n) AS BIGINT) AS actual_sum,
+           CAST(sum(abs(n - n24)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mae
+    FROM lagged
+    GROUP BY 1
+"""
+
+
+
+_PSI_DRIFT_SQL = """
+    WITH e AS (
+      SELECT CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    mid AS (SELECT (min(hour) + max(hour) + 1) // 2 AS m FROM e),
+    binned AS (
+      SELECT least(cents // 1000, 9) AS bin,
+             CASE WHEN hour < (SELECT m FROM mid) THEN 1 ELSE 0 END AS s1
+      FROM e),
+    counts AS (
+      SELECT bin, CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(1 - s1) AS BIGINT) AS n2
+      FROM binned GROUP BY 1
+      HAVING sum(s1) > 0 AND sum(1 - s1) > 0),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS nt1,
+             CAST(sum(n2) AS BIGINT) AS nt2 FROM counts),
+    terms AS (
+      SELECT bin, n1, n2,
+             CAST(round_even(
+               (CAST(n1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+                - CAST(n2 AS DOUBLE) / CAST(nt2 AS DOUBLE))
+               * ln((CAST(n1 AS DOUBLE) / CAST(nt1 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) / CAST(nt2 AS DOUBLE)))
+               * 1000000000.0, 0) AS BIGINT) AS term_fp
+      FROM counts CROSS JOIN tot)
+    SELECT bin, n1, n2, term_fp,
+           CAST(sum(term_fp) OVER () AS BIGINT) AS psi_fp
+    FROM terms
+"""
+
+
+
+_EVENT_STUDY_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             event_type
+      FROM events),
+    p AS (
+      SELECT user_id, event_id AS pid, us AS pus
+      FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT e.cents,
+             CASE WHEN e.us < p.pus THEN 1 ELSE 0 END AS pre,
+             CASE WHEN e.us > p.pus THEN 1 ELSE 0 END AS post
+      FROM e JOIN p USING (user_id)
+      WHERE e.event_id != p.pid
+        AND abs(e.us - p.pus) <= 3600000000
+        AND e.us != p.pus),
+    agg AS (
+      SELECT CAST(sum(pre) AS BIGINT) AS n_pre,
+             CAST(sum(pre * cents) AS BIGINT) AS s_pre,
+             CAST(sum(post) AS BIGINT) AS n_post,
+             CAST(sum(post * cents) AS BIGINT) AS s_post
+      FROM j)
+    SELECT n_pre, s_pre, n_post, s_post,
+           CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE)
+             - CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE) AS did_cents
+    FROM agg
+"""
+
+
+
+_LORENZ_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    tot AS (
+      SELECT event_type, user_id, CAST(sum(cents) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY x DESC, user_id ASC) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM tot),
+    agg AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN rk <= (10 * n + 99) // 100
+                      THEN x ELSE 0 END) AS BIGINT) AS top10,
+             CAST(sum(CASE WHEN rk <= (50 * n + 99) // 100
+                      THEN x ELSE 0 END) AS BIGINT) AS top50
+      FROM ranked GROUP BY 1)
+    SELECT event_type, n_users, total, top10, top50,
+           CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE) AS share10,
+           CAST(top50 AS DOUBLE) / CAST(total AS DOUBLE) AS share50
+    FROM agg
+"""
+
+
+
+_EMBED_DRIFT_SQL = """
+    WITH e AS (
+      SELECT half, CAST(i AS INT) AS dim,
+             CAST(round_even(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT) AS vu
+      FROM (SELECT vec_id % 2 AS half, embedding,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings)),
+    agg AS (
+      SELECT half, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS sum_u
+      FROM e GROUP BY 1, 2),
+    a AS (SELECT dim, n AS n0, sum_u AS s0 FROM agg WHERE half = 0),
+    b AS (SELECT dim, n AS n1, sum_u AS s1 FROM agg WHERE half = 1),
+    terms AS (
+      SELECT CAST(round_even(
+               (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * 1000.0, 0) AS BIGINT) AS term,
+             n0, n1
+      FROM a JOIN b USING (dim))
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(max(n0) AS BIGINT) AS n_even,
+           CAST(max(n1) AS BIGINT) AS n_odd,
+           CAST(sum(term) AS BIGINT) AS shift2_fp
+    FROM terms
+"""
+
+
+
+_RFM_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, max(us) AS last_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(cents) AS BIGINT) AS money
+      FROM e GROUP BY 1),
+    ranked AS (
+      SELECT user_id,
+             CAST(row_number() OVER (ORDER BY last_us DESC, user_id ASC)
+                  AS BIGINT) AS r_rk,
+             CAST(row_number() OVER (ORDER BY freq DESC, user_id ASC)
+                  AS BIGINT) AS f_rk,
+             CAST(row_number() OVER (ORDER BY money DESC, user_id ASC)
+                  AS BIGINT) AS m_rk,
+             CAST(count(*) OVER () AS BIGINT) AS nu
+      FROM u)
+    SELECT user_id,
+           ((r_rk - 1) * 5) // nu AS r_q,
+           ((f_rk - 1) * 5) // nu AS f_q,
+           ((m_rk - 1) * 5) // nu AS m_q,
+           (((r_rk - 1) * 5) // nu) * 100 + (((f_rk - 1) * 5) // nu) * 10
+             + ((m_rk - 1) * 5) // nu AS rfm_code
+    FROM ranked
+"""
+
+
+
+_COHORT_RETENTION_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS week FROM events
+      WHERE event_type = 'purchase'),
+    first AS (
+      SELECT user_id, min(week) AS cohort FROM e GROUP BY 1),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first GROUP BY 1),
+    act AS (
+      SELECT cohort, week - cohort AS "offset",
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      FROM e JOIN first USING (user_id)
+      GROUP BY 1, 2)
+    SELECT cohort, "offset", n_active, cohort_users,
+           CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+             AS retention
+    FROM act JOIN sizes USING (cohort)
+"""
+
+
+
+_REFERENTIAL_AUDIT_SQL = """
+    SELECT 'lineitem.orderkey' AS fk,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS child_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS orphan_rows,
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS orphan_keys
+    UNION ALL
+    SELECT 'orders.custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer.nationkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+           (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'supplier.nationkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+           (SELECT CAST(count(DISTINCT s_nationkey) AS BIGINT) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
+
+_JOIN_PROFILE_SQL = """
+    WITH o AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n1
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT l_orderkey % 1500 AS k, CAST(count(*) AS BIGINT) AS n2
+      FROM lineitem GROUP BY 1),
+    per_key AS (
+      SELECT o.k, n1 * n2 AS pairs FROM o JOIN l USING (k)),
+    ranked AS (
+      SELECT pairs,
+             CAST(row_number() OVER (ORDER BY pairs DESC, k ASC)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS nk
+      FROM per_key)
+    SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+           CAST(max(nk) AS BIGINT) AS matched_keys,
+           CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+           CAST(sum(CASE WHEN rn <= (nk + 9) // 10
+                    THEN pairs ELSE 0 END) AS BIGINT) AS top_decile_pairs
+    FROM ranked
+"""
+
+
+
+_SKYLINE_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    u AS (
+      SELECT user_id, CAST(sum(cents) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM e GROUP BY 1),
+    blocks AS (
+      SELECT x,
+             max(block_max) OVER (ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_y
+      FROM (SELECT x, max(y) AS block_max FROM u GROUP BY 1) b)
+    SELECT user_id, x, y
+    FROM u JOIN blocks USING (x)
+    WHERE prev_max_y IS NULL OR y >= prev_max_y
+"""
+
+
+
+_DECAY_SCORE_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    mx AS (SELECT max(hour) AS m FROM e),
+    terms AS (
+      SELECT user_id,
+             CASE WHEN (SELECT m FROM mx) - hour <= 32
+                  THEN cents * CAST(power(2, 32 - ((SELECT m FROM mx) - hour))
+                               AS BIGINT)
+                  ELSE 0 END AS term,
+             CASE WHEN (SELECT m FROM mx) - hour <= 32
+                  THEN 1 ELSE 0 END AS live
+      FROM e)
+    SELECT user_id, CAST(sum(term) AS BIGINT) AS decayed_fp,
+           CAST(sum(live) AS BIGINT) AS n_live,
+           (SELECT m FROM mx) AS as_of_hour
+    FROM terms GROUP BY 1
+"""
+
+
+
+_GINI_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    tot AS (
+      SELECT event_type, user_id, CAST(sum(cents) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY x, user_id) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM tot),
+    agg AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS num
+      FROM ranked GROUP BY 1)
+    SELECT event_type, n, s, num,
+           CAST(num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+    FROM agg
+"""
+
+
+
+_ANOVA_SQL = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS x
+      FROM events),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS s_g,
+             CAST(sum(x * x) AS BIGINT) AS q_g
+      FROM e GROUP BY 1),
+    gt AS (
+      SELECT n_g, s_g, q_g,
+             CAST(round_even(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                  / CAST(n_g AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS t_g
+      FROM g),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(q_g) AS BIGINT) AS q,
+             CAST(sum(t_g) AS BIGINT) AS t_groups
+      FROM gt)
+    SELECT k, n,
+           t_groups
+             - CAST(round_even(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ssb_fp,
+           q * 1000000 - t_groups AS ssw_fp,
+           (CAST(t_groups
+                 - CAST(round_even(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+                 AS DOUBLE)
+            / CAST(k - 1 AS DOUBLE))
+           / (CAST(q * 1000000 - t_groups AS DOUBLE)
+              / CAST(n - k AS DOUBLE)) AS f_stat
+    FROM tot
+"""
+
+
+
+_TIME_TO_CONVERT_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v0 AS (
+      SELECT user_id, min(us) AS v0 FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+    conv AS (
+      SELECT e.user_id, min(e.us) - min(v0.v0) AS gap
+      FROM e JOIN v0 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > v0.v0
+      GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(gap, 0.25) AS p25_us,
+           quantile_cont(gap, 0.5) AS p50_us,
+           quantile_cont(gap, 0.9) AS p90_us
+    FROM conv
+"""
+
+
+
+_AB_TEST_SQL = """
+    WITH e AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS x
+      FROM e GROUP BY 1),
+    a AS (SELECT n AS n1, x AS x1 FROM g WHERE arm = 0),
+    b AS (SELECT n AS n2, x AS x2 FROM g WHERE arm = 1)
+    SELECT n1, x1, n2, x2,
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(
+               (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
+             ) AS z
+    FROM a CROSS JOIN b
+"""
+
+
+
+_MUTUAL_INFO_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id % 4 AS cohort FROM events),
+    obs AS (SELECT event_type, cohort, count(*) AS o FROM e GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    c AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(*) AS BIGINT) AS ni FROM e),
+    cells AS (
+      SELECT CAST(round_even(
+               (CAST(o AS DOUBLE) / nn.n)
+               * ln((CAST(o AS DOUBLE) / nn.n)
+                    / ((CAST(r.r AS DOUBLE) / nn.n)
+                       * (CAST(c.c AS DOUBLE) / nn.n)))
+               * 1000000000.0, 0) AS BIGINT) AS cell
+      FROM obs JOIN r USING (event_type) JOIN c USING (cohort)
+      CROSS JOIN nn)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           (SELECT ni FROM nn) AS n,
+           CAST(sum(cell) AS BIGINT) AS mi_fp
+    FROM cells
+"""
+
+
+
+_SPEARMAN_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS x,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS y
+      FROM events),
+    r AS (
+      SELECT user_id,
+             2 * (rank() OVER (PARTITION BY user_id ORDER BY x) - 1)
+               + count(*) OVER (PARTITION BY user_id, x) AS rx2,
+             2 * (rank() OVER (PARTITION BY user_id ORDER BY y) - 1)
+               + count(*) OVER (PARTITION BY user_id, y) AS ry2
+      FROM e)
+    SELECT user_id, count(*) AS n,
+           CAST(sum(rx2 * ry2) AS BIGINT) AS sxy2,
+           CAST(sum(rx2 * rx2) AS BIGINT) AS sxx2,
+           CAST(sum(ry2 * ry2) AS BIGINT) AS syy2
+    FROM r GROUP BY 1
+"""
+
+
+
+_KS_TEST_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')),
+    c AS (
+      SELECT user_id, v, CAST(sum(g1) AS BIGINT) AS eq1,
+             CAST(sum(1 - g1) AS BIGINT) AS eq2
+      FROM e GROUP BY 1, 2),
+    w AS (
+      SELECT user_id,
+             sum(eq1) OVER (PARTITION BY user_id ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(eq2) OVER (PARTITION BY user_id ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum2,
+             sum(eq1) OVER (PARTITION BY user_id) AS n1,
+             sum(eq2) OVER (PARTITION BY user_id) AS n2
+      FROM c)
+    SELECT user_id, CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num
+    FROM w WHERE n1 > 0 AND n2 > 0 GROUP BY 1
+"""
+
+
+_PIVOT_SQL = "\n    SELECT user_id,\n" + ",\n".join(
+    f"           CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}_n,\n"
+    f"           CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN "
+    f"CAST(round_even(value * 100.0, 0) AS BIGINT) END), 0) AS BIGINT) AS {t}_cents"
+    for t in _EVENT_TYPES
+) + "\n    FROM events GROUP BY 1\n"
+
+
+
+_UNPIVOT_SQL = """
+    SELECT user_id, event_type, count(*) AS n,
+           CAST(sum(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+
+_TRACK_CROSSINGS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    segs AS (
+      SELECT user_id,
+             row_number() OVER w AS i,
+             xi AS ax, yi AS ay,
+             lead(xi) OVER w AS bx, lead(yi) OVER w AS by
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT * FROM segs WHERE bx IS NOT NULL),
+    n AS (SELECT user_id, count(*) AS n_segments FROM s GROUP BY 1),
+    p AS (
+      SELECT a.user_id,
+             (a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax) AS o1,
+             (a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax) AS o2,
+             (b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax) AS o3,
+             (b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax) AS o4
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND b.i > a.i + 1
+       AND greatest(a.ax, a.bx) >= least(b.ax, b.bx)
+       AND greatest(b.ax, b.bx) >= least(a.ax, a.bx)
+       AND greatest(a.ay, a.by) >= least(b.ay, b.by)
+       AND greatest(b.ay, b.by) >= least(a.ay, a.by)),
+    c AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+                            AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+      FROM p GROUP BY 1)
+    SELECT n.user_id, CAST(n.n_segments AS BIGINT) AS n_segments,
+           coalesce(c.n_crossings, 0) AS n_crossings
+    FROM n LEFT JOIN c USING (user_id)
+"""
+
+
+
+_EDGE_CHURN_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    mid AS (SELECT (min(hour) + max(hour) + 1) // 2 AS m FROM pts),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+             * pow(2, 22)) AS BIGINT) AS y,
+        user_id,
+        CASE WHEN hour < (SELECT m FROM mid) THEN 1 ELSE 0 END AS early
+      FROM pts),
+    e1 AS MATERIALIZED (
+      SELECT a.user_id AS u_a, b.user_id AS u_b
+      FROM pres a JOIN pres b
+        ON a.x = b.x AND a.y = b.y AND a.user_id < b.user_id
+      WHERE a.early = 1 AND b.early = 1
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    e2 AS MATERIALIZED (
+      SELECT a.user_id AS u_a, b.user_id AS u_b
+      FROM pres a JOIN pres b
+        ON a.x = b.x AND a.y = b.y AND a.user_id < b.user_id
+      WHERE a.early = 0 AND b.early = 0
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    j AS (
+      SELECT coalesce(e1.in1, 0) AS p1, coalesce(e2.in2, 0) AS p2 FROM
+        (SELECT u_a, u_b, 1 AS in1 FROM e1) e1
+        FULL OUTER JOIN
+        (SELECT u_a, u_b, 1 AS in2 FROM e2) e2
+        USING (u_a, u_b))
+    SELECT CAST(sum(p1) AS BIGINT) AS n_early,
+           CAST(sum(p2) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS jaccard
+    FROM j
+"""
+
+
+
+_CONVOY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+             * pow(2, 22)) AS BIGINT) AS y,
+        user_id, hour
+      FROM pts),
+    ph AS (
+      SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b, a.hour
+      FROM pres a JOIN pres b
+        ON a.x = b.x AND a.y = b.y AND a.hour = b.hour
+           AND a.user_id < b.user_id),
+    marked AS (
+      SELECT u_a, u_b, hour,
+             CASE WHEN lag(hour) OVER w IS NULL
+                       OR hour - lag(hour) OVER w > 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ph WINDOW w AS (PARTITION BY u_a, u_b ORDER BY hour)),
+    isl AS (
+      SELECT u_a, u_b, hour,
+             sum(is_new) OVER (PARTITION BY u_a, u_b
+               ORDER BY hour ROWS UNBOUNDED PRECEDING) AS run
+      FROM marked),
+    runs AS (
+      SELECT u_a, u_b, run, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT u_a, u_b, CAST(sum(len) AS BIGINT) AS n_hours,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run
+    FROM runs GROUP BY 1, 2
+    HAVING max(len) >= 3
+"""
+
+
+
+_GRAVITY_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    steps AS (
+      SELECT lag(cx) OVER w AS ox, lag(cy) OVER w AS oy,
+             cx AS dx, cy AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    nz AS (SELECT * FROM steps WHERE ox IS NOT NULL),
+    flows AS (
+      SELECT ox, oy, dx, dy, CAST(count(*) AS BIGINT) AS n
+      FROM nz GROUP BY 1, 2, 3, 4),
+    og AS (SELECT ox, oy, CAST(sum(n) AS BIGINT) AS o_tot
+           FROM flows GROUP BY 1, 2),
+    dg AS (SELECT dx, dy, CAST(sum(n) AS BIGINT) AS d_tot
+           FROM flows GROUP BY 1, 2),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM nz)
+    SELECT ox, oy, dx, dy, n, o_tot, d_tot,
+           CAST(round_even(
+             (CAST(n AS DOUBLE) - CAST(o_tot * d_tot AS DOUBLE) / tt.t)
+             * (CAST(n AS DOUBLE) - CAST(o_tot * d_tot AS DOUBLE) / tt.t)
+             / (CAST(o_tot * d_tot AS DOUBLE) / tt.t) * 1000000.0, 0)
+             AS BIGINT) AS resid_fp
+    FROM flows JOIN og USING (ox, oy) JOIN dg USING (dx, dy)
+    CROSS JOIN tt
+"""
+
+
+
+_TURN_STATS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    steps AS (
+      SELECT user_id, us, event_id,
+             xi - lag(xi) OVER w AS dx,
+             yi - lag(yi) OVER w AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    nz AS (
+      SELECT * FROM steps
+      WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)),
+    pairs AS (
+      SELECT user_id,
+             lag(dx) OVER w AS ax, lag(dy) OVER w AS ay,
+             dx AS bx, dy AS byv
+      FROM nz WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    cls AS (
+      SELECT user_id,
+             ax * byv - ay * bx AS cr,
+             ax * bx + ay * byv AS dt
+      FROM pairs WHERE ax IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+           CAST(sum(CASE WHEN cr = 0 AND dt > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straight,
+           CAST(sum(CASE WHEN cr = 0 AND dt < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reverse
+    FROM cls GROUP BY 1
+"""
+
+
+
+_RDP_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq,
+             CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) AS x,
+             CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) AS y
+      FROM events),
+    n AS (SELECT user_id, max(seq) AS n FROM pts GROUP BY 1),
+    a AS (SELECT user_id, x AS xa, y AS ya FROM pts WHERE seq = 1),
+    b AS (SELECT pts.user_id, x AS xb, y AS yb
+          FROM pts JOIN n USING (user_id) WHERE seq = n.n),
+    ends AS (
+      SELECT pts.user_id, seq, x, y FROM pts JOIN n USING (user_id)
+      WHERE seq = 1 OR seq = n.n),
+    int1 AS MATERIALIZED (
+      SELECT pts.user_id, seq, x, y FROM pts JOIN n USING (user_id)
+      WHERE seq > 1 AND seq < n.n),
+    sc1 AS (
+      SELECT i.user_id, i.seq, i.x, i.y,
+             abs((i.x - xa) * (yb - ya) - (i.y - ya) * (xb - xa)) AS ac,
+             (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) AS l2
+      FROM int1 i JOIN a USING (user_id) JOIN b USING (user_id)),
+    m1 AS MATERIALIZED (
+      SELECT user_id, seq, x, y, ac, l2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ac DESC, seq ASC) AS rn
+        FROM sc1) z
+      WHERE rn = 1 AND ac * ac > 360000 * l2),
+    i2 AS (
+      SELECT i.user_id,
+             CASE WHEN i.seq < m.seq THEN 0 ELSE 1 END AS side,
+             i.seq, i.x, i.y
+      FROM int1 i JOIN m1 m USING (user_id)
+      WHERE i.seq != m.seq),
+    a2 AS (
+      SELECT a.user_id, 0 AS side, xa, ya FROM a JOIN m1 USING (user_id)
+      UNION ALL
+      SELECT user_id, 1 AS side, x AS xa, y AS ya FROM m1),
+    b2 AS (
+      SELECT user_id, 0 AS side, x AS xb, y AS yb FROM m1
+      UNION ALL
+      SELECT b.user_id, 1 AS side, xb, yb FROM b JOIN m1 USING (user_id)),
+    sc2 AS (
+      SELECT i.user_id, i.side, i.seq, i.x, i.y,
+             abs((i.x - xa) * (yb - ya) - (i.y - ya) * (xb - xa)) AS ac,
+             (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) AS l2
+      FROM i2 i JOIN a2 USING (user_id, side) JOIN b2 USING (user_id, side)),
+    m2 AS (
+      SELECT user_id, seq, x, y FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, side
+                  ORDER BY ac DESC, seq ASC) AS rn
+        FROM sc2) z
+      WHERE rn = 1 AND ac * ac > 360000 * l2)
+    SELECT DISTINCT user_id, seq, x, y FROM (
+      SELECT user_id, seq, x, y FROM ends
+      UNION ALL SELECT user_id, seq, x, y FROM m1
+      UNION ALL SELECT user_id, seq, x, y FROM m2) all_kept
+"""
+
+
+
+_MOVE_ROSE_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    steps AS (
+      SELECT user_id,
+             xi - lag(xi) OVER w AS dx,
+             yi - lag(yi) OVER w AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    nz AS (
+      SELECT * FROM steps
+      WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)),
+    cls AS (
+      SELECT user_id, dx, dy,
+             CASE
+               WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+               WHEN dy > 0 AND dx > 0 THEN 1
+               WHEN dx <= 0 AND dy > 0 AND dy > (-dx) THEN 2
+               WHEN dy > 0 AND dx < 0 THEN 3
+               WHEN dx < 0 AND dy <= 0 AND (-dx) > (-dy) THEN 4
+               WHEN dy < 0 AND dx < 0 THEN 5
+               WHEN dx >= 0 AND dy < 0 AND (-dy) > dx THEN 6
+               ELSE 7
+             END AS sector
+      FROM nz)
+    SELECT user_id, sector, CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(greatest(abs(dx), abs(dy))) AS BIGINT) AS cheb_sum
+    FROM cls GROUP BY 1, 2
+"""
+
+
+
+_CONTACT_CROSSINGS_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS xi,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS yi
+      FROM events),
+    segs AS (
+      SELECT user_id,
+             epoch_us(ts) // 3600000000 AS hr,
+             xi AS ax, yi AS ay,
+             lead(xi) OVER w AS bx, lead(yi) OVER w AS by
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS MATERIALIZED (SELECT * FROM segs WHERE bx IS NOT NULL),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             (a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax) AS o1,
+             (a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax) AS o2,
+             (b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax) AS o3,
+             (b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax) AS o4
+      FROM s a JOIN s b
+        ON a.hr = b.hr AND a.user_id < b.user_id
+       AND greatest(a.ax, a.bx) >= least(b.ax, b.bx)
+       AND greatest(b.ax, b.bx) >= least(a.ax, a.bx)
+       AND greatest(a.ay, a.by) >= least(b.ay, b.by)
+       AND greatest(b.ay, b.by) >= least(a.ay, a.by))
+    SELECT ua AS user_a, ub AS user_b,
+           CAST(count(*) AS BIGINT) AS n_crossings
+    FROM p
+    WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+      AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+    GROUP BY 1, 2
+"""
+
+
+
+def _convex_hull_sql(depth: int = 5) -> str:
+    def orient(ax, ay, bx, by, px, py):
+        return f"({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax})"
+
+    stages = []
+    vert_sel = [
+        "SELECT u, ax AS vx, ay AS vy FROM anch",
+        "SELECT u, bx AS vx, by AS vy FROM anch",
+    ]
+    prev = "g0"
+    for i in range(1, depth + 1):
+        stages.append(f"""
+        far{i} AS MATERIALIZED (
+          SELECT u, ax, ay, bx, by, px AS cx, py AS cy FROM (
+            SELECT *, row_number() OVER (PARTITION BY u, ax, ay, bx, by
+              ORDER BY {orient('ax', 'ay', 'bx', 'by', 'px', 'py')} DESC,
+                       px ASC, py ASC) AS rn
+            FROM {prev}) q
+          WHERE rn = 1),
+        g{i} AS MATERIALIZED (
+          SELECT g.u, g.ax, g.ay, f.cx AS bx, f.cy AS by, g.px, g.py
+          FROM {prev} g JOIN far{i} f USING (u, ax, ay, bx, by)
+          WHERE {orient('g.ax', 'g.ay', 'f.cx', 'f.cy', 'g.px', 'g.py')} > 0
+          UNION ALL
+          SELECT g.u, f.cx AS ax, f.cy AS ay, g.bx, g.by, g.px, g.py
+          FROM {prev} g JOIN far{i} f USING (u, ax, ay, bx, by)
+          WHERE {orient('f.cx', 'f.cy', 'g.bx', 'g.by', 'g.px', 'g.py')} > 0)""")
+        vert_sel.append(f"SELECT u, cx AS vx, cy AS vy FROM far{i}")
+        prev = f"g{i}"
+    body = ",".join(stages)
+    union = "\n        UNION ALL ".join(vert_sel)
+    return f"""
+        WITH pts0 AS MATERIALIZED (
+          SELECT DISTINCT user_id AS u,
+                 CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT) AS px,
+                 CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) AS py
+          FROM events),
+        anch AS MATERIALIZED (
+          SELECT lo.u, lo.px AS ax, lo.py AS ay, hi.px AS bx, hi.py AS by
+          FROM (SELECT u, px, py FROM (
+                  SELECT *, row_number() OVER (PARTITION BY u
+                    ORDER BY px ASC, py ASC) AS rn FROM pts0) a WHERE rn = 1) lo
+          JOIN (SELECT u, px, py FROM (
+                  SELECT *, row_number() OVER (PARTITION BY u
+                    ORDER BY px DESC, py DESC) AS rn FROM pts0) b WHERE rn = 1) hi
+            ON hi.u = lo.u),
+        chords AS (
+          SELECT u, ax, ay, bx, by FROM anch
+          UNION ALL
+          SELECT u, bx AS ax, by AS ay, ax AS bx, ay AS by FROM anch),
+        g0 AS MATERIALIZED (
+          SELECT p.u, c.ax, c.ay, c.bx, c.by, p.px, p.py
+          FROM pts0 p JOIN chords c ON c.u = p.u
+          WHERE {orient('c.ax', 'c.ay', 'c.bx', 'c.by', 'p.px', 'p.py')} > 0),
+        {body}
+        SELECT DISTINCT u AS user_id, vx, vy FROM ({union}) v
+    """
+
+
+
+_TWAP_SQL = """
+    WITH rows0 AS (
+      SELECT user_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - epoch_us(ts)
+               AS dt
+      FROM events),
+    agg AS (
+      SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_us,
+             CAST(sum(cents * dt) AS BIGINT) AS vdt_sum
+      FROM rows0 WHERE dt IS NOT NULL GROUP BY 1)
+    SELECT user_id, span_us, vdt_sum,
+           CAST(vdt_sum AS DOUBLE) / CAST(span_us AS DOUBLE) AS twap_cents
+    FROM agg
+"""
+
+
+
+_MAD_SQL = """
+    WITH e AS (
+      SELECT user_id, CAST(round_even(value * 100.0, 0) AS BIGINT) AS c
+      FROM events),
+    med AS MATERIALIZED (
+      SELECT user_id, CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1),
+    dev AS MATERIALIZED (
+      SELECT e.user_id, m.n, m.med2, abs(e.c * 2 - m.med2) AS dev2
+      FROM e JOIN med m ON m.user_id = e.user_id),
+    mad AS MATERIALIZED (
+      SELECT user_id, n, med2,
+             CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      FROM dev GROUP BY 1, 2, 3)
+    SELECT d.user_id, m.n, m.med2, m.mad4,
+           CAST(sum(CASE WHEN d.dev2 * 2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.user_id = d.user_id
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+
+_EMD_SQL = """
+    WITH e AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h FROM events),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(range(24)) AS h) g),
+    cnt AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN (
+        SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2) c
+        ON c.event_type = g.event_type AND c.h = g.h),
+    cum AS MATERIALIZED (
+      SELECT event_type, h,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM cnt),
+    tot AS MATERIALIZED (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(sum(abs(a.cum * tb.n - b.cum * ta.n)) AS BIGINT) AS emd_num
+    FROM cum a
+    JOIN cum b ON b.h = a.h AND a.event_type < b.event_type
+    JOIN tot ta ON ta.event_type = a.event_type
+    JOIN tot tb ON tb.event_type = b.event_type
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+
+_LOCF_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS c
+      FROM events WHERE user_id < 30),
+    obs AS MATERIALIZED (
+      SELECT user_id, us, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, us
+                                     ORDER BY event_id DESC) AS rn FROM e) q
+      WHERE rn = 1),
+    span AS (
+      SELECT user_id, min(us) // 3600000000 AS h0, max(us) // 3600000000 AS h1
+      FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, h0 + unnest(range(h1 - h0 + 1)) AS hr FROM span),
+    u AS (
+      SELECT user_id, hr * 3600000000 AS us, 1 AS side,
+             CAST(NULL AS BIGINT) AS c
+      FROM grid
+      UNION ALL
+      SELECT user_id, us, 0 AS side, c FROM obs),
+    f AS (
+      SELECT *, count(c) OVER (PARTITION BY user_id ORDER BY us, side
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM u),
+    g2 AS (
+      SELECT *, max(c) OVER (PARTITION BY user_id, grp) AS fill FROM f)
+    SELECT user_id, CAST(us // 3600000000 AS BIGINT) AS hr, fill AS cents,
+           CASE WHEN grp > 0 THEN 1 ELSE 0 END AS has_obs
+    FROM g2 WHERE side = 1
+"""
+
+
+
+_SAX_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rk
+      FROM events),
+    stats AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(quantile_cont(c, 0.25) * 2 AS BIGINT) AS q1_2,
+             CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS q2_2,
+             CAST(quantile_cont(c, 0.75) * 2 AS BIGINT) AS q3_2
+      FROM e GROUP BY 1),
+    seg AS (
+      SELECT e.user_id, s.q1_2, s.q2_2, s.q3_2,
+             (e.rk - 1) * 8 // s.n AS seg,
+             CAST(sum(e.c) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS m
+      FROM e JOIN stats s ON s.user_id = e.user_id
+      GROUP BY 1, 2, 3, 4, 5),
+    sym AS (
+      SELECT user_id, seg,
+             (CASE WHEN sm * 2 > q1_2 * m THEN 1 ELSE 0 END
+              + CASE WHEN sm * 2 > q2_2 * m THEN 1 ELSE 0 END
+              + CASE WHEN sm * 2 > q3_2 * m THEN 1 ELSE 0 END) AS sym
+      FROM seg)
+    SELECT user_id,
+           string_agg(chr(97 + sym), '' ORDER BY seg) AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM sym GROUP BY 1
+"""
+
+
+
+_ATTRIBUTION_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT *, CASE WHEN event_type IN ('view', 'click') THEN us END AS tus
+      FROM e),
+    win AS (
+      SELECT user_id, event_id, event_type, us,
+             max(tus) OVER w AS last_us,
+             min(tus) OVER w AS first_us,
+             count(tus) OVER w AS n_touches
+      FROM marked
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+    purch AS (
+      SELECT user_id, event_id, us, CAST(n_touches AS BIGINT) AS n_touches,
+             last_us, first_us
+      FROM win WHERE event_type = 'purchase'),
+    td AS MATERIALIZED (
+      SELECT user_id, us, event_type AS t_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, us
+                                     ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_type IN ('view', 'click')) q
+      WHERE rn = 1)
+    SELECT p.user_id, p.event_id, p.n_touches,
+           p.us - p.last_us AS last_gap_us, l.t_type AS last_type,
+           p.us - p.first_us AS first_gap_us, f.t_type AS first_type
+    FROM purch p
+    LEFT JOIN td l ON l.user_id = p.user_id AND l.us = p.last_us
+    LEFT JOIN td f ON f.user_id = p.user_id AND f.us = p.first_us
+"""
+
+
+
+_HAAR2D_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy
+      FROM events),
+    cells AS (
+      SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    blk AS (
+      SELECT cx // 2 AS bx, cy // 2 AS by,
+             CAST(sum(CASE WHEN cx % 2 = 0 AND cy % 2 = 0 THEN n ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN cx % 2 = 1 AND cy % 2 = 0 THEN n ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN cx % 2 = 0 AND cy % 2 = 1 THEN n ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN cx % 2 = 1 AND cy % 2 = 1 THEN n ELSE 0 END) AS BIGINT) AS d
+      FROM cells GROUP BY 1, 2),
+    co AS (
+      SELECT (a + b + c + d) AS ll, (a - b + c - d) AS lh,
+             (a + b - c - d) AS hl, (a - b - c + d) AS hh
+      FROM blk)
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(ll * ll) AS BIGINT) AS ll_energy,
+           CAST(sum(lh * lh) AS BIGINT) AS lh_energy,
+           CAST(sum(hl * hl) AS BIGINT) AS hl_energy,
+           CAST(sum(hh * hh) AS BIGINT) AS hh_energy
+    FROM co
+"""
+
+
+
+_LOCAL_MORAN_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 50000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) // 100000 AS cy,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    cells AS (
+      SELECT cx, cy, CAST(sum(cents) AS BIGINT) AS x
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                        (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    shifted AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xn
+      FROM cells c CROSS JOIN offs o),
+    lagf AS (
+      SELECT cx, cy, count(*) AS w_deg, CAST(sum(xn) AS BIGINT) AS lag
+      FROM shifted GROUP BY 1, 2)
+    SELECT c.cx, c.cy, c.x,
+           CAST(coalesce(l.w_deg, 0) AS BIGINT) AS w_deg,
+           coalesce(l.lag, 0) AS lag
+    FROM cells c LEFT JOIN lagf l USING (cx, cy)
+"""
+
+
+
+_GETIS_ORD_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 50000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT) // 100000 AS cy,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    cells AS MATERIALIZED (
+      SELECT cx, cy, CAST(sum(cents) AS BIGINT) AS x
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                        (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    shifted AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xn
+      FROM cells c CROSS JOIN offs o),
+    lagf AS (
+      SELECT cx, cy, count(*) AS w_deg, CAST(sum(xn) AS BIGINT) AS lag
+      FROM shifted GROUP BY 1, 2),
+    gtot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(x) AS BIGINT) AS s_tot,
+             CAST(sum(x * x) AS BIGINT) AS s2_tot
+      FROM cells)
+    SELECT c.cx, c.cy,
+           c.x + coalesce(l.lag, 0) AS s_i,
+           CAST(coalesce(l.w_deg, 0) + 1 AS BIGINT) AS k_i,
+           g.n_cells, g.s_tot, g.s2_tot
+    FROM cells c LEFT JOIN lagf l USING (cx, cy) CROSS JOIN gtot g
+"""
+
+
+
+def _quadtree_sql(z_min: int = 18, z_max: int = 24, cap: int = 40) -> str:
+    zs = ", ".join(str(z) for z in range(z_min, z_max + 1))
+    return f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR((({LON_IN}) + 180) / 360 * pow(2, {z_max})) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(({LAT_IN})))
+                    + 1/cos(radians(({LAT_IN}))))/pi())/2 * pow(2, {z_max}))
+                  AS BIGINT) AS y
+      FROM events),
+    base AS MATERIALIZED (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    chain AS MATERIALIZED (
+      SELECT b.x, b.y, b.n, zz.z,
+             b.x // CAST(pow(2, {z_max} - zz.z) AS BIGINT) AS xz,
+             b.y // CAST(pow(2, {z_max} - zz.z) AS BIGINT) AS yz
+      FROM base b CROSS JOIN (SELECT unnest([{zs}]) AS z) zz),
+    lvls AS (
+      SELECT z, xz, yz, CAST(sum(n) AS BIGINT) AS cnt
+      FROM chain GROUP BY 1, 2, 3),
+    leaf AS (
+      SELECT c.x, c.y, c.n,
+             coalesce(min(CASE WHEN l.cnt <= {cap} THEN c.z END), {z_max})
+               AS leaf_z
+      FROM chain c JOIN lvls l ON l.z = c.z AND l.xz = c.xz AND l.yz = c.yz
+      GROUP BY 1, 2, 3)
+    SELECT leaf_z AS z,
+           x // CAST(pow(2, {z_max} - leaf_z) AS BIGINT) AS x,
+           y // CAST(pow(2, {z_max} - leaf_z) AS BIGINT) AS y,
+           CAST(sum(n) AS BIGINT) AS n_points
+    FROM leaf GROUP BY 1, 2, 3
+"""
+
+
+
+_EXACT_SUBSTR_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    base AS MATERIALIZED (
+      SELECT doc_id, arr, len(arr) AS n FROM arrs WHERE len(arr) >= 20),
+    win AS MATERIALIZED (
+      SELECT doc_id, i AS pos, array_to_string(arr[i + 1 : i + 20], ' ') AS wkey
+      FROM (SELECT doc_id, arr, unnest(range(len(arr) - 19)) AS i FROM base)),
+    cnt AS (SELECT wkey, count(*) AS c FROM win GROUP BY 1),
+    dup AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN cnt ON cnt.wkey = w.wkey WHERE cnt.c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                          ORDER BY pos) > 20 THEN 1 ELSE 0 END AS brk
+            FROM dup)),
+    seg AS (
+      SELECT doc_id, isl, max(pos) - min(pos) + 20 AS cov,
+             count(*) AS nw
+      FROM isl GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_token_cov,
+             CAST(sum(nw) AS BIGINT) AS dup_windows
+      FROM seg GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           coalesce(p.dup_windows, 0) AS dup_windows,
+           coalesce(p.dup_token_cov, 0) AS dup_token_cov
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+"""
+
+
+
+_SOURCE_DIVERGENCE_SQL = r"""
+    WITH arrs AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS (
+      SELECT source, arr[i + 1] AS tok
+      FROM (SELECT source, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    csw AS MATERIALIZED (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS csw
+      FROM tt GROUP BY 1, 2),
+    cw AS (SELECT tok, CAST(sum(csw) AS BIGINT) AS cw FROM csw GROUP BY 1),
+    ns AS MATERIALIZED (
+      SELECT source, CAST(sum(csw) AS BIGINT) AS ns FROM csw GROUP BY 1),
+    n AS (SELECT CAST(sum(csw) AS BIGINT) AS n FROM csw),
+    terms AS (
+      SELECT c.source,
+             CAST(round_even(
+               (c.csw / s.ns) * ln((c.csw / s.ns) * (t.n / w.cw)) * 1e12,
+               0) AS BIGINT) AS term_fp
+      FROM csw c
+      JOIN cw w ON w.tok = c.tok
+      JOIN ns s ON s.source = c.source
+      CROSS JOIN n t)
+    SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+           s.ns AS n_tokens, CAST(sum(term_fp) AS BIGINT) AS kl_fp
+    FROM terms t JOIN ns s ON s.source = t.source
+    GROUP BY 1, 3
+"""
+
+
+
+_LM_QUALITY_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    big AS MATERIALIZED (
+      SELECT doc_id, arr[i + 1] AS w1, arr[i + 2] AS w2
+      FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS i FROM arrs)),
+    tr AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT w1 AS tok FROM big WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT w2 AS tok FROM big WHERE doc_id % 2 = 0)),
+    terms AS (
+      SELECT b.doc_id,
+             CASE WHEN t.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+             CAST(round_even(
+               ln(CAST(coalesce(t.c12, 0) + 1 AS DOUBLE)
+                  / (coalesce(c.c1, 0) + v.vsz)) * 1e9, 0) AS BIGINT) AS fp
+      FROM big b
+      LEFT JOIN tr t ON t.w1 = b.w1 AND t.w2 = b.w2
+      LEFT JOIN ctx c ON c.w1 = b.w1
+      CROSS JOIN v
+      WHERE b.doc_id % 2 = 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+           CAST(sum(fp) AS BIGINT) AS logprob_fp
+    FROM terms GROUP BY 1
+"""
+
+
+
+def _bpe_stages_sql(rounds: int, final: str | None = None) -> str:
+    """Generated oracle for q_bpe_merges / q_bpe_encode: tokenize -> word
+    frequencies -> ``rounds`` unrolled (pair-count argmax -> islands+parity
+    merge) stage groups. Every s{r} is referenced twice (next round's pair
+    count AND explode) -> MATERIALIZED (CLAUDE.md re-inlining rule).
+    ``final`` overrides the closing SELECT (default: the merge table).
+
+    bst{r} joins via LEFT JOIN ON 1=1, NOT CROSS JOIN: when the vocabulary
+    exhausts before ``rounds`` (pr{r} empty), a cross join would empty
+    every later stage, while the left join leaves b.l/b.r NULL -> cand=0
+    -> s{r} = s{p} (identity round), mirroring the engine's early break
+    in _learn (ADVICE r4)."""
+    parts = [
+        r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    tt AS MATERIALIZED (
+      SELECT doc_id, arr[i + 1] AS tok
+      FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+      WHERE length(arr[i + 1]) > 0),
+    s0 AS MATERIALIZED (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_append(string_split(tok, ''), '</w>') AS syms
+      FROM tt GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    pr{r} AS (
+      SELECT syms[i + 1] AS l, syms[i + 2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i FROM s{p})
+      GROUP BY 1, 2),
+    bst{r} AS MATERIALIZED (
+      SELECT l, r, cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rn
+        FROM pr{r})
+      WHERE rn = 1),
+    cd{r} AS (
+      SELECT e.*, CASE WHEN s = b.l AND s_next IS NOT DISTINCT FROM b.r
+                       THEN 1 ELSE 0 END AS cand
+      FROM (SELECT word, freq, i, s,
+                   lead(s) OVER (PARTITION BY word ORDER BY i) AS s_next
+            FROM (SELECT word, freq, unnest(range(len(syms))) AS i,
+                         unnest(syms) AS s FROM s{p})) e
+      LEFT JOIN bst{r} b ON 1 = 1),
+    gp{r} AS (
+      SELECT *, sum(run_head) OVER (PARTITION BY word ORDER BY i
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+      FROM (SELECT *, CASE WHEN cand = 1 AND coalesce(
+                     lag(cand) OVER (PARTITION BY word ORDER BY i), 0) = 0
+                 THEN 1 ELSE 0 END AS run_head FROM cd{r})),
+    sl{r} AS (
+      SELECT *, CASE WHEN cand = 1 AND (i - run_start) % 2 = 0
+                     THEN 1 ELSE 0 END AS selected
+      FROM (SELECT *, min(CASE WHEN cand = 1 THEN i END)
+                        OVER (PARTITION BY word, grp) AS run_start
+            FROM gp{r})),
+    s{r} AS MATERIALIZED (
+      SELECT word, freq,
+             list(CASE WHEN selected = 1 THEN s || s_next ELSE s END
+                  ORDER BY i) AS syms
+      FROM (SELECT *, coalesce(lag(selected)
+                        OVER (PARTITION BY word ORDER BY i), 0) AS absorbed
+            FROM sl{r})
+      WHERE absorbed = 0 GROUP BY word, freq)""")
+    if final is None:
+        final = "\n    UNION ALL ".join(
+            f"SELECT {r} AS round, l AS left_sym, r AS right_sym, cnt AS pair_freq"
+            f" FROM bst{r}"
+            for r in range(1, rounds + 1)
+        )
+    return ",".join(parts) + "\n    " + final
+
+
+
+def _bpe_encode_sql(rounds: int = 8) -> str:
+    return _bpe_stages_sql(
+        rounds,
+        final=f"""
+    SELECT tt.doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(s{rounds}.syms)) AS BIGINT) AS bpe_tokens
+    FROM tt JOIN s{rounds} ON s{rounds}.word = tt.tok
+    GROUP BY 1""",
+    )
+
+
+
+_ZONAL_MAJORITY_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy,
+             event_type
+      FROM events),
+    counts AS (
+      SELECT cx, cy, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT cx, cy, CAST(sum(n) AS BIGINT) AS cell_total
+      FROM counts GROUP BY 1, 2)
+    SELECT c.cx, c.cy, c.event_type AS majority_type, c.n AS majority_n,
+           t.cell_total
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY cx, cy
+                ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts) c
+    JOIN tot t ON t.cx = c.cx AND t.cy = c.cy
+    WHERE c.rn = 1
+"""
+
+
+
+_HOTSPOT_PERSIST_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy,
+             epoch_us(ts) // 3600000000 AS hour
+      FROM events),
+    hot AS (
+      SELECT cx, cy, hour, count(*) AS n
+      FROM pts GROUP BY 1, 2, 3 HAVING count(*) >= 13),
+    marked AS (
+      SELECT cx, cy, hour,
+             CASE WHEN lag(hour) OVER w IS NULL
+                       OR hour - lag(hour) OVER w > 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hot WINDOW w AS (PARTITION BY cx, cy ORDER BY hour)),
+    isl AS (
+      SELECT cx, cy, hour,
+             sum(is_new) OVER (PARTITION BY cx, cy
+               ORDER BY hour ROWS UNBOUNDED PRECEDING) AS run
+      FROM marked),
+    runs AS (
+      SELECT cx, cy, run, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT cx, cy, CAST(sum(len) AS BIGINT) AS n_hot_hours,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run
+    FROM runs GROUP BY 1, 2
+"""
+
+
+
+def _geohash_oracle_sql() -> str:
+    from extractors_metadata_spark.functions.geohash import geohash_sql
+
+    return f"""
+        WITH ghbase AS (
+          SELECT event_id, ({LAT_IN}) AS glat, ({LON_IN}) AS glon FROM events),
+        {geohash_sql(8)}
+        SELECT event_id, gh FROM ghfin
+    """
+
+
+
+def _tile_hll_density_sql(p: int = 8) -> str:
+    from extractors_metadata_spark.operators.sketches import (
+        HLL_SCALE,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    harm = (
+        f"(harm_obs + CAST(({m} - n_obs) AS HUGEINT)"
+        f" * CAST({1 << HLL_SCALE} AS HUGEINT))"
+    )
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST({harm} AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_obs AS DOUBLE)))"
+    )
+    return f"""
+        WITH pts AS (
+          SELECT CAST(user_id AS VARCHAR) AS k,
+            CAST(FLOOR((({LON_IN}) + 180) / 360 * pow(2, 20)) AS BIGINT) AS x,
+            CAST(FLOOR((1 - ln(tan(radians(({LAT_IN}))) + 1/cos(radians(({LAT_IN}))))/pi())/2 * pow(2, 20)) AS BIGINT) AS y
+          FROM events),
+        h0 AS (SELECT x, y, {_poly_sql('k', 131)} AS wr, {_poly_sql('k', 137)} AS br
+               FROM pts),
+        h1 AS (SELECT x, y, {_mix31_sql('wr')} AS w, {_mix31_sql('br')} AS bh FROM h0),
+        rnk AS (SELECT x, y, bh % {m} AS bucket,
+                       CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+                FROM h1),
+        regs AS (SELECT x, y, bucket, max(rho) AS rho FROM rnk GROUP BY 1, 2, 3),
+        agg AS (SELECT x, y,
+                       sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm_obs,
+                       count(*) AS n_obs
+                FROM regs GROUP BY 1, 2)
+        SELECT x, y, CAST({m} - n_obs AS BIGINT) AS n_zero,
+               round(round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_obs > 0
+                                THEN {lc} ELSE {raw} END, 6), 3) AS estimate
+        FROM agg
+    """
+
+
+
+def _tile_pyramid_sql(z_max: int = 24, z_min: int = 18) -> str:
+    levels = []
+    for z in range(z_max, z_min - 1, -1):
+        levels.append(f"""
+        SELECT {z} AS z,
+               CAST(FLOOR((lon + 180) / 360 * pow(2, {z})) AS BIGINT) AS x,
+               CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, {z})) AS BIGINT) AS y,
+               count(*) AS n_points,
+               CAST(sum(fp) AS BIGINT) AS sum_fp
+        FROM pts GROUP BY 1, 2, 3""")
+    union = "\n        UNION ALL\n".join(levels)
+    return f"""
+        WITH pts AS (
+          SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon,
+                 CAST(round_even(value * 100.0, 0) AS BIGINT) AS fp
+          FROM events)
+        {union}
+    """
+
+
+
+def _hll_pyramid_sql(p: int = 8, z_max: int = 20, z_min: int = 16) -> str:
+    from extractors_metadata_spark.operators.sketches import (
+        HLL_SCALE,
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    harm = (
+        f"(harm_obs + CAST(({m} - n_obs) AS HUGEINT)"
+        f" * CAST({1 << HLL_SCALE} AS HUGEINT))"
+    )
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST({harm} AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_obs AS DOUBLE)))"
+    )
+    blocks = []
+    for z in range(z_max, z_min - 1, -1):
+        blocks.append(f"""
+        SELECT {z} AS z, x, y, CAST({m} - n_obs AS BIGINT) AS n_zero,
+               round(round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_obs > 0
+                                THEN {lc} ELSE {raw} END, 6), 3) AS estimate
+        FROM (
+          SELECT x, y,
+                 sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm_obs,
+                 count(*) AS n_obs
+          FROM (
+            SELECT x, y, bucket, max(rho) AS rho FROM (
+              SELECT
+                CAST(FLOOR((lon + 180) / 360 * pow(2, {z})) AS BIGINT) AS x,
+                CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, {z})) AS BIGINT) AS y,
+                {_mix31_sql('bh')} % {m} AS bucket,
+                CASE WHEN {_mix31_sql('wr')} = 0 THEN 32
+                     ELSE 32 - length(bin({_mix31_sql('wr')})) END AS rho
+              FROM (
+                SELECT ({LON_IN}) AS lon, ({LAT_IN}) AS lat,
+                       {_poly_sql("CAST(user_id AS VARCHAR)", 131)} AS wr,
+                       {_poly_sql("CAST(user_id AS VARCHAR)", 137)} AS bh
+                FROM events) base)
+            GROUP BY 1, 2, 3)
+          GROUP BY 1, 2)""")
+    return "\n        UNION ALL".join(blocks)
+
+
+
+_CUBE_STATS_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id % 4 AS cohort, user_id,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type, cohort,
+           CAST(GROUPING(event_type, cohort) AS BIGINT) AS gid,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(v) AS BIGINT) AS value_sum_u
+    FROM e GROUP BY CUBE (event_type, cohort)
+"""
+
+
+
+def _idw_sql(z: int = 20) -> str:
+    from extractors_metadata_spark.operators.idw import MT
+
+    n = 1 << z
+    nf = repr(float(n))
+    w = f"(CAST({float(MT * MT)!r} AS DOUBLE) / CAST(d2 + {MT * MT // 4} AS DOUBLE))"
+    return f"""
+        WITH base AS (
+          SELECT value AS v,
+                 CAST(round_even(((({LON_IN}) + 180.0) / 360.0)
+                   * CAST({nf} AS DOUBLE) * {MT}, 0) AS BIGINT) AS tx,
+                 CAST(round_even(((1.0 - ln(tan(radians(({LAT_IN})))
+                   + 1.0 / cos(radians(({LAT_IN}))))/pi()) / 2.0)
+                   * CAST({nf} AS DOUBLE) * {MT}, 0) AS BIGINT) AS ty
+          FROM events),
+        e2 AS (
+          SELECT v, tx, ty, tx // {MT} AS ex, ty // {MT} AS ey FROM base),
+        offx AS (SELECT unnest([-1, 0, 1]) AS dx),
+        offy AS (SELECT unnest([-1, 0, 1]) AS dy),
+        sc AS (
+          SELECT v, tx, ty, ex + dx AS nx, ey + dy AS ny
+          FROM e2, offx, offy
+          WHERE ey + dy >= 0 AND ey + dy < {n}),
+        dd AS (
+          SELECT v, nx, ny,
+                 (tx - (nx * {MT} + {MT // 2})) * (tx - (nx * {MT} + {MT // 2}))
+                 + (ty - (ny * {MT} + {MT // 2})) * (ty - (ny * {MT} + {MT // 2}))
+                   AS d2
+          FROM sc),
+        t AS (
+          SELECT ((nx + {n}) % {n}) AS x, ny AS y,
+                 CAST(round_even({w} * 1000000000.0, 0) AS BIGINT) AS w_fp,
+                 CAST(round_even(v * {w} * 1000000000.0, 0) AS BIGINT) AS vw_fp
+          FROM dd),
+        agg AS (
+          SELECT x, y, count(*) AS n_contrib,
+                 CAST(sum(w_fp) AS BIGINT) AS den_fp,
+                 CAST(sum(vw_fp) AS BIGINT) AS num_fp
+          FROM t GROUP BY 1, 2)
+        SELECT x, y, n_contrib, den_fp, num_fp,
+               CAST(round_even(CAST(num_fp AS DOUBLE) / CAST(den_fp AS DOUBLE)
+                               * 1000000.0, 0) AS BIGINT) AS idw_fp
+        FROM agg
+    """
+
+
+
+_CO_VISITATION_SQL = f"""
+    WITH pts AS (
+      SELECT user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+        CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS y,
+        user_id
+      FROM pts)
+    SELECT a.user_id AS u_a, b.user_id AS u_b, count(*) AS n_shared
+    FROM pres a JOIN pres b
+      ON a.x = b.x AND a.y = b.y AND a.user_id < b.user_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH base AS (SELECT event_id FROM events)
+    SELECT 'removed' AS change, event_id FROM base WHERE event_id % 97 = 0
+    UNION ALL
+    SELECT 'changed' AS change, event_id FROM base
+    WHERE event_id % 97 != 0 AND event_id % 10 = 0
+    UNION ALL
+    SELECT 'added' AS change, event_id + 1000000 AS event_id FROM base
+    WHERE event_id < 500
+"""
+
+
+
+_STREAM_TILES_SQL = f"""
+    WITH pts AS (
+      SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    zs AS (SELECT unnest([12, 20]) AS z)
+    SELECT z,
+      CAST(FLOOR((lon + 180) / 360 * pow(2, z)) AS BIGINT) AS x,
+      CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, z)) AS BIGINT) AS y,
+      count(*) AS n
+    FROM pts, zs GROUP BY 1, 2, 3
+"""
+
+
+
+_STREAM_UPSERT_SQL = """
+    SELECT key, version, event_type, v_u FROM (
+      SELECT event_id % 997 AS key, event_id AS version, event_type,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v_u,
+             row_number() OVER (
+               PARTITION BY event_id % 997 ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+
+_STREAM_JOIN_SQL = """
+    WITH l AS (
+      SELECT user_id, event_id AS lid, epoch_us(ts) AS lt_us FROM events
+      WHERE event_type IN ('view', 'click')),
+    r AS (
+      SELECT user_id, event_id AS rid, epoch_us(ts) AS rt_us FROM events
+      WHERE event_type IN ('signup', 'purchase'))
+    SELECT l.user_id, lid, rid, lt_us, rt_us
+    FROM l JOIN r ON l.user_id = r.user_id
+      AND rt_us >= lt_us - 86400000000 AND rt_us <= lt_us + 86400000000
+"""
+
+
+
+def _snap_to_path_sql() -> str:
+    from extractors_metadata_spark.operators.linear_ref import path_constants
+
+    c = path_constants(_LR_PATH, _LR_ANCHOR)
+    # every literal CAST AS DOUBLE: DuckDB parses 17-digit literals as
+    # DECIMAL(38,x) and mixed DECIMAL/DOUBLE arithmetic diverges ~1e-10
+    # from the pure-double chain (measured: t differed mid-range)
+    L = lambda x: f"CAST({x!r} AS DOUBLE)"
+    legs = []
+    for k in range(len(c["len2"])):
+        ax, ay = L(c["xs"][k]), L(c["ys"][k])
+        bx, by = L(c["xs"][k + 1]), L(c["ys"][k + 1])
+        t_raw = (
+            f"(((px - {ax}) * ({bx} - {ax}) + (py - {ay}) * ({by} - {ay}))"
+            f" / {L(c['len2'][k])})"
+        )
+        t = f"least(greatest({t_raw}, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))"
+        legs.append(f"""
+          SELECT event_id, {k} AS seg,
+                 (px - ({ax} + {t} * ({bx} - {ax})))
+                   * (px - ({ax} + {t} * ({bx} - {ax})))
+                 + (py - ({ay} + {t} * ({by} - {ay})))
+                   * (py - ({ay} + {t} * ({by} - {ay}))) AS d2,
+                 {L(c['cum'][k])} + {t} * {L(c['seglen'][k])} AS chain
+          FROM pts""")
+    union = "\n          UNION ALL".join(legs)
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({LON_IN}) * {L(c['xscale'])} AS px,
+                 ({LAT_IN}) * {L(c['yscale'])} AS py
+          FROM events),
+        u AS ({union})
+        SELECT event_id, CAST(seg AS INT) AS seg,
+               CAST(round(sqrt(d2) * 100.0, 0) AS BIGINT) AS dist_cm,
+               CAST(round(chain * 100.0, 0) AS BIGINT) AS chain_cm
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY event_id ORDER BY d2, seg) AS rn FROM u)
+        WHERE rn = 1
+    """
+
+
+
+_OD_MATRIX_SQL = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events),
+    ends AS (
+      SELECT user_id,
+             first(struct_pack(lat := lat, lon := lon)
+                   ORDER BY us, event_id) AS o,
+             last(struct_pack(lat := lat, lon := lon)
+                  ORDER BY us, event_id) AS d
+      FROM e GROUP BY 1),
+    tiles AS (
+      SELECT
+        CAST(FLOOR((o.lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS o_x,
+        CAST(FLOOR((1 - ln(tan(radians(o.lat)) + 1/cos(radians(o.lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS o_y,
+        CAST(FLOOR((d.lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS d_x,
+        CAST(FLOOR((1 - ln(tan(radians(d.lat)) + 1/cos(radians(d.lat)))/pi())/2 * pow(2, 22)) AS BIGINT) AS d_y
+      FROM ends)
+    SELECT o_x, o_y, d_x, d_y, count(*) AS n_users
+    FROM tiles GROUP BY 1, 2, 3, 4
+"""
+
+
+
+_RIPLEY_K_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT CAST(round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
+      FROM pts a JOIN pts b ON a.id < b.id),
+    rr AS (SELECT CAST(unnest([500, 1000, 2000]) AS BIGINT) AS r_cm)
+    SELECT r_cm / 100.0 AS r_m, count(*) AS n_pairs
+    FROM pairs, rr WHERE dist_cm <= r_cm GROUP BY 1
+"""
+
+
+
+_SESSION_RULES_SQL = """
+    WITH x AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pus
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN pus IS NULL OR us - pus > 43200000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM x),
+    s AS (
+      SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM f),
+    basket AS MATERIALIZED (
+      SELECT DISTINCT
+             CAST(user_id AS VARCHAR) || '-' || CAST(session_seq AS VARCHAR)
+               AS sid,
+             event_type AS ty
+      FROM s),
+    nn AS (SELECT count(DISTINCT sid) AS n FROM basket),
+    tc AS (SELECT ty, count(*) AS n_ty FROM basket GROUP BY 1),
+    pr AS (
+      SELECT a.ty AS ante, b.ty AS cons, count(*) AS n_both
+      FROM basket a JOIN basket b ON a.sid = b.sid AND a.ty != b.ty
+      GROUP BY 1, 2)
+    SELECT ante, cons, n_both, na.n_ty AS n_ante, nc.n_ty AS n_cons,
+           CAST(n AS BIGINT) AS n_sessions,
+           CAST(round_even(CAST(n_both AS DOUBLE) / CAST(na.n_ty AS DOUBLE)
+                           * 1000000000.0, 0) AS BIGINT) AS conf_fp,
+           CAST(round_even(CAST(n_both * n AS DOUBLE)
+                           / CAST(na.n_ty * nc.n_ty AS DOUBLE)
+                           * 1000000000.0, 0) AS BIGINT) AS lift_fp
+    FROM pr
+    JOIN tc na ON na.ty = ante
+    JOIN tc nc ON nc.ty = cons
+    CROSS JOIN nn
+"""
+
+
+
+def _overlay_alloc_sql() -> str:
+    from extractors_metadata_spark.operators.clip import A_SCALE
+
+    area_a = (2.0 * _OVL_W1) * (2.0 * _OVL_H1)
+    denom = 2.0 * A_SCALE * area_a
+    return f"""
+        WITH ov AS ({_overlay_sql()})
+        SELECT ov.event_id, ov.n_vertices, ov.area2_fp,
+               CAST(round_even(e.value * (CAST(ov.area2_fp AS DOUBLE)
+                 / CAST({denom!r} AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+                 AS alloc_u
+        FROM ov JOIN events e USING (event_id)
+    """
+
+
+
+def _source_mix_sql(weights: dict[str, int]) -> str:
+    """mix_sources mirror: HUGEINT replay of the exact Python-bigint
+    threshold arithmetic + the same mix31-finalized poly-hash keep rule
+    (raw poly is biased on sequential keys — see mix_sources)."""
+    from extractors_metadata_spark.functions.vhash import M31
+
+    W = sum(weights.values())
+    langs = ", ".join(f"'{g}'" for g in weights)
+    wvals = ", ".join(
+        f"('{g}', CAST({w} AS HUGEINT))" for g, w in weights.items()
+    )
+    return f"""
+        WITH counts AS (
+          SELECT lang AS g, CAST(count(*) AS HUGEINT) AS n FROM documents
+          WHERE lang IN ({langs}) GROUP BY 1),
+        w(g, wt) AS (VALUES {wvals}),
+        j AS (SELECT counts.g, n, wt FROM counts JOIN w USING (g)),
+        nn AS (SELECT min(n * {W} // wt) AS nt FROM j),
+        thr AS MATERIALIZED (
+          SELECT g, (wt * nt // {W}) * CAST({M31} AS HUGEINT) // n AS thr
+          FROM j, nn),
+        h0 AS (SELECT doc_id, lang,
+                      {_poly_sql("'mix:' || CAST(doc_id AS VARCHAR)", 131)} AS hr
+               FROM documents),
+        h AS (SELECT doc_id, lang, {_mix31_sql('hr')} AS hk FROM h0)
+        SELECT h.doc_id, h.lang FROM h JOIN thr ON h.lang = thr.g
+        WHERE hk < thr
+    """
+
+
+
+_LINE_DEDUP_SQL = f"""
+    WITH probe AS (
+      SELECT doc_id,
+             '{_BANNER1} ' ||
+             (CASE WHEN doc_id % 2 = 0 THEN '{_BANNER2} ' ELSE '' END) ||
+             text AS text
+      FROM documents),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM probe),
+    idx AS (SELECT doc_id, w, unnest(range((len(w) + 7) // 8)) AS pos
+            FROM words),
+    lines AS (SELECT doc_id, pos,
+                     array_to_string(w[pos*8+1 : pos*8+8], ' ') AS line
+              FROM idx),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines)
+    SELECT doc_id,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                    '') AS clean_text
+    FROM ranked GROUP BY doc_id
+"""
+
+
+
+def _zorder_key_sql() -> str:
+    from extractors_metadata_spark.functions.zcurve import z_stages_sql
+
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+        zbase AS (
+          SELECT event_id,
+            CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+            CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y
+          FROM pts),
+        zb2 AS (SELECT event_id, x, y, x AS zx, y AS zy FROM zbase),
+        {z_stages_sql('zb2', 'event_id, x, y')}
+        SELECT event_id, x, y, zval FROM zfin
+    """
+
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s
+    FROM documents
+    """
+    for c in ("doc_id", "lang", "source", "n_chars")
+)
+
+
+
+_BBOX_OVERLAP_SQL = f"""
+    WITH pts AS (
+      SELECT event_id,
+             ({LAT_IN}) - 0.00004 AS min_lat, ({LON_IN}) - 0.00006 AS min_lon,
+             ({LAT_IN}) + 0.00004 AS max_lat, ({LON_IN}) + 0.00006 AS max_lon
+      FROM events),
+    plots AS (
+      SELECT CAST(r AS VARCHAR) || '-' || CAST(p AS VARCHAR) AS plot_id,
+             33.0745 + (r - 1) * 0.0000365 AS lat_s,
+             33.0745 + r * 0.0000365 AS lat_n,
+             -111.9750833333 + (p - 1) * 0.00005 AS lon_w,
+             -111.9750833333 + p * 0.00005 AS lon_e
+      FROM range(1, 55) t(r), range(1, 17) t2(p))
+    SELECT event_id, plot_id
+    FROM pts JOIN plots
+      ON min_lat <= lat_n AND max_lat >= lat_s
+     AND min_lon <= lon_e AND max_lon >= lon_w
+"""
+
+
+
+_DECONTAMINATE_SQL = """
+    WITH twords AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ewords AS (SELECT w[6:35] AS ew FROM twords WHERE doc_id % 50 = 0),
+    eg AS (SELECT DISTINCT array_to_string(ew[i+1:i+13], ' ') AS gram
+           FROM (SELECT ew, unnest(range(len(ew) - 12)) AS i
+                 FROM ewords WHERE len(ew) >= 13)),
+    tg AS (SELECT doc_id, array_to_string(w[i+1:i+13], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(len(w) - 12)) AS i
+                 FROM twords WHERE len(w) >= 13)),
+    hits AS (SELECT doc_id, count(*) AS n_hits
+             FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+    SELECT t.doc_id,
+           greatest(len(w) - 12, 0) AS n_grams,
+           coalesce(n_hits, 0) AS n_hits,
+           CAST(coalesce(n_hits, 0) > 0 AS INT) AS contaminated
+    FROM twords t LEFT JOIN hits USING (doc_id)
+"""
+
+
+
+def _sketch_gate_sql(k: int = 6) -> str:
+    from extractors_metadata_spark.operators.quantiles import bin_sql, bounds_sql
+
+    lo, hi = bounds_sql(k)
+    return f"""
+        WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        sk AS MATERIALIZED (
+          SELECT lang, {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+        cum AS (SELECT lang, bin,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+                FROM sk),
+        tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+        tq AS (SELECT lang, n,
+                      greatest(CAST(1 AS BIGINT),
+                               CAST(ceil(CAST(0.1 AS DOUBLE) * n) AS BIGINT)) AS target
+               FROM tot),
+        hit AS (SELECT tq.lang AS lang, min(cum.bin) AS bin
+                FROM tq JOIN cum ON cum.lang = tq.lang AND cum.cum >= tq.target
+                GROUP BY 1),
+        thr AS (SELECT lang, {hi} AS thr FROM hit)
+        SELECT d.doc_id, d.lang, d.n_chars, thr.thr
+        FROM documents d JOIN thr ON thr.lang = d.lang
+        WHERE d.n_chars > thr.thr
+    """
+
+
+
+def _sq_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    """sq_topk mirror: encode (max-abs scale, round_even int8), exact
+    integer dot/norms via list_inner_product over exact-int doubles
+    (every term and sum << 2^53), identical float division/sqrt."""
+    return f"""
+        WITH enc AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / CAST(127.0 AS DOUBLE) AS scale,
+                 embedding AS v
+          FROM embeddings),
+        qv AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(round_even(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q
+          FROM enc WHERE scale > 0),
+        n AS MATERIALIZED (
+          SELECT vec_id, q,
+                 CAST(list_inner_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS qn
+          FROM qv),
+        pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(list_inner_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])) AS BIGINT) AS dot,
+                 a.qn AS qa, b.qn AS qb
+          FROM n a JOIN n b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {n_queries}),
+        sims AS (
+          SELECT query_id, neighbor_id,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) AS qsim,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) DESC,
+                            neighbor_id ASC) AS rank
+          FROM pairs)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qsim
+        FROM sims WHERE rank <= {k}
+    """
+
+
+
+_QUANTILE_V_CTE = """v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars >= 0)"""
+
+
+
+def _quantile_sketch_sql(k: int = 6) -> str:
+    """quantile_sketch mirror: the bin expression comes from the SAME
+    bin_sql() the Spark operator selectExpr's — one source of truth."""
+    from extractors_metadata_spark.operators.quantiles import bin_sql
+
+    return f"""
+        WITH {_QUANTILE_V_CTE}
+        SELECT {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1
+    """
+
+
+
+def _quantile_estimate_sql(qs: tuple[float, ...], k: int = 6) -> str:
+    """quantile_estimate mirror: sketch -> cumulative window -> per-q
+    first-reaching bin -> bounds inversion, all exact integers except the
+    literal-identical ceil(q*n)."""
+    from extractors_metadata_spark.operators.quantiles import bin_sql, bounds_sql
+
+    lo, hi = bounds_sql(k)
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+        WITH {_QUANTILE_V_CTE},
+        sk AS MATERIALIZED (
+          SELECT {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1),
+        cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM sk),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+        qs(q) AS (VALUES {qvals}),
+        tq AS (SELECT q, n,
+                      greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS target
+               FROM qs, tot),
+        hit AS (SELECT q, n, min(bin) AS bin
+                FROM tq JOIN cum ON cum.cum >= tq.target GROUP BY q, n)
+        SELECT q, n, bin, {lo} AS lo, {hi} AS hi FROM hit
+    """
+
+
+
+def _quantile_grouped_sql(qs: tuple[float, ...], k: int = 6) -> str:
+    """quantile_sketch_grouped + quantile_estimate_grouped mirror: the
+    per-group sketch, the group-partitioned cumulative window, the keyed
+    q-join and the bounds inversion — same shared bin_sql/bounds_sql
+    expressions, exact integers except the literal-identical ceil(q*n)."""
+    from extractors_metadata_spark.operators.quantiles import bin_sql, bounds_sql
+
+    lo, hi = bounds_sql(k)
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+        WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        sk AS MATERIALIZED (
+          SELECT lang, {bin_sql(k)} AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+        cum AS (SELECT lang, bin,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+                FROM sk),
+        tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+        qs(q) AS (VALUES {qvals}),
+        tq AS (SELECT lang, q, n,
+                      greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS target
+               FROM qs, tot),
+        hit AS (SELECT tq.lang AS lang, q, n, min(cum.bin) AS bin
+                FROM tq JOIN cum ON cum.lang = tq.lang AND cum.cum >= tq.target
+                GROUP BY 1, 2, 3)
+        SELECT lang, q, n, bin, {lo} AS lo, {hi} AS hi FROM hit
+    """
+
+
+
+def _knn_bruteforce_sql(where: str, k: int, select: str) -> str:
+    """Brute-force point-to-rectangle kNN in SQL: the literal mirror of
+    geometry.PreparedPolygons.distance_m (equirectangular local plane, clamped
+    point-segment projection) over all 864 plots; shared by the knn_topk and
+    knn_nearest oracles."""
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({LAT_SOUTH}) AS py, ({LON_IN}) AS px
+          FROM events {where}
+        ),
+        plots AS (
+          SELECT CAST(r AS VARCHAR) || '-' || CAST(p AS VARCHAR) AS plot_id,
+                 33.0745 + (r - 1) * 0.0000365 AS lat_s,
+                 33.0745 + r * 0.0000365 AS lat_n,
+                 -111.9750833333 + (p - 1) * 0.00005 AS lon_w,
+                 -111.9750833333 + p * 0.00005 AS lon_e
+          FROM range(1, 55) t(r), range(1, 17) t2(p)
+        ),
+        segs AS (
+          SELECT plot_id, lon_w AS x1, lat_s AS y1, lon_e AS x2, lat_s AS y2 FROM plots
+          UNION ALL SELECT plot_id, lon_e, lat_s, lon_e, lat_n FROM plots
+          UNION ALL SELECT plot_id, lon_e, lat_n, lon_w, lat_n FROM plots
+          UNION ALL SELECT plot_id, lon_w, lat_n, lon_w, lat_s FROM plots
+        ),
+        -- literal mirror of PreparedPolygons.distance_m (equirectangular
+        -- local plane): ax=(x1-px)*coslat*deg etc., clamped projection
+        ab AS (
+          SELECT event_id, plot_id,
+                 (x1 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS ax,
+                 (y1 - py) * (pi() / 180.0 * 6371008.8) AS ay,
+                 (x2 - px) * cos(radians(py)) * (pi() / 180.0 * 6371008.8) AS bx,
+                 (y2 - py) * (pi() / 180.0 * 6371008.8) AS by
+          FROM pts, segs
+        ),
+        dd AS (SELECT event_id, plot_id, ax, ay, bx - ax AS dx, by - ay AS dy FROM ab),
+        tt AS (
+          SELECT event_id, plot_id, ax, ay, dx, dy,
+                 least(greatest(-(ax * dx + ay * dy) / (dx * dx + dy * dy), 0.0), 1.0) AS t
+          FROM dd
+        ),
+        dseg AS (
+          SELECT event_id, plot_id,
+                 sqrt((ax + t * dx) * (ax + t * dx) + (ay + t * dy) * (ay + t * dy)) AS ds
+          FROM tt
+        ),
+        d AS (SELECT event_id, plot_id, min(ds) AS dist FROM dseg GROUP BY 1, 2)
+        SELECT {select}
+        FROM (
+          SELECT event_id, plot_id, dist,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY dist ASC, plot_id ASC) AS rank
+          FROM d)
+        WHERE rank <= {k}
+    """
+
+
+
+def _utm_inverse_sql() -> str:
+    """gantry (gx, gy) -> WGS84 (lat, lon): the transverse-Mercator inverse
+    series of functions/geodesy.to_latlon written as literal SQL over a CTE
+    named ``g(event_id, gx, gy)``; constants imported from the geodesy module
+    so the two sides can never drift. Ends with CTE ``ll(event_id, lat, lon)``."""
+    from extractors_metadata_spark.functions import geodesy as G
+    from extractors_metadata_spark.functions.textmeta import SE_E, SE_N
+
+    # DuckDB parses plain numeric literals as DECIMAL; every module constant
+    # must be an explicit DOUBLE so the whole series runs in float64.
+    d = lambda x: f"CAST({x!r} AS DOUBLE)"
+    se_e, se_n, k0, r, m1 = d(SE_E), d(SE_N), d(G.K0), d(G.R), d(G.M1)
+    p2, p3, p4, p5 = d(G.P2), d(G.P3), d(G.P4), d(G.P5)
+    e, ep2 = d(G.E), d(G.E_P2)
+
+    return f"""
+        utm AS (
+          SELECT event_id,
+                 {se_e} - gy - 500000.0 AS x,
+                 ({se_n} + (gx - 3.8)) / {k0} AS m
+          FROM g
+        ),
+        s1 AS (SELECT event_id, x, m / ({r} * {m1}) AS mu FROM utm),
+        s2 AS (
+          SELECT event_id, x,
+                 mu + {p2} * sin(2.0 * mu) + {p3} * sin(4.0 * mu)
+                    + {p4} * sin(6.0 * mu) + {p5} * sin(8.0 * mu) AS p_rad
+          FROM s1
+        ),
+        s3 AS (SELECT event_id, x, p_rad, sin(p_rad) AS p_sin, cos(p_rad) AS p_cos FROM s2),
+        s4 AS (
+          SELECT event_id, x, p_rad, p_cos, p_sin / p_cos AS p_tan,
+                 1.0 - {e} * p_sin * p_sin AS ep_sin
+          FROM s3
+        ),
+        s5 AS (
+          SELECT event_id, x, p_rad, p_cos, p_tan, p_tan * p_tan AS t2,
+                 {r} / sqrt(ep_sin) AS n,
+                 (1.0 - {e}) / ep_sin AS rr,
+                 {ep2} * p_cos * p_cos AS c
+          FROM s4
+        ),
+        s6 AS (
+          SELECT event_id, p_rad, p_cos, p_tan, t2, t2 * t2 AS t4, rr, c, c * c AS c2,
+                 x / (n * {k0}) AS d
+          FROM s5
+        ),
+        ll AS (
+          SELECT event_id,
+                 degrees(p_rad
+                   - (p_tan / rr) * (d*d / 2.0
+                       - d*d*d*d / 24.0 * (5.0 + 3.0*t2 + 10.0*c - 4.0*c2 - 9.0*{ep2}))
+                   - (p_tan / rr) * (-(d*d*d*d*d*d) / 720.0
+                       * (61.0 + 90.0*t2 + 298.0*c + 45.0*t4 - 252.0*{ep2} - 3.0*c2))
+                 ) AS lat,
+                 degrees((d - d*d*d / 6.0 * (1.0 + 2.0*t2 + c)
+                   + d*d*d*d*d / 120.0
+                       * (5.0 - 2.0*c + 28.0*t2 - 3.0*c2 + 8.0*{ep2} + 24.0*t4))
+                 / p_cos) + (-111.0) AS lon
+          FROM s6
+        )
+    """
+
+
+
+def _probe_gxgy_sql(where: str = "", gx_expr: str | None = None) -> str:
+    """Shared CTEs (pts, g) deriving the probe gantry coordinates from
+    event_id — the SQL twin of ``_probe_pages`` (``gx_expr`` overrides the
+    plot-center walk, mirroring _probe_pages' ``gx``)."""
+    return f"""
+        pts AS (
+          SELECT event_id, {gx_expr or PLOT_GX_EXPR} AS gx FROM events {where}
+        ),
+        g AS (
+          SELECT event_id, gx,
+                 (CASE CAST(event_id % 6 AS INT)
+                    WHEN 0 THEN {PLOT_GY_CENTERS[0]!r}
+                    WHEN 1 THEN {PLOT_GY_CENTERS[1]!r}
+                    WHEN 2 THEN {PLOT_GY_CENTERS[2]!r}
+                    WHEN 3 THEN {PLOT_GY_CENTERS[3]!r}
+                    WHEN 4 THEN {PLOT_GY_CENTERS[4]!r}
+                    ELSE {PLOT_GY_CENTERS[5]!r} END)
+                 - 0.009301 * (gx - 105.0) AS gy
+          FROM pts
+        )
+    """
+
+
+
+def _poly_sql(expr: str, base: int) -> str:
+    """The vhash rolling hash as DuckDB SQL: fold character codepoints with
+    (acc * base + code) mod 2^31-1 — list_prepend supplies the 0 seed
+    (list_reduce folds the list's own head otherwise). Exact int64 arithmetic,
+    bit-identical to functions/vhash.poly_hash."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {base} + b) % 2147483647)"
+    )
+
+
+
+def _mix31_sql(expr: str) -> str:
+    """vhash.mix31 (murmur3-style multiply-xorshift finalizer in 31-bit
+    state) as DuckDB SQL — exact BIGINT arithmetic, every product < 2^63.
+    Constants imported from the single source. Pass a SHORT column
+    reference: the xor stages duplicate the input expression 8x."""
+    from extractors_metadata_spark.functions.vhash import M31, MIX_C1, MIX_C2
+
+    z = f"xor({expr}, ({expr}) >> 16)"
+    z = f"((({z}) * {MIX_C1}) % {M31})"
+    z = f"xor({z}, ({z}) >> 13)"
+    z = f"((({z}) * {MIX_C2}) % {M31})"
+    return f"xor({z}, ({z}) >> 16)"
+
+
+
+def _hll_cte_sql(p: int = 8) -> str:
+    """Shared CTE block for the two HLL oracles: poly hash -> mix31 ->
+    bucket/rank -> per-bucket max -> zero-filled full register table.
+    Mirrors operators/sketches.hll_sketch literally."""
+    m = 1 << p
+    return f"""
+        keys AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                 FROM events),
+        h0 AS (SELECT {_poly_sql('k', 131)} AS wr, {_poly_sql('k', 137)} AS br
+               FROM keys),
+        h1 AS (SELECT {_mix31_sql('wr')} AS w, {_mix31_sql('br')} AS bh FROM h0),
+        rnk AS (SELECT bh % {m} AS bucket,
+                       CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS rho
+                FROM h1),
+        regs AS (SELECT bucket, max(rho) AS rho FROM rnk GROUP BY bucket),
+        full_regs AS (
+          SELECT t.bucket, CAST(coalesce(regs.rho, 0) AS INTEGER) AS rho
+          FROM (SELECT range AS bucket FROM range(0, {m})) t
+          LEFT JOIN regs USING (bucket))"""
+
+
+
+def _hll_estimate_sql(p: int = 8) -> str:
+    """hll_estimate mirror: exact integer harmonic sum (power-of-two terms,
+    HUGEINT), then the identical literal double arithmetic for the raw
+    estimator; the linear-counting CASE branch matches the Spark predicate
+    but does not fire at sf0.01 (see q_hll_estimate docstring)."""
+    from extractors_metadata_spark.operators.sketches import HLL_SCALE, _hll_alpha
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    # every float literal CAST AS DOUBLE — a bare decimal literal is
+    # DECIMAL-typed in DuckDB and overflows the fixed-point multiply
+    raw = (
+        f"(CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_SCALE)!r} AS DOUBLE) / CAST(harm AS DOUBLE))"
+    )
+    lc = (
+        f"(CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({float(m)!r} AS DOUBLE) / CAST(n_zero AS DOUBLE)))"
+    )
+    return f"""
+        WITH {_hll_cte_sql(p)},
+        agg AS (SELECT sum(CAST(power(2, {HLL_SCALE} - rho) AS HUGEINT)) AS harm,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+                FROM full_regs)
+        SELECT CAST({m} AS INTEGER) AS m,
+               CAST(n_zero AS BIGINT) AS n_zero,
+               CAST(harm AS VARCHAR) AS harm_num,
+               round(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND n_zero > 0
+                           THEN {lc} ELSE {raw} END, 6), 3) AS estimate
+        FROM agg
+    """
+
+
+
+def _cms_sql(d: int = 4, w: int = 1024) -> str:
+    """cms_sketch + cms_lookup mirror: the d affine cell hashes come from
+    vhash.perm_coeffs — the same literals the Spark expressions use."""
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    cs = perm_coeffs(d)
+    cells = "\n          UNION ALL ".join(
+        f"SELECT {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM hm"
+        for i, (a, b) in enumerate(cs)
+    )
+    probe = "\n          UNION ALL ".join(
+        f"SELECT k, exact, {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM kx"
+        for i, (a, b) in enumerate(cs)
+    )
+    return f"""
+        WITH keys AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                      FROM events),
+        h0 AS (SELECT k, {_poly_sql('k', 131)} AS hr FROM keys),
+        hm AS MATERIALIZED (SELECT k, {_mix31_sql('hr')} AS h FROM h0),
+        cells AS ({cells}),
+        grid AS MATERIALIZED (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+        kx AS MATERIALIZED (SELECT k, h, count(*) AS exact FROM hm GROUP BY k, h),
+        probe AS ({probe}),
+        est AS (SELECT k, exact, min(coalesce(g.cnt, 0)) AS est
+                FROM probe p LEFT JOIN grid g ON p.r = g.r AND p.c = g.c
+                GROUP BY k, exact)
+        SELECT k, est, exact, est - exact AS overcount FROM est
+    """
+
+
+
+def _cms_grid_sql(d: int = 4, w: int = 1024) -> str:
+    """cms_sketch GRID mirror (cells only, no probe) — the oracle for the
+    streamed count-min state: since the batch-id guard applies each
+    micro-batch exactly once and cell counts add, the streamed end state
+    must equal this one-shot grid cell-for-cell."""
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    cells = "\n          UNION ALL ".join(
+        f"SELECT {i} AS r, (({a} * h + {b}) % {P31}) % {w} AS c FROM hm"
+        for i, (a, b) in enumerate(perm_coeffs(d))
+    )
+    return f"""
+        WITH keys AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+                      FROM events),
+        h0 AS (SELECT k, {_poly_sql('k', 131)} AS hr FROM keys),
+        hm AS MATERIALIZED (SELECT {_mix31_sql('hr')} AS h FROM h0),
+        cells AS ({cells})
+        SELECT r AS "row", c AS "col", count(*) AS cnt FROM cells GROUP BY r, c
+    """
+
+
+
+def _bloom_sql(n_bits: int = 2048, k: int = 5) -> str:
+    """bloom_build + bloom_prune mirror: k bit positions per key from the
+    perm_coeffs affine family over the mix31-finalized poly hash; a probe
+    key survives iff all k positions are set, then is flagged by true
+    membership (hit=0 rows are the filter's false positives)."""
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    cs = perm_coeffs(k)
+    bcells = "\n          UNION ALL ".join(
+        f"SELECT (({a} * h + {b}) % {P31}) % {n_bits} AS p FROM bh" for a, b in cs
+    )
+    pcells = "\n          UNION ALL ".join(
+        f"SELECT k, (({a} * h + {b}) % {P31}) % {n_bits} AS p FROM ph" for a, b in cs
+    )
+    return f"""
+        WITH build AS MATERIALIZED (
+          SELECT DISTINCT user_id AS k FROM events
+          WHERE event_type = 'error' AND user_id % 3 = 0),
+        bh0 AS (SELECT k, {_poly_sql('CAST(k AS VARCHAR)', 131)} AS hr FROM build),
+        bh AS MATERIALIZED (SELECT k, {_mix31_sql('hr')} AS h FROM bh0),
+        pos AS MATERIALIZED (SELECT DISTINCT p FROM ({bcells})),
+        probe AS (SELECT rn - 1 AS k FROM (
+                    SELECT row_number() OVER (ORDER BY event_id) AS rn
+                    FROM events) q
+                  WHERE rn <= 2 * (SELECT max(user_id) + 1 FROM events)),
+        ph0 AS (SELECT k, {_poly_sql('CAST(k AS VARCHAR)', 131)} AS hr FROM probe),
+        ph AS MATERIALIZED (SELECT k, {_mix31_sql('hr')} AS h FROM ph0),
+        pc AS ({pcells}),
+        hits AS (SELECT pc.k, count(*) AS nh
+                 FROM pc JOIN pos USING (p) GROUP BY pc.k)
+        SELECT hits.k,
+               CAST(CASE WHEN build.k IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS hit
+        FROM hits LEFT JOIN build ON hits.k = build.k
+        WHERE nh = {k}
+    """
+
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """linkgraph.pagerank mirror: the damped integer fixed-point update
+    unrolled as one CTE stage per iteration (the repo's DuckDB rule:
+    iterative folds become generated stages). All arithmetic is integer
+    floor division — HUGEINT sums, BIGINT ranks — so the replay is exact."""
+    from extractors_metadata_spark.operators.linkgraph import PR_MASS
+
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+        it{i} AS (
+          SELECT nodes.node,
+                 CAST((15 * ({PR_MASS} // (SELECT n FROM nn))) // 100
+                      + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS insum
+            FROM edges e JOIN {prev} r ON e.src = r.node
+                         JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s ON nodes.node = s.node)""")
+        prev = f"it{i}"
+    body = ",".join(its)
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, {PR_MASS} // (SELECT n FROM nn) AS rank FROM nodes),
+        {body}
+        SELECT node, rank FROM {prev}
+    """
+
+
+
+_ASSORTATIVITY_SQL = """
+    WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+    nodes AS MATERIALIZED (
+      SELECT rn - 1 AS node FROM (
+        SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+      WHERE rn <= (SELECT n FROM nn)),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT user_id AS src,
+               (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+        FROM events
+        UNION ALL
+        SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS dx FROM edges GROUP BY 1),
+    indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS dy FROM edges GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dy * dy) AS BIGINT) AS syy
+    FROM edges JOIN outdeg USING (src) JOIN indeg USING (dst)
+"""
+
+
+
+def _k_core_sql(k: int = 7, rounds: int = 8) -> str:
+    stages = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        k{i} AS (
+          SELECT v FROM (
+            SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev})
+          GROUP BY v HAVING count(*) >= {k}),
+        e{i} AS MATERIALIZED (
+          SELECT {prev}.a, {prev}.b FROM {prev}
+          JOIN k{i} ka ON {prev}.a = ka.v
+          JOIN k{i} kb ON {prev}.b = kb.v)""")
+        prev = f"e{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        {body}
+        SELECT a, b FROM {prev}
+    """
+
+
+
+def _k_hop_sql(hops: int = 4) -> str:
+    stages = []
+    prev_s = "s0"
+    prev_f = "s0"
+    for i in range(1, hops + 1):
+        stages.append(f"""
+        n{i} AS (
+          SELECT DISTINCT sym.dst AS node
+          FROM sym JOIN {prev_f} f ON sym.src = f.node),
+        new{i} AS MATERIALIZED (
+          SELECT node, {i} AS hop FROM (
+            SELECT node FROM n{i} EXCEPT SELECT node FROM {prev_s}) q),
+        s{i} AS MATERIALIZED (
+          SELECT node, hop FROM {prev_s}
+          UNION ALL SELECT node, hop FROM new{i})""")
+        prev_s = f"s{i}"
+        prev_f = f"new{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src != dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges WHERE src != dst)),
+        s0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hop),
+        {body}
+        SELECT node, hop FROM {prev_s}
+    """
+
+
+
+def _shortest_paths_sql(rounds: int = 6) -> str:
+    stages = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        d{i} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT ew.dst AS node, d.dist + ew.w AS dist
+            FROM ew JOIN {prev} d ON d.node = ew.src)
+          GROUP BY node)""")
+        prev = f"d{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        ew AS MATERIALIZED (
+          SELECT src, dst, CAST(1 + (src + 3 * dst) % 7 AS BIGINT) AS w
+          FROM edges),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        {body}
+        SELECT node, dist FROM {prev}
+    """
+
+
+
+def _label_prop_sql(rounds: int = 4) -> str:
+    stages = []
+    prev = "lbl0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        c{i} AS (
+          SELECT s.dst AS node, l.label, count(*) AS cnt
+          FROM sym s JOIN {prev} l ON l.node = s.src
+          GROUP BY 1, 2),
+        lbl{i} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY node
+                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM c{i})
+          WHERE rn = 1)""")
+        prev = f"lbl{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src != dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges WHERE src != dst)),
+        lbl0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        {body}
+        SELECT node, label FROM {prev}
+    """
+
+
+
+def _clustering_sql() -> str:
+    return f"""
+        WITH tri AS ({_triangles_sql()}),
+        nn2 AS (SELECT max(user_id) + 1 AS n FROM events),
+        edges2 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn2) AS dst
+            FROM events
+            UNION ALL
+            SELECT rn - 1 AS src, rn % (SELECT n FROM nn2) AS dst
+            FROM (SELECT row_number() OVER (ORDER BY event_id) AS rn
+                  FROM events) q
+            WHERE rn <= (SELECT n FROM nn2))),
+        und2 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges2 WHERE src != dst),
+        deg2 AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM und2 UNION ALL SELECT b AS v FROM und2)
+          GROUP BY 1)
+        SELECT t.n_triangles, w.n_wedges FROM
+          (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri) t
+        CROSS JOIN
+          (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg2) w
+    """
+
+
+
+def _triangles_sql() -> str:
+    return """
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        deg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+          GROUP BY 1),
+        ann AS (
+          SELECT a, b, da.deg AS dega, db.deg AS degb
+          FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        ori AS MATERIALIZED (
+          SELECT CASE WHEN dega < degb OR (dega = degb AND a < b)
+                      THEN a ELSE b END AS u,
+                 CASE WHEN dega < degb OR (dega = degb AND a < b)
+                      THEN b ELSE a END AS w,
+                 CASE WHEN dega < degb OR (dega = degb AND a < b)
+                      THEN degb ELSE dega END AS dw
+          FROM ann),
+        wedge AS (
+          SELECT o1.u AS u, o1.w AS v, o2.w AS w
+          FROM ori o1 JOIN ori o2 ON o1.u = o2.u
+          WHERE o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w)),
+        tri AS (
+          SELECT u, v, w FROM wedge
+          WHERE EXISTS (SELECT 1 FROM ori WHERE ori.u = wedge.v AND ori.w = wedge.w))
+        SELECT least(u, v, w) AS x,
+               (u + v + w) - least(u, v, w) - greatest(u, v, w) AS y,
+               greatest(u, v, w) AS z
+        FROM tri
+    """
+
+
+
+def _pq_sql(m: int = 4, k: int = 16, n_queries: int = 5, topk: int = 10, dim: int = 64) -> str:
+    from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
+
+    sub = dim // m
+    ph_cb = _poly_sql("'pq:' || CAST(vec_id AS VARCHAR)", 131)
+    ph_q = _poly_sql("'pqq:' || CAST(vec_id AS VARCHAR)", 131)
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
+                        + {OFFSET}) AS v
+          FROM embeddings),
+        hcb0 AS (SELECT vec_id, v, {ph_cb} AS hr FROM q),
+        hcb AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM hcb0),
+        cb AS MATERIALIZED (
+          SELECT CAST(rn - 1 AS INT) AS code, v AS c FROM (
+            SELECT v, row_number() OVER (ORDER BY hv, vec_id) AS rn FROM hcb)
+          WHERE rn <= {k}),
+        hq0 AS (SELECT vec_id, v, {ph_q} AS hr FROM q),
+        hq AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM hq0),
+        qs AS MATERIALIZED (
+          SELECT vec_id AS qid, v FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn
+            FROM hq) WHERE rn <= {n_queries}),
+        subs AS MATERIALIZED (
+          SELECT vec_id, CAST(j AS INT) AS j,
+                 v[(j * {sub}) + 1 : (j * {sub}) + {sub}] AS sv
+          FROM q, unnest(range({m})) t(j)),
+        cbsubs AS MATERIALIZED (
+          SELECT code, CAST(j AS INT) AS j,
+                 c[(j * {sub}) + 1 : (j * {sub}) + {sub}] AS cv
+          FROM cb, unnest(range({m})) t(j)),
+        enc0 AS (
+          SELECT s.vec_id, s.j, cs.code,
+                 {d2.format(a='s.sv', b='cs.cv')} AS d2
+          FROM subs s JOIN cbsubs cs ON s.j = cs.j),
+        codes AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM enc0) WHERE rn = 1),
+        qsubs AS (
+          SELECT qid, CAST(j AS INT) AS j,
+                 v[(j * {sub}) + 1 : (j * {sub}) + {sub}] AS sv
+          FROM qs, unnest(range({m})) t(j)),
+        qtab AS MATERIALIZED (
+          SELECT qu.qid, cs.j, cs.code,
+                 {d2.format(a='qu.sv', b='cs.cv')} AS td
+          FROM qsubs qu JOIN cbsubs cs ON qu.j = cs.j),
+        adcs AS (
+          SELECT qt.qid, c.vec_id, CAST(sum(td) AS BIGINT) AS adc
+          FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.code = c.code
+          GROUP BY 1, 2)
+        SELECT qid AS query_id, vec_id, adc, CAST(rn AS INT) AS rank FROM (
+          SELECT qid, vec_id, adc,
+                 row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+          FROM adcs) WHERE rn <= {topk}
+    """
+
+
+
+def _overlay_sql() -> str:
+    from extractors_metadata_spark.operators.clip import A_SCALE, C_SCALE
+
+    def inside(px: str, py: str, qx: str, qy: str) -> str:
+        conds = []
+        for j in range(4):
+            j1, j2 = j + 1, ((j + 1) % 4) + 1
+            conds.append(
+                f"(({qx}[{j2}] - {qx}[{j1}]) * (({py}) - {qy}[{j1}])"
+                f" - ({qy}[{j2}] - {qy}[{j1}]) * (({px}) - {qx}[{j1}]) >= 0)"
+            )
+        return " AND ".join(conds)
+
+    bx = ", ".join(f"cx2 + {o!r}" for o in _OVL_OX)
+    by = ", ".join(f"cy2 + {o!r}" for o in _OVL_OY)
+    he = lambda a, n: (
+        f"(CASE WHEN 2 * ((({a} % {n}) + {n}) % {n}) > {n} "
+        f"OR (2 * ((({a} % {n}) + {n}) % {n}) = {n} "
+        f"AND (({a} - ((({a} % {n}) + {n}) % {n})) // {n}) % 2 = 1) "
+        f"THEN ({a} - ((({a} % {n}) + {n}) % {n})) // {n} + 1 "
+        f"ELSE ({a} - ((({a} % {n}) + {n}) % {n})) // {n} END)"
+    )
+    return f"""
+        WITH e AS (
+          SELECT event_id, ({LAT_IN}) AS cy, ({LON_IN}) AS cx FROM events),
+        ctr AS (
+          SELECT event_id, cx, cy,
+                 cx + CAST(event_id % 5 AS DOUBLE) * 0.0003 - 0.0006 AS cx2,
+                 cy + CAST(event_id % 3 AS DOUBLE) * 0.00025 - 0.00025 AS cy2
+          FROM e),
+        quads AS MATERIALIZED (
+          SELECT event_id,
+                 [cx - {_OVL_W1!r}, cx + {_OVL_W1!r}, cx + {_OVL_W1!r}, cx - {_OVL_W1!r}] AS ax,
+                 [cy - {_OVL_H1!r}, cy - {_OVL_H1!r}, cy + {_OVL_H1!r}, cy + {_OVL_H1!r}] AS ay,
+                 [{bx}] AS bx, [{by}] AS by
+          FROM ctr),
+        va AS (
+          SELECT event_id, ax[i + 1] AS x, ay[i + 1] AS y
+          FROM quads, unnest(range(4)) t(i)
+          WHERE {inside('ax[i + 1]', 'ay[i + 1]', 'bx', 'by')}),
+        vb AS (
+          SELECT event_id, bx[i + 1] AS x, by[i + 1] AS y
+          FROM quads, unnest(range(4)) t(i)
+          WHERE {inside('bx[i + 1]', 'by[i + 1]', 'ax', 'ay')}),
+        segs AS (
+          SELECT event_id,
+                 ax[(ij % 4) + 1] AS p0x, ay[(ij % 4) + 1] AS p0y,
+                 ax[(((ij % 4) + 1) % 4) + 1] - ax[(ij % 4) + 1] AS d1x,
+                 ay[(((ij % 4) + 1) % 4) + 1] - ay[(ij % 4) + 1] AS d1y,
+                 bx[(ij // 4) + 1] AS q0x, by[(ij // 4) + 1] AS q0y,
+                 bx[(((ij // 4) + 1) % 4) + 1] - bx[(ij // 4) + 1] AS d2x,
+                 by[(((ij // 4) + 1) % 4) + 1] - by[(ij // 4) + 1] AS d2y
+          FROM quads, unnest(range(16)) t(ij)),
+        params AS (
+          SELECT event_id, p0x, p0y, d1x, d1y,
+                 ((q0x - p0x) * d2y - (q0y - p0y) * d2x)
+                   / (d1x * d2y - d1y * d2x) AS t,
+                 ((q0x - p0x) * d1y - (q0y - p0y) * d1x)
+                   / (d1x * d2y - d1y * d2x) AS u
+          FROM segs WHERE d1x * d2y - d1y * d2x != 0),
+        inter AS (
+          SELECT event_id, p0x + t * d1x AS x, p0y + t * d1y AS y
+          FROM params WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1),
+        cand AS MATERIALIZED (
+          SELECT * FROM va UNION ALL SELECT * FROM vb
+          UNION ALL SELECT * FROM inter),
+        agg AS (
+          SELECT event_id, count(*) AS n_vertices,
+                 CAST(sum(CAST(round_even(x * {C_SCALE!r}, 0) AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(sum(CAST(round_even(y * {C_SCALE!r}, 0) AS BIGINT)) AS BIGINT) AS sy
+          FROM cand GROUP BY 1 HAVING count(*) >= 3),
+        anch AS (
+          SELECT event_id, n_vertices,
+                 CAST({he('sx', 'n_vertices')} AS DOUBLE) / {C_SCALE!r} AS cxf,
+                 CAST({he('sy', 'n_vertices')} AS DOUBLE) / {C_SCALE!r} AS cyf
+          FROM agg),
+        cc AS (
+          SELECT c.event_id, a.n_vertices,
+                 c.x - a.cxf AS dx, c.y - a.cyf AS dy
+          FROM cand c JOIN anch a USING (event_id)),
+        pp AS (
+          SELECT event_id, n_vertices, dx, dy,
+                 CASE WHEN abs(dx) + abs(dy) = 0 THEN -1.0
+                      WHEN dy >= 0 THEN 1.0 - dx / (abs(dx) + abs(dy))
+                      ELSE 3.0 + dx / (abs(dx) + abs(dy)) END AS p
+          FROM cc),
+        rings AS (
+          SELECT event_id, n_vertices,
+                 list(struct_pack(p := p, dx := dx, dy := dy)
+                      ORDER BY p, dx, dy) AS ring
+          FROM pp GROUP BY 1, 2)
+        SELECT event_id, n_vertices,
+               CAST(list_sum(list_transform(range(len(ring)),
+                 i -> CAST(round_even((ring[i + 1].dx * ring[((i + 1) % len(ring)) + 1].dy
+                         - ring[((i + 1) % len(ring)) + 1].dx * ring[i + 1].dy)
+                         * {A_SCALE!r}, 0) AS BIGINT))) AS BIGINT) AS area2_fp
+        FROM rings
+    """
+
+
+
+def _pq_recall_sql(n_queries: int = 5, topk: int = 10) -> str:
+    from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
+
+    ph_q = _poly_sql("'pqq:' || CAST(vec_id AS VARCHAR)", 131)
+    pq = _pq_sql(n_queries=n_queries, topk=topk)
+    return f"""
+        WITH qz AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
+                        + {OFFSET}) AS v
+          FROM embeddings),
+        hq0 AS (SELECT vec_id, v, {ph_q} AS hr FROM qz),
+        hq AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM hq0),
+        qs AS (
+          SELECT vec_id AS qid, v AS qv FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY hv, vec_id) AS rn
+            FROM hq) WHERE rn <= {n_queries}),
+        dd AS (
+          SELECT qs.qid, qz.vec_id,
+                 CAST(list_sum(list_transform(list_zip(qz.v, qs.qv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+          FROM qz CROSS JOIN qs),
+        ex AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+            FROM dd) WHERE rn <= {topk}),
+        pq AS (SELECT * FROM ({pq}))
+        SELECT pq.query_id, CAST(count(e.vec_id) AS BIGINT) AS hits
+        FROM pq LEFT JOIN ex e
+          ON e.qid = pq.query_id AND e.vec_id = pq.vec_id
+        GROUP BY 1
+    """
+
+
+
+def _minhash_match_sum(num_perm: int = 64) -> str:
+    """Slot-match count between signature rows aliased ``sa`` and ``sb``."""
+    return " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+
+
+
+def _minhash_sql(
+    threshold: float,
+    num_perm: int = 64,
+    bands: int = 16,
+    where: str = "",
+    sfx: str = "",
+    materialize: bool = False,
+) -> str:
+    """Shared CTE chain for the verifiable MinHash oracle: word shingles ->
+    rolling hash -> affine permutation mins -> banded buckets -> candidate
+    pairs -> slot-match Jaccard estimate. Coefficients come from
+    vhash.perm_coeffs — the same literals the Spark expressions use. Ends
+    with CTE ``tpairs{sfx}(id_a, id_b, je)`` (est >= threshold, unrounded).
+    ``where`` filters the source docs; ``sfx`` suffixes every CTE name so two
+    chains (e.g. the incremental oracle's two batches) can share one WITH;
+    ``materialize`` marks the multiply-referenced CTEs (sigs/bands/tpairs)
+    AS MATERIALIZED — required when the chain is consumed by further
+    multiply-referencing CTEs (DuckDB otherwise re-inlines the whole
+    shingle->signature pipeline per reference and the plan explodes)."""
+    from extractors_metadata_spark.functions.vhash import perm_coeffs
+
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"min(({a} * t + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs{sfx}".format(
+            b=b,
+            sfx=sfx,
+            cols=" || ',' || ".join(
+                f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    match_sum = _minhash_match_sum(num_perm)
+    denom = f"{float(num_perm)}"
+    mat = "MATERIALIZED " if materialize else ""
+    return rf"""
+        toks{sfx} AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+                 FROM documents {where}),
+        sh{sfx} AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+               FROM toks{sfx}, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+        th{sfx} AS (SELECT doc_id, {_poly_sql('shingle', 131)} AS t FROM sh{sfx}),
+        sigs{sfx} AS {mat}(SELECT doc_id, {mins} FROM th{sfx} GROUP BY doc_id),
+        bands{sfx} AS {mat}({band_selects}),
+        cpairs{sfx} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands{sfx} a JOIN bands{sfx} b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id),
+        tpairs{sfx} AS {mat}(SELECT id_a, id_b, ({match_sum}) / {denom} AS je
+                   FROM cpairs{sfx}
+                   JOIN sigs{sfx} sa ON sa.doc_id = id_a
+                   JOIN sigs{sfx} sb ON sb.doc_id = id_b
+                   WHERE ({match_sum}) / {denom} >= {threshold})
+    """
+
+
+
+def _incremental_dedup_sql(threshold: float = 0.6, num_perm: int = 64) -> str:
+    """Two-batch incremental near-dedup replay (oracle for
+    q_incremental_dedup_verify). Batch 1 = even doc ids: global near-dedup
+    (the same recursive-components machinery as near_dedup_minhash_verify);
+    its SURVIVORS' signatures are the committed state. Batch 2 = odd ids:
+    any doc whose slot-match estimate vs a STATE signature clears the
+    threshold drops (dedup.incremental_near_dedup step 2-4); the rest
+    near-dedup among themselves. Mirrors dedup.py:incremental_near_dedup
+    exactly, including that only survivor signatures enter the state."""
+    match_sum = _minhash_match_sum(num_perm)
+    denom = f"{float(num_perm)}"
+    return f"""
+        {_minhash_sql(threshold, num_perm, where="WHERE doc_id % 2 = 0", sfx="1", materialize=True)},
+        edges1 AS (SELECT id_a AS src, id_b AS dst FROM tpairs1
+                   UNION SELECT id_b, id_a FROM tpairs1),
+        reach1 AS (
+          SELECT src AS id, dst AS r FROM edges1
+          UNION
+          SELECT e.src, rch.r FROM edges1 e JOIN reach1 rch ON rch.id = e.dst
+        ),
+        labels1 AS (SELECT id, min(r) AS mn FROM reach1 GROUP BY id),
+        surv1 AS MATERIALIZED (
+                  SELECT d.doc_id
+                  FROM documents d LEFT JOIN labels1 ON labels1.id = d.doc_id
+                  WHERE d.doc_id % 2 = 0
+                    AND (labels1.id IS NULL OR least(d.doc_id, labels1.mn) = d.doc_id)),
+        {_minhash_sql(threshold, num_perm, where="WHERE doc_id % 2 = 1", sfx="2", materialize=True)},
+        statebands AS (SELECT b.* FROM bands1 b JOIN surv1 s ON s.doc_id = b.doc_id),
+        vs_old AS (SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+                   FROM bands2 n JOIN statebands o
+                     ON n.band = o.band AND n.bucket = o.bucket),
+        dup2 AS MATERIALIZED (
+                 SELECT DISTINCT v.id_a AS doc_id
+                 FROM vs_old v
+                 JOIN sigs2 sa ON sa.doc_id = v.id_a
+                 JOIN sigs1 sb ON sb.doc_id = v.id_b
+                 WHERE ({match_sum}) / {denom} >= {threshold}),
+        tp2f AS MATERIALIZED (
+                 SELECT t.id_a, t.id_b, t.je
+                 FROM tpairs2 t
+                 LEFT JOIN dup2 da ON da.doc_id = t.id_a
+                 LEFT JOIN dup2 db ON db.doc_id = t.id_b
+                 WHERE da.doc_id IS NULL AND db.doc_id IS NULL),
+        edges2 AS (SELECT id_a AS src, id_b AS dst FROM tp2f
+                   UNION SELECT id_b, id_a FROM tp2f),
+        reach2 AS (
+          SELECT src AS id, dst AS r FROM edges2
+          UNION
+          SELECT e.src, rch.r FROM edges2 e JOIN reach2 rch ON rch.id = e.dst
+        ),
+        labels2 AS (SELECT id, min(r) AS mn FROM reach2 GROUP BY id),
+        surv2 AS MATERIALIZED (
+                  SELECT d.doc_id
+                  FROM documents d
+                  LEFT JOIN labels2 ON labels2.id = d.doc_id
+                  LEFT JOIN dup2 dd ON dd.doc_id = d.doc_id
+                  WHERE d.doc_id % 2 = 1
+                    AND dd.doc_id IS NULL
+                    AND (labels2.id IS NULL OR least(d.doc_id, labels2.mn) = d.doc_id))
+    """
+
+
+
+def _cells_sql() -> str:
+    """Independent SQL replay of BOTH cell kernels for the cells_encode
+    oracle — the H3-style encode (Lambert equal-area projection -> pointy-top
+    axial coords -> cube rounding -> bit packing, functions/hexgrid.py) and
+    the S2-style encode (unit sphere -> cube face -> quadratic (u,v)->(s,t)
+    -> 26-level Hilbert fold via list_reduce with a struct state,
+    functions/s2quad.py). Numeric preconditions verified empirically on this
+    host: DuckDB's radians/sin/cos are BIT-EXACT vs NumPy on the probe grid
+    (same libm), round_even(x,0) == np.rint, and every other op (*, /, sqrt,
+    trunc) is IEEE-exact — so the compare is deterministic, not
+    drift-tolerant. Constants are imported from the kernel modules."""
+    import numpy as np
+
+    from extractors_metadata_spark.functions.geodesy import R_MEAN
+    from extractors_metadata_spark.functions.hexgrid import res_size_m
+
+    r = f"CAST({R_MEAN!r} AS DOUBLE)"
+    size9 = f"CAST({float(res_size_m(9))!r} AS DOUBLE)"
+    s3_3 = f"CAST({float(np.sqrt(3.0) / 3.0)!r} AS DOUBLE)"
+    st_expr = lambda c: (
+        f"CASE WHEN {c} >= 0.0 THEN 0.5 * sqrt(greatest(0.0, 1.0 + 3.0 * {c})) "
+        f"ELSE 1.0 - 0.5 * sqrt(greatest(0.0, 1.0 - 3.0 * {c})) END"
+    )
+    return f"""
+        pts AS (SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+        h3p AS (SELECT event_id, {r} * radians(lon) AS hx, {r} * sin(radians(lat)) AS hy FROM pts),
+        h3f AS (SELECT event_id,
+                       ({s3_3} * hx - hy / 3.0) / {size9} AS qf,
+                       (0.6666666666666666 * hy) / {size9} AS rf
+                FROM h3p),
+        h3r AS (SELECT event_id, qf, rf,
+                       round_even(qf, 0) AS rx0,
+                       round_even(-qf - rf, 0) AS ry0,
+                       round_even(rf, 0) AS rz0
+                FROM h3f),
+        h3c AS (SELECT event_id,
+          CASE WHEN abs(rx0 - qf) > abs(ry0 - (-qf - rf)) AND abs(rx0 - qf) > abs(rz0 - rf)
+               THEN -ry0 - rz0 ELSE rx0 END AS q,
+          CASE WHEN NOT (abs(rx0 - qf) > abs(ry0 - (-qf - rf)) AND abs(rx0 - qf) > abs(rz0 - rf))
+                    AND abs(rz0 - rf) > abs(ry0 - (-qf - rf))
+               THEN -rx0 - ry0 ELSE rz0 END AS rr
+          FROM h3r),
+        h3cell AS (SELECT event_id,
+          (CAST(9 AS BIGINT) << 58)
+          | ((CAST(q AS BIGINT) + 268435456) << 29)
+          | (CAST(rr AS BIGINT) + 268435456) AS cell_r9
+          FROM h3c),
+        s2a AS (SELECT event_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS sx,
+                       cos(radians(lat)) * sin(radians(lon)) AS sy,
+                       sin(radians(lat)) AS sz
+                FROM pts),
+        s2f AS (SELECT event_id, sx, sy, sz,
+          CASE WHEN abs(sx) >= abs(sy) AND abs(sx) >= abs(sz) THEN CASE WHEN sx >= 0 THEN 0 ELSE 3 END
+               WHEN abs(sy) >= abs(sz) THEN CASE WHEN sy >= 0 THEN 1 ELSE 4 END
+               ELSE CASE WHEN sz >= 0 THEN 2 ELSE 5 END END AS face
+          FROM s2a),
+        s2uv AS (SELECT event_id, face,
+          -- negations wrap the NUMERATOR ((-sx)/sy), matching the kernel's
+          -- un = -x; un/den order — -sx/sy parses as -(sx/sy), 1 ulp off
+          CASE face WHEN 0 THEN sy / sx WHEN 1 THEN (-sx) / sy WHEN 2 THEN (-sx) / sz
+                    WHEN 3 THEN sz / sx WHEN 4 THEN sz / sy ELSE (-sy) / sz END AS u,
+          CASE face WHEN 0 THEN sz / sx WHEN 1 THEN sz / sy WHEN 2 THEN (-sy) / sz
+                    WHEN 3 THEN sy / sx WHEN 4 THEN (-sx) / sy ELSE (-sx) / sz END AS v
+          FROM s2f),
+        s2ij AS (SELECT event_id, face,
+          least(greatest(CAST(trunc(({st_expr('u')}) * 67108864.0) AS BIGINT), 0), 67108863) AS i,
+          least(greatest(CAST(trunc(({st_expr('v')}) * 67108864.0) AS BIGINT), 0), 67108863) AS j
+          FROM s2uv),
+        hb26 AS (SELECT event_id, face, i AS x, j AS y, CAST(0 AS BIGINT) AS d FROM s2ij),
+        {_hilbert_stages_sql()},
+        s2cell AS (SELECT event_id,
+          (CAST(face AS BIGINT) << 57) | ((d >> 20) << 5) | 16 AS s2_cell
+          FROM hb0)
+    """
+
+
+
+def _hilbert_stages_sql() -> str:
+    """The 26 Hilbert xy->d iterations unrolled as generated CTE stages
+    (one per bit, s = 2^25 .. 1), each the literal mirror of one loop pass of
+    s2quad._hilbert_xy_to_d. Unrolled rather than list_reduce because DuckDB
+    1.0's list_reduce mis-evaluates multi-field struct lambdas across steps
+    (verified: single steps correct, folds diverge)."""
+    stages = []
+    prev = "hb26"
+    for k in range(25, -1, -1):
+        s = 1 << k
+        cur = f"hb{k}"
+        stages.append(f"""
+        {cur} AS (SELECT event_id, face,
+          CASE WHEN (y & {s}) > 0 THEN x
+               WHEN (x & {s}) > 0 THEN {s} - 1 - y
+               ELSE y END AS x,
+          CASE WHEN (y & {s}) > 0 THEN y
+               WHEN (x & {s}) > 0 THEN {s} - 1 - x
+               ELSE x END AS y,
+          d + CAST({s}::BIGINT * {s} AS BIGINT)
+              * xor(CAST(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                    CAST((CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT)) AS d
+          FROM {prev})""")
+        prev = cur
+    return ",".join(stages)
+
+
+
+def _polyfill_sql(res: int = 9) -> str:
+    """hexgrid.polyfill replayed in SQL over the closed-form plot grid:
+    every float op mirrors the kernel's literal order (projection constants,
+    pad = size*1.0001, corner axial floors, center-in-inflated-bbox filter,
+    [res:4][q:29][r:29] packing). Trig is bit-exact vs NumPy on this host
+    (see _cells_sql), so the enumeration compare is deterministic."""
+    import numpy as np
+
+    from extractors_metadata_spark.functions.geodesy import R_MEAN
+    from extractors_metadata_spark.functions.hexgrid import res_size_m
+
+    r = f"CAST({R_MEAN!r} AS DOUBLE)"
+    size = float(res_size_m(res))
+    sz = f"CAST({size!r} AS DOUBLE)"
+    pad = f"CAST({float(size * 1.0001)!r} AS DOUBLE)"
+    s3_3 = f"CAST({float(np.sqrt(3.0) / 3.0)!r} AS DOUBLE)"
+    s3 = f"CAST({float(np.sqrt(3.0))!r} AS DOUBLE)"
+    s3h = f"CAST({float(np.sqrt(3.0) / 2.0)!r} AS DOUBLE)"
+    qf = lambda cx, cy: f"(({s3_3} * {cx} - {cy} / 3.0) / {sz})"
+    rf = lambda cy: f"((0.6666666666666666 * {cy}) / {sz})"
+    return f"""
+        grid AS (SELECT CAST(gr AS VARCHAR) || '-' || CAST(gp AS VARCHAR) AS plot_id,
+                        33.0745 + (gr - 1) * 0.0000365 AS lat_s,
+                        33.0745 + gr * 0.0000365 AS lat_n,
+                        -111.9750833333 + (gp - 1) * 0.00005 AS lon_w,
+                        -111.9750833333 + gp * 0.00005 AS lon_e
+                 FROM range(1, 55) t(gr), range(1, 17) t2(gp)),
+        proj AS (SELECT plot_id,
+                        {r} * radians(lon_w) AS x_w, {r} * radians(lon_e) AS x_e,
+                        {r} * sin(radians(lat_s)) AS y_s, {r} * sin(radians(lat_n)) AS y_n
+                 FROM grid),
+        bb AS (SELECT plot_id,
+                      least(x_w, x_e) - {pad} AS min_x, greatest(x_w, x_e) + {pad} AS max_x,
+                      least(y_s, y_n) - {pad} AS min_y, greatest(y_s, y_n) + {pad} AS max_y
+               FROM proj),
+        qr AS (SELECT plot_id, min_x, max_x, min_y, max_y,
+                      CAST(floor(least({qf('min_x', 'min_y')}, {qf('min_x', 'max_y')},
+                                       {qf('max_x', 'min_y')}, {qf('max_x', 'max_y')})) AS INT) - 1 AS q_lo,
+                      CAST(ceil(greatest({qf('min_x', 'min_y')}, {qf('min_x', 'max_y')},
+                                         {qf('max_x', 'min_y')}, {qf('max_x', 'max_y')})) AS INT) + 1 AS q_hi,
+                      CAST(floor(least({rf('min_y')}, {rf('max_y')})) AS INT) - 1 AS r_lo,
+                      CAST(ceil(greatest({rf('min_y')}, {rf('max_y')})) AS INT) + 1 AS r_hi
+               FROM bb),
+        cand AS (SELECT plot_id, min_x, max_x, min_y, max_y, q, rr
+                 FROM qr,
+                      unnest(range(CAST(q_lo AS BIGINT), CAST(q_hi AS BIGINT) + 1)) tq(q),
+                      unnest(range(CAST(r_lo AS BIGINT), CAST(r_hi AS BIGINT) + 1)) tr(rr)),
+        keep AS (SELECT plot_id, q, rr
+                 FROM cand
+                 WHERE {sz} * ({s3} * q + {s3h} * rr) >= min_x
+                   AND {sz} * ({s3} * q + {s3h} * rr) <= max_x
+                   AND {sz} * (1.5 * rr) >= min_y
+                   AND {sz} * (1.5 * rr) <= max_y),
+        cells AS (SELECT plot_id,
+                         (CAST({res} AS BIGINT) << 58)
+                         | ((q + 268435456) << 29) | (rr + 268435456) AS cell
+                  FROM keep)
+    """
+
+
+
+def _srp_pairs_sql(threshold: float = 0.25, n_bits: int = 6, dim: int = 64) -> str:
+    """SRP bucket codes + exact-cosine verify in SQL: the seed-42 hyperplanes
+    (similarity._hyperplanes — the very arrays the pandas UDF matmuls against)
+    inlined as literal DOUBLE lists; bucket bit i = sign of v . plane_i."""
+    from extractors_metadata_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits)  # (dim, n_bits)
+    bits = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{vals}]) > 0 THEN {w} ELSE 0 END)".format(
+            vals=", ".join(f"CAST({planes[j, i]!r} AS DOUBLE)" for j in range(dim)),
+            w=1 << i,
+        )
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        coded AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
+        FROM coded a JOIN coded b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """
+
+
+
+def _fnv_sql(expr: str) -> str:
+    """63-bit FNV-1a over an ASCII string as DuckDB SQL — the literal mirror
+    of multimodal/binary_ops.hash_bytes (xor then wrap-around multiply mod
+    2^64, HUGEINT intermediates; final mask to 63 bits). hash_bytes folds
+    only the first 4096 BYTES of the payload, so the string is sliced to
+    4096 chars here too (ASCII precondition: 1 char == 1 byte)."""
+    return (
+        f"CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+        f"list_transform(string_split(substring({expr}, 1, 4096), ''), c -> CAST(ascii(c) AS HUGEINT))), "
+        f"(h, c) -> (CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)"
+        f" * 1099511628211) % 18446744073709551616) % 9223372036854775808 AS BIGINT)"
+    )
+
+
+
+def _splitmix_features_sql(n_features: int = 8) -> str:
+    """SQL replay of multimodal/binary_ops._normals_from_seeds — SplitMix64
+    over a (seed, counter) grid -> 53-bit uniforms -> Box-Muller -> float32
+    cast — verified BIT-exact vs NumPy on this host (same libm for
+    ln/sqrt/cos/sin; DuckDB ``CAST AS FLOAT`` == ``astype(float32)``). The
+    64-bit wraparound multiplies run in 32-bit limbs (a full 64x64 product
+    overflows HUGEINT at 2^127); each xor-shift stage is a MATERIALIZED CTE
+    (inlined, the expression tree doubles per stage — see CLAUDE.md).
+    Consumes CTE ``hh(event_id, h63)``; ends with
+    ``feats(event_id, feat_norm2)`` where feat_norm2 mirrors the Spark
+    query's left-associated sum of float32 squares, rounded to 6."""
+    pairs = (n_features + 1) // 2
+    m64 = "18446744073709551616"
+
+    def mul(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"(((CAST({a} AS HUGEINT) * {bl}) % {m64}"
+            f" + (((CAST({a} AS HUGEINT) * {bh}) % 4294967296) * 4294967296)) % {m64})"
+        )
+
+    def xs(z: str, s: int) -> str:
+        return f"xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {s})"
+
+    u_cols = ", ".join(
+        f"max(CASE WHEN c = {i + 1} THEN u END) AS u{i + 1}"
+        for i in range(2 * pairs)
+    )
+    f_exprs = []
+    for j in range(n_features):
+        p = j // 2
+        r = f"sqrt(-2.0 * ln(greatest(u{p + 1}, 1e-300)))"
+        tr = "cos" if j % 2 == 0 else "sin"
+        f_exprs.append(
+            f"CAST({r} * {tr}(6.283185307179586 * u{pairs + p + 1}) AS FLOAT) AS f{j + 1}"
+        )
+    norm = " + ".join(
+        f"CAST(f{j + 1} AS DOUBLE) * CAST(f{j + 1} AS DOUBLE)"
+        for j in range(n_features)
+    )
+    return f"""
+        ctrs AS (SELECT unnest(range(1, {2 * pairs + 1})) AS c),
+        z0 AS MATERIALIZED (
+          SELECT event_id, CAST(c AS INT) AS c,
+                 (CAST(h63 AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT) * c) % {m64} AS z
+          FROM hh, ctrs),
+        z1 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM z0),
+        z2 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 27), 0x94D049BB133111EB)} AS z FROM z1),
+        uu AS MATERIALIZED (
+          SELECT event_id, c,
+                 CAST(({xs('z', 31)}) >> 11 AS DOUBLE) * 1.1102230246251565e-16 AS u
+          FROM z2),
+        up AS (SELECT event_id, {u_cols} FROM uu GROUP BY event_id),
+        fx AS (SELECT event_id, {', '.join(f_exprs)} FROM up),
+        feats AS (SELECT event_id, round({norm}, 6) AS feat_norm2 FROM fx)
+    """
+
+
+
+def _probe_html_sql() -> str:
+    """Rebuild _probe_pages' html string byte-for-byte in SQL (Jackson to_json
+    emits struct fields and map entries in declaration order with no spaces;
+    every value is a string, so no double-repr concerns). Ends with CTE
+    ``ph(event_id, html_str)``; callers must prepend ``_probe_gxgy_sql()``."""
+    return """
+        md AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END AS sensor,
+                 printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS day,
+                 printf('%.6f', gx) AS sx, printf('%.6f', gy) AS sy
+          FROM g
+        ),
+        ph AS (
+          SELECT event_id,
+                 '<html><body><script type="application/json" id="lemnatec">'
+                 || '{"lemnatec_measurement_metadata":{"gantry_system_variable_metadata":'
+                 || '{"Time":"05/07/2016 15:58:43","Position x [m]":"' || sx
+                 || '","Position y [m]":"' || sy
+                 || '","Position z [m]":"1.000000"},"sensor_fixed_metadata":'
+                 || '{"location in camera box X [m]":"0.000000","location in camera box Y [m]":"0.000000",'
+                 || '"field of view X [m]":"1.000000","field of view Y [m]":"1.000000"}},'
+                 || '"dataset_name":"' || sensor || ' - 2016-05-' || day || '__15-58-43-000"}'
+                 || '</script></body></html>' AS html_str
+          FROM md
+        )
+    """
+
+
+
+def _rep_ctes() -> str:
+    """Shared CTE chain for the repetition-signal oracles; ends with
+    ``rep(doc_id, n_words, dup_word_frac, top_bigram_frac)`` (docs with
+    zero words absent — mirroring corpus.repetition_stats)."""
+    return r"""
+        base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+                 FROM documents),
+        words AS (SELECT doc_id, tok
+                  FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+                  WHERE length(tok) > 0),
+        wstats AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
+                   FROM words GROUP BY doc_id),
+        bigrams AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+                    FROM base, unnest(range(1, greatest(len(tk), 1))) t(i)),
+        btop AS (SELECT doc_id, max(c) AS top_bigram
+                 FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
+                 GROUP BY doc_id),
+        rep AS (SELECT w.doc_id, n_words,
+                       round(1.0 - n_distinct / n_words, 6) AS dup_word_frac,
+                       CASE WHEN n_words >= 2
+                            THEN round(coalesce(top_bigram, 0) / (n_words - 1), 6)
+                            ELSE 0.0 END AS top_bigram_frac
+                FROM wstats w LEFT JOIN btop USING (doc_id))
+    """
+
+
+
+def _simhash_sql(n_bits: int = 31) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return rf"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                      FROM documents),
+        th AS (SELECT doc_id, {_poly_sql('tok', 131)} AS h
+               FROM toks WHERE length(tok) > 0),
+        votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes
+    """
+
+
+
+def oracle_sql() -> dict[str, str]:
+    en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
+    en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
+    de_sum = " + ".join(en_occ(m) for m in [" der ", " und ", " die ", " das ", " ist "])
+    tok = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+    punct = r"CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) / length(text) END"
+    upper = r"CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text) END"
+    mwl = rf"CASE WHEN ({tok}) = 0 THEN 0.0 ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) / ({tok}) END"
+
+    return {
+        "pip_contains": f"""
+            SELECT event_id,
+                   ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id
+            FROM events
+        """,
+        "knn_nearest": _knn_bruteforce_sql(
+            "", 1, "event_id, plot_id, round(dist, 2) AS dist_m"
+        ),
+        "knn_topk": _knn_bruteforce_sql(
+            "WHERE event_id < 2000",
+            3,
+            "event_id, plot_id, CAST(rank AS INT) AS rank, round(dist, 2) AS dist_m",
+        ),
+        "pipeline_plots": f"""
+            WITH {_probe_gxgy_sql()},
+            {_utm_inverse_sql()}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(CAST(FLOOR((lat - 33.0745) / 0.0000365) AS INT) + 1 AS VARCHAR)
+                     || '-' ||
+                   CAST(CAST(FLOOR((lon + 111.9750833333) / 0.00005) AS INT) + 1 AS VARCHAR)
+                     AS plot_id,
+                   'contains' AS matched_via,
+                   (CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END)
+                     || ' Datasets' AS stream,
+                   '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS "date"
+            FROM ll
+        """,
+        "pipeline_envelope_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 3000")},
+            {_utm_inverse_sql()}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(CAST(FLOOR((lat - 33.0745) / 0.0000365) AS INT) + 1 AS VARCHAR)
+                     || '-' ||
+                   CAST(CAST(FLOOR((lon + 111.9750833333) / 0.00005) AS INT) + 1 AS VARCHAR)
+                     AS plot_id,
+                   'contains' AS matched_via,
+                   (CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END)
+                     || ' Datasets' AS stream,
+                   '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS "date",
+                   TIMESTAMP '2016-05-07 15:58:43' AS start_time,
+                   TIMESTAMP '2016-05-07 15:58:43' AS end_time,
+                   'https://site.example/e' || CAST(event_id AS VARCHAR) AS prop_source,
+                   (CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END)
+                     || ' - 2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT))
+                     || '__15-58-43-000' AS prop_dataset
+            FROM ll
+        """,
+        "tile_assign": f"""
+            WITH pts AS (
+              SELECT event_id,
+                     ({LAT_IN}) - 0.0002 AS min_lat, ({LAT_IN}) + 0.0002 AS max_lat,
+                     ({LON_IN}) - 0.0003 AS min_lon, ({LON_IN}) + 0.0003 AS max_lon
+              FROM events
+            ), zs AS (SELECT unnest([10, 11, 12]) AS z),
+            rngs AS (
+              SELECT event_id, z,
+                CAST(FLOOR((min_lon + 180) / 360 * pow(2, z)) AS BIGINT) AS x0,
+                CAST(FLOOR((max_lon + 180) / 360 * pow(2, z)) AS BIGINT) AS x1,
+                CAST(FLOOR((1 - ln(tan(radians(max_lat)) + 1/cos(radians(max_lat)))/pi())/2 * pow(2, z)) AS BIGINT) AS y0,
+                CAST(FLOOR((1 - ln(tan(radians(min_lat)) + 1/cos(radians(min_lat)))/pi())/2 * pow(2, z)) AS BIGINT) AS y1
+              FROM pts, zs
+            )
+            SELECT event_id, z, unnest(range(x0, x1 + 1)) AS x, y AS y
+            FROM (SELECT event_id, z, x0, x1, unnest(range(y0, y1 + 1)) AS y FROM rngs)
+        """,
+        "tile_density": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
+              FROM events)
+            SELECT 12 AS z,
+                   CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+                   CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM pts GROUP BY 1, 2, 3
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,2))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * ((CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))) * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(7,6))))), 2) AS DOUBLE) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(7,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "multi_join": """
+            SELECT c_nationkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey < 10 AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY c_nationkey
+        """,
+        "filter_gate": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'view' AND value IS NOT NULL
+        """,
+        "suffix_filter": """
+            SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%e'
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
+        """,
+        "anti_join": """
+            SELECT c_nationkey, count(*) AS n_inactive
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            GROUP BY c_nationkey
+        """,
+        "semi_join": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE EXISTS (SELECT 1 FROM supplier
+                          WHERE s_nationkey = n_nationkey AND s_acctbal > 5000)
+        """,
+        "theta_suffix_join": """
+            SELECT suffix, count(*) AS n_parts
+            FROM part JOIN (VALUES ('bolt'), ('gear'), ('widget')) AS t(suffix)
+              ON p_name LIKE '%' || suffix
+            GROUP BY suffix
+        """,
+        "argmin": """
+            SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+              SELECT s_nationkey, s_suppkey, s_acctbal,
+                     row_number() OVER (PARTITION BY s_nationkey
+                                        ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+              FROM supplier) WHERE rn = 1
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "all_targets": """
+            SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_status
+            FROM orders WHERE o_orderstatus IN ('O', 'F')
+            GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) = 2
+        """,
+        "timestamp_parse": """
+            SELECT event_id,
+                   strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'), '%m/%d/%Y %H:%M:%S') AS parsed_ts
+            FROM events
+        """,
+        "name_split": """
+            SELECT event_id,
+                   string_split(event_type || ' - ' || strftime(ts, '%Y-%m-%d__%H-%M-%S'), ' - ')[1] AS sensor,
+                   string_split(string_split(event_type || ' - ' || strftime(ts, '%Y-%m-%d__%H-%M-%S'), ' - ')[2], '__')[1] AS date_part
+            FROM events
+        """,
+        "map_lookup": """
+            SELECT event_id,
+                   CASE event_type WHEN 'view' THEN '1' WHEN 'click' THEN '2'
+                        WHEN 'purchase' THEN '3' ELSE '99' END AS stream_id
+            FROM events
+        """,
+        "url_tail": """
+            SELECT event_id,
+                   string_split('https://host.example/datasets' || '/' || event_type || '/' || event_id, '/')[-1] AS tail
+            FROM events
+        """,
+        "prefix_remap": """
+            WITH p AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                          THEN '/gantry_data/raw/' || event_type || '/' || event_id
+                          WHEN event_id % 3 = 1
+                          THEN '/gantry_data/derived/' || event_id
+                          ELSE '/other/' || event_id END AS path
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN path LIKE '/gantry_data/raw/%'
+                        THEN '/home/extractor/raw/' || substr(path, 18)
+                        WHEN path LIKE '/gantry_data/%'
+                        THEN '/data/' || substr(path, 14)
+                        ELSE path END AS path
+            FROM p
+        """,
+        "lv1_remap": """
+            WITH e AS (SELECT * FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+            derived AS (
+              SELECT event_id,
+                     CASE event_type WHEN 'view' THEN 'RGB GeoTIFFs'
+                          WHEN 'click' THEN 'Thermal IR GeoTIFFs'
+                          ELSE 'scanner3DTop' END AS sensor_type,
+                     CASE event_type WHEN 'view' THEN 'stereoTop'
+                          WHEN 'click' THEN 'flirIrCamera'
+                          ELSE 'scanner3DTop' END AS raw_sensor
+              FROM e),
+            raw AS (
+              SELECT (CASE event_type WHEN 'view' THEN 'stereoTop'
+                           WHEN 'click' THEN 'flirIrCamera'
+                           ELSE 'scanner3DTop' END) || ' - ' || CAST(event_id AS VARCHAR) AS raw_name,
+                     value AS raw_value
+              FROM e WHERE value IS NOT NULL)
+            SELECT event_id, sensor_type, raw_sensor, raw_value
+            FROM derived JOIN raw
+              ON raw.raw_name = derived.raw_sensor || ' - ' || CAST(derived.event_id AS VARCHAR)
+        """,
+        "callback_fanout": """
+            WITH s AS (
+              SELECT event_id,
+                     CASE event_type WHEN 'view' THEN 'stereoTop'
+                          WHEN 'click' THEN 'flirIrCamera'
+                          ELSE 'scanner3DTop' END AS sensor
+              FROM events WHERE event_type IN ('view', 'click', 'purchase'))
+            SELECT event_id, sensor, unnest(
+              CASE sensor
+                WHEN 'stereoTop' THEN ['terra.stereo-rgb.bin2tif', 'terra.metadata.sensorposition']
+                WHEN 'flirIrCamera' THEN ['terra.multispectral.flir2tif', 'terra.metadata.sensorposition']
+                ELSE ['terra.3dscanner.ply2las', 'terra.3dscanner.heightmap', 'terra.metadata.sensorposition']
+              END) AS callback
+            FROM s
+        """,
+        "targets_complete": """
+            WITH files AS (
+              SELECT user_id AS dataset,
+                     CASE WHEN user_id % 3 = 0 THEN 'stereoTop'
+                          WHEN user_id % 3 = 1 THEN 'flirIrCamera'
+                          ELSE 'scanner3DTop' END AS sensor,
+                     'f' || CAST(event_id AS VARCHAR)
+                         || (CASE WHEN event_id % 2 = 0 THEN '_left.bin' ELSE '_right.bin' END) AS filename
+              FROM events),
+            tdim(s, suffix) AS (
+              SELECT * FROM (VALUES ('stereoTop', '_left.bin'), ('stereoTop', '_right.bin'),
+                                    ('flirIrCamera', '_ir.bin'))),
+            found AS (
+              SELECT dataset, count(DISTINCT suffix) AS n_found
+              FROM files JOIN tdim ON files.sensor = tdim.s AND filename LIKE '%' || suffix
+              GROUP BY dataset),
+            ds AS (SELECT DISTINCT dataset, sensor FROM files)
+            SELECT dataset, sensor,
+                   CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
+                   CAST(CASE sensor WHEN 'stereoTop' THEN 2 WHEN 'flirIrCamera' THEN 1 ELSE 0 END AS INT) AS n_targets,
+                   coalesce(n_found, 0) = (CASE sensor WHEN 'stereoTop' THEN 2 WHEN 'flirIrCamera' THEN 1 ELSE 0 END) AS complete
+            FROM ds LEFT JOIN found USING (dataset)
+        """,
+        "files_probe": """
+            WITH md AS (
+              SELECT event_id AS dataset,
+                     ['https://host.example/files/f' || CAST(event_id AS VARCHAR),
+                      'https://host.example/files/f' || CAST(event_id + 1 AS VARCHAR)] AS fc
+              FROM events),
+            inv AS (SELECT DISTINCT 'f' || CAST(event_id AS VARCHAR) AS file_id
+                    FROM events WHERE event_id % 7 <> 0),
+            ex AS (SELECT dataset, unnest(fc) AS url FROM md)
+            SELECT DISTINCT dataset FROM ex
+            WHERE string_split(url, '/')[-1] NOT IN (SELECT file_id FROM inv)
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+                   count(*) OVER (PARTITION BY md5(text)) AS group_size
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST({tok} AS INT) AS n_tokens,
+                   round({mwl}, 6) AS mean_word_len,
+                   round({punct}, 6) AS punct_ratio
+            FROM documents
+        """,
+        "word_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_units
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
+            SELECT doc_id,
+                   CASE WHEN ({en_sum}) > ({de_sum}) AND ({en_sum}) > 0 THEN 'en'
+                        WHEN ({de_sum}) > ({en_sum}) AND ({de_sum}) > 0 THEN 'de'
+                        ELSE 'unknown' END AS pred_lang
+            FROM t
+        """,
+        "langid_confusion": f"""
+            WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS pad
+                       FROM documents),
+            p AS (
+              SELECT lang,
+                     CASE WHEN ({en_sum}) > ({de_sum}) AND ({en_sum}) > 0 THEN 'en'
+                          WHEN ({de_sum}) > ({en_sum}) AND ({de_sum}) > 0 THEN 'de'
+                          ELSE 'unknown' END AS pred_lang
+              FROM t)
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+                     {tok} AS n_tok, {mwl} AS mwl, {punct} AS pr, {upper} AS ur
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(n_tok / 100.0, 1.0) * 0.3
+                     + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                     + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE ({en_sum}) / n_tok END) * 4.0, 1.0) * 0.3
+                     + greatest(0.0, 1.0 - pr * 4.0 - ur * 2.0) * 0.2,
+                   6) AS quality
+            FROM t
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS gram
+              FROM documents, unnest(range(1, greatest(length(text) - 1, 2))) AS t(i)
+              WHERE doc_id < 30
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common / (sa.n + sb.n - common), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE common / (sa.n + sb.n - common) >= 0.3
+        """,
+        "near_dedup_exact": """
+            WITH RECURSIVE grams AS (
+              SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS gram
+              FROM documents, unnest(range(1, greatest(length(text) - 1, 2))) AS t(i)
+              WHERE doc_id < 120
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM cpairs
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(common / (sa.n + sb.n - common), 6) >= 0.4
+            ),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+            ),
+            labels AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d LEFT JOIN labels ON labels.id = d.doc_id
+            WHERE d.doc_id < 120
+              AND (labels.id IS NULL OR least(d.doc_id, labels.mn) = d.doc_id)
+        """,
+        "multi_render_verify": f"""
+            WITH {_probe_gxgy_sql()},
+            md AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END AS sensor,
+                     '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS d,
+                     printf('%.6f', gx) AS sx, printf('%.6f', gy) AS sy
+              FROM g
+            )
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   '{{"sensor":"' || sensor || '","date":"' || d
+                     || '","pos_x":' || CAST(CAST(sx AS DOUBLE) AS VARCHAR)
+                     || ',"pos_y":' || CAST(CAST(sy AS DOUBLE) AS VARCHAR)
+                     || ',"pos_z":1.0,"fov_x":1.0,"fov_y":1.0}}' AS md_json,
+                   '<metadata><sensor>' || sensor || '</sensor><date>' || d
+                     || '</date><position x="' || sx || '" y="' || sy
+                     || '" z="1.000000"/><fov x="1.000000" y="1.000000"/></metadata>'
+                     AS md_xml,
+                   'capture {{' || chr(10) || '  :sensor = "' || sensor || '" ;'
+                     || chr(10) || '  :date = "' || d || '" ;' || chr(10)
+                     || '  :position = ' || sx || ', ' || sy || ', 1.000000 ;'
+                     || chr(10) || '  :fov = 1.000000, 1.000000 ;' || chr(10) || '}}'
+                     AS md_cdl
+            FROM md
+        """,
+        "minhash_verify": f"""
+            WITH {_minhash_sql(0.2)}
+            SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM tpairs
+        """,
+        "near_dedup_minhash_verify": f"""
+            WITH RECURSIVE {_minhash_sql(0.6)},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM tpairs
+                      UNION SELECT id_b, id_a FROM tpairs),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+            ),
+            labels AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d LEFT JOIN labels ON labels.id = d.doc_id
+            WHERE labels.id IS NULL OR least(d.doc_id, labels.mn) = d.doc_id
+        """,
+        "incremental_dedup_verify": f"""
+            WITH RECURSIVE {_incremental_dedup_sql(0.6)}
+            SELECT d.doc_id, 1 AS batch, d.lang, d.n_chars
+            FROM documents d JOIN surv1 s ON s.doc_id = d.doc_id
+            UNION ALL
+            SELECT d.doc_id, 2 AS batch, d.lang, d.n_chars
+            FROM documents d JOIN surv2 s ON s.doc_id = d.doc_id
+        """,
+        "simhash_verify": _simhash_sql(31),
+        "fingerprint_verify": rf"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                         '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            fps AS (SELECT doc_id,
+                           {_poly_sql('nt', 131)} * 2147483648 + {_poly_sql('nt', 137)} AS fp
+                    FROM norm)
+            SELECT doc_id, fp,
+                   min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+                   count(*) OVER (PARTITION BY fp) AS group_size
+            FROM fps
+        """,
+        "jaccard_pairs": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM d WHERE doc_id + 1 < 100
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS gram
+              FROM d, unnest(range(1, greatest(length(text) - 1, 2))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            common AS (
+              SELECT p.id_a, p.id_b, count(*) AS c
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   round(coalesce(c, 0) / (sa.n + sb.n - coalesce(c, 0)), 6) AS jaccard
+            FROM pairs p
+            LEFT JOIN common USING (id_a, id_b)
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        "cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(round(list_cosine_similarity(a.v, b.v), 6), 3) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        """,
+        "pipeline_nearest_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 3000", NEAREST_GX_EXPR)},
+            {_utm_inverse_sql()}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   '1-' || CAST(CAST(FLOOR((lon + 111.9750833333) / 0.00005) AS INT) + 1 AS VARCHAR)
+                     AS plot_id,
+                   'nearest' AS matched_via,
+                   (CASE WHEN event_id % 2 = 0 THEN 'stereoTop' ELSE 'Scanner3D' END)
+                     || ' Datasets' AS stream,
+                   '2016-05-' || printf('%02d', CAST(event_id % 28 + 1 AS INT)) AS "date"
+            FROM ll
+        """,
+        "kring_verify": f"""
+            WITH {_cells_sql()},
+            unpacked AS (
+              SELECT event_id,
+                     cell_r9 >> 58 AS res,
+                     (cell_r9 >> 29) & {(1 << 29) - 1} AS q,
+                     cell_r9 & {(1 << 29) - 1} AS r
+              FROM h3cell WHERE event_id < 3000),
+            offs(dq, dr) AS (VALUES {", ".join(f"({dq}, {dr})" for dq in range(-2, 3) for dr in range(-2, 3) if abs(dq + dr) <= 2)})
+            SELECT event_id,
+                   (res << 58) | ((q + dq) << 29) | (r + dr) AS ring_cell
+            FROM unpacked, offs
+        """,
+        "ann_ivf_exhaustive": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
+            SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC,
+                                vec_id ASC) AS rank
+              FROM embeddings, q WHERE vec_id <> query_id)
+            WHERE rank <= 5
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                          FROM documents),
+            tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0)
+            SELECT tok AS word, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+            FROM tt GROUP BY tok
+            ORDER BY tf DESC, word ASC LIMIT 100
+        """,
+        "prefix_join": _PREFIX_JOIN_SQL,
+        "vocab_growth": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents),
+            shm AS (
+              SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+              FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+            nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            firsts AS (SELECT shingle, min(doc_id) AS fd FROM shm GROUP BY 1),
+            counts AS (
+              SELECT (fd * 10) // (SELECT n FROM nn) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_new
+              FROM firsts GROUP BY 1)
+            SELECT bucket, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+            FROM counts
+        """,
+        "tfidf_topk": r"""
+            WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                          FROM documents),
+            tt AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+            doc_tf AS (SELECT doc_id, tok AS word, count(*) AS tf FROM tt GROUP BY 1, 2),
+            word_df AS (SELECT tok AS word, count(DISTINCT doc_id) AS df_docs FROM tt GROUP BY 1),
+            scored AS (
+              SELECT doc_id, word, tf,
+                     tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df_docs) AS score
+              FROM doc_tf JOIN word_df USING (word))
+            SELECT doc_id, word, tf, round(score, 6) AS score, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, word ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "repetition_stats": rf"""
+            WITH {_rep_ctes()}
+            SELECT doc_id, n_words, dup_word_frac, top_bigram_frac FROM rep
+        """,
+        "curation_filter": rf"""
+            WITH {_rep_ctes()},
+            qual AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+                            {tok} AS n_tok, {mwl} AS mwl, {punct} AS pr, {upper} AS ur
+                     FROM documents),
+            q2 AS (SELECT doc_id, n_tok,
+                          round(least(n_tok / 100.0, 1.0) * 0.3
+                            + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                            + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE ({en_sum}) / n_tok END) * 4.0, 1.0) * 0.3
+                            + greatest(0.0, 1.0 - pr * 4.0 - ur * 2.0) * 0.2, 6) AS quality
+                   FROM qual),
+            r AS (SELECT q2.doc_id,
+                         CASE WHEN n_tok < 10 THEN 'too_short'
+                              WHEN dup_word_frac > 0.6 THEN 'repetitive_words'
+                              WHEN top_bigram_frac > 0.4 THEN 'repetitive_bigrams'
+                              WHEN quality < 0.3 THEN 'low_quality'
+                              ELSE 'keep' END AS reject_reason
+                  FROM q2 LEFT JOIN rep ON rep.doc_id = q2.doc_id)
+            SELECT doc_id, reject_reason, reject_reason = 'keep' AS keep FROM r
+        """,
+        "pii_counts": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || (CASE WHEN doc_id % 3 = 0
+                                   THEN ' contact a' || CAST(doc_id AS VARCHAR)
+                                        || '@ex.com via https://ex.co/' || CAST(doc_id AS VARCHAR)
+                                        || ' tel 555-000-' || printf('%04d', CAST(doc_id % 10000 AS INT))
+                                   ELSE '' END) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+                   CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones
+            FROM p
+        """,
+        "hash_split": f"""
+            WITH b AS (SELECT doc_id,
+                              {_poly_sql("'split:' || CAST(doc_id AS VARCHAR)", 131)} % 1000 AS bk
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bk < 800 THEN 'train'
+                        WHEN bk < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "stratified_sample": f"""
+            WITH b AS (SELECT doc_id, lang,
+                              {_poly_sql("'sample:' || CAST(doc_id AS VARCHAR)", 131)} % 1000000 AS bk
+                       FROM documents)
+            SELECT doc_id, lang FROM b
+            WHERE bk < (CASE WHEN lang = 'en' THEN 500000
+                             WHEN lang = 'de' THEN 250000
+                             ELSE 100000 END)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_tokens
+                  FROM t)
+            SELECT doc_id, lang, n_tokens, cum_tokens,
+                   (cum_tokens - n_tokens) // 256 AS bin_id
+            FROM c
+        """,
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS q75,
+                   round(quantile_cont(n_chars, 0.9), 6) AS q90
+            FROM documents GROUP BY lang
+        """,
+        "cells_encode": f"""
+            WITH {_cells_sql()}
+            SELECT h.event_id, h.cell_r9, s.s2_cell
+            FROM h3cell h JOIN s2cell s USING (event_id)
+        """,
+        "polyfill_verify": f"""
+            WITH {_polyfill_sql(9)}
+            SELECT plot_id, cell FROM cells
+        """,
+        "srp_pairs_verify": _srp_pairs_sql(0.25, 6, 64),
+        "extract_text_probe": r"""
+            WITH h AS (
+              SELECT event_id,
+                     '<html><head><title>T' || CAST(event_id AS VARCHAR)
+                     || '</title><style>p { color: red; }</style></head><body><h1>Doc &amp; '
+                     || CAST(event_id AS VARCHAR)
+                     || '</h1><script>var x = "1 < 2";</script><p>A &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end '
+                     || CAST(event_id AS VARCHAR) || '.</p></body></html>' AS s
+              FROM events WHERE event_id < 3000),
+            s1 AS (SELECT event_id, regexp_replace(s, '<script\b.*?</script>', ' ', 'gis') AS s FROM h),
+            s2 AS (SELECT event_id, regexp_replace(s, '<style\b.*?</style>', ' ', 'gis') AS s FROM s1),
+            s3 AS (SELECT event_id, regexp_replace(s, '<[^>]*>', ' ', 'gs') AS s FROM s2),
+            s4 AS (SELECT event_id,
+                          replace(replace(replace(replace(replace(replace(s,
+                            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', '''') AS s
+                   FROM s3)
+            SELECT event_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text FROM s4
+        """,
+        "extract_text_verify": """
+            SELECT greatest(1000, CAST(0.1 * (SELECT count(*) FROM events) AS BIGINT)) AS n_docs,
+                   greatest(1000, CAST(0.1 * (SELECT count(*) FROM events) AS BIGINT)) AS n_identical
+        """,
+        "multimodal_dims_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph)
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(320 + h63 % 1024 AS INT) AS width,
+                   CAST(240 + (h63 // 1024) % 768 AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM hh
+        """,
+        "multimodal_features_verify": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_splitmix_features_sql(8)}
+            SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(320 + h63 % 1024 AS INT) AS width,
+                   CAST(240 + (h63 // 1024) % 768 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   feat_norm2
+            FROM hh JOIN feats USING (event_id)
+        """,
+        "session_stats": """
+            WITH x AS (
+              SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS pus
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM x),
+            s AS (
+              SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+                          AS session_seq
+              FROM f)
+            SELECT user_id, session_seq,
+                   CAST(user_id AS VARCHAR) || '-'
+                     || CAST(session_seq AS VARCHAR) AS session_id,
+                   count(*) AS n_events,
+                   max(us) - min(us) AS duration_us,
+                   count(DISTINCT event_type) AS n_types,
+                   CAST(round(sum(CAST(value AS DECIMAL(20,2))), 2) AS DOUBLE)
+                     AS sum_value
+            FROM s GROUP BY 1, 2, 3
+        """,
+        "url_dedup": """
+            -- Closed-form derivation: the canonical URL is computed directly
+            -- from the construction arithmetic (NOT by replaying the Spark
+            -- regexes), so the engine's regex parsing path is independently
+            -- cross-checked.
+            WITH u AS (
+              SELECT doc_id, source,
+                     doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4,
+                     doc_id % 5 AS m5, doc_id % 10 AS m10
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     (CASE WHEN m3 = 0 THEN 'HTTP'
+                           WHEN m3 = 1 THEN 'https' ELSE 'HTTPS' END)
+                     || '://' || (CASE WHEN m2 = 0 THEN 'WWW.' ELSE '' END)
+                     || (CASE WHEN m4 < 2 THEN upper(source) ELSE source END)
+                     || (CASE WHEN m4 = 0 THEN '.Example.CO.uk'
+                              ELSE '.Example.COM' END)
+                     || (CASE WHEN m5 = 0 THEN
+                           (CASE WHEN m3 = 0 THEN ':80' ELSE ':443' END)
+                         ELSE '' END)
+                     || '/p/' || CAST(m10 AS VARCHAR)
+                     || (CASE WHEN m2 = 1 THEN '/' ELSE '' END)
+                     || (CASE WHEN m3 = 0 THEN ''
+                         ELSE '?utm_source=track&z=' || CAST(m3 AS VARCHAR)
+                              || '&a=1' END)
+                     || (CASE WHEN m2 = 1 THEN '#frag' ELSE '' END) AS url,
+                     (CASE WHEN m3 = 0 THEN 'http' ELSE 'https' END) || '://'
+                     || lower(source)
+                     || (CASE WHEN m4 = 0 THEN '.example.co.uk'
+                              ELSE '.example.com' END)
+                     || '/p/' || CAST(m10 AS VARCHAR)
+                     || (CASE WHEN m3 = 0 THEN ''
+                         ELSE '?a=1&z=' || CAST(m3 AS VARCHAR) END)
+                       AS url_canonical,
+                     (CASE WHEN m4 = 0 THEN 'example.co.uk'
+                           ELSE 'example.com' END) AS domain
+              FROM u)
+            SELECT doc_id, url, url_canonical, domain,
+                   CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canonical)
+                        AS INT) AS keep
+            FROM m
+        """,
+        "asof_join": """
+            -- DuckDB's NATIVE ASOF JOIN as an independent implementation of
+            -- the union/last-carry-forward plan (inclusive backward match,
+            -- 1-day tolerance nulls the match but keeps the row).
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, event_id AS view_event_id,
+                              epoch_us(ts) AS rts_us
+                       FROM events WHERE event_type = 'view'),
+                 j AS (SELECT l.event_id, l.user_id, l.ts_us,
+                              r.view_event_id, l.ts_us - r.rts_us AS gap
+                       FROM l ASOF LEFT JOIN r
+                         ON l.user_id = r.user_id AND l.ts_us >= r.rts_us)
+            SELECT event_id, user_id, ts_us,
+                   CASE WHEN gap <= 86400000000 THEN view_event_id END
+                     AS view_event_id,
+                   CASE WHEN gap <= 86400000000 THEN gap END AS asof_gap_us
+            FROM j
+        """,
+        "domain_cap": f"""
+            WITH p AS (SELECT doc_id, source,
+                              {_poly_sql("CAST(doc_id AS VARCHAR)", 131)}
+                                AS priority
+                       FROM documents),
+                 r AS (SELECT doc_id, source, priority,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY priority, doc_id)
+                                AS rk
+                       FROM p)
+            SELECT doc_id, source, priority, CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 5
+        """,
+        "interval_join": """
+            -- semantically-primitive theta join: checks the engine's
+            -- covering-bucket decomposition (probe side never exploded)
+            WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'click'),
+                 s AS (SELECT event_id AS signup_id, user_id,
+                              epoch_us(ts) AS lo
+                       FROM events WHERE event_type = 'signup')
+            SELECT c.event_id, c.user_id, s.signup_id, c.us - s.lo AS offset_us
+            FROM c JOIN s
+              ON c.user_id = s.user_id
+             AND c.us >= s.lo AND c.us <= s.lo + 172800000000
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
+            SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC,
+                                vec_id ASC) AS rank
+              FROM embeddings, q WHERE vec_id <> query_id)
+            WHERE rank <= 5
+        """,
+        "rrf_fusion": _RRF_FUSION_SQL,
+        "mmr_select": _mmr_sql(20, 3, 3),
+        "hll_registers": f"WITH {_hll_cte_sql(8)}\n"
+        "        SELECT bucket, rho FROM full_regs",
+        "hll_estimate": _hll_estimate_sql(8),
+        "hll_intersect": _hll_intersect_sql(5),
+        "cms_verify": _cms_sql(4, 1024),
+        "bloom_prune": _bloom_sql(2048, 5),
+        "pagerank": _pagerank_sql(5),
+        # streamed sketch end-states are exactly the batch sketches (HLL:
+        # max-merge idempotence; CMS: manifest batch-id guard), so their
+        # oracles are the same one-shot SQL replays
+        "stream_hll_verify": f"WITH {_hll_cte_sql(8)}\n"
+        "        SELECT bucket, rho FROM full_regs",
+        "stream_cms_verify": _cms_grid_sql(4, 1024),
+        "quantile_sketch_verify": _quantile_sketch_sql(6),
+        "quantile_estimate_verify": _quantile_estimate_sql(
+            (0.25, 0.5, 0.75, 0.9, 0.99), 6
+        ),
+        "quantile_grouped_verify": _quantile_grouped_sql((0.5, 0.9, 0.99), 6),
+        "sketch_gate": _sketch_gate_sql(6),
+        "sq_topk": _sq_topk_sql(5, 10),
+        "source_mix": _source_mix_sql(_MIX_WEIGHTS),
+        "line_dedup": _LINE_DEDUP_SQL,
+        "zorder_key": _zorder_key_sql(),
+        "decontaminate": _DECONTAMINATE_SQL,
+        "bbox_overlap": _BBOX_OVERLAP_SQL,
+        "profile_table": _PROFILE_SQL,
+        "stream_tiles_verify": _STREAM_TILES_SQL,
+        "chunk_documents": _CHUNK_DOCS_SQL,
+        "training_prep": _training_prep_sql(),
+        "radius_pairs": _RADIUS_PAIRS_SQL,
+        "spatial_cluster": _SPATIAL_CLUSTER_SQL,
+        "tile_smooth": _TILE_SMOOTH_SQL,
+        "cdc_verify": _CDC_SQL,
+        "text_normalize": _text_normalize_sql(),
+        "inverted_index": _INVERTED_INDEX_SQL,
+        "stream_index_verify": _INVERTED_INDEX_SQL,
+        "ivm_counts": _IVM_COUNTS_SQL,
+        "exact_split": _exact_split_sql(),
+        "scan_legs": _SCAN_LEGS_SQL,
+        "hll_set_ops": _hll_set_sql(8),
+        "cell_compact": _s2_compact_sql(8),
+        "cms_join_size": _cms_join_sql(4, 1024),
+        "polygon_stats": _POLYGON_STATS_SQL,
+        "zonal_stats": _ZONAL_STATS_SQL,
+        "embed_centroids": _EMBED_CENTROIDS_SQL,
+        "geohash": _geohash_oracle_sql(),
+        "tile_hll_density": _tile_hll_density_sql(8),
+        "tile_pyramid": _tile_pyramid_sql(),
+        "bm25_topk": _bm25_sql(),
+        "weighted_sample": _weighted_sample_sql(),
+        "kmeans_verify": _kmeans_sql(),
+        "stay_points": _stay_points_sql(),
+        "pmi_pairs": _PMI_PAIRS_SQL,
+        "shingle_cosine": _shingle_cosine_sql(),
+        "rollup_stats": _ROLLUP_STATS_SQL,
+        "resample_track": _resample_sql(),
+        "sliding_windows": _sliding_windows_sql(),
+        "rolling_window": _ROLLING_WINDOW_SQL,
+        "full_outer": _FULL_OUTER_SQL,
+        "typo_pairs": _TYPO_PAIRS_SQL,
+        "mad_outliers": _MAD_OUTLIERS_SQL,
+        "funnel_steps": _funnel_sql(),
+        "event_transitions": _TRANSITIONS_SQL,
+        "triangles": _triangles_sql(),
+        "assortativity": _ASSORTATIVITY_SQL,
+        "k_core": _k_core_sql(7, 8),
+        "k_hop": _k_hop_sql(4),
+        "stream_upsert_verify": _STREAM_UPSERT_SQL,
+        "pq_topk": _pq_sql(),
+        "overlay_area": _overlay_sql(),
+        "stream_join_verify": _STREAM_JOIN_SQL,
+        "snap_to_path": _snap_to_path_sql(),
+        "od_matrix": _OD_MATRIX_SQL,
+        "pq_recall": _pq_recall_sql(),
+        "ripley_k": _RIPLEY_K_SQL,
+        "session_rules": _SESSION_RULES_SQL,
+        "overlay_alloc": _overlay_alloc_sql(),
+        "hll_pyramid": _hll_pyramid_sql(),
+        "cube_stats": _CUBE_STATS_SQL,
+        "idw_surface": _idw_sql(),
+        "co_visitation": _CO_VISITATION_SQL,
+        "dbscan": _DBSCAN_SQL,
+        "kdist": _KDIST_SQL,
+        "co_movement": _CO_MOVEMENT_SQL,
+        "winsorized_mean": _WINSORIZED_SQL,
+        "type_entropy": _TYPE_ENTROPY_SQL,
+        "cusum": _CUSUM_SQL,
+        "theil_sen": _THEIL_SEN_SQL,
+        "ols_slope": _OLS_SLOPE_SQL,
+        "mann_whitney": _MANN_WHITNEY_SQL,
+        "chi_square": _CHI_SQUARE_SQL,
+        "mutual_info": _MUTUAL_INFO_SQL,
+        "ab_test": _AB_TEST_SQL,
+        "time_to_convert": _TIME_TO_CONVERT_SQL,
+        "anova_f": _ANOVA_SQL,
+        "gini": _GINI_SQL,
+        "decay_score": _DECAY_SCORE_SQL,
+        "skyline": _SKYLINE_SQL,
+        "psi_drift": _PSI_DRIFT_SQL,
+        "forecast_backtest": _FORECAST_BACKTEST_SQL,
+        "trigram_paths": _TRIGRAM_PATHS_SQL,
+        "fano_burstiness": _FANO_SQL,
+        "benford_audit": _benford_sql(),
+        "haar_energy": _HAAR_SQL,
+        "join_profile": _JOIN_PROFILE_SQL,
+        "referential_audit": _REFERENTIAL_AUDIT_SQL,
+        "rfm_scores": _RFM_SQL,
+        "lorenz_points": _LORENZ_SQL,
+        "embed_drift": _EMBED_DRIFT_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "event_study": _EVENT_STUDY_SQL,
+        "acf": _ACF_SQL,
+        "interval_union": _INTERVAL_UNION_SQL,
+        "streaks": _STREAKS_SQL,
+        "scd2_intervals": _SCD2_SQL,
+        "kendall": _KENDALL_SQL,
+        "spearman": _SPEARMAN_SQL,
+        "ks_test": _KS_TEST_SQL,
+        "pivot_counts": _PIVOT_SQL,
+        "unpivot": _UNPIVOT_SQL,
+        "track_crossings": _TRACK_CROSSINGS_SQL,
+        "local_moran": _LOCAL_MORAN_SQL,
+        "move_rose": _MOVE_ROSE_SQL,
+        "rdp_simplify": _RDP_SQL,
+        "turn_stats": _TURN_STATS_SQL,
+        "gravity_residuals": _GRAVITY_SQL,
+        "convoy_pairs": _CONVOY_SQL,
+        "edge_churn": _EDGE_CHURN_SQL,
+        "hotspot_persist": _HOTSPOT_PERSIST_SQL,
+        "zonal_majority": _ZONAL_MAJORITY_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "lm_quality": _LM_QUALITY_SQL,
+        "bpe_merges": _bpe_stages_sql(8),
+        "shortest_paths": _shortest_paths_sql(6),
+        "quadtree": _quadtree_sql(18, 24, 40),
+        "label_prop": _label_prop_sql(4),
+        "mutual_knn": _MUTUAL_KNN_SQL,
+        "source_divergence": _SOURCE_DIVERGENCE_SQL,
+        "principal_axis": _principal_axis_sql(6, 64),
+        "exact_substr": _EXACT_SUBSTR_SQL,
+        "contact_crossings": _CONTACT_CROSSINGS_SQL,
+        "convex_hull": _convex_hull_sql(5),
+        "twap": _TWAP_SQL,
+        "user_mad": _MAD_SQL,
+        "emd_drift": _EMD_SQL,
+        "locf_resample": _LOCF_SQL,
+        "sax_words": _SAX_SQL,
+        "attribution": _ATTRIBUTION_SQL,
+        "clustering_coeff": _clustering_sql(),
+        "haar2d": _HAAR2D_SQL,
+        "knox_test": _KNOX_SQL,
+        "bpe_encode": _bpe_encode_sql(8),
+        "line_density": _LINE_DENSITY_SQL,
+        "ccf_lags": _CCF_SQL,
+        "getis_ord": _GETIS_ORD_SQL,
+        "radius_gyration": _RADIUS_GYRATION_SQL,
+        "mobility_entropy": _MOBILITY_ENTROPY_SQL,
+        "hill_tail": _HILL_SQL,
+        "transition_entropy": _TRANSITION_ENTROPY_SQL,
+        "quality_percentile": f"""
+            WITH t AS (
+              SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS pad,
+                     {tok} AS n_tok, {mwl} AS mwl, {punct} AS pr, {upper} AS ur
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     round(
+                       least(n_tok / 100.0, 1.0) * 0.3
+                       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                       + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE ({en_sum}) / n_tok END) * 4.0, 1.0) * 0.3
+                       + greatest(0.0, 1.0 - pr * 4.0 - ur * 2.0) * 0.2,
+                     6) AS quality
+              FROM t),
+            r AS (
+              SELECT doc_id, source, quality,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY quality DESC, doc_id)
+                       AS BIGINT) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM q)
+            SELECT doc_id, source, quality, rk, n,
+                   CAST((rk - 1) * 1000 // greatest(n - 1, 1) AS BIGINT) AS permille
+            FROM r
+        """,
+        "pip_bigdim": f"""
+            SELECT event_id,
+                   ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id
+            FROM events
+        """,
+    }

@@ -93,9 +93,14 @@ def test_registry_keys_unique_in_source():
     # oracle_sql() return literals.
     import re
 
-    src = open("__spark_entry__.py").read()
+    sources = {
+        "queries": open("__spark_entry__.py").read(),
+        # oracle_sql moved to the oracles package (VERDICT r4 item 7)
+        "oracle_sql": open("oracles/__init__.py").read(),
+    }
 
     def dup_keys(fn_name):
+        src = sources[fn_name]
         m = re.search(rf"def {fn_name}\(\).*?return \{{(.*?)\n    \}}", src, re.S)
         assert m, f"could not locate {fn_name} return dict"
         keys = re.findall(r'^\s+"([a-z0-9_]+)":', m.group(1), re.M)
