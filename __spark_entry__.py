@@ -5532,6 +5532,34 @@ def q_sq_topk(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (operators/winnow.py — Schleimer/
+    Wilkerson/Aiken MOSS selection): mix31(poly131) char-7-gram hashes over
+    the ASCII-normalized 512-char prefix, rightmost-minimum of each
+    4-window selected via ONE integer window-min on the packed key
+    fp*1024 + (1023 - pos) (never an argmin). Guarantees every shared run
+    >= k+w-1 = 10 chars is caught at ~2/(w+1) density — the local
+    near-dup primitive between minhash (set similarity) and exact-substring
+    dedup. One Arrow pass per batch (concatenated-bytes rolling hash);
+    output is the exploded distinct (pos, fp) set. FULL oracle: identical
+    packed-key window-min replay."""
+    from extractors_metadata_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Fingerprint-sharing near-dup pairs over the winnowing selection:
+    drop fingerprints with document frequency > 10 (the synth corpus is
+    template-heavy — median fingerprint df is 14, so boilerplate is the
+    quadratic hot bucket; the drop is the LSH cap discipline, explicit and
+    deterministic), join bucket-local on fp value, keep pairs sharing >= 5
+    distinct fingerprints. FULL oracle."""
+    from extractors_metadata_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=5, max_df=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -5781,6 +5809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mobility_entropy": q_mobility_entropy,
         "hill_tail": q_hill_tail,
         "transition_entropy": q_transition_entropy,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

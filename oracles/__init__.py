@@ -5266,6 +5266,60 @@ def _simhash_sql(n_bits: int = 31) -> str:
 
 
 
+def _winnow_sel_sql() -> str:
+    """Winnowing selection replay (operators/winnow.py): mix31(poly131) gram
+    hashes, packed integer key fp*1024 + (1023 - i), ONE window-min over the
+    4-frame with the rightmost-minimum tie-break encoded in the key — never
+    an argmin. Emits CTEs ending in ``wsel(doc_id, key)``."""
+    return f"""
+        d0 AS (
+          SELECT doc_id,
+                 substr(regexp_replace(lower(trim(text)), '[^ -~]', '', 'g'),
+                        1, 512) AS s
+          FROM documents),
+        g AS (
+          SELECT doc_id, i, substr(s, i + 1, 7) AS gm
+          FROM (SELECT doc_id, s, unnest(range(length(s) - 6)) AS i
+                FROM d0 WHERE length(s) >= 7)),
+        h0 AS (SELECT doc_id, i, {_poly_sql('gm', 131)} AS hr FROM g),
+        h1 AS MATERIALIZED (
+          SELECT doc_id, i, {_mix31_sql('hr')} AS fp FROM h0),
+        keys AS (
+          SELECT doc_id, i, fp * 1024 + (1023 - i) AS key,
+                 max(i) OVER (PARTITION BY doc_id) AS max_i
+          FROM h1),
+        wins AS (
+          SELECT doc_id, i, max_i,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS key
+          FROM keys),
+        wsel AS MATERIALIZED (
+          SELECT DISTINCT doc_id, key FROM wins WHERE i + 3 <= max_i)"""
+
+
+_WINNOW_FPS_SQL = f"""
+    WITH {_winnow_sel_sql()}
+    SELECT doc_id, 1023 - (key % 1024) AS pos, key // 1024 AS fp FROM wsel
+"""
+
+_WINNOW_PAIRS_SQL = f"""
+    WITH {_winnow_sel_sql()},
+    fps AS MATERIALIZED (
+      SELECT DISTINCT doc_id, key // 1024 AS fp FROM wsel),
+    live AS (
+      SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+      WHERE df <= 10),
+    kept AS MATERIALIZED (
+      SELECT f.doc_id, f.fp FROM fps f JOIN live l ON l.fp = f.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -6259,4 +6313,6 @@ def oracle_sql() -> dict[str, str]:
                    ({RANGE_OF_LAT_IN}) || '-' || ({PASS_OF_LON_IN}) AS plot_id
             FROM events
         """,
+        "winnow_fingerprints": _WINNOW_FPS_SQL,
+        "winnow_pairs": _WINNOW_PAIRS_SQL,
     }
