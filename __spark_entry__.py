@@ -5560,6 +5560,31 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=5, max_df=10)
 
 
+def q_rabin_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.py — the LBFS/rsync storage-
+    dedup classic, STATELESS variant): a chunk boundary wherever
+    mix31(poly131(char 7-gram)) % 64 == 0, so edges are content-anchored
+    and an edit only re-chunks its neighborhood. No min/max clamps —
+    production CDC's size clamps make boundaries sequential and oracle-
+    unreplayable; the stateless predicate keeps full parallelism and the
+    geometric size tail is documented. Chunk identity = 62-bit vhash poly
+    fingerprint. FULL oracle: identical boundary predicate + span lead()
+    replay."""
+    from extractors_metadata_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+def q_rabin_dedup(spark, sf_dir):
+    """Storage-dedup rollup over content-defined chunks: chunks stored more
+    than once, (chunk_fp, chunk_len, n_copies, n_docs) — what a content-
+    addressed store would dedupe. One map-side-combining groupBy(chunk_fp).
+    FULL oracle."""
+    from extractors_metadata_spark.operators.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -5811,6 +5836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": q_transition_entropy,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "rabin_chunks": q_rabin_chunks,
+        "rabin_dedup": q_rabin_dedup,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

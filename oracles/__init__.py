@@ -5320,6 +5320,65 @@ _WINNOW_PAIRS_SQL = f"""
 """
 
 
+def _rabin_spans_sql() -> str:
+    """Content-defined chunking replay (operators/cdc.py): mix31(poly131)
+    gram hashes, boundary where fp % 64 = 0, spans via lead() over the cut
+    set. Emits CTEs ending in ``sp2(doc_id, start, len, s)``."""
+    return f"""
+        d0 AS (
+          SELECT doc_id,
+                 substr(regexp_replace(lower(trim(text)), '[^ -~]', '', 'g'),
+                        1, 1024) AS s
+          FROM documents),
+        g AS (
+          SELECT doc_id, i, substr(s, i + 1, 7) AS gm
+          FROM (SELECT doc_id, s, unnest(range(length(s) - 6)) AS i
+                FROM d0 WHERE length(s) >= 7)),
+        h0 AS (SELECT doc_id, i, {_poly_sql('gm', 131)} AS hr FROM g),
+        h1 AS (SELECT doc_id, i, {_mix31_sql('hr')} AS fp FROM h0),
+        cuts AS (SELECT doc_id, i + 7 AS cut FROM h1 WHERE fp % 64 = 0),
+        dl AS MATERIALIZED (
+          SELECT doc_id, length(s) AS ln, s FROM d0 WHERE length(s) > 0),
+        starts AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS start FROM dl
+          UNION ALL
+          SELECT c.doc_id, CAST(c.cut AS BIGINT)
+          FROM cuts c JOIN dl d ON d.doc_id = c.doc_id WHERE c.cut < d.ln),
+        spans AS (
+          SELECT doc_id, start,
+                 lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+          FROM starts),
+        sp2 AS MATERIALIZED (
+          SELECT sp.doc_id, sp.start,
+                 coalesce(sp.nxt, d.ln) - sp.start AS len, d.s
+          FROM spans sp JOIN dl d ON d.doc_id = sp.doc_id
+          WHERE coalesce(sp.nxt, d.ln) - sp.start > 0)"""
+
+
+_RABIN_FP = (
+    f"({_poly_sql('substr(s, start + 1, len)', 131)}) * 2147483648"
+    f" + ({_poly_sql('substr(s, start + 1, len)', 137)})"
+)
+
+_RABIN_CHUNKS_SQL = f"""
+    WITH {_rabin_spans_sql()}
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start)
+                AS INT) AS chunk_idx,
+           start, len, {_RABIN_FP} AS chunk_fp
+    FROM sp2
+"""
+
+_RABIN_DEDUP_SQL = f"""
+    WITH {_rabin_spans_sql()},
+    ch AS (SELECT doc_id, len, {_RABIN_FP} AS chunk_fp FROM sp2)
+    SELECT chunk_fp, min(len) AS chunk_len,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -6315,4 +6374,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_fingerprints": _WINNOW_FPS_SQL,
         "winnow_pairs": _WINNOW_PAIRS_SQL,
+        "rabin_chunks": _RABIN_CHUNKS_SQL,
+        "rabin_dedup": _RABIN_DEDUP_SQL,
     }
