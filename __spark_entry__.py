@@ -5560,6 +5560,32 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=5, max_df=10)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII masking rewrite (functions/textstats.pii_redact) — the acting
+    twin of pii_counts' triage: the same deterministic probe suffix, then
+    the frozen email -> url -> phone replace-all chain; output is the
+    REDACTED TEXT itself plus its length (string equality is the strongest
+    check the driver hash can make). Pure codegen, zero shuffle. FULL
+    oracle: verbatim RE2 replay of the same chain."""
+    from extractors_metadata_spark.functions.textstats import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    probe = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact a"), ids, F.lit("@ex.com via https://ex.co/"),
+                ids, F.lit(" tel 555-000-"),
+                F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = pii_redact(probe)
+    return d.select("doc_id", red.alias("redacted"), F.length(red).alias("r_len"))
+
+
 def q_rabin_chunks(spark, sf_dir):
     """Content-defined chunking (operators/cdc.py — the LBFS/rsync storage-
     dedup classic, STATELESS variant): a chunk boundary wherever
@@ -5838,6 +5864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "rabin_chunks": q_rabin_chunks,
         "rabin_dedup": q_rabin_dedup,
+        "pii_redact": q_pii_redact,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -132,6 +132,18 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def pii_redact(text: Column) -> Column:
+    """Masking rewrite of the pii_counts classes — the acting half of the
+    triage pair (count to decide, redact to keep). FROZEN ORDER: emails,
+    then urls, then phones — an email inside a URL path is masked first and
+    the URL mask then swallows it, deterministically on both engines (each
+    step is a replace-ALL with the same frozen Java==RE2 patterns; the
+    replacement literals contain no regex/group metacharacters)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def normalize_content(text: Column) -> Column:
     """Casefold, strip punctuation, collapse whitespace — the shared
     normalization under both fingerprint hash families."""

@@ -6376,4 +6376,25 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "rabin_chunks": _RABIN_CHUNKS_SQL,
         "rabin_dedup": _RABIN_DEDUP_SQL,
+        "pii_redact": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || (CASE WHEN doc_id % 3 = 0
+                                   THEN ' contact a' || CAST(doc_id AS VARCHAR)
+                                        || '@ex.com via https://ex.co/' || CAST(doc_id AS VARCHAR)
+                                        || ' tel 555-000-' || printf('%04d', CAST(doc_id % 10000 AS INT))
+                                   ELSE '' END) AS t
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         'https?://[^\s]+', '<URL>', 'g'),
+                       '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+              FROM p)
+            SELECT doc_id, redacted, length(redacted) AS r_len FROM r
+        """,
     }

@@ -113,3 +113,24 @@ def test_curation_filter_reasons_first_match(spark):
     # every doc gets exactly one verdict and keep == (reason == 'keep')
     for r in out.values():
         assert r["keep"] == (r["reject_reason"] == "keep")
+
+
+def test_pii_redact_masks_and_order(spark):
+    """The frozen email -> url -> phone chain: an email inside a URL path is
+    masked first, then the URL mask swallows it; phone runs are masked
+    last; clean text passes through byte-identical."""
+    from extractors_metadata_spark.functions.textstats import pii_redact
+
+    rows = [
+        (0, "mail a@b.com now"),
+        (1, "see https://ex.co/a@b.com?x=1 ok"),
+        (2, "call +1 (555) 000-1234 today"),
+        (3, "plain text stays untouched"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", pii_redact(df.text).alias("red")).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "see <URL> ok"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "plain text stays untouched"
