@@ -5586,6 +5586,35 @@ def q_pii_redact(spark, sf_dir):
     return d.select("doc_id", red.alias("redacted"), F.length(red).alias("r_len"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.semdedup — Abbas et al. 2023, the
+    embedding-cluster-then-dedup curation primitive): k-means the embedding
+    table with the proven exact-integer Lloyd rounds, then inside each
+    cluster flag MEANING-level near-duplicates — cosine(a, b) >= 0.99
+    decided as PURE INTEGERS (quantize once at SCALE 500, then
+    10000*dot^2 >= 99^2*|a|^2*|b|^2, every product < 2^63) — keeping the
+    lowest-id representative (greedy-by-id, the replayable analog of the
+    paper's keep-one-per-group). The pair join is CLUSTER-LOCAL — the
+    paper's own scaling lever (k ~ n/target bounds cluster size), never
+    all-pairs. Probe-augmented input (the pii_redact pattern): every
+    vec_id % 7 == 0 vector gets a x1.02 scaled copy at vec_id + 100000 —
+    cosine exactly 1 pre-quantization, so the dup branch is genuinely
+    exercised (the synth embeddings' natural within-cluster |cos| tops out
+    ~0.51; max|x| ~ 0.58 keeps the kmeans |x| <= 1 precondition). FULL
+    oracle: the unrolled kmeans CTE stages + the same integer threshold
+    inside a materialized cluster self-join."""
+    from extractors_metadata_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probe = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    return semdedup(spark, emb.unionByName(probe), k=8, iters=3, tau_pct=99)
+
+
 def q_rabin_chunks(spark, sf_dir):
     """Content-defined chunking (operators/cdc.py — the LBFS/rsync storage-
     dedup classic, STATELESS variant): a chunk boundary wherever
@@ -5865,6 +5894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rabin_chunks": q_rabin_chunks,
         "rabin_dedup": q_rabin_dedup,
         "pii_redact": q_pii_redact,
+        "semdedup": q_semdedup,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

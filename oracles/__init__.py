@@ -1119,7 +1119,13 @@ def _weighted_sample_sql(k: int = 20) -> str:
 
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes(
+    k: int = 8, iters: int = 3, dim: int = 64, src: str = "embeddings"
+) -> list[str]:
+    """The unrolled Lloyd-round CTE stages shared by the kmeans_verify and
+    semdedup oracles; the final CTE ``df`` holds (vec_id, cid, d2) exact
+    squared distances to the final centroids. ``src`` is the (vec_id,
+    embedding) relation to cluster — a probe-augmented CTE for semdedup."""
     from extractors_metadata_spark.operators.kmeans import OFFSET, SCALE
 
     ph = _poly_sql("'km:' || CAST(vec_id AS VARCHAR)", 131)
@@ -1129,7 +1135,7 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
                  list_transform(embedding,
                    x -> CAST(round_even(CAST(x AS DOUBLE) * {SCALE!r}, 0) AS BIGINT)
                         + {OFFSET}) AS v
-          FROM embeddings)""",
+          FROM {src})""",
         f"h0 AS (SELECT vec_id, v, {ph} AS hr FROM q)",
         f"h1 AS (SELECT vec_id, v, {_mix31_sql('hr')} AS hv FROM h0)",
         f"""c0 AS MATERIALIZED (
@@ -1172,13 +1178,77 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
           FROM q CROSS JOIN c{iters})"""
     )
-    body = ",\n        ".join(ctes)
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    body = ",\n        ".join(_kmeans_ctes(k, iters, dim))
     return f"""
         WITH {body}
         SELECT vec_id, CAST(cluster AS INT) AS cluster, d2 FROM (
           SELECT vec_id, cid AS cluster, d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
           FROM df) WHERE rn = 1
+    """
+
+
+def _semdedup_sql(k: int = 8, iters: int = 3, tau_pct: int = 99) -> str:
+    """SemDeDup replay: the kmeans CTE stages give the final assignment;
+    vectors re-quantize at SD_SCALE=500 (round_even == JVM bround at 0
+    decimals), and the cosine >= tau_pct/100 decision is the pure-integer
+    10000*dot^2 >= tau^2*na*nb inside the cluster-local a.vec_id < b.vec_id
+    self-join (nar is referenced twice -> MATERIALIZED per the engine's
+    DuckDB re-inline pitfall). Greedy-by-id: b is a dup iff some lower-id a
+    in its cluster clears tau. The input is probe-augmented: every
+    vec_id % 7 == 0 vector gets a x1.02 scaled copy at vec_id + 100000
+    (cosine exactly 1 pre-quantization) so the dup branch is genuinely
+    exercised — the synth embeddings' natural within-cluster |cos| tops out
+    ~0.51. max|x| ~ 0.58 so 1.02x keeps the kmeans |x| <= 1 precondition."""
+    from extractors_metadata_spark.operators.semdedup import SD_SCALE
+
+    ctes = [
+        """emb2 AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(1.02 AS DOUBLE)) AS embedding
+          FROM embeddings WHERE vec_id % 7 = 0)""",
+    ]
+    ctes += _kmeans_ctes(k, iters, src="emb2")
+    ctes += [
+        f"""asg AS MATERIALIZED (
+          SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM df) WHERE rn = 1)""",
+        f"""uq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * {SD_SCALE!r}, 0) AS BIGINT)) AS u
+          FROM emb2)""",
+        """nar AS MATERIALIZED (
+          SELECT asg.vec_id, asg.cluster, uq.u,
+                 CAST(list_sum(list_transform(uq.u, x -> x * x)) AS BIGINT) AS n2
+          FROM asg JOIN uq USING (vec_id))""",
+        f"""dup AS (
+          SELECT DISTINCT vec_id FROM (
+            SELECT b.vec_id,
+                   CAST(list_sum(list_transform(list_zip(a.u, b.u),
+                     p -> p[1] * p[2])) AS BIGINT) AS dot,
+                   a.n2 AS na, b.n2 AS nb
+            FROM nar a JOIN nar b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+          WHERE dot > 0
+            AND 10000 * dot * dot >= {tau_pct * tau_pct} * na * nb)""",
+    ]
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT asg.vec_id, asg.cluster,
+               CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+        FROM asg LEFT JOIN dup USING (vec_id)
     """
 
 
@@ -6397,4 +6467,5 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT doc_id, redacted, length(redacted) AS r_len FROM r
         """,
+        "semdedup": _semdedup_sql(),
     }
