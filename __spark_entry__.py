@@ -1602,6 +1602,24 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, nodes, iterations=5)
 
 
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities (operators/linkgraph.hits), 4
+    exact-integer mutual-reinforcement rounds over the same deterministic
+    event link graph as pagerank. Each half-step is an int64 in-/out-edge
+    sum renormalized by a POWER-OF-TWO shift from the max score's bit
+    length (the principal_axis recipe) — never a float L2 norm — so scores
+    are bit-identical under any partitioning. FULL oracle: 4 unrolled
+    half-step CTE pairs replaying the sum, the length(bin(max)) shift pick
+    and the same exact division."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        event_link_graph,
+        hits,
+    )
+
+    edges, nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    return hits(edges, nodes, rounds=4)
+
+
 def q_stream_hll_verify(spark, sf_dir):
     """Structured-Streaming sketch maintenance under a FULL oracle
     (streaming/sketch_stream.stream_hll_distinct): the events table is
@@ -5895,6 +5913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rabin_dedup": q_rabin_dedup,
         "pii_redact": q_pii_redact,
         "semdedup": q_semdedup,
+        "hits": q_hits,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -401,3 +401,75 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+HITS_TARGET_BITS = 20  # renormalize max score into [2^19, 2^20)
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 4,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """(node, hub_fp, auth_fp): Kleinberg's HITS after ``rounds``
+    exact-integer mutual-reinforcement iterations — the hub/authority
+    complement of pagerank's single-score rank (directories vs content in
+    web-corpus curation).
+
+    Why INTEGER + POWER-OF-TWO renormalization: float HITS L2-normalizes
+    each half-step, which is shuffle-order dependent in the last ulps and
+    unoraclable. Here scores start at 2^19; each half-step is an exact
+    int64 sum over in-/out-edges followed by a power-of-two shift chosen
+    from the max score's bit length (target band [2^19, 2^20) — the
+    principal_axis recipe), so renormalization is exact division and every
+    score is bit-identical under ANY partitioning. Scores stay NONNEGATIVE
+    (sums of nonnegative starts), so the shift needs no sign split.
+    Bounds: score < 2^20, per-node in-sum <= max_degree * 2^20 — int64-safe
+    to degree ~ 2^43 (any real web graph).
+
+    Scale design mirrors pagerank: per half-round ONE degree-keyed
+    map-side-combining sum shuffle; the node-sized score frame broadcasts
+    (host-level, the common case) or shuffle-joins with ``broadcast_ranks=
+    False`` at page scale; localCheckpoint(eager) per half-round both
+    truncates lineage and backs the bounded 1-row max() action that picks
+    the shift. Raises on an edgeless graph (scores would collapse to 0).
+
+    Reference analog: none — completes the link-graph suite (pagerank /
+    k_core / triangles / label_prop / SSSP) with the bipartite-reinforcement
+    score pair.
+    """
+    start = 1 << (HITS_TARGET_BITS - 1)
+    h = nodes.select("node", F.lit(start).cast("long").alias("h"))
+    a = None
+
+    def _half(scores, score_col, key_in, key_out, out_col):
+        s = F.broadcast(scores) if broadcast_ranks else scores
+        summed = (
+            edges.join(s, edges[key_in] == s.node, "inner")
+            .groupBy(key_out)
+            .agg(F.sum(score_col).alias(out_col))
+            .select(F.col(key_out).alias("node"), out_col)
+        )
+        full = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = full.agg(F.max(out_col)).first()[0]
+        if not m:
+            raise ValueError("hits: graph has no edges (scores collapsed to 0)")
+        sh = max(int(m).bit_length() - HITS_TARGET_BITS, 0)
+        return full.select(
+            "node", F.expr(f"{out_col} div {1 << sh}").alias(out_col)
+        )
+
+    for _ in range(int(rounds)):
+        a = _half(h, "h", "src", "dst", "a")   # authority: in-edge hub sum
+        h = _half(a, "a", "dst", "src", "h")   # hub: out-edge authority sum
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
+    )

@@ -4429,6 +4429,58 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 
 
+def _hits_sql(rounds: int = 4) -> str:
+    """linkgraph.hits mirror: per round one authority half-step (in-edge
+    hub sum over the pagerank event graph, coalesce 0, power-of-two shift
+    from length(bin(max)) — all scores nonnegative so // is the engine's
+    div) then one hub half-step; unrolled per the DuckDB iteration rule."""
+    from extractors_metadata_spark.operators.linkgraph import HITS_TARGET_BITS
+
+    tb = HITS_TARGET_BITS
+    stages = []
+    prev_h = "h0"
+    for r in range(1, rounds + 1):
+        stages.append(f"""
+        at{r} AS MATERIALIZED (
+          SELECT n.node, coalesce(x.s, 0) AS s FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(p.s) AS BIGINT) AS s
+            FROM edges e JOIN {prev_h} p ON e.src = p.node GROUP BY 1) x
+          USING (node)),
+        am{r} AS (SELECT greatest(length(bin(max(s))) - {tb}, 0) AS sh FROM at{r}),
+        a{r} AS MATERIALIZED (
+          SELECT node, CAST(s // CAST(pow(2, sh) AS BIGINT) AS BIGINT) AS s
+          FROM at{r} CROSS JOIN am{r}),
+        ht{r} AS MATERIALIZED (
+          SELECT n.node, coalesce(x.s, 0) AS s FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, CAST(sum(p.s) AS BIGINT) AS s
+            FROM edges e JOIN a{r} p ON e.dst = p.node GROUP BY 1) x
+          USING (node)),
+        hm{r} AS (SELECT greatest(length(bin(max(s))) - {tb}, 0) AS sh FROM ht{r}),
+        h{r} AS MATERIALIZED (
+          SELECT node, CAST(s // CAST(pow(2, sh) AS BIGINT) AS BIGINT) AS s
+          FROM ht{r} CROSS JOIN hm{r})""")
+        prev_h = f"h{r}"
+    body = ",".join(stages)
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        h0 AS (SELECT node, CAST({1 << (tb - 1)} AS BIGINT) AS s FROM nodes),
+        {body}
+        SELECT h.node, h.s AS hub_fp, a.s AS auth_fp
+        FROM h{rounds} h JOIN a{rounds} a USING (node)
+    """
+
+
 _ASSORTATIVITY_SQL = """
     WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
     nodes AS MATERIALIZED (
@@ -6468,4 +6520,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, redacted, length(redacted) AS r_len FROM r
         """,
         "semdedup": _semdedup_sql(),
+        "hits": _hits_sql(4),
     }
