@@ -1620,6 +1620,22 @@ def q_hits(spark, sf_dir):
     return hits(edges, nodes, rounds=4)
 
 
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier
+    (operators/naivebayes.naive_bayes_langid): trained in-engine on the
+    even-doc_id split (label = lang), classifying the odd split — the
+    learned counterpart of the heuristic lang_id. Every ln argument is a
+    ratio of exact int64 counts emitted as 1e-9 fixed point per term (the
+    bm25/lm_quality recipe), summed as int64, argmax with the frozen
+    (score desc, lang asc) tie-break — bit-identical under any
+    partitioning. Scoring fans each token out only |C| ways on a broadcast
+    class dim. FULL oracle: same counts, same literal ln arithmetic,
+    row_number argmax."""
+    from extractors_metadata_spark.operators.naivebayes import naive_bayes_langid
+
+    return naive_bayes_langid(_t(spark, sf_dir, "documents"))
+
+
 def q_stream_hll_verify(spark, sf_dir):
     """Structured-Streaming sketch maintenance under a FULL oracle
     (streaming/sketch_stream.stream_hll_distinct): the events table is
@@ -5914,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "semdedup": q_semdedup,
         "hits": q_hits,
+        "naive_bayes": q_naive_bayes,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

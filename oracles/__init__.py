@@ -3247,6 +3247,59 @@ _LM_QUALITY_SQL = r"""
 
 
 
+_NAIVE_BAYES_SQL = r"""
+    WITH arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    toks AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(arr) AS tok FROM arrs),
+    tr AS MATERIALIZED (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS cwc
+      FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    tc AS MATERIALIZED (
+      SELECT lang, CAST(sum(cwc) AS BIGINT) AS tc FROM tr GROUP BY 1),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+      FROM toks WHERE doc_id % 2 = 0),
+    pri AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nc
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    ntr AS (SELECT CAST(count(*) AS BIGINT) AS n
+            FROM documents WHERE doc_id % 2 = 0),
+    prif AS (
+      SELECT lang,
+             CAST(round_even(ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                             * 1e9, 0) AS BIGINT) AS prior_fp
+      FROM pri CROSS JOIN ntr),
+    terms AS (
+      SELECT t.doc_id, c.lang,
+             CAST(round_even(
+               ln(CAST(coalesce(w.cwc, 0) + 1 AS DOUBLE)
+                  / CAST(c.tc + v.vsz AS DOUBLE)) * 1e9, 0) AS BIGINT) AS fp
+      FROM toks t CROSS JOIN tc c
+      LEFT JOIN tr w ON w.lang = c.lang AND w.tok = t.tok
+      CROSS JOIN v
+      WHERE t.doc_id % 2 = 1),
+    sc AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(sum(fp) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM terms GROUP BY 1, 2),
+    scp AS (
+      SELECT sc.doc_id, sc.lang, sc.s + p.prior_fp AS score_fp, sc.n_tokens
+      FROM sc JOIN prif p USING (lang))
+    SELECT b.doc_id, d.lang AS true_lang, b.lang AS pred_lang,
+           CAST(b.score_fp AS BIGINT) AS score_fp, b.n_tokens
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_fp DESC, lang ASC) AS rn
+      FROM scp) b
+    JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+"""
+
+
 def _bpe_stages_sql(rounds: int, final: str | None = None) -> str:
     """Generated oracle for q_bpe_merges / q_bpe_encode: tokenize -> word
     frequencies -> ``rounds`` unrolled (pair-count argmax -> islands+parity
@@ -6521,4 +6574,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup": _semdedup_sql(),
         "hits": _hits_sql(4),
+        "naive_bayes": _NAIVE_BAYES_SQL,
     }
