@@ -1636,6 +1636,52 @@ def q_naive_bayes(spark, sf_dir):
     return naive_bayes_langid(_t(spark, sf_dir, "documents"))
 
 
+def _ahash_pages(spark, sf_dir):
+    """Probe pages + re-hosted duplicates: every event_id % 9 == 0 payload
+    appears again under url || '#dup' — the dominant real-world image-dedup
+    case (same bytes, different host/path)."""
+    pages = _probe_pages(spark, sf_dir, max_events=2000).select("url", "html")
+    eid = F.regexp_extract("url", r"e(\d+)$", 1).cast("long")
+    dups = pages.filter(eid % 9 == 0).select(
+        F.concat("url", F.lit("#dup")).alias("url"), "html"
+    )
+    return pages.unionByName(dups)
+
+
+def q_image_ahash(spark, sf_dir):
+    """Perceptual image fingerprints (multimodal/binary_ops.
+    decode_image_ahash): payload -> FNV seed -> deterministic 8x8 grayscale
+    stub thumbnail (SplitMix64 low byte — pure INTEGER, unlike the
+    Box-Muller feature path) -> 64-bit average-hash where bit j is the
+    cross-multiplied mean test 64*p_j >= sum(p) (no float mean can
+    ulp-flip a bit), plus the four 16-bit bands the near-dup join keys on.
+    One fused mapInPandas Arrow pass. real_decode=True is the codec
+    integration point (decode -> grayscale -> 8x8 downsample -> the SAME
+    ahash_from_gray). FULL oracle: FNV + SplitMix64 HUGEINT limb replay,
+    integer bit assembly, two's-complement signed view."""
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_ahash
+
+    return decode_image_ahash(_ahash_pages(spark, sf_dir))
+
+
+def q_image_ahash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs (multimodal/binary_ops.ahash_pairs):
+    banded Hamming join over the aHash fingerprints — each hash splits into
+    4 exact 16-bit band keys, candidates meet bucket-locally (never
+    all-pairs), pigeonhole makes recall EXACT for distance <= 3, verify is
+    pair-scoped bit_count(xor) in codegen. The multimodal member of the
+    near-dup family (minhash/simhash/winnowing for text). Probe-augmented
+    input: every ninth payload is re-hosted under a second url, so each
+    planted pair surfaces at hamdist 0. FULL oracle: band explode as a
+    4-way UNION ALL self-join + the same xor popcount."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        ahash_pairs,
+        decode_image_ahash,
+    )
+
+    return ahash_pairs(decode_image_ahash(_ahash_pages(spark, sf_dir)), max_dist=3)
+
+
 def q_stream_hll_verify(spark, sf_dir):
     """Structured-Streaming sketch maintenance under a FULL oracle
     (streaming/sketch_stream.stream_hll_distinct): the events table is
@@ -5931,6 +5977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hits": q_hits,
         "naive_bayes": q_naive_bayes,
+        "image_ahash": q_image_ahash,
+        "image_ahash_pairs": q_image_ahash_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -161,3 +161,121 @@ def sample_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
+
+
+AHASH_BANDS = 4  # 16-bit bands; pigeonhole guarantees detection to dist 3
+
+
+def _gray64_from_seeds(seeds: np.ndarray) -> np.ndarray:
+    """(n, 64) deterministic 8x8 grayscale pixels (0..255) per payload seed:
+    the LOW BYTE of the same SplitMix64 (seed, counter) grid the feature
+    generator mixes — pure integer end-to-end, so DuckDB replays it with
+    HUGEINT limb arithmetic (unlike the Box-Muller floats, which need the
+    bit-equal-libm argument)."""
+    n = len(seeds)
+    ctr = np.arange(1, 65, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = seeds[:, None].astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * ctr[None, :]
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return (z & np.uint64(0xFF)).astype(np.int64).reshape(n, 64)
+
+
+def ahash_from_gray(pix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Average-hash a batch of (n, 64) integer pixel grids: bit j is set iff
+    64 * pix[j] >= sum(pix) — the mean comparison cross-multiplied so the
+    decision is PURE INTEGER (no float mean can ulp-flip a bit). Returns
+    (ahash int64 via two's-complement view, bands (n, 4) int32 16-bit
+    chunks for the banded Hamming join)."""
+    pix = np.asarray(pix, dtype=np.int64)
+    s = pix.sum(axis=1)
+    bits = (64 * pix >= s[:, None]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    hu = (bits * weights).sum(axis=1, dtype=np.uint64)
+    ahash = hu.view(np.int64)
+    bands = np.stack(
+        [((hu >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
+         for b in range(AHASH_BANDS)],
+        axis=1,
+    )
+    return ahash, bands
+
+
+IMAGE_AHASH_SCHEMA = "url string, ahash long, b0 int, b1 int, b2 int, b3 int"
+
+
+def decode_image_ahash(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    real_decode: bool = False,
+) -> DataFrame:
+    """binary -> 64-bit average-hash perceptual fingerprint + its four
+    16-bit bands, one mapInPandas Arrow pass (hash + fake thumbnail + aHash
+    fused). ``real_decode=True`` is the codec integration point (decode,
+    grayscale, 8x8 downsample — then the SAME ahash_from_gray)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "no image codec in this environment; decode + grayscale "
+                    "+ 8x8 downsample here, then ahash_from_gray unchanged"
+                )
+            seeds = hash_bytes_batch(pdf[binary_col])
+            ahash, bands = ahash_from_gray(_gray64_from_seeds(seeds))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[id_col],
+                    "ahash": ahash,
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(gen, IMAGE_AHASH_SCHEMA)
+
+
+def ahash_pairs(hashed: DataFrame, max_dist: int = 3) -> DataFrame:
+    """(url_a, url_b, hamdist): image near-duplicate pairs at Hamming
+    distance <= ``max_dist`` over the aHash fingerprints — the multimodal
+    member of the near-dup family (minhash/simhash/winnowing for text,
+    aHash for images; re-hosted and lightly-recompressed images land within
+    a few bits).
+
+    Scale shape: candidates come from a BANDED self-join — each hash splits
+    into 4 exact 16-bit band keys, pairs sharing any band meet ONCE per
+    shared band and are de-duplicated; the pigeonhole bound makes recall
+    EXACT for max_dist <= 3 (4 bands, <= 3 differing bits leave >= 1 band
+    untouched). Never all-pairs; band buckets are ~n/65536 on non-adversarial
+    data (cap hot buckets upstream like dedup.py's minhash join if the
+    corpus has monochrome-heavy spikes). The verify is pair-scoped:
+    bit_count(xor) in codegen.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= max_dist <= 3:
+        raise ValueError("max_dist must be in [0, 3] for exact 4-band recall")
+    ex = hashed.select(
+        "url", "ahash",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("b", "v"),
+    )
+    a = ex.select(
+        F.col("url").alias("url_a"), F.col("ahash").alias("ah_a"), "b", "v"
+    )
+    bb = ex.select(
+        F.col("url").alias("url_b"), F.col("ahash").alias("ah_b"), "b", "v"
+    )
+    cand = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", "ah_a", "ah_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ah_a ^ ah_b)").cast("int")
+    return cand.select(
+        "url_a", "url_b", ham.alias("hamdist")
+    ).filter(F.col("hamdist") <= max_dist)

@@ -5365,6 +5365,71 @@ def _splitmix_features_sql(n_features: int = 8) -> str:
 
 
 
+def _ahash_ctes() -> str:
+    """SQL replay of multimodal/binary_ops ahash path — consumes CTE
+    ``hh(event_id, h63)``; ends with ``ah(event_id, ahash, b0..b3)``.
+    Pure integer end-to-end: SplitMix64 low-byte pixels (same limb
+    arithmetic as _splitmix_features_sql), the cross-multiplied mean test
+    64*p >= sum(p), pow(2, c-1) bit weights (powers of two are exact
+    doubles through 2^63), and the explicit two's-complement signed fold
+    for the BIGINT ahash."""
+    m64 = "18446744073709551616"
+
+    def mul(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"(((CAST({a} AS HUGEINT) * {bl}) % {m64}"
+            f" + (((CAST({a} AS HUGEINT) * {bh}) % 4294967296) * 4294967296)) % {m64})"
+        )
+
+    def xs(z: str, s: int) -> str:
+        return f"xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {s})"
+
+    bands = ", ".join(
+        f"CAST((hu // CAST({1 << (16 * b)} AS HUGEINT)) % 65536 AS INT) AS b{b}"
+        for b in range(4)
+    )
+    return f"""
+        actrs AS (SELECT unnest(range(1, 65)) AS c),
+        az0 AS MATERIALIZED (
+          SELECT event_id, CAST(c AS INT) AS c,
+                 (CAST(h63 AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT) * c) % {m64} AS z
+          FROM hh, actrs),
+        az1 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM az0),
+        az2 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 27), 0x94D049BB133111EB)} AS z FROM az1),
+        apx AS MATERIALIZED (
+          SELECT event_id, c, CAST(CAST({xs('z', 31)} AS HUGEINT) % 256 AS BIGINT) AS p
+          FROM az2),
+        asum AS (SELECT event_id, CAST(sum(p) AS BIGINT) AS s FROM apx GROUP BY 1),
+        abits AS (
+          SELECT apx.event_id, apx.c,
+                 CASE WHEN 64 * apx.p >= a.s THEN 1 ELSE 0 END AS bit
+          FROM apx JOIN asum a USING (event_id)),
+        ahu AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(sum(CAST(bit AS HUGEINT) * CAST(pow(2, c - 1) AS HUGEINT)) AS HUGEINT) AS hu
+          FROM abits GROUP BY 1),
+        ah AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                           THEN hu - CAST({m64} AS HUGEINT) ELSE hu END AS BIGINT) AS ahash,
+                 {bands}
+          FROM ahu)
+    """
+
+
+_AHASH_URLS_CTE = """
+        au AS (
+          SELECT event_id,
+                 'https://site.example/e' || CAST(event_id AS VARCHAR) AS url
+          FROM hh
+          UNION ALL
+          SELECT event_id,
+                 'https://site.example/e' || CAST(event_id AS VARCHAR) || '#dup' AS url
+          FROM hh WHERE event_id % 9 = 0)
+"""
+
+
 def _probe_html_sql() -> str:
     """Rebuild _probe_pages' html string byte-for-byte in SQL (Jackson to_json
     emits struct fields and map entries in declaration order with no spaces;
@@ -6575,4 +6640,36 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "hits": _hits_sql(4),
         "naive_bayes": _NAIVE_BAYES_SQL,
+        "image_ahash": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_ahash_ctes()},
+            {_AHASH_URLS_CTE}
+            SELECT au.url, ah.ahash, ah.b0, ah.b1, ah.b2, ah.b3
+            FROM au JOIN ah USING (event_id)
+        """,
+        "image_ahash_pairs": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_ahash_ctes()},
+            {_AHASH_URLS_CTE},
+            pe AS MATERIALIZED (
+              SELECT au.url, ah.ahash, ah.b0, ah.b1, ah.b2, ah.b3
+              FROM au JOIN ah USING (event_id)),
+            px AS MATERIALIZED (
+              SELECT url, ahash, 0 AS b, b0 AS v FROM pe
+              UNION ALL SELECT url, ahash, 1, b1 FROM pe
+              UNION ALL SELECT url, ahash, 2, b2 FROM pe
+              UNION ALL SELECT url, ahash, 3, b3 FROM pe),
+            cand AS (
+              SELECT DISTINCT a.url AS url_a, b.url AS url_b,
+                              a.ahash AS ah_a, b.ahash AS ah_b
+              FROM px a JOIN px b
+                ON a.b = b.b AND a.v = b.v AND a.url < b.url)
+            SELECT url_a, url_b,
+                   CAST(bit_count(xor(ah_a, ah_b)) AS INT) AS hamdist
+            FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
+        """,
     }

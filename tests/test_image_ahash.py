@@ -1,0 +1,116 @@
+"""Image average-hash fingerprints + banded Hamming near-dup pairs
+(multimodal/binary_ops: _gray64_from_seeds / ahash_from_gray /
+decode_image_ahash / ahash_pairs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from extractors_metadata_spark.multimodal.binary_ops import (
+    ahash_from_gray,
+    ahash_pairs,
+    decode_image_ahash,
+    hash_bytes_batch,
+    _gray64_from_seeds,
+)
+
+
+def test_ahash_is_integer_mean_test():
+    """bit j == (64 * p_j >= sum p), assembled LSB-first; the two's-
+    complement view round-trips through uint64."""
+    pix = np.arange(64, dtype=np.int64).reshape(1, 64)  # sum 2016, mean 31.5
+    h, bands = ahash_from_gray(pix)
+    want_bits = (64 * np.arange(64) >= 2016).astype(np.uint64)
+    want = int((want_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    assert h[0] == np.uint64(want).astype(np.int64).item() if want < 2**63 else True
+    hu = np.array([h[0]], dtype=np.int64).view(np.uint64)[0]
+    assert int(hu) == want
+    # bands are the four 16-bit chunks of the unsigned value
+    for b in range(4):
+        assert bands[0][b] == (want >> (16 * b)) & 0xFFFF
+
+
+def test_identical_payloads_identical_hash():
+    seeds = hash_bytes_batch([b"imgA", b"imgB", b"imgA"])
+    h, bands = ahash_from_gray(_gray64_from_seeds(seeds))
+    assert h[0] == h[2] and (bands[0] == bands[2]).all()
+    assert h[0] != h[1]  # avalanche: different payloads differ
+
+
+def _hashed_df(spark, rows):
+    """rows: (url, 64-pixel grid) -> the (url, ahash, b0..b3) frame."""
+    import pandas as pd
+
+    h, bands = ahash_from_gray(np.asarray([p for _, p in rows], dtype=np.int64))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [u for u, _ in rows],
+                "ahash": h,
+                "b0": bands[:, 0],
+                "b1": bands[:, 1],
+                "b2": bands[:, 2],
+                "b3": bands[:, 3],
+            }
+        )
+    )
+
+
+def test_pairs_within_distance_found_exactly(spark):
+    """Constructed grids: base; 1-bit flip; 3-bit flip; 5-bit flip; far.
+    max_dist=3 must return exactly (base,flip1,1), (base,flip3,3) and
+    (flip1,flip3,2|4?) — computed against a brute-force popcount replay."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, 64).astype(np.int64)
+
+    def flip(pix, idxs):
+        """Flip chosen aHash bits by pushing pixels across the mean."""
+        out = pix.copy()
+        s = out.sum()
+        for i in idxs:
+            out[i] = 255 if 64 * out[i] < s else 0
+        return out
+
+    rows = [
+        ("u0", base),
+        ("u1", flip(base, [3])),
+        ("u2", flip(base, [7, 11, 13])),
+        ("u3", flip(base, [2, 20, 30, 40, 50])),
+        ("u4", rng.integers(0, 256, 64).astype(np.int64)),
+    ]
+    df = _hashed_df(spark, rows)
+    got = {
+        (r.url_a, r.url_b): r.hamdist
+        for r in ahash_pairs(df, max_dist=3).collect()
+    }
+    # brute-force expectation
+    h, _ = ahash_from_gray(np.asarray([p for _, p in rows], dtype=np.int64))
+    hu = h.view(np.uint64)
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = bin(int(hu[i]) ^ int(hu[j])).count("1")
+            if d <= 3:
+                want[(rows[i][0], rows[j][0])] = d
+    assert got == want
+    assert ("u0", "u1") in got  # the planted 1-bit neighbor is found
+
+
+def test_pairs_e2e_rehosted_payloads(spark):
+    """decode_image_ahash -> ahash_pairs over binary payloads: re-hosted
+    (identical) payloads pair at distance 0; nothing else pairs."""
+    rows = [(f"u{i}", f"payload-{i}".encode()) for i in range(20)]
+    rows += [("u3#mirror", b"payload-3"), ("u7#mirror", b"payload-7")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(
+        (r.url_a, r.url_b, r.hamdist)
+        for r in ahash_pairs(decode_image_ahash(df), max_dist=3).collect()
+    )
+    assert got == [("u3", "u3#mirror", 0), ("u7", "u7#mirror", 0)]
+
+
+def test_max_dist_validated(spark):
+    df = _hashed_df(spark, [("u0", np.zeros(64, dtype=np.int64))])
+    with pytest.raises(ValueError):
+        ahash_pairs(df, max_dist=4)
