@@ -5720,6 +5720,34 @@ def q_rabin_dedup(spark, sf_dir):
     return cdc_dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Per-cell Mann-Kendall trend (operators/trend.mann_kendall) — the
+    emerging-hotspot engine: for every occupied 200k-nanodegree grid cell,
+    the exact S statistic and tie-corrected variance numerator of its
+    ZERO-FILLED daily event-count series (30 daily bins; the z score is a
+    consumer-side ratio of the emitted integers). tile_density says where
+    is busy, hotspot_persist where STAYS busy, this where is GETTING
+    busier. Day bins via integer `div` per the µs-division rule; T is a
+    bounded literal so per-cell work is O(T^2) = constant. FULL oracle:
+    the same count/zero-fill/sign-pair/tie arithmetic replayed in SQL."""
+    from extractors_metadata_spark.operators.trend import mann_kendall
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), lat, lon,
+    ).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+        F.expr("us div 86400000000").alias("day"),
+    )
+    counts = pts.groupBy("cx", "cy", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return mann_kendall(counts, ["cx", "cy"], bin_col="day", n_col="n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -5979,6 +6007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "image_ahash": q_image_ahash,
         "image_ahash_pairs": q_image_ahash_pairs,
+        "mann_kendall": q_mann_kendall,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1,0 +1,124 @@
+"""Mann-Kendall trend statistics per spatial key — emerging-hotspot style.
+
+The Mann-Kendall test is the standard non-parametric monotone-trend
+detector for per-cell time series (it is the per-cell engine inside the
+GIS "emerging hot spot analysis" workflow: a cell whose daily activity
+counts trend up is an emerging hotspot, one trending down is fading).
+Reference analog: the geostreams datapoint counts the reference uploads
+per sensor over time (terraref/extractors-metadata's
+terra_geostreams.py builds exactly such per-site time series); this
+operator is the trend summary a monitoring consumer runs over them.
+
+Everything is exact integer arithmetic:
+
+    S      = sum over bin pairs i < j of sign(c_j - c_i)
+    var18  = n(n-1)(2n+5) - sum over tie groups t(t-1)(2t+5)
+             (18 * Var(S), the tie-corrected variance numerator)
+
+with c_* exact int64 counts on a ZERO-FILLED bin grid (absence of events
+is a real zero, not a missing observation — dropping empty bins would
+bias S toward whatever the occupied bins do). The z statistic
+(S-1)/sqrt(var18/18) stays consumer-side; the emitted integers are the
+whole sufficient statistic and hash-exactly replayable.
+
+Scale shape: the time-bin count T is fixed by the corpus time range (a
+bounded literal — 30 daily bins here), so per-key work is O(T^2) =
+constant and total work is linear in occupied keys. The plan is one
+map-side-combining count aggregate, one broadcast of the T-row bin grid
+(grid rows = keys x T via a broadcast crossJoin, never a shuffle), one
+key-keyed self-join bounded to T alignments, and two collapsed
+aggregates. No floats anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mann_kendall(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_col: str = "n",
+    bin_lo: int | None = None,
+    bin_hi: int | None = None,
+) -> DataFrame:
+    """Per-key Mann-Kendall S and tie-corrected variance numerator.
+
+    ``counts``: one row per (key..., bin) with an exact int64 count —
+    pre-aggregated (the caller's groupBy is the only data-sized pass).
+    ``bin_lo``/``bin_hi``: inclusive global bin range for the zero-fill
+    grid; derived from the data with one tiny scalar action when omitted.
+
+    Returns one row per key: (key..., n_bins, s_stat, var18), exact
+    int64, partitioning-invariant.
+    """
+    keys = list(key_cols)
+    spark = counts.sparkSession
+    if bin_lo is None or bin_hi is None:
+        row = counts.agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        ).first()
+        bin_lo = int(row["lo"]) if bin_lo is None else bin_lo
+        bin_hi = int(row["hi"]) if bin_hi is None else bin_hi
+    n_bins = bin_hi - bin_lo + 1
+
+    # zero-filled grid: occupied keys x the bounded bin range. The bin
+    # frame is a T-row literal — broadcast, so the crossJoin is a local
+    # fan-out of the (already collapsed) key dim, never a shuffle.
+    kdim = counts.select(*keys).distinct()
+    bins = spark.range(bin_lo, bin_hi + 1).select(
+        F.col("id").cast("long").alias(bin_col)
+    )
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, keys + [bin_col], "left")
+        .select(
+            *keys,
+            F.col(bin_col),
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+
+    # S: every later-bin pair, integer sign (F.signum is double — CASE it)
+    a = filled.select(
+        *keys, F.col(bin_col).alias("bi"), F.col("c").alias("ca")
+    )
+    b = filled.select(
+        *keys, F.col(bin_col).alias("bj"), F.col("c").alias("cb")
+    )
+    pairs = a.join(b, keys, "inner").filter(F.col("bj") > F.col("bi"))
+    s = pairs.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), F.lit(1))
+            .when(F.col("cb") < F.col("ca"), F.lit(-1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("s_stat")
+    )
+
+    # tie correction: groups of equal c within a key
+    tie_term = (
+        filled.groupBy(*keys, "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("ties")
+        )
+    )
+    nb = F.lit(n_bins).cast("long")
+    return (
+        s.join(tie_term, keys, "inner")
+        .select(
+            *keys,
+            nb.alias("n_bins"),
+            F.col("s_stat"),
+            (nb * (nb - 1) * (2 * nb + 5) - F.col("ties"))
+            .cast("long")
+            .alias("var18"),
+        )
+    )
