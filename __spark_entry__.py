@@ -1620,6 +1620,23 @@ def q_hits(spark, sf_dir):
     return hits(edges, nodes, rounds=4)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (operators/walks.random_walks):
+    one 4-step walk per node of the pagerank event link graph — the
+    DeepWalk/node2vec training-corpus sampler, with the successor drawn
+    by argmin of mix31((cur*131 + step*7 + dst*13) mod 2^31) with dst
+    tie-break instead of an RNG, so every walk is a pure function of the
+    graph: bit-identical under any partitioning and literally replayable
+    in SQL. Per step one src-keyed shuffle join + one map-side-combining
+    min_by; `length` a bounded literal. FULL oracle: unrolled per-step
+    row_number argmin stages over the same edges."""
+    from extractors_metadata_spark.operators.linkgraph import event_link_graph
+    from extractors_metadata_spark.operators.walks import random_walks
+
+    edges, nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    return random_walks(edges, nodes, length=4)
+
+
 def q_naive_bayes(spark, sf_dir):
     """Multinomial Naive Bayes language classifier
     (operators/naivebayes.naive_bayes_langid): trained in-engine on the
@@ -6008,6 +6025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "image_ahash_pairs": q_image_ahash_pairs,
         "mann_kendall": q_mann_kendall,
+        "random_walks": q_random_walks,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

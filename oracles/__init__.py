@@ -4530,6 +4530,53 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 
 
+def _random_walks_sql(length: int = 4) -> str:
+    """walks.random_walks mirror: the hash-guided successor rule unrolled
+    as one argmin stage per step (the composite-argmin rule: row_number
+    over (ORDER BY mix31 key, dst) = 1 — DuckDB min_by rejects struct
+    vals). Each w{t} is referenced twice (next stage + final union) ->
+    MATERIALIZED per the CTE re-inlining rule. Graph CTEs are the
+    pagerank event graph verbatim."""
+    stages = []
+    prev = "w0"
+    for t in range(1, length + 1):
+        stages.append(f"""
+        k{t} AS (
+          SELECT w.walk_id, e.dst,
+                 (w.cur * 131 + {t} * 7 + e.dst * 13) % 2147483648 AS hin
+          FROM {prev} w JOIN edges e ON e.src = w.cur),
+        w{t} AS MATERIALIZED (
+          SELECT walk_id, dst AS cur FROM (
+            SELECT walk_id, dst,
+                   row_number() OVER (PARTITION BY walk_id
+                                      ORDER BY {_mix31_sql('hin')}, dst)
+                     AS rn
+            FROM k{t}) q WHERE rn = 1)""")
+        prev = f"w{t}"
+    body = ",".join(stages)
+    union = "\n          UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS node FROM w{t}"
+        for t in range(length + 1)
+    )
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        w0 AS MATERIALIZED (SELECT node AS walk_id, node AS cur FROM nodes),
+        {body}
+        {union}
+    """
+
+
 def _hits_sql(rounds: int = 4) -> str:
     """linkgraph.hits mirror: per round one authority half-step (in-edge
     hub sum over the pagerank event graph, coalesce 0, power-of-two shift
@@ -6721,4 +6768,5 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "random_walks": _random_walks_sql(4),
     }
