@@ -1653,6 +1653,20 @@ def q_naive_bayes(spark, sf_dir):
     return naive_bayes_langid(_t(spark, sf_dir, "documents"))
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (operators/rake.rake_keywords): top-3 key
+    phrases per document — candidate phrases are maximal stopword/
+    punctuation-free word runs, each word scored deg/freq as a 1e9 fixed
+    point (round_even on one IEEE division of exact int64 counts — the
+    np.rint == DuckDB round_even pairing), phrase score the int64 SUM of
+    member word fixed points, frozen (score desc, phrase asc) tie-break.
+    Fully document-local: one fused Arrow pass, ZERO shuffles. FULL
+    oracle: the same tokenize/island/deg-freq/rank arithmetic in SQL."""
+    from extractors_metadata_spark.operators.rake import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"))
+
+
 def _ahash_pages(spark, sf_dir):
     """Probe pages + re-hosted duplicates: every event_id % 9 == 0 payload
     appears again under url || '#dup' — the dominant real-world image-dedup
@@ -6026,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_pairs": q_image_ahash_pairs,
         "mann_kendall": q_mann_kendall,
         "random_walks": q_random_walks,
+        "rake_keywords": q_rake_keywords,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -4530,6 +4530,65 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 
 
+def _rake_sql(top_k: int = 3) -> str:
+    """rake.rake_keywords mirror: tokenize with the same RE2 pattern,
+    gaps-and-islands phrase grouping (pos - row_number), deg/freq word
+    fixed points via round_even on the identical IEEE division, int64
+    phrase sums, row_number rank with the frozen tie-break. Stopword
+    list imported from the single source. kept/ph are each referenced
+    2+ times -> MATERIALIZED per the CTE re-inlining rule."""
+    from extractors_metadata_spark.operators.rake import RAKE_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return rf"""
+        WITH arrs AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')
+                   AS arr
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, arr[i + 1] AS tok, i AS pos
+          FROM arrs, unnest(range(len(arr))) u(i)),
+        kept AS MATERIALIZED (
+          SELECT doc_id, pos, tok,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM tok
+          WHERE regexp_matches(tok, '^[a-z0-9]+$')
+            AND tok NOT IN ({stop})),
+        ph AS MATERIALIZED (
+          SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+                 string_agg(tok, ' ' ORDER BY pos) AS phrase
+          FROM kept GROUP BY 1, 2),
+        wordstat AS (
+          SELECT k.doc_id, k.tok,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(p.plen) AS BIGINT) AS deg
+          FROM kept k JOIN ph p ON p.doc_id = k.doc_id AND p.grp = k.grp
+          GROUP BY 1, 2),
+        wfp AS (
+          SELECT doc_id, tok,
+                 CAST(round_even((1000000000.0 * deg) / freq, 0) AS BIGINT)
+                   AS wfp
+          FROM wordstat),
+        pscore AS (
+          SELECT k.doc_id, k.grp,
+                 CAST(sum(w.wfp) AS BIGINT) AS score_fp
+          FROM kept k JOIN wfp w ON w.doc_id = k.doc_id AND w.tok = k.tok
+          GROUP BY 1, 2),
+        dist AS (
+          SELECT p.doc_id, p.phrase, max(s.score_fp) AS score_fp
+          FROM ph p JOIN pscore s ON s.doc_id = p.doc_id AND s.grp = p.grp
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(rn AS INT) AS rank, phrase, score_fp FROM (
+          SELECT doc_id, phrase, score_fp,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_fp DESC, phrase) AS rn
+          FROM dist) q
+        WHERE rn <= {top_k}
+    """
+
+
 def _random_walks_sql(length: int = 4) -> str:
     """walks.random_walks mirror: the hash-guided successor rule unrolled
     as one argmin stage per step (the composite-argmin rule: row_number
@@ -6769,4 +6828,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
         "random_walks": _random_walks_sql(4),
+        "rake_keywords": _rake_sql(3),
     }
