@@ -1667,6 +1667,30 @@ def q_rake_keywords(spark, sf_dir):
     return rake_keywords(_t(spark, sf_dir, "documents"))
 
 
+def q_slope_aspect(spark, sf_dir):
+    """Horn gradient + aspect octants (operators/terrain.slope_aspect)
+    over the z12 per-tile event-count surface: gx/gy from the 3x3 Horn
+    kernel in SCATTER form (x8 literal fan-out, pure codegen, ONE
+    map-side-combining re-sum; x wraps mod 2^z, absent tiles are real
+    zeros), slope2 = gx^2 + gy^2 exact int64, and the 8-sector aspect
+    decided ENTIRELY in integers — the true 22.5-degree boundaries via
+    (|gx|+|gy|)^2 vs 2*gx^2 (boundary equality frozen to the diagonal).
+    FULL oracle: the same scatter weights and octant CASE in DuckDB."""
+    from extractors_metadata_spark.operators.terrain import slope_aspect
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(12,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return slope_aspect(counts, z=12)
+
+
 def _ahash_pages(spark, sf_dir):
     """Probe pages + re-hosted duplicates: every event_id % 9 == 0 payload
     appears again under url || '#dup' — the dominant real-world image-dedup
@@ -6041,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "random_walks": q_random_walks,
         "rake_keywords": q_rake_keywords,
+        "slope_aspect": q_slope_aspect,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1334,6 +1334,43 @@ _TILE_SMOOTH_SQL = f"""
 
 
 
+_SLOPE_ASPECT_SQL = f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2 * pow(2, 12)) AS BIGINT) AS y,
+             count(*) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offx AS (SELECT unnest([-1, 0, 1]) AS dx),
+    offy AS (SELECT unnest([-1, 0, 1]) AS dy),
+    scatter AS (
+      SELECT (x - dx + 4096) % 4096 AS x, y - dy AS y,
+             cnt * dx * (2 - abs(dy)) AS wgx,
+             cnt * dy * (2 - abs(dx)) AS wgy
+      FROM counts, offx, offy
+      WHERE NOT (dx = 0 AND dy = 0)
+        AND y - dy >= 0 AND y - dy < 4096),
+    g AS (
+      SELECT x, y, CAST(sum(wgx) AS BIGINT) AS gx,
+             CAST(sum(wgy) AS BIGINT) AS gy
+      FROM scatter GROUP BY 1, 2)
+    SELECT 12 AS z, x, y, gx, gy, gx * gx + gy * gy AS slope2,
+           CAST(CASE
+             WHEN gx = 0 AND gy = 0 THEN -1
+             WHEN (abs(gx) + abs(gy)) * (abs(gx) + abs(gy)) < 2 * gx * gx
+               THEN CASE WHEN gx > 0 THEN 0 ELSE 4 END
+             WHEN (abs(gx) + abs(gy)) * (abs(gx) + abs(gy)) < 2 * gy * gy
+               THEN CASE WHEN gy > 0 THEN 2 ELSE 6 END
+             WHEN gx > 0 AND gy > 0 THEN 1
+             WHEN gx < 0 AND gy > 0 THEN 3
+             WHEN gx < 0 AND gy < 0 THEN 5
+             ELSE 7 END AS INT) AS octant
+    FROM g
+"""
+
+
+
 _SPATIAL_CLUSTER_SQL = f"""
     WITH RECURSIVE pts AS MATERIALIZED (
       SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
@@ -6829,4 +6866,5 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall": _MANN_KENDALL_SQL,
         "random_walks": _random_walks_sql(4),
         "rake_keywords": _rake_sql(3),
+        "slope_aspect": _SLOPE_ASPECT_SQL,
     }
