@@ -1691,6 +1691,38 @@ def q_slope_aspect(spark, sf_dir):
     return slope_aspect(counts, z=12)
 
 
+def q_hausdorff_pairs(spark, sf_dir):
+    """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
+    near-duplicate trajectory detection — all user pairs whose symmetric
+    Hausdorff distance is <= r = 100 microdeg, exactly. Candidates are
+    cell-local (distinct per-user cells at side S = r, one-ring dilation
+    on the tiny cell frame — complete by the triangle argument), the
+    verify pair-scoped with both directed maxes from ONE aggregation
+    chain (x2 role explode collapsed by the map-side min). Coordinates
+    are micro-degree integers via the bround==round_even 0-decimal
+    pairing with a nonneg shift; users bounded < 40 (the spatial_cluster
+    restriction — the synthetic field is a single block, so unbounded
+    pair counts grow quadratically by construction, not by geometry).
+    FULL oracle: BRUTE-FORCE all-pairs replay in DuckDB — also proves
+    the ring blocking loses no pair."""
+    from extractors_metadata_spark.operators.hausdorff import hausdorff_pairs
+
+    lat, lon = _latlon_dbl()
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", lat, lon)
+    )
+    pts = e.select(
+        "user_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    return hausdorff_pairs(pts, r=100)
+
+
 def _ahash_pages(spark, sf_dir):
     """Probe pages + re-hosted duplicates: every event_id % 9 == 0 payload
     appears again under url || '#dup' — the dominant real-world image-dedup
@@ -6066,6 +6098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "rake_keywords": q_rake_keywords,
         "slope_aspect": q_slope_aspect,
+        "hausdorff_pairs": q_hausdorff_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1371,6 +1371,31 @@ _SLOPE_ASPECT_SQL = f"""
 
 
 
+_HAUSDORFF_SQL = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+        CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) + 180000000 AS qx,
+        CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) + 90000000 AS qy
+      FROM events WHERE user_id < 40),
+    d AS MATERIALIZED (
+      SELECT a.u AS u_a, b.u AS u_b, a.qx AS ax, a.qy AS ay,
+             b.qx AS bx, b.qy AS by,
+             (a.qx - b.qx) * (a.qx - b.qx)
+             + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+      FROM pts a JOIN pts b ON a.u < b.u),
+    mins_a AS (
+      SELECT u_a, u_b, ax, ay, min(d2) AS dmin FROM d GROUP BY 1, 2, 3, 4),
+    h_ab AS (SELECT u_a, u_b, max(dmin) AS h_ab2 FROM mins_a GROUP BY 1, 2),
+    mins_b AS (
+      SELECT u_a, u_b, bx, by, min(d2) AS dmin FROM d GROUP BY 1, 2, 3, 4),
+    h_ba AS (SELECT u_a, u_b, max(dmin) AS h_ba2 FROM mins_b GROUP BY 1, 2)
+    SELECT u_a, u_b, h_ab2, h_ba2, greatest(h_ab2, h_ba2) AS hd2
+    FROM h_ab JOIN h_ba USING (u_a, u_b)
+    WHERE greatest(h_ab2, h_ba2) <= 10000
+"""
+
+
+
 _SPATIAL_CLUSTER_SQL = f"""
     WITH RECURSIVE pts AS MATERIALIZED (
       SELECT event_id AS id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon
@@ -6867,4 +6892,5 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(4),
         "rake_keywords": _rake_sql(3),
         "slope_aspect": _SLOPE_ASPECT_SQL,
+        "hausdorff_pairs": _HAUSDORFF_SQL,
     }
