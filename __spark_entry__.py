@@ -1691,6 +1691,36 @@ def q_slope_aspect(spark, sf_dir):
     return slope_aspect(counts, z=12)
 
 
+def q_d8_flow(spark, sf_dir):
+    """D8 flow direction + accumulation (operators/d8flow.d8_flow) over
+    the z22 per-tile event-count surface: each occupied tile points at
+    its steepest STRICTLY-lower occupied 8-neighbor (steep2 = drop^2 *
+    2/dist^2 compared in exact int64; ties frozen to the smallest
+    direction index; no lower neighbor = sink, dir -1), and acc counts
+    the cells draining through each tile (self included) — strict
+    descent makes the pointer forest acyclic by construction.  Candidate
+    stage = the slope_aspect x8 scatter + ONE grid-keyed equi-join;
+    pointer pick = max_by struct aggregate (no window sort);
+    accumulation = inflow-sum rounds along the forest, localCheckpoint
+    per round, early exit on the monotone total, loud failure past the
+    bound.  FULL oracle: same candidates/tie-breaks via row_number, acc
+    via a WITH RECURSIVE pointer-path closure — also proves the
+    iterative inflow-sum equals the closure count exactly."""
+    from extractors_metadata_spark.operators.d8flow import d8_flow
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return d8_flow(counts, z=22)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6099,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "slope_aspect": q_slope_aspect,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "d8_flow": q_d8_flow,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

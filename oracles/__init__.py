@@ -1371,6 +1371,51 @@ _SLOPE_ASPECT_SQL = f"""
 
 
 
+_D8_FLOW_SQL = f"""
+    WITH RECURSIVE pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    dirs AS (
+      SELECT * FROM (VALUES
+        (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+        (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)
+      ) AS t(dir, dx, dy)),
+    cand AS (
+      SELECT c.x, c.y, d.dir, nb.x AS nx, nb.y AS ny,
+             (c.cnt - nb.cnt) * (c.cnt - nb.cnt)
+               * (CASE WHEN d.dx * d.dy = 0 THEN 2 ELSE 1 END) AS steep2
+      FROM counts c
+      CROSS JOIN dirs d
+      JOIN counts nb
+        ON nb.x = (c.x + d.dx + 4194304) % 4194304 AND nb.y = c.y + d.dy
+      WHERE nb.cnt < c.cnt AND c.y + d.dy >= 0 AND c.y + d.dy < 4194304),
+    nxt AS MATERIALIZED (
+      SELECT x, y, dir, nx, ny FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY x, y ORDER BY steep2 DESC, dir ASC) AS rn
+        FROM cand) WHERE rn = 1),
+    closure AS (
+      SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM counts
+      UNION ALL
+      SELECT cl.sx, cl.sy, n.nx, n.ny
+      FROM closure cl JOIN nxt n ON n.x = cl.cx AND n.y = cl.cy),
+    acc AS (
+      SELECT cx AS x, cy AS y, CAST(count(*) AS BIGINT) AS acc
+      FROM closure GROUP BY 1, 2)
+    SELECT CAST(22 AS INT) AS z, c.x, c.y, c.cnt,
+           CAST(coalesce(n.dir, -1) AS INT) AS dir, a.acc
+    FROM counts c
+    LEFT JOIN nxt n ON n.x = c.x AND n.y = c.y
+    JOIN acc a ON a.x = c.x AND a.y = c.y
+"""
+
+
+
 _HAUSDORFF_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT DISTINCT user_id AS u,
@@ -6893,4 +6938,5 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _rake_sql(3),
         "slope_aspect": _SLOPE_ASPECT_SQL,
         "hausdorff_pairs": _HAUSDORFF_SQL,
+        "d8_flow": _D8_FLOW_SQL,
     }
