@@ -1721,6 +1721,33 @@ def q_d8_flow(spark, sf_dir):
     return d8_flow(counts, z=22)
 
 
+def q_watershed(spark, sf_dir):
+    """Watershed basin labeling (operators/d8flow.watershed) over the
+    z22 D8 pointer forest: every tile labeled by the TERMINAL SINK its
+    steepest-descent path drains into + the basin's cell count — the
+    drainage-structure partition of the activity surface.  This is the
+    POINTER-DOUBLING form (ptr <- ptr(ptr), sinks self-fixpoints making
+    the doubling join total): a path of length L settles in ceil(log2 L)
+    self-equi-join rounds, not L — the continental-scale path d8_flow's
+    inflow-sum documents; localCheckpoint lineage, early exit when no
+    pointer moves, loud failure past the bound.  FULL oracle: the shared
+    D8 pointer CTEs + a WITH RECURSIVE walk to the sink per cell — also
+    proves log-round doubling lands on the exact per-cell terminal."""
+    from extractors_metadata_spark.operators.d8flow import watershed
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return watershed(counts, z=22)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6130,6 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope_aspect": q_slope_aspect,
         "hausdorff_pairs": q_hausdorff_pairs,
         "d8_flow": q_d8_flow,
+        "watershed": q_watershed,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

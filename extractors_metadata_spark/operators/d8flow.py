@@ -67,22 +67,19 @@ _DIRS = [
 ]
 
 
-def d8_flow(
-    tile_counts: DataFrame,
-    z: int,
-    cnt_col: str = "cnt",
-    rounds: int = 64,
-) -> DataFrame:
-    """D8 steepest-descent pointers + flow accumulation over the sparse
-    per-tile count surface at zoom ``z`` -> (z, x, y, cnt, dir, acc).
-    dir = -1 marks sinks; acc counts the draining cells incl. self."""
-    n = 1 << z
-    cells = tile_counts.select(
+def _cells(tile_counts: DataFrame, cnt_col: str) -> DataFrame:
+    return tile_counts.select(
         F.col("x").cast("long").alias("x"),
         F.col("y").cast("long").alias("y"),
         F.col(cnt_col).cast("long").alias("cnt"),
     )
 
+
+def d8_pointers(cells: DataFrame, z: int) -> DataFrame:
+    """The D8 pointer stage: (x, y, dir, nx, ny) — one row per NON-sink
+    cell, pointing at its steepest strictly-lower occupied neighbor
+    under the frozen (steep2 desc, dir asc) rule."""
+    n = 1 << z
     offsets = F.array(
         *[
             F.struct(
@@ -113,7 +110,7 @@ def d8_flow(
         .filter(F.col("_ncnt") < F.col("cnt"))
     )
     dr = F.col("cnt") - F.col("_ncnt")
-    nxt = (
+    return (
         cand.select(
             "x",
             "y",
@@ -134,6 +131,19 @@ def d8_flow(
         )
         .select("x", "y", "best.dir", "best.nx", "best.ny")
     )
+
+
+def d8_flow(
+    tile_counts: DataFrame,
+    z: int,
+    cnt_col: str = "cnt",
+    rounds: int = 64,
+) -> DataFrame:
+    """D8 steepest-descent pointers + flow accumulation over the sparse
+    per-tile count surface at zoom ``z`` -> (z, x, y, cnt, dir, acc).
+    dir = -1 marks sinks; acc counts the draining cells incl. self."""
+    cells = _cells(tile_counts, cnt_col)
+    nxt = d8_pointers(cells, z)
 
     edges = nxt.select("x", "y", "nx", "ny").localCheckpoint(eager=True)
     acc = cells.select("x", "y", F.lit(1).cast("long").alias("acc")).localCheckpoint(
@@ -179,3 +189,80 @@ def d8_flow(
         )
     )
     return out
+
+
+def watershed(
+    tile_counts: DataFrame,
+    z: int,
+    cnt_col: str = "cnt",
+    rounds: int = 48,
+) -> DataFrame:
+    """Watershed basin labeling over the D8 pointer forest at zoom ``z``
+    -> (z, x, y, sink_x, sink_y, basin_n): each cell labeled by the
+    TERMINAL SINK its D8 path drains into, plus that basin's cell count.
+
+    This is the POINTER-DOUBLING form d8_flow's docstring points at for
+    continental path lengths: ptr(v) starts at next(v) (sinks point at
+    themselves, making the doubling join total), and each round sets
+    ptr <- ptr(ptr) — a self-equi-join on the pointer frame — so a path
+    of length L settles in ceil(log2 L) rounds, not L.  Early exit when
+    no pointer moved (one bounded count action per round); lineage
+    localCheckpoint-truncated; non-convergence raises loudly.  Pointers
+    settle exactly at sinks because sinks are fixpoints and strict
+    descent leaves no cycles to trap the doubling.
+    """
+    cells = _cells(tile_counts, cnt_col)
+    nxt = d8_pointers(cells, z)
+    ptr = (
+        cells.select("x", "y")
+        .join(nxt.select("x", "y", "nx", "ny"), ["x", "y"], "left")
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.col("nx"), F.col("x")).alias("px"),
+            F.coalesce(F.col("ny"), F.col("y")).alias("py"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(int(rounds)):
+        hop = ptr.select(
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+            F.col("px").alias("qx"),
+            F.col("py").alias("qy"),
+        )
+        nxt_ptr = (
+            ptr.join(hop, ["px", "py"])
+            .select("x", "y", F.col("qx").alias("px"), F.col("qy").alias("py"))
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            nxt_ptr.alias("a")
+            .join(ptr.alias("b"), ["x", "y"])
+            .filter(
+                (F.col("a.px") != F.col("b.px")) | (F.col("a.py") != F.col("b.py"))
+            )
+            .count()
+        )
+        ptr = nxt_ptr
+        if moved == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"watershed: pointer doubling did not settle within {rounds} "
+            "rounds (drainage path longer than 2^rounds — raise `rounds`)"
+        )
+    sizes = ptr.groupBy(
+        F.col("px").alias("sink_x"), F.col("py").alias("sink_y")
+    ).agg(F.count(F.lit(1)).alias("basin_n"))
+    return (
+        ptr.select(
+            "x", "y", F.col("px").alias("sink_x"), F.col("py").alias("sink_y")
+        )
+        .join(sizes, ["sink_x", "sink_y"])
+        .select(
+            F.lit(z).alias("z"), "x", "y", "sink_x", "sink_y", "basin_n"
+        )
+    )

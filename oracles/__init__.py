@@ -1371,8 +1371,9 @@ _SLOPE_ASPECT_SQL = f"""
 
 
 
-_D8_FLOW_SQL = f"""
-    WITH RECURSIVE pts AS (
+# shared D8 pointer stages: z22 count surface -> steepest strictly-lower
+# occupied neighbor under the frozen (steep2 desc, dir asc) rule
+_D8_NXT_CTES = f"""pts AS (
       SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
     counts AS MATERIALIZED (
       SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
@@ -1398,7 +1399,11 @@ _D8_FLOW_SQL = f"""
       SELECT x, y, dir, nx, ny FROM (
         SELECT *, row_number() OVER (
           PARTITION BY x, y ORDER BY steep2 DESC, dir ASC) AS rn
-        FROM cand) WHERE rn = 1),
+        FROM cand) WHERE rn = 1)"""
+
+
+_D8_FLOW_SQL = f"""
+    WITH RECURSIVE {_D8_NXT_CTES},
     closure AS (
       SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM counts
       UNION ALL
@@ -1412,6 +1417,27 @@ _D8_FLOW_SQL = f"""
     FROM counts c
     LEFT JOIN nxt n ON n.x = c.x AND n.y = c.y
     JOIN acc a ON a.x = c.x AND a.y = c.y
+"""
+
+
+
+_WATERSHED_SQL = f"""
+    WITH RECURSIVE {_D8_NXT_CTES},
+    walk AS (
+      SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM counts
+      UNION ALL
+      SELECT w.sx, w.sy, n.nx, n.ny
+      FROM walk w JOIN nxt n ON n.x = w.cx AND n.y = w.cy),
+    term AS MATERIALIZED (
+      SELECT sx, sy, cx AS sink_x, cy AS sink_y FROM walk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM nxt n WHERE n.x = walk.cx AND n.y = walk.cy)),
+    sizes AS (
+      SELECT sink_x, sink_y, CAST(count(*) AS BIGINT) AS basin_n
+      FROM term GROUP BY 1, 2)
+    SELECT CAST(22 AS INT) AS z, t.sx AS x, t.sy AS y,
+           t.sink_x, t.sink_y, s.basin_n
+    FROM term t JOIN sizes s USING (sink_x, sink_y)
 """
 
 
@@ -6939,4 +6965,5 @@ def oracle_sql() -> dict[str, str]:
         "slope_aspect": _SLOPE_ASPECT_SQL,
         "hausdorff_pairs": _HAUSDORFF_SQL,
         "d8_flow": _D8_FLOW_SQL,
+        "watershed": _WATERSHED_SQL,
     }

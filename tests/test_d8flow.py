@@ -2,7 +2,7 @@ from __future__ import annotations
 
 import pytest
 
-from extractors_metadata_spark.operators.d8flow import _DIRS, d8_flow
+from extractors_metadata_spark.operators.d8flow import _DIRS, d8_flow, watershed
 
 
 def _ref(cells: dict[tuple[int, int], int], n: int):
@@ -108,6 +108,68 @@ def test_nonconvergence_raises(spark):
     cells = {(x, 5): 10 - x for x in range(8)}  # path length 7
     with pytest.raises(ValueError, match="did not converge"):
         _run(spark, cells, z=6, rounds=3)
+
+
+def _ref_basins(cells: dict[tuple[int, int], int], n: int):
+    dirs, _ = _ref(cells, n)
+    nxt = {}
+    for (x, y), d in dirs.items():
+        if d == -1:
+            continue
+        _, dx, dy = _DIRS[d]
+        nxt[(x, y)] = ((x + dx) % n, y + dy)
+    sink = {}
+    for start in cells:
+        cur = start
+        while cur in nxt:
+            cur = nxt[cur]
+        sink[start] = cur
+    sizes = {}
+    for s in sink.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    return sink, sizes
+
+
+def test_watershed_matches_walk_reference(spark):
+    cells = {
+        (x, y): abs(x - 12) * 3 + abs(y - 12) * 2 + 1
+        for x in range(9, 16)
+        for y in range(10, 15)
+    }
+    cells[(20, 20)] = 3  # an isolated second basin
+    cells[(21, 20)] = 9
+    df = spark.createDataFrame(
+        [(x, y, c) for (x, y), c in cells.items()], "x long, y long, cnt long"
+    )
+    got = {
+        (r["x"], r["y"]): ((r["sink_x"], r["sink_y"]), r["basin_n"])
+        for r in watershed(df, z=6).collect()
+    }
+    sink, sizes = _ref_basins(cells, 64)
+    assert set(got) == set(cells)
+    for k in cells:
+        assert got[k][0] == sink[k], k
+        assert got[k][1] == sizes[sink[k]], k
+    # the valley floor collects everything except the isolated basin
+    assert got[(12, 12)][1] == len(cells) - 2
+    assert got[(20, 20)] == ((20, 20), 2)
+
+
+def test_watershed_long_chain_log_rounds(spark):
+    # a 33-cell monotone chain: pointer doubling needs ceil(log2 32) = 5
+    # doubling rounds (+1 to observe stability) — rounds=6 must suffice,
+    # rounds=4 must raise
+    cells = {(x, 5): 40 - x for x in range(33)}
+    df = spark.createDataFrame(
+        [(x, y, c) for (x, y), c in cells.items()], "x long, y long, cnt long"
+    )
+    got = {
+        (r["x"], r["y"]): (r["sink_x"], r["sink_y"], r["basin_n"])
+        for r in watershed(df, z=6, rounds=6).collect()
+    }
+    assert all(v == (32, 5, 33) for v in got.values())
+    with pytest.raises(ValueError, match="did not settle"):
+        watershed(df, z=6, rounds=4).collect()
 
 
 def test_partitioning_invariance(spark):
