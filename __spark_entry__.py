@@ -1721,6 +1721,23 @@ def q_d8_flow(spark, sf_dir):
     return d8_flow(counts, z=22)
 
 
+_BLOCKLIST = ["slow query", "big table", "fast merge", "hash value", "table scan"]
+
+
+def q_blocklist_hits(spark, sf_dir):
+    """Literal-phrase blocklist screen (operators/blocklist.py — the
+    C4-badwords/RefinedWeb content-filter stage): per-doc total hits,
+    distinct-phrase count, and the keep verdict over a frozen 5-phrase
+    blocklist.  Counts via the replace-length identity with INTEGER div
+    (both engines' replace scans leftmost non-overlapping); ALL phrase
+    counters are literal codegen expressions in ONE projection — zero
+    shuffle, zero fan-out, the text never duplicates.  FULL oracle: the
+    same identity with // in DuckDB."""
+    from extractors_metadata_spark.operators.blocklist import blocklist_hits
+
+    return blocklist_hits(_t(spark, sf_dir, "documents"), _BLOCKLIST)
+
+
 def q_watershed(spark, sf_dir):
     """Watershed basin labeling (operators/d8flow.watershed) over the
     z22 D8 pointer forest: every tile labeled by the TERMINAL SINK its
@@ -6158,6 +6175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": q_hausdorff_pairs,
         "d8_flow": q_d8_flow,
         "watershed": q_watershed,
+        "blocklist_hits": q_blocklist_hits,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1371,6 +1371,28 @@ _SLOPE_ASPECT_SQL = f"""
 
 
 
+_BLOCKLIST_PATS = ["slow query", "big table", "fast merge", "hash value", "table scan"]
+
+_BLOCKLIST_SQL = (
+    "SELECT doc_id, "
+    + " + ".join(
+        f"((length(text) - length(replace(text, '{p}', ''))) // {len(p)})"
+        for p in _BLOCKLIST_PATS
+    )
+    + " AS hits, "
+    + " + ".join(
+        f"CAST(length(text) != length(replace(text, '{p}', '')) AS BIGINT)"
+        for p in _BLOCKLIST_PATS
+    )
+    + " AS n_patterns, ("
+    + " + ".join(
+        f"(length(text) - length(replace(text, '{p}', '')))"
+        for p in _BLOCKLIST_PATS
+    )
+    + ") = 0 AS keep FROM documents"
+)
+
+
 # shared D8 pointer stages: z22 count surface -> steepest strictly-lower
 # occupied neighbor under the frozen (steep2 desc, dir asc) rule
 _D8_NXT_CTES = f"""pts AS (
@@ -6966,4 +6988,5 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff_pairs": _HAUSDORFF_SQL,
         "d8_flow": _D8_FLOW_SQL,
         "watershed": _WATERSHED_SQL,
+        "blocklist_hits": _BLOCKLIST_SQL,
     }
