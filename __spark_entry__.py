@@ -1738,6 +1738,20 @@ def q_blocklist_hits(spark, sf_dir):
     return blocklist_hits(_t(spark, sf_dir, "documents"), _BLOCKLIST)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.dsir_select — Xie et
+    al. 2023): top-100 documents whose hashed-unigram distribution is
+    most target-like (target = the lang='en' slice, raw = the whole
+    table).  Two add-1-smoothed bucket models over B=128 mix31(poly)
+    buckets; each ln term a ratio of exact int64 counts emitted as 1e-9
+    fixed point (the naive_bayes recipe), int64 sums, frozen (score
+    desc, doc_id asc) top-k via TakeOrderedAndProject.  FULL oracle:
+    same hash replay, same literal ln arithmetic, ORDER BY ... LIMIT."""
+    from extractors_metadata_spark.operators.dsir import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"))
+
+
 def q_watershed(spark, sf_dir):
     """Watershed basin labeling (operators/d8flow.watershed) over the
     z22 D8 pointer forest: every tile labeled by the TERMINAL SINK its
@@ -6176,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow": q_d8_flow,
         "watershed": q_watershed,
         "blocklist_hits": q_blocklist_hits,
+        "dsir_select": q_dsir_select,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

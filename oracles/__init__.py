@@ -1393,6 +1393,43 @@ _BLOCKLIST_SQL = (
 )
 
 
+def _dsir_sql(buckets: int = 128, k: int = 100, target: str = "en") -> str:
+    """DSIR importance-resampling oracle: the naive_bayes tokenization +
+    vhash bucket replay + two per-term 1e-9 fixed-point ln ratios."""
+    return rf"""
+    WITH arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    toks AS (SELECT doc_id, lang, unnest(arr) AS tok FROM arrs),
+    h0 AS (SELECT doc_id, lang,
+                  {_poly_sql("'dsir:' || tok", 131)} AS hr FROM toks),
+    tb AS MATERIALIZED (
+      SELECT doc_id, lang, {_mix31_sql('hr')} % {buckets} AS b FROM h0),
+    bc AS MATERIALIZED (
+      SELECT b, CAST(count(*) AS BIGINT) AS rb,
+             CAST(count(*) FILTER (WHERE lang = '{target}') AS BIGINT) AS tbc
+      FROM tb GROUP BY 1),
+    tot AS (SELECT CAST(sum(tbc) AS BIGINT) AS tt,
+                   CAST(sum(rb) AS BIGINT) AS rr FROM bc),
+    w AS (
+      SELECT b,
+             CAST(round_even(ln(CAST(tbc + 1 AS DOUBLE)
+                  / CAST(t.tt + {buckets} AS DOUBLE)) * 1e9, 0) AS BIGINT)
+           - CAST(round_even(ln(CAST(rb + 1 AS DOUBLE)
+                  / CAST(t.rr + {buckets} AS DOUBLE)) * 1e9, 0) AS BIGINT)
+               AS w_fp
+      FROM bc CROSS JOIN tot t),
+    sc AS (
+      SELECT doc_id, CAST(sum(w_fp) AS BIGINT) AS score_fp,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tb JOIN w USING (b) GROUP BY 1)
+    SELECT doc_id, score_fp, n_tokens FROM sc
+    ORDER BY score_fp DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # shared D8 pointer stages: z22 count surface -> steepest strictly-lower
 # occupied neighbor under the frozen (steep2 desc, dir asc) rule
 _D8_NXT_CTES = f"""pts AS (
@@ -6989,4 +7026,5 @@ def oracle_sql() -> dict[str, str]:
         "d8_flow": _D8_FLOW_SQL,
         "watershed": _WATERSHED_SQL,
         "blocklist_hits": _BLOCKLIST_SQL,
+        "dsir_select": _dsir_sql(),
     }
