@@ -1779,6 +1779,37 @@ def q_watershed(spark, sf_dir):
     return watershed(counts, z=22)
 
 
+def q_viewshed(spark, sf_dir):
+    """Grid viewshed (operators/viewshed.py — the R2 line-of-sight
+    raster classic) from the max-count hotspot cell (ties min x, min y)
+    over the z22 event-count surface: a target is hidden iff some DDA
+    ray sample rises above the sightline, tested by exact cross-
+    multiplication (h_t - h_obs)*L >= (h_tgt - h_obs)*t; samples at
+    sign(c)*((2t|c|+L) div 2L) per axis — half-away-from-zero rounding
+    formed on NONNEGATIVE ints only (Spark div truncates, DuckDB //
+    floors; negatives never enter).  Absent cells are real zeros; ray
+    fan-out is sequence-explode per target (the R2 cost, radius-bounded
+    via max_steps at scale); elevation lookups ONE grid-keyed left
+    join; zero UDFs.  FULL oracle: same observer pick, same integer
+    ray replay with unnest(range)."""
+    from extractors_metadata_spark.operators.viewshed import viewshed
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    obs = (
+        counts.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()[0]
+    )
+    return viewshed(counts, z=22, obs_x=obs["x"], obs_y=obs["y"])
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6191,6 +6222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed": q_watershed,
         "blocklist_hits": q_blocklist_hits,
         "dsir_select": q_dsir_select,
+        "viewshed": q_viewshed,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

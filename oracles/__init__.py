@@ -1480,6 +1480,51 @@ _D8_FLOW_SQL = f"""
 
 
 
+_VIEWSHED_SQL = f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    obs AS (
+      SELECT x AS ox, y AS oy, cnt AS h_obs FROM counts
+      ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+    tgt AS MATERIALIZED (
+      SELECT c.x, c.y, c.cnt, o.ox, o.oy, o.h_obs,
+             c.x - o.ox AS dx, c.y - o.oy AS dy,
+             greatest(abs(c.x - o.ox), abs(c.y - o.oy)) AS steps
+      FROM counts c CROSS JOIN obs o
+      WHERE c.x != o.ox OR c.y != o.oy),
+    smp AS (
+      SELECT g.x, g.y, g.cnt, g.h_obs, g.steps, u.t,
+             g.ox + (CASE WHEN g.dx < 0 THEN -1 WHEN g.dx > 0 THEN 1
+                          ELSE 0 END)
+                  * ((2 * u.t * abs(g.dx) + g.steps) // (2 * g.steps)) AS xi,
+             g.oy + (CASE WHEN g.dy < 0 THEN -1 WHEN g.dy > 0 THEN 1
+                          ELSE 0 END)
+                  * ((2 * u.t * abs(g.dy) + g.steps) // (2 * g.steps)) AS yi
+      FROM tgt g, unnest(range(1, g.steps)) AS u(t)),
+    blk AS (
+      SELECT s.x, s.y,
+             max(CASE WHEN (coalesce(e.cnt, 0) - s.h_obs) * s.steps
+                           >= (s.cnt - s.h_obs) * s.t
+                      THEN 1 ELSE 0 END) AS blocked
+      FROM smp s
+      LEFT JOIN counts e ON e.x = s.xi AND e.y = s.yi
+      CROSS JOIN obs o
+      WHERE (s.xi != o.ox OR s.yi != o.oy)
+        AND (s.xi != s.x OR s.yi != s.y)
+      GROUP BY 1, 2)
+    SELECT CAST(22 AS INT) AS z, t.x, t.y, t.cnt, t.steps,
+           coalesce(b.blocked, 0) = 0 AS visible
+    FROM tgt t LEFT JOIN blk b ON b.x = t.x AND b.y = t.y
+"""
+
+
+
 _WATERSHED_SQL = f"""
     WITH RECURSIVE {_D8_NXT_CTES},
     walk AS (
@@ -7027,4 +7072,5 @@ def oracle_sql() -> dict[str, str]:
         "watershed": _WATERSHED_SQL,
         "blocklist_hits": _BLOCKLIST_SQL,
         "dsir_select": _dsir_sql(),
+        "viewshed": _VIEWSHED_SQL,
     }
