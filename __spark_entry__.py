@@ -1810,6 +1810,31 @@ def q_viewshed(spark, sf_dir):
     return viewshed(counts, z=22, obs_x=obs["x"], obs_y=obs["y"])
 
 
+def q_ripley_per_user(spark, sf_dir):
+    """Per-user Ripley's K sufficient statistics (operators/ripley.py)
+    at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
+    radius — the classic point-pattern clustering function, float
+    normalization left consumer-side (the mann_kendall rule).
+    Micro-degree integer coords via the bround==round_even pairing; the
+    pair join is KEY-LOCAL (bounded per-user stream, the theil_sen
+    contract), all radii counted from ONE pair set filtered to the
+    largest.  FULL oracle: same quantization, same integer squares and
+    conditional sums."""
+    from extractors_metadata_spark.operators.ripley import ripley_k
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", lat, lon)
+    pts = e.select(
+        "user_id",
+        "event_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    return ripley_k(pts, radii=(50, 100, 200))
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6223,6 +6248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_hits": q_blocklist_hits,
         "dsir_select": q_dsir_select,
         "viewshed": q_viewshed,
+        "ripley_per_user": q_ripley_per_user,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

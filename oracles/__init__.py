@@ -1546,6 +1546,41 @@ _WATERSHED_SQL = f"""
 
 
 
+_RIPLEY_SQL = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT user_id, event_id,
+        CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) + 180000000 AS qx,
+        CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) + 90000000 AS qy
+      FROM events),
+    np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
+           FROM pts GROUP BY 1),
+    pr AS (
+      SELECT a.user_id,
+             (a.qx - b.qx) * (a.qx - b.qx)
+             + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+      FROM pts a JOIN pts b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      WHERE (a.qx - b.qx) * (a.qx - b.qx)
+            + (a.qy - b.qy) * (a.qy - b.qy) <= 40000),
+    cnt AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN d2 <= 2500 THEN 1 ELSE 0 END) AS BIGINT) AS c50,
+             CAST(sum(CASE WHEN d2 <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS c100,
+             CAST(sum(CASE WHEN d2 <= 40000 THEN 1 ELSE 0 END) AS BIGINT) AS c200
+      FROM pr GROUP BY 1),
+    wide AS (
+      SELECT n.user_id, n.n_points,
+             coalesce(c.c50, 0) AS c50, coalesce(c.c100, 0) AS c100,
+             coalesce(c.c200, 0) AS c200
+      FROM np n LEFT JOIN cnt c USING (user_id))
+    SELECT user_id, CAST(u.r AS BIGINT) AS r, n_points,
+           CAST(CASE u.r WHEN 50 THEN c50 WHEN 100 THEN c100
+                ELSE c200 END AS BIGINT) AS n_pairs
+    FROM wide, unnest([50, 100, 200]) AS u(r)
+"""
+
+
+
 _HAUSDORFF_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT DISTINCT user_id AS u,
@@ -7073,4 +7108,5 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_hits": _BLOCKLIST_SQL,
         "dsir_select": _dsir_sql(),
         "viewshed": _VIEWSHED_SQL,
+        "ripley_per_user": _RIPLEY_SQL,
     }
