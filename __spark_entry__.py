@@ -1810,6 +1810,31 @@ def q_viewshed(spark, sf_dir):
     return viewshed(counts, z=22, obs_x=obs["x"], obs_y=obs["y"])
 
 
+def q_tile_blobs(spark, sf_dir):
+    """Raster region labeling (operators/blobs.tile_blobs): 8-connected
+    blobs over the occupied z22 tiles — each cell labeled by its
+    component's min-(x,y) member (ids pack as x*2^26+y so id order IS
+    lex order), plus blob cell count, blob mass, and the boundary flag
+    (fewer than 8 occupied neighbors).  Adjacency = the slope_aspect
+    scatter + ONE grid equi-join; components = the proven pointer-
+    jumping cluster_pairs (O(log diameter) rounds).  FULL oracle: same
+    adjacency + recursive reachability with min-label (the
+    spatial_cluster idiom) + the same neighbor-count boundary test."""
+    from extractors_metadata_spark.operators.blobs import tile_blobs
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return tile_blobs(counts, z=22)
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6249,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "viewshed": q_viewshed,
         "ripley_per_user": q_ripley_per_user,
+        "tile_blobs": q_tile_blobs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

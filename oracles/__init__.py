@@ -1546,6 +1546,50 @@ _WATERSHED_SQL = f"""
 
 
 
+_TILE_BLOBS_SQL = f"""
+    WITH RECURSIVE pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                                (SELECT unnest([-1, 0, 1]) AS dy)
+             WHERE NOT (dx = 0 AND dy = 0)),
+    adj AS MATERIALIZED (
+      SELECT c.x, c.y, nb.x AS nx, nb.y AS ny
+      FROM counts c CROSS JOIN offs o
+      JOIN counts nb
+        ON nb.x = (c.x + o.dx + 4194304) % 4194304 AND nb.y = c.y + o.dy
+      WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4194304),
+    nbrc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nnbr
+             FROM adj GROUP BY 1, 2),
+    edges AS MATERIALIZED (
+      SELECT x * 67108864 + y AS src, nx * 67108864 + ny AS dst FROM adj),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst),
+    labels AS (SELECT id, least(id, min(r)) AS blob FROM reach GROUP BY id),
+    lab AS MATERIALIZED (
+      SELECT c.x, c.y, c.cnt,
+             coalesce(l.blob, c.x * 67108864 + c.y) AS blob
+      FROM counts c LEFT JOIN labels l ON l.id = c.x * 67108864 + c.y),
+    stats AS (SELECT blob, CAST(count(*) AS BIGINT) AS blob_n,
+                     CAST(sum(cnt) AS BIGINT) AS blob_mass
+              FROM lab GROUP BY 1)
+    SELECT CAST(22 AS INT) AS z, a.x, a.y, a.cnt,
+           a.blob // 67108864 AS blob_x, a.blob % 67108864 AS blob_y,
+           s.blob_n, s.blob_mass,
+           coalesce(nb.nnbr, 0) < 8 AS is_boundary
+    FROM lab a JOIN stats s USING (blob)
+    LEFT JOIN nbrc nb ON nb.x = a.x AND nb.y = a.y
+"""
+
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -7109,4 +7153,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_sql(),
         "viewshed": _VIEWSHED_SQL,
         "ripley_per_user": _RIPLEY_SQL,
+        "tile_blobs": _TILE_BLOBS_SQL,
     }
