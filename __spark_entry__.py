@@ -1835,6 +1835,31 @@ def q_tile_blobs(spark, sf_dir):
     return tile_blobs(counts, z=22)
 
 
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram (operators/variogram.semivariogram) of
+    the z22 count surface: per Euclidean lag shell k (exact squared
+    boundaries (k-1)^2 < d2 <= k^2, no sqrt crosses the boundary) the
+    pair count and int64 sum of squared count differences — the
+    kriging-range structure function, normalization consumer-side.
+    Unordered pairs generated ONCE via the lexicographic half-plane
+    offset table (a literal explode), ONE grid equi-join, ONE tiny
+    lag-keyed aggregate; pure codegen.  FULL oracle: the same generated
+    offset VALUES table and shell arithmetic."""
+    from extractors_metadata_spark.operators.variogram import semivariogram
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return semivariogram(counts, z=22, max_lag=8)
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6275,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "ripley_per_user": q_ripley_per_user,
         "tile_blobs": q_tile_blobs,
+        "semivariogram": q_semivariogram,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

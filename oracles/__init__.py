@@ -1590,6 +1590,35 @@ _TILE_BLOBS_SQL = f"""
 
 
 
+def _variogram_sql(max_lag: int = 8) -> str:
+    """Semivariogram oracle: the operator's own half-plane offset table
+    (single source — operators/variogram._half_disk) emitted as a
+    literal VALUES list, then the same shell-keyed exact aggregation."""
+    from extractors_metadata_spark.operators.variogram import _half_disk
+
+    vals = ", ".join(f"({dx}, {dy}, {k})" for dx, dy, k in _half_disk(max_lag))
+    return f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT * FROM (VALUES {vals}) AS t(dx, dy, lag))
+    SELECT CAST(22 AS INT) AS z, CAST(o.lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum((c.cnt - nb.cnt) * (c.cnt - nb.cnt)) AS BIGINT)
+             AS sum_sq_diff
+    FROM counts c CROSS JOIN offs o
+    JOIN counts nb
+      ON nb.x = (c.x + o.dx + 4194304) % 4194304 AND nb.y = c.y + o.dy
+    WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4194304
+    GROUP BY 2
+"""
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -7154,4 +7183,5 @@ def oracle_sql() -> dict[str, str]:
         "viewshed": _VIEWSHED_SQL,
         "ripley_per_user": _RIPLEY_SQL,
         "tile_blobs": _TILE_BLOBS_SQL,
+        "semivariogram": _variogram_sql(),
     }
