@@ -1860,6 +1860,61 @@ def q_semivariogram(spark, sf_dir):
     return semivariogram(counts, z=22, max_lag=8)
 
 
+def _anchor_pages(spark, sf_dir, n_pages: int = 2000):
+    """Probe pages with deterministic outlinks: page i links to
+    (i+1) % N and (i*7+3) % N, plus (i div 3) when i % 3 == 0, each
+    hosted on https://h{j%7}.example — a multi-host web graph BOTH
+    engines construct symbolically from event_id (the pii_counts probe
+    recipe), then genuinely parse with the frozen href regex."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < n_pages)
+    i = F.col("event_id")
+
+    def anchor(j):
+        return F.concat(
+            F.lit('<a href="https://h'),
+            (j % 7).cast("string"),
+            F.lit(".example/e"),
+            j.cast("string"),
+            F.lit('">x</a>'),
+        )
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        anchor((i + 1) % n_pages),
+        anchor((i * 7 + 3) % n_pages),
+        F.when(i % 3 == 0, anchor(F.expr("event_id div 3"))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return e.select(
+        F.concat(F.lit("https://site.example/e"), i.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_outlinks(spark, sf_dir):
+    """Outlink extraction (plans/links.extract_outlinks — the web-graph
+    construction step between fetch and pagerank): every anchor target
+    per page in document order (pos 1-based), parsed from the raw HTML
+    with the frozen Java==RE2 href regex over the _anchor_pages probe
+    graph.  One projection over one scan, posexplode bounded by
+    outdegree, zero UDFs.  FULL oracle: DuckDB builds the SAME pages
+    symbolically and runs the SAME regexp_extract_all — string equality
+    on urls is the strongest driver check."""
+    from extractors_metadata_spark.plans.links import extract_outlinks
+
+    return extract_outlinks(_anchor_pages(spark, sf_dir))
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph (plans/links.host_graph): the outlink edge
+    list rolled up to (src_host, dst_host, n_links) — the pagerank/hits
+    input surface.  One map-side-combining aggregate over the frozen
+    host regex.  FULL oracle: same rollup in SQL."""
+    from extractors_metadata_spark.plans.links import extract_outlinks, host_graph
+
+    return host_graph(extract_outlinks(_anchor_pages(spark, sf_dir)))
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6301,6 +6356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_per_user": q_ripley_per_user,
         "tile_blobs": q_tile_blobs,
         "semivariogram": q_semivariogram,
+        "outlinks": q_outlinks,
+        "host_graph": q_host_graph,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1,0 +1,57 @@
+"""Web-graph construction from raw HTML — outlink extraction.
+
+The step every web-corpus pipeline runs between fetch and PageRank:
+pull the anchor targets out of each page's raw HTML and aggregate them
+into the host-level link graph (the input to linkgraph.pagerank/hits,
+crawl frontier scoring, and spam/hub analysis).  Reference analog: the
+reference parses ONE embedded JSON block per page
+(terrautils metadata load, terra_metadata.py); this widens the same
+html-parsing stage to the document's full link surface.
+
+Extraction is a single frozen regex over the decoded page —
+``<a href="([^"]+)"`` — chosen from the PII-counts character-class
+playbook: no backrefs, no lazy quantifiers, a negated class instead of
+a dot, so Java regex (Spark) and RE2 (DuckDB) match byte-for-byte.
+Match ORDER is part of the contract: ``pos`` is the 1-based position
+of the anchor in document order (regexp_extract_all preserves scan
+order in both engines).
+
+Scale shape: one projection over one scan (decode + regexp + one
+posexplode fan-out bounded by per-page outdegree); the host rollup is
+a single map-side-combining aggregate on the (src_host, dst_host) key.
+No UDFs, no shuffle before the rollup, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HREF_RE = '<a href="([^"]+)"'
+
+
+def extract_outlinks(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Anchor targets per page in document order -> (src_url, pos,
+    dst_url); ``pos`` is 1-based.  Pages without anchors emit no rows."""
+    html = F.decode(F.col(html_col), "UTF-8")
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.posexplode(F.regexp_extract_all(html, F.lit(HREF_RE), F.lit(1))).alias(
+            "pos0", "dst_url"
+        ),
+    ).select("src_url", (F.col("pos0") + 1).alias("pos"), "dst_url")
+
+
+def host_graph(outlinks: DataFrame) -> DataFrame:
+    """Host-level link graph -> (src_host, dst_host, n_links) with
+    self-host edges kept (intra-site navigation is signal too)."""
+    host = lambda c: F.regexp_extract(F.col(c), r"^https?://([^/]+)/", 1)
+    return (
+        outlinks.select(
+            host("src_url").alias("src_host"), host("dst_url").alias("dst_host")
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

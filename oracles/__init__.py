@@ -1619,6 +1619,43 @@ def _variogram_sql(max_lag: int = 8) -> str:
 """
 
 
+_ANCHOR_PAGES_CTE = r"""pg AS (
+      SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS src_url,
+             '<html><body>'
+             || '<a href="https://h' || CAST(((event_id + 1) % 2000) % 7 AS VARCHAR)
+             || '.example/e' || CAST((event_id + 1) % 2000 AS VARCHAR) || '">x</a>'
+             || '<a href="https://h' || CAST(((event_id * 7 + 3) % 2000) % 7 AS VARCHAR)
+             || '.example/e' || CAST((event_id * 7 + 3) % 2000 AS VARCHAR) || '">x</a>'
+             || CASE WHEN event_id % 3 = 0 THEN
+                  '<a href="https://h' || CAST((event_id // 3) % 7 AS VARCHAR)
+                  || '.example/e' || CAST(event_id // 3 AS VARCHAR) || '">x</a>'
+                ELSE '' END
+             || '</body></html>' AS html
+      FROM events WHERE event_id < 2000),
+    lk AS (
+      SELECT src_url,
+             regexp_extract_all(html, '<a href="([^"]+)"', 1) AS arr
+      FROM pg),
+    links AS (
+      SELECT src_url, CAST(u.p AS INT) AS pos, arr[u.p] AS dst_url
+      FROM lk, unnest(range(1, len(arr) + 1)) AS u(p))"""
+
+
+_OUTLINKS_SQL = f"""
+    WITH {_ANCHOR_PAGES_CTE}
+    SELECT src_url, pos, dst_url FROM links
+"""
+
+
+_HOST_GRAPH_SQL = f"""
+    WITH {_ANCHOR_PAGES_CTE}
+    SELECT regexp_extract(src_url, '^https?://([^/]+)/', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)/', 1) AS dst_host,
+           CAST(count(*) AS BIGINT) AS n_links
+    FROM links GROUP BY 1, 2
+"""
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -7184,4 +7221,6 @@ def oracle_sql() -> dict[str, str]:
         "ripley_per_user": _RIPLEY_SQL,
         "tile_blobs": _TILE_BLOBS_SQL,
         "semivariogram": _variogram_sql(),
+        "outlinks": _OUTLINKS_SQL,
+        "host_graph": _HOST_GRAPH_SQL,
     }

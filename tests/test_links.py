@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+from extractors_metadata_spark.plans.links import extract_outlinks, host_graph
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode("utf-8"))) for u, h in rows],
+        "url string, html binary",
+    )
+
+
+def test_document_order_positions(spark):
+    html = (
+        '<html><a href="https://a.example/1">x</a>'
+        '<p><a href="https://b.example/2">y</a></p>'
+        '<a href="https://a.example/3">z</a></html>'
+    )
+    df = _pages(spark, [("https://s.example/p", html)])
+    got = sorted(
+        (r["pos"], r["dst_url"]) for r in extract_outlinks(df).collect()
+    )
+    assert got == [
+        (1, "https://a.example/1"),
+        (2, "https://b.example/2"),
+        (3, "https://a.example/3"),
+    ]
+
+
+def test_no_anchor_pages_emit_nothing(spark):
+    df = _pages(spark, [("https://s.example/p", "<html><body>none</body></html>")])
+    assert extract_outlinks(df).count() == 0
+
+
+def test_malformed_anchors_skipped(spark):
+    # single quotes / missing quotes don't match the frozen double-quote regex
+    html = "<a href='https://a.example/1'>x</a><a href=https://b.example/2>y</a>"
+    df = _pages(spark, [("https://s.example/p", html)])
+    assert extract_outlinks(df).count() == 0
+
+
+def test_host_graph_rollup(spark):
+    rows = [
+        (
+            "https://s1.example/p1",
+            '<a href="https://a.example/x">.</a><a href="https://a.example/y">.</a>'
+            '<a href="https://b.example/z">.</a>',
+        ),
+        ("https://s2.example/p2", '<a href="https://a.example/q">.</a>'),
+    ]
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(extract_outlinks(_pages(spark, rows))).collect()
+    }
+    assert got == {
+        ("s1.example", "a.example"): 2,
+        ("s1.example", "b.example"): 1,
+        ("s2.example", "a.example"): 1,
+    }
