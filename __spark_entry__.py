@@ -1915,6 +1915,25 @@ def q_host_graph(spark, sf_dir):
     return host_graph(extract_outlinks(_anchor_pages(spark, sf_dir)))
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/linkgraph.adamic_adar):
+    top-50 non-adjacent pairs of the undirected event graph by
+    hub-discounted common-neighbor score — per-center weight
+    rint(1e9/ln(deg)) emitted ONCE on the degree dim (half-even fixed
+    point, the bm25 recipe), AA = int64 wedge sums, existing edges out
+    via one anti-join, frozen (aa_fp desc, u, w) TakeOrdered cut.
+    Wedge fan-out = sum(deg^2) with the max_degree hub cap as the scale
+    lever.  FULL oracle: event-graph replay + identical fixed-point and
+    cut."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        adamic_adar,
+        event_link_graph,
+    )
+
+    edges, _nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    return adamic_adar(edges, k=50)
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6358,6 +6377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
+        "adamic_adar": q_adamic_adar,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -5252,6 +5252,48 @@ def _clustering_sql() -> str:
 
 
 
+def _adamic_adar_sql(k: int = 50) -> str:
+    """linkgraph.adamic_adar mirror: event-graph replay, per-center
+    half-even 1e-9 fixed point of 1/ln(deg), int64 wedge sums, anti-join
+    of existing edges, frozen (aa_fp desc, u, w) cut."""
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        adj AS MATERIALIZED (
+          SELECT a AS v, b AS nbr FROM und
+          UNION ALL SELECT b AS v, a AS nbr FROM und),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        wfp AS MATERIALIZED (
+          SELECT v, CAST(round_even(1e9 / ln(CAST(deg AS DOUBLE)), 0) AS BIGINT)
+                 AS w_fp
+          FROM deg WHERE deg >= 2),
+        wed AS (
+          SELECT l.nbr AS u, r.nbr AS w, f.w_fp
+          FROM adj l JOIN adj r ON l.v = r.v AND l.nbr < r.nbr
+          JOIN wfp f ON f.v = l.v),
+        agg AS MATERIALIZED (
+          SELECT u, w, CAST(count(*) AS BIGINT) AS cn,
+                 CAST(sum(w_fp) AS BIGINT) AS aa_fp
+          FROM wed GROUP BY 1, 2)
+        SELECT u, w, cn, aa_fp FROM agg
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = agg.u AND und.b = agg.w)
+        ORDER BY aa_fp DESC, u ASC, w ASC LIMIT {k}
+    """
+
+
 def _triangles_sql() -> str:
     return """
         WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
@@ -7223,4 +7265,5 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": _variogram_sql(),
         "outlinks": _OUTLINKS_SQL,
         "host_graph": _HOST_GRAPH_SQL,
+        "adamic_adar": _adamic_adar_sql(),
     }

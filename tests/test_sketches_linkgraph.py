@@ -247,3 +247,50 @@ def test_cms_join_size_overestimates_within_slack(spark, events):
     # min over d=4 rows should sit well inside 3x that expectation
     n_a, n_b = sum(ka.values()), sum(kb.values())
     assert est <= true + 3 * (n_a * n_b) / 1024, (est, true, n_a, n_b)
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path a-b-c plus hub h connected to a, c, d: AA(a,c) gets two
+    common neighbors (b deg2, h deg3); (a,d)/(c,d) share only h."""
+    import math
+
+    import numpy as np
+
+    from extractors_metadata_spark.operators.linkgraph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (9, 0), (9, 2), (9, 3)], "src long, dst long"
+    )
+    got = [
+        (r["u"], r["w"], r["cn"], r["aa_fp"])
+        for r in adamic_adar(edges, k=10).collect()
+    ]
+    fp = lambda d: int(np.rint(1e9 / math.log(d)))
+    # candidates: (0,2) cn=2 [b=1 deg2, h=9 deg3]; (0,3) cn=1 [9]; (2,3) cn=1;
+    # (1,9) cn=2 [0, 2 both deg ... 0 has deg 2 (1,9), 2 has deg 2]; (1,3) none
+    exp = sorted(
+        [
+            (0, 2, 2, fp(2) + fp(3)),
+            (1, 9, 2, fp(2) + fp(2)),
+            (0, 3, 1, fp(3)),
+            (2, 3, 1, fp(3)),
+        ],
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    assert got == exp
+
+
+def test_adamic_adar_excludes_existing_edges_and_caps_hubs(spark):
+    from extractors_metadata_spark.operators.linkgraph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (9, 0), (9, 2), (9, 3)], "src long, dst long"
+    )
+    pairs = {(r["u"], r["w"]) for r in adamic_adar(edges, k=10).collect()}
+    assert (0, 1) not in pairs and (0, 9) not in pairs
+    # capping out the deg-3 hub removes its wedges: only b=1 remains a center
+    got = {
+        (r["u"], r["w"]): r["cn"]
+        for r in adamic_adar(edges, k=10, max_degree=2).collect()
+    }
+    assert got == {(0, 2): 1, (1, 9): 2}
