@@ -1934,6 +1934,44 @@ def q_adamic_adar(spark, sf_dir):
     return adamic_adar(edges, k=50)
 
 
+def q_z_range_plan(spark, sf_dir):
+    """Z-order range planner (operators/zplan.z_range_plan — the query
+    half of the z_order_key layout): each user's bbox on a 256x256 grid
+    over the field (exact integer scaling of micro-degree coords)
+    compiles to the MINIMAL sorted Morton ranges whose union is exactly
+    the box — quadtree descent with aligned-prefix emission (corner
+    interleave IS the range start), literal per-level shifts, then the
+    interval-union adjacent merge.  All-integer; per level one x4
+    literal explode, no joins until the bounded per-box merge window.
+    FULL oracle: unrolled per-level CTEs + the z_stages_sql interleave
+    replay + the same merge window."""
+    from extractors_metadata_spark.operators.zplan import z_range_plan
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("user_id", lat, lon)
+    pts = e.select(
+        "user_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    fld = pts.agg(
+        F.min("qx").alias("mnx"), F.max("qx").alias("mxx"),
+        F.min("qy").alias("mny"), F.max("qy").alias("mxy"),
+    )
+    g = pts.crossJoin(F.broadcast(fld)).select(
+        "user_id",
+        F.expr("((qx - mnx) * 256) div (mxx - mnx + 1)").alias("gx"),
+        F.expr("((qy - mny) * 256) div (mxy - mny + 1)").alias("gy"),
+    )
+    boxes = g.groupBy("user_id").agg(
+        F.min("gx").alias("x0"), F.max("gx").alias("x1"),
+        F.min("gy").alias("y0"), F.max("gy").alias("y1"),
+    )
+    return z_range_plan(boxes, depth=8, key_col="user_id")
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6378,6 +6416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
         "adamic_adar": q_adamic_adar,
+        "z_range_plan": q_z_range_plan,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -5252,6 +5252,81 @@ def _clustering_sql() -> str:
 
 
 
+def _z_range_plan_sql(depth: int = 8) -> str:
+    """zplan.z_range_plan mirror: per-user 256-grid bboxes, unrolled
+    quadtree-descent CTE stages (one l{n}/em{n} pair per level), corner
+    interleave via z_stages_sql, interval-union adjacent merge."""
+    from extractors_metadata_spark.functions.zcurve import z_stages_sql
+
+    d = int(depth)
+    stages = []
+    for lvl in range(d + 1):
+        side = 1 << (d - lvl)
+        src = "l0" if lvl == 0 else f"l{lvl}"
+        ncells = 1 << (2 * (d - lvl))
+        stages.append(f"""
+        em{lvl} AS (
+          SELECT key, cx * {side} AS xlo, cy * {side} AS ylo,
+                 CAST({ncells} AS BIGINT) AS ncells
+          FROM {src}
+          WHERE NOT (cx * {side} + {side - 1} < x0 OR cx * {side} > x1
+                  OR cy * {side} + {side - 1} < y0 OR cy * {side} > y1)
+            AND cx * {side} >= x0 AND cx * {side} + {side - 1} <= x1
+            AND cy * {side} >= y0 AND cy * {side} + {side - 1} <= y1)""")
+        if lvl == d:
+            break
+        stages.append(f"""
+        l{lvl + 1} AS (
+          SELECT key, x0, x1, y0, y1,
+                 cx * 2 + q.i AS cx, cy * 2 + q.j AS cy
+          FROM {src}
+          CROSS JOIN (SELECT * FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+                      AS t(i, j)) q
+          WHERE NOT (cx * {side} + {side - 1} < x0 OR cx * {side} > x1
+                  OR cy * {side} + {side - 1} < y0 OR cy * {side} > y1)
+            AND NOT (cx * {side} >= x0 AND cx * {side} + {side - 1} <= x1
+                  AND cy * {side} >= y0 AND cy * {side} + {side - 1} <= y1))""")
+    unions = "\nUNION ALL\n".join(f"SELECT * FROM em{lvl}" for lvl in range(d + 1))
+    return f"""
+    WITH pts AS (
+      SELECT user_id,
+        CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) + 180000000 AS qx,
+        CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) + 90000000 AS qy
+      FROM events),
+    fld AS (SELECT min(qx) AS mnx, max(qx) AS mxx,
+                   min(qy) AS mny, max(qy) AS mxy FROM pts),
+    g AS (SELECT user_id,
+                 ((qx - mnx) * 256) // (mxx - mnx + 1) AS gx,
+                 ((qy - mny) * 256) // (mxy - mny + 1) AS gy
+          FROM pts CROSS JOIN fld),
+    l0 AS MATERIALIZED (
+      SELECT user_id AS key,
+             CAST(min(gx) AS BIGINT) AS x0, CAST(max(gx) AS BIGINT) AS x1,
+             CAST(min(gy) AS BIGINT) AS y0, CAST(max(gy) AS BIGINT) AS y1,
+             CAST(0 AS BIGINT) AS cx, CAST(0 AS BIGINT) AS cy
+      FROM g GROUP BY 1),
+    {",".join(stages)},
+    emitbase AS (SELECT key, ncells, xlo AS zx, ylo AS zy FROM ({unions})),
+    {z_stages_sql('emitbase', 'key, ncells')},
+    ranges AS (SELECT key, zval AS range_lo, zval + ncells - 1 AS range_hi
+               FROM zfin),
+    marked AS (
+      SELECT key, range_lo, range_hi,
+             CASE WHEN lag(range_hi) OVER w IS NULL
+                       OR range_lo != lag(range_hi) OVER w + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ranges WINDOW w AS (PARTITION BY key ORDER BY range_lo)),
+    runs AS (
+      SELECT key, range_lo, range_hi,
+             sum(is_new) OVER (PARTITION BY key ORDER BY range_lo
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM marked)
+    SELECT key AS user_id, CAST(min(range_lo) AS BIGINT) AS range_lo,
+           CAST(max(range_hi) AS BIGINT) AS range_hi
+    FROM runs GROUP BY key, run
+"""
+
+
 def _adamic_adar_sql(k: int = 50) -> str:
     """linkgraph.adamic_adar mirror: event-graph replay, per-center
     half-even 1e-9 fixed point of 1/ln(deg), int64 wedge sums, anti-join
@@ -7266,4 +7341,5 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _OUTLINKS_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "adamic_adar": _adamic_adar_sql(),
+        "z_range_plan": _z_range_plan_sql(),
     }
