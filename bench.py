@@ -279,6 +279,26 @@ def main() -> None:
         # aggregate-key-prunable under count() — NOT timed, CLAUDE.md rule.)
         "bpe_merges", "principal_axis", "shortest_paths", "convex_hull",
         "quadtree", "contact_crossings", "mutual_knn",
+        # round-5 additions, count()-load-bearing each: slope_aspect /
+        # semivariogram / mann_kendall count() through scatter/lag/cell
+        # aggregates; hausdorff_pairs / winnow_pairs / image_ahash_pairs /
+        # ripley_per_user pass threshold filters or keyed aggregates, so
+        # candidate joins + verifies execute; naive_bayes and rake_keywords
+        # count() through argmax/rank filters; rabin_dedup through the
+        # chunk-hash rollup; hits / d8_flow / watershed / tile_blobs run
+        # their rounds EAGERLY (collect or localCheckpoint per round)
+        # inside the timed construction; dsir_select / adamic_adar are
+        # TakeOrdered top-k (ordering forces full scoring); z_range_plan's
+        # count() is the merged-range cardinality (descent + merge windows
+        # load-bearing); host_graph counts the host rollup (regex + explode
+        # execute). (blocklist_hits / outlinks / viewshed / pii_redact are
+        # row-preserving or left-join-count-prunable — NOT timed,
+        # CLAUDE.md count() rule.)
+        "slope_aspect", "hausdorff_pairs", "mann_kendall", "naive_bayes",
+        "hits", "rake_keywords", "winnow_pairs", "rabin_dedup",
+        "image_ahash_pairs", "ripley_per_user", "d8_flow", "watershed",
+        "tile_blobs", "semivariogram", "dsir_select", "adamic_adar",
+        "z_range_plan", "host_graph",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
