@@ -1972,6 +1972,45 @@ def q_z_range_plan(spark, sf_dir):
     return z_range_plan(boxes, depth=8, key_col="user_id")
 
 
+def q_window_ranks(spark, sf_dir):
+    """The SQL ranking-function surface in exact integers: per user over
+    the hour-bucketed event stream — rank and dense_rank over the
+    TIE-BEARING hour key (deterministic under ties by definition),
+    ntile(4) over the TOTAL (hour, event_id) order (ntile is only
+    deterministic under a total order; both engines put remainder rows
+    in the leading tiles), percent_rank as its exact integer numerator
+    (rank - 1, denominator n - 1 alongside), and cume_dist as the exact
+    RANGE-frame peer count — no fraction ever crosses the engine
+    boundary (the pack_sequences integer-emission rule).  One window
+    stage, no UDFs.  FULL oracle: the same windows verbatim."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hour"),
+    )
+    from pyspark.sql import Window
+
+    tie = Window.partitionBy("user_id").orderBy("hour")
+    tot = Window.partitionBy("user_id").orderBy("hour", "event_id")
+    rng = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = Window.partitionBy("user_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "hour",
+        F.rank().over(tie).alias("rnk"),
+        F.dense_rank().over(tie).alias("drnk"),
+        F.ntile(4).over(tot).alias("nt4"),
+        (F.rank().over(tie) - 1).alias("pr_num"),
+        (F.count(F.lit(1)).over(per) - 1).alias("pr_den"),
+        F.count(F.lit(1)).over(rng).alias("cd_num"),
+        F.count(F.lit(1)).over(per).alias("n"),
+    )
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6417,6 +6456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "adamic_adar": q_adamic_adar,
         "z_range_plan": q_z_range_plan,
+        "window_ranks": q_window_ranks,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1656,6 +1656,28 @@ _HOST_GRAPH_SQL = f"""
 """
 
 
+_WINDOW_RANKS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS hour
+      FROM events)
+    SELECT user_id, event_id, hour,
+           CAST(rank() OVER tie AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER tie AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER tot AS INT) AS nt4,
+           CAST(rank() OVER tie - 1 AS BIGINT) AS pr_num,
+           CAST(count(*) OVER per - 1 AS BIGINT) AS pr_den,
+           CAST(count(*) OVER rng AS BIGINT) AS cd_num,
+           CAST(count(*) OVER per AS BIGINT) AS n
+    FROM e
+    WINDOW tie AS (PARTITION BY user_id ORDER BY hour),
+           tot AS (PARTITION BY user_id ORDER BY hour, event_id),
+           rng AS (PARTITION BY user_id ORDER BY hour
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           per AS (PARTITION BY user_id)
+"""
+
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -7342,4 +7364,5 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _HOST_GRAPH_SQL,
         "adamic_adar": _adamic_adar_sql(),
         "z_range_plan": _z_range_plan_sql(),
+        "window_ranks": _WINDOW_RANKS_SQL,
     }
