@@ -2011,6 +2011,28 @@ def q_window_ranks(spark, sf_dir):
     )
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Ranked-retrieval evaluation (operators/retrieval.retrieval_eval)
+    over bm25_topk's top-10: per query the exact NDCG@10 sufficient
+    statistics (dcg_fp/idcg_fp — int64 sums of gain x COMPILE-TIME
+    1e-9 fixed-point log2 discounts, no runtime transcendental), the
+    MRR statistic first_rel, and the relevant-retrieved count, under
+    closed-form graded labels rel = (doc_id + len(query_id)) % 3.
+    Evaluation cost O(queries x k), corpus-size independent.  FULL
+    oracle: the bm25 chain as a derived table + the same literal
+    discount VALUES + identical windows."""
+    from extractors_metadata_spark.operators.retrieval import bm25_topk, retrieval_eval
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, word string")
+    ranked = bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
+    labels = ranked.select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") + F.length("query_id")) % 3).alias("rel"),
+    )
+    return retrieval_eval(ranked, labels, k=10)
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6457,6 +6479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "z_range_plan": q_z_range_plan,
         "window_ranks": q_window_ranks,
+        "retrieval_eval": q_retrieval_eval,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -41,6 +41,8 @@ this widens vocabulary/tf-idf/inverted_index to the serving-side ranker.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -127,4 +129,69 @@ def bm25_topk(
         per_doc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_fp", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# NDCG position discounts 1/log2(pos+1) as COMPILE-TIME 1e-9 fixed-point
+# literals (positions 1..50): the transcendental never runs at query time,
+# so both engines consume identical integer constants.
+_NDCG_W = [int(round(1e9 / math.log2(p + 1))) for p in range(1, 51)]
+
+
+def retrieval_eval(ranked: DataFrame, labels: DataFrame, k: int = 10) -> DataFrame:
+    """Ranked-retrieval quality metrics per query -> (query_id, dcg_fp,
+    idcg_fp, first_rel, n_rel) — the evaluation half of the retrieval
+    suite (bm25_topk/rrf_fusion produce `ranked`; this scores it).
+
+    ``ranked``: (query_id, doc_id, rank) with rank 1-based <= ``k``;
+    ``labels``: (query_id, doc_id, rel) graded relevance (missing pairs
+    are rel 0).  Emitted as EXACT sufficient statistics (the
+    mann_kendall rule): dcg_fp / idcg_fp are int64 sums of
+    gain * discount where gain = 2^rel - 1 (exact via the pow-cast
+    idiom) and the discounts are the compile-time _NDCG_W literals —
+    NDCG@k = dcg_fp / idcg_fp and MRR = 1 / first_rel stay
+    consumer-side.  The IDEAL ordering re-ranks the RETRIEVED set by
+    (gain desc, doc_id) — equal gains are interchangeable in DCG, so
+    the tie-break cannot change idcg_fp, but freezing it keeps the
+    row_number replay deterministic.  first_rel = smallest rank with
+    positive gain, 0 when none (no relevant document retrieved).
+
+    Scale shape: one left join against the (broadcastable) label table,
+    two bounded per-query windows over <= k rows each, one query-keyed
+    aggregate — evaluation cost is O(queries x k), independent of
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W[: int(k)]])
+    j = (
+        ranked.select("query_id", "doc_id", "rank")
+        .join(labels, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (
+                F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0))).cast("long")
+                - 1
+            ).alias("gain"),
+        )
+    )
+    ipos = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("gain"), F.asc("doc_id"))
+    )
+    scored = j.select(
+        "query_id",
+        "rank",
+        "gain",
+        (F.col("gain") * F.element_at(w_arr, F.col("rank"))).alias("_d"),
+        (F.col("gain") * F.element_at(w_arr, ipos)).alias("_i"),
+    )
+    return scored.groupBy("query_id").agg(
+        F.sum("_d").alias("dcg_fp"),
+        F.sum("_i").alias("idcg_fp"),
+        F.coalesce(
+            F.min(F.when(F.col("gain") > 0, F.col("rank"))), F.lit(0)
+        ).alias("first_rel"),
+        F.sum((F.col("gain") > 0).cast("long")).alias("n_rel"),
     )

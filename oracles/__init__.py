@@ -1097,6 +1097,39 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
 
 
 
+def _retrieval_eval_sql(k: int = 10) -> str:
+    """retrieval.retrieval_eval mirror over the bm25 chain: same literal
+    discount table (single source: _NDCG_W), same ideal re-rank window,
+    closed-form labels."""
+    from extractors_metadata_spark.operators.retrieval import _NDCG_W
+
+    wvals = ", ".join(f"({p + 1}, {w})" for p, w in enumerate(_NDCG_W[:k]))
+    return f"""
+        WITH base AS ({_bm25_sql(k)}),
+        j AS (
+          SELECT query_id, doc_id, rank,
+                 CAST(power(2, (doc_id + length(query_id)) % 3) AS BIGINT) - 1
+                   AS gain
+          FROM base),
+        w AS (SELECT * FROM (VALUES {wvals}) AS t(pos, wfp)),
+        ip AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY gain DESC, doc_id) AS ipos
+          FROM j)
+        SELECT query_id,
+               CAST(sum(gain * wr.wfp) AS BIGINT) AS dcg_fp,
+               CAST(sum(gain * wi.wfp) AS BIGINT) AS idcg_fp,
+               CAST(coalesce(min(CASE WHEN gain > 0 THEN rank END), 0) AS INT)
+                 AS first_rel,
+               CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rel
+        FROM ip
+        JOIN w wr ON wr.pos = ip.rank
+        JOIN w wi ON wi.pos = ip.ipos
+        GROUP BY 1
+    """
+
+
 def _weighted_sample_sql(k: int = 20) -> str:
     ph = _poly_sql("'wsample:' || CAST(doc_id AS VARCHAR)", 131)
     return f"""
@@ -7365,4 +7398,5 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": _adamic_adar_sql(),
         "z_range_plan": _z_range_plan_sql(),
         "window_ranks": _WINDOW_RANKS_SQL,
+        "retrieval_eval": _retrieval_eval_sql(),
     }

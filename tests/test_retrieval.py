@@ -93,3 +93,26 @@ def test_broadcast_plan_shape(spark):
     )
     # the query-term dim must broadcast into the postings scan
     assert "BroadcastHashJoin" in plan
+
+
+def test_retrieval_eval_hand_case(spark):
+    from extractors_metadata_spark.operators.retrieval import _NDCG_W, retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q1", 30, 3),
+         ("q2", 40, 1), ("q2", 50, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    labels = spark.createDataFrame(
+        [("q1", 10, 0), ("q1", 20, 2), ("q1", 30, 1)],  # q2 unlabeled -> rel 0
+        "query_id string, doc_id long, rel int",
+    )
+    got = {
+        r["query_id"]: (r["dcg_fp"], r["idcg_fp"], r["first_rel"], r["n_rel"])
+        for r in retrieval_eval(ranked, labels, k=3).collect()
+    }
+    w = _NDCG_W
+    # q1 gains by rank: 0, 3, 1; ideal order: 3, 1, 0
+    assert got["q1"] == (3 * w[1] + 1 * w[2], 3 * w[0] + 1 * w[1], 2, 2)
+    # q2: nothing relevant -> zeros, first_rel 0
+    assert got["q2"] == (0, 0, 0, 0)
