@@ -2033,6 +2033,25 @@ def q_retrieval_eval(spark, sf_dir):
     return retrieval_eval(ranked, labels, k=10)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank extractive summarization (operators/textrank.py —
+    Mihalcea-Tarau 2004): top-2 chunks per document by PageRank over
+    the shared-token chunk similarity graph (>= 2 shared distinct
+    tokens, symmetric edges).  Every doc's graph is a disjoint
+    component of ONE global graph (node = doc_id*64 + chunk_idx), so a
+    single run of the partition-invariant integer pagerank ranks the
+    corpus at once; the pair join is doc-local.  FULL oracle: the
+    shared _chunk_sql CTE + same pair threshold + the pagerank
+    iteration stages unrolled + the frozen summary cut."""
+    from extractors_metadata_spark.operators.chunking import chunk_documents
+    from extractors_metadata_spark.operators.textrank import textrank_chunks
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=16, overlap=0
+    ).select("doc_id", "chunk_idx", "chunk_text")
+    return textrank_chunks(chunks, iterations=5, min_shared=2, top_k=2)
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6480,6 +6499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_range_plan": q_z_range_plan,
         "window_ranks": q_window_ranks,
         "retrieval_eval": q_retrieval_eval,
+        "textrank": q_textrank,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

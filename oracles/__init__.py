@@ -1097,6 +1097,65 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
 
 
 
+def _textrank_sql(iters: int = 5, min_shared: int = 2, top_k: int = 2) -> str:
+    """textrank.textrank_chunks mirror: the shared _chunk_sql CTE, the
+    doc-local shared-token pair threshold, the pagerank iteration body
+    unrolled (the _pagerank_sql recipe verbatim), the frozen cut."""
+    from extractors_metadata_spark.operators.linkgraph import PR_MASS
+
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+        it{i} AS (
+          SELECT nodes.node,
+                 CAST((15 * ({PR_MASS} // (SELECT n FROM nn))) // 100
+                      + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS insum
+            FROM edges e JOIN {prev} r ON e.src = r.node
+                         JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s ON nodes.node = s.node)""")
+        prev = f"it{i}"
+    body = ",".join(its)
+    return f"""
+        WITH chunks AS MATERIALIZED ({_chunk_sql("documents", 16, 0)}),
+        toks AS (
+          SELECT DISTINCT doc_id, chunk_idx,
+                 unnest(string_split(chunk_text, ' ')) AS tok
+          FROM chunks),
+        pairs AS MATERIALIZED (
+          SELECT a.doc_id, a.chunk_idx AS ca, b.chunk_idx AS cb
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND a.tok = b.tok
+               AND a.chunk_idx < b.chunk_idx
+          GROUP BY 1, 2, 3
+          HAVING count(*) >= {min_shared}),
+        edges AS MATERIALIZED (
+          SELECT doc_id * 64 + ca AS src, doc_id * 64 + cb AS dst FROM pairs
+          UNION ALL
+          SELECT doc_id * 64 + cb AS src, doc_id * 64 + ca AS dst FROM pairs),
+        nodes AS MATERIALIZED (
+          SELECT doc_id * 64 + chunk_idx AS node FROM chunks),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        outdeg AS MATERIALIZED (
+          SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, {PR_MASS} // (SELECT n FROM nn) AS rank FROM nodes),
+        {body},
+        unp AS (
+          SELECT node // 64 AS doc_id, CAST(node % 64 AS INT) AS chunk_idx,
+                 rank
+          FROM {prev}),
+        cut AS (
+          SELECT doc_id, chunk_idx, rank,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY rank DESC, chunk_idx ASC) AS INT) AS pos
+          FROM unp)
+        SELECT doc_id, chunk_idx, rank, pos FROM cut WHERE pos <= {top_k}
+    """
+
+
 def _retrieval_eval_sql(k: int = 10) -> str:
     """retrieval.retrieval_eval mirror over the bm25 chain: same literal
     discount table (single source: _NDCG_W), same ideal re-rank window,
@@ -7399,4 +7458,5 @@ def oracle_sql() -> dict[str, str]:
         "z_range_plan": _z_range_plan_sql(),
         "window_ranks": _WINDOW_RANKS_SQL,
         "retrieval_eval": _retrieval_eval_sql(),
+        "textrank": _textrank_sql(),
     }
