@@ -2052,6 +2052,24 @@ def q_textrank(spark, sf_dir):
     return textrank_chunks(chunks, iterations=5, min_shared=2, top_k=2)
 
 
+_ROBOTS_RULES = [("/e1", False), ("/e12", True), ("/e3", False), ("/e", True)]
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots-exclusion evaluation (plans/links.robots_filter — RFC 9309
+    longest-match): per url the winning rule over a frozen ruleset —
+    '/e' allows everything, '/e1' disallows the e1-prefixed pages,
+    '/e12' re-allows e12*, '/e3' disallows e3* — folded into ONE integer
+    score = prefix_len*2 + allow and a single GREATEST over literal
+    conditionals (the blocklist_hits zero-shuffle codegen shape); equal-
+    length Allow beats Disallow by the +1.  FULL oracle: the same
+    GREATEST CASE literals."""
+    from extractors_metadata_spark.plans.links import robots_filter
+
+    pages = _anchor_pages(spark, sf_dir)
+    return robots_filter(pages, _ROBOTS_RULES)
+
+
 def q_ripley_per_user(spark, sf_dir):
     """Per-user Ripley's K sufficient statistics (operators/ripley.py)
     at radii 50/100/200 microdeg: exact (n_points, n_pairs) per user and
@@ -6500,6 +6518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "retrieval_eval": q_retrieval_eval,
         "textrank": q_textrank,
+        "robots_filter": q_robots_filter,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

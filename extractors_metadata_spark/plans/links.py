@@ -44,6 +44,48 @@ def extract_outlinks(
     ).select("src_url", (F.col("pos0") + 1).alias("pos"), "dst_url")
 
 
+def robots_filter(
+    pages: DataFrame,
+    rules: list[tuple[str, bool]],
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion evaluation -> (url, path, rule_score, crawlable):
+    the REP longest-match rule (RFC 9309 / the Google rule): among the
+    path-prefix rules matching a url's path, the LONGEST prefix decides;
+    an Allow and Disallow of equal length tie in favor of Allow; no
+    matching rule means crawlable.
+
+    ``rules``: [(path_prefix, allow)] — a literal broadcast-sized ruleset
+    (real robots files are a few hundred lines).  The decision folds into
+    ONE integer: score = prefix_len * 2 + allow, and the verdict is a
+    single GREATEST over K literal conditional scores — pure codegen,
+    zero shuffle, zero fan-out (the blocklist_hits shape), identical
+    arithmetic in both engines.  rule_score = -1 encodes "no rule
+    matched"."""
+    if not rules:
+        raise ValueError("robots_filter: empty ruleset")
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1)
+    exprs = [
+        F.when(
+            F.col("path").startswith(prefix),
+            F.lit(len(prefix) * 2 + (1 if allow else 0)),
+        ).otherwise(F.lit(-1))
+        for prefix, allow in rules
+    ]
+    best = exprs[0] if len(exprs) == 1 else F.greatest(*exprs)
+    scored = pages.select(
+        F.col(url_col).alias("url"), path.alias("path")
+    ).select("url", "path", best.alias("rule_score"))
+    return scored.select(
+        "url",
+        "path",
+        "rule_score",
+        ((F.col("rule_score") < 0) | (F.col("rule_score") % 2 == 1)).alias(
+            "crawlable"
+        ),
+    )
+
+
 def host_graph(outlinks: DataFrame) -> DataFrame:
     """Host-level link graph -> (src_host, dst_host, n_links) with
     self-host edges kept (intra-site navigation is signal too)."""

@@ -1733,6 +1733,39 @@ _ANCHOR_PAGES_CTE = r"""pg AS (
       FROM lk, unnest(range(1, len(arr) + 1)) AS u(p))"""
 
 
+_ROBOTS_RULES = [("/e1", False), ("/e12", True), ("/e3", False), ("/e", True)]
+
+_ROBOTS_SQL = (
+    "WITH "
+    + _ANCHOR_PAGES_CTE.split(",\n    lk AS")[0]  # pg CTE only
+    + """,
+    scored AS (
+      SELECT src_url AS url,
+             regexp_extract(src_url, '^https?://[^/]+(/.*)$', 1) AS path
+      FROM pg)
+    SELECT url, path,
+           GREATEST("""
+    + ", ".join(
+        f"CASE WHEN starts_with(path, '{p}') THEN {len(p) * 2 + (1 if a else 0)} ELSE -1 END"
+        for p, a in _ROBOTS_RULES
+    )
+    + """) AS rule_score,
+           (GREATEST("""
+    + ", ".join(
+        f"CASE WHEN starts_with(path, '{p}') THEN {len(p) * 2 + (1 if a else 0)} ELSE -1 END"
+        for p, a in _ROBOTS_RULES
+    )
+    + """) < 0 OR GREATEST("""
+    + ", ".join(
+        f"CASE WHEN starts_with(path, '{p}') THEN {len(p) * 2 + (1 if a else 0)} ELSE -1 END"
+        for p, a in _ROBOTS_RULES
+    )
+    + """) % 2 = 1) AS crawlable
+    FROM scored
+"""
+)
+
+
 _OUTLINKS_SQL = f"""
     WITH {_ANCHOR_PAGES_CTE}
     SELECT src_url, pos, dst_url FROM links
@@ -7459,4 +7492,5 @@ def oracle_sql() -> dict[str, str]:
         "window_ranks": _WINDOW_RANKS_SQL,
         "retrieval_eval": _retrieval_eval_sql(),
         "textrank": _textrank_sql(),
+        "robots_filter": _ROBOTS_SQL,
     }

@@ -57,3 +57,28 @@ def test_host_graph_rollup(spark):
         ("s1.example", "b.example"): 1,
         ("s2.example", "a.example"): 1,
     }
+
+
+def test_robots_longest_match_and_allow_tie(spark):
+    from extractors_metadata_spark.plans.links import robots_filter
+
+    rules = [("/a", True), ("/a/b", False), ("/a/b/c", True), ("/x", False)]
+    pages = spark.createDataFrame(
+        [("https://h.example/a/z",), ("https://h.example/a/b/z",),
+         ("https://h.example/a/b/c/z",), ("https://h.example/x",),
+         ("https://h.example/unmatched",)],
+        "url string",
+    )
+    got = {r["path"]: (r["rule_score"], r["crawlable"])
+           for r in robots_filter(pages, rules).collect()}
+    assert got["/a/z"] == (2 * 2 + 1, True)
+    assert got["/a/b/z"] == (4 * 2 + 0, False)      # longer deny wins
+    assert got["/a/b/c/z"] == (6 * 2 + 1, True)     # longest re-allow wins
+    assert got["/x"] == (2 * 2 + 0, False)
+    assert got["/unmatched"] == (-1, True)          # no rule -> crawlable
+    # equal-length Allow beats Disallow: score parity decides
+    tie = robots_filter(
+        spark.createDataFrame([("https://h.example/t1",)], "url string"),
+        [("/t", False), ("/t", True)],
+    ).collect()[0]
+    assert tie["crawlable"] is True
