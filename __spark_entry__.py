@@ -1691,6 +1691,28 @@ def q_slope_aspect(spark, sf_dir):
     return slope_aspect(counts, z=12)
 
 
+def _z22_counts(spark, sf_dir):
+    """Shared raster front end: the z22 per-tile event-count surface,
+    persisted via the scoped-cache registry — the raster operators
+    (d8_flow, watershed, viewshed, tile_blobs, semivariogram) each
+    reference the counts frame 2-5 times in one plan, and the persist
+    collapses the repeated tile-footprint Arrow pass to ONE execution
+    (pinned by tests/test_plan_shapes_s5.py)."""
+    from extractors_metadata_spark.operators.pip_knn import _cache_scoped
+    from extractors_metadata_spark.operators.tile_assign import tile_assign
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
+    pts = e.select(
+        "event_id",
+        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
+        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
+    )
+    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
+    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return _cache_scoped("z22_counts", counts)
+
+
 def q_d8_flow(spark, sf_dir):
     """D8 flow direction + accumulation (operators/d8flow.d8_flow) over
     the z22 per-tile event-count surface: each occupied tile points at
@@ -1707,17 +1729,8 @@ def q_d8_flow(spark, sf_dir):
     via a WITH RECURSIVE pointer-path closure — also proves the
     iterative inflow-sum equals the closure count exactly."""
     from extractors_metadata_spark.operators.d8flow import d8_flow
-    from extractors_metadata_spark.operators.tile_assign import tile_assign
 
-    lat, lon = _latlon_dbl()
-    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
-    pts = e.select(
-        "event_id",
-        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
-        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
-    )
-    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
-    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _z22_counts(spark, sf_dir)
     return d8_flow(counts, z=22)
 
 
@@ -1765,17 +1778,8 @@ def q_watershed(spark, sf_dir):
     D8 pointer CTEs + a WITH RECURSIVE walk to the sink per cell — also
     proves log-round doubling lands on the exact per-cell terminal."""
     from extractors_metadata_spark.operators.d8flow import watershed
-    from extractors_metadata_spark.operators.tile_assign import tile_assign
 
-    lat, lon = _latlon_dbl()
-    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
-    pts = e.select(
-        "event_id",
-        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
-        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
-    )
-    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
-    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _z22_counts(spark, sf_dir)
     return watershed(counts, z=22)
 
 
@@ -1793,17 +1797,8 @@ def q_viewshed(spark, sf_dir):
     join; zero UDFs.  FULL oracle: same observer pick, same integer
     ray replay with unnest(range)."""
     from extractors_metadata_spark.operators.viewshed import viewshed
-    from extractors_metadata_spark.operators.tile_assign import tile_assign
 
-    lat, lon = _latlon_dbl()
-    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
-    pts = e.select(
-        "event_id",
-        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
-        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
-    )
-    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
-    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _z22_counts(spark, sf_dir)
     obs = (
         counts.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()[0]
     )
@@ -1821,17 +1816,8 @@ def q_tile_blobs(spark, sf_dir):
     adjacency + recursive reachability with min-label (the
     spatial_cluster idiom) + the same neighbor-count boundary test."""
     from extractors_metadata_spark.operators.blobs import tile_blobs
-    from extractors_metadata_spark.operators.tile_assign import tile_assign
 
-    lat, lon = _latlon_dbl()
-    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
-    pts = e.select(
-        "event_id",
-        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
-        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
-    )
-    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
-    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _z22_counts(spark, sf_dir)
     return tile_blobs(counts, z=22)
 
 
@@ -1846,17 +1832,8 @@ def q_semivariogram(spark, sf_dir):
     lag-keyed aggregate; pure codegen.  FULL oracle: the same generated
     offset VALUES table and shell arithmetic."""
     from extractors_metadata_spark.operators.variogram import semivariogram
-    from extractors_metadata_spark.operators.tile_assign import tile_assign
 
-    lat, lon = _latlon_dbl()
-    e = _t(spark, sf_dir, "events").select("event_id", lat, lon)
-    pts = e.select(
-        "event_id",
-        F.col("lat").alias("min_lat"), F.col("lat").alias("max_lat"),
-        F.col("lon").alias("min_lon"), F.col("lon").alias("max_lon"),
-    )
-    tiles = tile_assign(pts, zooms=(22,), id_cols=("event_id",))
-    counts = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _z22_counts(spark, sf_dir)
     return semivariogram(counts, z=22, max_lag=8)
 
 
