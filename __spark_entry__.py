@@ -2072,6 +2072,20 @@ def q_ripley_per_user(spark, sf_dir):
     return ripley_k(pts, radii=(50, 100, 200))
 
 
+def q_tile_median(spark, sf_dir):
+    """3x3 median filter (operators/heatmap.tile_median) over the z22
+    zero-filled count surface — the robust smoother beside tile_smooth's
+    linear kernel: element 5 of the 9 sorted window values, exact int64
+    (no interpolation exists at window 9).  x9 literal gather + ONE
+    grid-keyed left join + a constant-9 codegen sort; zero UDFs; reads
+    the scoped-cached counts front end.  FULL oracle: same offsets
+    VALUES + list_sort[5]."""
+    from extractors_metadata_spark.operators.heatmap import tile_median
+
+    counts = _z22_counts(spark, sf_dir)
+    return tile_median(counts, z=22)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6496,6 +6510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "textrank": q_textrank,
         "robots_filter": q_robots_filter,
+        "tile_median": q_tile_median,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

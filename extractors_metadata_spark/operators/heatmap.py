@@ -75,3 +75,51 @@ def tile_smooth(
         .agg(F.sum("_wc").alias("smooth"))
         .select(F.lit(z).alias("z"), "x", "y", "smooth")
     )
+
+
+def tile_median(tile_counts: DataFrame, z: int, cnt_col: str = "cnt") -> DataFrame:
+    """3x3 median filter over the zero-filled tile surface at zoom ``z``
+    -> (z, x, y, cnt, med) — the ROBUST smoother (the salt-and-pepper
+    denoiser of classical raster processing): where tile_smooth's linear
+    kernel lets one anomalous hot tile bleed into its whole ring, the
+    median suppresses it entirely.  Evaluated at OCCUPIED cells; the
+    window is the zero-filled 3x3 neighborhood (absent tiles are real
+    zeros — the trend.py rule; x wraps mod 2^z, off-grid y reads 0), so
+    the median is element 5 of the 9 sorted values — exact int64, no
+    quantile interpolation exists at window size 9.
+
+    Scale shape: a x9 literal gather explode + ONE grid-keyed LEFT
+    equi-join + one per-cell sort of a CONSTANT-9 array inside codegen
+    (sort_array on a collect_list bounded by the literal window) — work
+    linear in occupied tiles, zero UDFs."""
+    n = 1 << z
+    cells = tile_counts.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col(cnt_col).cast("long").alias("cnt"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    nb = cells.select(
+        F.col("x").alias("_nx"), F.col("y").alias("_ny"), F.col("cnt").alias("_ncnt")
+    )
+    gathered = (
+        cells.select("x", "y", "cnt", F.explode(offsets).alias("o"))
+        .select(
+            "x",
+            "y",
+            "cnt",
+            ((F.col("x") + F.col("o.dx") + n) % n).alias("_nx"),
+            (F.col("y") + F.col("o.dy")).alias("_ny"),
+        )
+        .join(nb, ["_nx", "_ny"], "left")
+        .select("x", "y", "cnt", F.coalesce(F.col("_ncnt"), F.lit(0)).alias("_v"))
+    )
+    return gathered.groupBy("x", "y", "cnt").agg(
+        F.element_at(F.sort_array(F.collect_list("_v")), 5).alias("med")
+    ).select(F.lit(z).alias("z"), "x", "y", "cnt", "med")

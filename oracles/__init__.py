@@ -1803,6 +1803,29 @@ _WINDOW_RANKS_SQL = """
 
 
 
+_TILE_MEDIAN_SQL = f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                                (SELECT unnest([-1, 0, 1]) AS dy)),
+    g AS (
+      SELECT c.x, c.y, c.cnt, coalesce(nb.cnt, 0) AS v
+      FROM counts c CROSS JOIN offs o
+      LEFT JOIN counts nb
+        ON nb.x = (c.x + o.dx + 4194304) % 4194304 AND nb.y = c.y + o.dy)
+    SELECT CAST(22 AS INT) AS z, x, y, cnt,
+           CAST(list_sort(list(v))[5] AS BIGINT) AS med
+    FROM g GROUP BY x, y, cnt
+"""
+
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -7493,4 +7516,5 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "textrank": _textrank_sql(),
         "robots_filter": _ROBOTS_SQL,
+        "tile_median": _TILE_MEDIAN_SQL,
     }

@@ -59,3 +59,39 @@ def test_plan_is_single_shuffle_no_udf(spark):
     assert plan.count("Exchange") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_tile_median_suppresses_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.operators.heatmap import tile_median
+
+    # flat field of 5s with one hot tile: the hot tile's own median is 5
+    # (8 neighbors of 5 beat the single 100), and its ring stays 5
+    cells = {(x, y): 5 for x in range(10, 15) for y in range(10, 15)}
+    cells[(12, 12)] = 100
+    df = spark.createDataFrame(
+        [(x, y, c) for (x, y), c in cells.items()], "x long, y long, cnt long"
+    )
+    got = {(r["x"], r["y"]): r["med"] for r in tile_median(df, z=6).collect()}
+    assert got[(12, 12)] == 5
+    assert got[(11, 11)] == 5
+    # corner cell (10,10): window = 4 present (5,5,5,5) + 5 zeros -> median 0
+    assert got[(10, 10)] == 0
+
+
+def test_tile_median_zero_fill_and_wrap(spark):
+    from extractors_metadata_spark.operators.heatmap import tile_median
+
+    # isolated tile: 8 zeros + itself -> median 0
+    df = spark.createDataFrame([(5, 5, 9)], "x long, y long, cnt long")
+    got = {(r["x"], r["y"]): r["med"] for r in tile_median(df, z=6).collect()}
+    assert got[(5, 5)] == 0
+    # antimeridian wrap: x=0 sees x=63 as a neighbor
+    df = spark.createDataFrame(
+        [(0, 8, 7)] + [(63, 7 + d, 7) for d in (0, 1, 2)] + [(1, 7 + d, 7) for d in (0, 1, 2)],
+        "x long, y long, cnt long",
+    )
+    got = {(r["x"], r["y"]): r["med"] for r in tile_median(df, z=6).collect()}
+    # (0,8) window: 6 neighbors of 7 + itself 7 + 2 zeros -> median 7
+    assert got[(0, 8)] == 7
