@@ -2086,6 +2086,117 @@ def q_tile_median(spark, sf_dir):
     return tile_median(counts, z=22)
 
 
+def q_cost_distance(spark, sf_dir):
+    """Grid cost-distance (the raster least-cost-path classic, composed
+    from operators/linkgraph.shortest_paths over the z22 surface):
+    minimum accumulated traversal cost from the max-count hotspot to
+    every reachable occupied tile, where crossing from cell a to
+    neighbor b costs (cnt_a + cnt_b) * 2 orthogonally and * 3
+    diagonally — the exact-integer rational freeze of the classic
+    (cost_a+cost_b)/2 * dist metric (sqrt(2) ~ 3/2 relative to
+    orthogonal 2/2; frozen for bit-exactness, still a metric).  Node
+    ids pack as x*2^26+y (the blobs rule); the path bound is 48 base
+    edges — run as TWO min-plus edge squarings (zero-weight self-loops
+    make each squared edge cover <= 2 base edges; linkgraph.
+    minplus_square) + 12 delta-Bellman-Ford super-rounds, the log-step
+    contraction that replaces 48 rounds of per-action overhead with a
+    bounded-stencil edge blowup (8 -> 25 -> 81 per cell) and one
+    checkpointed edge frame.  FULL oracle: the same base edge table + 48
+    unrolled PLAIN relaxation stages (the shortest_paths recipe) — the
+    searched path set (<= 48 edges) is identical by construction."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        minplus_square,
+        shortest_paths,
+    )
+
+    counts = _z22_counts(spark, sf_dir)
+    n = 1 << 22
+    pack = 1 << 26
+    nb = counts.select(
+        F.col("x").alias("_nx"), F.col("y").alias("_ny"), F.col("cnt").alias("_ncnt")
+    )
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(2 if dx * dy == 0 else 3).alias("m"),
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    edges = (
+        counts.select("x", "y", "cnt", F.explode(offsets).alias("o"))
+        .select(
+            "x", "y", "cnt", F.col("o.m").alias("m"),
+            ((F.col("x") + F.col("o.dx") + n) % n).alias("_nx"),
+            (F.col("y") + F.col("o.dy")).alias("_ny"),
+        )
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .join(nb, ["_nx", "_ny"])
+        .select(
+            (F.col("x") * pack + F.col("y")).alias("src"),
+            (F.col("_nx") * pack + F.col("_ny")).alias("dst"),
+            ((F.col("cnt") + F.col("_ncnt")) * F.col("m")).alias("w"),
+        )
+    )
+    loops = counts.select(
+        (F.col("x") * pack + F.col("y")).alias("src")
+    ).select("src", F.col("src").alias("dst"), F.lit(0).cast("long").alias("w"))
+    e4 = minplus_square(minplus_square(edges.unionByName(loops))).localCheckpoint(
+        eager=True
+    )
+    obs = (
+        counts.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()[0]
+    )
+    seeds = spark.createDataFrame(
+        [(obs["x"] * pack + obs["y"],)], "node long"
+    )
+    dist = shortest_paths(e4, seeds, rounds=12)
+    return dist.select(
+        F.expr(f"node div {pack}").alias("x"),
+        (F.col("node") % pack).alias("y"),
+        F.col("dist").alias("cost"),
+    )
+
+
+def q_ppr_seeds(spark, sf_dir):
+    """Personalized PageRank (operators/linkgraph.personalized_pagerank):
+    TrustRank-style seed-relative authority — ALL teleport mass returns
+    to the deterministic seed whitelist (node % 17 == 0) of the event
+    link graph, 5 damped iterations. The crawl-frontier / trusted-host
+    curation primitive: rank relative to a seed set, not the uniform
+    prior. Same int64 floor-division fixed point as pagerank (bit-
+    identical under any partitioning); per-iteration one dst-keyed
+    partial-agg shuffle with broadcast ranks. FULL oracle: the pagerank
+    unrolled-stage recipe with a seed-conditional base term and the
+    seed-restricted r0."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        event_link_graph,
+        personalized_pagerank,
+    )
+
+    edges, nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    seeds = nodes.filter(F.col("node") % 17 == 0)
+    return personalized_pagerank(edges, nodes, seeds, iterations=5)
+
+
+def q_greedy_cover(spark, sf_dir):
+    """Greedy maximum-coverage corpus selection (operators/corpus.
+    greedy_cover): 8 rounds of the (1-1/e) submodular greedy — each round
+    picks the document adding the most not-yet-covered vocabulary
+    (tie-break gain DESC, doc_id ASC), the diversity-driven data-
+    selection primitive. Corpus touched once (distinct doc-token grams,
+    checkpoint-pinned); per round one anti-join vs the bounded covered
+    set + a 1-row composite min_by argmax. FULL oracle: unrolled
+    per-round stages replaying the anti-join count, the row_number pick
+    and the covered union."""
+    from extractors_metadata_spark.operators.corpus import greedy_cover
+
+    return greedy_cover(_t(spark, sf_dir, "documents"), rounds=8)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6511,6 +6622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "robots_filter": q_robots_filter,
         "tile_median": q_tile_median,
+        "cost_distance": q_cost_distance,
+        "ppr_seeds": q_ppr_seeds,
+        "greedy_cover": q_greedy_cover,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -68,6 +68,82 @@ def vocab_topk(
     )
 
 
+def greedy_cover(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection — the submodular
+    curation primitive (pick the document adding the most NOT-yet-covered
+    vocabulary each round; the classic (1 - 1/e) greedy for instruction/
+    diversity-driven corpus selection, Nemhauser et al. 1978).
+
+    Returns (round, doc_id, gain): the pick order and each pick's
+    marginal coverage gain. The coverage unit is the 3-word SHINGLE (the
+    vocab_growth rule: this corpus's closed 31-word vocabulary saturates
+    in one pick; the sequence space is what diversity selection is
+    about). Deterministic tie-break (gain DESC, doc_id ASC — the frozen
+    argmax rule). A document whose shingles are fully covered contributes
+    no row to the gain table, so already-picked documents exclude
+    themselves and the loop stops early when nothing uncovered remains
+    (fixed ``rounds`` otherwise).
+
+    Scale shape (the bpe._learn recipe): the corpus is touched ONCE — the
+    distinct (doc, shingle) gram table, localCheckpoint-pinned and reused
+    every round; per round one anti-join against the covered-shingle set
+    (bounded: union of <= ``rounds`` picked documents' shingles, a
+    broadcast-sized dim by construction), one map-side-combining count
+    per doc, and a 1-row composite-key min_by argmax collect (the bounded
+    driver-scalar precedent). No sort, no unbounded state.
+
+    FULL oracle: unrolled per-round CTE stages replaying the anti-join
+    count, the row_number()-over-(gain DESC, doc_id) pick (the DuckDB
+    composite-argmax rule) and the covered-set union."""
+    from .dedup import word_shingles
+
+    grams = (
+        word_shingles(docs, text_col, id_col, w=3)
+        .select(F.col(id_col).alias("doc_id"), F.col("shingle").alias("tok"))
+        .localCheckpoint()
+    )
+    picked: list[int] = []
+    rows: list[tuple[int, int, int]] = []
+    for r in range(1, rounds + 1):
+        uncov = grams
+        if picked:
+            covered = (
+                grams.filter(F.col("doc_id").isin(picked))
+                .select("tok")
+                .distinct()
+            )
+            uncov = grams.join(F.broadcast(covered), "tok", "left_anti")
+        best = (
+            uncov.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("gain").alias("gain"),
+                    ),
+                    F.struct(
+                        (-F.col("gain")).alias("k1"),
+                        F.col("doc_id").alias("k2"),
+                    ),
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        if best is None:
+            break
+        picked.append(int(best["doc_id"]))
+        rows.append((r, int(best["doc_id"]), int(best["gain"])))
+    return docs.sparkSession.createDataFrame(
+        rows, "round int, doc_id long, gain long"
+    )
+
+
 def tf_idf_topk(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     n_docs: int | None = None,

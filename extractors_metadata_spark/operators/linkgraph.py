@@ -100,6 +100,76 @@ def damping_pct_complement(damping_pct: int) -> int:
     return 100 - damping_pct
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: identical integer fixed-point update to
+    :func:`pagerank`, but ALL teleport mass returns to the ``seeds`` set
+    (node long column, subset of ``nodes``) — the crawl-frontier /
+    TrustRank primitive (rank relative to a trusted seed whitelist, or a
+    topic-focused crawl's priority score).
+
+    Exactness: rank0(v) = (S div |seeds|) for seeds else 0, and the
+    damped update adds the teleport term only on seed rows —
+        r'(v) = [v in seeds] * (15 * (S div |seeds|)) div 100
+                + (85 * insum(v)) div 100
+    — every step int64 floor arithmetic, so bit-identical under any
+    partitioning and replayable as unrolled SQL stages (the pagerank
+    oracle recipe with a seed-conditional base).
+
+    Scale: the seed membership flag joins once before the loop (broadcast
+    left join on the node dim); per-iteration shape is identical to
+    pagerank — one dst-keyed partial-agg shuffle, broadcast_ranks toggle
+    for the host- vs page-level regimes."""
+    n_seeds = seeds.count()  # scalar action on the tiny seed dim
+    per_seed = PR_MASS // n_seeds
+    base_val = (damping_pct_complement(damping_pct) * per_seed) // 100
+    nb = (
+        nodes.join(
+            F.broadcast(seeds.select("node", F.lit(1).alias("_s"))),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nb.select(
+        "node", (F.col("_s") * F.lit(per_seed)).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        od = F.broadcast(outdeg) if broadcast_ranks else outdeg
+        contrib = (
+            edges.join(r, edges.src == r.node, "inner")
+            .join(od, "src", "inner")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
+        ranks = (
+            nb.join(insum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_s") * F.lit(base_val)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(insum, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def event_link_graph(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic link graph derived from the events table (driver-query
     input; no external data): N = max(user_id) + 1 nodes; one edge per
@@ -348,6 +418,33 @@ def shortest_paths(
             break
         frontier = improved
     return dist
+
+
+def minplus_square(edges: DataFrame, weight_col: str = "w") -> DataFrame:
+    """Min-plus (tropical) squaring of a weighted edge table:
+    e'(u, w) = min over v of e(u, v) + e(v, w).
+
+    The log-step contraction for bounded-round SSSP: if ``edges``
+    contains zero-weight SELF-LOOPS, each squared edge covers paths of
+    <= 2 base edges, so k squarings turn ``shortest_paths(rounds=r)``
+    into the EXACT same searched path set (paths of <= r * 2^k edges)
+    with 2^k x fewer Bellman-Ford rounds — trading one mid-keyed
+    equi-join + min aggregate per squaring for the per-round driver/
+    action overhead that dominates deep iteration. On local-stencil
+    graphs (grids) the edge count grows by the stencil area, not the
+    node count: 8-neighborhood -> 25 -> 81, bounded by construction.
+    Exact int64 sums + min — bit-identical under any partitioning."""
+    l = edges.select(
+        "src", F.col("dst").alias("mid"), F.col(weight_col).alias("_w1")
+    )
+    r = edges.select(
+        F.col("src").alias("mid"), "dst", F.col(weight_col).alias("_w2")
+    )
+    return (
+        l.join(r, "mid")
+        .groupBy("src", "dst")
+        .agg(F.min(F.col("_w1") + F.col("_w2")).alias(weight_col))
+    )
 
 
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:

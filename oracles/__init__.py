@@ -1826,6 +1826,54 @@ _TILE_MEDIAN_SQL = f"""
 
 
 
+def _cost_distance_sql(rounds: int = 48) -> str:
+    """q_cost_distance mirror: z22 counts, the (cnt_a+cnt_b)*{{2,3}}
+    grid edge table, the hotspot seed, and ``rounds`` unrolled
+    Bellman-Ford relaxation stages (the shortest_paths recipe)."""
+    stages = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        d{i} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT ew.dst AS node, d.dist + ew.w AS dist
+            FROM ew JOIN {prev} d ON d.node = ew.src)
+          GROUP BY node)""")
+        prev = f"d{i}"
+    body = ",".join(stages)
+    return f"""
+    WITH pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    offs AS (SELECT dx, dy, CASE WHEN dx * dy = 0 THEN 2 ELSE 3 END AS m
+             FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                  (SELECT unnest([-1, 0, 1]) AS dy)
+             WHERE NOT (dx = 0 AND dy = 0)),
+    ew AS MATERIALIZED (
+      SELECT c.x * 67108864 + c.y AS src,
+             nb.x * 67108864 + nb.y AS dst,
+             (c.cnt + nb.cnt) * o.m AS w
+      FROM counts c CROSS JOIN offs o
+      JOIN counts nb
+        ON nb.x = (c.x + o.dx + 4194304) % 4194304 AND nb.y = c.y + o.dy
+      WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4194304),
+    obs AS (SELECT x * 67108864 + y AS node FROM counts
+            ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM obs),
+    {body}
+    SELECT node // 67108864 AS x, node % 67108864 AS y,
+           CAST(dist AS BIGINT) AS cost
+    FROM {prev}
+"""
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -5082,6 +5130,98 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 
 
+def _ppr_sql(iters: int = 5) -> str:
+    """q_ppr_seeds mirror: the pagerank unrolled-stage recipe with the
+    teleport term restricted to the node % 17 = 0 seed set — r0 puts
+    PR_MASS // |seeds| on seeds (0 elsewhere) and each stage adds the
+    base only on seed rows. All integer floor arithmetic; exact."""
+    from extractors_metadata_spark.operators.linkgraph import PR_MASS
+
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+        it{i} AS (
+          SELECT nodes.node,
+                 CAST(CASE WHEN nodes.node % 17 = 0
+                      THEN (15 * ({PR_MASS} // (SELECT n FROM ns))) // 100
+                      ELSE 0 END
+                      + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS insum
+            FROM edges e JOIN {prev} r ON e.src = r.node
+                         JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s ON nodes.node = s.node)""")
+        prev = f"it{i}"
+    body = ",".join(its)
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        nodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes)),
+        outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        ns AS MATERIALIZED (SELECT count(*) AS n FROM nodes WHERE node % 17 = 0),
+        r0 AS (SELECT node,
+                      CASE WHEN node % 17 = 0
+                           THEN {PR_MASS} // (SELECT n FROM ns)
+                           ELSE 0 END AS rank
+               FROM nodes),
+        {body}
+        SELECT node, rank FROM {prev}
+    """
+
+
+def _greedy_cover_sql(rounds: int = 8) -> str:
+    """corpus.greedy_cover mirror: the 3-word-shingle unit (the
+    vocab_growth slice recipe), then per round an ANTI JOIN gain count,
+    the row_number()-over-(gain DESC, doc_id) composite argmax (the
+    DuckDB min_by rule), and the covered-shingle union. c{r} is
+    referenced twice (next gain stage + next union) -> MATERIALIZED per
+    the CTE re-inlining rule."""
+    stages = []
+    finals = []
+    for r in range(1, rounds + 1):
+        stages.append(f"""
+        g{r} AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+          FROM toks t ANTI JOIN c{r - 1} c USING (tok)
+          GROUP BY t.doc_id),
+        p{r} AS MATERIALIZED (
+          SELECT doc_id, gain FROM (
+            SELECT doc_id, gain,
+                   row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rn
+            FROM g{r}) q WHERE rn = 1),
+        c{r} AS MATERIALIZED (
+          SELECT tok FROM c{r - 1}
+          UNION
+          SELECT tok FROM toks
+          WHERE doc_id = (SELECT doc_id FROM p{r}))""")
+        finals.append(
+            f"SELECT CAST({r} AS INTEGER) AS round, doc_id, gain FROM p{r}"
+        )
+    body = ",".join(stages)
+    tail = "\nUNION ALL\n".join(finals)
+    return rf"""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+          FROM documents),
+        toks AS MATERIALIZED (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS tok
+          FROM tk, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+        c0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE false),
+        {body}
+        {tail}
+    """
+
+
 def _rake_sql(top_k: int = 3) -> str:
     """rake.rake_keywords mirror: tokenize with the same RE2 pattern,
     gaps-and-islands phrase grouping (pos - row_number), deg/freq word
@@ -7517,4 +7657,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_sql(),
         "robots_filter": _ROBOTS_SQL,
         "tile_median": _TILE_MEDIAN_SQL,
+        "cost_distance": _cost_distance_sql(),
+        "ppr_seeds": _ppr_sql(5),
+        "greedy_cover": _greedy_cover_sql(8),
     }
