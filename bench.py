@@ -299,6 +299,17 @@ def main() -> None:
         "image_ahash_pairs", "ripley_per_user", "d8_flow", "watershed",
         "tile_blobs", "semivariogram", "dsir_select", "adamic_adar",
         "z_range_plan", "host_graph",
+        # session-6 additions: textrank's top-k rank filter keeps the chunk
+        # pair join + the eager integer-pagerank rounds load-bearing;
+        # cost_distance runs its two min-plus squarings + 12 Bellman-Ford
+        # super-rounds EAGERLY (checkpointed edge frame, per-round counts)
+        # inside the timed construction; greedy_cover's 8 argmax collects
+        # are the work. (ppr_seeds is the pagerank plan with a seed
+        # conditional — near-duplicate of a timed plan, NOT timed;
+        # robots_filter / tile_median / window_ranks / retrieval_eval are
+        # row-preserving or left-join-count-prunable — NOT timed,
+        # CLAUDE.md count() rule.)
+        "textrank", "cost_distance", "greedy_cover",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
