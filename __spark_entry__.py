@@ -2197,6 +2197,57 @@ def q_greedy_cover(spark, sf_dir):
     return greedy_cover(_t(spark, sf_dir, "documents"), rounds=8)
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging-hotspot analysis — the GIS space-time-cube classic
+    (ESRI's Emerging Hot Spot Analysis shape): per 200k-nanodegree cell,
+    the Mann-Kendall monotone-trend statistics of its DAILY 3x3
+    NEIGHBORHOOD activity sum (the Getis-Ord Gi* numerator per time
+    slice) — a cell whose neighborhood count trends up is an emerging
+    hotspot, down is fading. getis_ord gives one-slice hot/cold,
+    mann_kendall per-cell self-count trends; this is the composed
+    space-time statistic over the spatially-smoothed series.
+
+    All exact int64: the 9-offset scatter + (cell, day)-keyed sum is the
+    tile_smooth shape (bounded literal fan-out, one grid-keyed
+    aggregate); the trend stage is operators/trend.mann_kendall on the
+    zero-filled bounded day grid (per-cell O(T^2), T a corpus literal).
+    Output domain = cells within 1 of any occupied cell on any day.
+    FULL oracle: the same scatter stage prepended to the mann_kendall
+    replay."""
+    from extractors_metadata_spark.operators.trend import mann_kendall
+
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), lat, lon,
+    ).select(
+        ((F.bround(F.col("lon") * 1000000000.0, 0).cast("long")
+          + F.lit(120000000000)) / F.lit(200000)).cast("long").alias("cx"),
+        (F.bround(F.col("lat") * 1000000000.0, 0).cast("long")
+         / F.lit(200000)).cast("long").alias("cy"),
+        F.expr("us div 86400000000").alias("day"),
+    )
+    counts = pts.groupBy("cx", "cy", "day").agg(F.count(F.lit(1)).alias("n"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    nbsum = (
+        counts.select("cx", "cy", "day", "n", F.explode(offs).alias("o"))
+        .select(
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            "day",
+            "n",
+        )
+        .groupBy("cx", "cy", "day")
+        .agg(F.sum("n").alias("s"))
+    )
+    return mann_kendall(nbsum, ["cx", "cy"], bin_col="day", n_col="s")
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6625,6 +6676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "ppr_seeds": q_ppr_seeds,
         "greedy_cover": q_greedy_cover,
+        "emerging_hotspots": q_emerging_hotspots,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -4014,6 +4014,63 @@ _ZONAL_MAJORITY_SQL = f"""
 
 
 
+# Emerging-hotspot analysis (q_emerging_hotspots): the mann_kendall replay
+# with a 3x3 scatter stage prepended — per (cell, day) the neighborhood
+# activity sum (Gi* numerator per slice), then the exact S + tie-corrected
+# variance numerator over each dilated cell's zero-filled daily series.
+_EMERGING_HOTSPOTS_SQL = f"""
+    WITH pts AS (
+      SELECT (CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+              + 120000000000) // 200000 AS cx,
+             CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+               // 200000 AS cy,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    cnt AS (
+      SELECT cx, cy, day, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2, 3),
+    offs AS (SELECT dx, dy
+             FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                  (SELECT unnest([-1, 0, 1]) AS dy)),
+    nbsum AS MATERIALIZED (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.day,
+             CAST(sum(c.n) AS BIGINT) AS s
+      FROM cnt c CROSS JOIN offs o
+      GROUP BY 1, 2, 3),
+    rng AS MATERIALIZED (
+      SELECT min(day) AS lo, max(day) AS hi FROM nbsum),
+    days AS MATERIALIZED (
+      SELECT unnest(generate_series(lo, hi)) AS day FROM rng),
+    grid AS MATERIALIZED (
+      SELECT k.cx, k.cy, g.day, COALESCE(c.s, 0) AS c
+      FROM (SELECT DISTINCT cx, cy FROM nbsum) k
+      CROSS JOIN days g
+      LEFT JOIN nbsum c ON c.cx = k.cx AND c.cy = k.cy AND c.day = g.day),
+    s AS (
+      SELECT a.cx, a.cy,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM grid a JOIN grid b
+        ON a.cx = b.cx AND a.cy = b.cy AND b.day > a.day
+      GROUP BY 1, 2),
+    ties AS (
+      SELECT cx, cy,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties
+      FROM (SELECT cx, cy, c, CAST(count(*) AS BIGINT) AS t
+            FROM grid GROUP BY 1, 2, 3) q
+      GROUP BY 1, 2),
+    nb AS (SELECT hi - lo + 1 AS n_bins FROM rng)
+    SELECT s.cx, s.cy,
+           CAST((SELECT n_bins FROM nb) AS BIGINT) AS n_bins,
+           s.s_stat,
+           CAST((SELECT n_bins FROM nb) * ((SELECT n_bins FROM nb) - 1)
+                * (2 * (SELECT n_bins FROM nb) + 5) - ties.ties AS BIGINT)
+             AS var18
+    FROM s JOIN ties ON s.cx = ties.cx AND s.cy = ties.cy
+"""
+
+
 # Mann-Kendall per-cell trend (operators/trend.py): exact S + tie-corrected
 # var numerator over the ZERO-FILLED daily count series of every occupied
 # cell. Same cell/day derivation as hotspot_persist; grid/cnt/rng are each
@@ -7660,4 +7717,5 @@ def oracle_sql() -> dict[str, str]:
         "cost_distance": _cost_distance_sql(),
         "ppr_seeds": _ppr_sql(5),
         "greedy_cover": _greedy_cover_sql(8),
+        "emerging_hotspots": _EMERGING_HOTSPOTS_SQL,
     }
