@@ -2248,6 +2248,29 @@ def q_emerging_hotspots(spark, sf_dir):
     return mann_kendall(nbsum, ["cx", "cy"], bin_col="day", n_col="s")
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """Gonzalez k-center greedy coreset (operators/kcenter.py): 8
+    farthest-point picks over the milli-unit-quantized embedding table —
+    the embedding-space diversity-selection counterpart of greedy_cover
+    (2-approx k-center; the kmeans++-style diverse-seed primitive).
+    Quantize once (round_even(v*1000) int64 — the spectral/semdedup
+    rule), exact int64 squared L2 everywhere, frozen argmax tie-break
+    (mind2 DESC, id ASC), per round one codegen projection against a
+    64-int literal center + one bounded min_by collect.  FULL oracle:
+    the rounds unrolled as CTE stages (row_number argmax + least()
+    relax)."""
+    from extractors_metadata_spark.operators.kcenter import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.bround(x * 1000.0, 0).cast("long"),
+        ).alias("qv"),
+    )
+    return kcenter_coreset(emb, k=8)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6677,6 +6700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_seeds": q_ppr_seeds,
         "greedy_cover": q_greedy_cover,
         "emerging_hotspots": q_emerging_hotspots,
+        "kcenter_coreset": q_kcenter_coreset,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -310,6 +310,11 @@ def main() -> None:
         # row-preserving or left-join-count-prunable — NOT timed,
         # CLAUDE.md count() rule.)
         "textrank", "cost_distance", "greedy_cover",
+        # kcenter_coreset's 7 argmax collects run EAGERLY per round (the
+        # greedy_cover/bpe shape) — construction is the measurement.
+        # (emerging_hotspots is the already-timed mann_kendall plan plus
+        # one scatter aggregate — near-duplicate, NOT timed.)
+        "kcenter_coreset",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

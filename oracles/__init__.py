@@ -5279,6 +5279,56 @@ def _greedy_cover_sql(rounds: int = 8) -> str:
     """
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """kcenter.kcenter_coreset mirror: quantize once to int64
+    milli-units, seed = min(vec_id) with d2 0, then per round the
+    row_number()-over-(mind2 DESC, vec_id) argmax (the DuckDB composite
+    rule), the picked vector fetched by id, and the least() relaxation
+    of every point's running min squared distance.  m{r} is referenced
+    twice (next pick + next relax) -> MATERIALIZED."""
+    stages = []
+    finals = ["SELECT CAST(1 AS INTEGER) AS round, "
+              "(SELECT vec_id FROM p1) AS vec_id, CAST(0 AS BIGINT) AS d2"]
+    for r in range(2, k + 1):
+        stages.append(f"""
+        p{r} AS MATERIALIZED (
+          SELECT vec_id, mind2 FROM (
+            SELECT vec_id, mind2,
+                   row_number() OVER (ORDER BY mind2 DESC, vec_id ASC) AS rn
+            FROM m{r - 1}) q WHERE rn = 1),
+        c{r} AS (SELECT v FROM q WHERE vec_id = (SELECT vec_id FROM p{r})),
+        m{r} AS MATERIALIZED (
+          SELECT m.vec_id, m.v,
+                 least(m.mind2,
+                       CAST(list_sum(list_transform(list_zip(m.v, c.v),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
+                   AS mind2
+          FROM m{r - 1} m CROSS JOIN c{r} c)""")
+        finals.append(
+            f"SELECT CAST({r} AS INTEGER) AS round, vec_id, mind2 AS d2 "
+            f"FROM p{r}"
+        )
+    body = ",".join(stages)
+    tail = "\nUNION ALL\n".join(finals)
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * 1000.0, 0)
+                             AS BIGINT)) AS v
+          FROM embeddings),
+        p1 AS (SELECT min(vec_id) AS vec_id FROM q),
+        c1 AS (SELECT v FROM q WHERE vec_id = (SELECT vec_id FROM p1)),
+        m1 AS MATERIALIZED (
+          SELECT m.vec_id, m.v,
+                 CAST(list_sum(list_transform(list_zip(m.v, c.v),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS mind2
+          FROM q m CROSS JOIN c1 c),
+        {body}
+        {tail}
+    """
+
+
 def _rake_sql(top_k: int = 3) -> str:
     """rake.rake_keywords mirror: tokenize with the same RE2 pattern,
     gaps-and-islands phrase grouping (pos - row_number), deg/freq word
@@ -7718,4 +7768,5 @@ def oracle_sql() -> dict[str, str]:
         "ppr_seeds": _ppr_sql(5),
         "greedy_cover": _greedy_cover_sql(8),
         "emerging_hotspots": _EMERGING_HOTSPOTS_SQL,
+        "kcenter_coreset": _kcenter_sql(8),
     }
