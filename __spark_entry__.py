@@ -2271,6 +2271,59 @@ def q_kcenter_coreset(spark, sf_dir):
     return kcenter_coreset(emb, k=8)
 
 
+def q_lsh_eval(spark, sf_dir):
+    """LSH candidate-quality evaluation — the dedup-pipeline QA metric:
+    confusion counts of the MinHash-LSH near-dup pairs (verifiable poly
+    family, est >= 0.2) against the EXACT word-3-shingle Jaccard >= 1/2
+    ground truth over the documents table (all-pairs truth is the
+    deliberately-quadratic evaluation regime — run on a sample at
+    production scale; the scoring path stays pair-scoped). The compare is pure
+    integers (3*|A∩B| >= |A|+|B| — the rational cross-multiplication
+    rule, no float Jaccard anywhere); the output is ONE exact row
+    (n_pred, n_truth, tp, fp, fn) from a full-outer marker join. FULL
+    oracle: the shared _minhash_sql chain + the same shingle self-join
+    truth + the same marker aggregate."""
+    from extractors_metadata_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        word_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pred = minhash_lsh_dedup(
+        d, threshold=0.2, hash_family="poly", max_bucket=1_000_000_000
+    ).select("id_a", "id_b", F.lit(1).alias("p"))
+    sh = word_shingles(d, "text", "doc_id", w=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")),
+            "id_b",
+        )
+        .filter(3 * F.col("i") >= F.col("sa") + F.col("sb"))
+        .select("id_a", "id_b", F.lit(1).alias("t"))
+    )
+    j = pred.join(truth, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("p").alias("n_pred"),
+        F.count("t").alias("n_truth"),
+        F.count(F.when(F.col("p").isNotNull() & F.col("t").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("p").isNotNull() & F.col("t").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("p").isNull() & F.col("t").isNotNull(), 1)).alias("fn"),
+    )
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6701,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_cover": q_greedy_cover,
         "emerging_hotspots": q_emerging_hotspots,
         "kcenter_coreset": q_kcenter_coreset,
+        "lsh_eval": q_lsh_eval,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -315,6 +315,10 @@ def main() -> None:
         # (emerging_hotspots is the already-timed mann_kendall plan plus
         # one scatter aggregate — near-duplicate, NOT timed.)
         "kcenter_coreset",
+        # lsh_eval's single confusion row aggregates through the full-outer
+        # marker join, so the poly-minhash chain AND the exact all-pairs
+        # shingle truth join are both load-bearing under count().
+        "lsh_eval",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

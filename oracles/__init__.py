@@ -7769,4 +7769,38 @@ def oracle_sql() -> dict[str, str]:
         "greedy_cover": _greedy_cover_sql(8),
         "emerging_hotspots": _EMERGING_HOTSPOTS_SQL,
         "kcenter_coreset": _kcenter_sql(8),
+        # LSH candidate-quality evaluation: the shared poly-minhash chain
+        # (est >= 0.5) against the exact word-3-shingle Jaccard >= 1/2
+        # truth (integer cross-multiplication), one marker-join confusion
+        # row. shx materializes the chain's shingle CTE before the
+        # multi-reference self-join (the CTE re-inlining rule).
+        "lsh_eval": f"""
+            WITH {_minhash_sql(0.2, materialize=True)},
+            pred AS (SELECT id_a, id_b, 1 AS p FROM tpairs),
+            shx AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+            szx AS MATERIALIZED (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM shx GROUP BY 1),
+            intr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM shx a JOIN shx b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT x.id_a, x.id_b, 1 AS t
+              FROM intr x JOIN szx sa ON sa.doc_id = x.id_a
+                          JOIN szx sb ON sb.doc_id = x.id_b
+              WHERE 3 * x.i >= sa.sz + sb.sz)
+            SELECT CAST(count(p.p) AS BIGINT) AS n_pred,
+                   CAST(count(t.t) AS BIGINT) AS n_truth,
+                   CAST(count(CASE WHEN p.p IS NOT NULL AND t.t IS NOT NULL
+                              THEN 1 END) AS BIGINT) AS tp,
+                   CAST(count(CASE WHEN p.p IS NOT NULL AND t.t IS NULL
+                              THEN 1 END) AS BIGINT) AS fp,
+                   CAST(count(CASE WHEN p.p IS NULL AND t.t IS NOT NULL
+                              THEN 1 END) AS BIGINT) AS fn
+            FROM pred p FULL JOIN truth t
+              ON p.id_a = t.id_a AND p.id_b = t.id_b
+        """,
     }
