@@ -2324,6 +2324,35 @@ def q_lsh_eval(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment dedup (operators/dedup.
+    containment_pairs): pairs with |A∩B|/min(|A|,|B|) >= 4/5 in exact
+    integers — the excerpt/quote-inclusion detector symmetric Jaccard
+    misses. Probe-augmented input (the semdedup/pii_redact pattern):
+    every doc_id % 13 == 0 document gets a FIRST-THIRD-of-tokens excerpt
+    at doc_id + 200000 — containment ~1 but Jaccard ~1/3, so the
+    asymmetric branch is genuinely exercised (the corpus's natural
+    near-dup pairs are all symmetric). Exact mode (every shingle-sharing
+    pair scored; the bounded evaluation regime — max_df candidate
+    capping is the production path). FULL oracle: same excerpt
+    construction, shingle self-join, and integer threshold."""
+    from extractors_metadata_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    probe = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("_n", F.size(toks))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.expr("greatest(_n div 3, 3)"))
+            ).alias("text"),
+        )
+    )
+    return containment_pairs(d.unionByName(probe), num=4, den=5)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6755,6 +6784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "kcenter_coreset": q_kcenter_coreset,
         "lsh_eval": q_lsh_eval,
+        "containment_pairs": q_containment_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

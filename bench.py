@@ -319,6 +319,10 @@ def main() -> None:
         # marker join, so the poly-minhash chain AND the exact all-pairs
         # shingle truth join are both load-bearing under count().
         "lsh_eval",
+        # containment_pairs counts() through the integer containment
+        # threshold filter, so the shingle self-join + size joins are
+        # load-bearing end-to-end.
+        "containment_pairs",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -336,6 +336,77 @@ def jaccard_for_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    w: int = 3, num: int = 4, den: int = 5, max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs (a < b): max-direction
+    containment |A∩B| / min(|A|, |B|) >= num/den, decided as exact
+    integers (den * inter >= num * least(sz_a, sz_b) — the rational
+    cross-multiplication rule, no float score anywhere).
+
+    The inclusion detector symmetric Jaccard misses: an excerpt or quote
+    of a long document has containment ~1 but Jaccard ~|A|/|B| — the
+    RefinedWeb/Gopher-style complement to ngram_jaccard_pairs. Returns
+    (id_a, id_b, inter, sz_a, sz_b); the ratio stays consumer-side.
+
+    ``max_df=None`` (exact mode): every shingle-sharing pair is scored —
+    quadratic within shared-shingle groups, the evaluation regime.
+    ``max_df=N``: ubiquitous shingles (doc frequency > N) are excluded
+    from CANDIDATE GENERATION only (worst fan-out max_df^2 — the
+    cap_hot_buckets discipline), then candidates re-score EXACTLY
+    against the FULL shingle sets, so the cap can only miss a pair whose
+    every shared shingle is ubiquitous, never skew a reported score."""
+    grams = word_shingles(df, text_col, id_col, w)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "shingle")
+    b = grams.select(F.col(id_col).alias("id_b"), "shingle")
+    if max_df is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        rare = grams.join(
+            grams.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+        cand = (
+            rare.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(rare.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(
+            F.lit(den) * F.col("inter")
+            >= F.lit(num) * F.least("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, max_df: int | None = None,

@@ -7803,4 +7803,37 @@ def oracle_sql() -> dict[str, str]:
             FROM pred p FULL JOIN truth t
               ON p.id_a = t.id_a AND p.id_b = t.id_b
         """,
+        # Asymmetric containment pairs: the probe-augmented corpus (every
+        # doc_id % 13 == 0 doc gains a first-third excerpt at +200000),
+        # the word-3-shingle self-join, and the exact integer threshold
+        # 5*inter >= 4*least(sz_a, sz_b).
+        "containment_pairs": r"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000,
+                     array_to_string(tk[1:greatest(len(tk) // 3, 3)], ' ')
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\s+') AS tk
+                    FROM documents WHERE doc_id % 13 = 0) e),
+            tkk AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM aug),
+            shx AS MATERIALIZED (
+              SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+              FROM tkk, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+            szx AS MATERIALIZED (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM shx GROUP BY 1),
+            intr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM shx a JOIN shx b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT x.id_a, x.id_b, x.inter, sa.sz AS sz_a, sb.sz AS sz_b
+            FROM intr x JOIN szx sa ON sa.doc_id = x.id_a
+                        JOIN szx sb ON sb.doc_id = x.id_b
+            WHERE 5 * x.inter >= 4 * least(sa.sz, sb.sz)
+        """,
     }
