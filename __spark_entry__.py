@@ -2086,24 +2086,11 @@ def q_tile_median(spark, sf_dir):
     return tile_median(counts, z=22)
 
 
-def q_cost_distance(spark, sf_dir):
-    """Grid cost-distance (the raster least-cost-path classic, composed
-    from operators/linkgraph.shortest_paths over the z22 surface):
-    minimum accumulated traversal cost from the max-count hotspot to
-    every reachable occupied tile, where crossing from cell a to
-    neighbor b costs (cnt_a + cnt_b) * 2 orthogonally and * 3
-    diagonally — the exact-integer rational freeze of the classic
-    (cost_a+cost_b)/2 * dist metric (sqrt(2) ~ 3/2 relative to
-    orthogonal 2/2; frozen for bit-exactness, still a metric).  Node
-    ids pack as x*2^26+y (the blobs rule); the path bound is 48 base
-    edges — run as TWO min-plus edge squarings (zero-weight self-loops
-    make each squared edge cover <= 2 base edges; linkgraph.
-    minplus_square) + 12 delta-Bellman-Ford super-rounds, the log-step
-    contraction that replaces 48 rounds of per-action overhead with a
-    bounded-stencil edge blowup (8 -> 25 -> 81 per cell) and one
-    checkpointed edge frame.  FULL oracle: the same base edge table + 48
-    unrolled PLAIN relaxation stages (the shortest_paths recipe) — the
-    searched path set (<= 48 edges) is identical by construction."""
+def _cost_distance_parts(spark, sf_dir):
+    """Shared cost-distance front end: returns (counts, dist) where dist
+    is the (x, y, cost) least-cost surface from the hotspot seed — the
+    q_cost_distance construction (see its docstring), factored so
+    isochrone_bands reuses one recipe."""
     from extractors_metadata_spark.operators.linkgraph import (
         minplus_square,
         shortest_paths,
@@ -2153,11 +2140,92 @@ def q_cost_distance(spark, sf_dir):
     seeds = spark.createDataFrame(
         [(obs["x"] * pack + obs["y"],)], "node long"
     )
-    dist = shortest_paths(e4, seeds, rounds=12)
-    return dist.select(
+    dist = shortest_paths(e4, seeds, rounds=12).select(
         F.expr(f"node div {pack}").alias("x"),
         (F.col("node") % pack).alias("y"),
         F.col("dist").alias("cost"),
+    )
+    return counts, dist
+
+
+def q_cost_distance(spark, sf_dir):
+    """Grid cost-distance (the raster least-cost-path classic, composed
+    from operators/linkgraph.shortest_paths over the z22 surface):
+    minimum accumulated traversal cost from the max-count hotspot to
+    every reachable occupied tile, where crossing from cell a to
+    neighbor b costs (cnt_a + cnt_b) * 2 orthogonally and * 3
+    diagonally — the exact-integer rational freeze of the classic
+    (cost_a+cost_b)/2 * dist metric (sqrt(2) ~ 3/2 relative to
+    orthogonal 2/2; frozen for bit-exactness, still a metric).  Node
+    ids pack as x*2^26+y (the blobs rule); the path bound is 48 base
+    edges — run as TWO min-plus edge squarings (zero-weight self-loops
+    make each squared edge cover <= 2 base edges; linkgraph.
+    minplus_square) + 12 delta-Bellman-Ford super-rounds, the log-step
+    contraction that replaces 48 rounds of per-action overhead with a
+    bounded-stencil edge blowup (8 -> 25 -> 81 per cell) and one
+    checkpointed edge frame.  FULL oracle: the same base edge table + 48
+    unrolled PLAIN relaxation stages (the shortest_paths recipe) — the
+    searched path set (<= 48 edges) is identical by construction."""
+    _, dist = _cost_distance_parts(spark, sf_dir)
+    return dist
+
+
+def q_isochrone_bands(spark, sf_dir):
+    """Isochrone ring structure over the cost-distance surface — the
+    service-area classic: reachable cells banded by cost div 512, and
+    per band (n_cells, n_boundary) where a BOUNDARY cell has an occupied
+    8-neighbor that is unreachable or in a DIFFERENT band (frozen rule:
+    off-grid neighbors don't count). The ring counts are the discrete
+    isochrone contours; everything is exact int64. Shape: one 8-offset
+    scatter + one occupied-join + one left band-join + two keyed
+    aggregates over the checkpointed band frame. FULL oracle: the
+    cost-distance stage chain wrapped as a CTE + the same scatter/join/
+    flag replay."""
+    counts, dist = _cost_distance_parts(spark, sf_dir)
+    n = 1 << 22
+    bands = dist.select(
+        "x", "y", F.expr("cost div 512").alias("band")
+    ).localCheckpoint()
+    off8 = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    nbr = (
+        bands.select("x", "y", "band", F.explode(off8).alias("o"))
+        .select(
+            "x", "y", "band",
+            ((F.col("x") + F.col("o.dx") + n) % n).alias("_nx"),
+            (F.col("y") + F.col("o.dy")).alias("_ny"),
+        )
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+    )
+    occ = counts.select(F.col("x").alias("_nx"), F.col("y").alias("_ny"))
+    nbb = nbr.join(occ, ["_nx", "_ny"]).join(
+        bands.select(
+            F.col("x").alias("_nx"), F.col("y").alias("_ny"),
+            F.col("band").alias("_nband"),
+        ),
+        ["_nx", "_ny"],
+        "left",
+    )
+    flag = nbb.groupBy("x", "y", "band").agg(
+        F.max(
+            F.when(
+                F.col("_nband").isNull() | (F.col("_nband") != F.col("band")),
+                1,
+            ).otherwise(0)
+        ).alias("b")
+    )
+    cells = bands.join(flag, ["x", "y", "band"], "left").select(
+        "band", F.coalesce("b", F.lit(0)).alias("b")
+    )
+    return cells.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("b").cast("long").alias("n_boundary"),
     )
 
 
@@ -6785,6 +6853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": q_kcenter_coreset,
         "lsh_eval": q_lsh_eval,
         "containment_pairs": q_containment_pairs,
+        "isochrone_bands": q_isochrone_bands,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

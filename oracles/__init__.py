@@ -1874,6 +1874,45 @@ def _cost_distance_sql(rounds: int = 48) -> str:
 """
 
 
+def _isochrone_sql(band_width: int = 512, rounds: int = 48) -> str:
+    """q_isochrone_bands mirror: the cost-distance chain as a wrapped
+    CTE, cells banded by cost // band_width, the 8-offset scatter joined
+    to the occupied grid, the different-band-or-unreachable boundary
+    flag, and the per-band rollup."""
+    return f"""
+    WITH cd AS MATERIALIZED ({_cost_distance_sql(rounds)}),
+    ibands AS MATERIALIZED (
+      SELECT x, y, cost // {band_width} AS band FROM cd),
+    ipts AS (SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    icounts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y
+      FROM ipts GROUP BY 1, 2),
+    ioffs AS (SELECT dx, dy
+              FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                   (SELECT unnest([-1, 0, 1]) AS dy)
+              WHERE NOT (dx = 0 AND dy = 0)),
+    inbr AS (
+      SELECT b.x, b.y, b.band,
+             (b.x + o.dx + 4194304) % 4194304 AS nx, b.y + o.dy AS ny
+      FROM ibands b CROSS JOIN ioffs o
+      WHERE b.y + o.dy >= 0 AND b.y + o.dy < 4194304),
+    iflag AS (
+      SELECT r.x, r.y, r.band,
+             max(CASE WHEN nb.band IS NULL OR nb.band <> r.band
+                 THEN 1 ELSE 0 END) AS b
+      FROM inbr r JOIN icounts c ON c.x = r.nx AND c.y = r.ny
+      LEFT JOIN ibands nb ON nb.x = r.nx AND nb.y = r.ny
+      GROUP BY 1, 2, 3)
+    SELECT bb.band, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(coalesce(f.b, 0)) AS BIGINT) AS n_boundary
+    FROM ibands bb LEFT JOIN iflag f
+      ON f.x = bb.x AND f.y = bb.y AND f.band = bb.band
+    GROUP BY bb.band
+"""
+
+
 _RIPLEY_SQL = f"""
     WITH pts AS MATERIALIZED (
       SELECT user_id, event_id,
@@ -7836,4 +7875,5 @@ def oracle_sql() -> dict[str, str]:
                         JOIN szx sb ON sb.doc_id = x.id_b
             WHERE 5 * x.inter >= 4 * least(sa.sz, sb.sz)
         """,
+        "isochrone_bands": _isochrone_sql(512, 48),
     }
