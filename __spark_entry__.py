@@ -2421,6 +2421,69 @@ def q_containment_pairs(spark, sf_dir):
     return containment_pairs(d.unionByName(probe), num=4, den=5)
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-document novelty in ingest order — the dedup-aware curation
+    signal (vocab_growth's per-BUCKET curve, resolved to the document):
+    for every doc its distinct 3-word-shingle count and how many of
+    those shingles it INTRODUCES (first document by min doc_id — the
+    frozen arrival rule). Sum(n_new) telescopes to the corpus vocabulary
+    — a boring near-duplicate contributes ~0. One shingle-keyed min
+    aggregate + one doc-keyed count + a left join back; no windows, no
+    cumulative-distinct. FULL oracle: same min/count/join."""
+    from extractors_metadata_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", w=3)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    news = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return per_doc.join(
+        news, per_doc.doc_id == news.fd, "left"
+    ).select(
+        "doc_id", "n_shingles", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+
+
+def q_graph_profile(spark, sf_dir):
+    """One-row structural profile of the event link graph — the
+    graph-QA summary a crawl/link pipeline checks before heavier
+    analytics: node and edge counts, self-loop count, RECIPROCATED edge
+    count (u->v with v->u present — the reciprocity numerator), and the
+    max out-/in-degree (the skew indicator that decides broadcast-rank
+    vs salting strategies downstream). All exact int64 one-pass
+    aggregates; reciprocity via one left-semi join against the reversed
+    edge table. FULL oracle: same counts via IN-subquery semi join."""
+    from extractors_metadata_spark.operators.linkgraph import event_link_graph
+
+    edges, nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    edges = edges.localCheckpoint()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self"),
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    max_out = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_outdeg"))
+    )
+    max_in = (
+        edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_indeg"))
+    )
+    out = n_nodes.crossJoin(base).crossJoin(recip)
+    return out.crossJoin(max_out).crossJoin(max_in)
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6854,6 +6917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_eval": q_lsh_eval,
         "containment_pairs": q_containment_pairs,
         "isochrone_bands": q_isochrone_bands,
+        "doc_novelty": q_doc_novelty,
+        "graph_profile": q_graph_profile,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -7876,4 +7876,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE 5 * x.inter >= 4 * least(sa.sz, sb.sz)
         """,
         "isochrone_bands": _isochrone_sql(512, 48),
+        # Per-document novelty: distinct 3-word shingles per doc + how
+        # many it introduces (min-doc_id arrival rule).
+        "doc_novelty": r"""
+            WITH tkk AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents),
+            shx AS MATERIALIZED (
+              SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+              FROM tkk, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+            per_doc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM shx GROUP BY 1),
+            news AS (
+              SELECT fd, CAST(count(*) AS BIGINT) AS n_new FROM (
+                SELECT shingle, min(doc_id) AS fd FROM shx GROUP BY 1) q
+              GROUP BY 1)
+            SELECT p.doc_id, p.n_shingles,
+                   CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+            FROM per_doc p LEFT JOIN news n ON n.fd = p.doc_id
+        """,
+        # One-row event-link-graph structural profile (the pagerank edge
+        # recipe): counts, self-loops, reciprocated edges, degree maxima.
+        "graph_profile": """
+            WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+            gnodes AS MATERIALIZED (
+              SELECT rn - 1 AS node FROM (
+                SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+              WHERE rn <= (SELECT n FROM nn)),
+            gedges AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT user_id AS src,
+                       (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+                FROM events
+                UNION ALL
+                SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst
+                FROM gnodes))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM gnodes) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM gedges) AS n_edges,
+                   (SELECT CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END)
+                           AS BIGINT) FROM gedges) AS n_self,
+                   (SELECT CAST(count(*) AS BIGINT) FROM gedges e
+                    WHERE EXISTS (SELECT 1 FROM gedges r
+                                  WHERE r.src = e.dst AND r.dst = e.src))
+                     AS n_recip,
+                   (SELECT CAST(max(d) AS BIGINT) FROM (
+                      SELECT count(*) AS d FROM gedges GROUP BY src) q)
+                     AS max_outdeg,
+                   (SELECT CAST(max(d) AS BIGINT) FROM (
+                      SELECT count(*) AS d FROM gedges GROUP BY dst) q)
+                     AS max_indeg
+        """,
     }
