@@ -2484,6 +2484,69 @@ def q_graph_profile(spark, sf_dir):
     return out.crossJoin(max_out).crossJoin(max_in)
 
 
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup-QA distribution every
+    large-scale dedup run reports (how much of the corpus sits in
+    2-clusters vs mega-piles; the mega-pile tail is what max_bucket
+    capping and exact-dedup prefiltering exist for): MinHash-LSH pairs
+    (poly family) -> pointer-jumping connected components -> per-cluster
+    size -> (sz, n_clusters). FULL oracle: the shared minhash chain +
+    the recursive-CTE component replay + the same two aggregates."""
+    from extractors_metadata_spark.operators.dedup import (
+        cluster_pairs,
+        minhash_lsh_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        d, threshold=0.6, hash_family="poly", max_bucket=1_000_000_000
+    ).select("id_a", "id_b")
+    comp = cluster_pairs(pairs)
+    sizes = comp.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+def q_wavefront_profile(spark, sf_dir):
+    """Per-seed BFS wavefront profile over the DIRECTED event link graph
+    — the closeness-centrality sufficient statistic on a deterministic
+    seed sample (node % 97 == 0): for each seed and hop <= 4, how many
+    nodes are first reached at that hop (hop 0 = the seed). The crawl
+    blast-radius / influence-reach summary; harmonic or closeness
+    centrality is a consumer-side ratio of the emitted integers. Delta
+    BFS keyed by (seed, node): per hop one src-keyed equi-join + one
+    distinct + one anti-join settle, localCheckpoint per hop (the k_hop
+    discipline, widened with the seed key). FULL oracle: 4 unrolled
+    join/ANTI JOIN stages."""
+    from extractors_metadata_spark.operators.linkgraph import event_link_graph
+
+    edges, nodes = event_link_graph(_t(spark, sf_dir, "events"))
+    edges = edges.localCheckpoint()
+    settled = (
+        nodes.filter(F.col("node") % 97 == 0)
+        .select(
+            F.col("node").alias("seed"), "node", F.lit(0).alias("hop")
+        )
+        .localCheckpoint()
+    )
+    frontier = settled.select("seed", "node")
+    for i in range(1, 5):
+        nbrs = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(settled.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(i).alias("hop"))
+            .localCheckpoint()
+        )
+        settled = settled.unionByName(new).localCheckpoint()
+        frontier = new.select("seed", "node")
+    return settled.groupBy("seed", "hop").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6919,6 +6982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_bands": q_isochrone_bands,
         "doc_novelty": q_doc_novelty,
         "graph_profile": q_graph_profile,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "wavefront_profile": q_wavefront_profile,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -5368,6 +5368,47 @@ def _kcenter_sql(k: int = 8) -> str:
     """
 
 
+def _wavefront_sql(hops: int = 4) -> str:
+    """q_wavefront_profile mirror: the pagerank edge recipe, the
+    node % 97 seed sample, and ``hops`` unrolled delta-BFS stages keyed
+    (seed, node) — join, DISTINCT, ANTI JOIN settle — then the
+    (seed, hop) rollup."""
+    stages = []
+    prev = "s0"
+    for r in range(1, hops + 1):
+        stages.append(f"""
+        s{r} AS MATERIALIZED (
+          SELECT * FROM {prev}
+          UNION ALL
+          SELECT seed, node, {r} AS hop FROM (
+            SELECT DISTINCT f.seed, e.dst AS node
+            FROM wedges e JOIN {prev} f ON f.node = e.src
+          ) nx ANTI JOIN {prev} USING (seed, node))""")
+        prev = f"s{r}"
+    body = ",".join(stages)
+    return f"""
+        WITH nn AS MATERIALIZED (SELECT max(user_id) + 1 AS n FROM events),
+        wnodes AS MATERIALIZED (
+          SELECT rn - 1 AS node FROM (
+            SELECT row_number() OVER (ORDER BY event_id) AS rn FROM events) q
+          WHERE rn <= (SELECT n FROM nn)),
+        wedges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT user_id AS src,
+                   (user_id * 131 + event_id * 7) % (SELECT n FROM nn) AS dst
+            FROM events
+            UNION ALL
+            SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst
+            FROM wnodes)),
+        s0 AS MATERIALIZED (
+          SELECT node AS seed, node, 0 AS hop FROM wnodes WHERE node % 97 = 0),
+        {body}
+        SELECT seed, CAST(hop AS INTEGER) AS hop,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM {prev} GROUP BY 1, 2
+    """
+
+
 def _rake_sql(top_k: int = 3) -> str:
     """rake.rake_keywords mirror: tokenize with the same RE2 pattern,
     gaps-and-islands phrase grouping (pos - row_number), deg/freq word
@@ -7927,4 +7968,24 @@ def oracle_sql() -> dict[str, str]:
                       SELECT count(*) AS d FROM gedges GROUP BY dst) q)
                      AS max_indeg
         """,
+        # Near-dup cluster-size histogram: the shared minhash chain, the
+        # recursive-CTE component labels (the near_dedup_minhash_verify
+        # recipe), per-cluster sizes, then the size histogram.
+        "dup_cluster_sizes": f"""
+            WITH RECURSIVE {_minhash_sql(0.6, materialize=True)},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM tpairs
+                      UNION SELECT id_b, id_a FROM tpairs),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, rch.r FROM edges e JOIN reach rch ON rch.id = e.dst
+            ),
+            labels AS (SELECT id, least(id, min(r)) AS canon
+                       FROM reach GROUP BY id),
+            csz AS (SELECT canon, CAST(count(*) AS BIGINT) AS sz
+                    FROM labels GROUP BY 1)
+            SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM csz GROUP BY sz
+        """,
+        "wavefront_profile": _wavefront_sql(4),
     }
