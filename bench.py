@@ -323,6 +323,13 @@ def main() -> None:
         # threshold filter, so the shingle self-join + size joins are
         # load-bearing end-to-end.
         "containment_pairs",
+        # dup_cluster_sizes runs the pointer-jumping CC rounds EAGERLY over
+        # the minhash pair graph; wavefront_profile checkpoints each BFS
+        # hop eagerly — construction is the measurement for both.
+        # (doc_novelty's news-side left join is count-prunable (unique
+        # build side) and graph_profile / isochrone_bands are near-
+        # duplicates of timed plans — NOT timed, CLAUDE.md count() rule.)
+        "dup_cluster_sizes", "wavefront_profile",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
