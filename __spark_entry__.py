@@ -2547,6 +2547,56 @@ def q_wavefront_profile(spark, sf_dir):
     )
 
 
+def q_curation_yield(spark, sf_dir):
+    """End-to-end curation YIELD accounting — the per-source funnel
+    report every large-scale data pipeline publishes: docs in -> docs
+    surviving the quality gate (curation_filter's frozen first-match
+    rules) -> docs surviving near-dedup among the kept set (MinHash poly
+    pairs at 0.6 -> components -> min-id survivors), plus whitespace-
+    token totals in/kept. One composed run of three proven kernels; all
+    emitted values exact int64 counts/sums. FULL oracle: the rep/quality
+    CTE fragments + the minhash chain WHERE-restricted to the kept set +
+    the recursive-CTE survivor replay + the same rollup."""
+    from extractors_metadata_spark.functions.textstats import token_count
+    from extractors_metadata_spark.operators.corpus import curation_filter
+    from extractors_metadata_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        near_dedup_survivors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cf = curation_filter(d).select("doc_id", "keep")
+    kept = d.join(
+        cf.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint()
+    pairs = minhash_lsh_dedup(
+        kept, threshold=0.6, hash_family="poly", max_bucket=1_000_000_000
+    ).select("id_a", "id_b")
+    surv = near_dedup_survivors(kept, pairs).select(
+        "doc_id", F.lit(1).alias("_s")
+    )
+    base = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    flags = (
+        base.join(cf, "doc_id", "left")
+        .join(surv, "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            F.when(F.col("keep"), 1).otherwise(0).alias("k"),
+            F.coalesce("_s", F.lit(0)).alias("s"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("k").cast("long").alias("n_after_quality"),
+        F.sum("s").cast("long").alias("n_after_dedup"),
+        F.sum("n_tok").cast("long").alias("tokens_in"),
+        F.sum(F.col("s") * F.col("n_tok")).cast("long").alias("tokens_kept"),
+    )
+
+
 def q_hausdorff_pairs(spark, sf_dir):
     """Symmetric Hausdorff track-pair join (operators/hausdorff.py):
     near-duplicate trajectory detection — all user pairs whose symmetric
@@ -6984,6 +7034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_profile": q_graph_profile,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "wavefront_profile": q_wavefront_profile,
+        "curation_yield": q_curation_yield,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

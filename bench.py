@@ -330,6 +330,10 @@ def main() -> None:
         # build side) and graph_profile / isochrone_bands are near-
         # duplicates of timed plans — NOT timed, CLAUDE.md count() rule.)
         "dup_cluster_sizes", "wavefront_profile",
+        # curation_yield composes quality gate + kept-set minhash + eager
+        # CC survivors + the per-source rollup — the aggregate keys
+        # depend on every join, so the whole funnel executes.
+        "curation_yield",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

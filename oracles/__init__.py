@@ -7988,4 +7988,50 @@ def oracle_sql() -> dict[str, str]:
             FROM csz GROUP BY sz
         """,
         "wavefront_profile": _wavefront_sql(4),
+        # Curation yield funnel: the rep/quality fragments give the kept
+        # set (kq), the minhash chain WHERE-restricted to kq feeds the
+        # recursive-CTE survivor labels, then one per-source rollup of
+        # exact counts and whitespace-token sums.
+        "curation_yield": rf"""
+            WITH RECURSIVE {_rep_ctes()},
+            qual AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+                            {tok} AS n_tok, {mwl} AS mwl, {punct} AS pr, {upper} AS ur
+                     FROM documents),
+            q2 AS (SELECT doc_id, n_tok,
+                          round(least(n_tok / 100.0, 1.0) * 0.3
+                            + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                            + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE ({en_sum}) / n_tok END) * 4.0, 1.0) * 0.3
+                            + greatest(0.0, 1.0 - pr * 4.0 - ur * 2.0) * 0.2, 6) AS quality
+                   FROM qual),
+            kq AS MATERIALIZED (
+              SELECT q2.doc_id FROM q2 LEFT JOIN rep ON rep.doc_id = q2.doc_id
+              WHERE NOT (n_tok < 10) AND NOT (dup_word_frac > 0.6)
+                AND NOT (top_bigram_frac > 0.4) AND NOT (quality < 0.3)),
+            {_minhash_sql(0.6, where="WHERE doc_id IN (SELECT doc_id FROM kq)", materialize=True)},
+            yedges AS (SELECT id_a AS src, id_b AS dst FROM tpairs
+                       UNION SELECT id_b, id_a FROM tpairs),
+            yreach AS (
+              SELECT src AS id, dst AS r FROM yedges
+              UNION
+              SELECT e.src, rch.r FROM yedges e JOIN yreach rch ON rch.id = e.dst
+            ),
+            ylabels AS (SELECT id, min(r) AS mn FROM yreach GROUP BY id),
+            ysurv AS MATERIALIZED (
+              SELECT k.doc_id FROM kq k LEFT JOIN ylabels l ON l.id = k.doc_id
+              WHERE l.id IS NULL OR least(k.doc_id, l.mn) = k.doc_id)
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_after_quality,
+                   CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_after_dedup,
+                   CAST(sum(q2.n_tok) AS BIGINT) AS tokens_in,
+                   CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN q2.n_tok
+                            ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM documents d
+            JOIN q2 ON q2.doc_id = d.doc_id
+            LEFT JOIN kq k ON k.doc_id = d.doc_id
+            LEFT JOIN ysurv s ON s.doc_id = d.doc_id
+            GROUP BY d.source
+        """,
     }
