@@ -6741,6 +6741,33 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall(counts, ["cx", "cy"], bin_col="day", n_col="n")
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4-style line-level document cleaning report: per doc the kept-line
+    count, first-match line-drop reasons (no terminal punct -> < 5 words ->
+    policy word), the two document kill flags (brace / lorem ipsum) and the
+    >= 3-kept-lines document gate. Lines derived + probe-augmented by
+    deterministic integer rules both engines replay literally (pii_counts
+    pattern); output pure int/bool. One codegen projection + posexplode +
+    one doc-keyed partial aggregate — no shuffle beyond the final groupBy,
+    no Python. FULL oracle: the wl_aug CTE chain + same first-match CASE."""
+    from extractors_metadata_spark.operators.weblines import c4_line_filter
+
+    return c4_line_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Host-level boilerplate detection: a line occurring in >= 20% of one
+    host's documents (distinct-doc count) is navigation chrome, not content
+    — the per-host line-frequency join of production scrape pipelines. The
+    probe header (even docs, 50% of each host) makes detection live; natural
+    8-12-token lines never repeat. Plan: one (source, txt)-keyed aggregate
+    over the line scan, dimension-broadcast host doc-counts, flag join back
+    on the same key. FULL oracle: header CTE + the same >= n_docs/5 rule."""
+    from extractors_metadata_spark.operators.weblines import boilerplate_lines
+
+    return boilerplate_lines(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7035,6 +7062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "wavefront_profile": q_wavefront_profile,
         "curation_yield": q_curation_yield,
+        "c4_filters": q_c4_filters,
+        "boilerplate_lines": q_boilerplate_lines,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -334,6 +334,12 @@ def main() -> None:
         # CC survivors + the per-source rollup — the aggregate keys
         # depend on every join, so the whole funnel executes.
         "curation_yield",
+        # session-7 additions: c4_filters' doc rollup keys on every line's
+        # reason column, so segmentation + augmentation + the first-match
+        # CASE all execute under count(); boilerplate_lines' final count
+        # aggregates through the (source, txt) frequency join, keeping the
+        # line self-aggregate + flag join load-bearing.
+        "c4_filters", "boilerplate_lines",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -6610,6 +6610,40 @@ def _probe_html_sql() -> str:
 
 
 
+def _weblines_ctes(with_header: bool = False) -> str:
+    """Shared CTE chain replaying operators/weblines.doc_lines: pseudo-line
+    segmentation (8 + doc_id%5 tokens per line) + the four deterministic
+    probe augmentations (policy token / brace / lorem / terminal punct —
+    moduli mirrored from weblines.py literally). Ends with
+    ``wl_aug(doc_id, source, line_idx, txt)``; ``with_header`` appends the
+    per-host navigation header on even docs as ``wl_lines``."""
+    aug = r"""
+        wl_base AS (SELECT doc_id, source,
+                           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                       x -> length(x) > 0) AS tk
+                    FROM documents),
+        wl_p AS (SELECT doc_id, source, tk, len(tk) AS n, 8 + doc_id % 5 AS L
+                 FROM wl_base),
+        wl_aug AS (
+          SELECT doc_id, source, CAST(i AS INT) AS line_idx,
+                 array_to_string(tk[(i*L+1):(i*L+L)], ' ')
+                 || CASE WHEN (doc_id*13 + i) % 107 = 0 THEN ' javascript required' ELSE '' END
+                 || CASE WHEN (doc_id*17 + i) % 103 = 0 THEN ' {' ELSE '' END
+                 || CASE WHEN (doc_id*31 + i) % 101 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+                 || CASE WHEN (doc_id + i) % 5 <> 0 THEN '.' ELSE '' END AS txt
+          FROM wl_p, unnest(range(0, greatest(1, (n + L - 1) // L))) t(i))
+    """
+    if not with_header:
+        return aug
+    return aug + r""",
+        wl_lines AS (
+          SELECT doc_id, source, line_idx, txt FROM wl_aug
+          UNION ALL
+          SELECT doc_id, source, -1, 'nav ' || source || ' home about contact login.'
+          FROM documents WHERE doc_id % 2 = 0)
+    """
+
+
 def _rep_ctes() -> str:
     """Shared CTE chain for the repetition-signal oracles; ends with
     ``rep(doc_id, n_words, dup_word_frac, top_bigram_frac)`` (docs with
@@ -8033,5 +8067,44 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN kq k ON k.doc_id = d.doc_id
             LEFT JOIN ysurv s ON s.doc_id = d.doc_id
             GROUP BY d.source
+        """,
+        "c4_filters": rf"""
+            WITH {_weblines_ctes()},
+            wlr AS (SELECT doc_id,
+                           CASE WHEN NOT ends_with(txt, '.') THEN 'no_punct'
+                                WHEN len(string_split(txt, ' ')) < 5 THEN 'too_short'
+                                WHEN contains(txt, 'javascript') THEN 'policy'
+                                ELSE 'keep' END AS reason,
+                           contains(txt, '{{') AS hb,
+                           contains(txt, 'lorem ipsum') AS hl
+                    FROM wl_aug),
+            wlagg AS (SELECT doc_id,
+                             CAST(count(*) AS BIGINT) AS n_lines,
+                             CAST(sum(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                             CAST(sum(CASE WHEN reason = 'no_punct' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_punct,
+                             CAST(sum(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+                             CAST(sum(CASE WHEN reason = 'policy' THEN 1 ELSE 0 END) AS BIGINT) AS n_policy,
+                             bool_or(hb) AS has_brace,
+                             bool_or(hl) AS has_lorem
+                      FROM wlr GROUP BY doc_id)
+            SELECT doc_id, n_lines, n_kept, n_no_punct, n_too_short, n_policy,
+                   has_brace, has_lorem,
+                   (NOT has_brace) AND (NOT has_lorem) AND n_kept >= 3 AS doc_keep
+            FROM wlagg
+        """,
+        "boilerplate_lines": rf"""
+            WITH {_weblines_ctes(with_header=True)},
+            wl_hd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            wl_lf AS (SELECT source, txt, count(DISTINCT doc_id) AS c
+                      FROM wl_lines GROUP BY 1, 2),
+            wl_bl AS (SELECT source, txt
+                      FROM wl_lf JOIN wl_hd USING (source)
+                      WHERE c >= 2 AND c * 5 >= n_docs)
+            SELECT l.doc_id, l.source,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN b.txt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+            FROM wl_lines l
+            LEFT JOIN wl_bl b ON b.source = l.source AND b.txt = l.txt
+            GROUP BY l.doc_id, l.source
         """,
     }
