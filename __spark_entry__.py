@@ -6768,6 +6768,28 @@ def q_boilerplate_lines(spark, sf_dir):
     return boilerplate_lines(_t(spark, sf_dir, "documents"))
 
 
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid readability grading from exact integer sufficient
+    statistics (words / derived pseudo-sentences / vowel-group syllables).
+    The grade is emitted as an int64 numerator/denominator pair and the
+    band is decided by pure integer comparison — no float crosses the
+    oracle boundary. One codegen projection; no shuffle, no Python."""
+    from extractors_metadata_spark.operators.textscreen import readability_stats
+
+    return readability_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_encoding_scan(spark, sf_dir):
+    """Encoding-health triage: mojibake signatures (double-encoded UTF-8),
+    U+FFFD replacement chars, C0 control bleed-through — counted via
+    LITERAL-alternation patterns (no char-class ranges) so Java regex and
+    RE2 agree by construction; probe suffixes injected deterministically
+    (pii_counts pattern) keep the counters live on the clean corpus."""
+    from extractors_metadata_spark.operators.textscreen import encoding_scan
+
+    return encoding_scan(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7064,6 +7086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_yield": q_curation_yield,
         "c4_filters": q_c4_filters,
         "boilerplate_lines": q_boilerplate_lines,
+        "readability": q_readability,
+        "encoding_scan": q_encoding_scan,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

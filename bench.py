@@ -339,6 +339,9 @@ def main() -> None:
         # CASE all execute under count(); boilerplate_lines' final count
         # aggregates through the (source, txt) frequency join, keeping the
         # line self-aggregate + flag join load-bearing.
+        # (readability / encoding_scan are row-preserving projections —
+        # count() prunes the entire column pipeline — NOT timed,
+        # CLAUDE.md count() rule.)
         "c4_filters", "boilerplate_lines",
     ]
     qs = entrymod.queries()

@@ -6644,6 +6644,83 @@ def _weblines_ctes(with_header: bool = False) -> str:
     """
 
 
+def _readability_sql() -> str:
+    """Replay operators/textscreen.readability_stats: exact int64
+    sufficient statistics + the integer-compared grade band (constants
+    imported from the operator module — single source, no drift)."""
+    from extractors_metadata_spark.operators.textscreen import (
+        FK_A,
+        FK_B,
+        FK_C,
+        FK_BASIC_MAX,
+        FK_INTER_MAX,
+        SYLLABLE_RE,
+    )
+
+    num = (
+        f"({FK_A}*n_words*n_words + {FK_B}*n_syllables*n_sentences"
+        f" + ({FK_C})*n_sentences*n_words)"
+    )
+    return rf"""
+        WITH rb AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                      END AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all(trim(lower(text)), '{SYLLABLE_RE}'))
+                      AS BIGINT) AS n_syllables,
+                 8 + doc_id % 5 AS L
+          FROM documents),
+        rs AS (SELECT doc_id, n_words,
+                      CAST(greatest(1, (n_words + L - 1) // L) AS BIGINT)
+                        AS n_sentences,
+                      n_syllables
+               FROM rb)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST({num} AS BIGINT) AS fk_num,
+               CAST(n_sentences*n_words AS BIGINT) AS fk_den,
+               CASE WHEN {num} < {FK_BASIC_MAX}*n_sentences*n_words THEN 'basic'
+                    WHEN {num} < {FK_INTER_MAX}*n_sentences*n_words THEN 'intermediate'
+                    ELSE 'advanced' END AS grade_band
+        FROM rs
+    """
+
+
+def _encoding_scan_sql() -> str:
+    """Replay operators/textscreen.encoding_scan: identical probe-suffix
+    construction + literal-alternation counts (probe strings and patterns
+    imported from the operator module)."""
+    from extractors_metadata_spark.operators.textscreen import (
+        CONTROL_MOD,
+        CONTROL_PROBE,
+        CONTROL_RE,
+        MOJIBAKE_MOD,
+        MOJIBAKE_PROBE,
+        MOJIBAKE_RE,
+        REPLACEMENT_MOD,
+        REPLACEMENT_PROBE,
+        REPLACEMENT_RE,
+    )
+
+    return f"""
+        WITH es AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % {MOJIBAKE_MOD} = 0 THEN '{MOJIBAKE_PROBE}' ELSE '' END
+                 || CASE WHEN doc_id % {REPLACEMENT_MOD} = 0 THEN '{REPLACEMENT_PROBE}' ELSE '' END
+                 || CASE WHEN doc_id % {CONTROL_MOD} = 0 THEN '{CONTROL_PROBE}' ELSE '' END AS t
+          FROM documents),
+        ec AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(t, '{MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake,
+                      CAST(len(regexp_extract_all(t, '{REPLACEMENT_RE}')) AS BIGINT) AS n_replacement,
+                      CAST(len(regexp_extract_all(t, '{CONTROL_RE}')) AS BIGINT) AS n_control
+               FROM es)
+        SELECT doc_id, n_mojibake, n_replacement, n_control,
+               n_mojibake = 0 AND n_replacement = 0 AND n_control = 0 AS encoding_ok
+        FROM ec
+    """
+
+
 def _rep_ctes() -> str:
     """Shared CTE chain for the repetition-signal oracles; ends with
     ``rep(doc_id, n_words, dup_word_frac, top_bigram_frac)`` (docs with
@@ -8107,4 +8184,6 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN wl_bl b ON b.source = l.source AND b.txt = l.txt
             GROUP BY l.doc_id, l.source
         """,
+        "readability": _readability_sql(),
+        "encoding_scan": _encoding_scan_sql(),
     }
