@@ -6790,6 +6790,18 @@ def q_encoding_scan(spark, sf_dir):
     return encoding_scan(_t(spark, sf_dir, "documents"))
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch per language — the third
+    classical cardinality sketch beside HLL/CMS, and the one that doubles
+    as a mergeable uniform sample of the key space. Hashes are the
+    replayable mix31(poly) family; the estimator is one integer division;
+    exact distinct counts ride along for the accuracy audit. FULL oracle:
+    the poly/mix31 SQL replay + the same window rank and division."""
+    from extractors_metadata_spark.operators.sketches import kmv_sketch
+
+    return kmv_sketch(_t(spark, sf_dir, "documents"), ("lang",), "doc_id", 64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7088,6 +7100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "readability": q_readability,
         "encoding_scan": q_encoding_scan,
+        "kmv_distinct": q_kmv_distinct,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -343,6 +343,9 @@ def main() -> None:
         # count() prunes the entire column pipeline — NOT timed,
         # CLAUDE.md count() rule.)
         "c4_filters", "boilerplate_lines",
+        # kmv_distinct's per-lang aggregate forces the distinct-hash
+        # exchange + window rank + exact-count join under count().
+        "kmv_distinct",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -48,7 +48,7 @@ these are the summaries that replace its per-item REST lookups when the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vhash import BASE2, P31, mix31, perm_coeffs, poly_hash
@@ -440,3 +440,62 @@ def hll_tile_pyramid(
     for lf in levels[1:]:
         out = out.unionByName(lf)
     return out, caches
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang",),
+    key_col: str = "doc_id",
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per group
+    -> (group..., k_used, kth_hash, est_distinct, exact_distinct).
+
+    The third classical cardinality sketch next to HLL and CMS — and the
+    one that doubles as a uniform distinct-key SAMPLE (the bottom-k set
+    is an order-invariant, mergeable simple random sample of the key
+    space, which HLL registers are not). Estimator: with hashes uniform
+    on [0, 2^31), distinct ~= (k-1) * 2^31 / h_(k); when a group holds
+    fewer than k distinct keys the sketch is exhaustive and exact.
+
+    Hash = mix31(poly('kmv:' || key)) — the replayable family, finalized
+    per the CLAUDE.md rule (rank decisions on raw poly values are biased
+    on short sequential keys). All outputs exact int64: the estimator is
+    one integer division both engines replay literally.
+
+    Plan: distinct narrow (group, hash) pairs, one bounded window rank
+    per group, one aggregate. At page scale, pre-prune with a
+    per-partition bottom-k partial (sortWithinPartitions + local limit
+    per group) before the global rank so the exchange carries ~k rows
+    per (partition, group) instead of every distinct key; the estimator
+    is unchanged because bottom-k is a semilattice merge.
+
+    ``exact_distinct`` (one countDistinct on the same scan) is carried
+    for sketch-error audit — the consumer-side |est - exact| / exact is
+    the published accuracy metric.
+    """
+    gc = list(group_cols)
+    key = F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+    hv = mix31(poly_hash(key))
+    pairs = df.select(*gc, hv.alias("hv")).distinct()
+    w = Window.partitionBy(*gc).orderBy(F.col("hv").asc())
+    topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    agg = topk.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+    )
+    exact = df.groupBy(*gc).agg(
+        F.countDistinct(key_col).alias("exact_distinct")
+    )
+    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        F.expr(f"({k - 1} * 2147483648) div greatest(kth_hash, 1)")
+    )
+    return agg.join(exact, gc).select(
+        *gc,
+        "k_used",
+        "kth_hash",
+        est.cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )

@@ -8186,4 +8186,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "readability": _readability_sql(),
         "encoding_scan": _encoding_scan_sql(),
+        "kmv_distinct": f"""
+            WITH kb AS (SELECT lang, doc_id,
+                               {_poly_sql("'kmv:' || CAST(doc_id AS VARCHAR)", 131)} AS ph
+                        FROM documents),
+            km AS (SELECT DISTINCT lang, {_mix31_sql("ph")} AS hv FROM kb),
+            kr AS (SELECT lang, hv,
+                          row_number() OVER (PARTITION BY lang ORDER BY hv) AS rnk
+                   FROM km),
+            ka AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+                          max(hv) AS kth_hash
+                   FROM kr WHERE rnk <= 64 GROUP BY lang),
+            kx AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT)
+                            AS exact_distinct
+                   FROM documents GROUP BY lang)
+            SELECT ka.lang, k_used, kth_hash,
+                   CAST(CASE WHEN k_used < 64 THEN k_used
+                        ELSE (63 * 2147483648) // greatest(kth_hash, 1)
+                        END AS BIGINT) AS est_distinct,
+                   exact_distinct
+            FROM ka JOIN kx ON kx.lang = ka.lang
+        """,
     }
