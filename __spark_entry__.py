@@ -6802,6 +6802,19 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_sketch(_t(spark, sf_dir, "documents"), ("lang",), "doc_id", 64)
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote classifier confusion matrix over the embedding
+    table (queries = every 20th vector, k=5 exact cosine neighbors, vote
+    ties to the smaller label) — the standard embedding-quality probe;
+    accuracy/recall are consumer-side ratios of the emitted integers.
+    FULL oracle: the list_cosine_similarity rank replay + the
+    row_number-argmax vote."""
+    from extractors_metadata_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb.filter(F.col("vec_id") % 20 == 0), emb, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7101,6 +7114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "encoding_scan": q_encoding_scan,
         "kmv_distinct": q_kmv_distinct,
+        "knn_classify": q_knn_classify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -346,6 +346,9 @@ def main() -> None:
         # kmv_distinct's per-lang aggregate forces the distinct-hash
         # exchange + window rank + exact-count join under count().
         "kmv_distinct",
+        # knn_classify's confusion aggregate keys on vote outcomes, so the
+        # brute-force cosine rank, label join and argmax all execute.
+        "knn_classify",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -496,3 +496,52 @@ def mutual_knn(
         F.col("rank_ab").cast("int").alias("rank_ab"),
         F.col("rank_ba").cast("int").alias("rank_ba"),
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classifier evaluation -> confusion matrix
+    (true_label, pred_label, n_queries).
+
+    The standard embedding-quality probe: classify each query by the
+    majority label of its k exact cosine neighbors (self excluded) and
+    cross-tabulate against the true label — accuracy / per-class recall
+    are consumer-side ratios of the emitted integers. Vote ties break on
+    the SMALLER label (frozen rule, replayed in the oracle via the
+    row_number-over-(n DESC, label ASC) subquery — DuckDB min_by rejects
+    composite keys).
+
+    Plan: brute_force_topk broadcasts the query side so the corpus scan
+    never shuffles; the label lookup broadcasts the q*k candidate frame
+    back into the corpus scan; two bounded aggregates finish. At recall
+    scale, swap brute_force_topk for ivf_topk/sq_topk — the vote and
+    confusion stages are unchanged.
+    """
+    topk = brute_force_topk(queries, corpus, k, id_col, vec_col)
+    lbl = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    votes = (
+        lbl.join(broadcast(topk.select("query_id", "neighbor_id")), "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min_by(
+            "nl", F.struct((-F.col("n")).alias("a"), F.col("nl").alias("b"))
+        ).alias("pred_label")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        pred.join(broadcast(truth), "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )

@@ -8207,4 +8207,28 @@ def oracle_sql() -> dict[str, str]:
                    exact_distinct
             FROM ka JOIN kx ON kx.lang = ka.lang
         """,
+        "knn_classify": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv,
+                              label AS tl
+                       FROM embeddings WHERE vec_id % 20 = 0),
+            nn AS (SELECT query_id, vec_id, label AS nl,
+                          row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(
+                                       qv, CAST(embedding AS DOUBLE[])) DESC,
+                                     vec_id ASC) AS rank
+                   FROM embeddings, q WHERE vec_id <> query_id),
+            votes AS (SELECT query_id, nl, count(*) AS n
+                      FROM nn WHERE rank <= 5 GROUP BY 1, 2),
+            pred AS (SELECT query_id, nl AS pred_label FROM (
+                       SELECT query_id, nl,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY n DESC, nl ASC) AS r
+                       FROM votes) WHERE r = 1)
+            SELECT q.tl AS true_label, p.pred_label,
+                   CAST(count(*) AS BIGINT) AS n_queries
+            FROM pred p JOIN q ON q.query_id = p.query_id
+            GROUP BY 1, 2
+        """,
     }
