@@ -6815,6 +6815,20 @@ def q_knn_classify(spark, sf_dir):
     return knn_classify(emb.filter(F.col("vec_id") % 20 == 0), emb, k=5)
 
 
+def q_ql_dirichlet(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai-Lafferty)
+    over the frozen query set — the other classical probabilistic ranker
+    beside BM25; zero-tf query terms contribute the background prior via
+    candidate re-expansion, so the score is the full language model, not
+    a hit-only approximation. Per-term 1e9 fixed point (np.rint ==
+    round_even) summed as int64. FULL oracle: identical-literal double
+    chain + the same expansion joins in SQL."""
+    from extractors_metadata_spark.operators.retrieval import ql_dirichlet_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, word string")
+    return ql_dirichlet_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7115,6 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_scan": q_encoding_scan,
         "kmv_distinct": q_kmv_distinct,
         "knn_classify": q_knn_classify,
+        "ql_dirichlet": q_ql_dirichlet,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -349,6 +349,10 @@ def main() -> None:
         # knn_classify's confusion aggregate keys on vote outcomes, so the
         # brute-force cosine rank, label join and argmax all execute.
         "knn_classify",
+        # ql_dirichlet's top-k rank filter forces the postings scan,
+        # candidate expansion and per-term UDF under count() (the bm25
+        # shape with the extra zero-tf expansion join).
+        "ql_dirichlet",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -195,3 +195,107 @@ def retrieval_eval(ranked: DataFrame, labels: DataFrame, k: int = 10) -> DataFra
         ).alias("first_rel"),
         F.sum((F.col("gain") > 0).cast("long")).alias("n_rel"),
     )
+
+
+def _ql_term_fp_udf(mu: float):
+    @F.pandas_udf("long")
+    def term_fp(
+        tf: pd.Series, cf: pd.Series, dl: pd.Series, c_total: pd.Series
+    ) -> pd.Series:
+        tf_ = tf.to_numpy(np.float64)
+        cf_ = cf.to_numpy(np.float64)
+        dl_ = dl.to_numpy(np.float64)
+        c_ = c_total.to_numpy(np.float64)
+        # literal arithmetic order mirrored in the DuckDB oracle — do not
+        # refactor; per-term 1e9 fixed point absorbs np.log-vs-libm ulp
+        # drift (the bm25 rule)
+        score = np.log((tf_ + (mu * (cf_ / c_))) / (dl_ + mu))
+        return pd.Series(np.rint(score * 1e9).astype(np.int64))
+
+    return term_fp
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by query-likelihood with Dirichlet
+    smoothing -> (query_id, doc_id, score_fp, rank) — the other classical
+    probabilistic ranking function beside BM25 (Zhai & Lafferty):
+
+        score(q, d) = sum_t ln((tf_td + mu * cf_t / |C|) / (dl_d + mu))
+
+    over ALL query terms (missing terms contribute the background prior,
+    which is what makes Dirichlet a proper language model — unlike BM25,
+    absent terms still penalize long docs less). Candidates are docs with
+    >= 1 query-term hit (no-hit docs differ only through their
+    background-vs-length tradeoff and are out of scope by convention);
+    for each candidate the full query vocabulary is expanded back in via
+    a left join so zero-tf terms score exactly.
+
+    Per-term scores are 1e9 fixed-point int64 (np.rint == round_even),
+    summed as integers — order-free under any partitioning. Plan: the
+    postings scan joins the broadcast query vocabulary once; candidate
+    expansion is (candidates x query terms), both broadcast-sized; the
+    collection stats are a 1-row cross join. Query terms must be unique
+    per query (same contract as bm25_topk).
+    """
+    postings = doc_postings(docs, text_col, id_col).select(
+        "word", "doc_id", F.col("n_hits").alias("tf")
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    c_total = doclen.agg(F.sum("dl").alias("c")).collect()[0].c
+    terms = queries.select("query_id", "word").distinct()
+    # collection frequency, restricted to the query vocabulary before the
+    # aggregate ships anywhere (broadcast the tiny term set into the scan)
+    cf = (
+        postings.join(F.broadcast(terms.select("word").distinct()), "word")
+        .groupBy("word")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    hits = postings.join(F.broadcast(terms), "word").select(
+        "query_id", "doc_id", "word", "tf"
+    )
+    cand = hits.select("query_id", "doc_id").distinct()
+    expanded = (
+        cand.join(terms, "query_id")
+        .join(hits.select("query_id", "doc_id", "word", "tf"),
+              ["query_id", "doc_id", "word"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "word",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+        )
+    )
+    scored = (
+        expanded.join(F.broadcast(cf), "word")
+        .join(doclen, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            _ql_term_fp_udf(mu)(
+                F.col("tf").cast("double"),
+                F.col("cf").cast("double"),
+                F.col("dl").cast("double"),
+                F.lit(float(c_total)),
+            ).alias("t_fp"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("t_fp").alias("score_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score_fp", F.col("rank").cast("int").alias("rank")
+        )
+    )

@@ -1097,6 +1097,62 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
 
 
 
+def _ql_dirichlet_sql(k: int = 10, mu: float = 2000.0) -> str:
+    """DuckDB replay of retrieval.ql_dirichlet_topk: the bm25 tokenization
+    CTEs, candidate re-expansion to the full query vocabulary (zero-tf
+    terms score the background prior), and the identical-literal double
+    chain per term under HALF-EVEN 1e-9 fixed point."""
+    vals = ", ".join(f"('{q}', '{w}')" for q, w in _BM25_QUERIES)
+    return rf"""
+        WITH arrs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+          FROM documents),
+        tt AS (
+          SELECT doc_id, arr[i + 1] AS tok
+          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+          WHERE length(arr[i + 1]) > 0),
+        postings AS (
+          SELECT tok, doc_id, count(*) AS tf FROM tt GROUP BY 1, 2),
+        doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+        stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM doclen),
+        qt AS (SELECT * FROM (VALUES {vals}) AS t(query_id, word)),
+        qcf AS (SELECT tok, sum(tf) AS cf FROM postings
+                WHERE tok IN (SELECT word FROM qt) GROUP BY 1),
+        hits AS (SELECT qt.query_id, p.doc_id, p.tok, p.tf
+                 FROM postings p JOIN qt ON p.tok = qt.word),
+        cand AS (SELECT DISTINCT query_id, doc_id FROM hits),
+        expanded AS (
+          SELECT cd.query_id, cd.doc_id, q.word, coalesce(h.tf, 0) AS tf
+          FROM cand cd
+          JOIN qt q ON q.query_id = cd.query_id
+          LEFT JOIN hits h ON h.query_id = cd.query_id
+                          AND h.doc_id = cd.doc_id AND h.tok = q.word),
+        sc AS (
+          SELECT e.query_id, e.doc_id,
+                 CAST(round_even(
+                   ln((CAST(e.tf AS DOUBLE)
+                       + (CAST({mu!r} AS DOUBLE)
+                          * (CAST(f.cf AS DOUBLE) / s.c)))
+                      / (CAST(d.dl AS DOUBLE) + CAST({mu!r} AS DOUBLE)))
+                   * 1e9, 0) AS BIGINT) AS t_fp
+          FROM expanded e
+          JOIN qcf f ON f.tok = e.word
+          JOIN doclen d ON d.doc_id = e.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(sum(t_fp) AS BIGINT) AS score_fp
+          FROM sc GROUP BY 1, 2),
+        rnk AS (
+          SELECT query_id, doc_id, score_fp,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_fp DESC, doc_id) AS INT) AS rank
+          FROM agg)
+        SELECT query_id, doc_id, score_fp, rank FROM rnk WHERE rank <= {k}
+    """
+
+
+
 def _textrank_sql(iters: int = 5, min_shared: int = 2, top_k: int = 2) -> str:
     """textrank.textrank_chunks mirror: the shared _chunk_sql CTE, the
     doc-local shared-token pair threshold, the pagerank iteration body
@@ -8231,4 +8287,5 @@ def oracle_sql() -> dict[str, str]:
             FROM pred p JOIN q ON q.query_id = p.query_id
             GROUP BY 1, 2
         """,
+        "ql_dirichlet": _ql_dirichlet_sql(10, 2000.0),
     }
