@@ -6829,6 +6829,23 @@ def q_ql_dirichlet(spark, sf_dir):
     return ql_dirichlet_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
 
 
+def q_ktruss(spark, sf_dir):
+    """4-truss of the skewed (Zipf in-degree) deterministic link graph:
+    bounded simultaneous support peeling, 6 rounds — the cohesion notion
+    one level up from k_core (every surviving edge sits in >= 2 triangles
+    of the surviving graph). Engine counts support via the degree-ordered
+    triangle enumeration (arboricity-bounded); the oracle replays it as a
+    plain common-neighbor join — identical integers, different plan, so
+    the scale path is audited by the naive path. FULL oracle: unrolled
+    peel stages."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        k_truss,
+        zipf_link_graph,
+    )
+
+    return k_truss(zipf_link_graph(_t(spark, sf_dir, "events")), k=4, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7130,6 +7147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "knn_classify": q_knn_classify,
         "ql_dirichlet": q_ql_dirichlet,
+        "ktruss": q_ktruss,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

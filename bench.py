@@ -353,6 +353,10 @@ def main() -> None:
         # candidate expansion and per-term UDF under count() (the bm25
         # shape with the extra zero-tf expansion join).
         "ql_dirichlet",
+        # ktruss runs its peel rounds EAGERLY (localCheckpoint + count per
+        # round) — construction is the measurement, the k_core shape with
+        # a triangle enumeration inside each round.
+        "ktruss",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -639,3 +639,54 @@ def adamic_adar(edges: DataFrame, k: int = 50, max_degree: int | None = None) ->
         "left_anti",
     )
     return cand.orderBy(F.desc("aa_fp"), F.asc("u"), F.asc("w")).limit(int(k))
+
+
+def k_truss(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
+    """Bounded simultaneous k-truss peeling: each round recomputes every
+    edge's triangle support in the CURRENT surviving graph and drops all
+    edges with support < k-2 at once, to a fixpoint or the round bound
+    (the k_core discipline — peeling is monotone, so once stable the
+    remaining rounds are no-ops and the bounded result equals the true
+    k-truss whenever the peel depth fits).
+
+    Returns the surviving undirected edge set (a < b, exact ints).
+
+    Support is counted by exploding ``triangle_list``'s degree-ordered
+    enumeration into its 3 edges — each triangle exactly once, hub wedge
+    fan-out bounded by the orientation (the arboricity bound), which is
+    what makes per-round support affordable at web scale. The oracle
+    replays support as a plain common-neighbor adjacency join (hub-
+    quadratic but exact): different enumeration order, identical counts
+    — so the operator's scale path and the oracle's audit path cannot
+    drift apart. Rounds localCheckpoint (tiny JVM-only frames)."""
+    t = int(k) - 2
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    cur = und.localCheckpoint(eager=True)
+    n_prev = cur.count()
+    for _ in range(int(rounds)):
+        tri = triangle_list(
+            cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        tedges = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        )
+        sup = (
+            tedges.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") >= t)
+        )
+        cur = cur.join(sup, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+        n_cur = cur.count()
+        if n_cur == n_prev or n_cur == 0:
+            break
+        n_prev = n_cur
+    return cur

@@ -5677,6 +5677,44 @@ def _k_core_sql(k: int = 7, rounds: int = 8) -> str:
 
 
 
+def _k_truss_sql(k: int = 4, rounds: int = 6) -> str:
+    """linkgraph.k_truss mirror on the zipf link graph: per unrolled round,
+    edge support via the plain common-neighbor adjacency join (identical
+    counts to the engine's oriented enumeration), HAVING-filtered at k-2.
+    adj/e stages MATERIALIZED (each referenced twice — the CTE re-inline
+    rule)."""
+    t = int(k) - 2
+    stages = []
+    prev = "e0"
+    for i in range(1, int(rounds) + 1):
+        stages.append(f"""
+        adj{i} AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM {prev}
+          UNION ALL SELECT b, a FROM {prev}),
+        sup{i} AS (
+          SELECT e.a, e.b FROM {prev} e
+          JOIN adj{i} x ON x.u = e.a
+          JOIN adj{i} y ON y.u = e.b AND y.v = x.v
+          GROUP BY e.a, e.b HAVING count(*) >= {t}),
+        e{i} AS MATERIALIZED (
+          SELECT e.a, e.b FROM {prev} e
+          JOIN sup{i} s ON s.a = e.a AND s.b = e.b)""")
+        prev = f"e{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        {body}
+        SELECT a, b FROM {prev}
+    """
+
+
+
 def _k_hop_sql(hops: int = 4) -> str:
     stages = []
     prev_s = "s0"
@@ -8288,4 +8326,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "ql_dirichlet": _ql_dirichlet_sql(10, 2000.0),
+        "ktruss": _k_truss_sql(4, 6),
     }
