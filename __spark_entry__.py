@@ -6846,6 +6846,21 @@ def q_ktruss(spark, sf_dir):
     return k_truss(zipf_link_graph(_t(spark, sf_dir, "events")), k=4, rounds=6)
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-constrained crawl scheduling over the anchor-graph
+    frontier: per-host fetch queues ranked by in-link count (ties to url),
+    fetch_time = rank * delay, hosts pinned to workers via the replayable
+    mix31(poly) hash — the fetcher-fleet planning step between link
+    extraction and the crawl. FULL oracle: the anchor-pages CTE + same
+    window + literal hash replay."""
+    from extractors_metadata_spark.plans.links import (
+        crawl_schedule,
+        extract_outlinks,
+    )
+
+    return crawl_schedule(extract_outlinks(_anchor_pages(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7148,6 +7163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "ql_dirichlet": q_ql_dirichlet,
         "ktruss": q_ktruss,
+        "crawl_schedule": q_crawl_schedule,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -357,6 +357,11 @@ def main() -> None:
         # round) — construction is the measurement, the k_core shape with
         # a triangle enumeration inside each round.
         "ktruss",
+        # crawl_schedule's count() is the frontier cardinality: the anchor
+        # regex explode + the distinct-inlink aggregate are load-bearing
+        # (the rank/worker projection prunes — documented, acceptable:
+        # the aggregate dominates).
+        "crawl_schedule",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

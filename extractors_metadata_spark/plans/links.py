@@ -24,7 +24,7 @@ No UDFs, no shuffle before the rollup, whole-stage codegen end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HREF_RE = '<a href="([^"]+)"'
@@ -96,4 +96,56 @@ def host_graph(outlinks: DataFrame) -> DataFrame:
         )
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def crawl_schedule(
+    outlinks: DataFrame, n_workers: int = 8, delay_ms: int = 1000
+) -> DataFrame:
+    """Politeness-constrained crawl scheduling over the extracted
+    frontier -> (url, host, n_inlinks, fetch_rank, fetch_time_ms,
+    worker).
+
+    The step between link extraction and the fetcher fleet: the frontier
+    (distinct outlink targets) is prioritized per host by in-link count
+    (crawl the most-referenced pages first; ties break on url — frozen
+    rule), serialized under per-host politeness (fetch k waits
+    (k-1) * delay_ms on its host's queue), and each HOST is pinned to
+    one worker via the replayable mix31(poly) hash so no two workers
+    ever hit the same host concurrently — the invariant a polite
+    distributed crawler is built around.
+
+    All outputs exact ints/strings. Plan: one url-keyed distinct-count
+    aggregate, one per-host window rank (hosts are the natural crawl
+    partition key — the window is each host's fetch queue), one codegen
+    projection. At web scale the frontier shuffles once on url and once
+    on host; both keys are the ones a production frontier store is
+    already partitioned by.
+    """
+    from ..functions.vhash import mix31, poly_hash
+
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    frontier = (
+        outlinks.groupBy(F.col("dst_url").alias("url"))
+        .agg(F.countDistinct("src_url").alias("n_inlinks"))
+        .select("url", host.alias("host"), "n_inlinks")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_inlinks").desc(), F.col("url").asc()
+    )
+    ranked = frontier.withColumn(
+        "fetch_rank", F.row_number().over(w).cast("int")
+    )
+    worker = (
+        mix31(poly_hash(F.concat(F.lit("w:"), F.col("host")))) % n_workers
+    ).cast("int")
+    return ranked.select(
+        "url",
+        "host",
+        "n_inlinks",
+        "fetch_rank",
+        ((F.col("fetch_rank") - 1).cast("long") * delay_ms).alias(
+            "fetch_time_ms"
+        ),
+        worker.alias("worker"),
     )

@@ -1837,6 +1837,31 @@ _HOST_GRAPH_SQL = f"""
 """
 
 
+def _crawl_schedule_sql(n_workers: int = 8, delay_ms: int = 1000) -> str:
+    """plans/links.crawl_schedule mirror: the anchor-pages link CTE, the
+    per-host fetch-queue window, and the literal mix31(poly) host->worker
+    pin."""
+    return f"""
+        WITH {_ANCHOR_PAGES_CTE},
+        fr AS (SELECT dst_url AS url,
+                      regexp_extract(dst_url, '^https?://([^/]+)/', 1) AS host,
+                      CAST(count(DISTINCT src_url) AS BIGINT) AS n_inlinks
+               FROM links GROUP BY 1, 2),
+        ph AS (SELECT url, host, n_inlinks,
+                      {_poly_sql("'w:' || host", 131)} AS phh
+               FROM fr),
+        rk AS (SELECT url, host, n_inlinks, phh,
+                      CAST(row_number() OVER (
+                        PARTITION BY host
+                        ORDER BY n_inlinks DESC, url ASC) AS INT) AS fetch_rank
+               FROM ph)
+        SELECT url, host, n_inlinks, fetch_rank,
+               CAST((fetch_rank - 1) AS BIGINT) * {int(delay_ms)} AS fetch_time_ms,
+               CAST(({_mix31_sql("phh")}) % {int(n_workers)} AS INT) AS worker
+        FROM rk
+    """
+
+
 _WINDOW_RANKS_SQL = """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS hour
@@ -8327,4 +8352,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ql_dirichlet": _ql_dirichlet_sql(10, 2000.0),
         "ktruss": _k_truss_sql(4, 6),
+        "crawl_schedule": _crawl_schedule_sql(8, 1000),
     }
