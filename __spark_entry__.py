@@ -6861,6 +6861,18 @@ def q_crawl_schedule(spark, sf_dir):
     return crawl_schedule(extract_outlinks(_anchor_pages(spark, sf_dir)))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tertiles per language (Wenzek et
+    al.) over the add-1 bigram LM scores — the published CommonCrawl
+    curation recipe. Ranking key is the exact-integer milli-nat mean NLL
+    (pure int64 floor division of the fixed-point LM output), so bucket
+    edges are bit-identical in any engine. FULL oracle: the lm_quality
+    replay wrapped in the same window/tertile SQL."""
+    from extractors_metadata_spark.operators.lm_quality import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7164,6 +7176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_dirichlet": q_ql_dirichlet,
         "ktruss": q_ktruss,
         "crawl_schedule": q_crawl_schedule,
+        "ccnet_buckets": q_ccnet_buckets,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -362,6 +362,11 @@ def main() -> None:
         # (the rank/worker projection prunes — documented, acceptable:
         # the aggregate dominates).
         "crawl_schedule",
+        # ccnet_buckets' row count is the scored-doc cardinality coming out
+        # of the LM aggregate, so the bigram join + fixed-point UDF + lang
+        # window all execute (the bucket CASE prunes — acceptable: the LM
+        # pass dominates).
+        "ccnet_buckets",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

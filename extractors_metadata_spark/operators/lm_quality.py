@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,4 +128,57 @@ def ngram_lm_score(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("oov").alias("oov_bigrams"),
         F.sum("term_fp").alias("logprob_fp"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing -> (doc_id, lang, n_bigrams,
+    nll_milli, bucket): rank every scored document within its language by
+    LM perplexity and split into head / middle / tail tertiles — the
+    published CommonCrawl curation recipe (Wenzek et al.): 'head' is the
+    cleanest third a pretraining mix samples preferentially.
+
+    The ranking key is the exact-integer mean NLL in milli-nats per
+    bigram, ``(-logprob_fp) * 1000 div (n_bigrams * 1e9)`` — a pure int64
+    floor division of the fixed-point LM output, so ordering (and every
+    bucket edge) is bit-identical in any engine; key ties break on
+    doc_id. Tertile edges are the integer rule 3r <= n / 3r <= 2n.
+
+    Plan: ngram_lm_score (one postings-shaped pass) + a lang join + one
+    per-lang window — the window partitions on the corpus's natural
+    shard key, so at 100 TB each language ranks independently."""
+    scores = ngram_lm_score(docs, text_col, id_col)
+    lang = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    j = scores.join(lang, "doc_id").withColumn(
+        "nll_milli",
+        F.expr("((0 - logprob_fp) * 1000) div (n_bigrams * 1000000000)"),
+    )
+    wo = Window.partitionBy("lang").orderBy(
+        F.col("nll_milli").asc(), F.col("doc_id").asc()
+    )
+    wp = Window.partitionBy("lang")
+    ranked = j.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "nll_milli",
+        F.row_number().over(wo).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "nll_milli",
+        F.when(F.col("r") * 3 <= F.col("n"), "head")
+        .when(F.col("r") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

@@ -8353,4 +8353,22 @@ def oracle_sql() -> dict[str, str]:
         "ql_dirichlet": _ql_dirichlet_sql(10, 2000.0),
         "ktruss": _k_truss_sql(4, 6),
         "crawl_schedule": _crawl_schedule_sql(8, 1000),
+        "ccnet_buckets": f"""
+            WITH lmq AS MATERIALIZED (SELECT * FROM ({_LM_QUALITY_SQL}) q),
+            jb AS (SELECT l.doc_id, d.lang, l.n_bigrams,
+                          ((0 - l.logprob_fp) * 1000)
+                            // (l.n_bigrams * 1000000000) AS nll_milli
+                   FROM lmq l JOIN documents d ON d.doc_id = l.doc_id),
+            rk AS (SELECT doc_id, lang, n_bigrams, nll_milli,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY nll_milli, doc_id) AS r,
+                          count(*) OVER (PARTITION BY lang) AS n
+                   FROM jb)
+            SELECT doc_id, lang, n_bigrams,
+                   CAST(nll_milli AS BIGINT) AS nll_milli,
+                   CASE WHEN r * 3 <= n THEN 'head'
+                        WHEN r * 3 <= 2 * n THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM rk
+        """,
     }
