@@ -6873,6 +6873,28 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_token_apportion(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a 1M-token budget
+    across sources — floor quotas plus one unit to the largest remainder
+    numerators, so the quotas sum to the budget EXACTLY (the invariant
+    naive per-source rounding breaks). Pure int64 throughout. FULL
+    oracle: same floor-div/remainder/rank arithmetic in SQL."""
+    from extractors_metadata_spark.operators.placement import token_apportion
+
+    return token_apportion(_t(spark, sf_dir, "documents"), budget=1_000_000)
+
+
+def q_hrw_shards(spark, sf_dir):
+    """Rendezvous (HRW) shard routing at 8 and 9 shards simultaneously:
+    argmax of the replayable per-shard hash, decided by one packed
+    integer max (h*16+s) so the tie rule is explicit; the `moved` flag
+    makes the ~1/9 minimal-movement guarantee measurable from the
+    output. FULL oracle: literal shard table + the same packed max."""
+    from extractors_metadata_spark.operators.placement import hrw_shards
+
+    return hrw_shards(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7177,6 +7199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "crawl_schedule": q_crawl_schedule,
         "ccnet_buckets": q_ccnet_buckets,
+        "token_apportion": q_token_apportion,
+        "hrw_shards": q_hrw_shards,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -367,6 +367,10 @@ def main() -> None:
         # window all execute (the bucket CASE prunes — acceptable: the LM
         # pass dominates).
         "ccnet_buckets",
+        # hrw_shards' per-doc aggregate forces the 9x hash fan-out + max
+        # under count(). (token_apportion is a source-dim frame — tiny by
+        # construction, NOT timed.)
+        "hrw_shards",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -8371,4 +8371,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM rk
         """,
+        "token_apportion": f"""
+            WITH ps AS (SELECT source,
+                               CAST(sum({tok}) AS BIGINT) AS n_tokens
+                        FROM documents GROUP BY source),
+            tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM ps),
+            bs AS (SELECT source, n_tokens,
+                          (1000000 * n_tokens) // n_total AS base,
+                          1000000 * n_tokens
+                            - ((1000000 * n_tokens) // n_total) * n_total
+                            AS rem_num
+                   FROM ps CROSS JOIN tt),
+            lo AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS l FROM bs),
+            rk AS (SELECT source, n_tokens, base, rem_num,
+                          CAST(row_number() OVER (
+                            ORDER BY rem_num DESC, source ASC) AS INT) AS rk
+                   FROM bs)
+            SELECT source, n_tokens, base, rem_num, rk,
+                   base + (CASE WHEN rk <= l THEN 1 ELSE 0 END) AS quota
+            FROM rk CROSS JOIN lo
+        """,
+        "hrw_shards": f"""
+            WITH hs AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+                               {_poly_sql(
+                                   "'hrw:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)",
+                                   131,
+                               )} AS ph
+                        FROM documents, unnest(range(0, 9)) t(s)),
+            hm AS (SELECT doc_id, s, {_mix31_sql("ph")} AS h FROM hs),
+            a8 AS (SELECT doc_id,
+                          CAST(max(CASE WHEN s < 8 THEN h * 16 + s END) % 16
+                               AS INT) AS shard8,
+                          CAST(max(h * 16 + s) % 16 AS INT) AS shard9
+                   FROM hm GROUP BY doc_id)
+            SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved FROM a8
+        """,
     }
