@@ -6895,6 +6895,35 @@ def q_hrw_shards(spark, sf_dir):
     return hrw_shards(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
+def q_dtw_pairs(spark, sf_dir):
+    """Banded dynamic-time-warping track-pair distances (operators/dtw):
+    the order-respecting trajectory similarity (Hausdorff's complement) as
+    exact min-plus integer DP — Manhattan cost over micro-degree ints,
+    Sakoe-Chiba band 6, tracks capped at the first 24 points, user_id < 30
+    (dimension-sized pair frame; at fleet scale the hausdorff cell-blocking
+    generates candidates). FULL oracle: the DP unrolled as 46 anti-diagonal
+    CTE stages (diagonal k reads only k-1 and k-2 — no within-stage
+    recursion), INF sentinels identical on both sides."""
+    from extractors_metadata_spark.operators.dtw import dtw_pairs, user_tracks
+
+    lat, lon = _latlon_dbl()
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", lat, lon)
+    )
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    return dtw_pairs(user_tracks(pts))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7201,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "token_apportion": q_token_apportion,
         "hrw_shards": q_hrw_shards,
+        "dtw_pairs": q_dtw_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -371,6 +371,9 @@ def main() -> None:
         # under count(). (token_apportion is a source-dim frame — tiny by
         # construction, NOT timed.)
         "hrw_shards",
+        # (dtw_pairs' only filter precedes the DP UDF, so count() prunes
+        # the DP column entirely and the pair frame is user-cap bounded —
+        # NOT timed, CLAUDE.md count() rule.)
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

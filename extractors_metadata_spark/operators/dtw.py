@@ -1,0 +1,134 @@
+"""Dynamic-time-warping track-pair distance — exact banded integer DP.
+
+DTW is the classical "same route, different speed" trajectory measure
+(the complement of Hausdorff's set distance: DTW respects ORDER, so a
+track driven backwards is far even when its point set is identical).
+This operator computes, for every candidate user pair, the exact
+Sakoe-Chiba-banded DTW cost over integer-quantized tracks:
+
+    C(i, j) = d(i, j) + min(C(i-1, j), C(i, j-1), C(i-1, j-1))
+    d = Manhattan distance in quantized units, |i - j| <= BAND
+
+Exactness: coordinates are the registry's micro-degree integers, the
+local cost is int64 Manhattan, the lattice is pure min-plus over int64 —
+no float exists anywhere, so the DuckDB oracle replays the DP EXACTLY
+as generated anti-diagonal CTE stages (diagonal k depends only on
+diagonals k-1 and k-2 — the property that makes the recurrence
+unrollable without within-stage recursion; the bpe/cost_distance rule).
+
+Bounds ARE the semantics (not an approximation of an unbounded op):
+tracks are capped at MAX_LEN points (first by (ts, event_id) — the
+standard trace-segmentation cap), the band at BAND, and pairs with
+length gap > BAND have no in-band path and are excluded by definition.
+
+Scale shape: per-user arrays come from one window + one groupBy; the
+pair frame is dimension-sized here (user cap) — at fleet scale the
+candidate generator is hausdorff's cell-blocking join, and the DP
+stays pair-local: one Arrow batch per pair partition, O(len * band)
+integer work per pair, zero shuffle inside the kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_LEN = 24
+BAND = 6
+_INF = 1 << 61
+
+
+def _dtw_udf():
+    @F.pandas_udf("long")
+    def dtw_cost(
+        xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a_x, a_y, b_x, b_y in zip(xa, ya, xb, yb):
+            ax = np.asarray(a_x, np.int64)
+            ay = np.asarray(a_y, np.int64)
+            bx = np.asarray(b_x, np.int64)
+            by = np.asarray(b_y, np.int64)
+            n, m = len(ax), len(bx)
+            prev = [_INF] * m
+            for i in range(n):
+                cur = [_INF] * m
+                lo = max(0, i - BAND)
+                hi = min(m - 1, i + BAND)
+                for j in range(lo, hi + 1):
+                    d = int(abs(ax[i] - bx[j])) + int(abs(ay[i] - by[j]))
+                    if i == 0 and j == 0:
+                        cur[j] = d
+                        continue
+                    best = prev[j]
+                    if j > 0:
+                        if prev[j - 1] < best:
+                            best = prev[j - 1]
+                        if cur[j - 1] < best:
+                            best = cur[j - 1]
+                    cur[j] = d + best
+                prev = cur
+            out.append(prev[m - 1])
+        return pd.Series(out, dtype="int64")
+
+    return dtw_cost
+
+
+def user_tracks(
+    pts: DataFrame,
+    user_col: str = "user_id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    max_len: int = MAX_LEN,
+) -> DataFrame:
+    """Per-user capped ordered track -> (u, n, xs, ys): the first
+    ``max_len`` points by ``order_cols``, as aligned coordinate arrays."""
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    seq = pts.withColumn("_seq", F.row_number().over(w)).filter(
+        F.col("_seq") <= max_len
+    )
+    return (
+        seq.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_seq").alias("s"),
+                                        F.col(x_col).cast("long").alias("x"),
+                                        F.col(y_col).cast("long").alias("y")))
+            ).alias("pts")
+        )
+        .select(
+            "u",
+            F.size("pts").alias("n"),
+            F.expr("transform(pts, p -> p.x)").alias("xs"),
+            F.expr("transform(pts, p -> p.y)").alias("ys"),
+        )
+    )
+
+
+def dtw_pairs(tracks: DataFrame) -> DataFrame:
+    """All-pairs banded DTW over a (dimension-sized) track frame ->
+    (u_a, u_b, n_a, n_b, dtw); pairs with |n_a - n_b| > BAND have no
+    in-band warping path and are excluded by definition."""
+    a = tracks.select(
+        F.col("u").alias("u_a"), F.col("n").alias("n_a"),
+        F.col("xs").alias("xa"), F.col("ys").alias("ya"),
+    )
+    b = tracks.select(
+        F.col("u").alias("u_b"), F.col("n").alias("n_b"),
+        F.col("xs").alias("xb"), F.col("ys").alias("yb"),
+    )
+    cand = a.join(F.broadcast(b), F.col("u_a") < F.col("u_b")).filter(
+        F.abs(F.col("n_a") - F.col("n_b")) <= BAND
+    )
+    return cand.select(
+        "u_a",
+        "u_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _dtw_udf()(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")).alias(
+            "dtw"
+        ),
+    )

@@ -1862,6 +1862,76 @@ def _crawl_schedule_sql(n_workers: int = 8, delay_ms: int = 1000) -> str:
     """
 
 
+def _dtw_sql(max_users: int = 30, max_len: int = 24, band: int = 6) -> str:
+    """operators/dtw.dtw_pairs mirror: capped ordered tracks, the banded
+    DP lattice, and the recurrence unrolled as ANTI-DIAGONAL stages —
+    diagonal k reads only diagonals k-1 and k-2, so each stage is two
+    LEFT JOINs against the previous stage plus one against the stage
+    before it (MATERIALIZED: each is referenced by the next two stages
+    and the ends union). Out-of-band/boundary predecessors coalesce to
+    the same INF sentinel the engine uses."""
+    inf = 1 << 61
+    kmax = 2 * max_len - 2
+    stages = []
+    for k in range(1, kmax + 1):
+        p3 = (
+            f"""LEFT JOIN dw{k - 2} p3 ON p3.u_a = l.u_a AND p3.u_b = l.u_b
+                       AND p3.i = l.i - 1 AND p3.j = l.j - 1"""
+            if k >= 2
+            else ""
+        )
+        p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
+        stages.append(f"""
+        dw{k} AS MATERIALIZED (
+          SELECT l.u_a, l.u_b, l.i, l.j,
+                 l.d + least(coalesce(p1.cost, {inf}),
+                             coalesce(p2.cost, {inf}),
+                             {p3cost}) AS cost
+          FROM lat l
+          LEFT JOIN dw{k - 1} p1 ON p1.u_a = l.u_a AND p1.u_b = l.u_b
+                     AND p1.i = l.i - 1 AND p1.j = l.j
+          LEFT JOIN dw{k - 1} p2 ON p2.u_a = l.u_a AND p2.u_b = l.u_b
+                     AND p2.i = l.i AND p2.j = l.j - 1
+          {p3}
+          WHERE l.i + l.j = {k})""")
+    ends = "\n          UNION ALL\n".join(
+        f"""          SELECT p.u_a, p.u_b, p.n_a, p.n_b, dk.cost AS dtw
+          FROM dw{k} dk JOIN prs p ON p.u_a = dk.u_a AND p.u_b = dk.u_b
+          WHERE dk.i = p.n_a - 1 AND dk.j = p.n_b - 1"""
+        for k in range(0, kmax + 1)
+    )
+    return f"""
+        WITH seqp AS MATERIALIZED (
+          SELECT user_id AS u,
+                 CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT)
+                   + 180000000 AS qx,
+                 CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT)
+                   + 90000000 AS qy,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS s
+          FROM events WHERE user_id < {max_users}),
+        tp AS MATERIALIZED (
+          SELECT u, qx, qy, s - 1 AS idx FROM seqp WHERE s <= {max_len}),
+        sz AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM tp GROUP BY u),
+        prs AS MATERIALIZED (
+          SELECT a.u AS u_a, b.u AS u_b, a.n AS n_a, b.n AS n_b
+          FROM sz a JOIN sz b ON a.u < b.u
+          WHERE abs(a.n - b.n) <= {band}),
+        lat AS MATERIALIZED (
+          SELECT p.u_a, p.u_b, x.idx AS i, y.idx AS j,
+                 abs(x.qx - y.qx) + abs(x.qy - y.qy) AS d
+          FROM prs p
+          JOIN tp x ON x.u = p.u_a
+          JOIN tp y ON y.u = p.u_b
+          WHERE abs(x.idx - y.idx) <= {band}),
+        dw0 AS MATERIALIZED (
+          SELECT u_a, u_b, i, j, CAST(d AS BIGINT) AS cost
+          FROM lat WHERE i = 0 AND j = 0),
+        {",".join(stages)}
+{ends}
+    """
+
+
 _WINDOW_RANKS_SQL = """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS hour
@@ -8406,4 +8476,5 @@ def oracle_sql() -> dict[str, str]:
                    FROM hm GROUP BY doc_id)
             SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved FROM a8
         """,
+        "dtw_pairs": _dtw_sql(30, 24, 6),
     }

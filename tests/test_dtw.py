@@ -1,0 +1,69 @@
+"""Hand goldens for banded DTW: zero self-distance, the order
+sensitivity Hausdorff lacks, the exact 3x3 DP value, and the
+length-gap-band exclusion."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        [
+            (u, e, dt.datetime(2016, 5, 1, 0, 0, e), x, y)
+            for (u, e, x, y) in rows
+        ],
+        "user_id long, event_id long, ts timestamp, qx long, qy long",
+    )
+
+
+def _dtw(spark, rows):
+    from extractors_metadata_spark.operators.dtw import dtw_pairs, user_tracks
+
+    return {
+        (r["u_a"], r["u_b"]): r["dtw"]
+        for r in dtw_pairs(user_tracks(_pts(spark, rows))).collect()
+    }
+
+
+def test_dtw_identical_zero_and_reversal_positive(spark):
+    """User 1 = user 0's track; user 2 = the SAME POINT SET reversed.
+    DTW(0,1) = 0 but DTW(0,2) = 40 (hand DP: d-matrix [[20,10,0],[10,0,
+    10],[0,10,20]] -> corner 40) — the order sensitivity that makes DTW
+    Hausdorff's complement."""
+    track = [(0, 0), (10, 0), (20, 0)]
+    rows = (
+        [(0, i, x, y) for i, (x, y) in enumerate(track)]
+        + [(1, i, x, y) for i, (x, y) in enumerate(track)]
+        + [(2, i, x, y) for i, (x, y) in enumerate(reversed(track))]
+    )
+    out = _dtw(spark, rows)
+    assert out[(0, 1)] == 0
+    assert out[(0, 2)] == 40 and out[(1, 2)] == 40
+
+
+def test_dtw_constant_offset_and_band_exclusion(spark):
+    """User 1 rides 1 unit north of user 0 -> diagonal path, cost 3.
+    User 3's 12-point track vs the 3-point tracks exceeds the band-6
+    length gap -> those pairs are excluded by definition."""
+    rows = (
+        [(0, i, 10 * i, 0) for i in range(3)]
+        + [(1, i, 10 * i, 1) for i in range(3)]
+        + [(3, i, 10 * i, 5) for i in range(12)]
+    )
+    out = _dtw(spark, rows)
+    assert out[(0, 1)] == 3
+    assert (0, 3) not in out and (1, 3) not in out
+    assert set(out) == {(0, 1)}
+
+
+def test_user_tracks_orders_and_caps(spark):
+    from extractors_metadata_spark.operators.dtw import user_tracks
+
+    # shuffled insertion order; 30 points cap to 24
+    rows = [(0, e, 7 * e, e) for e in reversed(range(30))]
+    t = user_tracks(_pts(spark, rows)).collect()[0]
+    assert t["n"] == 24
+    assert t["xs"] == [7 * e for e in range(24)]
