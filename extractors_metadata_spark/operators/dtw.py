@@ -40,9 +40,15 @@ BAND = 6
 _INF = 1 << 61
 
 
-def _dtw_udf():
+def _dp_udf(mode: str):
+    """Banded lattice DP kernel: ``minplus`` accumulates (DTW cost),
+    ``minimax`` bottlenecks (discrete Frechet — the max link length of
+    the best simultaneous walk). Same lattice, same band, same INF
+    semantics; only the combine step differs."""
+    minplus = mode == "minplus"
+
     @F.pandas_udf("long")
-    def dtw_cost(
+    def dp_cost(
         xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series
     ) -> pd.Series:
         out = []
@@ -68,12 +74,16 @@ def _dtw_udf():
                             best = prev[j - 1]
                         if cur[j - 1] < best:
                             best = cur[j - 1]
-                    cur[j] = d + best
+                    cur[j] = d + best if minplus else max(d, best)
                 prev = cur
             out.append(prev[m - 1])
         return pd.Series(out, dtype="int64")
 
-    return dtw_cost
+    return dp_cost
+
+
+def _dtw_udf():
+    return _dp_udf("minplus")
 
 
 def user_tracks(
@@ -108,10 +118,24 @@ def user_tracks(
     )
 
 
+def frechet_pairs(tracks: DataFrame) -> DataFrame:
+    """All-pairs banded discrete Frechet distance over a track frame ->
+    (u_a, u_b, n_a, n_b, frechet): the dog-leash distance — the minimal
+    over simultaneous monotone walks of the MAXIMUM link length (minimax
+    on the same lattice DTW min-plusses). The measure of choice when one
+    bad detour must dominate (route conformance checking), where DTW
+    averages it away. Same band/cap/exclusion semantics as dtw_pairs."""
+    return _pair_dp(tracks, "minimax", "frechet")
+
+
 def dtw_pairs(tracks: DataFrame) -> DataFrame:
     """All-pairs banded DTW over a (dimension-sized) track frame ->
     (u_a, u_b, n_a, n_b, dtw); pairs with |n_a - n_b| > BAND have no
     in-band warping path and are excluded by definition."""
+    return _pair_dp(tracks, "minplus", "dtw")
+
+
+def _pair_dp(tracks: DataFrame, mode: str, out_col: str) -> DataFrame:
     a = tracks.select(
         F.col("u").alias("u_a"), F.col("n").alias("n_a"),
         F.col("xs").alias("xa"), F.col("ys").alias("ya"),
@@ -128,7 +152,7 @@ def dtw_pairs(tracks: DataFrame) -> DataFrame:
         "u_b",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        _dtw_udf()(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")).alias(
-            "dtw"
+        _dp_udf(mode)(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")).alias(
+            out_col
         ),
     )

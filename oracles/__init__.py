@@ -1862,7 +1862,13 @@ def _crawl_schedule_sql(n_workers: int = 8, delay_ms: int = 1000) -> str:
     """
 
 
-def _dtw_sql(max_users: int = 30, max_len: int = 24, band: int = 6) -> str:
+def _dtw_sql(
+    max_users: int = 30,
+    max_len: int = 24,
+    band: int = 6,
+    mode: str = "minplus",
+    out_col: str = "dtw",
+) -> str:
     """operators/dtw.dtw_pairs mirror: capped ordered tracks, the banded
     DP lattice, and the recurrence unrolled as ANTI-DIAGONAL stages —
     diagonal k reads only diagonals k-1 and k-2, so each stage is two
@@ -1881,12 +1887,18 @@ def _dtw_sql(max_users: int = 30, max_len: int = 24, band: int = 6) -> str:
             else ""
         )
         p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
+        best = (
+            f"""least(coalesce(p1.cost, {inf}),
+                             coalesce(p2.cost, {inf}),
+                             {p3cost})"""
+        )
+        combine = (
+            f"l.d + {best}" if mode == "minplus" else f"greatest(l.d, {best})"
+        )
         stages.append(f"""
         dw{k} AS MATERIALIZED (
           SELECT l.u_a, l.u_b, l.i, l.j,
-                 l.d + least(coalesce(p1.cost, {inf}),
-                             coalesce(p2.cost, {inf}),
-                             {p3cost}) AS cost
+                 {combine} AS cost
           FROM lat l
           LEFT JOIN dw{k - 1} p1 ON p1.u_a = l.u_a AND p1.u_b = l.u_b
                      AND p1.i = l.i - 1 AND p1.j = l.j
@@ -1895,7 +1907,7 @@ def _dtw_sql(max_users: int = 30, max_len: int = 24, band: int = 6) -> str:
           {p3}
           WHERE l.i + l.j = {k})""")
     ends = "\n          UNION ALL\n".join(
-        f"""          SELECT p.u_a, p.u_b, p.n_a, p.n_b, dk.cost AS dtw
+        f"""          SELECT p.u_a, p.u_b, p.n_a, p.n_b, dk.cost AS {out_col}
           FROM dw{k} dk JOIN prs p ON p.u_a = dk.u_a AND p.u_b = dk.u_b
           WHERE dk.i = p.n_a - 1 AND dk.j = p.n_b - 1"""
         for k in range(0, kmax + 1)
@@ -8477,4 +8489,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved FROM a8
         """,
         "dtw_pairs": _dtw_sql(30, 24, 6),
+        "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
     }

@@ -59,6 +59,29 @@ def test_dtw_constant_offset_and_band_exclusion(spark):
     assert set(out) == {(0, 1)}
 
 
+def test_frechet_bottleneck_vs_dtw_sum(spark):
+    """Constant offset 1: DTW sums to 3, Frechet bottlenecks to 1; on
+    the reversed track the dog-leash cannot avoid a 20-unit link (hand
+    minimax DP: every corner path carries the 20 from a corner cell)."""
+    from extractors_metadata_spark.operators.dtw import (
+        frechet_pairs,
+        user_tracks,
+    )
+
+    track = [(0, 0), (10, 0), (20, 0)]
+    rows = (
+        [(0, i, x, y) for i, (x, y) in enumerate(track)]
+        + [(1, i, x, y + 1) for i, (x, y) in enumerate(track)]
+        + [(2, i, x, y) for i, (x, y) in enumerate(reversed(track))]
+    )
+    out = {
+        (r["u_a"], r["u_b"]): r["frechet"]
+        for r in frechet_pairs(user_tracks(_pts(spark, rows))).collect()
+    }
+    assert out[(0, 1)] == 1
+    assert out[(0, 2)] == 20
+
+
 def test_user_tracks_orders_and_caps(spark):
     from extractors_metadata_spark.operators.dtw import user_tracks
 
