@@ -6954,6 +6954,22 @@ def q_frechet_pairs(spark, sf_dir):
     return frechet_pairs(user_tracks(pts))
 
 
+def q_wl_colors(spark, sf_dir):
+    """1-WL (Weisfeiler-Leman) color refinement over the zipf link graph,
+    3 rounds — the classical structural-role fingerprint (and the
+    expressive ceiling of message-passing GNNs): nodes share wl_color iff
+    1-WL cannot distinguish their 3-hop neighborhoods. Canonical strings
+    are numerically-sorted neighbor multisets hashed through the
+    replayable mix31(poly) family. FULL oracle: unrolled rounds with
+    string_agg ORDER BY the integer color."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        wl_refine,
+        zipf_link_graph,
+    )
+
+    return wl_refine(zipf_link_graph(_t(spark, sf_dir, "events")), rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7262,6 +7278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_shards": q_hrw_shards,
         "dtw_pairs": q_dtw_pairs,
         "frechet_pairs": q_frechet_pairs,
+        "wl_colors": q_wl_colors,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

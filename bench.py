@@ -373,7 +373,11 @@ def main() -> None:
         "hrw_shards",
         # (dtw_pairs' only filter precedes the DP UDF, so count() prunes
         # the DP column entirely and the pair frame is user-cap bounded —
-        # NOT timed, CLAUDE.md count() rule.)
+        # NOT timed, CLAUDE.md count() rule; frechet_pairs same plan.)
+        # wl_colors' row count is the node set coming out of round 3's
+        # aggregate chain, so all 3 refinement rounds (join + sorted
+        # collect + hash) execute under count().
+        "wl_colors",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -690,3 +690,68 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
             break
         n_prev = n_cur
     return cur
+
+
+def wl_refine(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement -> (node,
+    wl_color): the classical graph-fingerprint iteration (the expressive
+    ceiling of message-passing GNNs, the isomorphism pre-test, the
+    structural-role hash).
+
+    color_0 = undirected degree; each round rehashes every node's
+    (own color | sorted multiset of neighbor colors) canonical string
+    through the replayable mix31(poly) family — string rendering is
+    frozen (decimal, ',' between neighbors, '|' before them), so both
+    engines produce bit-identical colors. Two nodes share wl_color after
+    r rounds iff 1-WL cannot distinguish their r-hop neighborhoods.
+
+    Plan: per round one dst-keyed join + one node-keyed sorted-collect
+    aggregate (the pagerank shuffle shape); the canonical string is
+    bounded by degree — at web scale hubs would switch to a commutative
+    hash-sum multiset encoding (weaker: collisions become possible),
+    documented rather than silently swapped. Rounds are bounded literal
+    (the pagerank/kmeans fixed-iteration rule) so the oracle unrolls.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    colors = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from ..functions.vhash import mix31, poly_hash
+
+    for _ in range(int(rounds)):
+        nbrs = (
+            sym.join(
+                colors.select(F.col("node").alias("v"), F.col("c").alias("cn")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sort_array(F.collect_list("cn")).alias("arr"))
+            .select(
+                "node",
+                # sort NUMERICALLY, then render — lexicographic string
+                # sort would order "10" before "2" and break oracle parity
+                F.array_join(
+                    F.expr("transform(arr, x -> cast(x as string))"), ","
+                ).alias("ns"),
+            )
+        )
+        sig = nbrs.join(colors, "node").select(
+            "node",
+            F.concat(
+                F.col("c").cast("string"), F.lit("|"), F.col("ns")
+            ).alias("sig"),
+        )
+        colors = sig.select(
+            "node", mix31(poly_hash(F.col("sig"))).alias("c")
+        )
+    return colors.select("node", F.col("c").alias("wl_color"))

@@ -5822,6 +5822,47 @@ def _k_truss_sql(k: int = 4, rounds: int = 6) -> str:
 
 
 
+def _wl_refine_sql(rounds: int = 3) -> str:
+    """linkgraph.wl_refine mirror on the zipf link graph: degree init,
+    per unrolled round the sorted-neighbor-multiset canonical string
+    (string_agg ORDER BY the INTEGER color — numeric, matching Spark's
+    sort-then-render) hashed through poly/mix31 in two short-reference
+    stages (the mix31 8x-duplication rule)."""
+    stages = []
+    prev = "wc0"
+    for r in range(1, int(rounds) + 1):
+        stages.append(f"""
+        wn{r} AS (
+          SELECT s.u AS node,
+                 string_agg(CAST(cn.c AS VARCHAR), ',' ORDER BY cn.c) AS ns
+          FROM sym s JOIN {prev} cn ON cn.node = s.v
+          GROUP BY s.u),
+        ws{r} AS (
+          SELECT n.node, CAST(o.c AS VARCHAR) || '|' || n.ns AS sig
+          FROM wn{r} n JOIN {prev} o ON o.node = n.node),
+        wp{r} AS (SELECT node, {_poly_sql("sig", 131)} AS p FROM ws{r}),
+        wc{r} AS MATERIALIZED (
+          SELECT node, {_mix31_sql("p")} AS c FROM wp{r})""")
+        prev = f"wc{r}"
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src != dst),
+        sym AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        wc0 AS MATERIALIZED (
+          SELECT u AS node, CAST(count(*) AS BIGINT) AS c
+          FROM sym GROUP BY u),
+        {",".join(stages)}
+        SELECT node, c AS wl_color FROM {prev}
+    """
+
+
+
 def _k_hop_sql(hops: int = 4) -> str:
     stages = []
     prev_s = "s0"
@@ -8490,4 +8531,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dtw_pairs": _dtw_sql(30, 24, 6),
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
+        "wl_colors": _wl_refine_sql(3),
     }
