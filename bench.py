@@ -378,6 +378,10 @@ def main() -> None:
         # aggregate chain, so all 3 refinement rounds (join + sorted
         # collect + hash) execute under count().
         "wl_colors",
+        # zipf_fit aggregates per lang through the window rank + ln UDF;
+        # sprt_test's decision join keys on the window running sum —
+        # both fully load-bearing under count().
+        "zipf_fit", "sprt_test",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

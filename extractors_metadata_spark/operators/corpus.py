@@ -430,3 +430,67 @@ def source_divergence(
     return agg.join(
         ns.select("source", F.col("ns").alias("n_tokens")), "source"
     ).select("source", "n_words", "n_tokens", "kl_fp")
+
+
+def _ln_fp_udf(scale: float = 1e6):
+    @F.pandas_udf("long")
+    def ln_fp(v: pd.Series) -> pd.Series:
+        # per-value half-even fixed point (np.rint == DuckDB round_even);
+        # the 1e6 scale keeps x*y cross products far inside int64 while
+        # still absorbing np.log-vs-libm ulp drift (the bm25 rule)
+        return pd.Series(
+            np.rint(np.log(v.to_numpy(np.float64)) * scale).astype(np.int64)
+        )
+
+    return ln_fp
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_v: int = 500,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Zipf rank-frequency regression statistics per language ->
+    (lang, n_words, sx, sy, sxy, sxx): the exact int64 OLS moments of
+    (ln rank, ln frequency) over the top ``top_v`` vocabulary — the
+    standard corpus-health diagnostic (natural language tracks slope
+    ~ -1; scraped boilerplate and spam bend the tail). The slope
+    (n*sxy - sx*sy) / (n*sxx - sx^2) is a consumer-side ratio of the
+    emitted integers (the kendall/assortativity rule).
+
+    ln values enter as per-term 1e6 half-even fixed points, so every
+    cross product stays far inside int64 and the sums are order-free —
+    bit-identical under any partitioning. Plan: one token aggregate per
+    (lang, word), one per-lang window rank bounded to top_v, one
+    aggregate; ranks tie-break (freq desc, word asc), frozen.
+    """
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("word"),
+    )
+    freq = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("f").desc(), F.col("word").asc()
+    )
+    top = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_v)
+        .select(
+            "lang",
+            _ln_fp_udf()(F.col("r").cast("double")).alias("x"),
+            _ln_fp_udf()(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    return top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )

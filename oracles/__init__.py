@@ -1944,6 +1944,51 @@ def _dtw_sql(
     """
 
 
+def _sprt_sql(
+    success_type: str = "purchase",
+    p0: float = 0.10,
+    p1: float = 0.20,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> str:
+    """cusum.sprt_test mirror: the SAME compile-time fixed-point LLR
+    constants (imported from the operator — single source), one window
+    running sum, first-crossing join."""
+    from extractors_metadata_spark.operators.cusum import sprt_constants
+
+    inc1, inc0, up, lo = sprt_constants(p0, p1, alpha, beta)
+    return f"""
+        WITH ev AS (
+          SELECT user_id AS key, ts, event_id,
+                 CASE WHEN event_type = '{success_type}' THEN 1 ELSE 0 END AS x
+          FROM events),
+        wk AS MATERIALIZED (
+          SELECT key, x,
+                 row_number() OVER (PARTITION BY key ORDER BY ts, event_id)
+                   AS seq,
+                 sum(x * {inc1} + (1 - x) * {inc0}) OVER (
+                   PARTITION BY key ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+          FROM ev),
+        fl AS MATERIALIZED (
+          SELECT key, x, seq, llr,
+                 CASE WHEN llr >= {up} OR llr <= {lo} THEN seq END AS hit_seq
+          FROM wk),
+        ag AS (SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(x) AS BIGINT) AS n_success,
+                      min(hit_seq) AS first_hit
+               FROM fl GROUP BY key)
+        SELECT ag.key AS user_id, n_events, n_success,
+               CAST(coalesce(first_hit, n_events) AS BIGINT) AS n_at_decision,
+               f2.llr AS llr_at_decision_fp,
+               CASE WHEN first_hit IS NULL THEN 'continue'
+                    WHEN f2.llr >= {up} THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision
+        FROM ag JOIN fl f2 ON f2.key = ag.key
+                AND f2.seq = coalesce(ag.first_hit, ag.n_events)
+    """
+
+
 _WINDOW_RANKS_SQL = """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS hour
@@ -8532,4 +8577,30 @@ def oracle_sql() -> dict[str, str]:
         "dtw_pairs": _dtw_sql(30, 24, 6),
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "wl_colors": _wl_refine_sql(3),
+        "zipf_fit": r"""
+            WITH zt AS (
+              SELECT lang,
+                     unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                        x -> length(x) > 0)) AS word
+              FROM documents),
+            zf AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS f
+                   FROM zt GROUP BY 1, 2),
+            zr AS (SELECT lang, f,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY f DESC, word ASC) AS r
+                   FROM zf),
+            zx AS (SELECT lang,
+                          CAST(round_even(ln(CAST(r AS DOUBLE)) * 1000000.0, 0)
+                               AS BIGINT) AS x,
+                          CAST(round_even(ln(CAST(f AS DOUBLE)) * 1000000.0, 0)
+                               AS BIGINT) AS y
+                   FROM zr WHERE r <= 500)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM zx GROUP BY lang
+        """,
+        "sprt_test": _sprt_sql(),
     }
