@@ -6995,6 +6995,20 @@ def q_sprt_test(spark, sf_dir):
     return sprt_test(_t(spark, sf_dir, "events"))
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Two-ranker sparse ensemble over the frozen query set: BM25 and
+    QL-Dirichlet top-20 lists fused by reciprocal-rank fusion (full outer
+    — a doc missing from one list contributes 0), top-10 by fused score.
+    RRF needs only the integer RANKS, so the fused score is an
+    identical-path double of exact ints (the rrf_fusion precedent). FULL
+    oracle: both ranker replays composed as derived tables + the same
+    fusion window."""
+    from extractors_metadata_spark.operators.retrieval import hybrid_rrf
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, word string")
+    return hybrid_rrf(_t(spark, sf_dir, "documents"), qdf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7306,6 +7320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

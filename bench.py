@@ -382,6 +382,9 @@ def main() -> None:
         # sprt_test's decision join keys on the window running sum —
         # both fully load-bearing under count().
         "zipf_fit", "sprt_test",
+        # hybrid_retrieval's top-10 rank filter sits on the fused score,
+        # so BOTH ranker pipelines + the outer-join fusion execute.
+        "hybrid_retrieval",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -299,3 +299,57 @@ def ql_dirichlet_topk(
             "query_id", "doc_id", "score_fp", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    queries: DataFrame,
+    k_each: int = 20,
+    k_out: int = 10,
+    c: float = 60.0,
+) -> DataFrame:
+    """Two-ranker sparse ensemble -> (query_id, doc_id, r_bm25, r_ql,
+    fused, hybrid_rank): BM25 and query-likelihood-Dirichlet top-k lists
+    fused by reciprocal-rank fusion — the production serving pattern
+    where two cheap rankers beat either alone (RRF needs only RANKS, so
+    the two scoring scales never have to be calibrated).
+
+    fused = sum over lists present of 1/(c + rank); a doc missing from
+    one list contributes 0 from it (full outer fusion). Ranks are exact
+    ints, so fused is an identical-path double of exact ints (bit-equal
+    cross-engine — the rrf_fusion precedent); the output order is decided
+    on (fused desc, doc_id) and emitted with integer ranks.
+
+    Plan: the two rankers share the postings scan lineage; fusion is one
+    (query, doc)-keyed full outer join of two k-bounded lists + one
+    query-keyed window — all frames query-dimension sized.
+    """
+    b = bm25_topk(docs, queries, k=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm25")
+    )
+    q = ql_dirichlet_topk(docs, queries, k=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("r_ql")
+    )
+    j = b.join(q, ["query_id", "doc_id"], "full_outer")
+    fused = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col("r_bm25").cast("double")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col("r_ql").cast("double")), F.lit(0.0)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        fused.desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select(
+            "query_id",
+            "doc_id",
+            F.coalesce("r_bm25", F.lit(0)).cast("int").alias("r_bm25"),
+            F.coalesce("r_ql", F.lit(0)).cast("int").alias("r_ql"),
+            fused.alias("fused"),
+            F.row_number().over(w).cast("int").alias("hybrid_rank"),
+        )
+        .filter(F.col("hybrid_rank") <= k_out)
+    )

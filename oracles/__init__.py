@@ -8603,4 +8603,29 @@ def oracle_sql() -> dict[str, str]:
             FROM zx GROUP BY lang
         """,
         "sprt_test": _sprt_sql(),
+        "hybrid_retrieval": f"""
+            WITH hb AS MATERIALIZED (SELECT * FROM ({_bm25_sql(20)}) t),
+            hq AS MATERIALIZED (SELECT * FROM ({_ql_dirichlet_sql(20)}) t),
+            hj AS (
+              SELECT coalesce(hb.query_id, hq.query_id) AS query_id,
+                     coalesce(hb.doc_id, hq.doc_id) AS doc_id,
+                     hb.rank AS rb, hq.rank AS rq
+              FROM hb FULL OUTER JOIN hq
+                ON hq.query_id = hb.query_id AND hq.doc_id = hb.doc_id),
+            hf AS (
+              SELECT query_id, doc_id,
+                     CAST(coalesce(rb, 0) AS INT) AS r_bm25,
+                     CAST(coalesce(rq, 0) AS INT) AS r_ql,
+                     coalesce(1.0 / (CAST(60.0 AS DOUBLE) + CAST(rb AS DOUBLE)), 0.0)
+                     + coalesce(1.0 / (CAST(60.0 AS DOUBLE) + CAST(rq AS DOUBLE)), 0.0)
+                       AS fused
+              FROM hj)
+            SELECT query_id, doc_id, r_bm25, r_ql, fused,
+                   CAST(rnk AS INT) AS hybrid_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY fused DESC, doc_id ASC)
+                            AS rnk
+                  FROM hf)
+            WHERE rnk <= 10
+        """,
     }
