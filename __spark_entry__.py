@@ -7009,6 +7009,53 @@ def q_hybrid_retrieval(spark, sf_dir):
     return hybrid_rrf(_t(spark, sf_dir, "documents"), qdf)
 
 
+def q_warc_parse(spark, sf_dir):
+    """WARC response-record parsing — the Common-Crawl container format,
+    the ingest entry point of every web-corpus pipeline: header fields
+    regex-extracted from the CRLF header block, plus the Content-Length
+    integrity audit (every 23rd record carries a corrupted length probe,
+    so the truncation branch is live). Records are built deterministically
+    from the documents table and round-tripped through a BINARY column
+    (the input_hint html:binary shape). FULL oracle: identical symbolic
+    construction + the same strpos/substring/regex parsing in SQL."""
+    from extractors_metadata_spark.plans.warc import parse_warc
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    clen = F.length(payload) + F.when(F.col("doc_id") % 23 == 0, 7).otherwise(0)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        F.col("source"),
+        F.lit(".example/d"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        clen.cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+    )
+    recs = d.select("doc_id", F.encode(rec, "UTF-8").alias("warc"))
+    return parse_warc(recs)
+
+
+def q_quadkey_encode(spark, sf_dir):
+    """Bing quadkey encoding at z12 — completes the tile-naming surface
+    (XYZ, geohash, H3, S2, Z-order, quadkey): digit i = 2*bit(y)+bit(x)
+    MSB-first, so children share their parent's prefix and prefix range
+    scans ARE quadtree descent. x/y from the proven Arrow tile kernel;
+    digits via the exact pow-cast bit idiom. FULL oracle: the z12 slippy
+    replay + list_transform digit build."""
+    from extractors_metadata_spark.functions.spark_udfs import tile_xy_udf
+    from extractors_metadata_spark.functions.tiles import quadkey_expr
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr(LAT_IN).alias("lat"), F.expr(LON_IN).alias("lon")
+    )
+    t = e.withColumn("_t", tile_xy_udf(12)("lat", "lon")).select(
+        "event_id", F.col("_t.x").alias("x"), F.col("_t.y").alias("y")
+    )
+    return t.select("event_id", "x", "y", quadkey_expr("x", "y", 12).alias("quadkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7321,6 +7368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "warc_parse": q_warc_parse,
+        "quadkey_encode": q_quadkey_encode,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -385,6 +385,8 @@ def main() -> None:
         # hybrid_retrieval's top-10 rank filter sits on the fused score,
         # so BOTH ranker pipelines + the outer-join fusion execute.
         "hybrid_retrieval",
+        # (warc_parse / quadkey_encode are row-preserving projections —
+        # count-prunable, NOT timed, CLAUDE.md count() rule.)
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

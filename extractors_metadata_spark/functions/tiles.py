@@ -65,3 +65,21 @@ def bbox_tile_ranges(min_lat, min_lon, max_lat, max_lon, z):
     x0, y1 = tile_xyz(min_lat, min_lon, z)  # south-west: min lat -> max y
     x1, y0 = tile_xyz(max_lat, max_lon, z)
     return x0, x1, y0, y1
+
+
+def quadkey_expr(x_name: str, y_name: str, z: int):
+    """Bing-maps quadkey for slippy tile (x, y) at literal zoom ``z`` as
+    a pure-codegen Column: digit i = 2*bit_i(y) + bit_i(x), MSB first.
+    Quadkeys nest by prefix (a tile's children share its quadkey prefix),
+    which is what makes them the string-keyed sibling of the z-order
+    layout: prefix range scans == quadtree descent. Bit extraction uses
+    the exact pow(2,k)-cast idiom (F.shiftright needs a literal count;
+    exact to 2^52 — z <= 30 by far)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"array_join(transform(sequence(1, {int(z)}), i -> "
+        f"cast((({y_name} div cast(pow(2.0, {int(z)} - i) as long)) % 2) * 2"
+        f" + (({x_name} div cast(pow(2.0, {int(z)} - i) as long)) % 2)"
+        f" as string)), '')"
+    )

@@ -8628,4 +8628,64 @@ def oracle_sql() -> dict[str, str]:
                   FROM hf)
             WHERE rnk <= 10
         """,
+        "warc_parse": r"""
+            WITH wb AS (
+              SELECT doc_id,
+                     '<html><body>' || text || '</body></html>' AS payload
+              FROM documents),
+            wr AS (
+              SELECT d.doc_id,
+                     'WARC/1.0' || chr(13) || chr(10)
+                     || 'WARC-Type: response' || chr(13) || chr(10)
+                     || 'WARC-Target-URI: https://' || d.source || '.example/d'
+                     || CAST(d.doc_id AS VARCHAR) || chr(13) || chr(10)
+                     || 'Content-Type: text/html' || chr(13) || chr(10)
+                     || 'Content-Length: '
+                     || CAST(length(wb.payload)
+                             + (CASE WHEN d.doc_id % 23 = 0 THEN 7 ELSE 0 END)
+                             AS VARCHAR)
+                     || chr(13) || chr(10) || chr(13) || chr(10)
+                     || wb.payload AS raw
+              FROM documents d JOIN wb ON wb.doc_id = d.doc_id),
+            ws AS (
+              SELECT doc_id, raw,
+                     strpos(raw, chr(13) || chr(10) || chr(13) || chr(10)) AS sep
+              FROM wr),
+            wp AS (
+              SELECT doc_id,
+                     substring(raw, 1, sep - 1) AS h,
+                     substring(raw, sep + 4) AS p
+              FROM ws)
+            SELECT doc_id,
+                   regexp_extract(h, 'WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+                   regexp_extract(regexp_extract(h, 'WARC-Target-URI: ([^\r\n]+)', 1),
+                                  '^https?://([^/]+)/', 1) AS host,
+                   regexp_extract(h, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+                   regexp_extract(h, 'Content-Type: ([^\r\n]+)', 1) AS content_type,
+                   CAST(regexp_extract(h, 'Content-Length: ([^\r\n]+)', 1) AS BIGINT)
+                     AS content_length,
+                   CAST(length(p) AS BIGINT) AS payload_bytes,
+                   CAST(regexp_extract(h, 'Content-Length: ([^\r\n]+)', 1) AS BIGINT)
+                     = length(p) AS length_ok,
+                   CAST(len(string_split(h, chr(13) || chr(10))) AS BIGINT)
+                     AS n_header_lines
+            FROM wp
+        """,
+        "quadkey_encode": f"""
+            WITH qpts AS (
+              SELECT event_id, ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+            qxy AS (
+              SELECT event_id,
+                     CAST(FLOOR((lon + 180) / 360 * pow(2, 12)) AS BIGINT) AS x,
+                     CAST(FLOOR((1 - ln(tan(radians(lat))
+                                        + 1/cos(radians(lat)))/pi())/2
+                                * pow(2, 12)) AS BIGINT) AS y
+              FROM qpts)
+            SELECT event_id, x, y,
+                   array_to_string(list_transform(range(1, 13), i ->
+                     CAST(((y // CAST(power(2, 12 - i) AS BIGINT)) % 2) * 2
+                          + ((x // CAST(power(2, 12 - i) AS BIGINT)) % 2)
+                          AS VARCHAR)), '') AS quadkey
+            FROM qxy
+        """,
     }
