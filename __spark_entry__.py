@@ -7056,6 +7056,50 @@ def q_quadkey_encode(spark, sf_dir):
     return t.select("event_id", "x", "y", quadkey_expr("x", "y", 12).alias("quadkey"))
 
 
+_INGEST_RULES = [("/d1", False), ("/d12", True), ("/d3", False), ("/d", True)]
+
+
+def q_ingest_gate(spark, sf_dir):
+    """Fetch-side admission funnel — the web mirror of curation_filter:
+    per page one frozen first-match verdict composing the robots
+    longest-match rule (doc-path ruleset, live branches by id digits),
+    the encoding triage, and the literal-phrase blocklist:
+    not_crawlable -> bad_encoding -> blocklisted -> admitted. Three
+    zero-shuffle screens + two id-keyed joins. FULL oracle: the robots
+    GREATEST literals + the encoding replay as a derived table + contains
+    blocklist + the same CASE."""
+    from extractors_metadata_spark.operators.blocklist import blocklist_hits
+    from extractors_metadata_spark.operators.textscreen import encoding_scan
+    from extractors_metadata_spark.plans.links import robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rb = robots_filter(pages, _INGEST_RULES).select("url", "crawlable")
+    enc = encoding_scan(d).select("doc_id", "encoding_ok")
+    bl = blocklist_hits(d, _BLOCKLIST).select(
+        "doc_id", F.col("keep").alias("bl_keep")
+    )
+    j = pages.join(rb, "url").join(enc, "doc_id").join(bl, "doc_id")
+    reason = (
+        F.when(~F.col("crawlable"), "not_crawlable")
+        .when(~F.col("encoding_ok"), "bad_encoding")
+        .when(~F.col("bl_keep"), "blocklisted")
+        .otherwise("admitted")
+    )
+    return j.select(
+        "doc_id",
+        "url",
+        reason.alias("reason"),
+        (reason == "admitted").alias("admitted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -7370,6 +7414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "warc_parse": q_warc_parse,
         "quadkey_encode": q_quadkey_encode,
+        "ingest_gate": q_ingest_gate,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -385,8 +385,9 @@ def main() -> None:
         # hybrid_retrieval's top-10 rank filter sits on the fused score,
         # so BOTH ranker pipelines + the outer-join fusion execute.
         "hybrid_retrieval",
-        # (warc_parse / quadkey_encode are row-preserving projections —
-        # count-prunable, NOT timed, CLAUDE.md count() rule.)
+        # (warc_parse / quadkey_encode are row-preserving projections and
+        # ingest_gate's screens are prunable columns over unique-key inner
+        # joins — count-prunable, NOT timed, CLAUDE.md count() rule.)
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

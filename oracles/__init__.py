@@ -1989,6 +1989,47 @@ def _sprt_sql(
     """
 
 
+_INGEST_RULES = [("/d1", False), ("/d12", True), ("/d3", False), ("/d", True)]
+
+
+def _ingest_gate_sql() -> str:
+    """q_ingest_gate mirror: robots longest-match GREATEST literals over
+    the doc-path ruleset, the encoding replay as a derived table, contains
+    blocklist (equivalent to the replace-length keep: both test 'no phrase
+    occurs'), same first-match CASE."""
+    score = ", ".join(
+        f"CASE WHEN starts_with(path, '{p}') THEN {len(p) * 2 + (1 if a else 0)} ELSE -1 END"
+        for p, a in _INGEST_RULES
+    )
+    bl_any = " OR ".join(f"contains(text, '{p}')" for p in _BLOCKLIST_PATS)
+    return f"""
+        WITH ig AS (
+          SELECT doc_id, text,
+                 'https://' || source || '.example/d' || CAST(doc_id AS VARCHAR)
+                   AS url,
+                 '/d' || CAST(doc_id AS VARCHAR) AS path
+          FROM documents),
+        igr AS (
+          SELECT doc_id, text, url,
+                 GREATEST({score}) AS rule_score
+          FROM ig),
+        ige AS (SELECT * FROM ({_encoding_scan_sql()}) t),
+        igj AS (
+          SELECT r.doc_id, r.url,
+                 (r.rule_score < 0 OR r.rule_score % 2 = 1) AS crawlable,
+                 e.encoding_ok,
+                 NOT ({bl_any}) AS bl_keep
+          FROM igr r JOIN ige e ON e.doc_id = r.doc_id)
+        SELECT doc_id, url,
+               CASE WHEN NOT crawlable THEN 'not_crawlable'
+                    WHEN NOT encoding_ok THEN 'bad_encoding'
+                    WHEN NOT bl_keep THEN 'blocklisted'
+                    ELSE 'admitted' END AS reason,
+               (crawlable AND encoding_ok AND bl_keep) AS admitted
+        FROM igj
+    """
+
+
 _WINDOW_RANKS_SQL = """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS hour
@@ -8688,4 +8729,5 @@ def oracle_sql() -> dict[str, str]:
                           AS VARCHAR)), '') AS quadkey
             FROM qxy
         """,
+        "ingest_gate": _ingest_gate_sql(),
     }
