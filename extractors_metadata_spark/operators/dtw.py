@@ -86,6 +86,49 @@ def _dtw_udf():
     return _dp_udf("minplus")
 
 
+def _lcss_udf(eps: int):
+    """Banded LCSS kernel on the SAME lattice: the longest common
+    subsequence of two tracks under per-coordinate tolerance ``eps``
+    (points i, j "match" iff |dx| <= eps AND |dy| <= eps).  Classic
+    max-combine recurrence — match takes the diagonal + 1, miss takes
+    max(up, left) — with out-of-lattice/out-of-band cells reading as 0
+    (the empty-prefix value), NOT the min-mode INF sentinel.  Pure
+    int64, so the DuckDB oracle replays the identical anti-diagonal
+    unroll with coalesce(..., 0)."""
+
+    @F.pandas_udf("long")
+    def lcss_len(
+        xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a_x, a_y, b_x, b_y in zip(xa, ya, xb, yb):
+            ax = np.asarray(a_x, np.int64)
+            ay = np.asarray(a_y, np.int64)
+            bx = np.asarray(b_x, np.int64)
+            by = np.asarray(b_y, np.int64)
+            n, m = len(ax), len(bx)
+            prev = [0] * m
+            for i in range(n):
+                cur = [0] * m
+                lo = max(0, i - BAND)
+                hi = min(m - 1, i + BAND)
+                for j in range(lo, hi + 1):
+                    if (
+                        abs(int(ax[i]) - int(bx[j])) <= eps
+                        and abs(int(ay[i]) - int(by[j])) <= eps
+                    ):
+                        cur[j] = 1 + (prev[j - 1] if j > 0 else 0)
+                    else:
+                        up = prev[j]
+                        left = cur[j - 1] if j > 0 else 0
+                        cur[j] = up if up >= left else left
+                prev = cur
+            out.append(prev[m - 1])
+        return pd.Series(out, dtype="int64")
+
+    return lcss_len
+
+
 def user_tracks(
     pts: DataFrame,
     user_col: str = "user_id",
@@ -135,7 +178,19 @@ def dtw_pairs(tracks: DataFrame) -> DataFrame:
     return _pair_dp(tracks, "minplus", "dtw")
 
 
-def _pair_dp(tracks: DataFrame, mode: str, out_col: str) -> DataFrame:
+def lcss_pairs(tracks: DataFrame, eps: int = 80) -> DataFrame:
+    """All-pairs banded LCSS over a track frame -> (u_a, u_b, n_a, n_b,
+    lcss): the longest order-preserving chain of eps-close point pairs —
+    the trajectory measure ROBUST TO OUTLIERS (one GPS glitch costs DTW
+    its full distance but LCSS only the one match; Vlachos et al., ICDE
+    2002).  Same band/cap semantics as dtw_pairs; pairs with length gap
+    > BAND keep no in-band alignment and are excluded by definition."""
+    return _pair_dp(tracks, "lcss", "lcss", eps=eps)
+
+
+def _pair_dp(
+    tracks: DataFrame, mode: str, out_col: str, eps: int = 0
+) -> DataFrame:
     a = tracks.select(
         F.col("u").alias("u_a"), F.col("n").alias("n_a"),
         F.col("xs").alias("xa"), F.col("ys").alias("ya"),
@@ -147,12 +202,13 @@ def _pair_dp(tracks: DataFrame, mode: str, out_col: str) -> DataFrame:
     cand = a.join(F.broadcast(b), F.col("u_a") < F.col("u_b")).filter(
         F.abs(F.col("n_a") - F.col("n_b")) <= BAND
     )
+    kernel = _lcss_udf(eps) if mode == "lcss" else _dp_udf(mode)
     return cand.select(
         "u_a",
         "u_b",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        _dp_udf(mode)(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")).alias(
+        kernel(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")).alias(
             out_col
         ),
     )

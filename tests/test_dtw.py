@@ -82,6 +82,50 @@ def test_frechet_bottleneck_vs_dtw_sum(spark):
     assert out[(0, 2)] == 20
 
 
+def _lcss(spark, rows, eps):
+    from extractors_metadata_spark.operators.dtw import (
+        lcss_pairs,
+        user_tracks,
+    )
+
+    return {
+        (r["u_a"], r["u_b"]): r["lcss"]
+        for r in lcss_pairs(user_tracks(_pts(spark, rows)), eps=eps).collect()
+    }
+
+
+def test_lcss_identical_full_and_outlier_robust(spark):
+    """User 1 = user 0 -> LCSS = track length. User 2 = user 0 with ONE
+    glitched middle point -> LCSS drops by exactly 1 (the robustness DTW
+    lacks: the same glitch adds its full Manhattan cost to DTW)."""
+    track = [(0, 0), (10, 0), (20, 0), (30, 0)]
+    glitched = [(0, 0), (10, 0), (20, 500), (30, 0)]
+    rows = (
+        [(0, i, x, y) for i, (x, y) in enumerate(track)]
+        + [(1, i, x, y) for i, (x, y) in enumerate(track)]
+        + [(2, i, x, y) for i, (x, y) in enumerate(glitched)]
+    )
+    out = _lcss(spark, rows, eps=2)
+    assert out[(0, 1)] == 4
+    assert out[(0, 2)] == 3
+
+
+def test_lcss_order_sensitivity_and_eps_gate(spark):
+    """Reversal keeps only the in-band order-preserving matches (hand
+    DP on the 4-point line reversed: lcss = 1 — only one aligned pair
+    can match); eps below the offset yields 0 matches."""
+    track = [(0, 0), (10, 0), (20, 0), (30, 0)]
+    rows = (
+        [(0, i, x, y) for i, (x, y) in enumerate(track)]
+        + [(2, i, x, y) for i, (x, y) in enumerate(reversed(track))]
+        + [(3, i, x, y + 9) for i, (x, y) in enumerate(track)]
+    )
+    out = _lcss(spark, rows, eps=2)
+    assert out[(0, 2)] == 1
+    assert out[(0, 3)] == 0
+    assert _lcss(spark, rows, eps=9)[(0, 3)] == 4
+
+
 def test_user_tracks_orders_and_caps(spark):
     from extractors_metadata_spark.operators.dtw import user_tracks
 
