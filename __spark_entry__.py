@@ -1061,6 +1061,19 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies over word bigrams (r <= 30;
+    the closed 31-word unigram vocabulary has no low-r tail — the
+    vocab_growth lesson): N_r counts-of-counts plus the exact
+    smoothed-count numerator (r+1)*N_{r+1} — the classical unseen-mass /
+    LM-smoothing estimator (Gale & Sampson 1995), emitted as unreduced
+    integers so no float exists anywhere. FULL oracle: the same two
+    aggregations in SQL."""
+    from extractors_metadata_spark.operators.corpus import good_turing
+
+    return good_turing(_t(spark, sf_dir, "documents"), max_r=30)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 tf-idf terms (keyword extraction / quality signal);
     score = tf * ln(N/df) with the ranking on the unrounded score and the
@@ -6954,6 +6967,40 @@ def q_frechet_pairs(spark, sf_dir):
     return frechet_pairs(user_tracks(pts))
 
 
+def q_lcss_pairs(spark, sf_dir):
+    """Banded LCSS track-pair similarity — the outlier-robust third
+    member of the lattice family (dtw min-plus, frechet minimax, lcss
+    max-combine; Vlachos et al. ICDE 2002): the longest order-preserving
+    chain of point pairs within 80 micro-degrees on BOTH axes. One GPS
+    glitch costs DTW its full distance but LCSS only that one match.
+    Same caps/band/exclusion as dtw_pairs; reference parity: the
+    trajectory-similarity complement of gps_bounds-style footprint
+    matching (full_day_to_tiles.py:24-33). FULL oracle: the shared
+    anti-diagonal stage generator in lcss mode — match flag on the
+    lattice, coalesce-to-0 empty-prefix sentinels."""
+    from extractors_metadata_spark.operators.dtw import (
+        lcss_pairs,
+        user_tracks,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", lat, lon)
+    )
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    return lcss_pairs(user_tracks(pts), eps=80)
+
+
 def q_wl_colors(spark, sf_dir):
     """1-WL (Weisfeiler-Leman) color refinement over the zipf link graph,
     3 rounds — the classical structural-role fingerprint (and the
@@ -7210,6 +7257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": q_mmr_select,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
+        "good_turing": q_good_turing,
         "vocab_growth": q_vocab_growth,
         "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,
@@ -7408,6 +7456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_shards": q_hrw_shards,
         "dtw_pairs": q_dtw_pairs,
         "frechet_pairs": q_frechet_pairs,
+        "lcss_pairs": q_lcss_pairs,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

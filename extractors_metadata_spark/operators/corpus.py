@@ -68,6 +68,65 @@ def vocab_topk(
     )
 
 
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_r: int = 30,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table -> (r, n_r, n_r_next,
+    r_star_num) for r <= max_r: N_r = how many distinct units occur
+    exactly r times, and the smoothed-count NUMERATOR r* . N_r =
+    (r+1) . N_{r+1} left as an exact integer (the caller divides by N_r;
+    emitting the unreduced rational keeps the output float-free — the
+    pack_sequences rule). N_1 / total is the Turing missing-mass
+    estimate; language-model smoothing reads the low-r rows, which is
+    why the output is capped there (the tail is sparse and unsmoothable
+    anyway — Gale & Sampson 1995).
+
+    The counted unit is the word BIGRAM with multiplicity (NOT the
+    per-doc-distinct word_shingles) — the vocab_growth lesson: this
+    corpus's closed 31-word vocabulary has no low-r tail at all, while
+    the sequence space does, and that is exactly the regime Good-Turing
+    smooths.
+
+    Plan: explode -> one gram-keyed hash agg -> one tiny r-keyed agg ->
+    a broadcast self-join on r+1 that stays dimension-sized (max_r
+    rows). Scale shape: the only data-sized exchange is the gram agg,
+    which is hash-uniform; everything after is O(max_r)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    grams = df.select(F.explode(sh).alias("gram")).filter(
+        F.length("gram") > 0
+    )
+    freq = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("tf"))
+        .groupBy(F.col("tf").alias("r"))
+        .agg(F.count("*").alias("n_r"))
+        .filter(F.col("r") <= max_r + 1)
+    )
+    nxt = freq.select(
+        (F.col("r") - F.lit(1)).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        freq.filter(F.col("r") <= max_r)
+        .join(F.broadcast(nxt), "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.coalesce(F.col("n_r_next"), F.lit(0)).cast("long").alias(
+                "n_r_next"
+            ),
+            ((F.col("r") + F.lit(1))
+             * F.coalesce(F.col("n_r_next"), F.lit(0))).cast("long").alias(
+                "r_star_num"
+            ),
+        )
+    )
+
+
 def greedy_cover(
     docs: DataFrame,
     rounds: int = 8,

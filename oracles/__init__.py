@@ -1868,6 +1868,7 @@ def _dtw_sql(
     band: int = 6,
     mode: str = "minplus",
     out_col: str = "dtw",
+    eps: int = 0,
 ) -> str:
     """operators/dtw.dtw_pairs mirror: capped ordered tracks, the banded
     DP lattice, and the recurrence unrolled as ANTI-DIAGONAL stages —
@@ -1875,9 +1876,12 @@ def _dtw_sql(
     LEFT JOINs against the previous stage plus one against the stage
     before it (MATERIALIZED: each is referenced by the next two stages
     and the ends union). Out-of-band/boundary predecessors coalesce to
-    the same INF sentinel the engine uses."""
+    the same sentinel the engine uses: INF for the min modes, 0 (the
+    empty-prefix LCS value) for ``lcss``, whose lattice column d is the
+    0/1 eps-match flag instead of the Manhattan cost."""
     inf = 1 << 61
     kmax = 2 * max_len - 2
+    lcss = mode == "lcss"
     stages = []
     for k in range(1, kmax + 1):
         p3 = (
@@ -1886,15 +1890,25 @@ def _dtw_sql(
             if k >= 2
             else ""
         )
-        p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
-        best = (
-            f"""least(coalesce(p1.cost, {inf}),
+        if lcss:
+            p3cost = "coalesce(p3.cost, 0)" if k >= 2 else "0"
+            combine = (
+                f"""CASE WHEN l.d = 1 THEN 1 + {p3cost}
+                         ELSE greatest(coalesce(p1.cost, 0),
+                                       coalesce(p2.cost, 0)) END"""
+            )
+        else:
+            p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
+            best = (
+                f"""least(coalesce(p1.cost, {inf}),
                              coalesce(p2.cost, {inf}),
                              {p3cost})"""
-        )
-        combine = (
-            f"l.d + {best}" if mode == "minplus" else f"greatest(l.d, {best})"
-        )
+            )
+            combine = (
+                f"l.d + {best}"
+                if mode == "minplus"
+                else f"greatest(l.d, {best})"
+            )
         stages.append(f"""
         dw{k} AS MATERIALIZED (
           SELECT l.u_a, l.u_b, l.i, l.j,
@@ -1931,7 +1945,7 @@ def _dtw_sql(
           WHERE abs(a.n - b.n) <= {band}),
         lat AS MATERIALIZED (
           SELECT p.u_a, p.u_b, x.idx AS i, y.idx AS j,
-                 abs(x.qx - y.qx) + abs(x.qy - y.qy) AS d
+                 {f"CASE WHEN abs(x.qx - y.qx) <= {eps} AND abs(x.qy - y.qy) <= {eps} THEN 1 ELSE 0 END" if lcss else "abs(x.qx - y.qx) + abs(x.qy - y.qy)"} AS d
           FROM prs p
           JOIN tp x ON x.u = p.u_a
           JOIN tp y ON y.u = p.u_b
@@ -7717,6 +7731,23 @@ def oracle_sql() -> dict[str, str]:
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
         """,
+        "good_turing": r"""
+            WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+                          FROM documents),
+            shm AS (SELECT array_to_string(tk[i:i+1], ' ') AS gram
+                    FROM toks,
+                         unnest(range(1, greatest(len(tk) - 1, 1) + 1)) t(i)),
+            voc AS (SELECT gram, count(*) AS tf FROM shm
+                    WHERE length(gram) > 0 GROUP BY gram),
+            freq AS (SELECT tf AS r, CAST(count(*) AS BIGINT) AS n_r
+                     FROM voc GROUP BY tf HAVING tf <= 31)
+            SELECT CAST(f.r AS BIGINT) AS r, f.n_r,
+                   CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r_next,
+                   CAST((f.r + 1) * coalesce(nx.n_r, 0) AS BIGINT)
+                     AS r_star_num
+            FROM freq f LEFT JOIN freq nx ON nx.r = f.r + 1
+            WHERE f.r <= 30
+        """,
         "prefix_join": _PREFIX_JOIN_SQL,
         "vocab_growth": r"""
             WITH toks AS (
@@ -8617,6 +8648,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dtw_pairs": _dtw_sql(30, 24, 6),
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
+        "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "wl_colors": _wl_refine_sql(3),
         "zipf_fit": r"""
             WITH zt AS (

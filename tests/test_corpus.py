@@ -35,6 +35,19 @@ def test_vocab_topk_order_and_tiebreak(docs):
     assert [r["word"] for r in rows] == ["the", "sat", "cat"]  # tf 5, 2, then 1-ties by word
 
 
+def test_good_turing_counts_of_counts(docs):
+    """Hand bigram counts: five tf=1 grams (the cat, cat sat, the dog,
+    dog sat, ein hund) and one tf=2 gram (the the, twice in doc 3) ->
+    N_1=5 with r*num = 2*N_2 = 2, N_2=1 with no successor."""
+    from extractors_metadata_spark.operators.corpus import good_turing
+
+    rows = {
+        r["r"]: (r["n_r"], r["n_r_next"], r["r_star_num"])
+        for r in good_turing(docs).collect()
+    }
+    assert rows == {1: (5, 1, 2), 2: (1, 0, 0)}
+
+
 def test_tf_idf_scores_and_ranks(docs):
     from extractors_metadata_spark.operators.corpus import tf_idf_topk
 
