@@ -7001,6 +7001,22 @@ def q_lcss_pairs(spark, sf_dir):
     return lcss_pairs(user_tracks(pts), eps=80)
 
 
+def q_viterbi_match(spark, sf_dir):
+    """Viterbi HMM map-matching (operators/mapmatch): jointly decode each
+    user's 12-point track onto the plot grid — hidden states are the 3x3
+    candidate cells around each observation, emission = Manhattan
+    distance to the cell centroid, transition = centroid-to-centroid
+    Manhattan (Newson & Krumm 2009; the track-level upgrade of the
+    reference's per-point plotid_by_latlon resolve). PURE-INTEGER:
+    observations live on a half-milli-cell lattice derived from event_id
+    by exact int arithmetic, so no float exists anywhere. FULL oracle:
+    forward DP unrolled as 11 sequential stages + the backtrack unrolled
+    backwards with the same min(cost*1e6 + r*1000 + c) tie-break."""
+    from extractors_metadata_spark.operators.mapmatch import viterbi_match
+
+    return viterbi_match(_t(spark, sf_dir, "events"))
+
+
 def q_wl_colors(spark, sf_dir):
     """1-WL (Weisfeiler-Leman) color refinement over the zipf link graph,
     3 rounds — the classical structural-role fingerprint (and the
@@ -7457,6 +7473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs": q_dtw_pairs,
         "frechet_pairs": q_frechet_pairs,
         "lcss_pairs": q_lcss_pairs,
+        "viterbi_match": q_viterbi_match,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

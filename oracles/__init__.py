@@ -1958,6 +1958,92 @@ def _dtw_sql(
     """
 
 
+def _viterbi_sql(
+    t_len: int = 12,
+    max_users: int = 40,
+    n_rows: int = 54,
+    n_cols: int = 16,
+) -> str:
+    """operators/mapmatch.viterbi_match mirror: observations from
+    event_id by the same pure-integer half-milli-cell arithmetic, the
+    3x3 grid-clamped candidate sets, the forward DP unrolled as one
+    MATERIALIZED stage per step (stage t reads only stage t-1 — the
+    sequential bpe/cost_distance shape, t_len stages), then the
+    backtrack unrolled BACKWARDS with the same min(cost * 1e6 + r *
+    1000 + c) tie-break encoding the engine uses."""
+    key = 1_000_000
+    last = t_len - 1
+    fwd = []
+    for t in range(1, t_len):
+        fwd.append(f"""
+        v{t} AS MATERIALIZED (
+          SELECT c2.u, c2.r, c2.c,
+                 c2.e + min(p.v + 2000 * (abs(p.r - c2.r) + abs(p.c - c2.c)))
+                   AS v
+          FROM cand c2 JOIN v{t - 1} p ON p.u = c2.u
+          WHERE c2.t = {t}
+          GROUP BY c2.u, c2.r, c2.c, c2.e)""")
+    back = []
+    for t in range(t_len - 2, -1, -1):
+        back.append(f"""
+        pt{t} AS MATERIALIZED (
+          SELECT k.u, (k.key % {key}) // 1000 AS r, k.key % 1000 AS c
+          FROM (
+            SELECT q.u,
+                   min((p.v + 2000 * (abs(p.r - q.r) + abs(p.c - q.c)))
+                       * {key} + p.r * 1000 + p.c) AS key
+            FROM v{t} p JOIN pt{t + 1} q ON p.u = q.u
+            GROUP BY q.u) k)""")
+    ends = "\n          UNION ALL\n".join(
+        f"""          SELECT o.u AS user_id, o.t, o.py // 2000 AS obs_r,
+                 o.px // 2000 AS obs_c, pt{t}.r AS state_r,
+                 pt{t}.c AS state_c, tot.total_cost
+          FROM obs o
+          JOIN pt{t} ON pt{t}.u = o.u
+          JOIN tot ON tot.u = o.u
+          WHERE o.t = {t}"""
+        for t in range(t_len)
+    )
+    return f"""
+        WITH seq AS MATERIALIZED (
+          SELECT user_id, event_id,
+                 (event_id % 1000) * 108 + 54 AS py,
+                 (event_id % 640) * 50 + 25 AS px,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS s
+          FROM events WHERE user_id < {max_users}),
+        obs AS MATERIALIZED (
+          SELECT f.user_id AS u, f.s - 1 AS t, f.py, f.px
+          FROM seq f JOIN (SELECT user_id FROM seq WHERE s <= {t_len}
+                           GROUP BY user_id
+                           HAVING count(*) = {t_len}) ok
+               ON ok.user_id = f.user_id
+          WHERE f.s <= {t_len}),
+        cand AS MATERIALIZED (
+          SELECT o.u, o.t,
+                 (o.py // 2000) + dr AS r, (o.px // 2000) + dc AS c,
+                 abs(o.py - (((o.py // 2000) + dr) * 2000 + 1000))
+                   + abs(o.px - (((o.px // 2000) + dc) * 2000 + 1000)) AS e
+          FROM obs o
+          CROSS JOIN (VALUES (-1), (0), (1)) d1(dr)
+          CROSS JOIN (VALUES (-1), (0), (1)) d2(dc)
+          WHERE (o.py // 2000) + dr BETWEEN 0 AND {n_rows - 1}
+            AND (o.px // 2000) + dc BETWEEN 0 AND {n_cols - 1}),
+        v0 AS MATERIALIZED (
+          SELECT u, r, c, CAST(e AS BIGINT) AS v FROM cand WHERE t = 0),
+        {",".join(fwd)},
+        pe AS MATERIALIZED (
+          SELECT u, min(v * {key} + r * 1000 + c) AS key
+          FROM v{last} GROUP BY u),
+        pt{last} AS MATERIALIZED (
+          SELECT u, (key % {key}) // 1000 AS r, key % 1000 AS c FROM pe),
+        tot AS MATERIALIZED (
+          SELECT u, key // {key} AS total_cost FROM pe),
+        {",".join(back)}
+{ends}
+    """
+
+
 def _sprt_sql(
     success_type: str = "purchase",
     p0: float = 0.10,
@@ -8649,6 +8735,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_pairs": _dtw_sql(30, 24, 6),
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
+        "viterbi_match": _viterbi_sql(12, 40),
         "wl_colors": _wl_refine_sql(3),
         "zipf_fit": r"""
             WITH zt AS (
