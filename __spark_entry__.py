@@ -1074,6 +1074,20 @@ def q_good_turing(spark, sf_dir):
     return good_turing(_t(spark, sf_dir, "documents"), max_r=30)
 
 
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram smoothing statistics (top-200
+    bigrams by count): continuation counts N1+(.w)/N1+(w.) plus the
+    exact rational P_KN numerator/denominator at discount 3/4 — the
+    state-of-the-art count-based LM smoother, emitted as pure int64
+    products so no float exists anywhere (Chen & Goodman 1999). FULL
+    oracle: the same marginal aggregations in SQL."""
+    from extractors_metadata_spark.operators.lm_quality import (
+        kneser_ney_counts,
+    )
+
+    return kneser_ney_counts(_t(spark, sf_dir, "documents"), k=200)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 tf-idf terms (keyword extraction / quality signal);
     score = tf * ln(N/df) with the ranking on the unrounded score and the
@@ -7274,6 +7288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
         "good_turing": q_good_turing,
+        "kneser_ney": q_kneser_ney,
         "vocab_growth": q_vocab_growth,
         "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,

@@ -131,6 +131,71 @@ def ngram_lm_score(
     )
 
 
+def kneser_ney_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 200,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram statistics — the state-of-the-art
+    count-based LM smoother (Kneser & Ney 1995; Chen & Goodman 1999) —
+    as EXACT integers, top-``k`` bigrams by count (ties on (w1, w2)).
+
+    For discount D = 3/4 the interpolated probability
+
+        P(w2|w1) = max(c - D, 0)/c(w1.) + D . N1+(w1.)/c(w1.)
+                                            . N1+(.w2)/N1+(..)
+
+    is the single rational p_num/p_den with
+
+        p_num = max(4c - 3, 0) . N1+(..) + 3 . N1+(w1.) . N1+(.w2)
+        p_den = 4 . c(w1.) . N1+(..)
+
+    — the continuation counts (HOW MANY contexts a word follows, not
+    how often) are what distinguishes KN from the add-1/Good-Turing
+    family, and every term is an int64 product of counts, so the DuckDB
+    oracle replays it exactly (the pack_sequences emit-integers rule).
+
+    Plan: one bigram-keyed hash agg, then three SMALL re-aggs of that
+    frame (history, continuation, type total — each strictly smaller
+    than the bigram frame), two hash joins back + one 1-row broadcast.
+    Scale shape: the only corpus-sized exchange is the first agg; at
+    100 TB the bigram frame is the working set and everything else is
+    its marginals."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    hist = c12.groupBy("w1").agg(
+        F.sum("c").alias("hist_count"),
+        F.count("*").alias("follow_types"),
+    )
+    prec = c12.groupBy("w2").agg(F.count("*").alias("prec_types"))
+    types = c12.agg(F.count("*").alias("bigram_types"))
+    return (
+        c12.join(hist, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.col("hist_count").cast("long").alias("hist_count"),
+            F.col("follow_types").cast("long").alias("follow_types"),
+            F.col("prec_types").cast("long").alias("prec_types"),
+            F.col("bigram_types").cast("long").alias("bigram_types"),
+            (
+                F.greatest(F.col("c") * 4 - 3, F.lit(0))
+                * F.col("bigram_types")
+                + F.lit(3) * F.col("follow_types") * F.col("prec_types")
+            ).cast("long").alias("p_num"),
+            (F.lit(4) * F.col("hist_count") * F.col("bigram_types"))
+            .cast("long")
+            .alias("p_den"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(k)
+    )
+
+
 def ccnet_buckets(
     docs: DataFrame,
     text_col: str = "text",

@@ -8736,6 +8736,36 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
+        "kneser_ney": r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> length(x) > 0) AS arr
+              FROM documents),
+            big AS MATERIALIZED (
+              SELECT doc_id, arr[i + 1] AS w1, arr[i + 2] AS w2
+              FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS i
+                    FROM arrs)),
+            c12 AS MATERIALIZED (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+              FROM big GROUP BY 1, 2),
+            hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS hist_count,
+                            CAST(count(*) AS BIGINT) AS follow_types
+                     FROM c12 GROUP BY 1),
+            prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS prec_types
+                     FROM c12 GROUP BY 1),
+            ty AS (SELECT CAST(count(*) AS BIGINT) AS bigram_types FROM c12)
+            SELECT b.w1, b.w2, b.c, h.hist_count, h.follow_types,
+                   p.prec_types, ty.bigram_types,
+                   greatest(4 * b.c - 3, 0) * ty.bigram_types
+                     + 3 * h.follow_types * p.prec_types AS p_num,
+                   4 * h.hist_count * ty.bigram_types AS p_den
+            FROM c12 b
+            JOIN hist h ON h.w1 = b.w1
+            JOIN prec p ON p.w2 = b.w2
+            CROSS JOIN ty
+            ORDER BY b.c DESC, b.w1, b.w2 LIMIT 200
+        """,
         "wl_colors": _wl_refine_sql(3),
         "zipf_fit": r"""
             WITH zt AS (

@@ -48,3 +48,33 @@ def test_lm_score_train_docs_never_scored(docs):
 
     ids = [r["doc_id"] for r in ngram_lm_score(docs).collect()]
     assert all(i % 2 == 1 for i in ids)
+
+
+def test_kneser_ney_hand_counts(spark):
+    """Hand corpus: the cat / the dog / the the the / ein hund ->
+    c12 = {(the,cat):1,(cat,sat):1,(the,dog):1,(dog,sat):1,
+    (the,the):2,(ein,hund):1}; continuation counts give (the,the)
+    p = ((8-3)*6 + 3*3*1)/(4*4*6) = 39/96 and (the,cat) 15/96."""
+    from extractors_metadata_spark.operators.lm_quality import (
+        kneser_ney_counts,
+    )
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog sat"),
+        (3, "the the the"),
+        (4, "ein hund"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): r for r in kneser_ney_counts(df, k=10).collect()
+    }
+    assert len(out) == 6
+    tt = out[("the", "the")]
+    assert (tt["c"], tt["hist_count"], tt["follow_types"]) == (2, 4, 3)
+    assert (tt["prec_types"], tt["bigram_types"]) == (1, 6)
+    assert (tt["p_num"], tt["p_den"]) == (39, 96)
+    tc = out[("the", "cat")]
+    assert (tc["p_num"], tc["p_den"]) == (15, 96)
+    cs = out[("cat", "sat")]
+    assert (cs["p_num"], cs["p_den"]) == (12, 24)
