@@ -1074,6 +1074,17 @@ def q_good_turing(spark, sf_dir):
     return good_turing(_t(spark, sf_dir, "documents"), max_r=30)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The published Gopher document-quality ruleset (Rae et al. 2021,
+    Table A1) with every ratio decided by integer cross-multiplication —
+    measurements + frozen first-fail reason per document, the doc-level
+    complement of the line-level c4_filters. Pure codegen (zero UDFs,
+    zero shuffles). FULL oracle: identical integer rules in SQL."""
+    from extractors_metadata_spark.operators.corpus import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_kneser_ney(spark, sf_dir):
     """Interpolated Kneser-Ney bigram smoothing statistics (top-200
     bigrams by count): continuation counts N1+(.w)/N1+(w.) plus the
@@ -7289,6 +7300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "good_turing": q_good_turing,
         "kneser_ney": q_kneser_ney,
+        "gopher_rules": q_gopher_rules,
         "vocab_growth": q_vocab_growth,
         "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,

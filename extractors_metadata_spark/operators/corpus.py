@@ -329,6 +329,112 @@ def curation_filter(
     )
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The published Gopher document-quality ruleset (Rae et al. 2021,
+    Table A1) evaluated EXACTLY: every ratio threshold is decided by
+    integer cross-multiplication (3 <= chars/words <= 10 becomes
+    3*words <= chars <= 10*words), so the verdict replays bit-for-bit
+    in any engine — no float exists anywhere.
+
+    Emits the MEASUREMENTS (not just the verdict): word count, summed
+    word chars, alpha-word count, distinct required-stopword hits,
+    symbol (#/ellipsis) count, line/bullet/ellipsis-line counts, plus
+    the frozen first-fail reason — the audit columns a 100 TB curation
+    run logs (the curation_filter discipline; this is the
+    document-level complement of the line-level c4_filters).
+
+    Rule order (first match IS the contract): word_count ->
+    mean_word_length -> symbol_ratio -> bullet_lines -> ellipsis_lines
+    -> alpha_frac -> stopwords -> pass.
+
+    Plan: pure codegen columns off one scan — array ops on the frozen
+    tokenization, zero UDFs, zero shuffles."""
+    arr = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    lines = F.split(F.col(text_col), "\n")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    base = df.select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(arr, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("word_chars"),
+        F.size(
+            F.filter(arr, lambda x: x.rlike("^[a-z]+$"))
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.array_distinct(
+                F.filter(arr, lambda x: F.array_contains(stops, x))
+            )
+        ).cast("long").alias("n_stop_distinct"),
+        (
+            (F.length(text_col)
+             - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit(""))))
+            + F.expr(
+                f"(length({text_col}) - length(replace({text_col}, '...', ''))) div 3"
+            )
+        ).cast("long").alias("n_symbols"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("- ") | x.startswith("* "),
+            )
+        ).cast("long").alias("n_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.endswith("..."))
+        ).cast("long").alias("n_ellipsis_lines"),
+    )
+    reason = (
+        F.when(
+            (F.col("n_words") < 50) | (F.col("n_words") > 100000),
+            "word_count",
+        )
+        .when(
+            (F.col("word_chars") < 3 * F.col("n_words"))
+            | (F.col("word_chars") > 10 * F.col("n_words")),
+            "mean_word_length",
+        )
+        .when(10 * F.col("n_symbols") > F.col("n_words"), "symbol_ratio")
+        .when(
+            10 * F.col("n_bullet_lines") > 9 * F.col("n_lines"),
+            "bullet_lines",
+        )
+        .when(
+            10 * F.col("n_ellipsis_lines") > 3 * F.col("n_lines"),
+            "ellipsis_lines",
+        )
+        .when(5 * F.col("n_alpha") < 4 * F.col("n_words"), "alpha_frac")
+        .when(F.col("n_stop_distinct") < 2, "stopwords")
+        .otherwise("pass")
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "word_chars",
+        "n_alpha",
+        "n_stop_distinct",
+        "n_symbols",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        reason.alias("first_fail"),
+        (reason == "pass").alias("keep"),
+    )
+
+
 def vocab_growth(
     df: DataFrame, n_buckets: int = 10,
     text_col: str = "text", id_col: str = "doc_id",

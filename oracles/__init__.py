@@ -8736,6 +8736,61 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
+        "gopher_rules": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> length(x) > 0) AS arr,
+                     string_split(text, chr(10)) AS lines,
+                     length(text) - length(replace(text, '#', ''))
+                       + (length(text)
+                          - length(replace(text, '...', ''))) // 3
+                       AS n_symbols
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(arr) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(
+                       list_transform(arr, x -> length(x))), 0) AS BIGINT)
+                       AS word_chars,
+                     CAST(len(list_filter(arr,
+                       x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+                       AS n_alpha,
+                     CAST(len(list_distinct(list_filter(arr,
+                       x -> list_contains(['the','be','to','of','and',
+                                           'that','have','with'], x))))
+                       AS BIGINT) AS n_stop_distinct,
+                     CAST(n_symbols AS BIGINT) AS n_symbols,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(lines,
+                       x -> starts_with(x, '- ') OR starts_with(x, '* ')))
+                       AS BIGINT) AS n_bullet_lines,
+                     CAST(len(list_filter(lines,
+                       x -> ends_with(x, '...'))) AS BIGINT)
+                       AS n_ellipsis_lines
+              FROM base),
+            r AS (
+              SELECT m.*,
+                     CASE
+                       WHEN n_words < 50 OR n_words > 100000
+                         THEN 'word_count'
+                       WHEN word_chars < 3 * n_words
+                            OR word_chars > 10 * n_words
+                         THEN 'mean_word_length'
+                       WHEN 10 * n_symbols > n_words THEN 'symbol_ratio'
+                       WHEN 10 * n_bullet_lines > 9 * n_lines
+                         THEN 'bullet_lines'
+                       WHEN 10 * n_ellipsis_lines > 3 * n_lines
+                         THEN 'ellipsis_lines'
+                       WHEN 5 * n_alpha < 4 * n_words THEN 'alpha_frac'
+                       WHEN n_stop_distinct < 2 THEN 'stopwords'
+                       ELSE 'pass' END AS first_fail
+              FROM m)
+            SELECT doc_id, n_words, word_chars, n_alpha, n_stop_distinct,
+                   n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+                   first_fail, first_fail = 'pass' AS keep
+            FROM r
+        """,
         "kneser_ney": r"""
             WITH arrs AS (
               SELECT doc_id,

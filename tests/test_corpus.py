@@ -147,3 +147,46 @@ def test_pii_redact_masks_and_order(spark):
     assert got[1] == "see <URL> ok"
     assert got[2] == "call <PHONE> today"
     assert got[3] == "plain text stays untouched"
+
+
+def test_gopher_rules_first_fail_branches(spark):
+    """One doc per rule branch, first-match order pinned. The passing
+    doc needs >= 50 words, mean length in [3,10], two distinct required
+    stopwords, and >= 80% alpha words."""
+    ok_words = ("the and " + "word " * 48).strip()          # 50 words
+    rows = [
+        (0, ok_words),                                       # pass
+        (1, "short doc"),                                    # word_count
+        (2, ("a " * 50).strip()),                            # mean length 1 < 3
+        # '####' words are len 4 so mean length passes; 192 '#' symbols
+        # against 50 words trip 10 * n_symbols > n_words
+        (3, ("the and " + "#### " * 48).strip()),
+        # 10 of 11 lines are bullets: 10 * 10 > 9 * 11
+        (4, "\n".join(["- b"] * 10) + "\n" + ok_words),
+    ]
+    from extractors_metadata_spark.operators.corpus import gopher_rules
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[0]["first_fail"] == "pass" and out[0]["keep"]
+    assert out[1]["first_fail"] == "word_count"
+    assert out[2]["first_fail"] == "mean_word_length"
+    assert out[3]["first_fail"] == "symbol_ratio"
+    assert out[4]["first_fail"] == "bullet_lines"
+    assert out[0]["n_words"] == 50 and out[0]["n_stop_distinct"] == 2
+
+
+def test_gopher_rules_alpha_and_stopword_gates(spark):
+    """alpha_frac: 50 words with 11 digit-words -> 39/50 < 80%;
+    stopwords: 50 alpha words with only 'the' -> n_stop_distinct 1."""
+    from extractors_metadata_spark.operators.corpus import gopher_rules
+
+    alpha_bad = ("the and " + "word " * 37 + "123 " * 11).strip()
+    stop_bad = ("the " + "word " * 49).strip()
+    df = spark.createDataFrame(
+        [(0, alpha_bad), (1, stop_bad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[0]["first_fail"] == "alpha_frac"
+    assert out[1]["first_fail"] == "stopwords"
+    assert out[1]["n_stop_distinct"] == 1
