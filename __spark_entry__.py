@@ -7026,6 +7026,32 @@ def q_lcss_pairs(spark, sf_dir):
     return lcss_pairs(user_tracks(pts), eps=80)
 
 
+def q_track_diameter(spark, sf_dir):
+    """Per-user track diameter: max squared separation between distinct
+    visited positions (first 64 points, nanodegree quantize-once ints)
+    plus the achieving pair under the frozen lexicographic tie-break —
+    the maximum-displacement span sibling of radius_gyration, all int64
+    (no sqrt, no float). Engine: capped distinct self-join + min_by
+    composite argmax (pairs bounded 64^2 per key, never data-squared).
+    FULL oracle: the same pair join with the row_number composite-argmax
+    pattern (DuckDB min_by rejects struct vals)."""
+    from extractors_metadata_spark.operators.trajectory import (
+        track_diameter,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", lat, lon
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("px"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("py"),
+    )
+    return track_diameter(e, max_len=64)
+
+
 def q_viterbi_match(spark, sf_dir):
     """Viterbi HMM map-matching (operators/mapmatch): jointly decode each
     user's 12-point track onto the plot grid — hidden states are the 3x3
@@ -7501,6 +7527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_pairs": q_frechet_pairs,
         "lcss_pairs": q_lcss_pairs,
         "viterbi_match": q_viterbi_match,
+        "track_diameter": q_track_diameter,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

@@ -179,6 +179,80 @@ def track_crossings(
     )
 
 
+def track_diameter(
+    pts: DataFrame,
+    max_len: int = 64,
+    user_col: str = "user_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key track diameter -> (user_id, n_pts, d2, ax, ay, bx, by):
+    the maximum squared Euclidean separation between any two DISTINCT
+    visited positions (the mobility literature's maximum displacement,
+    the span sibling of radius_gyration), plus the achieving pair.
+
+    Bounds ARE the semantics: the first ``max_len`` points by
+    ``order_cols`` (the dtw trace-segmentation cap), deduplicated; keys
+    with < 2 distinct positions have no pair and are excluded by
+    definition. Squared int64 distances only — no sqrt, no float.
+
+    Tie-break (frozen): among max-d2 pairs the lexicographically least
+    (ax, ay, bx, by), with each pair oriented (a < b) by (x, y).
+
+    Plan: cap window -> distinct -> one self-equi-join on the key
+    (pairs bounded at max_len^2 per key, never data-squared) -> one
+    min_by composite argmax (the repo's no-window top-1 rule). Zero
+    UDFs, pure codegen."""
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    p = (
+        pts.withColumn("_s", F.row_number().over(w))
+        .filter(F.col("_s") <= max_len)
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .distinct()
+    )
+    a = p.select("u", F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = p.select("u", F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(b, "u").filter(
+        (F.col("ax") < F.col("bx"))
+        | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    n = p.groupBy("u").agg(F.count("*").alias("n_pts"))
+    best = (
+        pairs.withColumn("_d2", d2)
+        .groupBy("u")
+        .agg(
+            F.max("_d2").alias("d2"),
+            F.min_by(
+                F.struct("ax", "ay", "bx", "by"),
+                F.struct(
+                    (-F.col("_d2")).alias("k0"),
+                    F.col("ax").alias("k1"),
+                    F.col("ay").alias("k2"),
+                    F.col("bx").alias("k3"),
+                    F.col("by").alias("k4"),
+                ),
+            ).alias("p"),
+        )
+    )
+    return best.join(n, "u").select(
+        F.col("u").alias("user_id"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("p.ax").alias("ax"),
+        F.col("p.ay").alias("ay"),
+        F.col("p.bx").alias("bx"),
+        F.col("p.by").alias("by"),
+    )
+
+
 def octant_sector(dx, dy):
     """Column: compass octant 0..7 of an integer step vector (dx, dy),
     half-open sectors [k*45, (k+1)*45) counterclockwise from east —

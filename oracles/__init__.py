@@ -8736,6 +8736,35 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
+        "track_diameter": f"""
+            WITH seq AS MATERIALIZED (
+              SELECT user_id AS u,
+                     CAST(round_even(({LON_IN}) * 1000000000.0, 0)
+                       AS BIGINT) AS x,
+                     CAST(round_even(({LAT_IN}) * 1000000000.0, 0)
+                       AS BIGINT) AS y,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS s
+              FROM events),
+            pts AS MATERIALIZED (
+              SELECT DISTINCT u, x, y FROM seq WHERE s <= 64),
+            n AS (SELECT u, CAST(count(*) AS BIGINT) AS n_pts
+                  FROM pts GROUP BY u),
+            pr AS (
+              SELECT a.u, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS "by",
+                     (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM pts a JOIN pts b ON a.u = b.u
+               AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+            rk AS (SELECT pr.*,
+                          row_number() OVER (
+                            PARTITION BY u
+                            ORDER BY d2 DESC, ax, ay, bx, "by") AS rn
+                   FROM pr)
+            SELECT rk.u AS user_id, n.n_pts, rk.d2, rk.ax, rk.ay,
+                   rk.bx, rk."by"
+            FROM rk JOIN n ON n.u = rk.u WHERE rk.rn = 1
+        """,
         "gopher_rules": r"""
             WITH base AS (
               SELECT doc_id,

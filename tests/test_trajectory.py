@@ -102,3 +102,39 @@ def test_plan_shape_partial_agg_before_leg_exchange(spark):
     partial = plan.index("partial_sum")
     assert partial > leg_xchg  # plan prints top-down: partial agg is BELOW
     assert plan.index("ArrowEvalPython") > leg_xchg
+
+
+def test_track_diameter_pair_and_tiebreak(spark):
+    """Hand pairs: {(0,0),(10,0),(0,10),(7,7)} -> diameter pair is the
+    (0,10)-(10,0) diagonal (d2=200); a full square has TWO d2=200
+    diagonals and the frozen tie-break picks (0,0,10,10); keys with < 2
+    distinct positions are excluded (duplicates collapse)."""
+    import datetime as dt
+
+    from extractors_metadata_spark.operators.trajectory import (
+        track_diameter,
+    )
+
+    def rows(u, pts):
+        return [
+            (u, i, dt.datetime(2016, 5, 1, 0, 0, i), x, y)
+            for i, (x, y) in enumerate(pts)
+        ]
+
+    data = (
+        rows(0, [(0, 0), (10, 0), (0, 10), (7, 7)])
+        + rows(1, [(0, 0), (0, 10), (10, 0), (10, 10)])
+        + rows(2, [(5, 5), (5, 5)])
+    )
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, px long, py long"
+    )
+    out = {r["user_id"]: r for r in track_diameter(df).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert (r0["n_pts"], r0["d2"]) == (4, 200)
+    assert (r0["ax"], r0["ay"], r0["bx"], r0["by"]) == (0, 10, 10, 0)
+    r1 = out[1]
+    assert (r1["d2"], r1["ax"], r1["ay"], r1["bx"], r1["by"]) == (
+        200, 0, 0, 10, 10,
+    )
