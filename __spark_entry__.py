@@ -7052,6 +7052,20 @@ def q_track_diameter(spark, sf_dir):
     return track_diameter(e, max_len=64)
 
 
+def q_join_counts(spark, sf_dir):
+    """Join-count statistics over the plot-grid occupancy surface
+    (Cliff & Ord 1981): black = above-average event occupancy (the
+    cross-multiplied integer predicate), BB/WW/BW rook-adjacency counts
+    plus the hypergeometric expectations as exact rationals — the
+    binary complement of local_moran, no float anywhere. FULL oracle:
+    the same lattice/edge generators and integer rules in SQL."""
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        join_counts,
+    )
+
+    return join_counts(_t(spark, sf_dir, "events"))
+
+
 def q_viterbi_match(spark, sf_dir):
     """Viterbi HMM map-matching (operators/mapmatch): jointly decode each
     user's 12-point track onto the plot grid — hidden states are the 3x3
@@ -7528,6 +7542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcss_pairs": q_lcss_pairs,
         "viterbi_match": q_viterbi_match,
         "track_diameter": q_track_diameter,
+        "join_counts": q_join_counts,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

@@ -77,3 +77,113 @@ def local_moran(
             F.coalesce(F.col("_lag"), F.lit(0)).cast("long").alias("lag"),
         )
     )
+
+
+def join_counts(
+    events: DataFrame,
+    n_rows: int = 54,
+    n_cols: int = 16,
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord 1981) — the BINARY complement
+    of local_moran: classify every plot-grid cell black/white by
+    above-average event occupancy, count BB / WW / BW rook adjacencies,
+    and emit the nonfree-sampling (hypergeometric) expectations as
+    exact rationals over the common denominator n(n-1).  BW far below
+    its expectation = black cells clump (the crawl-hotspot /
+    field-disease spatial test at its simplest).
+
+    Exactness: cells come from event_id by the mapmatch half-milli-cell
+    integer arithmetic; "black" is the cross-multiplied integer
+    predicate n_cells * cnt >= total (above-average occupancy — scale
+    free, so the surface stays mixed at any SF); the lattice, its rook
+    edge set (n_rows*(n_cols-1) + (n_rows-1)*n_cols edges), and every
+    expectation numerator are int64.  No float exists anywhere.
+
+    Plan: one cell-keyed count agg over the data; the 864-cell lattice
+    and its edge set are generated frames (spark.range, no data scan);
+    flags broadcast onto the edges (two dim-joins inside codegen); one
+    1-row final agg.  Scale shape: the only data-sized exchange is the
+    first count; everything after is O(lattice)."""
+    n_cells = n_rows * n_cols
+    n_edges = n_rows * (n_cols - 1) + (n_rows - 1) * n_cols
+    spark = events.sparkSession
+    cnts = (
+        events.select(
+            F.expr("((event_id % 1000) * 108 + 54) div 2000").alias("r"),
+            F.expr("((event_id % 640) * 50 + 25) div 2000").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = events.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lat = (
+        spark.range(n_rows)
+        .select(F.col("id").alias("r"))
+        .crossJoin(spark.range(n_cols).select(F.col("id").alias("c")))
+    )
+    flags = (
+        lat.join(cnts, ["r", "c"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            F.when(
+                F.lit(n_cells) * F.coalesce(F.col("cnt"), F.lit(0))
+                >= F.col("n"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("b"),
+        )
+    )
+    edges = (
+        lat.filter(F.col("r") < n_rows - 1)
+        .select("r", "c", (F.col("r") + 1).alias("r2"), F.col("c").alias("c2"))
+        .unionByName(
+            lat.filter(F.col("c") < n_cols - 1).select(
+                "r", "c", F.col("r").alias("r2"), (F.col("c") + 1).alias("c2")
+            )
+        )
+    )
+    je = (
+        edges.join(
+            F.broadcast(flags.select("r", "c", F.col("b").alias("b1"))),
+            ["r", "c"],
+        )
+        .join(
+            F.broadcast(
+                flags.select(
+                    F.col("r").alias("r2"),
+                    F.col("c").alias("c2"),
+                    F.col("b").alias("b2"),
+                )
+            ),
+            ["r2", "c2"],
+        )
+        .agg(
+            F.sum(F.col("b1") * F.col("b2")).alias("bb"),
+            F.sum((1 - F.col("b1")) * (1 - F.col("b2"))).alias("ww"),
+            F.sum(
+                F.col("b1") + F.col("b2") - 2 * F.col("b1") * F.col("b2")
+            ).alias("bw"),
+        )
+    )
+    nb = flags.agg(F.sum("b").alias("n_black"))
+    j, n = F.lit(n_edges).cast("long"), F.lit(n_cells).cast("long")
+    black = F.col("n_black").cast("long")
+    white = (n - black)
+    return (
+        je.crossJoin(F.broadcast(nb))
+        .select(
+            n.alias("n_cells"),
+            j.alias("n_edges"),
+            black.alias("n_black"),
+            F.col("bb").cast("long").alias("bb"),
+            F.col("ww").cast("long").alias("ww"),
+            F.col("bw").cast("long").alias("bw"),
+            (j * black * (black - 1)).alias("e_bb_num"),
+            (j * white * (white - 1)).alias("e_ww_num"),
+            (F.lit(2).cast("long") * j * black * white).alias("e_bw_num"),
+            (n * (n - 1)).alias("e_den"),
+        )
+    )

@@ -8736,6 +8736,43 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
+        "join_counts": """
+            WITH cnts AS (
+              SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
+                     ((event_id % 640) * 50 + 25) // 2000 AS c,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+            lat AS (SELECT t1.range AS r, t2.range AS c
+                    FROM range(54) t1, range(16) t2),
+            flags AS (
+              SELECT l.r, l.c,
+                     CASE WHEN 864 * coalesce(cn.cnt, 0)
+                            >= (SELECT n FROM tot)
+                          THEN 1 ELSE 0 END AS b
+              FROM lat l LEFT JOIN cnts cn ON cn.r = l.r AND cn.c = l.c),
+            edges AS (
+              SELECT r, c, r + 1 AS r2, c AS c2 FROM lat WHERE r < 53
+              UNION ALL
+              SELECT r, c, r AS r2, c + 1 AS c2 FROM lat WHERE c < 15),
+            je AS (
+              SELECT CAST(sum(f1.b * f2.b) AS BIGINT) AS bb,
+                     CAST(sum((1 - f1.b) * (1 - f2.b)) AS BIGINT) AS ww,
+                     CAST(sum(f1.b + f2.b - 2 * f1.b * f2.b) AS BIGINT)
+                       AS bw
+              FROM edges e
+              JOIN flags f1 ON f1.r = e.r AND f1.c = e.c
+              JOIN flags f2 ON f2.r = e.r2 AND f2.c = e.c2),
+            bcnt AS (SELECT CAST(sum(b) AS BIGINT) AS nb FROM flags)
+            SELECT CAST(864 AS BIGINT) AS n_cells,
+                   CAST(1658 AS BIGINT) AS n_edges,
+                   nb AS n_black, bb, ww, bw,
+                   1658 * nb * (nb - 1) AS e_bb_num,
+                   1658 * (864 - nb) * (863 - nb) AS e_ww_num,
+                   2 * 1658 * nb * (864 - nb) AS e_bw_num,
+                   CAST(864 * 863 AS BIGINT) AS e_den
+            FROM je, bcnt
+        """,
         "track_diameter": f"""
             WITH seq AS MATERIALIZED (
               SELECT user_id AS u,

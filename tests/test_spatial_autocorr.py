@@ -51,3 +51,26 @@ def test_phantom_neighbors_not_emitted(spark):
     # neighbors-of-real-cells that hold no points must not appear as rows
     out = local_moran(_rows(spark, [(2, 2, 9)])).collect()
     assert len(out) == 1 and out[0].w_deg == 0 and out[0].lag == 0
+
+
+def test_join_counts_single_black_cell(spark):
+    """Four events at event_id 0 -> only cell (0,0) is black (864*4 >=
+    4; empty cells fail 0 >= 4). Its two rook edges are BW; the other
+    1656 are WW; expectations follow the hypergeometric closed form."""
+    import datetime as dt
+
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        join_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(u, 0, dt.datetime(2016, 5, 1)) for u in range(4)],
+        "user_id long, event_id long, ts timestamp",
+    )
+    r = join_counts(df).collect()[0]
+    assert (r["n_cells"], r["n_edges"], r["n_black"]) == (864, 1658, 1)
+    assert (r["bb"], r["ww"], r["bw"]) == (0, 1656, 2)
+    assert r["e_bb_num"] == 0
+    assert r["e_ww_num"] == 1658 * 863 * 862
+    assert r["e_bw_num"] == 2 * 1658 * 863
+    assert r["e_den"] == 864 * 863
