@@ -614,6 +614,26 @@ def q_langid_confusion(spark, sf_dir):
     )
 
 
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa over the language-ID confusion matrix — chance-
+    corrected classifier agreement as the exact rational (N*agree -
+    sum row*col) / (N^2 - sum row*col), pure int64 (accuracy flatters
+    under class imbalance; kappa discounts the marginal-preserving
+    random rater). Composes langid_confusion's exact cells with
+    operators/assoc.cohens_kappa. FULL oracle: the same marginal
+    products in SQL."""
+    from extractors_metadata_spark.functions import textstats as ts
+    from extractors_metadata_spark.operators.assoc import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    conf = (
+        d.select("lang", ts.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cohens_kappa(conf, "lang", "pred_lang", "n")
+
+
 def q_quality_score(spark, sf_dir):
     from extractors_metadata_spark.functions import textstats as ts
 
@@ -7476,6 +7496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_lags": q_ccf_lags,
         "getis_ord": q_getis_ord,
         "langid_confusion": q_langid_confusion,
+        "cohens_kappa": q_cohens_kappa,
         "radius_gyration": q_radius_gyration,
         "mobility_entropy": q_mobility_entropy,
         "hill_tail": q_hill_tail,

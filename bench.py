@@ -388,6 +388,21 @@ def main() -> None:
         # (warc_parse / quadkey_encode are row-preserving projections and
         # ingest_gate's screens are prunable columns over unique-key inner
         # joins — count-prunable, NOT timed, CLAUDE.md count() rule.)
+        # session-8 additions: good_turing's count() is the number of
+        # distinct low frequencies out of two stacked aggs; kneser_ney's
+        # top-200 TakeOrdered sits on the bigram agg + two inner marginal
+        # joins (cardinality unprovable -> joins execute).
+        "good_turing", "kneser_ney",
+        # viterbi_match's count() is the obs x decoded-step join, whose
+        # cardinality comes from posexploding the Viterbi UDF output —
+        # the DP executes. track_diameter's count() is the per-user best
+        # frame: the pair self-join + composite argmax execute.
+        "viterbi_match", "track_diameter",
+        # join_counts is one row out of the full lattice/edge agg chain.
+        "join_counts",
+        # (gopher_rules is a row-preserving projection — count-prunable,
+        # NOT timed; lcss_pairs shares dtw_pairs' prunable-UDF plan —
+        # NOT timed, same rule.)
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

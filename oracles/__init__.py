@@ -7612,6 +7612,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2
         """,
+        "cohens_kappa": f"""
+            WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS pad
+                       FROM documents),
+            p AS (
+              SELECT lang,
+                     CASE WHEN ({en_sum}) > ({de_sum}) AND ({en_sum}) > 0 THEN 'en'
+                          WHEN ({de_sum}) > ({en_sum}) AND ({de_sum}) > 0 THEN 'de'
+                          ELSE 'unknown' END AS pred_lang
+              FROM t),
+            conf AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+                     FROM p GROUP BY 1, 2),
+            rows_m AS (SELECT lang AS lbl, CAST(sum(n) AS BIGINT) AS row_n
+                       FROM conf GROUP BY 1),
+            cols_m AS (SELECT pred_lang AS lbl, CAST(sum(n) AS BIGINT) AS col_n
+                       FROM conf GROUP BY 1),
+            ch AS (SELECT CAST(sum(coalesce(r.row_n, 0)
+                                   * coalesce(c.col_n, 0)) AS BIGINT)
+                            AS chance_num
+                   FROM rows_m r FULL JOIN cols_m c ON c.lbl = r.lbl),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                          CAST(sum(CASE WHEN lang = pred_lang THEN n
+                                        ELSE 0 END) AS BIGINT) AS n_agree
+                   FROM conf)
+            SELECT n_total, n_agree, chance_num,
+                   n_total * n_agree - chance_num AS kappa_num,
+                   n_total * n_total - chance_num AS kappa_den
+            FROM tt, ch
+        """,
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
