@@ -7072,6 +7072,33 @@ def q_track_diameter(spark, sf_dir):
     return track_diameter(e, max_len=64)
 
 
+def q_polyline_encode(spark, sf_dir):
+    """Encoded Polyline (polyline6) serialization of every user's track
+    — the web-mapping wire format (Maps/OSRM/Valhalla), emitted
+    character-for-character from micro-degree quantize-once ints: delta
+    -> zigzag -> 5-bit continuation chunks -> ASCII+63. Output
+    round-trips through any public polyline6 decoder. FULL oracle: the
+    chunk loop unrolled to 7 fixed CASE stages per value, string_agg
+    ordered."""
+    from extractors_metadata_spark.operators.dtw import user_tracks
+    from extractors_metadata_spark.operators.polyline import (
+        polyline_tracks,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", lat, lon
+    )
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.bround(F.col("lon") * 1000000.0, 0).cast("long").alias("qx"),
+        F.bround(F.col("lat") * 1000000.0, 0).cast("long").alias("qy"),
+    )
+    return polyline_tracks(user_tracks(pts))
+
+
 def q_join_counts(spark, sf_dir):
     """Join-count statistics over the plot-grid occupancy surface
     (Cliff & Ord 1981): black = above-average event occupancy (the
@@ -7564,6 +7591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_match": q_viterbi_match,
         "track_diameter": q_track_diameter,
         "join_counts": q_join_counts,
+        "polyline_encode": q_polyline_encode,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

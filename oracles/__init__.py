@@ -2044,6 +2044,60 @@ def _viterbi_sql(
     """
 
 
+def _polyline_sql(max_len: int = 24) -> str:
+    """operators/polyline.polyline_tracks mirror: same capped ordered
+    tracks and micro-degree round_even quantize, delta -> zigzag ->
+    5-bit chunk emission unrolled to 7 fixed CASE stages per value
+    (chunk i is final iff value >> 5(i+1) = 0; empty iff the value ran
+    out and i > 0), string_agg ORDER BY the sequence."""
+
+    def chunks(col: str) -> str:
+        parts = []
+        for i in range(7):
+            sh = 5 * i
+            final = f"chr(CAST(63 + (({col} >> {sh}) & 31) AS INTEGER))"
+            cont = f"chr(CAST(95 + (({col} >> {sh}) & 31) AS INTEGER))"
+            if i == 0:
+                parts.append(
+                    f"CASE WHEN ({col} >> 5) = 0 THEN {final} ELSE {cont} END"
+                )
+            else:
+                parts.append(
+                    f"""CASE WHEN ({col} >> {sh}) = 0 THEN ''
+                         WHEN ({col} >> {sh + 5}) = 0 THEN {final}
+                         ELSE {cont} END"""
+                )
+        return " || ".join(parts)
+
+    return f"""
+        WITH seqp AS MATERIALIZED (
+          SELECT user_id AS u,
+                 CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) AS qy,
+                 CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) AS qx,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS s
+          FROM events),
+        tp AS MATERIALIZED (
+          SELECT u, qy, qx, s FROM seqp WHERE s <= {max_len}),
+        dl AS (
+          SELECT u, s,
+                 qy - coalesce(lag(qy) OVER w, 0) AS dy,
+                 qx - coalesce(lag(qx) OVER w, 0) AS dx
+          FROM tp WINDOW w AS (PARTITION BY u ORDER BY s)),
+        zz AS (
+          SELECT u, s,
+                 CASE WHEN dy < 0 THEN (-dy) * 2 - 1 ELSE dy * 2 END AS sy,
+                 CASE WHEN dx < 0 THEN (-dx) * 2 - 1 ELSE dx * 2 END AS sx
+          FROM dl),
+        enc AS (
+          SELECT u, s, ({chunks("sy")}) || ({chunks("sx")}) AS pt
+          FROM zz)
+        SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_pts,
+               string_agg(pt, '' ORDER BY s) AS polyline
+        FROM enc GROUP BY u
+    """
+
+
 def _sprt_sql(
     success_type: str = "purchase",
     p0: float = 0.10,
@@ -8764,6 +8818,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
+        "polyline_encode": _polyline_sql(24),
         "join_counts": """
             WITH cnts AS (
               SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
