@@ -7072,6 +7072,26 @@ def q_track_diameter(spark, sf_dir):
     return track_diameter(e, max_len=64)
 
 
+def q_str_pack(spark, sf_dir):
+    """STR R-tree bulk-load packing (Leutenegger et al. 1997) of the
+    event point set into 64-capacity leaves -> packed leaf table with
+    exact MBRs — the canonical spatial-partitioning recipe a 100 TB
+    spatial join range-prunes against (the SpatialHadoop/Sedona layout).
+    Global x-rank via the honest two-phase distributed pattern (range
+    partition + broadcast offsets, never a one-partition window); pure
+    integer slice/leaf arithmetic (exact isqrt ceil). FULL oracle:
+    plain row_number ranks + the same integer cuts in SQL."""
+    from extractors_metadata_spark.operators.strpack import str_pack
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon).select(
+        "event_id",
+        F.bround(F.col("lon") * 1000000.0, 0).cast("long").alias("x"),
+        F.bround(F.col("lat") * 1000000.0, 0).cast("long").alias("y"),
+    )
+    return str_pack(e, cap=64, id_col="event_id")
+
+
 def q_polyline_encode(spark, sf_dir):
     """Encoded Polyline (polyline6) serialization of every user's track
     — the web-mapping wire format (Maps/OSRM/Valhalla), emitted
@@ -7592,6 +7612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_diameter": q_track_diameter,
         "join_counts": q_join_counts,
         "polyline_encode": q_polyline_encode,
+        "str_pack": q_str_pack,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

@@ -8819,6 +8819,39 @@ def oracle_sql() -> dict[str, str]:
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
+        "str_pack": f"""
+            WITH pts AS MATERIALIZED (
+              SELECT event_id AS id,
+                     CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT)
+                       AS x,
+                     CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT)
+                       AS y
+              FROM events),
+            par AS (
+              SELECT (nn + 63) // 64 AS L,
+                     CAST(floor(sqrt(CAST((nn + 63) // 64 AS DOUBLE)))
+                       AS BIGINT) AS s0
+              FROM (SELECT CAST(count(*) AS BIGINT) AS nn FROM pts)),
+            p2 AS (SELECT CASE WHEN s0 * s0 < L THEN s0 + 1 ELSE s0 END AS sc
+                   FROM par),
+            r1 AS (SELECT id, x, y,
+                          row_number() OVER (ORDER BY x, y, id) AS rk
+                   FROM pts),
+            sl AS (SELECT r1.id, r1.x, r1.y,
+                          (r1.rk - 1) // (p2.sc * 64) AS sid, p2.sc AS sc
+                   FROM r1, p2),
+            r2 AS (SELECT sl.*,
+                          row_number() OVER (PARTITION BY sid
+                                             ORDER BY y, x, id) AS rs
+                   FROM sl),
+            lf AS (SELECT sid * sc + (rs - 1) // 64 AS leaf_id, x, y
+                   FROM r2)
+            SELECT CAST(leaf_id AS BIGINT) AS leaf_id,
+                   CAST(count(*) AS BIGINT) AS n_pts,
+                   min(x) AS min_x, min(y) AS min_y,
+                   max(x) AS max_x, max(y) AS max_y
+            FROM lf GROUP BY 1
+        """,
         "join_counts": """
             WITH cnts AS (
               SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
