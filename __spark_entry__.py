@@ -7072,6 +7072,21 @@ def q_track_diameter(spark, sf_dir):
     return track_diameter(e, max_len=64)
 
 
+def q_bowtie_classes(spark, sf_dir):
+    """Bow-tie decomposition of the zipf link graph (Broder et al.,
+    WWW 2000 — the web-graph macro structure): from the max-degree hub
+    seed, 4-hop forward AND backward directed reachability classify
+    nodes core / in / out / disconnected (bounds ARE the semantics —
+    the k_hop discipline). FULL oracle: two directed delta-BFS unrolls
+    + the 4-way CASE in SQL."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        bowtie_classes,
+        zipf_link_graph,
+    )
+
+    return bowtie_classes(zipf_link_graph(_t(spark, sf_dir, "events")))
+
+
 def q_str_pack(spark, sf_dir):
     """STR R-tree bulk-load packing (Leutenegger et al. 1997) of the
     event point set into 64-capacity leaves -> packed leaf table with
@@ -7613,6 +7628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "polyline_encode": q_polyline_encode,
         "str_pack": q_str_pack,
+        "bowtie_classes": q_bowtie_classes,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

@@ -314,27 +314,33 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     return cur
 
 
-def k_hop(edges: DataFrame, seeds: DataFrame, hops: int = 4) -> DataFrame:
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
     """(node, hop): minimum-hop distance from the seed set over the
-    UNDIRECTED graph, bounded to ``hops`` rounds — the crawl-frontier /
-    blast-radius primitive.  Delta BFS: each round expands only the
-    NEWLY discovered frontier (settled nodes are never re-joined, so
-    total join work is sum over rounds of frontier-adjacent edges, not
-    rounds x graph); discovery joins are node-keyed equi-joins against
-    the symmetrized edge table, anti-join settles the delta.  Rounds
-    localCheckpoint (tiny JVM-only iterative frames) and the loop
-    early-exits when a frontier drains.  ``seeds``: (node) frame, hop 0.
-    Exact ints everywhere; the oracle unrolls rounds as generated CTE
-    stages (EXCEPT set-difference == the anti-join)."""
+    UNDIRECTED graph (``directed=True`` follows src->dst arcs only —
+    the bowtie_classes reachability mode), bounded to ``hops`` rounds —
+    the crawl-frontier / blast-radius primitive.  Delta BFS: each round
+    expands only the NEWLY discovered frontier (settled nodes are never
+    re-joined, so total join work is sum over rounds of
+    frontier-adjacent edges, not rounds x graph); discovery joins are
+    node-keyed equi-joins against the (symmetrized) edge table,
+    anti-join settles the delta.  Rounds localCheckpoint (tiny JVM-only
+    iterative frames) and the loop early-exits when a frontier drains.
+    ``seeds``: (node) frame, hop 0.  Exact ints everywhere; the oracle
+    unrolls rounds as generated CTE stages (EXCEPT set-difference ==
+    the anti-join)."""
+    el = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     sym = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionByName(
-            edges.filter(F.col("src") != F.col("dst"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        el
+        if directed
+        else el.unionByName(
+            el.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
-    )
+    ).distinct()
     settled = seeds.select(
         F.col("node").cast("long").alias("node"), F.lit(0).alias("hop")
     ).localCheckpoint(eager=True)
@@ -755,3 +761,64 @@ def wl_refine(edges: DataFrame, rounds: int = 3) -> DataFrame:
             "node", mix31(poly_hash(F.col("sig"))).alias("c")
         )
     return colors.select("node", F.col("c").alias("wl_color"))
+
+
+def bowtie_classes(edges: DataFrame, hops: int = 4) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., WWW
+    2000 — THE web-graph macro structure) -> (cls, n_nodes): from the
+    hub seed (max total degree, ties to the smaller node id), nodes
+    forward- AND backward-reachable within ``hops`` arcs are the 'core'
+    (the seed's bounded SCC), backward-only is 'in' (pages that reach
+    the core), forward-only is 'out' (pages the core reaches), the rest
+    'disconnected'. Bounds ARE the semantics (hop-``hops`` bow-tie —
+    the k_truss/k_hop bounded-rounds discipline).
+
+    Plan: one degree agg -> 1-row seed dim; two directed delta-BFS
+    passes (k_hop directed mode: settled nodes never re-join); two
+    broadcast flag joins onto the node universe; one 4-group agg.
+    Exact ints everywhere."""
+    el = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        el.select(F.col("src").alias("node"))
+        .unionByName(el.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    seed = (
+        deg.orderBy(F.col("deg").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    fwd = k_hop(el, seed, hops=hops, directed=True).select(
+        "node", F.lit(1).alias("f")
+    )
+    rev = el.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = k_hop(rev, seed, hops=hops, directed=True).select(
+        "node", F.lit(1).alias("b")
+    )
+    cls = (
+        nodes.join(F.broadcast(fwd), "node", "left")
+        .join(F.broadcast(bwd), "node", "left")
+        .select(
+            F.when(
+                F.col("f").isNotNull() & F.col("b").isNotNull(), "core"
+            )
+            .when(F.col("b").isNotNull(), "in")
+            .when(F.col("f").isNotNull(), "out")
+            .otherwise("disconnected")
+            .alias("cls")
+        )
+    )
+    return cls.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

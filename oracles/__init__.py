@@ -2044,6 +2044,67 @@ def _viterbi_sql(
     """
 
 
+def _bowtie_sql(hops: int = 4) -> str:
+    """operators/linkgraph.bowtie_classes mirror: the zipf edge map,
+    max-degree seed (row_number tie-break), TWO directed delta-BFS
+    unrolls (forward on src->dst, backward on the reversed arcs — the
+    _k_hop_sql stage recipe without symmetrization), the 4-way class
+    CASE, one group count."""
+
+    def stages(tag: str, src: str, dst: str) -> tuple[list[str], str]:
+        out = []
+        prev_s, prev_f = f"{tag}0", f"{tag}0"
+        for i in range(1, hops + 1):
+            out.append(f"""
+        {tag}n{i} AS (
+          SELECT DISTINCT el.{dst} AS node
+          FROM el JOIN {prev_f} f ON el.{src} = f.node),
+        {tag}new{i} AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT node FROM {tag}n{i}
+            EXCEPT SELECT node FROM {prev_s}) q),
+        {tag}{i} AS MATERIALIZED (
+          SELECT node FROM {prev_s}
+          UNION ALL SELECT node FROM {tag}new{i})""")
+            prev_s, prev_f = f"{tag}{i}", f"{tag}new{i}"
+        return out, prev_s
+
+    fw, flast = stages("fw", "src", "dst")
+    bw, blast = stages("bw", "dst", "src")
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        el AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst AS node FROM edges) q),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT src AS node FROM el
+            UNION ALL SELECT dst AS node FROM el) q GROUP BY 1),
+        sd AS (SELECT node FROM (
+            SELECT node, row_number() OVER (ORDER BY dg DESC, node) AS rn
+            FROM deg) q WHERE rn = 1),
+        fw0 AS (SELECT node FROM sd),
+        bw0 AS (SELECT node FROM sd),
+        {",".join(fw + bw)},
+        clsf AS (
+          SELECT CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                        THEN 'core'
+                      WHEN b.node IS NOT NULL THEN 'in'
+                      WHEN f.node IS NOT NULL THEN 'out'
+                      ELSE 'disconnected' END AS cls
+          FROM nodes n
+          LEFT JOIN (SELECT DISTINCT node FROM {flast}) f
+            ON f.node = n.node
+          LEFT JOIN (SELECT DISTINCT node FROM {blast}) b
+            ON b.node = n.node)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM clsf GROUP BY 1
+    """
+
+
 def _polyline_sql(max_len: int = 24) -> str:
     """operators/polyline.polyline_tracks mirror: same capped ordered
     tracks and micro-degree round_even quantize, delta -> zigzag ->
@@ -8819,6 +8880,7 @@ def oracle_sql() -> dict[str, str]:
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
+        "bowtie_classes": _bowtie_sql(4),
         "str_pack": f"""
             WITH pts AS MATERIALIZED (
               SELECT event_id AS id,

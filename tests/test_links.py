@@ -82,3 +82,20 @@ def test_robots_longest_match_and_allow_tie(spark):
         [("/t", False), ("/t", True)],
     ).collect()[0]
     assert tie["crawlable"] is True
+
+
+def test_bowtie_classes_hand_graph(spark):
+    """Cycle 1->2->3->1 (core, seed = node 1: degree 3 ties with node 3,
+    smaller id wins), 0->1 (in), 3->4 (out), 5->6 (disconnected from
+    the seed side: 5 reaches nothing toward 1 and 1 never reaches 5/6;
+    6 likewise)."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        bowtie_classes,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (5, 6)],
+        "src long, dst long",
+    )
+    out = {r["cls"]: r["n_nodes"] for r in bowtie_classes(edges).collect()}
+    assert out == {"core": 3, "in": 1, "out": 1, "disconnected": 2}
