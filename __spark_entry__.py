@@ -1094,6 +1094,18 @@ def q_good_turing(spark, sf_dir):
     return good_turing(_t(spark, sf_dir, "documents"), max_r=30)
 
 
+def q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch over word bigrams (Alon-Matias-Szegedy
+    1996) beside the exact second moment: 16 sketch rows of replayable
+    +-1 signs (mix31(poly) parity), signed sums and their squares pure
+    int64, mergeable map-side at 100 TB by construction. FULL oracle:
+    the same hash family replayed in SQL (the hll_estimate
+    exact-beside-estimate discipline)."""
+    from extractors_metadata_spark.operators.sketches import ams_f2
+
+    return ams_f2(_t(spark, sf_dir, "documents"), rows=16)
+
+
 def q_gopher_rules(spark, sf_dir):
     """The published Gopher document-quality ruleset (Rae et al. 2021,
     Table A1) with every ratio decided by integer cross-multiplication —
@@ -7423,6 +7435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,
+        "ams_f2": q_ams_f2,
         "vocab_growth": q_vocab_growth,
         "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,

@@ -403,6 +403,13 @@ def main() -> None:
         # (gopher_rules is a row-preserving projection — count-prunable,
         # NOT timed; lcss_pairs shares dtw_pairs' prunable-UDF plan —
         # NOT timed, same rule.)
+        # cohens_kappa is one row out of the confusion + marginal aggs;
+        # str_pack's leaf count needs both rank phases and the MBR agg;
+        # bowtie_classes builds its BFS rounds eagerly (localCheckpoint)
+        # and its 4-row output sits on the class joins.
+        "cohens_kappa", "str_pack", "bowtie_classes",
+        # (polyline_encode's string column prunes under count() — NOT
+        # timed, CLAUDE.md count() rule.)
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

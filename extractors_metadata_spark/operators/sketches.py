@@ -499,3 +499,83 @@ def kmv_sketch(
         est.cast("long").alias("est_distinct"),
         "exact_distinct",
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    text_col: str = "text",
+    rows: int = 16,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996 —
+    the Goedel-prize tug-of-war estimator) over word bigrams, PLUS the
+    exact F2 it estimates -> one row per sketch row j:
+    (row_id, signed_sum, f2_est, exact_f2).
+
+    Per row j every gram gets a +-1 sign from the replayable family
+    (mix31(poly('f2:j:' || gram)) parity); signed_sum_j = sum tf.s_j
+    and f2_est_j = signed_sum_j^2 is an unbiased F2 estimator —
+    median-of-rows is the consumer-side robust read, and emitting the
+    EXACT sum(tf^2) beside it makes estimator quality part of the
+    checked output (the hll_estimate discipline). All int64: |sum| <=
+    total tokens, squares ~1e11 at sf0.1.
+
+    Plan: one gram-keyed hash agg (the only data-sized exchange) ->
+    explode ``rows`` sign rows per distinct gram (vocabulary-sized) ->
+    one ``rows``-keyed agg + one 1-row exact agg broadcast. At 100 TB
+    the signed partial sums combine map-side per row id — the sketch is
+    mergeable by construction (that is its point: F2 of a sharded
+    stream from per-shard signed sums)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    voc = (
+        df.select(F.explode(sh).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    exact = voc.agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("exact_f2")
+    )
+    signed = (
+        voc.select(
+            "gram",
+            "tf",
+            F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias(
+                "row_id"
+            ),
+        )
+        .select(
+            "row_id",
+            (
+                F.col("tf")
+                * (
+                    (
+                        mix31(
+                            poly_hash(
+                                F.concat(
+                                    F.lit("f2:"),
+                                    F.col("row_id").cast("string"),
+                                    F.lit(":"),
+                                    F.col("gram"),
+                                )
+                            )
+                        )
+                        % 2
+                    )
+                    * 2
+                    - 1
+                )
+            ).alias("term"),
+        )
+        .groupBy("row_id")
+        .agg(F.sum("term").cast("long").alias("signed_sum"))
+    )
+    return signed.crossJoin(F.broadcast(exact)).select(
+        F.col("row_id").cast("long").alias("row_id"),
+        "signed_sum",
+        (F.col("signed_sum") * F.col("signed_sum"))
+        .cast("long")
+        .alias("f2_est"),
+        "exact_f2",
+    )

@@ -8881,6 +8881,33 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),
+        "ams_f2": f"""
+            WITH toks AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+              FROM documents),
+            shm AS (SELECT array_to_string(tk[i:i+1], ' ') AS gram
+                    FROM toks,
+                         unnest(range(1, greatest(len(tk) - 1, 1) + 1)) t(i)),
+            voc AS MATERIALIZED (
+              SELECT gram, CAST(count(*) AS BIGINT) AS tf
+              FROM shm WHERE length(gram) > 0 GROUP BY gram),
+            ex AS (SELECT CAST(sum(tf * tf) AS BIGINT) AS exact_f2
+                   FROM voc),
+            rws AS (SELECT v.gram, v.tf, r.range AS row_id
+                    FROM voc v, range(16) r),
+            h0 AS (SELECT row_id, tf,
+                          {_poly_sql("'f2:' || CAST(row_id AS VARCHAR) || ':' || gram", 131)}
+                            AS hr
+                   FROM rws),
+            h1 AS (SELECT row_id, tf, {_mix31_sql('hr')} AS h FROM h0),
+            sg AS (SELECT row_id,
+                          CAST(sum(tf * ((h % 2) * 2 - 1)) AS BIGINT)
+                            AS signed_sum
+                   FROM h1 GROUP BY row_id)
+            SELECT CAST(row_id AS BIGINT) AS row_id, signed_sum,
+                   signed_sum * signed_sum AS f2_est, exact_f2
+            FROM sg, ex
+        """,
         "str_pack": f"""
             WITH pts AS MATERIALIZED (
               SELECT event_id AS id,

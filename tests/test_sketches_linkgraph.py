@@ -294,3 +294,18 @@ def test_adamic_adar_excludes_existing_edges_and_caps_hubs(spark):
         for r in adamic_adar(edges, k=10, max_degree=2).collect()
     }
     assert got == {(0, 2): 1, (1, 9): 2}
+
+
+def test_ams_f2_hand_moments(spark):
+    """'a b a b' -> bigram tfs {a b: 2, b a: 1}: exact F2 = 5; every
+    sketch row's signed sum is +-2 +- 1 so |sum| in {1, 3} and the
+    estimate is its square (1 or 9 — straddling 5, the AMS property)."""
+    from extractors_metadata_spark.operators.sketches import ams_f2
+
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    rows = ams_f2(df, rows=16).collect()
+    assert len(rows) == 16
+    assert all(r["exact_f2"] == 5 for r in rows)
+    for r in rows:
+        assert abs(r["signed_sum"]) in (1, 3)
+        assert r["f2_est"] == r["signed_sum"] ** 2
