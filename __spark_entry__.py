@@ -1094,6 +1094,20 @@ def q_good_turing(spark, sf_dir):
     return good_turing(_t(spark, sf_dir, "documents"), max_r=30)
 
 
+def q_bootstrap_stats(spark, sf_dir):
+    """Poisson bootstrap over the corpus (32 replicates): per replicate
+    each doc enters w ~ Poisson(1) times via the replayable hash family
+    against integer CDF cutoffs (single-sourced from the operator) —
+    the at-scale confidence-interval recipe, no resample materialized,
+    every replicate statistic exact int64. FULL oracle: same cutoffs,
+    same hash, same aggs."""
+    from extractors_metadata_spark.operators.sampling import (
+        bootstrap_stats,
+    )
+
+    return bootstrap_stats(_t(spark, sf_dir, "documents"), b=32)
+
+
 def q_ams_f2(spark, sf_dir):
     """AMS tug-of-war F2 sketch over word bigrams (Alon-Matias-Szegedy
     1996) beside the exact second moment: 16 sketch rows of replayable
@@ -7436,6 +7450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,
         "ams_f2": q_ams_f2,
+        "bootstrap_stats": q_bootstrap_stats,
         "vocab_growth": q_vocab_growth,
         "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,

@@ -264,3 +264,90 @@ def exact_count_split(
         .otherwise("test")
     )
     return out.withColumn(out_col, split).drop("_rn", "_n")
+
+
+def poisson_cutoffs(max_k: int = 8) -> tuple[int, ...]:
+    """Integer thresholds c_k = floor(CDF_Poisson(1)(k) * 2^31) for
+    k = 0..max_k-1: a uniform 31-bit hash value u maps to the Poisson
+    weight |{k : u >= c_k}| in [0, max_k] (the tail lumps into max_k).
+    The SAME literals drive the engine and the oracle (the
+    sprt_constants single-source rule); exp(-1)/k! in float64 is
+    identical everywhere, and the floor makes the cutoffs exact ints."""
+    import math
+
+    cum, fact, out = 0.0, 1, []
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        out.append(min(int(cum * 2147483648.0), 2147483647))
+    return tuple(out)
+
+
+def bootstrap_stats(
+    df: DataFrame,
+    b: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Poisson bootstrap (the at-scale resampling standard — per
+    replicate each doc enters w ~ Poisson(1) times, the streaming limit
+    of sampling n-of-n with replacement) -> one row per replicate:
+    (rep_id, n_docs_w, tokens_w) plus the unweighted exact (n_docs,
+    tokens) — the spread across replicates IS the confidence interval
+    of the corpus statistics, computed without ever materializing a
+    resample.
+
+    Exactness: w is derived from the replayable hash family
+    (mix31(poly('boot:b:' || id)) against the poisson_cutoffs integer
+    thresholds), so every weight — and thus every replicate statistic —
+    is a pure int64 both engines reproduce bit-for-bit.
+
+    Scale shape: one x``b`` fan-out of a narrow (id, n_tok) projection,
+    partial-aggregated map-side per rep_id (the only exchange carries
+    <= b rows per partition); the exact totals are a 1-row broadcast."""
+    cuts = poisson_cutoffs()
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+    )
+    exact = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    reps = base.select(
+        "id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep_id"),
+    )
+    u = _mix31(
+        poly_hash(
+            F.concat(
+                F.lit("boot:"),
+                F.col("rep_id").cast("string"),
+                F.lit(":"),
+                F.col("id").cast("string"),
+            )
+        )
+    )
+    w = None
+    for c in cuts:
+        term = (u >= F.lit(c)).cast("long")
+        w = term if w is None else w + term
+    stats = (
+        reps.select("rep_id", "n_tok", w.alias("w"))
+        .groupBy("rep_id")
+        .agg(
+            F.sum("w").cast("long").alias("n_docs_w"),
+            F.sum(F.col("w") * F.col("n_tok")).cast("long").alias(
+                "tokens_w"
+            ),
+        )
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "n_docs_w",
+        "tokens_w",
+        "n_docs",
+        "tokens",
+    )

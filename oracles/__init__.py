@@ -2044,6 +2044,46 @@ def _viterbi_sql(
     """
 
 
+def _bootstrap_sql(b: int = 32) -> str:
+    """operators/sampling.bootstrap_stats mirror: the SAME
+    poisson_cutoffs integer thresholds (imported from the operator —
+    single source, the sprt_constants rule), the replayable hash
+    family, one rep-keyed agg."""
+    from extractors_metadata_spark.operators.sampling import (
+        poisson_cutoffs,
+    )
+
+    wexpr = " + ".join(
+        f"CASE WHEN h >= {c} THEN 1 ELSE 0 END" for c in poisson_cutoffs()
+    )
+    tok = (
+        r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+        r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+    )
+    ph = _poly_sql(
+        "'boot:' || CAST(rep_id AS VARCHAR) || ':' || CAST(id AS VARCHAR)",
+        131,
+    )
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id AS id, CAST({tok} AS BIGINT) AS n_tok
+          FROM documents),
+        ex AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tok) AS BIGINT) AS tokens FROM base),
+        reps AS (SELECT b.id, b.n_tok, r.range AS rep_id
+                 FROM base b, range({b}) r),
+        h0 AS (SELECT rep_id, n_tok, {ph} AS hr FROM reps),
+        h1 AS (SELECT rep_id, n_tok, {_mix31_sql('hr')} AS h FROM h0),
+        wg AS (SELECT rep_id, n_tok, {wexpr} AS w FROM h1),
+        st AS (SELECT rep_id, CAST(sum(w) AS BIGINT) AS n_docs_w,
+                      CAST(sum(w * n_tok) AS BIGINT) AS tokens_w
+               FROM wg GROUP BY rep_id)
+        SELECT CAST(rep_id AS BIGINT) AS rep_id, n_docs_w, tokens_w,
+               n_docs, tokens
+        FROM st, ex
+    """
+
+
 def _bowtie_sql(hops: int = 4) -> str:
     """operators/linkgraph.bowtie_classes mirror: the zipf edge map,
     max-degree seed (row_number tie-break), TWO directed delta-BFS
@@ -8881,6 +8921,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),
+        "bootstrap_stats": _bootstrap_sql(32),
         "ams_f2": f"""
             WITH toks AS (
               SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk

@@ -128,3 +128,42 @@ def test_pack_sequences_sf001_exact_output_hash(spark):
     assert digest == (
         "99cbf68e995fe63b295a4415a0615be4e849b307d60de0301079d2700308836e"
     )
+
+
+def test_bootstrap_stats_weights_and_exactness(spark):
+    """Single doc: each replicate's n_docs_w IS its Poisson weight
+    (0..8) and tokens_w = w * n_tok; across 32 replicates the weights
+    are hash-deterministic (two runs identical) and not all equal."""
+    from extractors_metadata_spark.operators.sampling import (
+        bootstrap_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "one two three four")], "doc_id long, text string"
+    )
+    rows = {r["rep_id"]: r for r in bootstrap_stats(df, b=32).collect()}
+    assert len(rows) == 32
+    for r in rows.values():
+        assert 0 <= r["n_docs_w"] <= 8
+        assert r["tokens_w"] == r["n_docs_w"] * 4
+        assert (r["n_docs"], r["tokens"]) == (1, 4)
+    again = {
+        r["rep_id"]: r["n_docs_w"]
+        for r in bootstrap_stats(df, b=32).collect()
+    }
+    assert again == {k: v["n_docs_w"] for k, v in rows.items()}
+    assert len({v["n_docs_w"] for v in rows.values()}) > 1
+
+
+def test_poisson_cutoffs_cdf_shape(spark):
+    """Cutoffs are the scaled Poisson(1) CDF: first ~0.3679 * 2^31,
+    strictly increasing, last just below 2^31 (tail mass ~1e-6)."""
+    from extractors_metadata_spark.operators.sampling import (
+        poisson_cutoffs,
+    )
+
+    c = poisson_cutoffs()
+    assert len(c) == 8
+    assert c[0] == 790015084
+    assert all(a < b for a, b in zip(c, c[1:]))
+    assert 2147460000 < c[-1] < 2147483648
