@@ -7072,6 +7072,26 @@ def q_lcss_pairs(spark, sf_dir):
     return lcss_pairs(user_tracks(pts), eps=80)
 
 
+def q_ransac_lines(spark, sf_dir):
+    """Deterministic RANSAC line fitting over the event point cloud
+    (Fischler-Bolles 1981): 32 candidate lines whose anchor pairs come
+    from the replayable hash family (min-hash argmin per salt — a pure
+    function of the data, bit-identical under any partitioning), scored
+    by the Manhattan-normalized integer inlier rule |cross| <= 50 *
+    L1(dir). Emits all candidates with inlier counts; the consensus
+    line is the consumer-side argmax. FULL oracle: row_number argmin
+    anchors + the same integer rule."""
+    from extractors_metadata_spark.operators.ransac import ransac_lines
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select("event_id", lat, lon).select(
+        F.col("event_id").alias("id"),
+        F.bround(F.col("lon") * 1000000.0, 0).cast("long").alias("x"),
+        F.bround(F.col("lat") * 1000000.0, 0).cast("long").alias("y"),
+    )
+    return ransac_lines(e, k=32, tol=50)
+
+
 def q_track_diameter(spark, sf_dir):
     """Per-user track diameter: max squared separation between distinct
     visited positions (first 64 points, nanodegree quantize-once ints)
@@ -7451,6 +7471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "ams_f2": q_ams_f2,
         "bootstrap_stats": q_bootstrap_stats,
+        "ransac_lines": q_ransac_lines,
         "vocab_growth": q_vocab_growth,
         "prefix_join": q_prefix_join,
         "tfidf_topk": q_tfidf_topk,

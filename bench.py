@@ -410,6 +410,9 @@ def main() -> None:
         "cohens_kappa", "str_pack", "bowtie_classes",
         # (polyline_encode's string column prunes under count() — NOT
         # timed, CLAUDE.md count() rule.)
+        # ams_f2 and bootstrap_stats end in rep/row-keyed aggregates of
+        # hash fan-outs — fully load-bearing under count().
+        "ams_f2", "bootstrap_stats",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -2044,6 +2044,58 @@ def _viterbi_sql(
     """
 
 
+def _ransac_sql(k: int = 32, tol: int = 50) -> str:
+    """operators/ransac.ransac_lines mirror: hash-derived anchors
+    (row_number argmin over the same salted family — the composite
+    min_by twin), the identical Manhattan-normalized integer inlier
+    rule, one candidate-keyed aggregate."""
+    pa = _poly_sql(
+        "'ra:a:' || CAST(cand_id AS VARCHAR) || ':' || CAST(id AS VARCHAR)",
+        131,
+    )
+    pb = _poly_sql(
+        "'ra:b:' || CAST(cand_id AS VARCHAR) || ':' || CAST(id AS VARCHAR)",
+        131,
+    )
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT event_id AS id,
+                 CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT) AS x,
+                 CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT) AS y
+          FROM events),
+        fan AS (SELECT p.id, p.x, p.y, r.range AS cand_id
+                FROM pts p, range({k}) r),
+        h0 AS (SELECT cand_id, id, x, y, {pa} AS ra, {pb} AS rb FROM fan),
+        hm AS MATERIALIZED (
+          SELECT cand_id, id, x, y,
+                 {_mix31_sql('ra')} AS h1, {_mix31_sql('rb')} AS h2
+          FROM h0),
+        sa AS (SELECT cand_id, x AS x1, y AS y1 FROM (
+                 SELECT cand_id, x, y,
+                        row_number() OVER (PARTITION BY cand_id
+                                           ORDER BY h1, id) AS rn
+                 FROM hm) q WHERE rn = 1),
+        sb AS (SELECT cand_id, x AS x2, y AS y2 FROM (
+                 SELECT cand_id, x, y,
+                        row_number() OVER (PARTITION BY cand_id
+                                           ORDER BY h2, id) AS rn
+                 FROM hm) q WHERE rn = 1),
+        cand AS MATERIALIZED (
+          SELECT sa.cand_id, x1, y1, x2, y2
+          FROM sa JOIN sb ON sb.cand_id = sa.cand_id)
+        SELECT CAST(c.cand_id AS BIGINT) AS cand_id, c.x1, c.y1, c.x2,
+               c.y2,
+               CAST(sum(CASE WHEN (c.x1 != c.x2 OR c.y1 != c.y2)
+                              AND abs((c.x2 - c.x1) * (p.y - c.y1)
+                                      - (c.y2 - c.y1) * (p.x - c.x1))
+                                  <= {tol} * (abs(c.x2 - c.x1)
+                                              + abs(c.y2 - c.y1))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+        FROM pts p CROSS JOIN cand c
+        GROUP BY 1, 2, 3, 4, 5
+    """
+
+
 def _bootstrap_sql(b: int = 32) -> str:
     """operators/sampling.bootstrap_stats mirror: the SAME
     poisson_cutoffs integer thresholds (imported from the operator —
@@ -8922,6 +8974,7 @@ def oracle_sql() -> dict[str, str]:
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),
         "bootstrap_stats": _bootstrap_sql(32),
+        "ransac_lines": _ransac_sql(32, 50),
         "ams_f2": f"""
             WITH toks AS (
               SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
