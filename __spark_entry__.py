@@ -7118,6 +7118,21 @@ def q_track_diameter(spark, sf_dir):
     return track_diameter(e, max_len=64)
 
 
+def q_simrank(spark, sf_dir):
+    """SimRank structural similarity (Jeh-Widom KDD 2002: similar pages
+    are pointed to by similar pages) over the zipf subgraph on nodes
+    < 200, 3 bounded rounds of exact integer fixed point (floor
+    division, partition-invariant; SimRank is quadratic by definition —
+    the landmark-subset regime IS the fleet-scale recipe). FULL oracle:
+    rounds unrolled verbatim."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        simrank,
+        zipf_link_graph,
+    )
+
+    return simrank(zipf_link_graph(_t(spark, sf_dir, "events")), rounds=3)
+
+
 def q_bowtie_classes(spark, sf_dir):
     """Bow-tie decomposition of the zipf link graph (Broder et al.,
     WWW 2000 — the web-graph macro structure): from the max-degree hub
@@ -7678,6 +7693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_encode": q_polyline_encode,
         "str_pack": q_str_pack,
         "bowtie_classes": q_bowtie_classes,
+        "simrank": q_simrank,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

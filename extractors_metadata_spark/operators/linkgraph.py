@@ -822,3 +822,95 @@ def bowtie_classes(edges: DataFrame, hops: int = 4) -> DataFrame:
     return cls.groupBy("cls").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+SR_MASS = 10**12  # SimRank fixed-point unit (self-similarity)
+
+
+def simrank(
+    edges: DataFrame,
+    rounds: int = 3,
+    node_cap: int = 200,
+    c_num: int = 4,
+    c_den: int = 5,
+) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD 2002) — "two pages are similar if
+    similar pages point to them" — as exact integer fixed point over
+    the induced subgraph on nodes < ``node_cap``:
+
+        S(a,a) = SR_MASS
+        S(a,b) = (c_num . sum_{ia in I(a), ib in I(b)} S(ia, ib))
+                 div (c_den . |I(a)| . |I(b)|)          (a != b)
+
+    ``rounds`` bounded iterations from the identity (bounds ARE the
+    semantics — the k_truss discipline); floor division makes every
+    round int64-exact and partition-invariant, so the oracle unrolls
+    the rounds verbatim. int64 budget: sum <= din^2 . SR_MASS ~ 4e16
+    at cap 200 — safe under c_num=4.
+
+    Output: (a, b, simrank_fp) for a < b with nonzero similarity (the
+    diagonal is trivially SR_MASS and omitted).
+
+    Plan per round: the nonzero pair frame scatters through TWO
+    src-keyed edge joins (in-neighbor pairs -> their out-pairs), one
+    (a, b)-keyed sum, two broadcast in-degree joins; the symmetric
+    matrix is carried both-orders internally so the scatter sees every
+    (ia, ib) combination; localCheckpoint truncates round lineage.
+    node_cap keeps the pair frame dimension-sized — SimRank is
+    quadratic in nodes by definition; at fleet scale the standard
+    regime is exactly this (seed/landmark subsets)."""
+    el = (
+        edges.filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") < node_cap)
+            & (F.col("dst") < node_cap)
+        )
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    din = el.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("din")
+    )
+    nodes = (
+        el.select(F.col("src").alias("node"))
+        .unionByName(el.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = nodes.select(
+        F.col("node").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(SR_MASS).cast("long").alias("s"),
+    ).localCheckpoint(eager=True)
+    diag = s
+    e1 = el.select(F.col("src").alias("a"), F.col("dst").alias("oa"))
+    e2 = el.select(F.col("src").alias("b"), F.col("dst").alias("ob"))
+    for _ in range(int(rounds)):
+        off = (
+            s.join(e1, "a")
+            .join(e2, "b")
+            .filter(F.col("oa") != F.col("ob"))
+            .groupBy(F.col("oa").alias("a"), F.col("ob").alias("b"))
+            .agg(F.sum("s").alias("num"))
+            .join(F.broadcast(din.withColumnRenamed("node", "a")), "a")
+            .withColumnRenamed("din", "da")
+            .join(F.broadcast(din.withColumnRenamed("node", "b")), "b")
+            .withColumnRenamed("din", "db")
+            .select(
+                "a",
+                "b",
+                F.expr(
+                    f"({c_num} * num) div ({c_den} * da * db)"
+                ).cast("long").alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+        s = diag.unionByName(off).localCheckpoint(eager=True)
+    return (
+        s.filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("s").alias("simrank_fp"),
+        )
+    )

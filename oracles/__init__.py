@@ -2044,6 +2044,55 @@ def _viterbi_sql(
     """
 
 
+def _simrank_sql(
+    rounds: int = 3, node_cap: int = 200, c_num: int = 4, c_den: int = 5
+) -> str:
+    """operators/linkgraph.simrank mirror: the zipf induced subgraph,
+    identity start, each round one in-neighbor-pair scatter + floor
+    division, unrolled verbatim (the pagerank stage recipe)."""
+    from extractors_metadata_spark.operators.linkgraph import SR_MASS
+
+    stages = []
+    prev = "s0"
+    for t in range(1, rounds + 1):
+        stages.append(f"""
+        o{t} AS MATERIALIZED (
+          SELECT q.a, q.b,
+                 ({c_num} * q.num) // ({c_den} * d1.din * d2.din) AS s
+          FROM (SELECT e1.dst AS a, e2.dst AS b,
+                       CAST(sum(p.s) AS BIGINT) AS num
+                FROM {prev} p
+                JOIN el e1 ON e1.src = p.a
+                JOIN el e2 ON e2.src = p.b
+                WHERE e1.dst != e2.dst GROUP BY 1, 2) q
+          JOIN din d1 ON d1.node = q.a
+          JOIN din d2 ON d2.node = q.b),
+        s{t} AS MATERIALIZED (
+          SELECT a, b, s FROM s0
+          UNION ALL SELECT a, b, s FROM o{t} WHERE s > 0)""")
+        prev = f"s{t}"
+    return f"""
+        WITH edges0 AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        el AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM edges0
+          WHERE src != dst AND src < {node_cap} AND dst < {node_cap}),
+        din AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS din
+                FROM el GROUP BY 1),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM el
+            UNION ALL SELECT dst AS node FROM el) q),
+        s0 AS (SELECT node AS a, node AS b,
+                      CAST({SR_MASS} AS BIGINT) AS s FROM nodes),
+        {",".join(stages)}
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               s AS simrank_fp
+        FROM {prev} WHERE a < b
+    """
+
+
 def _ransac_sql(k: int = 32, tol: int = 50) -> str:
     """operators/ransac.ransac_lines mirror: hash-derived anchors
     (row_number argmin over the same salted family — the composite
@@ -8975,6 +9024,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_classes": _bowtie_sql(4),
         "bootstrap_stats": _bootstrap_sql(32),
         "ransac_lines": _ransac_sql(32, 50),
+        "simrank": _simrank_sql(3, 200),
         "ams_f2": f"""
             WITH toks AS (
               SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk

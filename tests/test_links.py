@@ -99,3 +99,19 @@ def test_bowtie_classes_hand_graph(spark):
     )
     out = {r["cls"]: r["n_nodes"] for r in bowtie_classes(edges).collect()}
     assert out == {"core": 3, "in": 1, "out": 1, "disconnected": 2}
+
+
+def test_simrank_hand_values(spark):
+    """Co-cited sinks: 0->1, 0->2 gives S(1,2) = 0.8 immediately; the
+    two-hop chain 1->3, 2->4 propagates S(3,4) = 0.8 * S(1,2) = 0.64
+    (in fixed point, MASS = 1e12). Pairs with no common ancestry stay
+    absent."""
+    from extractors_metadata_spark.operators.linkgraph import simrank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 4), (9, 5)], "src long, dst long"
+    )
+    out = {(r["a"], r["b"]): r["simrank_fp"] for r in simrank(edges).collect()}
+    assert out[(1, 2)] == 800_000_000_000
+    assert out[(3, 4)] == 640_000_000_000
+    assert (1, 5) not in out and (3, 5) not in out
