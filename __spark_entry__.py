@@ -7118,6 +7118,19 @@ def q_track_diameter(spark, sf_dir):
     return track_diameter(e, max_len=64)
 
 
+def q_line_raster(spark, sf_dir):
+    """Midpoint-DDA rasterization of track segments onto the plot grid
+    (the Bresenham-equivalent, endpoints exact, max(|dr|,|dc|)+1 cells
+    per segment) — the segment-based raster leg beside tile_assign's
+    points: drawing a GPS trace onto tiles. Pure-integer interpolation
+    with EXPLICIT floor division (Spark div truncates, DuckDB //
+    floors — the pmod adjustment closes the trap). FULL oracle: same
+    window pairs + lateral range + // interpolation."""
+    from extractors_metadata_spark.operators.linedda import line_raster
+
+    return line_raster(_t(spark, sf_dir, "events"))
+
+
 def q_simrank(spark, sf_dir):
     """SimRank structural similarity (Jeh-Widom KDD 2002: similar pages
     are pointed to by similar pages) over the zipf subgraph on nodes
@@ -7694,6 +7707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_pack": q_str_pack,
         "bowtie_classes": q_bowtie_classes,
         "simrank": q_simrank,
+        "line_raster": q_line_raster,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,
         "sprt_test": q_sprt_test,

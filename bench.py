@@ -413,6 +413,10 @@ def main() -> None:
         # ams_f2 and bootstrap_stats end in rep/row-keyed aggregates of
         # hash fan-outs — fully load-bearing under count().
         "ams_f2", "bootstrap_stats",
+        # ransac_lines' 32-row output is the candidate-keyed aggregate of
+        # the broadcast score pass; simrank builds its rounds eagerly
+        # (localCheckpoint) and count() sits on the final pair frame.
+        "ransac_lines", "simrank",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

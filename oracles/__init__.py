@@ -9025,6 +9025,41 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_stats": _bootstrap_sql(32),
         "ransac_lines": _ransac_sql(32, 50),
         "simrank": _simrank_sql(3, 200),
+        "line_raster": """
+            WITH seq AS MATERIALIZED (
+              SELECT user_id, ts, event_id,
+                     ((event_id % 1000) * 108 + 54) // 2000 AS r,
+                     ((event_id % 640) * 50 + 25) // 2000 AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS s
+              FROM events WHERE user_id < 40),
+            f AS (SELECT * FROM seq WHERE s <= 16),
+            segs AS MATERIALIZED (
+              SELECT user_id, s - 1 AS t, r AS r1, c AS c1,
+                     lead(r) OVER w AS r2, lead(c) OVER w AS c2
+              FROM f
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sg AS (SELECT user_id, t, r1, c1, r2 - r1 AS dr, c2 - c1 AS dc,
+                          greatest(abs(r2 - r1), abs(c2 - c1)) AS dd
+                   FROM segs WHERE r2 IS NOT NULL),
+            st AS (SELECT sg.*, t2.s
+                   FROM sg, unnest(range(0, dd + 1)) t2(s))
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(t AS BIGINT) AS t, CAST(s AS BIGINT) AS s,
+                   CAST(CASE WHEN dd = 0 THEN r1
+                             ELSE r1 + ((2 * s * dr + dd)
+                                        - (((2 * s * dr + dd) % (2 * dd)
+                                            + 2 * dd) % (2 * dd)))
+                                       // (2 * dd) END
+                     AS BIGINT) AS r,
+                   CAST(CASE WHEN dd = 0 THEN c1
+                             ELSE c1 + ((2 * s * dc + dd)
+                                        - (((2 * s * dc + dd) % (2 * dd)
+                                            + 2 * dd) % (2 * dd)))
+                                       // (2 * dd) END
+                     AS BIGINT) AS c
+            FROM st
+        """,
         "ams_f2": f"""
             WITH toks AS (
               SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
