@@ -2741,6 +2741,22 @@ def q_image_ahash(spark, sf_dir):
     return decode_image_ahash(_ahash_pages(spark, sf_dir))
 
 
+def q_image_phash(spark, sf_dir):
+    """DCT perceptual hash (multimodal/binary_ops.decode_image_phash):
+    the robust sibling of image_ahash — same deterministic stub
+    thumbnail, then a 2-D INTEGER DCT against the compile-time 2^20
+    fixed-point cos table (single-sourced into the oracle), bit (k,l) =
+    coefficient > the 32nd-smallest (frozen order-statistic median, no
+    float anywhere). real_decode=True is the codec integration point.
+    FULL oracle: pixel replay + literal DCT table + the same median
+    rank."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        decode_image_phash,
+    )
+
+    return decode_image_phash(_ahash_pages(spark, sf_dir))
+
+
 def q_image_ahash_pairs(spark, sf_dir):
     """Image near-duplicate pairs (multimodal/binary_ops.ahash_pairs):
     banded Hamming join over the aHash fingerprints — each hash splits into
@@ -7649,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "naive_bayes": q_naive_bayes,
         "image_ahash": q_image_ahash,
+        "image_phash": q_image_phash,
         "image_ahash_pairs": q_image_ahash_pairs,
         "mann_kendall": q_mann_kendall,
         "random_walks": q_random_walks,

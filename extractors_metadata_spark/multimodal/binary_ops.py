@@ -279,3 +279,82 @@ def ahash_pairs(hashed: DataFrame, max_dist: int = 3) -> DataFrame:
     return cand.select(
         "url_a", "url_b", ham.alias("hamdist")
     ).filter(F.col("hamdist") <= max_dist)
+
+
+DCT_SCALE = 1 << 20
+
+
+def phash_dct_table() -> np.ndarray:
+    """(8, 8) int64 fixed-point DCT-II basis T[k][x] =
+    rint(cos(pi*(2x+1)*k/16) * 2^20) — COMPILE-TIME constants computed
+    once from float64 cos (identical on every host) and consumed as
+    integer literals by BOTH the engine and the oracle (the _NDCG_W /
+    sprt_constants single-source rule); the transform itself is pure
+    int64 arithmetic."""
+    k = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    return np.rint(
+        np.cos(np.pi * (2 * x + 1) * k / 16.0) * DCT_SCALE
+    ).astype(np.int64)
+
+
+def phash_from_gray(pix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """pHash a batch of (n, 64) integer pixel grids: 2-D integer DCT
+    C = T P T^T (|C| <= 8^2 * 255 * 2^40 ~ 1.8e16, int64-safe), bit
+    (k, l) set iff C[k][l] > median, median = the 32nd-smallest of the
+    64 coefficients (frozen order statistic — no float mean/median
+    anywhere). Returns (phash int64 two's-complement, 16-bit bands) —
+    the DCT concentrates structure into low frequencies, which is what
+    makes pHash robust to the rescaling/blur that flips aHash bits."""
+    t = phash_dct_table()
+    p = np.asarray(pix, dtype=np.int64).reshape(-1, 8, 8)
+    c = np.einsum("kx,nxy,ly->nkl", t, p, t).reshape(-1, 64)
+    med = np.sort(c, axis=1)[:, 31]
+    bits = (c > med[:, None]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    hu = (bits * weights).sum(axis=1, dtype=np.uint64)
+    phash = hu.view(np.int64)
+    bands = np.stack(
+        [((hu >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
+         for b in range(AHASH_BANDS)],
+        axis=1,
+    )
+    return phash, bands
+
+
+IMAGE_PHASH_SCHEMA = "url string, phash long, b0 int, b1 int, b2 int, b3 int"
+
+
+def decode_image_phash(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    real_decode: bool = False,
+) -> DataFrame:
+    """binary -> 64-bit DCT perceptual hash + 16-bit bands, one
+    mapInPandas Arrow pass over the SAME deterministic stub thumbnail
+    as decode_image_ahash (real_decode=True is the same codec
+    integration point: decode, grayscale, 8x8 downsample, then
+    phash_from_gray unchanged)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "no image codec in this environment; decode + grayscale "
+                    "+ 8x8 downsample here, then phash_from_gray unchanged"
+                )
+            seeds = hash_bytes_batch(pdf[binary_col])
+            phash, bands = phash_from_gray(_gray64_from_seeds(seeds))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[id_col],
+                    "phash": phash,
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(gen, IMAGE_PHASH_SCHEMA)

@@ -7199,14 +7199,10 @@ def _splitmix_features_sql(n_features: int = 8) -> str:
 
 
 
-def _ahash_ctes() -> str:
-    """SQL replay of multimodal/binary_ops ahash path — consumes CTE
-    ``hh(event_id, h63)``; ends with ``ah(event_id, ahash, b0..b3)``.
-    Pure integer end-to-end: SplitMix64 low-byte pixels (same limb
-    arithmetic as _splitmix_features_sql), the cross-multiplied mean test
-    64*p >= sum(p), pow(2, c-1) bit weights (powers of two are exact
-    doubles through 2^63), and the explicit two's-complement signed fold
-    for the BIGINT ahash."""
+def _apixel_ctes() -> str:
+    """SplitMix64 low-byte stub-thumbnail pixels — consumes CTE
+    ``hh(event_id, h63)``; ends with ``apx(event_id, c, p)`` (c = 1..64,
+    row-major). Shared by the ahash and phash replays."""
     m64 = "18446744073709551616"
 
     def mul(a: str, b: int) -> str:
@@ -7219,10 +7215,6 @@ def _ahash_ctes() -> str:
     def xs(z: str, s: int) -> str:
         return f"xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {s})"
 
-    bands = ", ".join(
-        f"CAST((hu // CAST({1 << (16 * b)} AS HUGEINT)) % 65536 AS INT) AS b{b}"
-        for b in range(4)
-    )
     return f"""
         actrs AS (SELECT unnest(range(1, 65)) AS c),
         az0 AS MATERIALIZED (
@@ -7233,7 +7225,85 @@ def _ahash_ctes() -> str:
         az2 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 27), 0x94D049BB133111EB)} AS z FROM az1),
         apx AS MATERIALIZED (
           SELECT event_id, c, CAST(CAST({xs('z', 31)} AS HUGEINT) % 256 AS BIGINT) AS p
-          FROM az2),
+          FROM az2)"""
+
+
+def _hash_fold_ctes(bits_cte: str, out_cte: str, out_col: str) -> str:
+    """Fold ``{bits_cte}(event_id, c, bit)`` (c = 1..64) into a signed
+    BIGINT hash + four 16-bit bands -> ``{out_cte}(event_id, {out_col},
+    b0..b3)``. pow(2, c-1) bit weights (powers of two are exact doubles
+    through 2^63), explicit two's-complement signed fold."""
+    m64 = "18446744073709551616"
+    bands = ", ".join(
+        f"CAST((hu // CAST({1 << (16 * b)} AS HUGEINT)) % 65536 AS INT) AS b{b}"
+        for b in range(4)
+    )
+    return f"""
+        {out_cte}_hu AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(sum(CAST(bit AS HUGEINT) * CAST(pow(2, c - 1) AS HUGEINT)) AS HUGEINT) AS hu
+          FROM {bits_cte} GROUP BY 1),
+        {out_cte} AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                           THEN hu - CAST({m64} AS HUGEINT) ELSE hu END AS BIGINT) AS {out_col},
+                 {bands}
+          FROM {out_cte}_hu)"""
+
+
+def _phash_ctes() -> str:
+    """SQL replay of multimodal/binary_ops.decode_image_phash — consumes
+    ``hh``; ends with ``ah(event_id, phash, b0..b3)``: the shared stub
+    pixels, the 2-D integer DCT against the SAME fixed-point cos table
+    the engine compiles (phash_dct_table, single source), the
+    32nd-smallest-coefficient median, strict > bits."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        phash_dct_table,
+    )
+
+    t = phash_dct_table()
+    rows = ", ".join(
+        f"({k}, {x}, {int(t[k][x])})" for k in range(8) for x in range(8)
+    )
+    return f"""
+        {_apixel_ctes()},
+        tdct(k, x, v) AS (SELECT * FROM (VALUES {rows}) q(k, x, v)),
+        coef AS MATERIALIZED (
+          SELECT p.event_id, t1.k AS k, t2.k AS l,
+                 CAST(sum(CAST(t1.v AS BIGINT) * p.p * t2.v) AS BIGINT)
+                   AS cv
+          FROM apx p
+          JOIN tdct t1 ON t1.x = (p.c - 1) // 8
+          JOIN tdct t2 ON t2.x = (p.c - 1) % 8
+          GROUP BY 1, 2, 3),
+        amed AS (SELECT event_id, cv AS med FROM (
+            SELECT event_id, cv,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY cv) AS rn
+            FROM coef) q WHERE rn = 32),
+        abits AS (
+          SELECT coef.event_id, CAST(coef.k * 8 + coef.l + 1 AS INT) AS c,
+                 CASE WHEN coef.cv > amed.med THEN 1 ELSE 0 END AS bit
+          FROM coef JOIN amed USING (event_id)),
+        {_hash_fold_ctes('abits', 'ah', 'phash')}
+    """
+
+
+def _ahash_ctes() -> str:
+    """SQL replay of multimodal/binary_ops ahash path — consumes CTE
+    ``hh(event_id, h63)``; ends with ``ah(event_id, ahash, b0..b3)``.
+    Pure integer end-to-end: SplitMix64 low-byte pixels (same limb
+    arithmetic as _splitmix_features_sql), the cross-multiplied mean test
+    64*p >= sum(p), pow(2, c-1) bit weights (powers of two are exact
+    doubles through 2^63), and the explicit two's-complement signed fold
+    for the BIGINT ahash."""
+    bands = ", ".join(
+        f"CAST((hu // CAST({1 << (16 * b)} AS HUGEINT)) % 65536 AS INT) AS b{b}"
+        for b in range(4)
+    )
+    m64 = "18446744073709551616"
+    return f"""
+        {_apixel_ctes()},
         asum AS (SELECT event_id, CAST(sum(p) AS BIGINT) AS s FROM apx GROUP BY 1),
         abits AS (
           SELECT apx.event_id, apx.c,
@@ -8637,6 +8707,15 @@ def oracle_sql() -> dict[str, str]:
             {_ahash_ctes()},
             {_AHASH_URLS_CTE}
             SELECT au.url, ah.ahash, ah.b0, ah.b1, ah.b2, ah.b3
+            FROM au JOIN ah USING (event_id)
+        """,
+        "image_phash": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_phash_ctes()},
+            {_AHASH_URLS_CTE}
+            SELECT au.url, ah.phash, ah.b0, ah.b1, ah.b2, ah.b3
             FROM au JOIN ah USING (event_id)
         """,
         "image_ahash_pairs": f"""

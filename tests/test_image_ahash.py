@@ -114,3 +114,34 @@ def test_max_dist_validated(spark):
     df = _hashed_df(spark, [("u0", np.zeros(64, dtype=np.int64))])
     with pytest.raises(ValueError):
         ahash_pairs(df, max_dist=4)
+
+
+def test_phash_flat_image_dc_only():
+    """A flat grid concentrates everything into the DC coefficient: the
+    fixed-point DCT rows cancel exactly (symmetric magnitudes), so the
+    63 AC coefficients are 0, the median is 0, and only bit 0 sets."""
+    import numpy as np
+
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        phash_from_gray,
+    )
+
+    ph, bands = phash_from_gray(np.full((1, 64), 100, dtype=np.int64))
+    assert ph[0] == 1
+    assert list(bands[0]) == [1, 0, 0, 0]
+
+
+def test_phash_duplicates_share_hash(spark):
+    """Re-hosted identical payloads (the #dup construction) must collide
+    on phash; different payloads should not all collide."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        decode_image_phash,
+    )
+
+    rows = [
+        ("u1", b"payload-a"), ("u1#dup", b"payload-a"), ("u2", b"payload-b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r["phash"] for r in decode_image_phash(df).collect()}
+    assert out["u1"] == out["u1#dup"]
+    assert out["u1"] != out["u2"]
