@@ -1952,6 +1952,59 @@ def _anchor_pages(spark, sf_dir, n_pages: int = 2000):
     )
 
 
+def _anchor_text_pages(spark, sf_dir, n_pages: int = 2000):
+    """The _anchor_pages probe graph with VARYING anchor texts: anchor
+    number ``o`` on page i carries word[(i*13 + o) % 8] from the
+    ANCHOR_WORDS literal list (single-sourced into the oracle) — so the
+    inbound text distribution per target is nontrivial and both engines
+    construct it symbolically, then genuinely parse it."""
+    from extractors_metadata_spark.plans.links import ANCHOR_WORDS
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < n_pages)
+    i = F.col("event_id")
+    words = F.array(*[F.lit(w) for w in ANCHOR_WORDS])
+
+    def anchor(j, o):
+        return F.concat(
+            F.lit('<a href="https://h'),
+            (j % 7).cast("string"),
+            F.lit(".example/e"),
+            j.cast("string"),
+            F.lit('">'),
+            F.element_at(words, ((i * 13 + o) % 8 + 1).cast("int")),
+            F.lit("</a>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        anchor((i + 1) % n_pages, 1),
+        anchor((i * 7 + 3) % n_pages, 2),
+        F.when(i % 3 == 0, anchor(F.expr("event_id div 3"), 3)).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    )
+    return e.select(
+        F.concat(F.lit("https://site.example/e"), i.cast("string")).alias(
+            "url"
+        ),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text index (plans/links.anchor_text_index): per
+    link target its top-3 inbound anchor texts by count (ties lex) —
+    the classical strongest web-search ranking signal (Brin & Page 1998
+    indexed anchor text separately); parsed from raw HTML with one
+    frozen Java==RE2 two-group pattern, positionally zipped. FULL
+    oracle: the same symbolic page construction + regexp_extract_all
+    per group + subscript zip + the same window."""
+    from extractors_metadata_spark.plans.links import anchor_text_index
+
+    return anchor_text_index(_anchor_text_pages(spark, sf_dir), k=3)
+
+
 def q_outlinks(spark, sf_dir):
     """Outlink extraction (plans/links.extract_outlinks — the web-graph
     construction step between fetch and pagerank): every anchor target
@@ -7681,6 +7734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_blobs": q_tile_blobs,
         "semivariogram": q_semivariogram,
         "outlinks": q_outlinks,
+        "anchor_text": q_anchor_text,
         "host_graph": q_host_graph,
         "adamic_adar": q_adamic_adar,
         "z_range_plan": q_z_range_plan,

@@ -417,6 +417,11 @@ def main() -> None:
         # the broadcast score pass; simrank builds its rounds eagerly
         # (localCheckpoint) and count() sits on the final pair frame.
         "ransac_lines", "simrank",
+        # line_raster's cardinality IS the DDA cell count (the explode
+        # bound comes from the window-pair cell math); image_phash is a
+        # mapInPandas whose cardinality Spark cannot prune — the DCT
+        # kernel executes under count() (image_ahash_pairs precedent).
+        "line_raster", "image_phash",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

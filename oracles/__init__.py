@@ -2145,6 +2145,56 @@ def _ransac_sql(k: int = 32, tol: int = 50) -> str:
     """
 
 
+def _anchor_text_sql(k: int = 3, n_pages: int = 2000) -> str:
+    """plans/links.anchor_text_index mirror over the varying-text probe:
+    symbolic page construction with the ANCHOR_WORDS literal list
+    (imported — single source), regexp_extract_all per group, subscript
+    zip, the same (n DESC, text) top-k window."""
+    from extractors_metadata_spark.plans.links import (
+        ANCHOR_TEXT_RE,
+        ANCHOR_WORDS,
+    )
+
+    wl = "[" + ", ".join(f"'{w}'" for w in ANCHOR_WORDS) + "]"
+
+    def anchor(jexpr: str, o: int) -> str:
+        return (
+            f"'<a href=\"https://h' || CAST(({jexpr}) % 7 AS VARCHAR)"
+            f" || '.example/e' || CAST({jexpr} AS VARCHAR) || '\">'"
+            f" || ({wl})[CAST((event_id * 13 + {o}) % 8 AS INT) + 1]"
+            f" || '</a>'"
+        )
+
+    return f"""
+        WITH pg AS (
+          SELECT '<html><body>'
+                 || {anchor(f"(event_id + 1) % {n_pages}", 1)}
+                 || {anchor(f"(event_id * 7 + 3) % {n_pages}", 2)}
+                 || CASE WHEN event_id % 3 = 0
+                         THEN {anchor(f"event_id // 3", 3)}
+                         ELSE '' END
+                 || '</body></html>' AS html
+          FROM events WHERE event_id < {n_pages}),
+        lk AS (
+          SELECT regexp_extract_all(html, '{ANCHOR_TEXT_RE}', 1) AS hl,
+                 regexp_extract_all(html, '{ANCHOR_TEXT_RE}', 2) AS tl
+          FROM pg),
+        pairs AS (
+          SELECT hl[u.p] AS dst_url, tl[u.p] AS text
+          FROM lk, unnest(range(1, len(hl) + 1)) AS u(p)),
+        cnts AS (
+          SELECT dst_url, text, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY 1, 2),
+        rk AS (
+          SELECT dst_url, text, n,
+                 CAST(row_number() OVER (
+                   PARTITION BY dst_url
+                   ORDER BY n DESC, text ASC) AS BIGINT) AS rnk
+          FROM cnts)
+        SELECT dst_url, rnk, text, n FROM rk WHERE rnk <= {k}
+    """
+
+
 def _bootstrap_sql(b: int = 32) -> str:
     """operators/sampling.bootstrap_stats mirror: the SAME
     poisson_cutoffs integer thresholds (imported from the operator —
@@ -8755,6 +8805,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_blobs": _TILE_BLOBS_SQL,
         "semivariogram": _variogram_sql(),
         "outlinks": _OUTLINKS_SQL,
+        "anchor_text": _anchor_text_sql(3),
         "host_graph": _HOST_GRAPH_SQL,
         "adamic_adar": _adamic_adar_sql(),
         "z_range_plan": _z_range_plan_sql(),

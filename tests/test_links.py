@@ -115,3 +115,30 @@ def test_simrank_hand_values(spark):
     assert out[(1, 2)] == 800_000_000_000
     assert out[(3, 4)] == 640_000_000_000
     assert (1, 5) not in out and (3, 5) not in out
+
+
+def test_anchor_text_index_topk_and_ties(spark):
+    """Target /t gets anchors: 'best' x2, 'apple' x1, 'zebra' x1 ->
+    rank1 = best(2), then the tie breaks lexically: apple, zebra; k=2
+    cuts zebra. A second target keeps its own window."""
+    from extractors_metadata_spark.plans.links import anchor_text_index
+
+    def page(url, anchors):
+        html = "".join(
+            f'<a href="{d}">{t}</a>' for d, t in anchors
+        ).encode()
+        return (url, html)
+
+    rows = [
+        page("p1", [("/t", "best"), ("/t", "apple")]),
+        page("p2", [("/t", "best"), ("/t", "zebra"), ("/u", "only")]),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {
+        (r["dst_url"], r["rnk"]): (r["text"], r["n"])
+        for r in anchor_text_index(df, k=2).collect()
+    }
+    assert out[("/t", 1)] == ("best", 2)
+    assert out[("/t", 2)] == ("apple", 1)
+    assert ("/t", 3) not in out
+    assert out[("/u", 1)] == ("only", 1)
