@@ -1992,6 +1992,26 @@ def _anchor_text_pages(spark, sf_dir, n_pages: int = 2000):
     )
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution with loop detection (the crawl
+    frontier's canonicalization step): min-carry pointer doubling over
+    a synthetic functional graph (terminals v%5==0 self-loop, else
+    t = (3v+7) % 1000 — tails AND genuine cycles), 12 fixed rounds
+    (2^12 covers any chain; the watershed log-doubling recipe). Loop
+    pages canonicalize to their cycle's minimum member — a stable
+    dedup key. FULL oracle: the doubling unrolled verbatim."""
+    from extractors_metadata_spark.plans.links import resolve_redirects
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    rd = e.select(
+        F.col("event_id").alias("v"),
+        F.when(F.col("event_id") % 5 == 0, F.col("event_id"))
+        .otherwise((3 * F.col("event_id") + 7) % 1000)
+        .alias("t"),
+    ).distinct()
+    return resolve_redirects(rd, rounds=12)
+
+
 def q_anchor_text(spark, sf_dir):
     """Inbound anchor-text index (plans/links.anchor_text_index): per
     link target its top-3 inbound anchor texts by count (ties lex) —
@@ -7735,6 +7755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "outlinks": q_outlinks,
         "anchor_text": q_anchor_text,
+        "redirect_resolve": q_redirect_resolve,
         "host_graph": q_host_graph,
         "adamic_adar": q_adamic_adar,
         "z_range_plan": q_z_range_plan,

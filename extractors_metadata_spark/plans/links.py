@@ -196,3 +196,65 @@ def anchor_text_index(
             "dst_url", F.col("rnk").cast("long").alias("rnk"), "text", "n"
         )
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame, rounds: int = 12
+) -> DataFrame:
+    """Redirect-chain resolution -> (url_id, resolved_id, status): every
+    crawl frontier's canonicalization step — follow HTTP redirects to
+    the terminal page, and DETECT LOOPS (the real-web failure mode a
+    naive walk hangs on).
+
+    ``redirects``: (v, t) — the full functional graph, terminals as
+    self-loops (t = v). Pointer DOUBLING with a min-carry: per round
+    ptr <- ptr(ptr) and mn <- min(mn, mn(ptr)) — after ``rounds``
+    rounds ptr is the node 2^rounds steps ahead (the terminal, for any
+    tail shorter than 2^rounds) and mn is the minimum node id on that
+    walk. status = 'canonical' when the landing node is a fixpoint;
+    otherwise 'loop', and resolved_id = mn(landing node) — the walk
+    from a cycle node covers the whole cycle, so that is the cycle's
+    canonical (minimum) member, the stable dedup key for loop pages.
+
+    Fixed ``rounds`` IS the semantics (the watershed log-doubling
+    recipe; 2^12 covers any real redirect chain), which keeps the
+    oracle an exact unrolled replay. Per round: ONE self-equi-join on
+    the narrow (v, p, mn) frame, localCheckpoint-truncated."""
+    pt = redirects.select(
+        F.col("v").cast("long").alias("v"),
+        F.col("t").cast("long").alias("p"),
+        F.least(F.col("v"), F.col("t")).cast("long").alias("mn"),
+    ).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        q = pt.select(
+            F.col("v").alias("_qv"),
+            F.col("p").alias("_qp"),
+            F.col("mn").alias("_qmn"),
+        )
+        pt = (
+            pt.join(q, pt.p == q._qv)
+            .select(
+                "v",
+                F.col("_qp").alias("p"),
+                F.least(F.col("mn"), F.col("_qmn")).alias("mn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    fix = redirects.filter(F.col("v") == F.col("t")).select(
+        F.col("v").alias("p"), F.lit(1).alias("_fx")
+    )
+    mn_of = pt.select(F.col("v").alias("p"), F.col("mn").alias("_pmn"))
+    return (
+        pt.join(F.broadcast(fix), "p", "left")
+        .join(mn_of, "p")
+        .select(
+            F.col("v").alias("url_id"),
+            F.when(F.col("_fx").isNotNull(), F.col("p"))
+            .otherwise(F.col("_pmn"))
+            .cast("long")
+            .alias("resolved_id"),
+            F.when(F.col("_fx").isNotNull(), "canonical")
+            .otherwise("loop")
+            .alias("status"),
+        )
+    )

@@ -2145,6 +2145,39 @@ def _ransac_sql(k: int = 32, tol: int = 50) -> str:
     """
 
 
+def _redirects_sql(rounds: int = 12, n: int = 1000) -> str:
+    """plans/links.resolve_redirects mirror: the synthetic functional
+    graph (terminals v % 5 = 0 as self-loops, else t = (3v+7) % n —
+    2v = -7 mod n has no solution, so no accidental fixpoints), the
+    min-carry pointer doubling unrolled, the fixpoint/loop CASE."""
+    stages = []
+    prev = "pt0"
+    for k in range(1, rounds + 1):
+        stages.append(f"""
+        pt{k} AS MATERIALIZED (
+          SELECT a.v, b.p AS p, least(a.mn, b.mn) AS mn
+          FROM {prev} a JOIN {prev} b ON b.v = a.p)""")
+        prev = f"pt{k}"
+    return f"""
+        WITH rd AS MATERIALIZED (
+          SELECT DISTINCT event_id AS v,
+                 CASE WHEN event_id % 5 = 0 THEN event_id
+                      ELSE (3 * event_id + 7) % {n} END AS t
+          FROM events WHERE event_id < {n}),
+        pt0 AS (SELECT v, t AS p, least(v, t) AS mn FROM rd),
+        {",".join(stages)},
+        fix AS (SELECT v AS p FROM rd WHERE v = t)
+        SELECT CAST(a.v AS BIGINT) AS url_id,
+               CAST(CASE WHEN f.p IS NOT NULL THEN a.p ELSE m.mn END
+                 AS BIGINT) AS resolved_id,
+               CASE WHEN f.p IS NOT NULL THEN 'canonical'
+                    ELSE 'loop' END AS status
+        FROM {prev} a
+        LEFT JOIN fix f ON f.p = a.p
+        JOIN {prev} m ON m.v = a.p
+    """
+
+
 def _anchor_text_sql(k: int = 3, n_pages: int = 2000) -> str:
     """plans/links.anchor_text_index mirror over the varying-text probe:
     symbolic page construction with the ANCHOR_WORDS literal list
@@ -8806,6 +8839,7 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": _variogram_sql(),
         "outlinks": _OUTLINKS_SQL,
         "anchor_text": _anchor_text_sql(3),
+        "redirect_resolve": _redirects_sql(12, 1000),
         "host_graph": _HOST_GRAPH_SQL,
         "adamic_adar": _adamic_adar_sql(),
         "z_range_plan": _z_range_plan_sql(),

@@ -142,3 +142,23 @@ def test_anchor_text_index_topk_and_ties(spark):
     assert out[("/t", 2)] == ("apple", 1)
     assert ("/t", 3) not in out
     assert out[("/u", 1)] == ("only", 1)
+
+
+def test_redirect_resolve_chains_loops_tails(spark):
+    """0 is terminal; 1->2->0 resolves canonically; {3,4} is a 2-cycle
+    (loop, canonical member 3 for both); 5 redirects INTO the cycle and
+    is a loop page too."""
+    from extractors_metadata_spark.plans.links import resolve_redirects
+
+    rd = spark.createDataFrame(
+        [(0, 0), (1, 2), (2, 0), (3, 4), (4, 3), (5, 3)],
+        "v long, t long",
+    )
+    out = {
+        r["url_id"]: (r["resolved_id"], r["status"])
+        for r in resolve_redirects(rd, rounds=6).collect()
+    }
+    assert out[0] == (0, "canonical")
+    assert out[1] == (0, "canonical") and out[2] == (0, "canonical")
+    assert out[3] == (3, "loop") and out[4] == (3, "loop")
+    assert out[5] == (3, "loop")
