@@ -6406,6 +6406,41 @@ def q_stream_upsert_verify(spark, sf_dir):
     )
 
 
+def q_stream_dedup_verify(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup_stream): events as a
+    collision-rich fingerprint feed (key = (event_id * 131) % 499,
+    arrival = event_id), drained AvailableNow in 3-file micro-batches
+    into a FIRST-ARRIVAL-WINS survivor state table — the streaming twin
+    of dedup_exact. The per-key struct-min merge is associative/
+    commutative/IDEMPOTENT (stream_upsert with the order flipped), so
+    the end state is a pure function of the input set. FULL oracle: the
+    one-shot per-key argmin replay."""
+    import tempfile
+
+    from extractors_metadata_spark.sources.snapshot import read_table
+    from extractors_metadata_spark.streaming.dedup_stream import (
+        stream_first_wins,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_sdedup_")
+    feed = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 131) % 499).alias("key"),
+        F.col("event_id").alias("arrival"),
+        F.col("event_type"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v_u"),
+    )
+    feed.repartition(9).write.parquet(base + "/in")
+    q = stream_first_wins(
+        spark, base + "/in", base + "/state", base + "/ckpt",
+        schema=feed.schema, key_col="key",
+        ordered_cols=["arrival", "event_type", "v_u"],
+    )
+    q.awaitTermination(600)
+    return read_table(spark, base + "/state").select(
+        "key", "arrival", "event_type", "v_u"
+    )
+
+
 def q_stream_join_verify(spark, sf_dir):
     """Stream-stream interval join (streaming/join_stream): view/click
     events vs signup/purchase events of the same user within 24 h, both
@@ -7756,6 +7791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "anchor_text": q_anchor_text,
         "redirect_resolve": q_redirect_resolve,
+        "stream_dedup_verify": q_stream_dedup_verify,
         "host_graph": q_host_graph,
         "adamic_adar": q_adamic_adar,
         "z_range_plan": q_z_range_plan,

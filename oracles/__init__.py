@@ -8634,6 +8634,16 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(7, 8),
         "k_hop": _k_hop_sql(4),
         "stream_upsert_verify": _STREAM_UPSERT_SQL,
+        "stream_dedup_verify": """
+            SELECT key, arrival, event_type, v_u FROM (
+              SELECT (event_id * 131) % 499 AS key, event_id AS arrival,
+                     event_type,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v_u,
+                     row_number() OVER (
+                       PARTITION BY (event_id * 131) % 499
+                       ORDER BY event_id ASC) AS rn
+              FROM events) q WHERE rn = 1
+        """,
         "pq_topk": _pq_sql(),
         "overlay_area": _overlay_sql(),
         "stream_join_verify": _STREAM_JOIN_SQL,
