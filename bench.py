@@ -422,6 +422,11 @@ def main() -> None:
         # mapInPandas whose cardinality Spark cannot prune — the DCT
         # kernel executes under count() (image_ahash_pairs precedent).
         "line_raster", "image_phash",
+        # anchor_text's count() sits on the top-k window filter over the
+        # regex-parsed pair counts; redirect_resolve builds its doubling
+        # rounds eagerly (localCheckpoint). (stream_dedup_verify is a
+        # foreachBatch drain — stream_bench territory, NOT timed here.)
+        "anchor_text", "redirect_resolve",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
