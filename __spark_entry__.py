@@ -614,6 +614,21 @@ def q_langid_confusion(spark, sf_dir):
     )
 
 
+def q_one_rule(spark, sf_dir):
+    """1R decision stump (Holte 1993, the baseline every classifier
+    must beat): the error-minimizing single threshold on text length
+    predicting the language label, each side its majority class —
+    exact integer counting end to end, frozen smaller-label /
+    smaller-threshold tie rules. FULL oracle: the same zero-filled
+    cumulative grid + composite argmaxes in SQL."""
+    from extractors_metadata_spark.operators.naivebayes import (
+        one_rule_stump,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return one_rule_stump(d, F.length("text"), "lang")
+
+
 def q_cohens_kappa(spark, sf_dir):
     """Cohen's kappa over the language-ID confusion matrix — chance-
     corrected classifier agreement as the exact rational (N*agree -
@@ -7760,6 +7775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_ord": q_getis_ord,
         "langid_confusion": q_langid_confusion,
         "cohens_kappa": q_cohens_kappa,
+        "one_rule": q_one_rule,
         "radius_gyration": q_radius_gyration,
         "mobility_entropy": q_mobility_entropy,
         "hill_tail": q_hill_tail,

@@ -142,3 +142,75 @@ def naive_bayes_langid(
         F.col("b.score_fp").alias("score_fp"),
         F.col("b.n_tokens").alias("n_tokens"),
     )
+
+
+def one_rule_stump(
+    df: DataFrame,
+    feature,
+    label_col: str = "lang",
+) -> DataFrame:
+    """The 1R decision stump (Holte 1993 — "very simple classification
+    rules perform surprisingly well", the baseline every classifier
+    must beat): the single integer threshold t on ``feature`` that
+    minimizes training error when each side predicts its majority
+    label -> one row (threshold, left_label, right_label, n_correct,
+    n_errors, n_total).
+
+    Frozen tie rules: majority-label ties break to the smaller label
+    string; equal-error thresholds break to the smaller t. Everything
+    is exact integer counting (no impurity logs — 1R IS error count).
+
+    Plan: one (x, label) count agg over the data (the only data-sized
+    exchange), then a distinct-x CROSS distinct-label zero-filled grid
+    (bounded by feature cardinality x classes), per-label cumulative
+    window, per-x two composite argmaxes, one global argmin. At 100 TB
+    the x-grid is the bounded frame — bucket the feature first if its
+    cardinality is unbounded."""
+    base = df.select(feature.cast("long").alias("x"), F.col(label_col).alias("lbl"))
+    n_total = base.count()
+    cnt = base.groupBy("x", "lbl").agg(F.count(F.lit(1)).alias("c"))
+    xs = cnt.select("x").distinct()
+    lbls = cnt.select("lbl").distinct()
+    tot = cnt.groupBy("lbl").agg(F.sum("c").alias("t"))
+    grid = (
+        xs.crossJoin(F.broadcast(lbls))
+        .join(cnt, ["x", "lbl"], "left")
+        .select("x", "lbl", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lbl")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("lc", F.sum("c").over(w)).join(
+        F.broadcast(tot), "lbl"
+    ).withColumn("rc", F.col("t") - F.col("lc"))
+    per_x = cum.groupBy("x").agg(
+        F.max("lc").alias("lmax"),
+        F.min_by("lbl", F.struct((-F.col("lc")).alias("k"), F.col("lbl"))).alias(
+            "left_label"
+        ),
+        F.max("rc").alias("rmax"),
+        F.min_by("lbl", F.struct((-F.col("rc")).alias("k"), F.col("lbl"))).alias(
+            "right_label"
+        ),
+    )
+    scored = per_x.select(
+        F.col("x").alias("threshold"),
+        "left_label",
+        "right_label",
+        (F.col("lmax") + F.col("rmax")).cast("long").alias("n_correct"),
+    )
+    best = scored.orderBy(
+        (F.lit(n_total) - F.col("n_correct")).asc(), F.col("threshold").asc()
+    ).limit(1)
+    return best.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        "left_label",
+        "right_label",
+        "n_correct",
+        (F.lit(n_total) - F.col("n_correct")).cast("long").alias("n_errors"),
+        F.lit(n_total).cast("long").alias("n_total"),
+    )

@@ -8021,6 +8021,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2
         """,
+        "one_rule": """
+            WITH base AS (
+              SELECT CAST(length(text) AS BIGINT) AS x, lang AS lbl
+              FROM documents),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+            cnt AS (SELECT x, lbl, CAST(count(*) AS BIGINT) AS c
+                    FROM base GROUP BY 1, 2),
+            xs AS (SELECT DISTINCT x FROM cnt),
+            ls AS (SELECT DISTINCT lbl FROM cnt),
+            tot AS (SELECT lbl, CAST(sum(c) AS BIGINT) AS t
+                    FROM cnt GROUP BY 1),
+            grid AS (SELECT xs.x, ls.lbl, coalesce(cnt.c, 0) AS c
+                     FROM xs CROSS JOIN ls
+                     LEFT JOIN cnt ON cnt.x = xs.x AND cnt.lbl = ls.lbl),
+            cum AS (SELECT g.x, g.lbl,
+                           CAST(sum(g.c) OVER (
+                             PARTITION BY g.lbl ORDER BY g.x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS lc,
+                           t.t
+                    FROM grid g JOIN tot t ON t.lbl = g.lbl),
+            cum2 AS (SELECT x, lbl, lc, CAST(t - lc AS BIGINT) AS rc
+                     FROM cum),
+            lpick AS (SELECT x, lbl AS left_label, lc AS lmax FROM (
+                SELECT x, lbl, lc, row_number() OVER (
+                  PARTITION BY x ORDER BY lc DESC, lbl) AS rn
+                FROM cum2) q WHERE rn = 1),
+            rpick AS (SELECT x, lbl AS right_label, rc AS rmax FROM (
+                SELECT x, lbl, rc, row_number() OVER (
+                  PARTITION BY x ORDER BY rc DESC, lbl) AS rn
+                FROM cum2) q WHERE rn = 1),
+            sc AS (SELECT l.x AS threshold, l.left_label, r.right_label,
+                          CAST(l.lmax + r.rmax AS BIGINT) AS n_correct
+                   FROM lpick l JOIN rpick r ON r.x = l.x),
+            best AS (SELECT sc.*, nt.n, row_number() OVER (
+                       ORDER BY nt.n - n_correct ASC, threshold ASC) AS rn
+                     FROM sc, nt)
+            SELECT threshold, left_label, right_label, n_correct,
+                   CAST(n - n_correct AS BIGINT) AS n_errors,
+                   n AS n_total
+            FROM best WHERE rn = 1
+        """,
         "cohens_kappa": f"""
             WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS pad
                        FROM documents),

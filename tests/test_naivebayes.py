@@ -82,3 +82,32 @@ def test_partitioning_invariance(spark):
     r1 = sorted(map(tuple, naive_bayes_langid(df.repartition(7)).collect()))
     r2 = sorted(map(tuple, naive_bayes_langid(df.coalesce(1)).collect()))
     assert r1 == r2
+
+
+def test_one_rule_perfect_split_and_ties(spark):
+    """Lengths {1,2,3} are 'a' and {10,11} are 'b' -> the stump t=3
+    separates perfectly (5 correct, 0 errors); with one 'b' moved to
+    length 2 the best achievable is 4 correct and the SMALLEST optimal
+    threshold wins."""
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.operators.naivebayes import (
+        one_rule_stump,
+    )
+
+    rows = [
+        (0, "x", "a"), (1, "xy", "a"), (2, "xyz", "a"),
+        (3, "x" * 10, "b"), (4, "x" * 11, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = one_rule_stump(df, F.length("text")).collect()[0]
+    assert (r["threshold"], r["left_label"], r["right_label"]) == (3, "a", "b")
+    assert (r["n_correct"], r["n_errors"], r["n_total"]) == (5, 0, 5)
+
+    rows2 = rows + [(5, "zz", "b")]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string"
+    )
+    r2 = one_rule_stump(df2, F.length("text")).collect()[0]
+    assert r2["n_errors"] == 1
+    assert r2["threshold"] == 3
