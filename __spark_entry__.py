@@ -2845,6 +2845,25 @@ def q_image_phash(spark, sf_dir):
     return decode_image_phash(_ahash_pages(spark, sf_dir))
 
 
+def q_audio_energy(spark, sf_dir):
+    """Audio-QC triage (multimodal/binary_ops.decode_audio_energy): per
+    (payload, window) the RMS sufficient statistic (energy_sq, emitted
+    UNROOTED — no float), clipping count and dead-air flag over the
+    deterministic SplitMix PCM stub (every 4th window attenuated so the
+    silence branch is live) — the loudness screen an audio corpus runs
+    before transcription; real_decode=True is the codec integration
+    point. FULL oracle: 256-counter HUGEINT SplitMix replay + the same
+    windowed integer statistics."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        decode_audio_energy,
+    )
+
+    feed = _probe_pages(spark, sf_dir, max_events=2000).select(
+        "url", "html"
+    )
+    return decode_audio_energy(feed)
+
+
 def q_image_ahash_pairs(spark, sf_dir):
     """Image near-duplicate pairs (multimodal/binary_ops.ahash_pairs):
     banded Hamming join over the aHash fingerprints — each hash splits into
@@ -7790,6 +7809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "image_ahash": q_image_ahash,
         "image_phash": q_image_phash,
+        "audio_energy": q_audio_energy,
         "image_ahash_pairs": q_image_ahash_pairs,
         "mann_kendall": q_mann_kendall,
         "random_walks": q_random_walks,

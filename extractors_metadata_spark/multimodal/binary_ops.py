@@ -358,3 +358,85 @@ def decode_image_phash(
             )
 
     return df.select(id_col, binary_col).mapInPandas(gen, IMAGE_PHASH_SCHEMA)
+
+
+AUDIO_WINDOWS = 4
+AUDIO_SAMPLES = 64
+AUDIO_CLIP = 32700
+AUDIO_SILENCE_SQ = AUDIO_SAMPLES * 1000 * 1000  # mean |s| < 1000
+
+
+def audio_windows_from_seeds(seeds: np.ndarray) -> np.ndarray:
+    """(n, AUDIO_WINDOWS * AUDIO_SAMPLES) deterministic int16-range PCM
+    samples per payload seed: SplitMix64 (seed, counter) low 16 bits
+    recentred to [-32768, 32767]; every 4th window is attenuated 64x
+    (integer div) so the silence branch is live — pure integer, HUGEINT-
+    replayable (the _gray64_from_seeds recipe widened to 256 counters)."""
+    n = len(seeds)
+    total = AUDIO_WINDOWS * AUDIO_SAMPLES
+    ctr = np.arange(1, total + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = seeds[:, None].astype(np.uint64) + np.uint64(
+            0x9E3779B97F4A7C15
+        ) * ctr[None, :]
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    s = (z & np.uint64(0xFFFF)).astype(np.int64) - 32768
+    win = (ctr.astype(np.int64) - 1) // AUDIO_SAMPLES
+    quiet = (win % 4 == 0)
+    # trunc division toward zero on both engines: do it on abs, restore sign
+    att = np.sign(s) * (np.abs(s) // 64)
+    return np.where(quiet[None, :], att, s).reshape(n, total)
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "url string, win long, energy_sq long, n_clipped long, silent boolean"
+)
+
+
+def decode_audio_energy(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    real_decode: bool = False,
+) -> DataFrame:
+    """audio binary -> per-window QC triage, one row per (url, window):
+    energy_sq = sum of squared samples (the RMS sufficient statistic —
+    emitted UNROOTED so no float exists), n_clipped = samples at |s| >=
+    AUDIO_CLIP, silent = energy below the silence floor. The loudness /
+    clipping / dead-air screen an audio-corpus pipeline runs before
+    transcription; real_decode=True is the codec integration point
+    (decode to PCM, then the same windowed integer statistics)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "no audio codec in this environment; decode to int16 "
+                    "PCM here, then the same windowed integer statistics"
+                )
+            seeds = hash_bytes_batch(pdf[binary_col])
+            pcm = audio_windows_from_seeds(seeds).reshape(
+                -1, AUDIO_WINDOWS, AUDIO_SAMPLES
+            )
+            energy = (pcm * pcm).sum(axis=2)
+            clipped = (np.abs(pcm) >= AUDIO_CLIP).sum(axis=2)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(pdf[id_col].to_numpy(), AUDIO_WINDOWS),
+                    "win": np.tile(
+                        np.arange(AUDIO_WINDOWS, dtype=np.int64), n
+                    ),
+                    "energy_sq": energy.reshape(-1).astype(np.int64),
+                    "n_clipped": clipped.reshape(-1).astype(np.int64),
+                    "silent": (
+                        energy.reshape(-1) < AUDIO_SILENCE_SQ
+                    ).astype(bool),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        gen, AUDIO_ENERGY_SCHEMA
+    )

@@ -7372,6 +7372,59 @@ def _phash_ctes() -> str:
     """
 
 
+def _audio_ctes() -> str:
+    """SQL replay of multimodal/binary_ops.decode_audio_energy —
+    consumes ``hh(event_id, h63)``; ends with ``aw(event_id, win,
+    energy_sq, n_clipped, silent)``: the 256-counter SplitMix PCM stub
+    (low 16 bits recentred), every 4th window attenuated by the
+    sign-split truncating 64-div, windowed integer statistics."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        AUDIO_CLIP,
+        AUDIO_SILENCE_SQ,
+    )
+
+    m64 = "18446744073709551616"
+
+    def mul(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"(((CAST({a} AS HUGEINT) * {bl}) % {m64}"
+            f" + (((CAST({a} AS HUGEINT) * {bh}) % 4294967296) * 4294967296)) % {m64})"
+        )
+
+    def xs(z: str, s: int) -> str:
+        return f"xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {s})"
+
+    return f"""
+        wctrs AS (SELECT unnest(range(1, 257)) AS c),
+        wz0 AS MATERIALIZED (
+          SELECT event_id, CAST(c AS INT) AS c,
+                 (CAST(h63 AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT) * c) % {m64} AS z
+          FROM hh, wctrs),
+        wz1 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM wz0),
+        wz2 AS MATERIALIZED (SELECT event_id, c, {mul(xs('z', 27), 0x94D049BB133111EB)} AS z FROM wz1),
+        wraw AS MATERIALIZED (
+          SELECT event_id, c,
+                 CAST(CAST({xs('z', 31)} AS HUGEINT) % 65536 AS BIGINT)
+                   - 32768 AS s,
+                 (c - 1) // 64 AS win
+          FROM wz2),
+        wpcm AS (
+          SELECT event_id, win,
+                 CASE WHEN win % 4 = 0 THEN
+                        CASE WHEN s < 0 THEN -((-s) // 64)
+                             ELSE s // 64 END
+                      ELSE s END AS v
+          FROM wraw),
+        aw AS MATERIALIZED (
+          SELECT event_id, CAST(win AS BIGINT) AS win,
+                 CAST(sum(v * v) AS BIGINT) AS energy_sq,
+                 CAST(sum(CASE WHEN abs(v) >= {AUDIO_CLIP} THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_clipped,
+                 sum(v * v) < {AUDIO_SILENCE_SQ} AS silent
+          FROM wpcm GROUP BY 1, 2)"""
+
+
 def _ahash_ctes() -> str:
     """SQL replay of multimodal/binary_ops ahash path — consumes CTE
     ``hh(event_id, h63)``; ends with ``ah(event_id, ahash, b0..b3)``.
@@ -8843,6 +8896,18 @@ def oracle_sql() -> dict[str, str]:
             {_AHASH_URLS_CTE}
             SELECT au.url, ah.ahash, ah.b0, ah.b1, ah.b2, ah.b3
             FROM au JOIN ah USING (event_id)
+        """,
+        "audio_energy": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_audio_ctes()},
+            au AS (SELECT event_id,
+                          'https://site.example/e' || CAST(event_id AS VARCHAR)
+                            AS url
+                   FROM hh)
+            SELECT au.url, aw.win, aw.energy_sq, aw.n_clipped, aw.silent
+            FROM au JOIN aw USING (event_id)
         """,
         "image_phash": f"""
             WITH {_probe_gxgy_sql("WHERE event_id < 2000")},

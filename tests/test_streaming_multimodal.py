@@ -192,3 +192,36 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
     assert final.select("digest").distinct().count() == 120
     # within-batch duplicate resolved to min url (frozen rule): no zcopy rows
     assert final.filter(F.col("url").contains("zcopy")).count() == 0
+
+
+def test_audio_energy_windows_and_silence(spark):
+    """Per payload 4 windows; window 0 is the attenuated one (silent),
+    windows 1-3 carry full-range PCM (loud, clipping possible); energy
+    equals the hand sum of squares of the generator's samples."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        AUDIO_SILENCE_SQ,
+        audio_windows_from_seeds,
+        decode_audio_energy,
+        hash_bytes_batch,
+    )
+
+    df = spark.createDataFrame(
+        [("u0", b"payload-a"), ("u1", b"payload-b")],
+        "url string, html binary",
+    )
+    out = {
+        (r["url"], r["win"]): r
+        for r in decode_audio_energy(df).collect()
+    }
+    assert len(out) == 8
+    pcm = audio_windows_from_seeds(
+        hash_bytes_batch(pd.Series([b"payload-a"]))
+    ).reshape(4, 64)
+    for w in range(4):
+        r = out[("u0", w)]
+        assert r["energy_sq"] == int((pcm[w].astype(object) ** 2).sum())
+        assert r["silent"] == (r["energy_sq"] < AUDIO_SILENCE_SQ)
+    assert out[("u0", 0)]["silent"] and not out[("u0", 1)]["silent"]
