@@ -427,6 +427,10 @@ def main() -> None:
         # rounds eagerly (localCheckpoint). (stream_dedup_verify is a
         # foreachBatch drain — stream_bench territory, NOT timed here.)
         "anchor_text", "redirect_resolve",
+        # one_rule's single row is the global argmin over the cumulative
+        # grid (the whole chain executes); audio_energy is a mapInPandas
+        # whose cardinality Spark cannot prune.
+        "one_rule", "audio_energy",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
