@@ -7366,6 +7366,21 @@ def q_polyline_encode(spark, sf_dir):
     return polyline_tracks(user_tracks(pts))
 
 
+def q_marching_squares(spark, sf_dir):
+    """Marching squares over the binary occupancy surface — the
+    raster->vector contouring classic (the north rule's raster<->vector
+    pair, vector direction): per 2x2 block with a crossing, the 4-bit
+    corner case and its segment count from the frozen 16-entry table
+    (saddles reported, not resolved). Shares occupancy_flags with
+    join_counts; O(lattice) after one count agg. FULL oracle: same
+    corner joins + literal table."""
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        marching_squares,
+    )
+
+    return marching_squares(_t(spark, sf_dir, "events"))
+
+
 def q_join_counts(spark, sf_dir):
     """Join-count statistics over the plot-grid occupancy surface
     (Cliff & Ord 1981): black = above-average event occupancy (the
@@ -7867,6 +7882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_match": q_viterbi_match,
         "track_diameter": q_track_diameter,
         "join_counts": q_join_counts,
+        "marching_squares": q_marching_squares,
         "polyline_encode": q_polyline_encode,
         "str_pack": q_str_pack,
         "bowtie_classes": q_bowtie_classes,

@@ -79,33 +79,15 @@ def local_moran(
     )
 
 
-def join_counts(
-    events: DataFrame,
-    n_rows: int = 54,
-    n_cols: int = 16,
-) -> DataFrame:
-    """Join-count statistics (Cliff & Ord 1981) — the BINARY complement
-    of local_moran: classify every plot-grid cell black/white by
-    above-average event occupancy, count BB / WW / BW rook adjacencies,
-    and emit the nonfree-sampling (hypergeometric) expectations as
-    exact rationals over the common denominator n(n-1).  BW far below
-    its expectation = black cells clump (the crawl-hotspot /
-    field-disease spatial test at its simplest).
-
-    Exactness: cells come from event_id by the mapmatch half-milli-cell
-    integer arithmetic; "black" is the cross-multiplied integer
-    predicate n_cells * cnt >= total (above-average occupancy — scale
-    free, so the surface stays mixed at any SF); the lattice, its rook
-    edge set (n_rows*(n_cols-1) + (n_rows-1)*n_cols edges), and every
-    expectation numerator are int64.  No float exists anywhere.
-
-    Plan: one cell-keyed count agg over the data; the 864-cell lattice
-    and its edge set are generated frames (spark.range, no data scan);
-    flags broadcast onto the edges (two dim-joins inside codegen); one
-    1-row final agg.  Scale shape: the only data-sized exchange is the
-    first count; everything after is O(lattice)."""
+def occupancy_flags(
+    events: DataFrame, n_rows: int = 54, n_cols: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """(lattice, flags): the zero-filled plot-grid lattice and the
+    binary above-average-occupancy surface — black iff n_cells * cnt >=
+    total (cross-multiplied integer predicate, scale-free). Cells come
+    from event_id by the mapmatch half-milli-cell integer arithmetic.
+    Shared by join_counts and marching_squares."""
     n_cells = n_rows * n_cols
-    n_edges = n_rows * (n_cols - 1) + (n_rows - 1) * n_cols
     spark = events.sparkSession
     cnts = (
         events.select(
@@ -136,6 +118,91 @@ def join_counts(
             .alias("b"),
         )
     )
+    return lat, flags
+
+
+# marching-squares segment counts per 4-bit corner case (corners SW=1,
+# SE=2, NE=4, NW=8): 0 and 15 emit nothing, the two saddles (5, 10)
+# emit two segments, every other case one.
+_MS_SEGMENTS = (0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0)
+
+
+def marching_squares(
+    events: DataFrame,
+    n_rows: int = 54,
+    n_cols: int = 16,
+) -> DataFrame:
+    """Marching squares over the binary occupancy surface -> one row per
+    2x2 cell block with a contour crossing: (r, c, case_idx,
+    n_segments) — the classical raster->vector contouring step (the
+    north rule's raster<->vector pair, vector direction): case_idx =
+    SW + 2*SE + 4*NE + 8*NW over the block's corner flags, n_segments
+    from the frozen 16-entry table (saddles 5/10 emit two — the
+    ambiguity is REPORTED, not resolved: resolution needs subcell data
+    this surface doesn't carry).
+
+    Plan: the shared occupancy surface (one data-sized count agg), then
+    four broadcast flag joins onto the (n_rows-1) x (n_cols-1) block
+    lattice — O(lattice) after the first agg, no float anywhere."""
+    lat, flags = occupancy_flags(events, n_rows, n_cols)
+    blocks = lat.filter(
+        (F.col("r") < n_rows - 1) & (F.col("c") < n_cols - 1)
+    )
+    j = blocks
+    for name, dr, dc in (
+        ("sw", 0, 0), ("se", 0, 1), ("ne", 1, 1), ("nw", 1, 0),
+    ):
+        f = flags.select(
+            (F.col("r") - dr).alias("r"),
+            (F.col("c") - dc).alias("c"),
+            F.col("b").alias(name),
+        )
+        j = j.join(F.broadcast(f), ["r", "c"])
+    case = (
+        F.col("sw") + 2 * F.col("se") + 4 * F.col("ne") + 8 * F.col("nw")
+    )
+    seg_table = F.array(*[F.lit(s) for s in _MS_SEGMENTS])
+    return (
+        j.select(
+            F.col("r").cast("long").alias("r"),
+            F.col("c").cast("long").alias("c"),
+            case.cast("long").alias("case_idx"),
+            F.element_at(seg_table, case.cast("int") + 1)
+            .cast("long")
+            .alias("n_segments"),
+        )
+        .filter((F.col("case_idx") != 0) & (F.col("case_idx") != 15))
+    )
+
+
+def join_counts(
+    events: DataFrame,
+    n_rows: int = 54,
+    n_cols: int = 16,
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord 1981) — the BINARY complement
+    of local_moran: classify every plot-grid cell black/white by
+    above-average event occupancy, count BB / WW / BW rook adjacencies,
+    and emit the nonfree-sampling (hypergeometric) expectations as
+    exact rationals over the common denominator n(n-1).  BW far below
+    its expectation = black cells clump (the crawl-hotspot /
+    field-disease spatial test at its simplest).
+
+    Exactness: cells come from event_id by the mapmatch half-milli-cell
+    integer arithmetic; "black" is the cross-multiplied integer
+    predicate n_cells * cnt >= total (above-average occupancy — scale
+    free, so the surface stays mixed at any SF); the lattice, its rook
+    edge set (n_rows*(n_cols-1) + (n_rows-1)*n_cols edges), and every
+    expectation numerator are int64.  No float exists anywhere.
+
+    Plan: one cell-keyed count agg over the data; the 864-cell lattice
+    and its edge set are generated frames (spark.range, no data scan);
+    flags broadcast onto the edges (two dim-joins inside codegen); one
+    1-row final agg.  Scale shape: the only data-sized exchange is the
+    first count; everything after is O(lattice)."""
+    n_cells = n_rows * n_cols
+    n_edges = n_rows * (n_cols - 1) + (n_rows - 1) * n_cols
+    lat, flags = occupancy_flags(events, n_rows, n_cols)
     edges = (
         lat.filter(F.col("r") < n_rows - 1)
         .select("r", "c", (F.col("r") + 1).alias("r2"), F.col("c").alias("c2"))

@@ -9401,6 +9401,36 @@ def oracle_sql() -> dict[str, str]:
                    max(x) AS max_x, max(y) AS max_y
             FROM lf GROUP BY 1
         """,
+        "marching_squares": """
+            WITH cnts AS (
+              SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
+                     ((event_id % 640) * 50 + 25) // 2000 AS c,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+            lat AS (SELECT t1.range AS r, t2.range AS c
+                    FROM range(54) t1, range(16) t2),
+            flags AS (
+              SELECT l.r, l.c,
+                     CASE WHEN 864 * coalesce(cn.cnt, 0)
+                            >= (SELECT n FROM tot)
+                          THEN 1 ELSE 0 END AS b
+              FROM lat l LEFT JOIN cnts cn ON cn.r = l.r AND cn.c = l.c),
+            blocks AS (SELECT r, c FROM lat WHERE r < 53 AND c < 15),
+            ms AS (
+              SELECT b.r, b.c,
+                     fsw.b + 2 * fse.b + 4 * fne.b + 8 * fnw.b AS case_idx
+              FROM blocks b
+              JOIN flags fsw ON fsw.r = b.r     AND fsw.c = b.c
+              JOIN flags fse ON fse.r = b.r     AND fse.c = b.c + 1
+              JOIN flags fne ON fne.r = b.r + 1 AND fne.c = b.c + 1
+              JOIN flags fnw ON fnw.r = b.r + 1 AND fnw.c = b.c)
+            SELECT CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+                   CAST(case_idx AS BIGINT) AS case_idx,
+                   CAST(([0,1,1,1,1,2,1,1,1,1,2,1,1,1,1,0])[case_idx + 1]
+                     AS BIGINT) AS n_segments
+            FROM ms WHERE case_idx NOT IN (0, 15)
+        """,
         "join_counts": """
             WITH cnts AS (
               SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,

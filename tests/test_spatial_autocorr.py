@@ -74,3 +74,29 @@ def test_join_counts_single_black_cell(spark):
     assert r["e_ww_num"] == 1658 * 863 * 862
     assert r["e_bw_num"] == 2 * 1658 * 863
     assert r["e_den"] == 864 * 863
+
+
+def test_marching_squares_single_cell_and_saddle(spark):
+    """Two diagonal black cells (0,0) and (1,1) (event ids 0 / 9019, two
+    each): block (0,0) is the SADDLE (case 5, two segments); its three
+    neighbors each carry one crossing; nothing else emits."""
+    import datetime as dt
+
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        marching_squares,
+    )
+
+    df = spark.createDataFrame(
+        [(u, e, dt.datetime(2016, 5, 1)) for u, e in
+         [(0, 0), (1, 0), (2, 9019), (3, 9019)]],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = {
+        (r["r"], r["c"]): (r["case_idx"], r["n_segments"])
+        for r in marching_squares(df).collect()
+    }
+    assert out[(0, 0)] == (5, 2)
+    assert out[(0, 1)] == (8, 1)
+    assert out[(1, 0)] == (2, 1)
+    assert out[(1, 1)] == (1, 1)
+    assert len(out) == 4
