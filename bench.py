@@ -431,6 +431,9 @@ def main() -> None:
         # grid (the whole chain executes); audio_energy is a mapInPandas
         # whose cardinality Spark cannot prune.
         "one_rule", "audio_energy",
+        # marching_squares' cardinality is the case filter over the
+        # corner-flag joins — the occupancy agg + joins execute.
+        "marching_squares",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
