@@ -5851,6 +5851,21 @@ def q_sax_words(spark, sf_dir):
     )
 
 
+def q_shapley_attribution(spark, sf_dir):
+    """Shapley-value channel attribution (the game-theoretic upgrade of
+    first/last-touch): v(T) = conversions whose pre-first-purchase
+    touch set fits in T; per-channel Shapley emitted as the EXACT x6
+    integer (|C| = 3 -> denominator 3!), with the efficiency invariant
+    sum = 6*(v(C) - v_empty) checkable from the output. Data-sized work
+    = one purchase argmin + one touch distinct; all Shapley algebra
+    runs on the 8-row mask dim. FULL oracle: same subset sums in SQL."""
+    from extractors_metadata_spark.operators.funnel import (
+        shapley_attribution,
+    )
+
+    return shapley_attribution(_t(spark, sf_dir, "events"))
+
+
 def q_attribution(spark, sf_dir):
     """First/last-touch attribution: every purchase is credited to the
     latest and the earliest view/click touch inside its 24h lookback —
@@ -7883,6 +7898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_diameter": q_track_diameter,
         "join_counts": q_join_counts,
         "marching_squares": q_marching_squares,
+        "shapley_attribution": q_shapley_attribution,
         "polyline_encode": q_polyline_encode,
         "str_pack": q_str_pack,
         "bowtie_classes": q_bowtie_classes,

@@ -89,3 +89,119 @@ def event_transitions(
         .groupBy(F.col("prev_ty").alias("prev_type"), F.col("ty").alias("type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SHAPLEY_CHANNELS = ("click", "signup", "view")  # bits 1, 2, 4
+
+
+def shapley_attribution(
+    events: DataFrame,
+    channels: tuple[str, ...] = _SHAPLEY_CHANNELS,
+) -> DataFrame:
+    """Shapley-value channel attribution (the game-theoretic upgrade of
+    first/last-touch — Shapley 1953 applied to conversion journeys) ->
+    one row per channel: (channel, shapley_x6, n_conversions, v_empty).
+
+    Characteristic function: v(T) = converting users whose pre-first-
+    purchase touched-channel SET is contained in T — the standard
+    coalition read ("how many conversions survive if only T existed").
+    With |C| = 3 the Shapley weights |T|!(2-|T|)!/3! have denominator 6,
+    so shapley_x6 = sum over T not containing c of w(|T|) in {2,1,2}
+    times (v(T+c) - v(T)) is an EXACT integer; the invariant
+    sum_c shapley_x6 = 6*(v(C) - v(empty)) is checkable from the output
+    (v_empty = direct conversions that touched no channel).
+
+    Plan: one purchase argmin + one touch aggregate over the data (the
+    only data-sized exchanges), then everything runs on the 8-row mask
+    frame: subset sums and weight algebra are generated-dim joins. At
+    more channels the mask frame is 2^|C| — the standard practical cap
+    (|C| <= ~10) long before int64 matters."""
+    ch_bit = {c: 1 << i for i, c in enumerate(channels)}
+    full = (1 << len(channels)) - 1
+    first_p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("fp"),
+        )
+        .select("user_id", F.col("fp.ts").alias("pts"),
+                F.col("fp.event_id").alias("pid"))
+    )
+    bit = F.create_map(
+        *[x for c, b in ch_bit.items() for x in (F.lit(c), F.lit(b))]
+    )[F.col("event_type")]
+    touches = (
+        events.join(first_p, "user_id")
+        .filter(
+            F.col("event_type").isin(*channels)
+            & (
+                (F.col("ts") < F.col("pts"))
+                | ((F.col("ts") == F.col("pts"))
+                   & (F.col("event_id") < F.col("pid")))
+            )
+        )
+        .select("user_id", bit.alias("b"))
+        .distinct()
+    )
+    masks = (
+        first_p.join(
+            touches.groupBy("user_id").agg(F.sum("b").alias("m")),
+            "user_id",
+            "left",
+        )
+        .select(F.coalesce(F.col("m"), F.lit(0)).alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = events.sparkSession
+    subsets = spark.range(full + 1).select(F.col("id").alias("t"))
+    v = (
+        subsets.join(
+            F.broadcast(masks),
+            (F.col("m").bitwiseAND(F.col("t")) == F.col("m")),
+            "left",
+        )
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("v"))
+    )
+    n_conv = first_p.count()
+    weights = {0: 2, 1: 1, 2: 2}  # |T|!(2-|T|)!, denominator 3! = 6
+    pop = (
+        (F.col("t") % 2)
+        + (F.expr("t div 2") % 2)
+        + (F.expr("t div 4") % 2)
+    )
+    rows = []
+    for c, b in ch_bit.items():
+        wt = (
+            F.when(pop == 0, weights[0])
+            .when(pop == 1, weights[1])
+            .otherwise(weights[2])
+        )
+        vt = v.select(F.col("t"), F.col("v"), wt.alias("w"))
+        wo = vt.filter(F.col("t").bitwiseAND(F.lit(b)) == 0).select(
+            F.col("t").alias("t0"), F.col("v").alias("v0"), F.col("w")
+        )
+        wi = v.select((F.col("t")).alias("t1"), F.col("v").alias("v1"))
+        phi = (
+            wo.join(F.broadcast(wi), wo.t0 + F.lit(b) == wi.t1)
+            .agg(
+                F.sum(F.col("w") * (F.col("v1") - F.col("v0")))
+                .cast("long")
+                .alias("shapley_x6")
+            )
+            .select(F.lit(c).alias("channel"), "shapley_x6")
+        )
+        rows.append(phi)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    v_empty = v.filter(F.col("t") == 0).select(
+        F.col("v").alias("v_empty")
+    )
+    return out.crossJoin(F.broadcast(v_empty)).select(
+        "channel",
+        "shapley_x6",
+        F.lit(n_conv).cast("long").alias("n_conversions"),
+        F.col("v_empty").cast("long").alias("v_empty"),
+    )

@@ -2268,6 +2268,55 @@ def _bootstrap_sql(b: int = 32) -> str:
     """
 
 
+def _shapley_sql() -> str:
+    """operators/funnel.shapley_attribution mirror: first-purchase
+    argmin, the pre-purchase touched-channel bitmask, v(T) subset sums
+    over the 8-row mask dim, the exact x6 Shapley algebra per channel."""
+    per = []
+    for c, b in (("click", 1), ("signup", 2), ("view", 4)):
+        per.append(f"""
+          SELECT '{c}' AS channel,
+                 CAST(sum((CASE WHEN (a.t % 2) + ((a.t // 2) % 2)
+                                     + ((a.t // 4) % 2) = 1
+                                THEN 1 ELSE 2 END) * (bb.v - a.v))
+                   AS BIGINT) AS shapley_x6
+          FROM v a JOIN v bb ON bb.t = a.t + {b}
+          WHERE (a.t & {b}) = 0""")
+    body = "\n          UNION ALL\n".join(per)
+    return f"""
+        WITH fp AS MATERIALIZED (
+          SELECT user_id, ts AS pts, event_id AS pid FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase') q WHERE rn = 1),
+        tc AS (
+          SELECT DISTINCT e.user_id,
+                 CASE e.event_type WHEN 'click' THEN 1
+                      WHEN 'signup' THEN 2 WHEN 'view' THEN 4 END AS b
+          FROM events e JOIN fp ON fp.user_id = e.user_id
+          WHERE e.event_type IN ('click', 'signup', 'view')
+            AND (e.ts < fp.pts
+                 OR (e.ts = fp.pts AND e.event_id < fp.pid))),
+        mk AS (SELECT f.user_id, coalesce(s.m, 0) AS m
+               FROM fp f LEFT JOIN
+                    (SELECT user_id, CAST(sum(b) AS BIGINT) AS m
+                     FROM tc GROUP BY 1) s ON s.user_id = f.user_id),
+        cm AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt
+               FROM mk GROUP BY 1),
+        tt AS (SELECT range AS t FROM range(8)),
+        v AS MATERIALIZED (
+          SELECT tt.t, CAST(coalesce(sum(cm.cnt), 0) AS BIGINT) AS v
+          FROM tt LEFT JOIN cm ON (cm.m & tt.t) = cm.m GROUP BY tt.t),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fp),
+        ve AS (SELECT v AS v_empty FROM v WHERE t = 0),
+        phi AS ({body})
+        SELECT phi.channel, phi.shapley_x6, nc.n AS n_conversions,
+               ve.v_empty
+        FROM phi, nc, ve
+    """
+
+
 def _bowtie_sql(hops: int = 4) -> str:
     """operators/linkgraph.bowtie_classes mirror: the zipf edge map,
     max-degree seed (row_number tie-break), TWO directed delta-BFS
@@ -9303,6 +9352,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),
+        "shapley_attribution": _shapley_sql(),
         "bootstrap_stats": _bootstrap_sql(32),
         "ransac_lines": _ransac_sql(32, 50),
         "simrank": _simrank_sql(3, 200),

@@ -70,3 +70,36 @@ def test_transitions_counts(spark):
         for r in event_transitions(_events(spark, rows)).collect()
     }
     assert out == {("view", "click"): 2, ("click", "click"): 1}
+
+
+def test_shapley_attribution_hand_coalitions(spark):
+    """Journeys: A={view}, B={click,view}, C=direct, D=post-purchase
+    signup (counts as direct). Hand subset sums give click 3/6,
+    signup 0, view 9/6 — and the efficiency invariant
+    sum = 6*(v(C) - v_empty) = 12."""
+    import datetime as dt
+
+    from extractors_metadata_spark.operators.funnel import (
+        shapley_attribution,
+    )
+
+    def ev(u, i, typ):
+        return (u, i, dt.datetime(2016, 5, 1, 0, 0, i), typ)
+
+    rows = [
+        ev(0, 1, "view"), ev(0, 2, "purchase"),
+        ev(1, 1, "click"), ev(1, 2, "view"), ev(1, 3, "purchase"),
+        ev(2, 1, "purchase"),
+        ev(3, 1, "purchase"), ev(3, 2, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r["channel"]: r for r in shapley_attribution(df).collect()}
+    assert out["click"]["shapley_x6"] == 3
+    assert out["signup"]["shapley_x6"] == 0
+    assert out["view"]["shapley_x6"] == 9
+    assert all(
+        (r["n_conversions"], r["v_empty"]) == (4, 2) for r in out.values()
+    )
+    assert sum(r["shapley_x6"] for r in out.values()) == 12
