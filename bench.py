@@ -433,7 +433,9 @@ def main() -> None:
         "one_rule", "audio_energy",
         # marching_squares' cardinality is the case filter over the
         # corner-flag joins — the occupancy agg + joins execute.
-        "marching_squares",
+        # shapley_attribution's 3 rows come off the purchase argmin +
+        # touch distinct + mask algebra — fully load-bearing.
+        "marching_squares", "shapley_attribution",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
