@@ -155,6 +155,11 @@ def kneser_ney_counts(
     how often) are what distinguishes KN from the add-1/Good-Turing
     family, and every term is an int64 product of counts, so the DuckDB
     oracle replays it exactly (the pack_sequences emit-integers rule).
+    int64 envelope (the source_divergence discipline): the products
+    4*c*N1+(..) and 3*N1+(w.)*N1+(.w) must stay < 2^63 — safe while
+    max bigram count x distinct-bigram count < ~2.3e18 (any single
+    corpus shard; at 10^12-doc scale compute per shard and merge the
+    marginals, which are sums).
 
     Plan: one bigram-keyed hash agg, then three SMALL re-aggs of that
     frame (history, continuation, type total — each strictly smaller

@@ -196,6 +196,10 @@ def track_diameter(
     ``order_cols`` (the dtw trace-segmentation cap), deduplicated; keys
     with < 2 distinct positions have no pair and are excluded by
     definition. Squared int64 distances only — no sqrt, no float.
+    int64 envelope (the hull _orient discipline): coordinate spans
+    within a key must stay |dx|, |dy| < ~3e9 so dx^2 + dy^2 < 2^63 —
+    holds for any nanodegree field-local track; re-center per key
+    before calling on globally-spread inputs.
 
     Tie-break (frozen): among max-d2 pairs the lexicographically least
     (ax, ay, bx, by), with each pair oriented (a < b) by (x, y).
