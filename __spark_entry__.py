@@ -7381,6 +7381,20 @@ def q_polyline_encode(spark, sf_dir):
     return polyline_tracks(user_tracks(pts))
 
 
+def q_geary_c(spark, sf_dir):
+    """Geary's C over the occupancy COUNT surface — the third canonical
+    autocorrelation statistic beside Moran (local_moran) and the binary
+    join counts: rook-weighted squared differences vs variance, emitted
+    as the exact n-scaled integer rational (c_num, c_den) plus its
+    sufficient statistics. FULL oracle: same edge joins + moment
+    algebra in SQL."""
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        geary_c,
+    )
+
+    return geary_c(_t(spark, sf_dir, "events"))
+
+
 def q_marching_squares(spark, sf_dir):
     """Marching squares over the binary occupancy surface — the
     raster->vector contouring classic (the north rule's raster<->vector
@@ -7898,6 +7912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_diameter": q_track_diameter,
         "join_counts": q_join_counts,
         "marching_squares": q_marching_squares,
+        "geary_c": q_geary_c,
         "shapley_attribution": q_shapley_attribution,
         "polyline_encode": q_polyline_encode,
         "str_pack": q_str_pack,

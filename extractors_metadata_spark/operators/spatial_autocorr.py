@@ -254,3 +254,96 @@ def join_counts(
             (n * (n - 1)).alias("e_den"),
         )
     )
+
+
+def geary_c(
+    events: DataFrame,
+    n_rows: int = 54,
+    n_cols: int = 16,
+) -> DataFrame:
+    """Geary's C over the plot-grid occupancy COUNT surface — the third
+    canonical spatial-autocorrelation statistic beside Moran's I
+    (local_moran) and the binary join counts: contiguity-weighted
+    squared DIFFERENCES, sensitive to local structure where Moran reads
+    global covariance.
+
+        C = (n-1) . sum_edges (x_i - x_j)^2
+            / (2W . sum_i (x_i - xbar)^2),   W = rook edge count
+
+    emitted as the EXACT integer rational over the common n-scaled
+    denominator: c_num = n(n-1) . sum_edges dx^2 and c_den = 2W .
+    (n . sum x^2 - (sum x)^2) (multiply numerator and denominator by n
+    to clear xbar — the chi_square rule). C < 1 = positive
+    autocorrelation. int64 envelope: cell counts below ~2e4 keep
+    n^2-scaled sums under 2^63 at this lattice.
+
+    Plan: one cell count agg (the only data-sized exchange), zero-filled
+    lattice, the generated rook edge frame with two broadcast value
+    joins, three 1-row aggregates."""
+    n_cells = n_rows * n_cols
+    n_edges = n_rows * (n_cols - 1) + (n_rows - 1) * n_cols
+    spark = events.sparkSession
+    cnts = (
+        events.select(
+            F.expr("((event_id % 1000) * 108 + 54) div 2000").alias("r"),
+            F.expr("((event_id % 640) * 50 + 25) div 2000").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lat = (
+        spark.range(n_rows)
+        .select(F.col("id").alias("r"))
+        .crossJoin(spark.range(n_cols).select(F.col("id").alias("c")))
+    )
+    vals = lat.join(cnts, ["r", "c"], "left").select(
+        "r", "c", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("x")
+    )
+    moments = vals.agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    edges = (
+        lat.filter(F.col("r") < n_rows - 1)
+        .select("r", "c", (F.col("r") + 1).alias("r2"), F.col("c").alias("c2"))
+        .unionByName(
+            lat.filter(F.col("c") < n_cols - 1).select(
+                "r", "c", F.col("r").alias("r2"), (F.col("c") + 1).alias("c2")
+            )
+        )
+    )
+    ssd = (
+        edges.join(
+            F.broadcast(vals.select("r", "c", F.col("x").alias("x1"))),
+            ["r", "c"],
+        )
+        .join(
+            F.broadcast(
+                vals.select(
+                    F.col("r").alias("r2"),
+                    F.col("c").alias("c2"),
+                    F.col("x").alias("x2"),
+                )
+            ),
+            ["r2", "c2"],
+        )
+        .agg(
+            F.sum(
+                (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2"))
+            ).alias("sum_dx2")
+        )
+    )
+    n, w = F.lit(n_cells).cast("long"), F.lit(n_edges).cast("long")
+    return ssd.crossJoin(F.broadcast(moments)).select(
+        n.alias("n_cells"),
+        w.alias("n_edges"),
+        F.col("sum_dx2").cast("long").alias("sum_dx2"),
+        F.col("sx").cast("long").alias("sum_x"),
+        F.col("sxx").cast("long").alias("sum_x2"),
+        (n * (n - 1) * F.col("sum_dx2")).cast("long").alias("c_num"),
+        (
+            F.lit(2).cast("long")
+            * w
+            * (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).cast("long").alias("c_den"),
+    )

@@ -9451,6 +9451,36 @@ def oracle_sql() -> dict[str, str]:
                    max(x) AS max_x, max(y) AS max_y
             FROM lf GROUP BY 1
         """,
+        "geary_c": """
+            WITH cnts AS (
+              SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
+                     ((event_id % 640) * 50 + 25) // 2000 AS c,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            lat AS (SELECT t1.range AS r, t2.range AS c
+                    FROM range(54) t1, range(16) t2),
+            vals AS (SELECT l.r, l.c, coalesce(cn.cnt, 0) AS x
+                     FROM lat l LEFT JOIN cnts cn
+                       ON cn.r = l.r AND cn.c = l.c),
+            mo AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(x * x) AS BIGINT) AS sxx FROM vals),
+            edges AS (
+              SELECT r, c, r + 1 AS r2, c AS c2 FROM lat WHERE r < 53
+              UNION ALL
+              SELECT r, c, r AS r2, c + 1 AS c2 FROM lat WHERE c < 15),
+            sd AS (
+              SELECT CAST(sum((v1.x - v2.x) * (v1.x - v2.x)) AS BIGINT)
+                       AS sum_dx2
+              FROM edges e
+              JOIN vals v1 ON v1.r = e.r AND v1.c = e.c
+              JOIN vals v2 ON v2.r = e.r2 AND v2.c = e.c2)
+            SELECT CAST(864 AS BIGINT) AS n_cells,
+                   CAST(1658 AS BIGINT) AS n_edges,
+                   sd.sum_dx2, mo.sx AS sum_x, mo.sxx AS sum_x2,
+                   864 * 863 * sd.sum_dx2 AS c_num,
+                   2 * 1658 * (864 * mo.sxx - mo.sx * mo.sx) AS c_den
+            FROM sd, mo
+        """,
         "marching_squares": """
             WITH cnts AS (
               SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,

@@ -100,3 +100,23 @@ def test_marching_squares_single_cell_and_saddle(spark):
     assert out[(1, 0)] == (2, 1)
     assert out[(1, 1)] == (1, 1)
     assert len(out) == 4
+
+
+def test_geary_c_single_hot_cell(spark):
+    """Four events in cell (0,0): sum_dx2 = two rook edges x 4^2 = 32;
+    the n-scaled rational follows the closed form."""
+    import datetime as dt
+
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        geary_c,
+    )
+
+    df = spark.createDataFrame(
+        [(u, 0, dt.datetime(2016, 5, 1)) for u in range(4)],
+        "user_id long, event_id long, ts timestamp",
+    )
+    r = geary_c(df).collect()[0]
+    assert (r["n_cells"], r["n_edges"]) == (864, 1658)
+    assert (r["sum_x"], r["sum_x2"], r["sum_dx2"]) == (4, 16, 32)
+    assert r["c_num"] == 864 * 863 * 32
+    assert r["c_den"] == 2 * 1658 * (864 * 16 - 16)
