@@ -7381,6 +7381,18 @@ def q_polyline_encode(spark, sf_dir):
     return polyline_tracks(user_tracks(pts))
 
 
+def q_jenks_breaks(spark, sf_dir):
+    """Jenks natural-breaks classification (the choropleth classifier
+    every cartographic stack ships) of the 864-cell occupancy surface
+    into 5 classes: the 1-D k-segmentation DP on the 2^-20 fixed-point
+    SSE (one nonneg floor division per pair — identical in both
+    engines), packed-key argmin ties to the smaller break. FULL oracle:
+    cost table + k unrolled DP stages + scalar-subquery backtrack."""
+    from extractors_metadata_spark.operators.jenks import jenks_breaks
+
+    return jenks_breaks(_t(spark, sf_dir, "events"), k=5)
+
+
 def q_geary_c(spark, sf_dir):
     """Geary's C over the occupancy COUNT surface — the third canonical
     autocorrelation statistic beside Moran (local_moran) and the binary
@@ -7913,6 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "marching_squares": q_marching_squares,
         "geary_c": q_geary_c,
+        "jenks_breaks": q_jenks_breaks,
         "shapley_attribution": q_shapley_attribution,
         "polyline_encode": q_polyline_encode,
         "str_pack": q_str_pack,

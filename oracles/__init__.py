@@ -2268,6 +2268,83 @@ def _bootstrap_sql(b: int = 32) -> str:
     """
 
 
+def _jenks_sql(k: int = 5, n: int = 864) -> str:
+    """operators/jenks.jenks_breaks mirror: same lattice values, prefix
+    sums (tie order irrelevant — equal values commute through P/PP),
+    the 2^-20 fixed-point cost table, k unrolled DP stages with the
+    packed (F*1024 + j) argmin, scalar-subquery backtrack chain."""
+    kfp = 1 << 20
+    stages = []
+    prev = None
+    for t in range(2, k + 1):
+        stages.append(f"""
+        f{t} AS MATERIALIZED (
+          SELECT i, key // 1024 AS fv, key % 1024 AS bk FROM (
+            SELECT c.i, min((f.fv + c.cst) * 1024 + c.j) AS key
+            FROM cost c JOIN f{t - 1} f ON f.i = c.j
+            GROUP BY c.i) q)""")
+        prev = f"f{t}"
+    # backtrack chain: b_k = n; b_{t-1} = bk_t(b_t)
+    back = [f"bk{k} AS (SELECT CAST({n} AS BIGINT) AS e, "
+            f"(SELECT bk FROM f{k} WHERE i = {n}) AS s)"]
+    for t in range(k - 1, 0, -1):
+        back.append(
+            f"bk{t} AS (SELECT s AS e, "
+            f"(SELECT bk FROM f{t} WHERE i = (SELECT s FROM bk{t + 1}))"
+            f" AS s FROM bk{t + 1})"
+        )
+    classes = "\n          UNION ALL\n".join(
+        f"          SELECT CAST({t} AS BIGINT) AS cls, "
+        f"CAST((SELECT s FROM bk{t}) AS BIGINT) AS start_idx, "
+        f"CAST((SELECT e FROM bk{t}) AS BIGINT) AS end_idx"
+        for t in range(1, k + 1)
+    )
+    return f"""
+        WITH cnts AS (
+          SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
+                 ((event_id % 640) * 50 + 25) // 2000 AS c,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        lat AS (SELECT t1.range AS r, t2.range AS c
+                FROM range(54) t1, range(16) t2),
+        vals AS (SELECT coalesce(cn.cnt, 0) AS v,
+                        row_number() OVER (ORDER BY coalesce(cn.cnt, 0))
+                          AS i
+                 FROM lat l LEFT JOIN cnts cn
+                   ON cn.r = l.r AND cn.c = l.c),
+        pref AS MATERIALIZED (
+          SELECT i, v,
+                 CAST(sum(v) OVER w AS BIGINT) AS p,
+                 CAST(sum(v * v) OVER w AS BIGINT) AS pp
+          FROM vals
+          WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+        prefz AS (SELECT i, v, p, pp FROM pref
+                  UNION ALL SELECT 0, 0, 0, 0),
+        cost AS MATERIALIZED (
+          SELECT a.i AS j, b.i AS i,
+                 {kfp} * (b.pp - a.pp)
+                   - ({kfp} * (b.p - a.p) * (b.p - a.p)) // (b.i - a.i)
+                   AS cst
+          FROM prefz a JOIN pref b ON a.i < b.i),
+        f1 AS MATERIALIZED (
+          SELECT i, cst AS fv, CAST(0 AS BIGINT) AS bk
+          FROM cost WHERE j = 0),
+        {",".join(stages)},
+        {",".join(back)},
+        cl AS (
+{classes})
+        SELECT cl.cls, cl.start_idx, cl.end_idx,
+               lo.v AS lo_value, hi.v AS hi_value,
+               cl.end_idx - cl.start_idx AS n_in_class,
+               CAST((SELECT fv FROM f{k} WHERE i = {n}) AS BIGINT)
+                 AS total_cost_fp
+        FROM cl
+        JOIN pref lo ON lo.i = cl.start_idx + 1
+        JOIN pref hi ON hi.i = cl.end_idx
+    """
+
+
 def _shapley_sql() -> str:
     """operators/funnel.shapley_attribution mirror: first-purchase
     argmin, the pre-purchase touched-channel bitmask, v(T) subset sums
@@ -9353,6 +9430,7 @@ def oracle_sql() -> dict[str, str]:
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),
         "shapley_attribution": _shapley_sql(),
+        "jenks_breaks": _jenks_sql(5, 864),
         "bootstrap_stats": _bootstrap_sql(32),
         "ransac_lines": _ransac_sql(32, 50),
         "simrank": _simrank_sql(3, 200),

@@ -120,3 +120,24 @@ def test_geary_c_single_hot_cell(spark):
     assert (r["sum_x"], r["sum_x2"], r["sum_dx2"]) == (4, 16, 32)
     assert r["c_num"] == 864 * 863 * 32
     assert r["c_den"] == 2 * 1658 * (864 * 16 - 16)
+
+
+def test_jenks_breaks_isolates_the_hot_cell(spark):
+    """One hot cell (value 4) among 863 zeros: every class can be made
+    pure so total cost is 0; the smaller-break tie cascade pins breaks
+    [0,1,2,3,863,864] and the top class isolates the hot cell."""
+    import datetime as dt
+
+    from extractors_metadata_spark.operators.jenks import jenks_breaks
+
+    df = spark.createDataFrame(
+        [(u, 0, dt.datetime(2016, 5, 1)) for u in range(4)],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = {r["cls"]: r for r in jenks_breaks(df, k=5).collect()}
+    assert [out[t]["start_idx"] for t in range(1, 6)] == [0, 1, 2, 3, 863]
+    assert out[5]["end_idx"] == 864
+    assert (out[5]["lo_value"], out[5]["hi_value"], out[5]["n_in_class"]) \
+        == (4, 4, 1)
+    assert all(r["total_cost_fp"] == 0 for r in out.values())
+    assert sum(r["n_in_class"] for r in out.values()) == 864
