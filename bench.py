@@ -436,6 +436,10 @@ def main() -> None:
         # shapley_attribution's 3 rows come off the purchase argmin +
         # touch distinct + mask algebra — fully load-bearing.
         "marching_squares", "shapley_attribution",
+        # geary_c is one row off the edge-difference + moment aggs;
+        # jenks_breaks builds its DP stages eagerly (localCheckpoint +
+        # bounded backtrack collects).
+        "geary_c", "jenks_breaks",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
