@@ -7304,6 +7304,22 @@ def q_line_raster(spark, sf_dir):
     return line_raster(_t(spark, sf_dir, "events"))
 
 
+def q_anf_registers(spark, sf_dir):
+    """HyperANF register state over the zipf link graph (Boldi-Vigna
+    WWW 2011 — the four-degrees-of-separation algorithm): per-node HLL
+    registers of the h-hop out-ball propagated by register-MAX over
+    edges, 4 bounded rounds, rolled up per 16 node groups — the
+    emitted state is pure integer (the hll_sketch bucket/rank family),
+    max-merge idempotent, so a stateful approximate-diameter engine is
+    FULLY oracle-checkable. FULL oracle: unrolled register-max rounds."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        anf_registers,
+        zipf_link_graph,
+    )
+
+    return anf_registers(zipf_link_graph(_t(spark, sf_dir, "events")))
+
+
 def q_simrank(spark, sf_dir):
     """SimRank structural similarity (Jeh-Widom KDD 2002: similar pages
     are pointed to by similar pages) over the zipf subgraph on nodes
@@ -7931,6 +7947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_pack": q_str_pack,
         "bowtie_classes": q_bowtie_classes,
         "simrank": q_simrank,
+        "anf_registers": q_anf_registers,
         "line_raster": q_line_raster,
         "wl_colors": q_wl_colors,
         "zipf_fit": q_zipf_fit,

@@ -914,3 +914,85 @@ def simrank(
             F.col("s").alias("simrank_fp"),
         )
     )
+
+
+def anf_registers(
+    edges: DataFrame,
+    hops: int = 4,
+    p: int = 6,
+    n_groups: int = 16,
+) -> DataFrame:
+    """HyperANF register state (Boldi & Vigna, WWW 2011 — the algorithm
+    behind the "four degrees of separation" Facebook measurement):
+    propagate per-node HLL registers of the h-hop OUT-reachable ball by
+    register-MAX over out-edges, ``hops`` bounded rounds -> one row per
+    (hop, grp, bucket): the max rank over the ball-union of node group
+    ``node % n_groups``. The neighborhood function N(h) is the
+    consumer-side HLL read of these registers; the emitted state itself
+    is PURE INTEGER (bucket/rank from the replayable vhash family, the
+    hll_sketch recipe), so the oracle replays every round exactly —
+    max-merge is associative/commutative/idempotent, the same property
+    that lets real HyperANF run on any cluster topology.
+
+    Scale shape: the register frame is sparse (node, bucket, rho) —
+    at most min(ball, 2^p) rows per node; each round is one edge join +
+    one (node, bucket)-keyed max (map-side combining), lineage
+    localCheckpoint-truncated; the per-hop rollup is a second bounded
+    max onto n_groups * 2^p rows."""
+    from ..functions.vhash import BASE2, mix31, poly_hash
+
+    m = 1 << p
+    el = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        el.select(F.col("src").alias("node"))
+        .unionByName(el.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    key = F.concat(F.lit("anf:"), F.col("node").cast("string"))
+    w = mix31(poly_hash(key))
+    rho = (
+        F.when(w == 0, F.lit(32))
+        .otherwise(F.lit(32) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    reg = nodes.select(
+        "node",
+        (mix31(poly_hash(key, BASE2)) % m).alias("bucket"),
+        rho.alias("rho"),
+    ).localCheckpoint(eager=True)
+    out_rows = None
+    for h in range(1, hops + 1):
+        moved = (
+            el.join(
+                reg.select(
+                    F.col("node").alias("dst"), "bucket", "rho"
+                ),
+                "dst",
+            )
+            .select(F.col("src").alias("node"), "bucket", "rho")
+        )
+        reg = (
+            reg.unionByName(moved)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        roll = (
+            reg.groupBy(
+                (F.col("node") % n_groups).alias("grp"), F.col("bucket")
+            )
+            .agg(F.max("rho").alias("max_rho"))
+            .select(
+                F.lit(h).cast("long").alias("hop"),
+                F.col("grp").cast("long").alias("grp"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.col("max_rho").cast("long").alias("max_rho"),
+            )
+        )
+        out_rows = roll if out_rows is None else out_rows.unionByName(roll)
+    return out_rows

@@ -2268,6 +2268,56 @@ def _bootstrap_sql(b: int = 32) -> str:
     """
 
 
+def _anf_sql(hops: int = 4, p: int = 6, n_groups: int = 16) -> str:
+    """operators/linkgraph.anf_registers mirror: the zipf subgraph
+    (full 1000-node graph), hll_sketch's bucket/rank construction per
+    node, ``hops`` unrolled register-max rounds, per-hop group rollups
+    unioned."""
+    m = 1 << p
+    ph = _poly_sql("'anf:' || CAST(node AS VARCHAR)", 131)
+    pb = _poly_sql("'anf:' || CAST(node AS VARCHAR)", 137)
+    stages = []
+    outs = []
+    prev = "r0"
+    for h in range(1, hops + 1):
+        stages.append(f"""
+        r{h} AS MATERIALIZED (
+          SELECT node, bucket, max(rho) AS rho FROM (
+            SELECT node, bucket, rho FROM {prev}
+            UNION ALL
+            SELECT el.src AS node, pr.bucket, pr.rho
+            FROM el JOIN {prev} pr ON pr.node = el.dst) q
+          GROUP BY node, bucket)""")
+        outs.append(f"""          SELECT CAST({h} AS BIGINT) AS hop,
+                 CAST(node % {n_groups} AS BIGINT) AS grp,
+                 CAST(bucket AS BIGINT) AS bucket,
+                 CAST(max(rho) AS BIGINT) AS max_rho
+          FROM r{h} GROUP BY 2, 3""")
+        prev = f"r{h}"
+    body = "\n          UNION ALL\n".join(outs)
+    return f"""
+        WITH edges0 AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        el AS MATERIALIZED (
+          SELECT src, dst FROM edges0 WHERE src != dst),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM el
+            UNION ALL SELECT dst AS node FROM el) q),
+        kh AS (SELECT node, {ph} AS wr, {pb} AS br FROM nodes),
+        km AS (SELECT node, {_mix31_sql('wr')} AS w,
+                      {_mix31_sql('br')} AS bh FROM kh),
+        r0 AS MATERIALIZED (
+          SELECT node, bh % {m} AS bucket,
+                 CASE WHEN w = 0 THEN 32
+                      ELSE 32 - length(bin(w)) END AS rho
+          FROM km),
+        {",".join(stages)}
+{body}
+    """
+
+
 def _jenks_sql(k: int = 5, n: int = 864) -> str:
     """operators/jenks.jenks_breaks mirror: same lattice values, prefix
     sums (tie order irrelevant — equal values commute through P/PP),
@@ -9431,6 +9481,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_classes": _bowtie_sql(4),
         "shapley_attribution": _shapley_sql(),
         "jenks_breaks": _jenks_sql(5, 864),
+        "anf_registers": _anf_sql(4, 6, 16),
         "bootstrap_stats": _bootstrap_sql(32),
         "ransac_lines": _ransac_sql(32, 50),
         "simrank": _simrank_sql(3, 200),

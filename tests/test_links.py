@@ -162,3 +162,31 @@ def test_redirect_resolve_chains_loops_tails(spark):
     assert out[1] == (0, "canonical") and out[2] == (0, "canonical")
     assert out[3] == (3, "loop") and out[4] == (3, "loop")
     assert out[5] == (3, "loop")
+
+
+def test_anf_registers_monotone_and_stationary(spark):
+    """Chain 0->1->2 with n_groups=16 (grp == node): the sink's sketch
+    never changes (ball = {2} at every hop); upstream sketches grow
+    monotonically (register max never decreases) and node 0's hop-2
+    state equals its hop-3 state (ball saturated at {0,1,2})."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        anf_registers,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    rows = anf_registers(edges, hops=3, p=6, n_groups=16).collect()
+    st = {}
+    for r in rows:
+        st.setdefault((r["hop"], r["grp"]), {})[r["bucket"]] = r["max_rho"]
+    # sink stationary
+    assert st[(1, 2)] == st[(2, 2)] == st[(3, 2)]
+    # monotone growth for node 0
+    for b, v in st[(1, 0)].items():
+        assert st[(2, 0)].get(b, 0) >= v
+    # saturation: hop 2 == hop 3 for every group
+    for g in (0, 1, 2):
+        assert st[(2, g)] == st[(3, g)]
+    # hop-2 ball of node 0 is the union of all three singletons: its
+    # register set contains every bucket present in the sink's sketch
+    for b, v in st[(1, 2)].items():
+        assert st[(2, 0)].get(b, 0) >= v
