@@ -440,6 +440,9 @@ def main() -> None:
         # jenks_breaks builds its DP stages eagerly (localCheckpoint +
         # bounded backtrack collects).
         "geary_c", "jenks_breaks",
+        # anf_registers builds its register-max rounds eagerly
+        # (localCheckpoint per hop); count() reads the hop rollups.
+        "anf_registers",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
