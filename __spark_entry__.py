@@ -4982,10 +4982,13 @@ def q_gini(spark, sf_dir):
 def q_anova(spark, sf_dir):
     """One-way ANOVA F over event_type groups on exact fixed-point cents:
     per-group moments (n_g, S_g, Q_g) are exact int64; each group's
-    S_g^2/n_g between-term is an identical-path double HALF-EVEN rounded
+    S_g^2/n_g between-term is an identical-path double FLOOR-quantized
     to 1e-6 fixed point BEFORE the order-free int64 sum (the chi_square
     recipe — double sums over groups are order-dependent, int sums are
-    not), and F itself is a pure ratio of those exact ints via
+    not; floor, NOT half-even: S^2*1e6/n lands on EXACT .5 ties at
+    ~2^52 magnitude where DuckDB round_even mis-rounds away from even —
+    measured r5s8, CLAUDE.md pin; floor of the identical double is
+    tie-free), and F itself is a pure ratio of those exact ints via
     identical-path divisions, emitted UNROUNDED (identical-exact-int
     rule). The S*S products go through double FIRST (cast then multiply)
     so no integer overflow exists at any SF; Q*1e6 bounds the int64
@@ -5001,9 +5004,9 @@ def q_anova(spark, sf_dir):
         F.sum("x").alias("s_g"),
         F.sum(F.col("x") * F.col("x")).alias("q_g"),
     )
-    t_g = F.bround(
+    t_g = F.floor(
         F.col("s_g").cast("double") * F.col("s_g").cast("double")
-        / F.col("n_g").cast("double") * 1000000.0, 0,
+        / F.col("n_g").cast("double") * 1000000.0
     ).cast("long")
     tot = g.agg(
         F.count(F.lit(1)).alias("k"),
@@ -5012,9 +5015,9 @@ def q_anova(spark, sf_dir):
         F.sum("q_g").alias("q"),
         F.sum(t_g).alias("t_groups"),
     )
-    t_all = F.bround(
+    t_all = F.floor(
         F.col("s").cast("double") * F.col("s").cast("double")
-        / F.col("n").cast("double") * 1000000.0, 0,
+        / F.col("n").cast("double") * 1000000.0
     ).cast("long")
     ssb = F.col("t_groups") - t_all
     ssw = F.col("q") * F.lit(1000000) - F.col("t_groups")

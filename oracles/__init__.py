@@ -3803,8 +3803,8 @@ _ANOVA_SQL = """
       FROM e GROUP BY 1),
     gt AS (
       SELECT n_g, s_g, q_g,
-             CAST(round_even(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-                  / CAST(n_g AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS t_g
+             CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                  / CAST(n_g AS DOUBLE) * 1000000.0) AS BIGINT) AS t_g
       FROM g),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
@@ -3813,12 +3813,12 @@ _ANOVA_SQL = """
       FROM gt)
     SELECT k, n,
            t_groups
-             - CAST(round_even(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                    / CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ssb_fp,
+             - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS ssb_fp,
            q * 1000000 - t_groups AS ssw_fp,
            (CAST(t_groups
-                 - CAST(round_even(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                        / CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+                 - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
                  AS DOUBLE)
             / CAST(k - 1 AS DOUBLE))
            / (CAST(q * 1000000 - t_groups AS DOUBLE)
