@@ -1096,6 +1096,17 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law regression moments over the vocab_growth curve — the
+    second corpus power law beside zipf_fit: exact int64 OLS moments of
+    (ln cum docs, ln cum vocabulary), 1e6 half-even fixed points per
+    the zipf recipe; slope = the Heaps exponent, consumer-side. FULL
+    oracle: the vocab_growth chain + same ln fixed points in SQL."""
+    from extractors_metadata_spark.operators.corpus import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
 def q_good_turing(spark, sf_dir):
     """Good-Turing frequency-of-frequencies over word bigrams (r <= 30;
     the closed 31-word unigram vocabulary has no low-r tail — the
@@ -7728,6 +7739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
         "good_turing": q_good_turing,
+        "heaps_fit": q_heaps_fit,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,
         "ams_f2": q_ams_f2,

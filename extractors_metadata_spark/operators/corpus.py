@@ -474,6 +474,45 @@ def vocab_growth(
     )
 
 
+def heaps_fit(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law regression statistics over the vocab_growth curve ->
+    one row (n_points, sx, sy, sxy, sxx): exact int64 OLS moments of
+    (ln cumulative docs, ln cumulative vocabulary) — the fitted slope
+    (consumer-side ratio, the kendall rule) IS the Heaps exponent beta
+    (V ~ k.n^beta, natural text beta ~ 0.4-0.6; near-duplicate corpora
+    bend it toward 0). The Zipf/Heaps pair are the two corpus-health
+    power laws; zipf_fit covers the other.
+
+    Cumulative docs through bucket b is the exact integer
+    ceil(N(b+1)/10) = (N(b+1) + 9) div 10 (the bucket rule inverted);
+    ln values enter as 1e6 half-even fixed points (np.rint ==
+    round_even, the zipf_fit recipe). Plan: vocab_growth's shingle agg
+    + one 10-row projection + one 1-row aggregate."""
+    n_docs = df.agg(F.max(id_col)).first()[0] + 1
+    curve = vocab_growth(df, n_buckets, text_col, id_col, n_docs=n_docs)
+    pts = curve.select(
+        _ln_fp_udf()(
+            F.expr(
+                f"(({int(n_docs)} * (bucket + 1)) + {int(n_buckets) - 1}) "
+                f"div {int(n_buckets)}"
+            ).cast("double")
+        ).alias("x"),
+        _ln_fp_udf()(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+
 def length_quantiles(
     df: DataFrame, group_col: str = "lang", value_col: str = "n_chars",
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),

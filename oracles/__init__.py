@@ -8561,6 +8561,38 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
             FROM counts
         """,
+        "heaps_fit": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents),
+            shm AS (
+              SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+              FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) t(i)),
+            nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            firsts AS (SELECT shingle, min(doc_id) AS fd FROM shm GROUP BY 1),
+            counts AS (
+              SELECT (fd * 10) // (SELECT n FROM nn) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_new
+              FROM firsts GROUP BY 1),
+            curve AS (
+              SELECT bucket,
+                     CAST(sum(n_new) OVER (ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+              FROM counts),
+            pts AS (
+              SELECT CAST(round_even(ln(CAST(
+                       (((SELECT n FROM nn) * (bucket + 1)) + 9) // 10
+                       AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+                     CAST(round_even(ln(CAST(cum_vocab AS DOUBLE))
+                       * 1000000.0, 0) AS BIGINT) AS y
+              FROM curve)
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts
+        """,
         "tfidf_topk": r"""
             WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
                           FROM documents),

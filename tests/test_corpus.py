@@ -190,3 +190,20 @@ def test_gopher_rules_alpha_and_stopword_gates(spark):
     assert out[0]["first_fail"] == "alpha_frac"
     assert out[1]["first_fail"] == "stopwords"
     assert out[1]["n_stop_distinct"] == 1
+
+
+def test_heaps_fit_linear_growth_slope_one(spark):
+    """Ten docs with disjoint 3-word vocabularies: each introduces
+    exactly one new 3-shingle, so cum_vocab == cum_docs in every bucket
+    and the Heaps moments collapse to sx == sy, sxy == sxx (slope
+    exactly 1)."""
+    from extractors_metadata_spark.operators.corpus import heaps_fit
+
+    rows = [
+        (i, f"w{i}a w{i}b w{i}c", "en") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = heaps_fit(df).collect()[0]
+    assert r["n_points"] == 10
+    assert r["sx"] == r["sy"]
+    assert r["sxy"] == r["sxx"]
