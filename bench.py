@@ -443,6 +443,8 @@ def main() -> None:
         # anf_registers builds its register-max rounds eagerly
         # (localCheckpoint per hop); count() reads the hop rollups.
         "anf_registers",
+        # heaps_fit is one row off the shingle-arrival agg + ln moments.
+        "heaps_fit",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
