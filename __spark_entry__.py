@@ -7423,6 +7423,33 @@ def q_jenks_breaks(spark, sf_dir):
     return jenks_breaks(_t(spark, sf_dir, "events"), k=5)
 
 
+def q_grid_upsample(spark, sf_dir):
+    """Bilinear 2x upsampling of the occupancy-count lattice (the
+    image-pyramid UPSAMPLE beside tile_pyramid's downsample): 4x-scaled
+    exact-int bilinear values on the doubled 107x31 grid, midpoints
+    averaging 2 or 4 source cells. FULL oracle: same shifted joins in
+    SQL."""
+    from extractors_metadata_spark.operators.heatmap import grid_upsample
+    from extractors_metadata_spark.operators.spatial_autocorr import (
+        occupancy_flags,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cnts = (
+        e.select(
+            F.expr("((event_id % 1000) * 108 + 54) div 2000").alias("r"),
+            F.expr("((event_id % 640) * 50 + 25) div 2000").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lat, _ = occupancy_flags(e)
+    vals = lat.join(cnts, ["r", "c"], "left").select(
+        "r", "c", F.coalesce(F.col("cnt"), F.lit(0)).alias("v")
+    )
+    return grid_upsample(vals)
+
+
 def q_geary_c(spark, sf_dir):
     """Geary's C over the occupancy COUNT surface — the third canonical
     autocorrelation statistic beside Moran (local_moran) and the binary
@@ -7956,6 +7983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "marching_squares": q_marching_squares,
         "geary_c": q_geary_c,
+        "grid_upsample": q_grid_upsample,
         "jenks_breaks": q_jenks_breaks,
         "shapley_attribution": q_shapley_attribution,
         "polyline_encode": q_polyline_encode,

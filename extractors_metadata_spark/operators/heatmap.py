@@ -123,3 +123,60 @@ def tile_median(tile_counts: DataFrame, z: int, cnt_col: str = "cnt") -> DataFra
     return gathered.groupBy("x", "y", "cnt").agg(
         F.element_at(F.sort_array(F.collect_list("_v")), 5).alias("med")
     ).select(F.lit(z).alias("z"), "x", "y", "cnt", "med")
+
+
+def grid_upsample(vals: DataFrame) -> DataFrame:
+    """Bilinear 2x upsampling of an integer grid -> (y, x, v4): the
+    image-pyramid UPSAMPLE direction beside tile_pyramid's downsample
+    and tile_smooth/median's filters — rendering a coarse density
+    surface at a finer zoom. ``vals``: (r, c, v) dense integer grid.
+    Output positions on the doubled lattice: even/even = the source
+    cell, odd positions the bilinear midpoints — every weight times 4
+    so the surface stays EXACT int64 (v4 = 4x the bilinear value; the
+    consumer divides, the engine never does — the pack_sequences rule).
+
+    Plan: three shifted self-joins on the (r, c) key (pure codegen
+    equi-joins; the grid is its own dimension) + one union — O(grid),
+    zero data-sized work beyond the caller's count agg."""
+    v = vals.select("r", "c", F.col("v").cast("long").alias("v"))
+    east = v.select((F.col("c") - 1).alias("c"), F.col("r").alias("r"),
+                    F.col("v").alias("ve"))
+    south = v.select((F.col("r") - 1).alias("r"), F.col("c").alias("c"),
+                     F.col("v").alias("vs"))
+    se = v.select((F.col("r") - 1).alias("r"), (F.col("c") - 1).alias("c"),
+                  F.col("v").alias("vse"))
+    base = (
+        v.join(east, ["r", "c"], "left")
+        .join(south, ["r", "c"], "left")
+        .join(se, ["r", "c"], "left")
+    )
+    even_even = base.select(
+        (2 * F.col("r")).alias("y"), (2 * F.col("c")).alias("x"),
+        (4 * F.col("v")).alias("v4"),
+    )
+    even_odd = base.filter(F.col("ve").isNotNull()).select(
+        (2 * F.col("r")).alias("y"), (2 * F.col("c") + 1).alias("x"),
+        (2 * (F.col("v") + F.col("ve"))).alias("v4"),
+    )
+    odd_even = base.filter(F.col("vs").isNotNull()).select(
+        (2 * F.col("r") + 1).alias("y"), (2 * F.col("c")).alias("x"),
+        (2 * (F.col("v") + F.col("vs"))).alias("v4"),
+    )
+    odd_odd = base.filter(
+        F.col("ve").isNotNull()
+        & F.col("vs").isNotNull()
+        & F.col("vse").isNotNull()
+    ).select(
+        (2 * F.col("r") + 1).alias("y"), (2 * F.col("c") + 1).alias("x"),
+        (F.col("v") + F.col("ve") + F.col("vs") + F.col("vse")).alias("v4"),
+    )
+    return (
+        even_even.unionByName(even_odd)
+        .unionByName(odd_even)
+        .unionByName(odd_odd)
+        .select(
+            F.col("y").cast("long").alias("y"),
+            F.col("x").cast("long").alias("x"),
+            F.col("v4").cast("long").alias("v4"),
+        )
+    )

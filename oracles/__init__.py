@@ -9612,6 +9612,36 @@ def oracle_sql() -> dict[str, str]:
                    max(x) AS max_x, max(y) AS max_y
             FROM lf GROUP BY 1
         """,
+        "grid_upsample": """
+            WITH cnts AS (
+              SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,
+                     ((event_id % 640) * 50 + 25) // 2000 AS c,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            lat AS (SELECT t1.range AS r, t2.range AS c
+                    FROM range(54) t1, range(16) t2),
+            v AS (SELECT l.r, l.c, coalesce(cn.cnt, 0) AS v
+                  FROM lat l LEFT JOIN cnts cn
+                    ON cn.r = l.r AND cn.c = l.c)
+            SELECT CAST(2 * r AS BIGINT) AS y, CAST(2 * c AS BIGINT) AS x,
+                   CAST(4 * v AS BIGINT) AS v4
+            FROM v
+            UNION ALL
+            SELECT CAST(2 * a.r AS BIGINT), CAST(2 * a.c + 1 AS BIGINT),
+                   CAST(2 * (a.v + b.v) AS BIGINT)
+            FROM v a JOIN v b ON b.r = a.r AND b.c = a.c + 1
+            UNION ALL
+            SELECT CAST(2 * a.r + 1 AS BIGINT), CAST(2 * a.c AS BIGINT),
+                   CAST(2 * (a.v + b.v) AS BIGINT)
+            FROM v a JOIN v b ON b.r = a.r + 1 AND b.c = a.c
+            UNION ALL
+            SELECT CAST(2 * a.r + 1 AS BIGINT), CAST(2 * a.c + 1 AS BIGINT),
+                   CAST(a.v + b.v + s.v + d.v AS BIGINT)
+            FROM v a
+            JOIN v b ON b.r = a.r AND b.c = a.c + 1
+            JOIN v s ON s.r = a.r + 1 AND s.c = a.c
+            JOIN v d ON d.r = a.r + 1 AND d.c = a.c + 1
+        """,
         "geary_c": """
             WITH cnts AS (
               SELECT ((event_id % 1000) * 108 + 54) // 2000 AS r,

@@ -95,3 +95,22 @@ def test_tile_median_zero_fill_and_wrap(spark):
     got = {(r["x"], r["y"]): r["med"] for r in tile_median(df, z=6).collect()}
     # (0,8) window: 6 neighbors of 7 + itself 7 + 2 zeros -> median 7
     assert got[(0, 8)] == 7
+
+
+def test_grid_upsample_bilinear_weights(spark):
+    """2x2 grid [[1,3],[5,7]] -> 3x3 doubled lattice: corners 4x source,
+    edge midpoints 2*(a+b), the center the 4-corner sum (16 = 1+3+5+7)."""
+    from extractors_metadata_spark.operators.heatmap import grid_upsample
+
+    vals = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 3), (1, 0, 5), (1, 1, 7)],
+        "r long, c long, v long",
+    )
+    out = {(r["y"], r["x"]): r["v4"] for r in grid_upsample(vals).collect()}
+    assert len(out) == 9
+    assert out[(0, 0)] == 4 and out[(2, 2)] == 28
+    assert out[(0, 1)] == 2 * (1 + 3)
+    assert out[(1, 0)] == 2 * (1 + 5)
+    assert out[(2, 1)] == 2 * (5 + 7)
+    assert out[(1, 2)] == 2 * (3 + 7)
+    assert out[(1, 1)] == 16
