@@ -445,6 +445,9 @@ def main() -> None:
         "anf_registers",
         # heaps_fit is one row off the shingle-arrival agg + ln moments.
         "heaps_fit",
+        # grid_upsample's cardinality is the doubled-lattice union of
+        # shifted joins over the occupancy agg.
+        "grid_upsample",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps
