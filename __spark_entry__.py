@@ -1947,6 +1947,46 @@ def q_semivariogram(spark, sf_dir):
     return semivariogram(counts, z=22, max_lag=8)
 
 
+def q_morph_close(spark, sf_dir):
+    """3x3 binary closing (operators/rasterops.morph_close) of the z22
+    occupancy raster — dilation then erosion, the de-speckling step
+    before blob extraction: (z, x, y, occupied, filled-cell cnt=0).
+    Two x9 literal scatters + one distinct + one grid-keyed support
+    count; shuffles linear in occupied cells.  FULL oracle: the same
+    set algebra over the identical counts CTE."""
+    from extractors_metadata_spark.operators.rasterops import morph_close
+
+    counts = _z22_counts(spark, sf_dir)
+    return morph_close(counts, z=22)
+
+
+def q_erosion_depth(spark, sf_dir):
+    """Bounded Chebyshev distance transform (rasterops.erosion_depth):
+    per occupied z22 cell the distance to the nearest EMPTY cell (ring
+    1..3, capped at 4) = the number of 3x3 erosions the cell survives —
+    the core-vs-fringe classifier of the mask.  ONE ring-tagged 48-
+    offset scatter + grid equi-join + conditional ring-count aggregate.
+    FULL oracle: same offsets VALUES (single-sourced from
+    rasterops.offset_disk) + first-incomplete-ring CASE."""
+    from extractors_metadata_spark.operators.rasterops import erosion_depth
+
+    counts = _z22_counts(spark, sf_dir)
+    return erosion_depth(counts, z=22, max_r=3)
+
+
+def q_raster_rle(spark, sf_dir):
+    """Per-row run-length encoding (rasterops.rle_runs) of the z22
+    occupancy: maximal x-consecutive runs per raster row with run mass
+    — the scanline/compression view of the mask.  One row-keyed window
+    (lag + running start-sum, the interval_union idiom) + one
+    (row, run)-keyed aggregate; all exact int64.  FULL oracle: verbatim
+    window replay."""
+    from extractors_metadata_spark.operators.rasterops import rle_runs
+
+    counts = _z22_counts(spark, sf_dir)
+    return rle_runs(counts, z=22)
+
+
 def _anchor_pages(spark, sf_dir, n_pages: int = 2000):
     """Probe pages with deterministic outlinks: page i links to
     (i+1) % N and (i*7+3) % N, plus (i div 3) when i % 3 == 0, each
@@ -7938,6 +7978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_per_user": q_ripley_per_user,
         "tile_blobs": q_tile_blobs,
         "semivariogram": q_semivariogram,
+        "morph_close": q_morph_close,
+        "erosion_depth": q_erosion_depth,
+        "raster_rle": q_raster_rle,
         "outlinks": q_outlinks,
         "anchor_text": q_anchor_text,
         "redirect_resolve": q_redirect_resolve,

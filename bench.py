@@ -448,6 +448,11 @@ def main() -> None:
         # grid_upsample's cardinality is the doubled-lattice union of
         # shifted joins over the occupancy agg.
         "grid_upsample",
+        # morph_close's count IS the closing cardinality (dilate-distinct
+        # + erosion support filter both load-bearing); raster_rle's count
+        # is the number of runs off the lag window. (erosion_depth is
+        # count-preserving over occupied cells — NOT timed, count() rule.)
+        "morph_close", "raster_rle",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

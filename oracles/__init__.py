@@ -1767,6 +1767,95 @@ def _variogram_sql(max_lag: int = 8) -> str:
 """
 
 
+_Z22_COUNTS_CTES = f"""pts AS (
+      SELECT ({LAT_IN}) AS lat, ({LON_IN}) AS lon FROM events),
+    counts AS MATERIALIZED (
+      SELECT CAST(FLOOR((lon + 180) / 360 * pow(2, 22)) AS BIGINT) AS x,
+             CAST(FLOOR((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2
+                  * pow(2, 22)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2)"""
+
+
+def _morph_close_sql() -> str:
+    """Oracle twin of rasterops.morph_close: dilate (9-offset scatter +
+    DISTINCT), erode (support count = 9 over the dilated set), left join
+    the occupancy back for the fill flag — verbatim set algebra."""
+    return f"""
+    WITH {_Z22_COUNTS_CTES},
+    box AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                                (SELECT unnest([-1, 0, 1]) AS dy)),
+    dil AS MATERIALIZED (
+      SELECT DISTINCT (c.x + o.dx + 4194304) % 4194304 AS x, c.y + o.dy AS y
+      FROM counts c CROSS JOIN box o
+      WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4194304),
+    sup AS (
+      SELECT (d.x + o.dx + 4194304) % 4194304 AS x, d.y + o.dy AS y,
+             count(*) AS sup
+      FROM dil d CROSS JOIN box o
+      WHERE d.y + o.dy >= 0 AND d.y + o.dy < 4194304
+      GROUP BY 1, 2),
+    closed AS (
+      SELECT s.x, s.y FROM sup s JOIN dil USING (x, y) WHERE s.sup = 9)
+    SELECT CAST(22 AS INT) AS z, cl.x, cl.y,
+           CAST(CASE WHEN c.cnt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS occupied,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM closed cl LEFT JOIN counts c ON c.x = cl.x AND c.y = cl.y
+"""
+
+
+def _erosion_depth_sql(max_r: int = 3) -> str:
+    """Oracle twin of rasterops.erosion_depth: the SAME ring-tagged
+    offset disk (single-sourced from rasterops.offset_disk) + grid
+    equi-join + first-incomplete-ring CASE."""
+    from extractors_metadata_spark.operators.rasterops import offset_disk
+
+    vals = ", ".join(f"({dx}, {dy}, {r})" for dx, dy, r in offset_disk(1, max_r))
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN o.r = {r} THEN 1 ELSE 0 END) AS r{r}"
+        for r in range(1, max_r + 1)
+    )
+    case = " ".join(
+        f"WHEN coalesce(rc.r{r}, 0) < {8 * r} THEN {r}"
+        for r in range(1, max_r + 1)
+    )
+    return f"""
+    WITH {_Z22_COUNTS_CTES},
+    offs AS (SELECT * FROM (VALUES {vals}) AS t(dx, dy, r)),
+    rc AS (
+      SELECT c.x, c.y,
+             {sums}
+      FROM counts c CROSS JOIN offs o
+      JOIN counts nb
+        ON nb.x = (c.x + o.dx + 4194304) % 4194304 AND nb.y = c.y + o.dy
+      WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4194304
+      GROUP BY 1, 2)
+    SELECT CAST(22 AS INT) AS z, c.x, c.y, c.cnt,
+           CAST(CASE {case} ELSE {max_r + 1} END AS BIGINT) AS depth
+    FROM counts c LEFT JOIN rc ON rc.x = c.x AND rc.y = c.y
+"""
+
+
+_RASTER_RLE_SQL = f"""
+    WITH {_Z22_COUNTS_CTES},
+    strt AS (
+      SELECT y, x, cnt,
+             CASE WHEN x - lag(x) OVER (PARTITION BY y ORDER BY x) = 1
+                  THEN 0 ELSE 1 END AS nw
+      FROM counts),
+    rr AS (
+      SELECT y, x, cnt,
+             sum(nw) OVER (PARTITION BY y ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS run
+      FROM strt)
+    SELECT CAST(22 AS INT) AS z, y, min(x) AS x_start,
+           CAST(count(*) AS BIGINT) AS run_len,
+           CAST(sum(cnt) AS BIGINT) AS mass
+    FROM rr GROUP BY y, run
+"""
+
+
 _ANCHOR_PAGES_CTE = r"""pg AS (
       SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS src_url,
              '<html><body>'
@@ -9162,6 +9251,9 @@ def oracle_sql() -> dict[str, str]:
         "ripley_per_user": _RIPLEY_SQL,
         "tile_blobs": _TILE_BLOBS_SQL,
         "semivariogram": _variogram_sql(),
+        "morph_close": _morph_close_sql(),
+        "erosion_depth": _erosion_depth_sql(3),
+        "raster_rle": _RASTER_RLE_SQL,
         "outlinks": _OUTLINKS_SQL,
         "anchor_text": _anchor_text_sql(3),
         "redirect_resolve": _redirects_sql(12, 1000),
