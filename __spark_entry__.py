@@ -1107,6 +1107,19 @@ def q_heaps_fit(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_dunning_g2(spark, sf_dir):
+    """Dunning log-likelihood collocations (operators/cooccur.dunning_g2):
+    G2 over the 2x2 adjacency contingency table per word bigram — the
+    significance-weighted collocation ranking beside pmi_pairs' raw
+    doc-co-occurrence PMI. Exact int64 marginals off ONE bigram agg;
+    four per-cell 1e6 fixed-point ln terms summed exactly (the
+    mutual_info discipline; k*ln drift envelope ~1e9 bigrams). FULL
+    oracle: same CTE chain + literal factor-wise arithmetic."""
+    from extractors_metadata_spark.operators.cooccur import dunning_g2
+
+    return dunning_g2(_t(spark, sf_dir, "documents"), min_count=2)
+
+
 def q_good_turing(spark, sf_dir):
     """Good-Turing frequency-of-frequencies over word bigrams (r <= 30;
     the closed 31-word unigram vocabulary has no low-r tail — the
@@ -7806,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
         "good_turing": q_good_turing,
+        "dunning_g2": q_dunning_g2,
         "heaps_fit": q_heaps_fit,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,

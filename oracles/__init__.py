@@ -8614,6 +8614,36 @@ def oracle_sql() -> dict[str, str]:
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
         """,
+        "dunning_g2": r"""
+            WITH toks AS (
+              SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents),
+            bg AS (
+              SELECT tk[i] AS w1, tk[i + 1] AS w2
+              FROM toks, unnest(range(1, len(tk))) t(i)
+              WHERE length(tk[i]) > 0 AND length(tk[i + 1]) > 0),
+            big AS MATERIALIZED (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+              FROM bg GROUP BY 1, 2),
+            r1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1 FROM big GROUP BY 1),
+            cc AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2 FROM big GROUP BY 1),
+            nn AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM big),
+            cells AS (
+              SELECT b.w1, b.w2, b.k11, r1.c1, cc.c2, nn.n,
+                     b.k11 AS ka, r1.c1 - b.k11 AS kb,
+                     cc.c2 - b.k11 AS kc,
+                     nn.n - r1.c1 - cc.c2 + b.k11 AS kd
+              FROM big b JOIN r1 USING (w1) JOIN cc USING (w2) CROSS JOIN nn
+              WHERE b.k11 >= 2)
+            SELECT w1, w2, k11, c1, c2,
+                   CAST(2.0 * (
+                     (CASE WHEN ka > 0 THEN round_even(ka * ln((CAST(ka AS DOUBLE) / c1) * (CAST(n AS DOUBLE) / c2)) * 1000000.0, 0) ELSE 0 END)
+                   + (CASE WHEN kb > 0 THEN round_even(kb * ln((CAST(kb AS DOUBLE) / c1) * (CAST(n AS DOUBLE) / (n - c2))) * 1000000.0, 0) ELSE 0 END)
+                   + (CASE WHEN kc > 0 THEN round_even(kc * ln((CAST(kc AS DOUBLE) / (n - c1)) * (CAST(n AS DOUBLE) / c2)) * 1000000.0, 0) ELSE 0 END)
+                   + (CASE WHEN kd > 0 THEN round_even(kd * ln((CAST(kd AS DOUBLE) / (n - c1)) * (CAST(n AS DOUBLE) / (n - c2))) * 1000000.0, 0) ELSE 0 END)
+                   ) AS BIGINT) AS g2_fp
+            FROM cells
+        """,
         "good_turing": r"""
             WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
                           FROM documents),
