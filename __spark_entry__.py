@@ -3078,6 +3078,28 @@ def q_radius_pairs(spark, sf_dir):
     return radius_self_join(spark, pts, radius_m=1.0)
 
 
+def q_colocation_pi(spark, sf_dir):
+    """Spatial co-location participation index (operators/colocation.py,
+    Shekhar/Huang SSTD 2001): per unordered event-type pair the exact
+    integer participation ingredients over within-2m neighbor pairs —
+    PI = min(part_a/n_a, part_b/n_b) consumer-side (floats never
+    emitted). Candidates from the proven cell-bucketed radius join;
+    participation = countDistinct inside a tiny pair-keyed agg. FULL
+    oracle: brute-force O(n^2) distance pairs (identical integer-cm
+    threshold) + the same orientation and distinct counts."""
+    from extractors_metadata_spark.operators.colocation import colocation_pi
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "event_type", lat, lon)
+    )
+    return colocation_pi(
+        spark, pts, radius_m=2.0, feature_col="event_type"
+    )
+
+
 def q_line_density(spark, sf_dir):
     """Line-density raster: per nanodegree grid cell, how many movement
     SEGMENTS cross it — the GIS line-density / corridor-heat classic
@@ -7768,6 +7790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_area": q_overlay_area,
         "quadtree": q_quadtree,
         "radius_pairs": q_radius_pairs,
+        "colocation_pi": q_colocation_pi,
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "decontaminate": q_decontaminate,

@@ -457,6 +457,9 @@ def main() -> None:
         # agg + marginal joins (filter load-bearing; UDF column pruned by
         # count() but the contingency joins are the cost).
         "dunning_g2",
+        # colocation_pi counts the feature-pair rollup: the radius join,
+        # type joins and distinct-participation aggs all load-bearing.
+        "colocation_pi",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -357,6 +357,37 @@ _RADIUS_PAIRS_SQL = f"""
 
 
 
+_COLOCATION_PI_SQL = f"""
+    WITH pts AS (
+      SELECT event_id AS id, event_type AS f, ({LAT_IN}) AS lat,
+             ({LON_IN}) AS lon
+      FROM events WHERE event_id < 3000),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.f AS fa, b.f AS fb,
+             CAST(round(sqrt(
+               ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               * ((b.lon - a.lon) * cos(radians(a.lat)) * (pi() / 180.0 * 6371008.8))
+               + ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+               * ((b.lat - a.lat) * (pi() / 180.0 * 6371008.8))
+             ) * 100.0, 0) AS BIGINT) AS dist_cm
+      FROM pts a JOIN pts b ON a.id < b.id),
+    sel AS (
+      SELECT least(fa, fb) AS feat_a, greatest(fa, fb) AS feat_b,
+             CASE WHEN fa < fb THEN id_a ELSE id_b END AS ia,
+             CASE WHEN fa < fb THEN id_b ELSE id_a END AS ib
+      FROM pairs WHERE dist_cm <= 200 AND fa <> fb),
+    agg AS (
+      SELECT feat_a, feat_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT ia) AS BIGINT) AS part_a,
+             CAST(count(DISTINCT ib) AS BIGINT) AS part_b
+      FROM sel GROUP BY 1, 2),
+    tot AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1)
+    SELECT agg.feat_a, agg.feat_b, ta.n AS n_a, tb.n AS n_b,
+           part_a, part_b, n_pairs
+    FROM agg JOIN tot ta ON ta.f = agg.feat_a JOIN tot tb ON tb.f = agg.feat_b
+"""
+
+
 _LINE_DENSITY_SQL = f"""
     WITH pts AS (
       SELECT user_id, ts, event_id,
@@ -9018,6 +9049,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_DOCS_SQL,
         "training_prep": _training_prep_sql(),
         "radius_pairs": _RADIUS_PAIRS_SQL,
+        "colocation_pi": _COLOCATION_PI_SQL,
         "spatial_cluster": _SPATIAL_CLUSTER_SQL,
         "tile_smooth": _TILE_SMOOTH_SQL,
         "cdc_verify": _CDC_SQL,
