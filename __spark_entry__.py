@@ -1107,6 +1107,26 @@ def q_heaps_fit(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_isotonic_fit(spark, sf_dir):
+    """Per-user isotonic regression (operators/trend.isotonic_fit) of the
+    zero-filled daily event-count series — monotone calibration via the
+    exact minimax PAVA characterization fitted[i] = max_{a<=i} min_{b>=i}
+    mean(y[a..b]) (Barlow 1972), the closed form that distributes AND
+    replays (PAVA's pooling scan is inherently serial). Every mean is the
+    exact integer sum * (lcm(1..30) div len) — no float ever emitted
+    (the pack_sequences rule). O(T^2) per key with T=30 a bounded
+    literal; one key-partitioned Exchange end to end. FULL oracle:
+    verbatim window/pair replay."""
+    from extractors_metadata_spark.operators.trend import isotonic_fit
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return isotonic_fit(counts, ["user_id"], bin_col="day", n_col="n")
+
+
 def q_dunning_g2(spark, sf_dir):
     """Dunning log-likelihood collocations (operators/cooccur.dunning_g2):
     G2 over the 2x2 adjacency contingency table per word bigram — the
@@ -7843,6 +7863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "good_turing": q_good_turing,
         "dunning_g2": q_dunning_g2,
+        "isotonic_fit": q_isotonic_fit,
         "heaps_fit": q_heaps_fit,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,

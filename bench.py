@@ -460,6 +460,9 @@ def main() -> None:
         # colocation_pi counts the feature-pair rollup: the radius join,
         # type joins and distinct-participation aggs all load-bearing.
         "colocation_pi",
+        # isotonic_fit counts the fitted grid (pair fan-out + suffix-min
+        # + argmax join all load-bearing under the inner fit join).
+        "isotonic_fit",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

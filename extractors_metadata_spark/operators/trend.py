@@ -122,3 +122,103 @@ def mann_kendall(
             .alias("var18"),
         )
     )
+
+
+def isotonic_fit(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_col: str = "n",
+    den: int = 2329089562800,  # lcm(1..30)
+    max_bins: int = 30,
+    bin_lo: int | None = None,
+    bin_hi: int | None = None,
+) -> DataFrame:
+    """Per-key ISOTONIC (nondecreasing L2) regression of the zero-filled
+    integer bin series, via the exact minimax characterization of PAVA:
+
+        fitted[i] = max_{a <= i} min_{b >= i} mean(y[a..b])
+
+    (Barlow et al. 1972 — the closed form that needs no sequential
+    pooling, which is what makes the operator BOTH distributable and
+    oracle-replayable; PAVA itself is an inherently serial scan).
+
+    Every mean is emitted as the EXACT integer fixed point
+    mean * den with den = lcm(1..max_bins) (den divisible by every
+    window length, so sum * (den div len) is exact int64 — the
+    pack_sequences integer-output rule; the consumer divides).  Raises
+    if the zero-fill grid exceeds ``max_bins`` (den would stop being
+    exact) — widen den for longer series.
+
+    Output: one row per (key..., bin): (key..., bin, y, fitted_fp, den).
+    int64 envelope: per-key total count * den < 2^63 (~4e5 events/key
+    at the default den).
+
+    Scale shape: zero-fill = key-dim x broadcast T-row bin literal (the
+    mann_kendall grid); the (a, b) pair frame is O(T^2) PER KEY with T
+    a bounded literal — constant per-key work; suffix-min and argmax
+    run as key-partitioned window + aggregate on the SAME partitioning
+    (one Exchange end to end)."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    spark = counts.sparkSession
+    if bin_lo is None or bin_hi is None:
+        row = counts.agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        ).first()
+        bin_lo = int(row["lo"]) if bin_lo is None else bin_lo
+        bin_hi = int(row["hi"]) if bin_hi is None else bin_hi
+    n_bins = bin_hi - bin_lo + 1
+    if n_bins > max_bins:
+        raise ValueError(
+            f"grid of {n_bins} bins exceeds max_bins={max_bins}; "
+            f"den=lcm(1..{max_bins}) would not be exact"
+        )
+
+    kdim = counts.select(*keys).distinct()
+    bins = spark.range(bin_lo, bin_hi + 1).select(
+        F.col("id").cast("long").alias(bin_col)
+    )
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, keys + [bin_col], "left")
+        .select(
+            *keys,
+            F.col(bin_col).cast("long").alias("_b"),
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("_b")
+    ps = filled.withColumn(
+        "_ps", F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    a = ps.select(
+        *keys, F.col("_b").alias("_a"),
+        (F.col("_ps") - F.col("_c")).alias("_psa"),
+    )
+    b = ps.select(*keys, F.col("_b").alias("_bb"), F.col("_ps").alias("_psb"))
+    pairs = a.join(b, keys).filter(F.col("_bb") >= F.col("_a")).select(
+        *keys, "_a", "_bb",
+        (
+            (F.col("_psb") - F.col("_psa"))
+            * F.expr(f"{int(den)} div (_bb - _a + 1)")
+        ).alias("_mfp"),
+    )
+    wsuf = Window.partitionBy(*keys, "_a").orderBy(F.col("_bb").desc())
+    m = pairs.withColumn(
+        "_m", F.min("_mfp").over(wsuf.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    fit = m.groupBy(*keys, F.col("_bb").alias("_b")).agg(
+        F.max("_m").alias("fitted_fp")
+    )
+    return (
+        filled.join(fit, keys + ["_b"])
+        .select(
+            *keys,
+            F.col("_b").alias(bin_col),
+            F.col("_c").alias("y"),
+            F.col("fitted_fp"),
+            F.lit(int(den)).cast("long").alias("den"),
+        )
+    )

@@ -9301,6 +9301,45 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "isotonic_fit": r"""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            cnts AS (
+              SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM cnts),
+            bins AS (
+              SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM users u CROSS JOIN bins b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.day = b.day),
+            ps AS MATERIALIZED (
+              SELECT user_id, day, c,
+                     sum(c) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS psum
+              FROM filled),
+            pairs AS (
+              SELECT a.user_id, a.day AS a, b.day AS bb,
+                     (b.psum - (a.psum - a.c))
+                       * (2329089562800 // (b.day - a.day + 1)) AS mfp
+              FROM ps a JOIN ps b
+                ON b.user_id = a.user_id AND b.day >= a.day),
+            sufmin AS (
+              SELECT user_id, a, bb,
+                     min(mfp) OVER (PARTITION BY user_id, a ORDER BY bb DESC
+                                    ROWS UNBOUNDED PRECEDING) AS m
+              FROM pairs),
+            fit AS (
+              SELECT user_id, bb AS day, CAST(max(m) AS BIGINT) AS fitted_fp
+              FROM sufmin GROUP BY 1, 2)
+            SELECT f.user_id, f.day, fl.c AS y, f.fitted_fp,
+                   CAST(2329089562800 AS BIGINT) AS den
+            FROM fit f JOIN filled fl
+              ON fl.user_id = f.user_id AND fl.day = f.day
+        """,
         "random_walks": _random_walks_sql(4),
         "rake_keywords": _rake_sql(3),
         "slope_aspect": _SLOPE_ASPECT_SQL,

@@ -62,3 +62,46 @@ def test_constant_series_all_ties(spark):
     got = _run(spark, rows, 0, 3)
     # S = 0; one tie group of 4 -> var18 = 4*3*13 - 4*3*13 = 0
     assert got[9] == (4, 0, 0)
+
+
+def test_isotonic_fit_pava_pooling(spark):
+    """[3,1,2] pools to [2,2,2]; monotone [1,2,3] is preserved; the
+    fixed point is exact (den=60 divisible by every len <= 5)."""
+    from extractors_metadata_spark.operators.trend import isotonic_fit
+
+    rows = [("u1", 0, 3), ("u1", 1, 1), ("u1", 2, 2),
+            ("u2", 0, 1), ("u2", 1, 2), ("u2", 2, 3)]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    out = {
+        (r["k"], r["bin"]): r["fitted_fp"]
+        for r in isotonic_fit(df, ["k"], den=60, max_bins=5).collect()
+    }
+    assert [out[("u1", i)] for i in range(3)] == [120, 120, 120]
+    assert [out[("u2", i)] for i in range(3)] == [60, 120, 180]
+
+
+def test_isotonic_fit_monotone_and_mean_preserving(spark):
+    """Any fit is nondecreasing and preserves the total (sum of fitted
+    fixed points == den * sum(y)) — the two PAVA invariants."""
+    from extractors_metadata_spark.operators.trend import isotonic_fit
+
+    rows = [("u", i, v) for i, v in enumerate([5, 3, 4, 1, 9, 2, 2, 8])]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    out = sorted(
+        (r["bin"], r["fitted_fp"], r["y"])
+        for r in isotonic_fit(df, ["k"], den=840, max_bins=8).collect()
+    )
+    fps = [f for _, f, _ in out]
+    assert all(a <= b for a, b in zip(fps, fps[1:]))
+    assert sum(fps) == 840 * sum(y for _, _, y in out)
+
+
+def test_isotonic_fit_rejects_oversized_grid(spark):
+    import pytest as _pt
+    from extractors_metadata_spark.operators.trend import isotonic_fit
+
+    df = spark.createDataFrame(
+        [("u", 0, 1), ("u", 40, 1)], "k string, bin long, n long"
+    )
+    with _pt.raises(ValueError):
+        isotonic_fit(df, ["k"], den=60, max_bins=5)
