@@ -1107,6 +1107,28 @@ def q_heaps_fit(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve (operators/survival.py) over
+    (user, event_type) subject lifetimes: duration = last - first active
+    day, right-censored iff
+    still active in the log's final day. Life table (t, n_risk, d, c)
+    is exact counting; the curve ships in LOG space as the exact int
+    sum of per-step 1e9 ln fixed points, with the d=n absorbing step an
+    integer flag (never an infinity). One subject agg; all windows run
+    on the bounded distinct-duration dim. FULL oracle: same life-table
+    CTEs + literal ln arithmetic."""
+    from extractors_metadata_spark.operators.survival import (
+        kaplan_meier,
+        user_lifetimes,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("subj"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    return kaplan_meier(user_lifetimes(e, "subj", "day"))
+
+
 def q_isotonic_fit(spark, sf_dir):
     """Per-user isotonic regression (operators/trend.isotonic_fit) of the
     zero-filled daily event-count series — monotone calibration via the
@@ -7864,6 +7886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "dunning_g2": q_dunning_g2,
         "isotonic_fit": q_isotonic_fit,
+        "kaplan_meier": q_kaplan_meier,
         "heaps_fit": q_heaps_fit,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,

@@ -463,6 +463,9 @@ def main() -> None:
         # isotonic_fit counts the fitted grid (pair fan-out + suffix-min
         # + argmax join all load-bearing under the inner fit join).
         "isotonic_fit",
+        # kaplan_meier counts the distinct-duration life table (subject
+        # agg + risk windows load-bearing).
+        "kaplan_meier",
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

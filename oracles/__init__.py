@@ -9301,6 +9301,40 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "kaplan_meier": r"""
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS subj,
+                     epoch_us(ts) // 86400000000 AS day FROM events),
+            life AS (
+              SELECT subj,
+                     CAST(max(day) - min(day) AS BIGINT) AS t,
+                     CASE WHEN max(day) = (SELECT max(day) FROM ev)
+                          THEN 0 ELSE 1 END AS observed
+              FROM ev GROUP BY 1),
+            tab AS (
+              SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+                     CAST(sum(1 - observed) AS BIGINT) AS c
+              FROM life GROUP BY 1),
+            rk AS (
+              SELECT t, d, c,
+                     CAST(sum(d + c) OVER (ORDER BY t DESC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+              FROM tab),
+            tm AS (
+              SELECT t, n_risk, d, c,
+                     CASE WHEN d = 0 OR d = n_risk THEN 0
+                          ELSE CAST(round_even(
+                            ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                            * 1000000000.0, 0) AS BIGINT) END AS term_fp,
+                     CASE WHEN d = n_risk THEN 1 ELSE 0 END AS abs0
+              FROM rk)
+            SELECT t, n_risk, d, c, term_fp,
+                   CAST(sum(term_fp) OVER (ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln_s_fp,
+                   CAST(max(abs0) OVER (ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS absorbed
+            FROM tm
+        """,
         "isotonic_fit": r"""
             WITH ev AS (
               SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
