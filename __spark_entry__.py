@@ -2919,6 +2919,20 @@ def _ahash_pages(spark, sf_dir):
     return pages.unionByName(dups)
 
 
+def q_image_dhash(spark, sf_dir):
+    """Difference-hash fingerprints (multimodal/binary_ops.
+    decode_image_dhash): the gradient member of the aHash/pHash triad —
+    bit (r,c) = p[r,c] < p[r,(c+1)%8] over the same deterministic
+    SplitMix64 stub thumbnail (wrap documented; a real decoder hands a
+    9-column grid), robust to the global brightness shifts that move
+    aHash's mean. Pure integer comparisons, same 16-bit band packing,
+    one fused Arrow pass. FULL oracle: pixel replay + neighbor-index
+    self-join + HUGEINT bit fold."""
+    from extractors_metadata_spark.multimodal.binary_ops import decode_image_dhash
+
+    return decode_image_dhash(_ahash_pages(spark, sf_dir))
+
+
 def q_image_ahash(spark, sf_dir):
     """Perceptual image fingerprints (multimodal/binary_ops.
     decode_image_ahash): payload -> FNV seed -> deterministic 8x8 grayscale
@@ -8043,6 +8057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "naive_bayes": q_naive_bayes,
         "image_ahash": q_image_ahash,
+        "image_dhash": q_image_dhash,
         "image_phash": q_image_phash,
         "audio_energy": q_audio_energy,
         "image_ahash_pairs": q_image_ahash_pairs,

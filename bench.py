@@ -466,6 +466,9 @@ def main() -> None:
         # kaplan_meier counts the distinct-duration life table (subject
         # agg + risk windows load-bearing).
         "kaplan_meier",
+        # image_dhash is row-preserving (one fingerprint per url) — NOT
+        # timed (count() rule); image_ahash_pairs already times the
+        # shared pixel+band machinery.
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

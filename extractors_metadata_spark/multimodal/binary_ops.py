@@ -202,6 +202,66 @@ def ahash_from_gray(pix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ahash, bands
 
 
+def dhash_from_gray(pix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Difference-hash a batch of (n, 64) integer pixel grids: bit
+    (r, c) is set iff p[r, c] < p[r, (c+1) % 8] — the horizontal
+    GRADIENT sign, wrapping at the row edge (the stub grid is 8x8; a
+    real decoder would hand a 9-column thumbnail and drop the wrap).
+    Gradient signs survive global brightness/contrast shifts that move
+    aHash's mean — the standard reason dHash complements it.  Pure
+    integer comparisons; same (hash, 4x16-bit bands) packing as aHash."""
+    pix = np.asarray(pix, dtype=np.int64).reshape(-1, 8, 8)
+    nxt = np.roll(pix, -1, axis=2)
+    bits = (pix < nxt).reshape(-1, 64).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    hu = (bits * weights).sum(axis=1, dtype=np.uint64)
+    dhash = hu.view(np.int64)
+    bands = np.stack(
+        [((hu >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
+         for b in range(AHASH_BANDS)],
+        axis=1,
+    )
+    return dhash, bands
+
+
+IMAGE_DHASH_SCHEMA = "url string, dhash long, b0 int, b1 int, b2 int, b3 int"
+
+
+def decode_image_dhash(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    real_decode: bool = False,
+) -> DataFrame:
+    """binary -> 64-bit difference-hash fingerprint + 16-bit bands, one
+    fused mapInPandas Arrow pass (the aHash/pHash triad's gradient
+    member). ``real_decode=True`` is the codec integration point
+    (decode, grayscale, 9x8 downsample — then dhash_from_gray on the
+    adjacent-column differences)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "no image codec in this environment; decode + grayscale "
+                    "+ downsample here, then dhash_from_gray unchanged"
+                )
+            seeds = hash_bytes_batch(pdf[binary_col])
+            dhash, bands = dhash_from_gray(_gray64_from_seeds(seeds))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[id_col],
+                    "dhash": dhash,
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(gen, IMAGE_DHASH_SCHEMA)
+
+
 IMAGE_AHASH_SCHEMA = "url string, ahash long, b0 int, b1 int, b2 int, b3 int"
 
 

@@ -7754,6 +7754,38 @@ def _ahash_ctes() -> str:
     """
 
 
+def _dhash_ctes() -> str:
+    """SQL replay of multimodal/binary_ops dhash path — consumes CTE
+    ``hh(event_id, h63)``; ends with ``dh(event_id, dhash, b0..b3)``.
+    The gradient bit is an apx self-join on the wrap-adjacent column
+    index; the HUGEINT fold and two's-complement view mirror
+    _ahash_ctes."""
+    bands = ", ".join(
+        f"CAST((hu // CAST({1 << (16 * b)} AS HUGEINT)) % 65536 AS INT) AS b{b}"
+        for b in range(4)
+    )
+    m64 = "18446744073709551616"
+    return f"""
+        {_apixel_ctes()},
+        dbits AS (
+          SELECT a.event_id, a.c,
+                 CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+          FROM apx a JOIN apx b
+            ON b.event_id = a.event_id
+           AND b.c = ((a.c - 1) // 8) * 8 + ((a.c - 1) % 8 + 1) % 8 + 1),
+        dhu AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(sum(CAST(bit AS HUGEINT) * CAST(pow(2, c - 1) AS HUGEINT)) AS HUGEINT) AS hu
+          FROM dbits GROUP BY 1),
+        dh AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                           THEN hu - CAST({m64} AS HUGEINT) ELSE hu END AS BIGINT) AS dhash,
+                 {bands}
+          FROM dhu)
+    """
+
+
 _AHASH_URLS_CTE = """
         au AS (
           SELECT event_id,
@@ -9267,6 +9299,15 @@ def oracle_sql() -> dict[str, str]:
                    FROM hh)
             SELECT au.url, aw.win, aw.energy_sq, aw.n_clipped, aw.silent
             FROM au JOIN aw USING (event_id)
+        """,
+        "image_dhash": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hh AS MATERIALIZED (SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            {_dhash_ctes()},
+            {_AHASH_URLS_CTE}
+            SELECT au.url, dh.dhash, dh.b0, dh.b1, dh.b2, dh.b3
+            FROM au JOIN dh USING (event_id)
         """,
         "image_phash": f"""
             WITH {_probe_gxgy_sql("WHERE event_id < 2000")},

@@ -145,3 +145,33 @@ def test_phash_duplicates_share_hash(spark):
     out = {r["url"]: r["phash"] for r in decode_image_phash(df).collect()}
     assert out["u1"] == out["u1#dup"]
     assert out["u1"] != out["u2"]
+
+
+def test_dhash_gradient_sign_hand_grid():
+    """Row 0 ramp 0..7 -> bits 0..6 set (p<next), bit 7 clear (7 < 0
+    wraps false); a constant row contributes no bits."""
+    import numpy as np
+    from extractors_metadata_spark.multimodal.binary_ops import dhash_from_gray
+
+    pix = np.zeros((1, 64), dtype=np.int64)
+    pix[0, :8] = np.arange(8)          # row 0: ramp
+    pix[0, 8:16] = 5                   # row 1: flat
+    h, bands = dhash_from_gray(pix)
+    assert h[0] & 0xFF == 0x7F         # bits 0..6
+    assert (h[0] >> 8) & 0xFF == 0     # flat row: no gradient bits
+    assert bands.shape == (1, 4)
+
+
+def test_dhash_brightness_invariance():
+    """dHash is invariant to a global brightness shift (the property
+    aHash lacks)."""
+    import numpy as np
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        ahash_from_gray,
+        dhash_from_gray,
+    )
+
+    rng = np.arange(64, dtype=np.int64).reshape(1, 64) * 3 % 97
+    h1, _ = dhash_from_gray(rng)
+    h2, _ = dhash_from_gray(rng + 50)
+    assert h1[0] == h2[0]
