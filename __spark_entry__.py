@@ -1129,6 +1129,26 @@ def q_kaplan_meier(spark, sf_dir):
     return kaplan_meier(user_lifetimes(e, "subj", "day"))
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Integer Holt double-exponential smoothing (operators/trend.
+    holt_forecast) per user over the zero-filled daily series: with
+    alpha = beta = 1/2 the level/trend update is a pure floor-halving
+    recurrence on 2^16 fixed-point state (floor built explicitly on both
+    engines — the linedda recipe; b goes negative on down-trends), final
+    state + 7-day forecast l + 7b. Recurrence runs vectorized across
+    keys in ONE Arrow pass, sequential only in the bounded 30-step time
+    axis. FULL oracle: recursive day-join replay of the identical
+    integer recurrence."""
+    from extractors_metadata_spark.operators.trend import holt_forecast
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return holt_forecast(counts, ["user_id"], bin_col="day", n_col="n")
+
+
 def q_isotonic_fit(spark, sf_dir):
     """Per-user isotonic regression (operators/trend.isotonic_fit) of the
     zero-filled daily event-count series — monotone calibration via the
@@ -7901,6 +7921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dunning_g2": q_dunning_g2,
         "isotonic_fit": q_isotonic_fit,
         "kaplan_meier": q_kaplan_meier,
+        "holt_forecast": q_holt_forecast,
         "heaps_fit": q_heaps_fit,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,

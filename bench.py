@@ -468,7 +468,8 @@ def main() -> None:
         "kaplan_meier",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
-        # shared pixel+band machinery.
+        # shared pixel+band machinery. holt_forecast is key-preserving
+        # (one row per user off the grouped kernel) — NOT timed either.
     ]
     qs = entrymod.queries()
     chunk_start_ok = probes[-1] >= trust_gbps

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -221,4 +223,92 @@ def isotonic_fit(
             F.col("fitted_fp"),
             F.lit(int(den)).cast("long").alias("den"),
         )
+    )
+
+
+def holt_forecast(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_col: str = "n",
+    horizon: int = 7,
+    scale: int = 65536,
+    bin_lo: int | None = None,
+    bin_hi: int | None = None,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing of the zero-filled
+    integer bin series, QUANTIZED so it replays exactly: with
+    alpha = beta = 1/2 the update is a pure integer recurrence on
+    ``scale``-fixed-point state
+
+        l_t = floor((y_t*S + l_{t-1} + b_{t-1}) / 2)      l_0 = y_0*S
+        b_t = floor((l_t - l_{t-1} + b_{t-1}) / 2)        b_0 = 0
+
+    (floor, not truncation — b_t goes negative on down-trends; both
+    engines build floor-div explicitly per the linedda recipe).  The
+    halving IS the smoothing constant, so the operator is the exact-
+    arithmetic member of the EWMA family (decay_score holds the decayed-
+    sum variant); level + trend give the h-step forecast l + h*b.
+
+    Returns one row per key: (key..., l_fp, b_fp, fc_fp, scale) — the
+    final state and the ``horizon``-step-ahead forecast, all int64
+    (consumer divides by ``scale``).
+
+    Scale shape: the zero-fill grid (mann_kendall idiom) collapses to
+    ONE array per key (array_sort of T structs, T a bounded literal);
+    the recurrence runs vectorized ACROSS keys in one Arrow pass with a
+    T-step NumPy loop — per-key work O(T), sequential only in the
+    bounded time axis, never in keys.  The DuckDB oracle replays it as
+    a recursive day-join on the same integers."""
+    keys = list(key_cols)
+    spark = counts.sparkSession
+    if bin_lo is None or bin_hi is None:
+        row = counts.agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        ).first()
+        bin_lo = int(row["lo"]) if bin_lo is None else bin_lo
+        bin_hi = int(row["hi"]) if bin_hi is None else bin_hi
+
+    kdim = counts.select(*keys).distinct()
+    bins = spark.range(bin_lo, bin_hi + 1).select(
+        F.col("id").cast("long").alias(bin_col)
+    )
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, keys + [bin_col], "left")
+        .select(
+            *keys,
+            F.col(bin_col).cast("long").alias("_b"),
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    series = filled.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_b", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_ys")
+    )
+
+    S = int(scale)
+
+    @F.pandas_udf("array<long>")
+    def _holt(ys: pd.Series) -> pd.Series:
+        y = np.stack([np.asarray(v, dtype=np.int64) for v in ys])
+        l = y[:, 0] * S
+        b = np.zeros(len(y), dtype=np.int64)
+        for t in range(1, y.shape[1]):
+            ln = (y[:, t] * S + l + b) // 2  # numpy // floors
+            b = (ln - l + b) // 2
+            l = ln
+        return pd.Series(np.stack([l, b], axis=1).tolist())
+
+    out = series.select(*keys, _holt("_ys").alias("_lb"))
+    return out.select(
+        *keys,
+        F.element_at("_lb", 1).alias("l_fp"),
+        F.element_at("_lb", 2).alias("b_fp"),
+        (F.element_at("_lb", 1) + horizon * F.element_at("_lb", 2)).alias(
+            "fc_fp"
+        ),
+        F.lit(S).cast("long").alias("scale"),
     )

@@ -9342,6 +9342,40 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "holt_forecast": r"""
+            WITH RECURSIVE ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            cnts AS (
+              SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM cnts),
+            bins AS (
+              SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM users u CROSS JOIN bins b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.day = b.day),
+            rec AS (
+              SELECT user_id, day, c * 65536 AS l, CAST(0 AS BIGINT) AS b
+              FROM filled WHERE day = (SELECT lo FROM bounds)
+              UNION ALL
+              SELECT user_id, day,
+                     l,
+                     ((l - pl + pb) - (((l - pl + pb) % 2 + 2) % 2)) // 2 AS b
+              FROM (
+                SELECT r.user_id, f.day,
+                       ((f.c * 65536 + r.l + r.b)
+                         - (((f.c * 65536 + r.l + r.b) % 2 + 2) % 2)) // 2 AS l,
+                       r.l AS pl, r.b AS pb
+                FROM rec r JOIN filled f
+                  ON f.user_id = r.user_id AND f.day = r.day + 1) t)
+            SELECT user_id, CAST(l AS BIGINT) AS l_fp, CAST(b AS BIGINT) AS b_fp,
+                   CAST(l + 7 * b AS BIGINT) AS fc_fp,
+                   CAST(65536 AS BIGINT) AS scale
+            FROM rec WHERE day = (SELECT hi FROM bounds)
+        """,
         "kaplan_meier": r"""
             WITH ev AS (
               SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS subj,

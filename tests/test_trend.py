@@ -105,3 +105,28 @@ def test_isotonic_fit_rejects_oversized_grid(spark):
     )
     with _pt.raises(ValueError):
         isotonic_fit(df, ["k"], den=60, max_bins=5)
+
+
+def test_holt_forecast_constant_series(spark):
+    """A constant series y=c converges level -> c*S, trend -> 0; the
+    7-step forecast equals the level."""
+    from extractors_metadata_spark.operators.trend import holt_forecast
+
+    rows = [("u", i, 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    r = holt_forecast(df, ["k"]).collect()[0]
+    assert r["l_fp"] == 4 * 65536
+    assert r["b_fp"] == 0
+    assert r["fc_fp"] == 4 * 65536
+
+
+def test_holt_forecast_hand_recurrence(spark):
+    """Three steps of [2, 0, 6] at S=16, replayed by hand:
+    l0=32,b0=0; l1=floor((0+32+0)/2)=16, b1=floor((16-32+0)/2)=-8;
+    l2=floor((96+16-8)/2)=52, b2=floor((52-16-8)/2)=14."""
+    from extractors_metadata_spark.operators.trend import holt_forecast
+
+    rows = [("u", 0, 2), ("u", 1, 0), ("u", 2, 6)]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    r = holt_forecast(df, ["k"], scale=16, horizon=2).collect()[0]
+    assert (r["l_fp"], r["b_fp"], r["fc_fp"]) == (52, 14, 52 + 2 * 14)
