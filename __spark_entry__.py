@@ -164,6 +164,23 @@ def q_knn_topk(spark, sf_dir):
     )
 
 
+def q_huff_model(spark, sf_dir):
+    """Huff spatial-interaction split (operators/huff.py, Huff 1963):
+    each probe point's unit mass distributed over its 3 nearest plots as
+    the EXACT integer rational prod-of-other-d2 / den with d2 =
+    max(dist_cm^2, 1) — distance quantized to the proven integer-cm
+    surface, probabilities never floated (the pack_sequences rule). All
+    the work is the proven kNN machinery + one point-keyed pivot. FULL
+    oracle: the knn brute-force SQL nested as a derived table + the same
+    pivot/product algebra."""
+    from extractors_metadata_spark.operators.huff import huff_model
+
+    pts = _event_points(spark, sf_dir, lat_expr=LAT_SOUTH).filter(
+        F.col("event_id") < 2000
+    )
+    return huff_model(spark, pts, _plots_pdf())
+
+
 def q_tile_assign(spark, sf_dir):
     from extractors_metadata_spark.operators.tile_assign import tile_assign
 
@@ -7884,6 +7901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_verify": q_polyfill_verify,
         "knn_nearest": q_knn_nearest,
         "knn_topk": q_knn_topk,
+        "huff_model": q_huff_model,
         "tile_assign": q_tile_assign,
         "tile_density": q_tile_density,
         "cells_encode": q_cells_encode,

@@ -466,6 +466,10 @@ def main() -> None:
         # kaplan_meier counts the distinct-duration life table (subject
         # agg + risk windows load-bearing).
         "kaplan_meier",
+        # huff_model counts the pivoted point frame off the knn candidate
+        # join + re-rank (the knn path is the cost and is load-bearing
+        # through the pivot's inner aggregate).
+        "huff_model",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -8116,6 +8116,30 @@ def oracle_sql() -> dict[str, str]:
         "knn_nearest": _knn_bruteforce_sql(
             "", 1, "event_id, plot_id, round(dist, 2) AS dist_m"
         ),
+        "huff_model": f"""
+            WITH base AS (
+              SELECT * FROM ({_knn_bruteforce_sql(
+                  "WHERE event_id < 2000",
+                  3,
+                  "event_id, plot_id, CAST(rank AS INT) AS r, "
+                  "greatest(CAST(round(dist * 100.0, 0) AS BIGINT)"
+                  " * CAST(round(dist * 100.0, 0) AS BIGINT), 1) AS d2",
+              )})),
+            wide AS (
+              SELECT event_id,
+                     min(CASE WHEN r = 1 THEN plot_id END) AS plot_1,
+                     min(CASE WHEN r = 2 THEN plot_id END) AS plot_2,
+                     min(CASE WHEN r = 3 THEN plot_id END) AS plot_3,
+                     min(CASE WHEN r = 1 THEN d2 END) AS d2_1,
+                     min(CASE WHEN r = 2 THEN d2 END) AS d2_2,
+                     min(CASE WHEN r = 3 THEN d2 END) AS d2_3
+              FROM base GROUP BY 1)
+            SELECT event_id, plot_1, plot_2, plot_3, d2_1, d2_2, d2_3,
+                   d2_2 * d2_3 AS num_1, d2_1 * d2_3 AS num_2,
+                   d2_1 * d2_2 AS num_3,
+                   d2_2 * d2_3 + d2_1 * d2_3 + d2_1 * d2_2 AS den
+            FROM wide
+        """,
         "knn_topk": _knn_bruteforce_sql(
             "WHERE event_id < 2000",
             3,
