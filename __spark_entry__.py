@@ -7427,6 +7427,39 @@ def q_lcss_pairs(spark, sf_dir):
     return lcss_pairs(user_tracks(pts), eps=80)
 
 
+def q_swalign_pairs(spark, sf_dir):
+    """Banded Smith-Waterman LOCAL alignment — the fourth lattice mode
+    (dtw min-plus, frechet minimax, lcss global max-combine, SW local
+    max-with-zero-floor; Smith & Waterman 1981): the best-scoring shared
+    SUB-ROUTE of two tracks (eps-match +2, mismatch/gap -1, zero floor
+    restarts, best cell anywhere wins) — detects a shared segment
+    between otherwise-different routes that every global measure
+    averages away. Same caps/band as dtw_pairs. FULL oracle: the shared
+    anti-diagonal stage generator in swalign mode + a max-over-all-cells
+    epilogue."""
+    from extractors_metadata_spark.operators.dtw import (
+        swalign_pairs,
+        user_tracks,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", lat, lon)
+    )
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    return swalign_pairs(user_tracks(pts), eps=80)
+
+
 def q_ransac_lines(spark, sf_dir):
     """Deterministic RANSAC line fitting over the event point cloud
     (Fischler-Bolles 1981): 32 candidate lines whose anchor pairs come
@@ -8156,6 +8189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs": q_dtw_pairs,
         "frechet_pairs": q_frechet_pairs,
         "lcss_pairs": q_lcss_pairs,
+        "swalign_pairs": q_swalign_pairs,
         "viterbi_match": q_viterbi_match,
         "track_diameter": q_track_diameter,
         "join_counts": q_join_counts,

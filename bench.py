@@ -466,6 +466,9 @@ def main() -> None:
         # kaplan_meier counts the distinct-duration life table (subject
         # agg + risk windows load-bearing).
         "kaplan_meier",
+        # swalign_pairs (like lcss/dtw) is pair-preserving off the
+        # broadcast candidate join — dtw-family stays untimed (count()
+        # rule); the kernels are exercised by the oracle sweeps.
         # huff_model counts the pivoted point frame off the knn candidate
         # join + re-rank (the knn path is the cost and is load-bearing
         # through the pivot's inner aggregate).

@@ -129,6 +129,61 @@ def _lcss_udf(eps: int):
     return lcss_len
 
 
+def _sw_udf(eps: int, match: int = 2, penalty: int = 1):
+    """Banded Smith-Waterman LOCAL alignment on the same lattice: the
+    best-scoring shared SEGMENT of two tracks (match = eps-close point
+    pair scores +``match``; mismatch/gap costs ``penalty``; the zero
+    floor restarts alignments, the global best cell is the answer —
+    Smith & Waterman 1981).  Where LCSS chains matches globally, SW
+    finds the one contiguous-ish stretch two otherwise-different routes
+    share.  Out-of-lattice/out-of-band cells read 0 (the lcss sentinel);
+    pure int64 end to end, so the oracle replays the identical
+    anti-diagonal unroll with a max-over-all-cells epilogue."""
+
+    @F.pandas_udf("long")
+    def sw_score(
+        xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a_x, a_y, b_x, b_y in zip(xa, ya, xb, yb):
+            ax = np.asarray(a_x, np.int64)
+            ay = np.asarray(a_y, np.int64)
+            bx = np.asarray(b_x, np.int64)
+            by = np.asarray(b_y, np.int64)
+            n, m = len(ax), len(bx)
+            prev = [0] * m
+            best = 0
+            for i in range(n):
+                cur = [0] * m
+                lo = max(0, i - BAND)
+                hi = min(m - 1, i + BAND)
+                for j in range(lo, hi + 1):
+                    ok = (
+                        abs(int(ax[i]) - int(bx[j])) <= eps
+                        and abs(int(ay[i]) - int(by[j])) <= eps
+                    )
+                    diag = (prev[j - 1] if j > 0 else 0) + (
+                        match if ok else -penalty
+                    )
+                    up = prev[j] - penalty
+                    left = (cur[j - 1] if j > 0 else 0) - penalty
+                    v = diag
+                    if up > v:
+                        v = up
+                    if left > v:
+                        v = left
+                    if v < 0:
+                        v = 0
+                    cur[j] = v
+                    if v > best:
+                        best = v
+                prev = cur
+            out.append(best)
+        return pd.Series(out, dtype="int64")
+
+    return sw_score
+
+
 def user_tracks(
     pts: DataFrame,
     user_col: str = "user_id",
@@ -188,6 +243,17 @@ def lcss_pairs(tracks: DataFrame, eps: int = 80) -> DataFrame:
     return _pair_dp(tracks, "lcss", "lcss", eps=eps)
 
 
+def swalign_pairs(tracks: DataFrame, eps: int = 80) -> DataFrame:
+    """All-pairs banded Smith-Waterman local-alignment score over a
+    track frame -> (u_a, u_b, n_a, n_b, sw): the highest-scoring shared
+    sub-route (match +2, mismatch/gap -1, zero floor, best cell wins).
+    The LOCAL member of the lattice family — DTW averages whole tracks,
+    Frechet bottlenecks them, LCSS chains matches globally; SW finds the
+    one stretch two routes share and ignores everything else.  Same
+    band/cap semantics as dtw_pairs."""
+    return _pair_dp(tracks, "swalign", "sw", eps=eps)
+
+
 def _pair_dp(
     tracks: DataFrame, mode: str, out_col: str, eps: int = 0
 ) -> DataFrame:
@@ -202,7 +268,12 @@ def _pair_dp(
     cand = a.join(F.broadcast(b), F.col("u_a") < F.col("u_b")).filter(
         F.abs(F.col("n_a") - F.col("n_b")) <= BAND
     )
-    kernel = _lcss_udf(eps) if mode == "lcss" else _dp_udf(mode)
+    if mode == "lcss":
+        kernel = _lcss_udf(eps)
+    elif mode == "swalign":
+        kernel = _sw_udf(eps)
+    else:
+        kernel = _dp_udf(mode)
     return cand.select(
         "u_a",
         "u_b",

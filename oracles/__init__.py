@@ -2002,6 +2002,7 @@ def _dtw_sql(
     inf = 1 << 61
     kmax = 2 * max_len - 2
     lcss = mode == "lcss"
+    sw = mode == "swalign"
     stages = []
     for k in range(1, kmax + 1):
         p3 = (
@@ -2016,6 +2017,14 @@ def _dtw_sql(
                 f"""CASE WHEN l.d = 1 THEN 1 + {p3cost}
                          ELSE greatest(coalesce(p1.cost, 0),
                                        coalesce(p2.cost, 0)) END"""
+            )
+        elif sw:
+            p3cost = "coalesce(p3.cost, 0)" if k >= 2 else "0"
+            combine = (
+                f"""greatest(0,
+                             {p3cost} + CASE WHEN l.d = 1 THEN 2 ELSE -1 END,
+                             coalesce(p1.cost, 0) - 1,
+                             coalesce(p2.cost, 0) - 1)"""
             )
         else:
             p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
@@ -2040,12 +2049,25 @@ def _dtw_sql(
                      AND p2.i = l.i AND p2.j = l.j - 1
           {p3}
           WHERE l.i + l.j = {k})""")
-    ends = "\n          UNION ALL\n".join(
-        f"""          SELECT p.u_a, p.u_b, p.n_a, p.n_b, dk.cost AS {out_col}
+    if sw:
+        # local alignment: the answer is the best cell ANYWHERE in the
+        # lattice (zero floor restarts), not the end cell
+        allcells = "\n            UNION ALL\n".join(
+            f"            SELECT u_a, u_b, cost FROM dw{k}"
+            for k in range(0, kmax + 1)
+        )
+        ends = f"""          SELECT p.u_a, p.u_b, p.n_a, p.n_b,
+                 CAST(greatest(max(ac.cost), 0) AS BIGINT) AS {out_col}
+          FROM prs p JOIN (
+{allcells}) ac ON ac.u_a = p.u_a AND ac.u_b = p.u_b
+          GROUP BY p.u_a, p.u_b, p.n_a, p.n_b"""
+    else:
+        ends = "\n          UNION ALL\n".join(
+            f"""          SELECT p.u_a, p.u_b, p.n_a, p.n_b, dk.cost AS {out_col}
           FROM dw{k} dk JOIN prs p ON p.u_a = dk.u_a AND p.u_b = dk.u_b
           WHERE dk.i = p.n_a - 1 AND dk.j = p.n_b - 1"""
-        for k in range(0, kmax + 1)
-    )
+            for k in range(0, kmax + 1)
+        )
     return f"""
         WITH seqp AS MATERIALIZED (
           SELECT user_id AS u,
@@ -2065,13 +2087,14 @@ def _dtw_sql(
           WHERE abs(a.n - b.n) <= {band}),
         lat AS MATERIALIZED (
           SELECT p.u_a, p.u_b, x.idx AS i, y.idx AS j,
-                 {f"CASE WHEN abs(x.qx - y.qx) <= {eps} AND abs(x.qy - y.qy) <= {eps} THEN 1 ELSE 0 END" if lcss else "abs(x.qx - y.qx) + abs(x.qy - y.qy)"} AS d
+                 {f"CASE WHEN abs(x.qx - y.qx) <= {eps} AND abs(x.qy - y.qy) <= {eps} THEN 1 ELSE 0 END" if (lcss or sw) else "abs(x.qx - y.qx) + abs(x.qy - y.qy)"} AS d
           FROM prs p
           JOIN tp x ON x.u = p.u_a
           JOIN tp y ON y.u = p.u_b
           WHERE abs(x.idx - y.idx) <= {band}),
         dw0 AS MATERIALIZED (
-          SELECT u_a, u_b, i, j, CAST(d AS BIGINT) AS cost
+          SELECT u_a, u_b, i, j,
+                 CAST({"CASE WHEN d = 1 THEN 2 ELSE 0 END" if sw else "d"} AS BIGINT) AS cost
           FROM lat WHERE i = 0 AND j = 0),
         {",".join(stages)}
 {ends}
@@ -9834,6 +9857,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_pairs": _dtw_sql(30, 24, 6),
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
+        "swalign_pairs": _dtw_sql(30, 24, 6, mode="swalign", out_col="sw", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),

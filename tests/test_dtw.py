@@ -134,3 +134,44 @@ def test_user_tracks_orders_and_caps(spark):
     t = user_tracks(_pts(spark, rows)).collect()[0]
     assert t["n"] == 24
     assert t["xs"] == [7 * e for e in range(24)]
+
+
+def test_swalign_shared_segment_scores_local(spark):
+    """Two tracks that share a 4-point segment in the middle but differ
+    everywhere else: SW finds the segment (score 8 = 4 matches * 2)
+    while their global LCSS also counts it but SW ignores the mismatched
+    flanks entirely; a fully-disjoint pair scores 0."""
+    from extractors_metadata_spark.operators.dtw import swalign_pairs
+
+    shared = [(100 + i, 200 + i) for i in range(4)]
+    a = [(0, 0), (10, 10)] + shared + [(500, 500)]
+    b = [(900, 900), (910, 800)] + shared + [(999, 999)]
+    c = [(5000 + i, 6000 + i) for i in range(7)]
+
+    def track(u, pts_):
+        return (u, len(pts_), [p[0] for p in pts_], [p[1] for p in pts_])
+
+    df = spark.createDataFrame(
+        [track(1, a), track(2, b), track(3, c)],
+        "u long, n long, xs array<long>, ys array<long>",
+    )
+    out = {(r["u_a"], r["u_b"]): r["sw"] for r in swalign_pairs(df, eps=0).collect()}
+    assert out[(1, 2)] == 8
+    assert out[(1, 3)] == 0
+    assert out[(2, 3)] == 0
+
+
+def test_swalign_gap_bridging(spark):
+    """Match, one-point gap, two matches: 2 - 1 - 1 + 4 = 4 beats
+    restarting (2x2=4 tie? no: diag path = 2 (m) -1 (gap in a) + 2 + 2 = 5)."""
+    from extractors_metadata_spark.operators.dtw import swalign_pairs
+
+    a = [(0, 0), (7777, 0), (10, 10), (20, 20)]
+    b = [(0, 0), (10, 10), (20, 20)]
+    df = spark.createDataFrame(
+        [(1, 4, [p[0] for p in a], [p[1] for p in a]),
+         (2, 3, [p[0] for p in b], [p[1] for p in b])],
+        "u long, n long, xs array<long>, ys array<long>",
+    )
+    out = swalign_pairs(df, eps=0).collect()[0]
+    assert out["sw"] == 5
