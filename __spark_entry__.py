@@ -1105,6 +1105,19 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens", "bin_id")
 
 
+def q_stem_vocab(spark, sf_dir):
+    """Stemmed vocabulary (operators/corpus.stem_vocab): Harman's
+    S-stemmer (1991) as a frozen suffix-class CASE partition (-ies->-y,
+    -es->-e, -s->'' with the published exception lists; first match by
+    suffix class) folded through ONE stem-keyed aggregate -> (stem, tf,
+    df_docs, n_forms) — the conflation dictionary an IR index builds.
+    Pure codegen, no regex, no UDF. FULL oracle: identical endswith/
+    substring algebra in SQL."""
+    from extractors_metadata_spark.operators.corpus import stem_vocab
+
+    return stem_vocab(_t(spark, sf_dir, "documents"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-100 words by term frequency (+ doc frequency) —
     the tokenizer-training / stopword-mining primitive."""
@@ -7968,6 +7981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": q_mmr_select,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "vocab_topk": q_vocab_topk,
+        "stem_vocab": q_stem_vocab,
         "good_turing": q_good_turing,
         "dunning_g2": q_dunning_g2,
         "isotonic_fit": q_isotonic_fit,

@@ -457,6 +457,9 @@ def main() -> None:
         # agg + marginal joins (filter load-bearing; UDF column pruned by
         # count() but the contingency joins are the cost).
         "dunning_g2",
+        # stem_vocab counts the stem dictionary off the explode + CASE +
+        # distinct aggs (conflation load-bearing).
+        "stem_vocab",
         # colocation_pi counts the feature-pair rollup: the radius join,
         # type joins and distinct-participation aggs all load-bearing.
         "colocation_pi",

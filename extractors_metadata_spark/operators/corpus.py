@@ -698,3 +698,58 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+
+
+def s_stem(col: F.Column) -> F.Column:
+    """Harman's S-stemmer (Harman 1991) as a pure codegen CASE — the
+    conservative plural stripper IR evaluations showed performs within
+    noise of Porter while never mangling a stem:
+
+      1. -ies -> -y   unless -eies / -aies
+      2. -es  -> -e   unless -aes / -ees / -oes
+      3. -s   -> ''   unless -us / -ss
+
+    First match wins; words shorter than 3 chars pass through.  No
+    regex, no UDF — both engines evaluate the identical endswith /
+    substring algebra."""
+    n = F.length(col)
+    return F.when(n < 3, col).when(
+        col.endswith("ies")
+        & ~col.endswith("eies")
+        & ~col.endswith("aies"),
+        F.concat(col.substr(F.lit(1), n - 3), F.lit("y")),
+    ).when(
+        ~col.endswith("ies")
+        & col.endswith("es")
+        & ~col.endswith("aes")
+        & ~col.endswith("ees")
+        & ~col.endswith("oes"),
+        col.substr(F.lit(1), n - 1),
+    ).when(
+        col.endswith("s")
+        & ~col.endswith("us")
+        & ~col.endswith("ss")
+        & ~col.endswith("es")
+        & ~col.endswith("ies"),
+        col.substr(F.lit(1), n - 1),
+    ).otherwise(col)
+
+
+def stem_vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Stemmed vocabulary -> (stem, tf, df_docs, n_forms): corpus term
+    frequency, document frequency and the number of distinct surface
+    forms folded into each stem — the conflation table an IR index
+    builds its dictionary from.  Plan: one token explode -> s_stem in
+    codegen -> ONE stem-keyed hash aggregate (two-phase distincts for
+    df_docs/n_forms share the exchange)."""
+    toks = _tokens(df, text_col, id_col)
+    st = toks.select(
+        s_stem(F.col("tok")).alias("stem"), F.col("tok"), F.col(id_col)
+    )
+    return st.groupBy("stem").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct(id_col).alias("df_docs"),
+        F.countDistinct("tok").alias("n_forms"),
+    )

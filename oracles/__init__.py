@@ -8724,6 +8724,37 @@ def oracle_sql() -> dict[str, str]:
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
         """,
+        "stem_vocab": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+            tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+            st AS (
+              SELECT doc_id, tok,
+                     CASE
+                       WHEN length(tok) < 3 THEN tok
+                       WHEN ends_with(tok, 'ies') AND NOT ends_with(tok, 'eies')
+                            AND NOT ends_with(tok, 'aies')
+                         THEN left(tok, length(tok) - 3) || 'y'
+                       WHEN NOT ends_with(tok, 'ies') AND ends_with(tok, 'es')
+                            AND NOT ends_with(tok, 'aes')
+                            AND NOT ends_with(tok, 'ees')
+                            AND NOT ends_with(tok, 'oes')
+                         THEN left(tok, length(tok) - 1)
+                       WHEN ends_with(tok, 's') AND NOT ends_with(tok, 'us')
+                            AND NOT ends_with(tok, 'ss')
+                            AND NOT ends_with(tok, 'es')
+                            AND NOT ends_with(tok, 'ies')
+                         THEN left(tok, length(tok) - 1)
+                       ELSE tok
+                     END AS stem
+              FROM tk)
+            SELECT stem, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_forms
+            FROM st GROUP BY 1
+        """,
         "dunning_g2": r"""
             WITH toks AS (
               SELECT string_split_regex(trim(lower(text)), '\s+') AS tk

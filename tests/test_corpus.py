@@ -238,3 +238,38 @@ def test_dunning_g2_single_token_docs_dropped(spark):
     )
     out = dunning_g2(df, min_count=2).collect()
     assert len(out) == 1 and out[0]["w1"] == "pair" and out[0]["k11"] == 2
+
+
+def test_s_stem_rule_table(spark):
+    """The published S-stemmer rule/exception table, one word each."""
+    from extractors_metadata_spark.operators.corpus import s_stem
+    from pyspark.sql import functions as F
+
+    cases = {
+        "queries": "query", "eies": "eies", "aies": "aies",
+        "dishes": "dishe", "aes": "aes", "trees": "trees", "shoes": "shoes",
+        "joins": "join", "bus": "bus", "class": "class",
+        "is": "is", "ties": "ties",  # < 3 chars pass; 'ties' hmm
+        "cat": "cat",
+    }
+    # 'ties' ends ies, not eies/aies -> 't'+'y' = 'ty'
+    cases["ties"] = "ty"
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    out = dict(
+        df.select("w", s_stem(F.col("w")).alias("s")).collect()
+    )
+    for w, want in cases.items():
+        assert out[w] == want, (w, out[w], want)
+
+
+def test_stem_vocab_folds_forms(spark):
+    from extractors_metadata_spark.operators.corpus import stem_vocab
+
+    df = spark.createDataFrame(
+        [(0, "join joins joined"), (1, "joins query queries")],
+        "doc_id long, text string",
+    )
+    out = {r["stem"]: r for r in stem_vocab(df).collect()}
+    assert out["join"]["tf"] == 3 and out["join"]["n_forms"] == 2
+    assert out["query"]["tf"] == 2 and out["query"]["n_forms"] == 2
+    assert out["joined"]["tf"] == 1  # -ed untouched: S-stemmer is plural-only
