@@ -2092,6 +2092,21 @@ def q_raster_rle(spark, sf_dir):
     return rle_runs(counts, z=22)
 
 
+def q_voronoi_alloc(spark, sf_dir):
+    """Discrete Voronoi allocation (rasterops.voronoi_alloc): every
+    occupied z22 cell labeled with the nearest of the 12 densest cells
+    (the GIS allocation / service-area raster) by exact integer squared
+    distance with x-wrap; seed order and argmin ties frozen
+    lexicographic. Bounded seed collect + broadcast crossJoin + one
+    min_by — per-cell work O(12). FULL oracle: row_number seed pick +
+    identical distance algebra + the row_number composite-argmin recipe
+    (DuckDB min_by rejects struct vals)."""
+    from extractors_metadata_spark.operators.rasterops import voronoi_alloc
+
+    counts = _z22_counts(spark, sf_dir)
+    return voronoi_alloc(counts, z=22, n_seeds=12)
+
+
 def _anchor_pages(spark, sf_dir, n_pages: int = 2000):
     """Probe pages with deterministic outlinks: page i links to
     (i+1) % N and (i*7+3) % N, plus (i div 3) when i % 3 == 0, each
@@ -8163,6 +8178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_close": q_morph_close,
         "erosion_depth": q_erosion_depth,
         "raster_rle": q_raster_rle,
+        "voronoi_alloc": q_voronoi_alloc,
         "outlinks": q_outlinks,
         "anchor_text": q_anchor_text,
         "redirect_resolve": q_redirect_resolve,

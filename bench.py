@@ -453,6 +453,10 @@ def main() -> None:
         # is the number of runs off the lag window. (erosion_depth is
         # count-preserving over occupied cells — NOT timed, count() rule.)
         "morph_close", "raster_rle",
+        # voronoi_alloc counts the labeled occupancy (cell-preserving)
+        # BUT the min_by fold + broadcast product are inner to the
+        # grouped agg — count() keeps them load-bearing.
+        "voronoi_alloc",
         # dunning_g2's count is the k11>=2 collocation set off the bigram
         # agg + marginal joins (filter load-bearing; UDF column pruned by
         # count() but the contingency joins are the cost).

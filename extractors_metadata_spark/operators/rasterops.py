@@ -189,3 +189,51 @@ def rle_runs(tile_counts: DataFrame, z: int, cnt_col: str = "cnt") -> DataFrame:
             "y", "x_start", "run_len", "mass",
         )
     )
+
+
+def voronoi_alloc(
+    tile_counts: DataFrame, z: int, n_seeds: int = 12, cnt_col: str = "cnt"
+) -> DataFrame:
+    """Discrete Voronoi allocation of the occupancy raster -> (z, x, y,
+    cnt, seed_x, seed_y, d2): every occupied cell labeled with its
+    nearest SEED — the ``n_seeds`` densest cells (count desc, then
+    (x, y) asc — frozen) — by exact integer squared cell distance, the
+    GIS "allocation" / service-area raster (who serves whom when the
+    densest cells are the facilities).
+
+    Distance: d2 = min(|dx|, 2^z - |dx|)^2 + dy^2 (x wraps, y does
+    not); argmin ties break to the lexicographically smallest seed —
+    all int64, both engines evaluate the identical algebra.
+
+    Scale shape: seeds are a bounded TakeOrdered collect (n_seeds
+    rows); the allocation is a BROADCAST crossJoin of the occupied
+    frame against the seed dim folded by one min_by — per-cell work
+    O(n_seeds), no shuffle beyond the existing counts aggregate."""
+    n = 1 << z
+    cells = _cells(tile_counts, cnt_col)
+    seeds = [
+        (int(r["x"]), int(r["y"]))
+        for r in cells.orderBy(
+            F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc()
+        ).limit(n_seeds).collect()
+    ]
+    spark = tile_counts.sparkSession
+    sdf = spark.createDataFrame(seeds, "sx long, sy long")
+    j = cells.crossJoin(F.broadcast(sdf))
+    adx = F.abs(F.col("x") - F.col("sx"))
+    dx = F.least(adx, F.lit(n) - adx)
+    dy = F.col("y") - F.col("sy")
+    d2 = (dx * dx + dy * dy).alias("_d2")
+    scored = j.select("x", "y", "cnt", "sx", "sy", d2)
+    best = scored.groupBy("x", "y", "cnt").agg(
+        F.min_by(
+            F.struct("sx", "sy", "_d2"),
+            F.struct("_d2", "sx", "sy"),
+        ).alias("_b")
+    )
+    return best.select(
+        F.lit(z).cast("int").alias("z"), "x", "y", "cnt",
+        F.col("_b.sx").alias("seed_x"),
+        F.col("_b.sy").alias("seed_y"),
+        F.col("_b._d2").alias("d2"),
+    )

@@ -1887,6 +1887,29 @@ _RASTER_RLE_SQL = f"""
 """
 
 
+_VORONOI_ALLOC_SQL = f"""
+    WITH {_Z22_COUNTS_CTES},
+    seeds AS (
+      SELECT x AS sx, y AS sy FROM (
+        SELECT x, y, row_number() OVER (ORDER BY cnt DESC, x ASC, y ASC) AS rk
+        FROM counts) WHERE rk <= 12),
+    scored AS (
+      SELECT c.x, c.y, c.cnt, s.sx, s.sy,
+             least(abs(c.x - s.sx), 4194304 - abs(c.x - s.sx))
+               * least(abs(c.x - s.sx), 4194304 - abs(c.x - s.sx))
+               + (c.y - s.sy) * (c.y - s.sy) AS d2
+      FROM counts c CROSS JOIN seeds s),
+    ranked AS (
+      SELECT x, y, cnt, sx, sy, d2,
+             row_number() OVER (PARTITION BY x, y
+                                ORDER BY d2 ASC, sx ASC, sy ASC) AS rk
+      FROM scored)
+    SELECT CAST(22 AS INT) AS z, x, y, cnt,
+           sx AS seed_x, sy AS seed_y, CAST(d2 AS BIGINT) AS d2
+    FROM ranked WHERE rk = 1
+"""
+
+
 _ANCHOR_PAGES_CTE = r"""pg AS (
       SELECT 'https://site.example/e' || CAST(event_id AS VARCHAR) AS src_url,
              '<html><body>'
@@ -9542,6 +9565,7 @@ def oracle_sql() -> dict[str, str]:
         "morph_close": _morph_close_sql(),
         "erosion_depth": _erosion_depth_sql(3),
         "raster_rle": _RASTER_RLE_SQL,
+        "voronoi_alloc": _VORONOI_ALLOC_SQL,
         "outlinks": _OUTLINKS_SQL,
         "anchor_text": _anchor_text_sql(3),
         "redirect_resolve": _redirects_sql(12, 1000),

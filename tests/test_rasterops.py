@@ -74,3 +74,19 @@ def test_rle_runs_split_and_mass(spark):
         (r["y"], r["x_start"], r["run_len"], r["mass"]) for r in out.collect()
     )
     assert got == [(3, 1, 3, 9), (3, 7, 1, 5), (3, 9, 2, 2), (4, 1, 1, 9)]
+
+
+def test_voronoi_alloc_nearest_and_ties(spark):
+    """Two seeds (densest cells); a cell equidistant between them takes
+    the lexicographically smaller seed; wrap distance is honored."""
+    from extractors_metadata_spark.operators.rasterops import voronoi_alloc
+
+    cells = [(0, 5, 9), (10, 5, 9), (5, 5, 1), (1023, 5, 1)]
+    out = voronoi_alloc(
+        _counts(spark, cells), z=10, n_seeds=2
+    ).collect()
+    got = {(r["x"], r["y"]): (r["seed_x"], r["seed_y"], r["d2"]) for r in out}
+    assert got[(0, 5)] == (0, 5, 0)
+    assert got[(10, 5)] == (10, 5, 0)
+    assert got[(5, 5)] == (0, 5, 25)       # tie 25/25 -> smaller seed
+    assert got[(1023, 5)] == (0, 5, 1)     # wrap: 1024-1023 = 1
