@@ -1199,6 +1199,26 @@ def q_isotonic_fit(spark, sf_dir):
     return isotonic_fit(counts, ["user_id"], bin_col="day", n_col="n")
 
 
+def q_changepoint_split(spark, sf_dir):
+    """Per-user single change-point (operators/trend.changepoint_split):
+    the binary-segmentation / CART split minimizing two-segment SSE on
+    the zero-filled daily series, decided on the EXACT integer
+    g = S_L^2 (lcm div n_L) + S_R^2 (lcm div n_R) (total Sum y^2 is
+    split-invariant, so argmin SSE = argmax g; the isotonic_fit
+    fixed-point discipline, ties to the earliest split). One
+    key-partitioned window pass + one max_by argmax. FULL oracle:
+    verbatim prefix-sum algebra + the row_number composite-argmax
+    recipe."""
+    from extractors_metadata_spark.operators.trend import changepoint_split
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return changepoint_split(counts, ["user_id"], bin_col="day", n_col="n")
+
+
 def q_dunning_g2(spark, sf_dir):
     """Dunning log-likelihood collocations (operators/cooccur.dunning_g2):
     G2 over the 2x2 adjacency contingency table per word bigram — the
@@ -8002,6 +8022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_fit": q_isotonic_fit,
         "kaplan_meier": q_kaplan_meier,
         "holt_forecast": q_holt_forecast,
+        "changepoint_split": q_changepoint_split,
         "heaps_fit": q_heaps_fit,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,

@@ -473,6 +473,9 @@ def main() -> None:
         # kaplan_meier counts the distinct-duration life table (subject
         # agg + risk windows load-bearing).
         "kaplan_meier",
+        # changepoint_split counts the per-key argmax frame (window +
+        # max_by inner to the agg — load-bearing).
+        "changepoint_split",
         # swalign_pairs (like lcss/dtw) is pair-preserving off the
         # broadcast candidate join — dtw-family stays untimed (count()
         # rule); the kernels are exercised by the oracle sweeps.

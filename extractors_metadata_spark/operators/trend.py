@@ -312,3 +312,104 @@ def holt_forecast(
         ),
         F.lit(S).cast("long").alias("scale"),
     )
+
+
+def changepoint_split(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_col: str = "n",
+    den: int = 2329089562800,  # lcm(1..30)
+    max_bins: int = 30,
+    bin_lo: int | None = None,
+    bin_hi: int | None = None,
+) -> DataFrame:
+    """Per-key single CHANGE-POINT detection on the zero-filled series:
+    the split s minimizing SSE_left + SSE_right — the first step of
+    binary segmentation / the CART regression split.  Since total Sum y^2
+    is split-invariant, the argmin is the argmax of
+
+        g(s) = S_L^2 / n_L + S_R^2 / n_R
+
+    which multiplied by den = lcm(1..max_bins) is EXACT int64
+    (S^2 * (den div n) — the isotonic_fit discipline; envelope ~1400
+    events/key at the default den: S^2 * den < 2^63).  Ties break to
+    the earliest split (frozen).
+
+    Output per key: (key..., split_bin, n_l, s_l, n_r, s_r, g_fp, den)
+    — split_bin is the LAST bin of the left segment; means and the
+    variance reduction are consumer-side rationals of the emitted ints.
+
+    Scale shape: one key-partitioned window pass (prefix sums + totals
+    share the Exchange) + one map-side-combining max_by argmax —
+    per-key work O(T), T a bounded literal."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    spark = counts.sparkSession
+    if bin_lo is None or bin_hi is None:
+        row = counts.agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        ).first()
+        bin_lo = int(row["lo"]) if bin_lo is None else bin_lo
+        bin_hi = int(row["hi"]) if bin_hi is None else bin_hi
+    n_bins = bin_hi - bin_lo + 1
+    if n_bins > max_bins:
+        raise ValueError(
+            f"grid of {n_bins} bins exceeds max_bins={max_bins}"
+        )
+
+    kdim = counts.select(*keys).distinct()
+    bins = spark.range(bin_lo, bin_hi + 1).select(
+        F.col("id").cast("long").alias(bin_col)
+    )
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, keys + [bin_col], "left")
+        .select(
+            *keys,
+            F.col(bin_col).cast("long").alias("_b"),
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("_b")
+    wa = Window.partitionBy(*keys)
+    d = int(den)
+    t = int(n_bins)
+    lo = int(bin_lo)
+    sp = (
+        filled.withColumn(
+            "_ps", F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("_st", F.sum("_c").over(wa))
+        .filter(F.col("_b") < bin_hi)
+        .select(
+            *keys,
+            F.col("_b"),
+            (F.col("_b") - lo + 1).alias("_nl"),
+            F.col("_ps").alias("_sl"),
+            (F.lit(t) - (F.col("_b") - lo + 1)).alias("_nr"),
+            (F.col("_st") - F.col("_ps")).alias("_sr"),
+        )
+        .withColumn(
+            "_g",
+            F.col("_sl") * F.col("_sl") * F.expr(f"{d} div _nl")
+            + F.col("_sr") * F.col("_sr") * F.expr(f"{d} div _nr"),
+        )
+    )
+    best = sp.groupBy(*keys).agg(
+        F.max_by(
+            F.struct("_b", "_nl", "_sl", "_nr", "_sr", "_g"),
+            F.struct(F.col("_g"), (-F.col("_b")).alias("_nb")),
+        ).alias("_x")
+    )
+    return best.select(
+        *keys,
+        F.col("_x._b").alias("split_bin"),
+        F.col("_x._nl").alias("n_l"),
+        F.col("_x._sl").alias("s_l"),
+        F.col("_x._nr").alias("n_r"),
+        F.col("_x._sr").alias("s_r"),
+        F.col("_x._g").alias("g_fp"),
+        F.lit(d).cast("long").alias("den"),
+    )

@@ -9443,6 +9443,50 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "changepoint_split": r"""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            cnts AS (
+              SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi,
+                              max(day) - min(day) + 1 AS t FROM cnts),
+            bins AS (
+              SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM users u CROSS JOIN bins b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.day = b.day),
+            ps AS (
+              SELECT user_id, day, c,
+                     sum(c) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS psum,
+                     sum(c) OVER (PARTITION BY user_id) AS stot
+              FROM filled),
+            sp AS (
+              SELECT user_id, day AS split_bin,
+                     day - (SELECT lo FROM bounds) + 1 AS n_l,
+                     psum AS s_l,
+                     (SELECT t FROM bounds) - (day - (SELECT lo FROM bounds) + 1)
+                       AS n_r,
+                     stot - psum AS s_r
+              FROM ps WHERE day < (SELECT hi FROM bounds)),
+            g AS (
+              SELECT user_id, split_bin, n_l, s_l, n_r, s_r,
+                     s_l * s_l * (2329089562800 // n_l)
+                       + s_r * s_r * (2329089562800 // n_r) AS g_fp
+              FROM sp),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY g_fp DESC, split_bin ASC) AS r
+              FROM g)
+            SELECT user_id, split_bin, n_l, s_l, n_r, s_r,
+                   CAST(g_fp AS BIGINT) AS g_fp,
+                   CAST(2329089562800 AS BIGINT) AS den
+            FROM rk WHERE r = 1
+        """,
         "holt_forecast": r"""
             WITH RECURSIVE ev AS (
               SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

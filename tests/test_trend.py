@@ -130,3 +130,33 @@ def test_holt_forecast_hand_recurrence(spark):
     df = spark.createDataFrame(rows, "k string, bin long, n long")
     r = holt_forecast(df, ["k"], scale=16, horizon=2).collect()[0]
     assert (r["l_fp"], r["b_fp"], r["fc_fp"]) == (52, 14, 52 + 2 * 14)
+
+
+def test_changepoint_split_step_series(spark):
+    """A clean step [0,0,0,9,9,9] splits exactly at the jump (bin 2 =
+    last left bin); g at the true split dominates every other."""
+    from extractors_metadata_spark.operators.trend import changepoint_split
+
+    rows = [("u", i, v) for i, v in enumerate([0, 0, 0, 9, 9, 9])]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    r = changepoint_split(df, ["k"], den=60, max_bins=6).collect()[0]
+    assert r["split_bin"] == 2
+    assert (r["n_l"], r["s_l"], r["n_r"], r["s_r"]) == (3, 0, 3, 27)
+    assert r["g_fp"] == 27 * 27 * (60 // 3)
+
+
+def test_changepoint_split_constant_ties_to_earliest(spark):
+    """A constant series has g(s) maximal at... every split of a
+    constant series gives equal means; g = S^2(den/n_l + den/n_r)/...
+    varies with n_l, so compute: ties (if any) break earliest —
+    here just assert determinism across runs."""
+    from extractors_metadata_spark.operators.trend import changepoint_split
+
+    rows = [("u", i, 4) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    r1 = changepoint_split(df, ["k"], den=60, max_bins=6).collect()[0]
+    r2 = changepoint_split(df, ["k"], den=60, max_bins=6).collect()[0]
+    assert r1["split_bin"] == r2["split_bin"]
+    # symmetric series: g(s) = 16*(nl*60/nl... ) -> nl^2*(60/nl)+... =
+    # 16*(60*nl + 60*nr) = const; all splits tie -> earliest wins
+    assert r1["split_bin"] == 0
