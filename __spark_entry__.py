@@ -7950,6 +7950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "k_core": q_k_core,
         "label_prop": q_label_prop,
+        "modularity": q_modularity,
         "shortest_paths": q_shortest_paths,
         "clustering_coeff": q_clustering_coeff,
         "geohash": q_geohash,
@@ -8370,6 +8371,25 @@ def q_label_prop(spark, sf_dir):
     return label_propagation(
         zipf_link_graph(_t(spark, sf_dir, "events")), rounds=4
     )
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the label_prop partition (operators/
+    linkgraph.modularity_score): per community the exact integers
+    (n_nodes, deg_sum, e_in, m, q_term = 4m*e_in - deg_sum^2) — Q =
+    sum(q_term)/(4m^2) consumer-side, no division engine-side (the
+    chi_square rule). Turns the community detector into a measured
+    partition (Newman & Girvan 2004). Shuffles linear in edges; int64
+    envelope m < 1.5e9 edges. FULL oracle: the label_prop unroll as a
+    derived table + identical aggregates."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        label_propagation,
+        modularity_score,
+        zipf_link_graph,
+    )
+
+    g = zipf_link_graph(_t(spark, sf_dir, "events"))
+    return modularity_score(g, label_propagation(g, rounds=4))
 
 
 def q_clustering_coeff(spark, sf_dir):

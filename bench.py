@@ -443,6 +443,10 @@ def main() -> None:
         # anf_registers builds its register-max rounds eagerly
         # (localCheckpoint per hop); count() reads the hop rollups.
         "anf_registers",
+        # modularity counts the community rollup — the label_prop rounds
+        # run EAGERLY (localCheckpoint per round) inside the timed
+        # construction, and the e_in/deg joins feed the count.
+        "modularity",
         # heaps_fit is one row off the shingle-arrival agg + ln moments.
         "heaps_fit",
         # grid_upsample's cardinality is the doubled-lattice union of

@@ -996,3 +996,67 @@ def anf_registers(
         )
         out_rows = roll if out_rows is None else out_rows.unionByName(roll)
     return out_rows
+
+
+def modularity_score(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity INGREDIENTS of a node partition over the
+    undirected simple graph -> one row per community:
+    (label, n_nodes, deg_sum, e_in, m, q_term) with
+    q_term = 4m*e_in - deg_sum^2;  Q = sum(q_term) / (4m^2)
+    consumer-side — the partition-quality score that turns label_prop
+    from a clustering into a measurable one (Newman & Girvan 2004).
+    Everything is exact int64 (the chi_square multiply-through rule):
+    no division ever happens engine-side.
+
+    Plan: dedupe to unordered edges (least/greatest + distinct), ONE
+    endpoint explode for degrees, two node-keyed label joins for the
+    within-community edge count, one label-keyed aggregate each —
+    shuffles linear in edges, the 1-row m frame broadcast.  int64
+    envelope: 4m^2 < 2^63 -> m < ~1.5e9 edges."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    ein = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    com = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    return (
+        com.join(ein, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            "deg_sum",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            F.col("m").cast("long").alias("m"),
+            (
+                4 * F.col("m") * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("long").alias("q_term"),
+        )
+    )

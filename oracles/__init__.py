@@ -9299,6 +9299,37 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _shortest_paths_sql(6),
         "quadtree": _quadtree_sql(18, 24, 40),
         "label_prop": _label_prop_sql(4),
+        "modularity": f"""
+            WITH lp AS (SELECT * FROM ({_label_prop_sql(4)})),
+            zedges AS (
+              SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                     1000 // (1 + (event_id % 1000)) AS dst
+              FROM events),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM zedges WHERE src != dst),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+            dg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b AS node FROM und)
+              GROUP BY 1),
+            ein AS (
+              SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+              FROM und JOIN lp la ON la.node = und.a
+                       JOIN lp lb ON lb.node = und.b
+              WHERE la.label = lb.label GROUP BY 1),
+            com AS (
+              SELECT lp.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(dg.deg) AS BIGINT) AS deg_sum
+              FROM lp JOIN dg ON dg.node = lp.node GROUP BY 1)
+            SELECT com.label, com.n_nodes, com.deg_sum,
+                   CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+                   mm.m,
+                   CAST(4 * mm.m * coalesce(ein.e_in, 0)
+                        - com.deg_sum * com.deg_sum AS BIGINT) AS q_term
+            FROM com LEFT JOIN ein USING (label) CROSS JOIN mm
+        """,
         "mutual_knn": _MUTUAL_KNN_SQL,
         "source_divergence": _SOURCE_DIVERGENCE_SQL,
         "principal_axis": _principal_axis_sql(6, 64),

@@ -84,3 +84,33 @@ def test_edgeless_graph_raises(spark):
     nodes = spark.range(3).select(F.col("id").alias("node"))
     with pytest.raises(ValueError):
         hits(edges, nodes, rounds=1)
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge, perfect 2-community labels:
+    m = 7, each community e_in = 3, deg_sum = 7 -> q_term = 4*7*3 - 49
+    = 35 each; Q = 70/196 = 5/14 (the textbook value)."""
+    from extractors_metadata_spark.operators.linkgraph import modularity_score
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(
+        [(i, 0 if i < 3 else 3) for i in range(6)], "node long, label long"
+    )
+    out = {r["label"]: r for r in modularity_score(e, lab).collect()}
+    assert out[0]["m"] == 7
+    assert out[0]["e_in"] == 3 and out[3]["e_in"] == 3
+    assert out[0]["deg_sum"] == 7 and out[3]["deg_sum"] == 7
+    assert out[0]["q_term"] == 35 and out[3]["q_term"] == 35
+    # Q = (35+35)/(4*49) = 5/14
+
+
+def test_modularity_counts_duplicate_arcs_once(spark):
+    from extractors_metadata_spark.operators.linkgraph import modularity_score
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0)], "src long, dst long"
+    )
+    lab = spark.createDataFrame([(0, 0), (1, 0)], "node long, label long")
+    out = modularity_score(e, lab).collect()
+    assert len(out) == 1 and out[0]["m"] == 1 and out[0]["e_in"] == 1
