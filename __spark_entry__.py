@@ -7951,6 +7951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "label_prop": q_label_prop,
         "modularity": q_modularity,
+        "rich_club": q_rich_club,
         "shortest_paths": q_shortest_paths,
         "clustering_coeff": q_clustering_coeff,
         "geohash": q_geohash,
@@ -8371,6 +8372,22 @@ def q_label_prop(spark, sf_dir):
     return label_propagation(
         zipf_link_graph(_t(spark, sf_dir, "events")), rounds=4
     )
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient ingredients (operators/linkgraph.rich_club,
+    Colizza 2006): per degree threshold k the exact (n_k, e_k) over the
+    zipf link graph — phi(k) = 2e_k/(n_k(n_k-1)) consumer-side; do hubs
+    preferentially interlink (link farms / tight cores). Threshold axis
+    = a 16-row broadcast literal crossed against the collapsed degree
+    and min-endpoint-degree frames (the half-disk idiom). FULL oracle:
+    identical joins + threshold counts."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        rich_club,
+        zipf_link_graph,
+    )
+
+    return rich_club(zipf_link_graph(_t(spark, sf_dir, "events")))
 
 
 def q_modularity(spark, sf_dir):

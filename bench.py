@@ -447,6 +447,10 @@ def main() -> None:
         # run EAGERLY (localCheckpoint per round) inside the timed
         # construction, and the e_in/deg joins feed the count.
         "modularity",
+        # rich_club counts the 16-row threshold table off the degree +
+        # min-endpoint-degree joins (left joins load-bearing via the
+        # coalesce projection under count()? no — count is the literal
+        # 16; NOT timed, count() rule).
         # heaps_fit is one row off the shingle-arrival agg + ln moments.
         "heaps_fit",
         # grid_upsample's cardinality is the doubled-lattice union of

@@ -9299,6 +9299,34 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _shortest_paths_sql(6),
         "quadtree": _quadtree_sql(18, 24, 40),
         "label_prop": _label_prop_sql(4),
+        "rich_club": r"""
+            WITH zedges AS (
+              SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                     1000 // (1 + (event_id % 1000)) AS dst
+              FROM events),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM zedges WHERE src != dst),
+            dg AS MATERIALIZED (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b AS node FROM und)
+              GROUP BY 1),
+            ks AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS k),
+            nk AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS n_k
+              FROM dg CROSS JOIN ks WHERE dg.deg > ks.k GROUP BY 1),
+            md AS (
+              SELECT least(da.deg, db.deg) AS md
+              FROM und JOIN dg da ON da.node = und.a
+                       JOIN dg db ON db.node = und.b),
+            ek AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS e_k
+              FROM md CROSS JOIN ks WHERE md.md > ks.k GROUP BY 1)
+            SELECT ks.k, CAST(coalesce(nk.n_k, 0) AS BIGINT) AS n_k,
+                   CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k
+            FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+        """,
         "modularity": f"""
             WITH lp AS (SELECT * FROM ({_label_prop_sql(4)})),
             zedges AS (

@@ -114,3 +114,21 @@ def test_modularity_counts_duplicate_arcs_once(spark):
     lab = spark.createDataFrame([(0, 0), (1, 0)], "node long, label long")
     out = modularity_score(e, lab).collect()
     assert len(out) == 1 and out[0]["m"] == 1 and out[0]["e_in"] == 1
+
+
+def test_rich_club_star_plus_core(spark):
+    """A 3-clique of hubs, each hub also serving 3 leaves: hub deg = 5,
+    leaf deg = 1. For k in 1..4: n_k = 3 hubs, e_k = 3 clique edges;
+    k = 5: empty."""
+    from extractors_metadata_spark.operators.linkgraph import rich_club
+
+    edges = [(0, 1), (1, 2), (0, 2)]
+    nid = 10
+    for h in (0, 1, 2):
+        for _ in range(3):
+            edges.append((h, nid)); nid += 1
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: (r["n_k"], r["e_k"]) for r in rich_club(e, max_k=6).collect()}
+    for k in (1, 2, 3, 4):
+        assert out[k] == (3, 3)
+    assert out[5] == (0, 0)
