@@ -1126,6 +1126,20 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_theil_decomp(spark, sf_dir):
+    """Theil inequality decomposition (operators/corpus.theil_decomp,
+    Theil 1967) of document sizes across languages: per group the exact
+    int64 sum of per-doc 1e12 ln fixed-point terms (T_g) plus the
+    between-group term — T = T_between + T_within assembled consumer-
+    side from the emitted integers (the additive decomposability that
+    makes Theil THE grouped inequality index; gini/lorenz hold the
+    non-decomposable view). The _kl_term_fp_udf kernel verbatim. FULL
+    oracle: identical factor-wise ratios + round_even 1e12."""
+    from extractors_metadata_spark.operators.corpus import theil_decomp
+
+    return theil_decomp(_t(spark, sf_dir, "documents"))
+
+
 def q_heaps_fit(spark, sf_dir):
     """Heaps'-law regression moments over the vocab_growth curve — the
     second corpus power law beside zipf_fit: exact int64 OLS moments of
@@ -8026,6 +8040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "changepoint_split": q_changepoint_split,
         "heaps_fit": q_heaps_fit,
+        "theil_decomp": q_theil_decomp,
         "kneser_ney": q_kneser_ney,
         "gopher_rules": q_gopher_rules,
         "ams_f2": q_ams_f2,

@@ -472,6 +472,9 @@ def main() -> None:
         # stem_vocab counts the stem dictionary off the explode + CASE +
         # distinct aggs (conflation load-bearing).
         "stem_vocab",
+        # theil_decomp counts the 5-row group table — the within-term
+        # Arrow pass + group agg are inner to the join (load-bearing).
+        "theil_decomp",
         # colocation_pi counts the feature-pair rollup: the radius join,
         # type joins and distinct-participation aggs all load-bearing.
         "colocation_pi",

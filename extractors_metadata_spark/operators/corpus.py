@@ -753,3 +753,60 @@ def stem_vocab(
         F.countDistinct(id_col).alias("df_docs"),
         F.countDistinct("tok").alias("n_forms"),
     )
+
+
+def theil_decomp(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "lang",
+) -> DataFrame:
+    """Theil inequality decomposition of a nonnegative size column
+    across groups -> one row per group:
+    (group, n_g, s_g, t_g_fp, between_fp, n, s).
+
+    T_total = T_between + T_within (the additive-decomposability that
+    makes Theil THE grouped inequality index, Theil 1967):
+
+        T_g       = sum_{i in g} (x_i/S_g) ln(x_i S_g^-1 n_g)   [per-group]
+        T_between = sum_g (S_g/S) ln((S_g/S)(N/n_g))
+        T_within  = sum_g (S_g/S) T_g
+
+    The engine emits t_g_fp = the exact int64 sum of per-doc 1e12
+    half-even fixed-point terms and between_fp = the group's between
+    term (the source_divergence/_kl_term_fp_udf kernel verbatim: every
+    ratio factor-wise over exact int64 counts, ln ulp absorbed by the
+    rint margin); the S_g/S weights and final assembly stay
+    consumer-side rationals of the emitted integers.  Zero-size rows
+    contribute 0 (ln 0 never evaluates).
+
+    Plan: ONE scan -> broadcast group-dim join -> one Arrow pass for
+    the within terms -> one group-keyed agg; the between term is
+    group-dim x broadcast 1-row global."""
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("x")
+    ).filter(F.col("x") > 0)
+    grp = vals.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("s_g")
+    )
+    glob = grp.agg(F.sum("n_g").alias("n"), F.sum("s_g").alias("s"))
+    within = (
+        vals.join(F.broadcast(grp), "g")
+        .select(
+            "g",
+            _kl_term_fp_udf()(
+                F.col("x"), F.col("s_g"), F.lit(1).cast("long"), F.col("n_g")
+            ).alias("term_fp"),
+        )
+        .groupBy("g")
+        .agg(F.sum("term_fp").alias("t_g_fp"))
+    )
+    return (
+        grp.join(within, "g")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("g").alias(group_col),
+            "n_g", "s_g", "t_g_fp",
+            _kl_term_fp_udf()(
+                F.col("s_g"), F.col("s"), F.col("n_g"), F.col("n")
+            ).alias("between_fp"),
+            "n", "s",
+        )
+    )

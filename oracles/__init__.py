@@ -8747,6 +8747,32 @@ def oracle_sql() -> dict[str, str]:
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
         """,
+        "theil_decomp": r"""
+            WITH vals AS (
+              SELECT lang AS g, CAST(n_chars AS BIGINT) AS x
+              FROM documents WHERE n_chars > 0),
+            grp AS MATERIALIZED (
+              SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(x) AS BIGINT) AS s_g
+              FROM vals GROUP BY 1),
+            globl AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                            CAST(sum(s_g) AS BIGINT) AS s FROM grp),
+            terms AS (
+              SELECT v.g,
+                     CAST(round_even(
+                       (v.x / gr.s_g) * ln((v.x / gr.s_g) * (gr.n_g / 1))
+                       * 1e12, 0) AS BIGINT) AS term_fp
+              FROM vals v JOIN grp gr ON gr.g = v.g),
+            within AS (
+              SELECT g, CAST(sum(term_fp) AS BIGINT) AS t_g_fp
+              FROM terms GROUP BY 1)
+            SELECT gr.g AS lang, gr.n_g, gr.s_g, w.t_g_fp,
+                   CAST(round_even(
+                     (gr.s_g / gl.s) * ln((gr.s_g / gl.s) * (gl.n / gr.n_g))
+                     * 1e12, 0) AS BIGINT) AS between_fp,
+                   gl.n, gl.s
+            FROM grp gr JOIN within w ON w.g = gr.g CROSS JOIN globl gl
+        """,
         "stem_vocab": r"""
             WITH toks AS (
               SELECT doc_id,

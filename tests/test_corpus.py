@@ -273,3 +273,33 @@ def test_stem_vocab_folds_forms(spark):
     assert out["join"]["tf"] == 3 and out["join"]["n_forms"] == 2
     assert out["query"]["tf"] == 2 and out["query"]["n_forms"] == 2
     assert out["joined"]["tf"] == 1  # -ed untouched: S-stemmer is plural-only
+
+
+def test_theil_decomp_equal_sizes_zero(spark):
+    """All docs the same size: every within term is ln(1) = 0 and the
+    between term vanishes when group shares match count shares."""
+    from extractors_metadata_spark.operators.corpus import theil_decomp
+
+    rows = [(i, "x", "en" if i < 2 else "de", "w", 50) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = theil_decomp(df).collect()
+    assert all(r["t_g_fp"] == 0 for r in out)
+    assert all(r["between_fp"] == 0 for r in out)
+
+
+def test_theil_decomp_hand_between(spark):
+    """Two groups, 1 doc each, sizes 10 and 30: T_g = 0 (singletons),
+    between terms (10/40)ln((10/40)(2/1)) and (30/40)ln((30/40)(2/1))."""
+    import math
+    from extractors_metadata_spark.operators.corpus import theil_decomp
+
+    df = spark.createDataFrame(
+        [(0, "x", "en", "w", 10), (1, "x", "de", "w", 30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["lang"]: r for r in theil_decomp(df).collect()}
+    assert out["en"]["t_g_fp"] == 0 and out["de"]["t_g_fp"] == 0
+    assert out["en"]["between_fp"] == round((10 / 40) * math.log((10 / 40) * 2) * 1e12)
+    assert out["de"]["between_fp"] == round((30 / 40) * math.log((30 / 40) * 2) * 1e12)
