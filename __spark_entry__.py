@@ -1213,6 +1213,25 @@ def q_isotonic_fit(spark, sf_dir):
     return isotonic_fit(counts, ["user_id"], bin_col="day", n_col="n")
 
 
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test ingredients (operators/trend.runs_test)
+    per user over the zero-filled daily series: dichotomize against the
+    exact lower-median order statistic ((value, day) rank (T+1) div 2 —
+    no interpolation), drop median ties (classical), count same-side
+    runs in time order — too few runs = trending, too many =
+    oscillating; the z against the runs distribution stays consumer-
+    side. All windows share one key Exchange. FULL oracle: identical
+    rank/lag replay."""
+    from extractors_metadata_spark.operators.trend import runs_test
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return runs_test(counts, ["user_id"], bin_col="day", n_col="n")
+
+
 def q_changepoint_split(spark, sf_dir):
     """Per-user single change-point (operators/trend.changepoint_split):
     the binary-segmentation / CART split minimizing two-segment SSE on
@@ -8039,6 +8058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "holt_forecast": q_holt_forecast,
         "changepoint_split": q_changepoint_split,
+        "runs_test": q_runs_test,
         "heaps_fit": q_heaps_fit,
         "theil_decomp": q_theil_decomp,
         "kneser_ney": q_kneser_ney,

@@ -487,6 +487,9 @@ def main() -> None:
         # changepoint_split counts the per-key argmax frame (window +
         # max_by inner to the agg — load-bearing).
         "changepoint_split",
+        # runs_test counts the per-user table off the median-rank +
+        # run-lag windows (left-join coalesce keeps them load-bearing).
+        "runs_test",
         # swalign_pairs (like lcss/dtw) is pair-preserving off the
         # broadcast candidate join — dtw-family stays untimed (count()
         # rule); the kernels are exercised by the oracle sweeps.

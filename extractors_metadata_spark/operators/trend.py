@@ -413,3 +413,84 @@ def changepoint_split(
         F.col("_x._g").alias("g_fp"),
         F.lit(d).cast("long").alias("den"),
     )
+
+
+def runs_test(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str = "bin",
+    n_col: str = "n",
+    bin_lo: int | None = None,
+    bin_hi: int | None = None,
+) -> DataFrame:
+    """Per-key Wald-Wolfowitz RUNS TEST ingredients on the zero-filled
+    series -> (key..., med, n_above, n_below, n_runs): dichotomize each
+    bin against the key's LOWER MEDIAN (the order statistic at rank
+    (T+1) div 2 over (value, bin) — an exact integer, no interpolation),
+    drop ties with the median (the classical treatment), and count the
+    runs of consecutive same-side bins in time order.  Too FEW runs =
+    trending/clustered, too MANY = oscillating; the z-score against the
+    known runs distribution stays consumer-side (it has a sqrt).
+
+    All exact int64; keys whose series is constant (everything ties the
+    median) emit n_above = n_below = n_runs = 0.
+
+    Plan: the mann_kendall zero-fill grid; ONE key-partitioned sort
+    window for the median rank, one key-time window for the run starts,
+    two collapsed aggregates — all on the same key Exchange."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    spark = counts.sparkSession
+    if bin_lo is None or bin_hi is None:
+        row = counts.agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        ).first()
+        bin_lo = int(row["lo"]) if bin_lo is None else bin_lo
+        bin_hi = int(row["hi"]) if bin_hi is None else bin_hi
+    n_bins = bin_hi - bin_lo + 1
+
+    kdim = counts.select(*keys).distinct()
+    bins = spark.range(bin_lo, bin_hi + 1).select(
+        F.col("id").cast("long").alias(bin_col)
+    )
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, keys + [bin_col], "left")
+        .select(
+            *keys,
+            F.col(bin_col).cast("long").alias("_b"),
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    wv = Window.partitionBy(*keys).orderBy("_c", "_b")
+    med = (
+        filled.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == (n_bins + 1) // 2)
+        .select(*keys, F.col("_c").alias("med"))
+    )
+    sided = (
+        filled.join(med, keys)
+        .filter(F.col("_c") != F.col("med"))
+        .withColumn("_s", (F.col("_c") > F.col("med")).cast("int"))
+    )
+    wt = Window.partitionBy(*keys).orderBy("_b")
+    runs = sided.withColumn(
+        "_new",
+        F.when(F.col("_s") == F.lag("_s").over(wt), F.lit(0)).otherwise(F.lit(1)),
+    )
+    agg = runs.groupBy(*keys).agg(
+        F.sum(F.col("_s").cast("long")).alias("n_above"),
+        F.sum((1 - F.col("_s")).cast("long")).alias("n_below"),
+        F.sum("_new").cast("long").alias("n_runs"),
+    )
+    return (
+        med.join(agg, keys, "left")
+        .select(
+            *keys,
+            "med",
+            F.coalesce(F.col("n_above"), F.lit(0)).cast("long").alias("n_above"),
+            F.coalesce(F.col("n_below"), F.lit(0)).cast("long").alias("n_below"),
+            F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+        )
+    )

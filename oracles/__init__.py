@@ -9528,6 +9528,51 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "runs_test": r"""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            cnts AS (
+              SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi,
+                              max(day) - min(day) + 1 AS t FROM cnts),
+            bins AS (
+              SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM users u CROSS JOIN bins b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.day = b.day),
+            med AS MATERIALIZED (
+              SELECT user_id, c AS med FROM (
+                SELECT user_id, c,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY c, day) AS rn
+                FROM filled)
+              WHERE rn = ((SELECT t FROM bounds) + 1) // 2),
+            sided AS (
+              SELECT f.user_id, f.day,
+                     CASE WHEN f.c > m.med THEN 1 ELSE 0 END AS s
+              FROM filled f JOIN med m ON m.user_id = f.user_id
+              WHERE f.c != m.med),
+            runs AS (
+              SELECT user_id, s,
+                     CASE WHEN s = lag(s) OVER (PARTITION BY user_id
+                                                ORDER BY day)
+                          THEN 0 ELSE 1 END AS nw
+              FROM sided),
+            agg AS (
+              SELECT user_id, CAST(sum(s) AS BIGINT) AS n_above,
+                     CAST(sum(1 - s) AS BIGINT) AS n_below,
+                     CAST(sum(nw) AS BIGINT) AS n_runs
+              FROM runs GROUP BY 1)
+            SELECT m.user_id, m.med,
+                   CAST(coalesce(a.n_above, 0) AS BIGINT) AS n_above,
+                   CAST(coalesce(a.n_below, 0) AS BIGINT) AS n_below,
+                   CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs
+            FROM med m LEFT JOIN agg a ON a.user_id = m.user_id
+        """,
         "changepoint_split": r"""
             WITH ev AS (
               SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

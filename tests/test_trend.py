@@ -160,3 +160,29 @@ def test_changepoint_split_constant_ties_to_earliest(spark):
     # symmetric series: g(s) = 16*(nl*60/nl... ) -> nl^2*(60/nl)+... =
     # 16*(60*nl + 60*nr) = const; all splits tie -> earliest wins
     assert r1["split_bin"] == 0
+
+
+def test_runs_test_alternating_and_trending(spark):
+    """Alternating [0,9,0,9,0,9] -> 6 runs of 3 above/3 below... no:
+    med = lower median of sorted [0,0,0,9,9,9] at rank 3 = 0; ties with
+    0 drop -> three 9s left, all one side -> 1 run. Use values without
+    median ties instead: [1,9,1,9,1,9] med=1 -> drops the 1s. So pick
+    [1,9,2,8,3,7]: med (rank 3 of sorted 1,2,3,7,8,9) = 3; above =
+    9,8,7 / below = 1,2; sequence sides (day order, dropping the 3):
+    B A B A A -> 4 runs."""
+    from extractors_metadata_spark.operators.trend import runs_test
+
+    rows = [("u", i, v) for i, v in enumerate([1, 9, 2, 8, 3, 7])]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    r = runs_test(df, ["k"]).collect()[0]
+    assert r["med"] == 3
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (3, 2, 4)
+
+
+def test_runs_test_constant_series(spark):
+    from extractors_metadata_spark.operators.trend import runs_test
+
+    rows = [("u", i, 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    r = runs_test(df, ["k"]).collect()[0]
+    assert (r["med"], r["n_above"], r["n_below"], r["n_runs"]) == (5, 0, 0, 0)
