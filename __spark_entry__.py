@@ -3037,6 +3037,25 @@ def _ahash_pages(spark, sf_dir):
     return pages.unionByName(dups)
 
 
+def q_shot_boundaries(spark, sf_dir):
+    """Video shot-boundary detection (multimodal/binary_ops.
+    detect_shot_boundaries): 8 sampled frames per probe video (the stub
+    "video" is piecewise-static — each shot = 2 identical frames off the
+    shot-advanced SplitMix seed, so cuts are live and within-shot
+    distance is exactly 0), per-frame dHash in ONE Arrow pass, then the
+    consecutive-frame Hamming distance (url-keyed lag + JVM
+    bit_count(xor), the proven ahash_pairs surface) and the >= 16 cut
+    flag; first frame emits the -1 integer sentinel. real_decode=True
+    is the codec integration point. FULL oracle: packed (video, frame)
+    key through the dhash HUGEINT replay + the same lag window."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        detect_shot_boundaries,
+    )
+
+    pages = _probe_pages(spark, sf_dir, max_events=2000).select("url", "html")
+    return detect_shot_boundaries(pages)
+
+
 def q_image_dhash(spark, sf_dir):
     """Difference-hash fingerprints (multimodal/binary_ops.
     decode_image_dhash): the gradient member of the aHash/pHash triad —
@@ -8217,6 +8236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "image_ahash": q_image_ahash,
         "image_dhash": q_image_dhash,
+        "shot_boundaries": q_shot_boundaries,
         "image_phash": q_image_phash,
         "audio_energy": q_audio_energy,
         "image_ahash_pairs": q_image_ahash_pairs,

@@ -493,6 +493,9 @@ def main() -> None:
         # swalign_pairs (like lcss/dtw) is pair-preserving off the
         # broadcast candidate join — dtw-family stays untimed (count()
         # rule); the kernels are exercised by the oracle sweeps.
+        # shot_boundaries counts the (video, frame) fan-out off the fused
+        # Arrow fingerprint pass + lag window (fan-out load-bearing).
+        "shot_boundaries",
         # huff_model counts the pivoted point frame off the knn candidate
         # join + re-rank (the knn path is the cost and is load-bearing
         # through the pivot's inner aggregate).

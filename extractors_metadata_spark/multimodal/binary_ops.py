@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 IMAGE_FEATURES_SCHEMA = (
     "url string, width int, height int, channels int, features array<float>"
@@ -499,4 +500,76 @@ def decode_audio_energy(
 
     return df.select(id_col, binary_col).mapInPandas(
         gen, AUDIO_ENERGY_SCHEMA
+    )
+
+
+SHOT_SCHEMA = "url string, frame_idx int, dhash long"
+
+
+def detect_shot_boundaries(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    n_frames: int = 8,
+    every_n: int = 10,
+    frames_per_shot: int = 2,
+    thr: int = 16,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Video shot-boundary detection over the sampled-frame stub: per
+    (video, frame) a dHash fingerprint, then the consecutive-frame
+    Hamming distance and a boundary flag (dist >= ``thr``) — the cut
+    detector every video-curation pipeline runs before dedup/caption.
+    The stub "video" is piecewise-static by construction (each shot =
+    ``frames_per_shot`` identical frames off the shot-advanced SplitMix
+    seed), so within-shot distance is exactly 0 and cuts are live;
+    ``real_decode=True`` is the codec integration point (decode frame
+    f*every_n, grayscale, 8x8 downsample — then the SAME dhash/lag/
+    threshold chain).
+
+    -> (url, frame_idx, dhash, hamdist, is_boundary); the first frame
+    emits hamdist = -1, is_boundary = 0 (no predecessor; integer
+    sentinel keeps the output NULL-free).  One fused Arrow pass for the
+    fingerprints; the distance is a url-keyed lag window + JVM
+    bit_count(xor) — the proven ahash_pairs surface."""
+    fps = int(frames_per_shot)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "no video codec in this environment; decode + grayscale "
+                    "+ downsample here, then the same dhash chain"
+                )
+            base = hash_bytes_batch(pdf[binary_col])
+            f = np.tile(np.arange(n_frames, dtype=np.int64), len(pdf))
+            with np.errstate(over="ignore"):
+                seeds = (
+                    np.repeat(base, n_frames).astype(np.uint64)
+                    + ((f // fps) * every_n).astype(np.uint64)
+                ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            dh, _ = dhash_from_gray(_gray64_from_seeds(seeds.astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(pdf[id_col].to_numpy(), n_frames),
+                    "frame_idx": (f * every_n).astype(np.int32),
+                    "dhash": dh,
+                }
+            )
+
+    from pyspark.sql import Window
+
+    hashed = df.select(id_col, binary_col).mapInPandas(gen, SHOT_SCHEMA)
+    w = Window.partitionBy("url").orderBy("frame_idx")
+    out = hashed.withColumn("_prev", F.lag("dhash").over(w))
+    ham = F.expr("bit_count(dhash ^ _prev)").cast("int")
+    return out.select(
+        "url",
+        "frame_idx",
+        "dhash",
+        F.when(F.col("_prev").isNull(), F.lit(-1)).otherwise(ham)
+        .cast("int").alias("hamdist"),
+        F.when(
+            F.col("_prev").isNotNull() & (ham >= thr), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("is_boundary"),
     )

@@ -9486,6 +9486,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT au.url, aw.win, aw.energy_sq, aw.n_clipped, aw.silent
             FROM au JOIN aw USING (event_id)
         """,
+        "shot_boundaries": f"""
+            WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
+            {_probe_html_sql()},
+            hb AS MATERIALIZED (
+              SELECT event_id, {_fnv_sql('html_str')} AS h63 FROM ph),
+            fgrid AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS f),
+            hh AS MATERIALIZED (
+              SELECT hb.event_id * 8 + g.f AS event_id,
+                     CAST((CAST(hb.h63 AS HUGEINT) + (g.f // 2) * 10)
+                          % 9223372036854775808 AS BIGINT) AS h63
+              FROM hb CROSS JOIN fgrid g),
+            {_dhash_ctes()},
+            base2 AS (
+              SELECT 'https://site.example/e'
+                       || CAST(dh.event_id // 8 AS VARCHAR) AS url,
+                     CAST((dh.event_id % 8) * 10 AS INT) AS frame_idx,
+                     dh.dhash
+              FROM dh),
+            lagd AS (
+              SELECT url, frame_idx, dhash,
+                     lag(dhash) OVER (PARTITION BY url ORDER BY frame_idx)
+                       AS prev
+              FROM base2)
+            SELECT url, frame_idx, dhash,
+                   CAST(CASE WHEN prev IS NULL THEN -1
+                             ELSE bit_count(xor(dhash, prev)) END AS INT)
+                     AS hamdist,
+                   CAST(CASE WHEN prev IS NOT NULL
+                              AND bit_count(xor(dhash, prev)) >= 16
+                             THEN 1 ELSE 0 END AS INT) AS is_boundary
+            FROM lagd
+        """,
         "image_dhash": f"""
             WITH {_probe_gxgy_sql("WHERE event_id < 2000")},
             {_probe_html_sql()},

@@ -175,3 +175,28 @@ def test_dhash_brightness_invariance():
     h1, _ = dhash_from_gray(rng)
     h2, _ = dhash_from_gray(rng + 50)
     assert h1[0] == h2[0]
+
+
+def test_shot_boundaries_piecewise_static_stub(spark):
+    """Each shot = 2 identical frames: within-shot hamdist is exactly 0
+    and never a boundary; cuts can only appear at even frame indices
+    (20, 40, 60 in frame_idx units); first frame carries the -1
+    sentinel."""
+    from extractors_metadata_spark.multimodal.binary_ops import (
+        detect_shot_boundaries,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"video-bytes-1")), ("u2", bytearray(b"video-2"))],
+        "url string, html binary",
+    )
+    out = detect_shot_boundaries(df).collect()
+    assert len(out) == 16
+    for r in out:
+        i = r["frame_idx"] // 10
+        if i == 0:
+            assert r["hamdist"] == -1 and r["is_boundary"] == 0
+        elif i % 2 == 1:  # second frame of a shot: identical to first
+            assert r["hamdist"] == 0 and r["is_boundary"] == 0
+        else:  # cut between shots
+            assert r["hamdist"] > 0
