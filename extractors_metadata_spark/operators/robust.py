@@ -99,3 +99,72 @@ def winsorized_mean(
         "ELSE (_s - pmod(_s, n)) div n END"
     )
     return agg.select(group_col, "n", "p_lo", "p_hi", wmean.alias("wmean_u"))
+
+
+def hodges_lehmann(
+    counts,
+    key_cols,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    bin_lo: int | None = None,
+    bin_hi: int | None = None,
+):
+    """Per-key Hodges-Lehmann location estimator of the zero-filled
+    series: the MEDIAN OF PAIRWISE MEANS (x_i + x_j)/2 over i <= j —
+    the robust location with 29% breakdown AND ~95% Gaussian efficiency
+    (the median trades efficiency, the mean trades robustness; HL is
+    the classical best of both, and the point estimate the Wilcoxon
+    signed-rank test inverts).
+
+    Exactness: every Walsh average is represented by its integer SUM
+    x_i + x_j (den = 2 constant); the median over T(T+1)/2 sums is the
+    LOWER-median order statistic at rank (P+1) div 2 by (sum, i, j) —
+    an exact integer, no interpolation, frozen ties.
+
+    Output per key: (key..., n_pairs, hl_num, den=2) — HL = hl_num/2.
+
+    Scale shape: the mann_kendall zero-fill grid; the Walsh-average
+    frame is O(T^2) per key with T a bounded literal; the median is one
+    key-partitioned row_number window on the SAME key Exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    spark = counts.sparkSession
+    if bin_lo is None or bin_hi is None:
+        row = counts.agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        ).first()
+        bin_lo = int(row["lo"]) if bin_lo is None else bin_lo
+        bin_hi = int(row["hi"]) if bin_hi is None else bin_hi
+    n_bins = bin_hi - bin_lo + 1
+    n_pairs = n_bins * (n_bins + 1) // 2
+
+    kdim = counts.select(*keys).distinct()
+    bins = spark.range(bin_lo, bin_hi + 1).select(
+        F.col("id").cast("long").alias(bin_col)
+    )
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, keys + [bin_col], "left")
+        .select(
+            *keys,
+            F.col(bin_col).cast("long").alias("_b"),
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    a = filled.select(*keys, F.col("_b").alias("_i"), F.col("_c").alias("_xi"))
+    b = filled.select(*keys, F.col("_b").alias("_j"), F.col("_c").alias("_xj"))
+    walsh = a.join(b, keys).filter(F.col("_j") >= F.col("_i")).select(
+        *keys, "_i", "_j", (F.col("_xi") + F.col("_xj")).alias("_s")
+    )
+    w = Window.partitionBy(*keys).orderBy("_s", "_i", "_j")
+    med = walsh.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == (n_pairs + 1) // 2
+    )
+    return med.select(
+        *keys,
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.col("_s").alias("hl_num"),
+        F.lit(2).cast("long").alias("den"),
+    )
