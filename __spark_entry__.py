@@ -1213,6 +1213,25 @@ def q_isotonic_fit(spark, sf_dir):
     return isotonic_fit(counts, ["user_id"], bin_col="day", n_col="n")
 
 
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann location (operators/robust.hodges_lehmann) per
+    user over the zero-filled daily series: the median of Walsh
+    (pairwise) means — 29% breakdown at ~95% Gaussian efficiency, the
+    estimate the Wilcoxon signed-rank inverts. Every Walsh average is
+    its exact integer SUM (den = 2); the median is the lower-median
+    order statistic by (sum, i, j) — no interpolation, frozen ties.
+    O(T^2) per key, one key Exchange. FULL oracle: verbatim pair/rank
+    replay."""
+    from extractors_metadata_spark.operators.robust import hodges_lehmann
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return hodges_lehmann(counts, ["user_id"], bin_col="day", n_col="n")
+
+
 def q_runs_test(spark, sf_dir):
     """Wald-Wolfowitz runs test ingredients (operators/trend.runs_test)
     per user over the zero-filled daily series: dichotomize against the
@@ -8078,6 +8097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "changepoint_split": q_changepoint_split,
         "runs_test": q_runs_test,
+        "hodges_lehmann": q_hodges_lehmann,
         "heaps_fit": q_heaps_fit,
         "theil_decomp": q_theil_decomp,
         "kneser_ney": q_kneser_ney,

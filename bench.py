@@ -490,6 +490,9 @@ def main() -> None:
         # runs_test counts the per-user table off the median-rank +
         # run-lag windows (left-join coalesce keeps them load-bearing).
         "runs_test",
+        # hodges_lehmann counts the per-key median frame (Walsh pair
+        # fan-out + rank window load-bearing through the rn filter).
+        "hodges_lehmann",
         # swalign_pairs (like lcss/dtw) is pair-preserving off the
         # broadcast candidate join — dtw-family stays untimed (count()
         # rule); the kernels are exercised by the oracle sweeps.

@@ -9560,6 +9560,39 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
         """,
         "mann_kendall": _MANN_KENDALL_SQL,
+        "hodges_lehmann": r"""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            cnts AS (
+              SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi,
+                              max(day) - min(day) + 1 AS t FROM cnts),
+            bins AS (
+              SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+              FROM users u CROSS JOIN bins b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.day = b.day),
+            walsh AS (
+              SELECT a.user_id, a.day AS i, b.day AS j, a.c + b.c AS s
+              FROM filled a JOIN filled b
+                ON b.user_id = a.user_id AND b.day >= a.day),
+            rk AS (
+              SELECT user_id, s,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY s, i, j) AS rn
+              FROM walsh),
+            np AS (SELECT ((SELECT t FROM bounds)
+                           * ((SELECT t FROM bounds) + 1)) // 2 AS p)
+            SELECT user_id,
+                   CAST((SELECT p FROM np) AS BIGINT) AS n_pairs,
+                   CAST(s AS BIGINT) AS hl_num,
+                   CAST(2 AS BIGINT) AS den
+            FROM rk WHERE rn = ((SELECT p FROM np) + 1) // 2
+        """,
         "runs_test": r"""
             WITH ev AS (
               SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

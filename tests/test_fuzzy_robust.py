@@ -76,3 +76,28 @@ def test_mad_groups_independent_and_broadcast_plan(spark):
     assert med["a"] == 1.0 and med["b"] == 100.0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hodges_lehmann_hand_series(spark):
+    """[0,0,9]: Walsh sums over i<=j = {0,0,9,0,9,18}; sorted with
+    (s,i,j) ties -> ranks: 0,0,0,9,9,18; P=6, lower median rank 3 ->
+    hl_num = 0 (HL = 0). Outlier-resistant where the mean (3) is not."""
+    from extractors_metadata_spark.operators.robust import hodges_lehmann
+
+    df = spark.createDataFrame(
+        [("u", 0, 0), ("u", 1, 0), ("u", 2, 9)], "k string, bin long, n long"
+    )
+    r = hodges_lehmann(df, ["k"]).collect()[0]
+    assert (r["n_pairs"], r["hl_num"], r["den"]) == (6, 0, 2)
+
+
+def test_hodges_lehmann_symmetric_series(spark):
+    """[1,2,3]: Walsh sums {2,3,4,4,5,6} -> lower median rank 3 = 4 ->
+    HL = 2 (= the median and mean, as symmetry demands)."""
+    from extractors_metadata_spark.operators.robust import hodges_lehmann
+
+    df = spark.createDataFrame(
+        [("u", 0, 1), ("u", 1, 2), ("u", 2, 3)], "k string, bin long, n long"
+    )
+    r = hodges_lehmann(df, ["k"]).collect()[0]
+    assert (r["hl_num"], r["den"]) == (4, 2)
