@@ -3832,6 +3832,20 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_posting_compress(spark, sf_dir):
+    """Postings compression sizing (operators/index_build.
+    posting_compress): exact delta+varint byte cost per term's doc-id
+    list vs raw 8-byte ids — the Lucene-style index-engineering
+    estimate (stopwords compress ~8x, rare terms ~1x). varint bytes =
+    (length(bin(gap)) + 6) div 7 on the unpadded binary string both
+    engines produce (the spectral bin() precedent); one word-keyed lag
+    + aggregate on the same Exchange. FULL oracle: identical window/
+    bin algebra."""
+    from extractors_metadata_spark.operators.index_build import posting_compress
+
+    return posting_compress(_t(spark, sf_dir, "documents"))
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index (operators/index_build.inverted_index):
     (word, df_docs, doc_id, positions, n_hits) under the engine's frozen
@@ -8040,6 +8054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_pi": q_colocation_pi,
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
+        "posting_compress": q_posting_compress,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "training_prep": q_training_prep,

@@ -475,6 +475,9 @@ def main() -> None:
         # theil_decomp counts the 5-row group table — the within-term
         # Arrow pass + group agg are inner to the join (load-bearing).
         "theil_decomp",
+        # posting_compress counts the term dictionary off the postings
+        # dedupe + gap window (varint agg load-bearing).
+        "posting_compress",
         # colocation_pi counts the feature-pair rollup: the radius join,
         # type joins and distinct-participation aggs all load-bearing.
         "colocation_pi",

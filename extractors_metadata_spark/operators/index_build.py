@@ -81,3 +81,41 @@ def inverted_index(
     """Build positional postings; words with ``df_docs > max_df`` (corpus
     stopwords) are excluded from the returned index."""
     return annotate_df(doc_postings(df, text_col, id_col), max_df)
+
+
+def posting_compress(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings-compression sizing -> (word, df_docs, bytes_varint,
+    bytes_raw): the exact byte cost of each term's doc-id list under
+    DELTA + VARINT coding (the Lucene/WAND wire format) vs raw 8-byte
+    ids — the index-engineering estimate that decides tiering and
+    caching (stopword lists compress ~8x, rare terms ~1x).
+
+    Exact integer arithmetic: gap_1 = id_0 + 1 (delta from -1, so every
+    gap >= 1), gap_k = id_k - id_{k-1}; varint bytes per gap =
+    ceil(bitlen/7) = (length(bin(gap)) + 6) div 7 — bin() of a positive
+    int is the unpadded binary string in BOTH engines (the spectral
+    precedent), so the byte count replays exactly.
+
+    Plan: the doc_postings agg collapsed to (word, doc_id) + ONE
+    word-keyed lag window + one word-keyed aggregate on the SAME
+    Exchange."""
+    from pyspark.sql import Window
+
+    pl = doc_postings(df, text_col, id_col).select("word", "doc_id")
+    w = Window.partitionBy("word").orderBy("doc_id")
+    gaps = pl.withColumn(
+        "_gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ),
+    ).withColumn(
+        "_vb", F.expr("(length(bin(_gap)) + 6) div 7")
+    )
+    return gaps.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("_vb").cast("long").alias("bytes_varint"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("bytes_raw"),
+    )

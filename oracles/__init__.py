@@ -8747,6 +8747,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tt GROUP BY tok
             ORDER BY tf DESC, word ASC LIMIT 100
         """,
+        "posting_compress": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+            pl AS (
+              SELECT tok AS word, doc_id
+              FROM toks WHERE length(tok) > 0
+              GROUP BY 1, 2),
+            gaps AS (
+              SELECT word,
+                     coalesce(doc_id - lag(doc_id) OVER (PARTITION BY word
+                                                         ORDER BY doc_id),
+                              doc_id + 1) AS gap
+              FROM pl)
+            SELECT word, CAST(count(*) AS BIGINT) AS df_docs,
+                   CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+                     AS bytes_varint,
+                   CAST(count(*) * 8 AS BIGINT) AS bytes_raw
+            FROM gaps GROUP BY 1
+        """,
         "theil_decomp": r"""
             WITH vals AS (
               SELECT lang AS g, CAST(n_chars AS BIGINT) AS x

@@ -52,3 +52,28 @@ def test_empty_and_whitespace_docs_emit_nothing(spark):
         pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})
     )
     assert inverted_index(df).count() == 0
+
+
+def test_posting_compress_hand_gaps(spark):
+    """Term in docs {0, 1, 200}: gaps 1, 1, 199 -> varint bytes
+    1 + 1 + 2 = 4 (199 has 8 bits -> 2 varint bytes); raw = 24."""
+    from extractors_metadata_spark.operators.index_build import posting_compress
+
+    rows = [(0, "x"), (1, "x"), (200, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = posting_compress(df).collect()[0]
+    assert (r["word"], r["df_docs"]) == ("x", 3)
+    assert r["bytes_varint"] == 4
+    assert r["bytes_raw"] == 24
+
+
+def test_posting_compress_large_gap_width(spark):
+    """A gap needing the full 63-bit range: 2^62 has 63 bits -> 9
+    varint bytes."""
+    from extractors_metadata_spark.operators.index_build import posting_compress
+
+    df = spark.createDataFrame(
+        [(0, "y"), (1 << 62, "y")], "doc_id long, text string"
+    )
+    r = posting_compress(df).collect()[0]
+    assert r["bytes_varint"] == 1 + 9
