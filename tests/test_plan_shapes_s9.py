@@ -28,7 +28,8 @@ def test_no_row_at_a_time_python_anywhere(spark, entry):
         "dunning_g2", "stem_vocab", "isotonic_fit", "kaplan_meier",
         "changepoint_split", "holt_forecast", "colocation_pi",
         "huff_model", "swalign_pairs", "modularity", "rich_club",
-        "image_dhash",
+        "image_dhash", "theil_decomp", "runs_test", "hodges_lehmann",
+        "posting_compress", "shot_boundaries",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "BatchEvalPython" not in p, name
@@ -39,7 +40,7 @@ def test_pure_codegen_ops_have_no_arrow(spark, entry):
     # zero Python of any kind
     for name in (
         "stem_vocab", "isotonic_fit", "changepoint_split", "modularity",
-        "rich_club",
+        "rich_club", "runs_test", "hodges_lehmann", "posting_compress",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
