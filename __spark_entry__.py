@@ -7989,6 +7989,27 @@ def q_ingest_gate(spark, sf_dir):
     )
 
 
+def q_allen_census(spark, sf_dir):
+    """Allen interval-algebra census (operators/sessions.allen_census)
+    per user over event intervals [ts, ts + (max(round(value*100),0)+1)
+    * 10ms]: every pair in canonical (s, e, id) order classified into
+    the 7 forward Allen relations (before/meets/overlaps/finished_by/
+    contains/starts/equals; inverses implied by orientation) by pure
+    int64-microsecond comparisons. One user-keyed Exchange, per-key
+    O(n^2/2) pairs (the theil_sen per-key contract, <=99 events/user in
+    synth). FULL oracle: verbatim pair replay."""
+    from extractors_metadata_spark.operators.sessions import allen_census
+
+    e = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = (
+        F.greatest(F.bround(F.col("value") * 100.0, 0).cast("long"), F.lit(0))
+        + F.lit(1)
+    ) * F.lit(10000)
+    iv = e.select("event_id", "user_id", s.alias("s"), (s + dur).alias("en"))
+    return allen_census(iv)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8354,6 +8375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": q_warc_parse,
         "quadkey_encode": q_quadkey_encode,
         "ingest_gate": q_ingest_gate,
+        "allen_census": q_allen_census,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

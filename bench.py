@@ -506,6 +506,9 @@ def main() -> None:
         # join + re-rank (the knn path is the cost and is load-bearing
         # through the pivot's inner aggregate).
         "huff_model",
+        # allen_census counts the per-user census frame: the per-key
+        # pair join + relation CASE + agg are all load-bearing.
+        "allen_census",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -89,3 +89,86 @@ def session_stats(
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def allen_census(
+    df: DataFrame,
+    key_col: str = "user_id",
+    s_col: str = "s",
+    e_col: str = "en",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Allen interval-algebra CENSUS per key: classify every interval
+    pair into its Allen (1983) relation and count each relation — the
+    temporal-reasoning profile of a key's activity (how much of it is
+    sequential vs nested vs overlapping), the qualitative summary the
+    interval_join/interval_union family doesn't give.
+
+    Pairs are taken in the CANONICAL orientation a < b by (s, e, id) —
+    lexicographic on exact int64 microseconds with the id tie-break —
+    which collapses Allen's 13 relations to the 7 forward ones (the six
+    inverses are implied by orientation): with a.s < b.s the pair is
+    ``before`` (a.e < b.s), ``meets`` (a.e = b.s), ``overlaps``
+    (b.s < a.e < b.e), ``finished_by`` (a.e = b.e) or ``contains``
+    (a.e > b.e); with a.s = b.s it is ``starts`` (a.e < b.e) or
+    ``equals`` (a.e = b.e) — ``started_by`` cannot occur under the
+    canonical order. Every decision is an int64 comparison; no floats.
+
+    Scale shape: one Exchange keyed by ``key_col``; the pair join is
+    per-key O(n^2/2) (the theil_sen per-key stream-length contract —
+    bounded events per key, narrow 4-column frames through the
+    fan-out). Output is one row per key with the 7 counts + n_pairs.
+
+    Reference analog: none — the reference processes messages
+    independently; this is part of the engine's temporal widening.
+    FULL oracle: verbatim pair replay in SQL.
+    """
+    iv = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(s_col).cast("long").alias("_s"),
+        F.col(e_col).cast("long").alias("_e"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+    a = iv.select(
+        F.col("_k"),
+        F.col("_s").alias("_as"), F.col("_e").alias("_ae"),
+        F.col("_id").alias("_aid"),
+    )
+    b = iv.select(
+        F.col("_k"),
+        F.col("_s").alias("_bs"), F.col("_e").alias("_be"),
+        F.col("_id").alias("_bid"),
+    )
+    pairs = a.join(b, "_k").filter(
+        (F.col("_as") < F.col("_bs"))
+        | (
+            (F.col("_as") == F.col("_bs"))
+            & (
+                (F.col("_ae") < F.col("_be"))
+                | ((F.col("_ae") == F.col("_be")) & (F.col("_aid") < F.col("_bid")))
+            )
+        )
+    )
+    rel = (
+        F.when(
+            F.col("_as") < F.col("_bs"),
+            F.when(F.col("_ae") < F.col("_bs"), F.lit("before"))
+            .when(F.col("_ae") == F.col("_bs"), F.lit("meets"))
+            .when(F.col("_ae") < F.col("_be"), F.lit("overlaps"))
+            .when(F.col("_ae") == F.col("_be"), F.lit("finished_by"))
+            .otherwise(F.lit("contains")),
+        )
+        .when(F.col("_ae") < F.col("_be"), F.lit("starts"))
+        .otherwise(F.lit("equals"))
+    )
+    tagged = pairs.select("_k", rel.alias("_rel"))
+    agg = [
+        F.sum((F.col("_rel") == F.lit(r)).cast("long")).alias("n_" + r)
+        for r in (
+            "before", "meets", "overlaps", "finished_by",
+            "contains", "starts", "equals",
+        )
+    ]
+    return tagged.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_pairs"), *agg
+    )

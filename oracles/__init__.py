@@ -10631,4 +10631,42 @@ def oracle_sql() -> dict[str, str]:
             FROM qxy
         """,
         "ingest_gate": _ingest_gate_sql(),
+        "allen_census": r"""
+            WITH iv AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                       + (greatest(CAST(round_even(value * 100.0, 0)
+                                        AS BIGINT), 0) + 1) * 10000 AS en
+              FROM events),
+            p AS (
+              SELECT a.user_id,
+                     CASE WHEN a.s < b.s THEN
+                            CASE WHEN a.en < b.s THEN 'before'
+                                 WHEN a.en = b.s THEN 'meets'
+                                 WHEN a.en < b.en THEN 'overlaps'
+                                 WHEN a.en = b.en THEN 'finished_by'
+                                 ELSE 'contains' END
+                          WHEN a.en < b.en THEN 'starts'
+                          ELSE 'equals' END AS rel
+              FROM iv a JOIN iv b ON b.user_id = a.user_id
+               AND (a.s < b.s OR (a.s = b.s AND (a.en < b.en
+                    OR (a.en = b.en AND a.event_id < b.event_id)))))
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN rel = 'before' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_before,
+                   CAST(sum(CASE WHEN rel = 'meets' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_meets,
+                   CAST(sum(CASE WHEN rel = 'overlaps' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_overlaps,
+                   CAST(sum(CASE WHEN rel = 'finished_by' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_finished_by,
+                   CAST(sum(CASE WHEN rel = 'contains' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contains,
+                   CAST(sum(CASE WHEN rel = 'starts' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_starts,
+                   CAST(sum(CASE WHEN rel = 'equals' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_equals
+            FROM p GROUP BY 1
+        """,
     }

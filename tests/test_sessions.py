@@ -82,3 +82,36 @@ def test_session_stats_single_shuffle(spark):
     df = _events(spark, [(0, 0, 1, "view", 1.0)])
     plan = session_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_allen_census_hand_relations(spark):
+    # one key, intervals engineered to hit all 7 forward relations once.
+    from extractors_metadata_spark.operators.sessions import allen_census
+
+    rows = [
+        # (id, s, en) — canonical order by (s, en, id)
+        (1, 0, 10),    # vs (2): equals; vs (3): starts; vs others below
+        (2, 0, 10),    # equals with 1
+        (3, 0, 20),    # starts (1->3, 2->3)
+        (4, 5, 10),    # 1 overlaps? a=(0,10) b=(5,10): a.s<b.s, a.e==b.e -> finished_by
+        (5, 10, 15),   # (1,2) meets 5 (e=10==s); 3 overlaps 5 (10<20<? 20>15 -> contains? a=(0,20) b=(10,15): a.e=20>b.e=15 -> contains)
+        (6, 30, 40),   # before everything earlier
+    ]
+    df = spark.createDataFrame(rows, "event_id long, s long, en long")
+    df = df.withColumn("user_id", F.lit(7).cast("long"))
+    out = allen_census(df, key_col="user_id").collect()[0].asDict()
+    # n = 6 -> 15 pairs
+    assert out["n_pairs"] == 15
+    assert out["n_equals"] == 1          # (1,2)
+    assert out["n_starts"] == 2          # (1,3),(2,3)
+    assert out["n_finished_by"] == 2     # (1,4),(2,4)
+    assert out["n_meets"] == 3           # (1,5),(2,5),(4,5)
+    assert out["n_contains"] == 2        # (3,4),(3,5)
+    assert out["n_before"] == 5          # everything vs 6
+    # column total == n_pairs (census is a partition)
+    total = sum(
+        out["n_" + r]
+        for r in ("before", "meets", "overlaps", "finished_by",
+                  "contains", "starts", "equals")
+    )
+    assert total == out["n_pairs"]
