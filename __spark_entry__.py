@@ -8010,6 +8010,57 @@ def q_allen_census(spark, sf_dir):
     return allen_census(iv)
 
 
+def q_ridge_fit(spark, sf_dir):
+    """Closed-form exact-integer ridge regression
+    (operators/linearfit.ridge_fit) per language over documents:
+    n_chars ~ w0 + w1*tokens + w2*digits, lam=10000 on the slopes,
+    solved by Cramer's rule on DECIMAL(38,0) (Spark) == HUGEINT
+    (DuckDB) — decimal `div` and HUGEINT `//` both truncate toward
+    zero (measured, incl. negative numerators), so the 1e6 fixed-point
+    coefficients are bit-identical. One partial-aggregating groupBy (9
+    sums) is the only Exchange. FULL oracle: verbatim Cramer replay."""
+    from extractors_metadata_spark.functions.textstats import token_count
+    from extractors_metadata_spark.operators.linearfit import ridge_fit
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    return ridge_fit(feats, ["lang"], "x1", "x2", "y", lam=10000)
+
+
+def q_perceptron_fit(spark, sf_dir):
+    """Batch perceptron (operators/linearfit.perceptron_fit), 5 rounds,
+    separating lang='en' (+1) from the rest (-1) on (tokens, digits)
+    features: integer weights, commutative integer gradient sums —
+    deterministic under any partitioning; per-round error counts under
+    the incoming weights. R bounded full-scan aggregates over a
+    persisted 3-column frame; 1-row collect per round. FULL oracle:
+    unrolled round-by-round CTE replay."""
+    from extractors_metadata_spark.functions.textstats import token_count
+    from extractors_metadata_spark.operators.linearfit import perceptron_fit
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        token_count(F.col("text")).cast("long").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("long").alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    return perceptron_fit(feats, "x1", "x2", "y", rounds=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8376,6 +8427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_encode": q_quadkey_encode,
         "ingest_gate": q_ingest_gate,
         "allen_census": q_allen_census,
+        "ridge_fit": q_ridge_fit,
+        "perceptron_fit": q_perceptron_fit,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -8144,6 +8144,97 @@ _RABIN_DEDUP_SQL = f"""
 """
 
 
+_FEAT_TOK = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+_FEAT_DIG = r"length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+
+
+_RIDGE_SQL = f"""
+    WITH feat AS (
+      SELECT lang,
+             CAST({_FEAT_TOK} AS BIGINT) AS x1,
+             CAST({_FEAT_DIG} AS BIGINT) AS x2,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) + 10000 AS a11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS a12,
+             CAST(sum(x2 * x2) AS HUGEINT) + 10000 AS a22,
+             CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+             CAST(sum(x2 * y) AS HUGEINT) AS s2y
+      FROM feat GROUP BY 1),
+    alg AS (
+      SELECT lang, n,
+             n * (a11 * a22 - a12 * a12)
+               - s1 * (s1 * a22 - a12 * s2)
+               + s2 * (s1 * a12 - a11 * s2) AS det,
+             sy * (a11 * a22 - a12 * a12)
+               - s1 * (s1y * a22 - a12 * s2y)
+               + s2 * (s1y * a12 - a11 * s2y) AS n0,
+             n * (s1y * a22 - a12 * s2y)
+               - sy * (s1 * a22 - a12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS n1,
+             n * (a11 * s2y - s1y * a12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * a12 - a11 * s2) AS n2
+      FROM agg)
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           CAST((n0 * 1000000) // det AS BIGINT) AS w0_fp,
+           CAST((n1 * 1000000) // det AS BIGINT) AS w1_fp,
+           CAST((n2 * 1000000) // det AS BIGINT) AS w2_fp
+    FROM alg
+"""
+
+
+def _perceptron_sql(rounds: int = 5) -> str:
+    """Unrolled round-by-round replay of the batch perceptron: each
+    round r computes the misclassified-set sums under w_{r-1} (m{r}),
+    then w{r} = w{r-1} + delta. Every m/w CTE is referenced twice (the
+    next stage and the final UNION), so all are MATERIALIZED (the
+    minhash re-inlining lesson)."""
+    parts = [
+        f"""f AS MATERIALIZED (
+          SELECT CAST({_FEAT_TOK} AS BIGINT) AS x1,
+                 CAST({_FEAT_DIG} AS BIGINT) AS x2,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+          FROM documents)""",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""m{r} AS MATERIALIZED (
+          SELECT
+            sum(CASE WHEN y * (w.w0 + w.w1 * x1 + w.w2 * x2) <= 0
+                     THEN 1 ELSE 0 END) AS ne,
+            sum(CASE WHEN y * (w.w0 + w.w1 * x1 + w.w2 * x2) <= 0
+                     THEN y ELSE 0 END) AS d0,
+            sum(CASE WHEN y * (w.w0 + w.w1 * x1 + w.w2 * x2) <= 0
+                     THEN y * x1 ELSE 0 END) AS d1,
+            sum(CASE WHEN y * (w.w0 + w.w1 * x1 + w.w2 * x2) <= 0
+                     THEN y * x2 ELSE 0 END) AS d2
+          FROM f CROSS JOIN w{r - 1} w)""")
+        parts.append(f"""w{r} AS MATERIALIZED (
+          SELECT w.w0 + m.d0 AS w0, w.w1 + m.d1 AS w1, w.w2 + m.d2 AS w2
+          FROM w{r - 1} w CROSS JOIN m{r} m)""")
+    finals = [
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+               CAST(m{r}.ne AS BIGINT) AS n_err,
+               CAST(w{r}.w0 AS BIGINT) AS w0,
+               CAST(w{r}.w1 AS BIGINT) AS w1,
+               CAST(w{r}.w2 AS BIGINT) AS w2
+        FROM m{r} CROSS JOIN w{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -10669,4 +10760,6 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_equals
             FROM p GROUP BY 1
         """,
+        "ridge_fit": _RIDGE_SQL,
+        "perceptron_fit": _perceptron_sql(5),
     }
