@@ -8061,6 +8061,24 @@ def q_perceptron_fit(spark, sf_dir):
     return perceptron_fit(feats, "x1", "x2", "y", rounds=5)
 
 
+def q_huffman_cost(spark, sf_dir):
+    """Optimal prefix-code cost (operators/huffman.py) per language:
+    26 letter weights from length-arithmetic codegen (one partial agg,
+    no explode/regex/UDF on the data-sized path), then the Huffman
+    construction over the <=26-node alphabet in one applyInPandas pass
+    — frozen (w, id) heap tie-break with sequential merge ids; emitted
+    total_bits is additionally tie-break-invariant by optimality. FULL
+    oracle: 25 unrolled merge stages (row_number min-2 + banked merged
+    weights), MATERIALIZED throughout."""
+    from extractors_metadata_spark.operators.huffman import (
+        huffman_cost,
+        letter_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return huffman_cost(letter_weights(d, ["lang"]), ["lang"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8429,6 +8447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_census": q_allen_census,
         "ridge_fit": q_ridge_fit,
         "perceptron_fit": q_perceptron_fit,
+        "huffman_cost": q_huffman_cost,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

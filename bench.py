@@ -509,6 +509,16 @@ def main() -> None:
         # allen_census counts the per-user census frame: the per-key
         # pair join + relation CASE + agg are all load-bearing.
         "allen_census",
+        # ridge_fit counts the per-lang coefficient frame: the 9-sum
+        # partial agg over the full scan is load-bearing.
+        "ridge_fit",
+        # perceptron_fit's R scan-aggregates run during query
+        # construction (driver-held weights), so count() times them.
+        "perceptron_fit",
+        # huffman_cost counts the per-lang cost frame: the 26-sum
+        # letter-weight agg + the bounded applyInPandas construction
+        # are load-bearing through the grouped output.
+        "huffman_cost",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -8235,6 +8235,63 @@ def _perceptron_sql(rounds: int = 5) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def _huffman_sql(stages: int = 25) -> str:
+    """Unrolled Huffman construction (operators/huffman.py): stage k
+    merges the two (w, id)-smallest nodes per lang (merged id = 25 + k,
+    the engine's sequential-id tie-break) and banks the merged weight;
+    langs already down to one node pass through untouched. total_bits =
+    the banked sum (external path length = sum of internal weights).
+    Every stage CTE is multiply-referenced -> MATERIALIZED throughout
+    (the minhash re-inlining lesson)."""
+    sums = ",\n                 ".join(
+        f"sum(length(t) - length(replace(t, '{chr(97 + i)}', ''))) AS w{i}"
+        for i in range(26)
+    )
+    arms = "\n              UNION ALL ".join(
+        f"SELECT lang, {i} AS sym, w{i} AS w FROM g" for i in range(26)
+    )
+    parts = [
+        f"""g AS MATERIALIZED (
+          SELECT lang,
+                 {sums}
+          FROM (SELECT lang, lower(text) AS t FROM documents)
+          GROUP BY lang)""",
+        f"""s0 AS MATERIALIZED (
+          SELECT lang, CAST(sym AS BIGINT) AS id, CAST(w AS BIGINT) AS w
+          FROM ({arms})
+          WHERE w > 0)""",
+    ]
+    for k in range(1, stages + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+          SELECT lang, id, w,
+                 row_number() OVER (PARTITION BY lang ORDER BY w, id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+          FROM s{k - 1})""")
+        parts.append(f"""mg{k} AS MATERIALIZED (
+          SELECT lang, sum(w) AS mw
+          FROM r{k} WHERE rn <= 2 AND cnt >= 2 GROUP BY lang)""")
+        parts.append(f"""s{k} AS MATERIALIZED (
+          SELECT lang, id, w FROM r{k} WHERE rn > 2 OR cnt < 2
+          UNION ALL
+          SELECT lang, {25 + k} AS id, mw AS w FROM mg{k})""")
+    mgall = "\n       UNION ALL ".join(
+        f"SELECT lang, mw FROM mg{k}" for k in range(1, stages + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+    base AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_syms,
+             CAST(sum(w) AS BIGINT) AS total_w
+      FROM s0 GROUP BY 1),
+    cost AS (
+      SELECT lang, CAST(sum(mw) AS BIGINT) AS total_bits
+      FROM ({mgall}) GROUP BY 1)
+    SELECT b.lang, b.n_syms, b.total_w,
+           CAST(coalesce(c.total_bits, 0) AS BIGINT) AS total_bits
+    FROM base b LEFT JOIN cost c ON c.lang = b.lang"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -10762,4 +10819,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ridge_fit": _RIDGE_SQL,
         "perceptron_fit": _perceptron_sql(5),
+        "huffman_cost": _huffman_sql(25),
     }
