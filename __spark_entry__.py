@@ -8079,6 +8079,33 @@ def q_huffman_cost(spark, sf_dir):
     return huffman_cost(letter_weights(d, ["lang"]), ["lang"])
 
 
+def q_rbo_overlap(spark, sf_dir):
+    """Rank-biased overlap (operators/retrieval.rbo_overlap, Webber
+    2010) between the bm25 top-10 and the raw term-frequency top-10 per
+    query — does idf weighting change what users see? Exact integers:
+    each matched doc contributes the closed-form coefficient suffix sum
+    at greatest(ra, rb), scaled by lcm(1..10)*10^10 (den emitted); one
+    k-bounded equi-join + one query agg, corpus-size independent. FULL
+    oracle: bm25 chain + tf ranking + identical literal suffix table."""
+    from extractors_metadata_spark.operators.index_build import doc_postings
+    from extractors_metadata_spark.operators.retrieval import bm25_topk, rbo_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, word string")
+    rank_a = bm25_topk(docs, qdf, k=10)
+    postings = doc_postings(docs)
+    tfq = (
+        postings.join(F.broadcast(qdf.distinct()), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("n_hits").cast("long").alias("tf"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.desc("tf"), "doc_id")
+    rank_b = tfq.select(
+        "query_id", "doc_id", F.row_number().over(wb).cast("int").alias("rank")
+    ).filter(F.col("rank") <= 10)
+    return rbo_overlap(rank_a, rank_b, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8448,6 +8475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ridge_fit": q_ridge_fit,
         "perceptron_fit": q_perceptron_fit,
         "huffman_cost": q_huffman_cost,
+        "rbo_overlap": q_rbo_overlap,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -353,3 +353,65 @@ def hybrid_rrf(
         )
         .filter(F.col("hybrid_rank") <= k_out)
     )
+
+
+def rbo_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    top-``k`` rankings per query, as EXACT integers — the top-weighted
+    ranking-similarity measure for comparing retrieval strategies
+    (here: does idf weighting actually change what users see?).
+
+    Truncated form: RBO_k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ^ B_d| / d
+    with persistence p = p_num/p_den. Every term is rational, so the sum
+    scales to an exact integer by S = lcm(1..k) * p_den^k: a doc ranked
+    ra in A and rb in B is inside both prefixes for every d >=
+    max(ra, rb), so its total contribution is the coefficient SUFFIX SUM
+    from max(ra, rb) — per matched doc ONE literal lookup, no depth
+    fan-out. rbo_num / den = RBO_k (den emitted; full agreement gives
+    1 - p^k by truncation, documented).
+
+    Scale shape: one (query, doc) equi-join between two k-bounded
+    ranking frames + one query-keyed aggregate — cost O(queries * k),
+    corpus-size independent. int64 envelope: S < 2^63 needs
+    lcm(1..k) * p_den^k < 9.2e18 (k=10, p=9/10: 2.52e13 — wide margin).
+    """
+    lcm = 1
+    for d in range(1, k + 1):
+        lcm = lcm * d // math.gcd(lcm, d)
+    coef = [
+        (p_den - p_num) * (lcm // d) * (p_num ** (d - 1)) * (p_den ** (k - d))
+        for d in range(1, k + 1)
+    ]
+    den = lcm * p_den ** k
+    suf = [sum(coef[m:]) for m in range(k)]  # suf[m-1] = sum_{d=m..k} coef_d
+
+    a = rank_a.select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("_ra")
+    ).filter(F.col("_ra") <= k)
+    b = rank_b.select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("_rb")
+    ).filter(F.col("_rb") <= k)
+    m = F.greatest(F.col("_ra"), F.col("_rb"))
+    contrib = F.element_at(
+        F.array(*[F.lit(s).cast("long") for s in suf]), m
+    )
+    pairs = a.join(b, ["query_id", "doc_id"]).select(
+        "query_id", contrib.alias("_c")
+    )
+    per_q = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum("_c").alias("rbo_num"),
+    )
+    qdim = rank_a.select("query_id").distinct()
+    return qdim.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        F.coalesce(F.col("rbo_num"), F.lit(0).cast("long")).alias("rbo_num"),
+        F.lit(den).cast("long").alias("den"),
+    )

@@ -8292,6 +8292,64 @@ def _huffman_sql(stages: int = 25) -> str:
     )
 
 
+def _rbo_sql(k: int = 10, p_num: int = 9, p_den: int = 10) -> str:
+    """RBO replay: bm25 ranking (the proven _bm25_sql chain) vs the raw
+    term-frequency ranking off the same tokenization; each matched doc
+    contributes the coefficient suffix sum at greatest(ra, rb) — the
+    identical closed-form integer literals the operator builds."""
+    import math as _math
+
+    lcm = 1
+    for d in range(1, k + 1):
+        lcm = lcm * d // _math.gcd(lcm, d)
+    coef = [
+        (p_den - p_num) * (lcm // d) * (p_num ** (d - 1)) * (p_den ** (k - d))
+        for d in range(1, k + 1)
+    ]
+    den = lcm * p_den ** k
+    suf = [sum(coef[m:]) for m in range(k)]
+    whens = " ".join(f"WHEN {m + 1} THEN {suf[m]}" for m in range(k))
+    vals = ", ".join(f"('{q}', '{w}')" for q, w in _BM25_QUERIES)
+    return rf"""
+        WITH bm AS MATERIALIZED (SELECT * FROM ({_bm25_sql(k)}) t),
+        arrs2 AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+          FROM documents),
+        tt2 AS (
+          SELECT doc_id, arr[i + 1] AS tok
+          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs2)
+          WHERE length(arr[i + 1]) > 0),
+        postings2 AS (
+          SELECT tok, doc_id, count(*) AS tf FROM tt2 GROUP BY 1, 2),
+        qt2 AS (SELECT * FROM (VALUES {vals}) AS t(query_id, word)),
+        tfq AS (
+          SELECT qt2.query_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS tf
+          FROM postings2 p JOIN qt2 ON p.tok = qt2.word
+          GROUP BY 1, 2),
+        rnkb AS MATERIALIZED (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY tf DESC, doc_id) AS INT)
+                 AS rank
+          FROM tfq QUALIFY rank <= {k}),
+        pairs AS (
+          SELECT bm.query_id,
+                 CASE greatest(bm.rank, b.rank) {whens} END AS c
+          FROM bm JOIN rnkb b
+            ON b.query_id = bm.query_id AND b.doc_id = bm.doc_id),
+        perq AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+                 CAST(sum(c) AS BIGINT) AS rbo_num
+          FROM pairs GROUP BY 1)
+        SELECT q.query_id,
+               CAST(coalesce(p.n_overlap, 0) AS BIGINT) AS n_overlap,
+               CAST(coalesce(p.rbo_num, 0) AS BIGINT) AS rbo_num,
+               CAST({den} AS BIGINT) AS den
+        FROM (SELECT DISTINCT query_id FROM bm) q
+        LEFT JOIN perq p ON p.query_id = q.query_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -10820,4 +10878,5 @@ def oracle_sql() -> dict[str, str]:
         "ridge_fit": _RIDGE_SQL,
         "perceptron_fit": _perceptron_sql(5),
         "huffman_cost": _huffman_sql(25),
+        "rbo_overlap": _rbo_sql(10),
     }

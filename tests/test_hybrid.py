@@ -56,3 +56,49 @@ def test_hybrid_outer_fusion_missing_list(spark):
         if present == 1:
             rank = r["r_bm25"] or r["r_ql"]
             assert r["fused"] == 1.0 / (60.0 + rank)
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from extractors_metadata_spark.operators.retrieval import rbo_overlap
+
+    k = 10
+    ident = [("q", d, r) for r, d in enumerate(range(100, 110), 1)]
+    a = spark.createDataFrame(ident, "query_id string, doc_id long, rank int")
+    out = rbo_overlap(a, a, k=k).collect()[0]
+    # full agreement -> RBO = 1 - p^k exactly: num = lcm*(10^k - 9^k)
+    assert out["den"] == 2520 * 10**10
+    assert out["rbo_num"] == 2520 * (10**10 - 9**10)
+    assert out["n_overlap"] == 10
+
+    b = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate(range(500, 510), 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    out2 = rbo_overlap(a, b, k=k).collect()[0]
+    assert (out2["n_overlap"], out2["rbo_num"]) == (0, 0)
+
+
+def test_rbo_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    from extractors_metadata_spark.operators.retrieval import rbo_overlap
+
+    k = 10
+    docs_a = [3, 1, 4, 1000, 5, 9, 2, 6, 8, 7]
+    docs_b = [9, 3, 1, 5, 2000, 4, 7, 2, 3000, 6]
+    a = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate(docs_a, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate(docs_b, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = rbo_overlap(a, b, k=k).collect()[0]
+    # independent reference: prefix-overlap definition with Fractions
+    p = Fraction(9, 10)
+    rbo = Fraction(0)
+    for d in range(1, k + 1):
+        x = len(set(docs_a[:d]) & set(docs_b[:d]))
+        rbo += (1 - p) * p ** (d - 1) * Fraction(x, d)
+    assert Fraction(out["rbo_num"], out["den"]) == rbo
