@@ -8106,6 +8106,60 @@ def q_rbo_overlap(spark, sf_dir):
     return rbo_overlap(rank_a, rank_b, k=10)
 
 
+def q_soundex_blocks(spark, sf_dir):
+    """Phonetic blocking (functions/phonetic.soundex — frozen NARA
+    Soundex as one translate + bounded replace-collapse chain, pure
+    codegen) over the corpus vocabulary: per Soundex code the number of
+    distinct word forms it conflates + their tf/df mass — the
+    record-linkage blocking profile beside typo_pairs/stem_vocab. The
+    data-sized work is the proven postings aggregate; the phonetic
+    chain runs on the collapsed vocab dim. FULL oracle: identical
+    chain generated from the same frozen tables (soundex_sql)."""
+    from extractors_metadata_spark.functions.phonetic import soundex
+    from extractors_metadata_spark.operators.index_build import doc_postings
+
+    p = doc_postings(_t(spark, sf_dir, "documents"))
+    vocab = p.groupBy("word").agg(
+        F.sum("n_hits").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    coded = vocab.select(soundex(F.col("word")).alias("sdx"), "tf", "df")
+    return coded.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forms"),
+        F.sum("tf").alias("tf"),
+        F.sum("df").alias("df"),
+    )
+
+
+def q_luhn_validate(spark, sf_dir):
+    """Luhn mod-10 validation (operators/checksum.py) of card-shaped
+    candidates synthesized deterministically from doc_id ('4' + 14
+    lpad digits + doc_id%10 pseudo check digit — ~1 in 10 validates):
+    the PII-candidate screen after pii_counts' pattern extraction.
+    Pure JVM higher-order functions (transform over sequence +
+    aggregate fold — no explode, no Python); DuckDB replays with
+    list_transform + list_sum on the shared lambda body. FULL oracle."""
+    from extractors_metadata_spark.operators.checksum import luhn_sum, luhn_valid
+
+    d = _t(spark, sf_dir, "documents")
+    num = F.concat(
+        F.lit("4"),
+        F.lpad(
+            ((F.col("doc_id") * 9973 + 12345) % F.lit(10**14)).cast("string"),
+            14,
+            "0",
+        ),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    cand = d.select("doc_id", num.alias("num"))
+    return cand.select(
+        "doc_id",
+        "num",
+        luhn_sum("num").cast("long").alias("luhn_sum"),
+        luhn_valid("num").alias("valid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8476,6 +8530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_fit": q_perceptron_fit,
         "huffman_cost": q_huffman_cost,
         "rbo_overlap": q_rbo_overlap,
+        "soundex_blocks": q_soundex_blocks,
+        "luhn_validate": q_luhn_validate,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

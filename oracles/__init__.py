@@ -8350,6 +8350,55 @@ def _rbo_sql(k: int = 10, p_num: int = 9, p_den: int = 10) -> str:
     """
 
 
+def _soundex_blocks_sql() -> str:
+    """Vocabulary Soundex blocks: the bm25 tokenization CTEs collapsed
+    to a vocab dim, then the FROZEN phonetic chain generated from the
+    same tables as the Spark Column builder (soundex_sql — the two
+    engines cannot drift)."""
+    from extractors_metadata_spark.functions.phonetic import soundex_sql
+
+    return rf"""
+        WITH arrs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+          FROM documents),
+        tt AS (
+          SELECT doc_id, arr[i + 1] AS tok
+          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM arrs)
+          WHERE length(arr[i + 1]) > 0),
+        postings AS (
+          SELECT tok, doc_id, count(*) AS tf FROM tt GROUP BY 1, 2),
+        vocab AS (
+          SELECT tok AS word, CAST(sum(tf) AS BIGINT) AS tf,
+                 CAST(count(*) AS BIGINT) AS df
+          FROM postings GROUP BY 1),
+        coded AS (
+          SELECT {soundex_sql('word')} AS sdx, tf, df FROM vocab)
+        SELECT sdx, CAST(count(*) AS BIGINT) AS n_forms,
+               CAST(sum(tf) AS BIGINT) AS tf, CAST(sum(df) AS BIGINT) AS df
+        FROM coded GROUP BY 1
+    """
+
+
+def _luhn_sql() -> str:
+    """Luhn validation of the doc_id-derived candidates: identical
+    lpad/concat synthesis + the shared lambda body via luhn_sum_sql."""
+    from extractors_metadata_spark.operators.checksum import luhn_sum_sql
+
+    return f"""
+        WITH cand AS (
+          SELECT doc_id,
+                 '4' || lpad(CAST((doc_id * 9973 + 12345) % 100000000000000
+                                  AS VARCHAR), 14, '0')
+                     || CAST(doc_id % 10 AS VARCHAR) AS num
+          FROM documents)
+        SELECT doc_id, num,
+               CAST({luhn_sum_sql('num')} AS BIGINT) AS luhn_sum,
+               CAST(CASE WHEN {luhn_sum_sql('num')} % 10 = 0
+                         THEN 1 ELSE 0 END AS INT) AS valid
+        FROM cand
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -10879,4 +10928,6 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_fit": _perceptron_sql(5),
         "huffman_cost": _huffman_sql(25),
         "rbo_overlap": _rbo_sql(10),
+        "soundex_blocks": _soundex_blocks_sql(),
+        "luhn_validate": _luhn_sql(),
     }
