@@ -8160,6 +8160,35 @@ def q_luhn_validate(spark, sf_dir):
     )
 
 
+def q_code_size_compare(spark, sf_dir):
+    """Integer-coding shoot-out (operators/index_build.code_size_compare)
+    per term over the posting gap lists: exact total bits under Elias
+    gamma, Elias delta, Rice(k=3) and varint — all closed forms of the
+    unpadded bin() bit length (the posting_compress precedent), one
+    word-keyed window + agg on the same Exchange. FULL oracle."""
+    from extractors_metadata_spark.operators.index_build import code_size_compare
+
+    return code_size_compare(_t(spark, sf_dir, "documents"))
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Bounded-radius harmonic centrality (operators/linkgraph
+    .harmonic_centrality, Boldi & Vigna 2014) of seed nodes 0..9 over
+    the symmetrized zipf link graph, K=4: exact integer sum of
+    lcm(1..4) div hop per reached node (den=12 emitted). (seed, node)-
+    keyed delta BFS, anti-join settles, localCheckpoint rounds — the
+    exact seed-set answer beside anf_registers' every-node sketch.
+    FULL oracle: 4 unrolled reach stages with EXCEPT settles."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        harmonic_centrality,
+        zipf_link_graph,
+    )
+
+    edges = zipf_link_graph(_t(spark, sf_dir, "events"))
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return harmonic_centrality(edges, seeds, hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8532,6 +8561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_overlap": q_rbo_overlap,
         "soundex_blocks": q_soundex_blocks,
         "luhn_validate": q_luhn_validate,
+        "code_size_compare": q_code_size_compare,
+        "harmonic_centrality": q_harmonic_centrality,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

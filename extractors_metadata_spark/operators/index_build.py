@@ -119,3 +119,57 @@ def posting_compress(
         F.sum("_vb").cast("long").alias("bytes_varint"),
         (F.count(F.lit(1)) * 8).cast("long").alias("bytes_raw"),
     )
+
+
+def code_size_compare(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", rice_k: int = 3
+) -> DataFrame:
+    """Integer-coding shoot-out per term: exact total BITS of the doc-id
+    gap list under Elias gamma, Elias delta, Rice(k) and varint — the
+    compression-engineering companion to ``posting_compress`` that
+    answers WHICH code to pick per posting list (gamma wins on dense
+    stopword lists, Rice on geometric gaps, varint on byte-aligned
+    wire formats).
+
+    All sizes are closed forms of ``blen(g) = length(bin(g))`` (the
+    unpadded-binary bit length both engines produce — the
+    posting_compress precedent) on gaps >= 1:
+
+    - gamma:  2*blen(g) - 1               (Elias 1975)
+    - delta:  blen(g) - 1 + 2*blen(blen(g)) - 1
+    - rice:   ((g - 1) div 2^k) + 1 + k   (code v = g-1, unary q + k LSBs)
+    - varint: 8 * ((blen(g) + 6) div 7)
+
+    Plan: identical to posting_compress — the postings collapse, ONE
+    word-keyed lag window and the aggregate all on the same Exchange.
+    """
+    from pyspark.sql import Window
+
+    pl = doc_postings(df, text_col, id_col).select("word", "doc_id")
+    w = Window.partitionBy("word").orderBy("doc_id")
+    gaps = pl.withColumn(
+        "_gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ),
+    ).withColumn("_bl", F.expr("length(bin(_gap))"))
+    div = 2 ** int(rice_k)
+    sized = (
+        gaps.withColumn("_gamma", F.lit(2) * F.col("_bl") - 1)
+        .withColumn(
+            "_delta",
+            F.col("_bl") - 1 + F.lit(2) * F.expr("length(bin(_bl))") - 1,
+        )
+        .withColumn(
+            "_rice", F.expr(f"(_gap - 1) div {div}") + F.lit(1 + int(rice_k))
+        )
+        .withColumn("_vbits", F.expr("8 * ((length(bin(_gap)) + 6) div 7)"))
+    )
+    return sized.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+        F.sum("_gamma").cast("long").alias("bits_gamma"),
+        F.sum("_delta").cast("long").alias("bits_delta"),
+        F.sum("_rice").cast("long").alias("bits_rice"),
+        F.sum("_vbits").cast("long").alias("bits_varint"),
+    )

@@ -8399,6 +8399,56 @@ def _luhn_sql() -> str:
     """
 
 
+def _harmonic_sql(hops: int = 4, n_seeds: int = 10) -> str:
+    """harmonic_centrality replay: the zipf symmetrized edge set, then
+    ``hops`` unrolled delta-BFS stages — new nodes at hop r = frontier
+    neighbors EXCEPT everything settled (the k_hop oracle discipline) —
+    and the lcm//hop rollup per seed."""
+    import math as _math
+
+    lcm = 1
+    for d in range(1, hops + 1):
+        lcm = lcm * d // _math.gcd(lcm, d)
+    parts = [
+        """edges0 AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events)""",
+        """sym AS MATERIALIZED (
+          SELECT src, dst FROM edges0 WHERE src != dst
+          UNION
+          SELECT dst AS src, src AS dst FROM edges0 WHERE src != dst)""",
+        f"""s0 AS MATERIALIZED (
+          SELECT seed, seed AS node, 0 AS hop
+          FROM (SELECT unnest(range(0, {n_seeds})) AS seed))""",
+    ]
+    prev_s, prev_f = "s0", "s0"
+    for r in range(1, hops + 1):
+        parts.append(f"""n{r} AS MATERIALIZED (
+          SELECT seed, node, {r} AS hop FROM (
+            SELECT DISTINCT f.seed, e.dst AS node
+            FROM {prev_f} f JOIN sym e ON e.src = f.node
+            EXCEPT
+            SELECT seed, node FROM {prev_s}))""")
+        parts.append(f"""s{r} AS MATERIALIZED (
+          SELECT seed, node, hop FROM {prev_s}
+          UNION ALL SELECT seed, node, hop FROM n{r})""")
+        prev_s, prev_f = f"s{r}", f"n{r}"
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+    perseed AS (
+      SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum({lcm} // hop) AS BIGINT) AS harm_num
+      FROM {prev_s} WHERE hop > 0 GROUP BY 1)
+    SELECT sd.seed,
+           CAST(coalesce(p.n_reached, 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(p.harm_num, 0) AS BIGINT) AS harm_num,
+           CAST({lcm} AS BIGINT) AS den
+    FROM (SELECT CAST(unnest(range(0, {n_seeds})) AS BIGINT) AS seed) sd
+    LEFT JOIN perseed p ON p.seed = sd.seed"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -10930,4 +10980,30 @@ def oracle_sql() -> dict[str, str]:
         "rbo_overlap": _rbo_sql(10),
         "soundex_blocks": _soundex_blocks_sql(),
         "luhn_validate": _luhn_sql(),
+        "harmonic_centrality": _harmonic_sql(4, 10),
+        "code_size_compare": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+            pl AS (
+              SELECT tok AS word, doc_id
+              FROM toks WHERE length(tok) > 0
+              GROUP BY 1, 2),
+            gaps AS (
+              SELECT word,
+                     coalesce(doc_id - lag(doc_id) OVER (PARTITION BY word
+                                                         ORDER BY doc_id),
+                              doc_id + 1) AS gap
+              FROM pl),
+            sized AS (
+              SELECT word, gap, length(bin(gap)) AS bl FROM gaps)
+            SELECT word, CAST(count(*) AS BIGINT) AS df_docs,
+                   CAST(sum(2 * bl - 1) AS BIGINT) AS bits_gamma,
+                   CAST(sum(bl - 1 + 2 * length(bin(bl)) - 1) AS BIGINT)
+                     AS bits_delta,
+                   CAST(sum((gap - 1) // 8 + 4) AS BIGINT) AS bits_rice,
+                   CAST(sum(8 * ((bl + 6) // 7)) AS BIGINT) AS bits_varint
+            FROM sized GROUP BY 1
+        """,
     }

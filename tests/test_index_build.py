@@ -77,3 +77,17 @@ def test_posting_compress_large_gap_width(spark):
     )
     r = posting_compress(df).collect()[0]
     assert r["bytes_varint"] == 1 + 9
+
+
+def test_code_size_compare_hand_gaps(spark):
+    # docs 0,1,9 for word "w": gaps 1,1,8 -> blen 1,1,4
+    # gamma: 1+1+7=9; delta: 1+1+(3+2*3-1... blen=4 -> 4-1+2*3-1=8) -> 10
+    # rice(k=3): 4+4+(7//8+4=4)=12; varint: 8*3=24
+    from extractors_metadata_spark.operators.index_build import code_size_compare
+
+    df = spark.createDataFrame(
+        [(0, "w"), (1, "w"), (9, "w")], "doc_id long, text string"
+    )
+    r = code_size_compare(df).collect()[0]
+    assert (r["df_docs"], r["bits_gamma"], r["bits_delta"],
+            r["bits_rice"], r["bits_varint"]) == (3, 9, 10, 12, 24)

@@ -309,3 +309,33 @@ def test_ams_f2_hand_moments(spark):
     for r in rows:
         assert abs(r["signed_sum"]) in (1, 3)
         assert r["f2_est"] == r["signed_sum"] ** 2
+
+
+def test_harmonic_centrality_path_and_isolate(spark):
+    from pyspark.sql import functions as F
+    from extractors_metadata_spark.operators.linkgraph import harmonic_centrality
+
+    # path 0-1-2-3-4-5 (undirected); seeds 0 (end) and 99 (isolated)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    out = {r["seed"]: r for r in harmonic_centrality(edges, seeds, hops=4).collect()}
+    # seed 0 reaches 1..4 at hops 1..4: num = 12+6+4+3 = 25 over den 12
+    assert (out[0]["n_reached"], out[0]["harm_num"], out[0]["den"]) == (4, 25, 12)
+    assert (out[99]["n_reached"], out[99]["harm_num"]) == (0, 0)
+
+
+def test_harmonic_centrality_star_center_vs_leaf(spark):
+    from extractors_metadata_spark.operators.linkgraph import harmonic_centrality
+
+    # star: center 0, leaves 1..6
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    out = {r["seed"]: r for r in harmonic_centrality(edges, seeds, hops=4).collect()}
+    # center: 6 leaves at hop 1 -> 6*12 = 72
+    assert (out[0]["n_reached"], out[0]["harm_num"]) == (6, 72)
+    # leaf: center at hop 1 (12) + 5 leaves at hop 2 (5*6=30) = 42
+    assert (out[1]["n_reached"], out[1]["harm_num"]) == (6, 42)
