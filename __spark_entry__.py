@@ -8189,6 +8189,35 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(edges, seeds, hops=4)
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Calibration audit (operators/calibration.calibration_bins) of the
+    heuristic en-scorer against the true lang label: score = en-marker
+    char mass over padded length, floor-quantized to 1e4 fixed point
+    (least((hits*40000) div len, 10000) — exact ints both engines),
+    binned into deciles; per bin the reliability (n, n_pos, sum_score)
+    and Brier (sum (s - y*1e4)^2) sufficient statistics — no float
+    leaves the operator. One projection + one 10-ary agg. FULL oracle."""
+    from extractors_metadata_spark.operators.calibration import calibration_bins
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.least(
+            F.expr(
+                "(("
+                + " + ".join(
+                    f"(length(concat(' ', lower(text), ' ')) - "
+                    f"length(replace(concat(' ', lower(text), ' '), '{m}', '')))"
+                    for m in [" the ", " and ", " of ", " to ", " is "]
+                )
+                + ") * 40000) div length(concat(' ', lower(text), ' '))"
+            ),
+            F.lit(10000).cast("long"),
+        ).alias("s_fp"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return calibration_bins(scored, "s_fp", "y", scale=10000, n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8563,6 +8592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_validate": q_luhn_validate,
         "code_size_compare": q_code_size_compare,
         "harmonic_centrality": q_harmonic_centrality,
+        "calibration_bins": q_calibration_bins,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -10981,6 +10981,27 @@ def oracle_sql() -> dict[str, str]:
         "soundex_blocks": _soundex_blocks_sql(),
         "luhn_validate": _luhn_sql(),
         "harmonic_centrality": _harmonic_sql(4, 10),
+        "calibration_bins": """
+            WITH pads AS (
+              SELECT ' ' || lower(text) || ' ' AS pad,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            scored AS (
+              SELECT least((((length(pad) - length(replace(pad, ' the ', ''))) + (length(pad) - length(replace(pad, ' and ', ''))) + (length(pad) - length(replace(pad, ' of ', ''))) + (length(pad) - length(replace(pad, ' to ', ''))) + (length(pad) - length(replace(pad, ' is ', '')))) * 40000) // length(pad),
+                           10000) AS s_fp,
+                     CAST(y AS BIGINT) AS y
+              FROM pads),
+            binned AS (
+              SELECT least(s_fp * 10 // 10000, 9) AS bin, s_fp, y,
+                     (s_fp - y * 10000) * (s_fp - y * 10000) AS e2
+              FROM scored)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(s_fp) AS BIGINT) AS sum_score,
+                   CAST(sum(e2) AS BIGINT) AS brier_num
+            FROM binned GROUP BY 1
+        """,
         "code_size_compare": r"""
             WITH toks AS (
               SELECT doc_id,
