@@ -8218,6 +8218,27 @@ def q_calibration_bins(spark, sf_dir):
     return calibration_bins(scored, "s_fp", "y", scale=10000, n_bins=10)
 
 
+def q_ntt_autocorr(spark, sf_dir):
+    """Exact circular autocorrelation via number-theoretic transform
+    (operators/ntt.py): per user the 32-bin (day mod 32) activity
+    profile, counts capped at 1000 (r < p = 998244353 envelope), the
+    radix-2 NTT over Z_p vectorized across keys in one Arrow pass —
+    the exact-arithmetic FFT this engine's float rules forbid. THE
+    ORACLE IS NOT A REPLAY: DuckDB computes the O(n^2) definition
+    sum x[i]*x[(i+k) mod 32], so the butterfly pipeline is checked
+    against the mathematics (the url_dedup closed-form discipline)."""
+    from extractors_metadata_spark.operators.ntt import ntt_autocorr
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") % 32
+        ).alias("bin"),
+    )
+    counts = e.groupBy("user_id", "bin").agg(F.count(F.lit(1)).alias("n"))
+    return ntt_autocorr(counts, ["user_id"], n=32, cap=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8593,6 +8614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_size_compare": q_code_size_compare,
         "harmonic_centrality": q_harmonic_centrality,
         "calibration_bins": q_calibration_bins,
+        "ntt_autocorr": q_ntt_autocorr,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -519,6 +519,19 @@ def main() -> None:
         # letter-weight agg + the bounded applyInPandas construction
         # are load-bearing through the grouped output.
         "huffman_cost",
+        # soundex_blocks counts the phonetic-block agg (postings +
+        # vocab + chain all load-bearing); code_size_compare counts the
+        # per-term sizing agg off the gap window.
+        "soundex_blocks",
+        "code_size_compare",
+        # harmonic_centrality counts the per-seed rollup off the BFS
+        # rounds (actions run during construction); ntt_autocorr counts
+        # the (key, lag) fan-out off the Arrow NTT pass; rbo_overlap and
+        # calibration_bins count bounded frames off load-bearing aggs.
+        "harmonic_centrality",
+        "ntt_autocorr",
+        "rbo_overlap",
+        "calibration_bins",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

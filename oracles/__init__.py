@@ -11002,6 +11002,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(e2) AS BIGINT) AS brier_num
             FROM binned GROUP BY 1
         """,
+        "ntt_autocorr": """
+            WITH ev AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 86400000000) % 32 AS bin
+              FROM events),
+            cnts AS (
+              SELECT user_id, bin,
+                     least(CAST(count(*) AS BIGINT), 1000) AS x
+              FROM ev GROUP BY 1, 2),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            grid AS MATERIALIZED (
+              SELECT u.user_id, b.bin, coalesce(c.x, 0) AS x
+              FROM users u
+              CROSS JOIN (SELECT unnest(range(0, 32)) AS bin) b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.bin = b.bin),
+            lags AS (SELECT unnest(range(0, 32)) AS lag)
+            SELECT a.user_id, CAST(l.lag AS BIGINT) AS lag,
+                   CAST(sum(a.x * b.x) AS BIGINT) AS autocorr
+            FROM grid a CROSS JOIN lags l
+            JOIN grid b ON b.user_id = a.user_id
+                       AND b.bin = (a.bin + l.lag) % 32
+            GROUP BY 1, 2
+        """,
         "code_size_compare": r"""
             WITH toks AS (
               SELECT doc_id,
