@@ -8239,6 +8239,69 @@ def q_ntt_autocorr(spark, sf_dir):
     return ntt_autocorr(counts, ["user_id"], n=32, cap=1000)
 
 
+def q_cramer_von_mises(spark, sf_dir):
+    """Two-sample Cramer-von Mises U per user ('click' vs 'view'
+    values) — the INTEGRATED ECDF-distance sibling of ks_test's sup
+    statistic (CvM weighs the whole distribution, KS only the worst
+    point): with pooled ranks r_i / s_j and within-sample ranks i / j
+    under the FROZEN unique ordering (v, sample, event_id),
+    U = n1*sum(r_i - i)^2 + n2*sum(s_j - j)^2 — pure integers (the
+    T statistic U/(n1 n2 N) - (4 n1 n2 - 1)/(6N) stays consumer-side).
+    Deterministic tie handling (the runs_test discipline). Two
+    same-ordered windows + one agg on one user Exchange. FULL oracle:
+    verbatim rank replay."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("v", "g1", "event_id")
+    ww = Window.partitionBy("user_id", "g1").orderBy("v", "g1", "event_id")
+    ranked = e.select(
+        "user_id",
+        "g1",
+        (F.row_number().over(wp).cast("long") - F.row_number().over(ww).cast("long")).alias("_d"),
+    )
+    agg = ranked.groupBy("user_id").agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("_d") * F.col("_d")).otherwise(0))
+        .cast("long")
+        .alias("_s1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("_d") * F.col("_d")).otherwise(0))
+        .cast("long")
+        .alias("_s2"),
+    )
+    return agg.select(
+        "user_id",
+        "n1",
+        "n2",
+        (F.col("n1") * F.col("_s1") + F.col("n2") * F.col("_s2")).alias("u_stat"),
+    )
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Matrix profile (operators/matrixprofile.py, Yeh/Keogh ICDM 2016)
+    per user over the zero-filled daily count series: for every m=7-day
+    window the exact integer squared distance to (and index of) its
+    nearest neighbor window outside the |i-j| >= 4 exclusion zone —
+    motif/discord detection for every event stream at once. Pairs
+    vectorized across keys in one Arrow pass on the bounded 24x24 grid;
+    ties freeze to the smallest index. FULL oracle: window/pair/argmin
+    replay (range-join windows + composite row_number)."""
+    from extractors_metadata_spark.operators.matrixprofile import matrix_profile
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return matrix_profile(counts, ["user_id"], bin_col="day", n_col="n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8615,6 +8678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "calibration_bins": q_calibration_bins,
         "ntt_autocorr": q_ntt_autocorr,
+        "cramer_von_mises": q_cramer_von_mises,
+        "matrix_profile": q_matrix_profile,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

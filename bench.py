@@ -532,6 +532,11 @@ def main() -> None:
         "ntt_autocorr",
         "rbo_overlap",
         "calibration_bins",
+        # cramer_von_mises counts the per-user U frame (rank windows +
+        # agg load-bearing); matrix_profile counts the (key, window)
+        # fan-out off the Arrow pair pass.
+        "cramer_von_mises",
+        "matrix_profile",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

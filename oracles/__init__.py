@@ -11025,6 +11025,71 @@ def oracle_sql() -> dict[str, str]:
                        AND b.bin = (a.bin + l.lag) % 32
             GROUP BY 1, 2
         """,
+        "cramer_von_mises": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+              FROM events WHERE event_type IN ('click', 'view')),
+            ranked AS (
+              SELECT user_id, g1,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                            ORDER BY v, g1, event_id) AS BIGINT)
+                     - CAST(row_number() OVER (PARTITION BY user_id, g1
+                            ORDER BY v, g1, event_id) AS BIGINT) AS d
+              FROM e),
+            agg AS (
+              SELECT user_id,
+                     CAST(sum(g1) AS BIGINT) AS n1,
+                     CAST(sum(1 - g1) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN g1 = 1 THEN d * d ELSE 0 END)
+                          AS BIGINT) AS s1,
+                     CAST(sum(CASE WHEN g1 = 0 THEN d * d ELSE 0 END)
+                          AS BIGINT) AS s2
+              FROM ranked GROUP BY 1)
+            SELECT user_id, n1, n2,
+                   CAST(n1 * s1 + n2 * s2 AS BIGINT) AS u_stat
+            FROM agg
+        """,
+        "matrix_profile": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            cnts AS (
+              SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi,
+                              max(day) - min(day) + 1 AS t FROM cnts),
+            bins AS (
+              SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.day - (SELECT lo FROM bounds) AS t,
+                     CAST(coalesce(c.c, 0) AS BIGINT) AS x
+              FROM users u CROSS JOIN bins b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.day = b.day),
+            ws AS (SELECT unnest(range(0, (SELECT t FROM bounds) - 6)) AS wi),
+            win AS MATERIALIZED (
+              SELECT f.user_id, w.wi, f.t - w.wi AS pos, f.x
+              FROM filled f JOIN ws w
+                ON f.t >= w.wi AND f.t < w.wi + 7),
+            d2 AS (
+              SELECT a.user_id, a.wi AS i, b.wi AS j,
+                     CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+              FROM win a JOIN win b
+                ON b.user_id = a.user_id AND b.pos = a.pos
+               AND abs(a.wi - b.wi) >= 4
+              GROUP BY 1, 2, 3),
+            rk AS (
+              SELECT user_id, i, d2, j,
+                     row_number() OVER (PARTITION BY user_id, i
+                                        ORDER BY d2, j) AS rn
+              FROM d2)
+            SELECT user_id, CAST(i AS BIGINT) AS wi,
+                   CAST(d2 AS BIGINT) AS mp_dist2,
+                   CAST(j AS BIGINT) AS mp_idx
+            FROM rk WHERE rn = 1
+        """,
         "code_size_compare": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -1,0 +1,140 @@
+"""Session-10 statistics additions: hand goldens computed independently
+of the implementations (registry queries also carry full DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_cramer_von_mises_hand_case(spark):
+    """A = {1,3} clicks, B = {2,4} views for one user: pooled ranks
+    A:(1,3) B:(2,4), within-ranks (1,2) each -> devs A:(0,1) B:(1,2);
+    U = 2*(0+1) + 2*(1+4) = 12."""
+    import __spark_entry__ as entry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 1e-6),
+        (2, t0, 7, "click", 3e-6),
+        (3, t0, 7, "view", 2e-6),
+        (4, t0, 7, "view", 4e-6),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.createOrReplaceTempView("_cvm_events")
+
+    # drive the same arithmetic as q_cramer_von_mises on the tiny frame
+    from pyspark.sql import Window
+
+    e = df.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("v", "g1", "event_id")
+    ww = Window.partitionBy("user_id", "g1").orderBy("v", "g1", "event_id")
+    ranked = e.select(
+        "user_id",
+        "g1",
+        (
+            F.row_number().over(wp).cast("long")
+            - F.row_number().over(ww).cast("long")
+        ).alias("d"),
+    )
+    agg = ranked.groupBy("user_id").agg(
+        F.sum("g1").alias("n1"),
+        F.sum(1 - F.col("g1")).alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("d") * F.col("d")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("d") * F.col("d")).otherwise(0)).alias("s2"),
+    ).collect()[0]
+    u = agg["n1"] * agg["s1"] + agg["n2"] * agg["s2"]
+    assert (agg["n1"], agg["n2"], u) == (2, 2, 12)
+
+
+def test_cramer_von_mises_identical_samples_zero(spark):
+    """Interleaved identical-shape samples give the minimal U: devs are
+    constant within each sample (A always 'i-th pooled odd slot')."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(5):
+        rows.append((2 * i + 1, t0, 1, "click", float(2 * i + 1) * 1e-6))
+        rows.append((2 * i + 2, t0, 1, "view", float(2 * i + 2) * 1e-6))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pyspark.sql import Window
+
+    e = df.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("v", "g1", "event_id")
+    ww = Window.partitionBy("user_id", "g1").orderBy("v", "g1", "event_id")
+    d = e.select(
+        "g1",
+        (
+            F.row_number().over(wp).cast("long")
+            - F.row_number().over(ww).cast("long")
+        ).alias("d"),
+    ).collect()
+    # clicks at pooled positions 1,3,5,7,9 -> devs 0,1,2,3,4
+    # views at 2,4,6,8,10 -> devs 1,2,3,4,5
+    devs_click = sorted(r["d"] for r in d if r["g1"] == 1)
+    devs_view = sorted(r["d"] for r in d if r["g1"] == 0)
+    assert devs_click == [0, 1, 2, 3, 4]
+    assert devs_view == [1, 2, 3, 4, 5]
+
+
+def test_matrix_profile_motif_and_discord(spark):
+    """Series with an exact repeated motif and one spike discord: the
+    repeated windows find each other at distance 0; the spike window's
+    profile is large."""
+    from extractors_metadata_spark.operators.matrixprofile import matrix_profile
+
+    # T=20: pattern [1,2,3,4,5,6,7] at t=0 and t=10 (exact repeat),
+    # zeros elsewhere except a spike 50 at t=8.
+    xs = [0] * 20
+    for t, v in enumerate([1, 2, 3, 4, 5, 6, 7]):
+        xs[t] = v
+        xs[10 + t] = v
+    xs[8] = 50
+    rows = [("k", b, v) for b, v in enumerate(xs) if v != 0]
+    df = spark.createDataFrame(rows, "k string, bin long, n long")
+    out = {
+        r["wi"]: r
+        for r in matrix_profile(
+            df, ["k"], m=7, excl=4, bin_lo=0, bin_hi=19
+        ).collect()
+    }
+    assert len(out) == 14  # nw = 20 - 7 + 1
+    # motif: window 0 matches window 10 exactly (and vice versa)
+    assert (out[0]["mp_dist2"], out[0]["mp_idx"]) == (0, 10)
+    assert (out[10]["mp_dist2"], out[10]["mp_idx"]) == (0, 0)
+    # the spike at t=8 dominates windows 2..8; window 8 starts at the
+    # spike — its nearest admissible neighbor must still pay >= 50^2
+    # minus shared mass; it is the discord (max profile value)
+    discord = max(out.values(), key=lambda r: r["mp_dist2"])
+    assert 2 <= discord["wi"] <= 8
+
+
+def test_matrix_profile_tie_breaks_smallest_index(spark):
+    from extractors_metadata_spark.operators.matrixprofile import matrix_profile
+
+    # all-zero series: every pair distance 0 -> idx = smallest admissible j
+    df = spark.createDataFrame([("k", 0, 0)], "k string, bin long, n long")
+    out = {
+        r["wi"]: r["mp_idx"]
+        for r in matrix_profile(
+            df, ["k"], m=7, excl=4, bin_lo=0, bin_hi=19
+        ).collect()
+    }
+    assert out[0] == 4     # first admissible j for wi=0
+    assert out[13] == 0    # smallest admissible j overall for wi=13
+    assert out[5] == 0     # |5-0| >= 4 -> 0 admissible and smallest
