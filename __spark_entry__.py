@@ -8302,6 +8302,99 @@ def q_matrix_profile(spark, sf_dir):
     return matrix_profile(counts, ["user_id"], bin_col="day", n_col="n")
 
 
+def q_species_richness(spark, sf_dir):
+    """Vocabulary richness estimators (Chao 1984 / Burnham-Overton
+    jackknife) over the corpus: how many word types EXIST given the
+    types we saw — the coverage question behind tokenizer sizing and
+    crawl-stopping rules, the closed-form cousins of heaps_fit's curve
+    extrapolation. Exact integer ingredients only: observed types D,
+    singletons f1, doubletons f2, tokens n; Chao1 = D + f1^2/(2 f2) and
+    JK1 = D + f1 (n-1)/n stay consumer-side rationals. One postings
+    agg + one bounded rollup. FULL oracle."""
+    from extractors_metadata_spark.operators.index_build import doc_postings
+
+    p = doc_postings(_t(spark, sf_dir, "documents"))
+    vocab = p.groupBy("word").agg(F.sum("n_hits").cast("long").alias("tf"))
+    return vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("d_obs"),
+        F.sum((F.col("tf") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("tf") == 2).cast("long")).alias("f2"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+
+
+def q_bray_curtis(spark, sf_dir):
+    """Bray-Curtis dissimilarity ingredients between source vocabularies
+    — the abundance-weighted corpus-composition distance beside
+    source_divergence's KL: BC(a,b) = 1 - 2*sum min(tf_a, tf_b) /
+    (n_a + n_b), emitted as the exact integers (c2 = 2*sum min, n_a,
+    n_b) per unordered source pair. The (word, source) agg is the only
+    data-sized Exchange; pairs join on the collapsed vocab frame with
+    src_a < src_b. FULL oracle."""
+    from extractors_metadata_spark.operators.index_build import doc_postings
+
+    d = _t(spark, sf_dir, "documents")
+    p = doc_postings(d).join(d.select("doc_id", "source"), "doc_id")
+    sv = p.groupBy("source", "word").agg(
+        F.sum("n_hits").cast("long").alias("tf")
+    )
+    tot = sv.groupBy("source").agg(F.sum("tf").alias("n_tok"))
+    a = sv.select(
+        F.col("source").alias("src_a"), "word", F.col("tf").alias("tf_a")
+    )
+    b = sv.select(
+        F.col("source").alias("src_b"), "word", F.col("tf").alias("tf_b")
+    )
+    shared = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg((2 * F.sum(F.least("tf_a", "tf_b"))).cast("long").alias("c2"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_tok").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_tok").alias("n_b"))
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(shared, ["src_a", "src_b"], "left")
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.coalesce(F.col("c2"), F.lit(0).cast("long")).alias("c2"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+def q_salt_plan(spark, sf_dir):
+    """Skew-salting advisor (the operators/skew.py planning view): per
+    hot cell key (tile z12 occupancy) the salt fan-out ceil(n/target)
+    the repartitioner would apply, target = 2000 rows/task — the
+    explicit-skew-handling story of the north rule made inspectable:
+    emit every key whose count exceeds target with its n, salt factor
+    and post-salt max partition load (exact ceil divisions via
+    (n + t - 1) div t). One aggregate; the advisor output is dim-sized.
+    FULL oracle."""
+    e = _t(spark, sf_dir, "events")
+    # the zipf hub mapping (zipf_link_graph's dst rule): cell c is hit by
+    # ~the c-th harmonic share — REAL skew, which is what the advisor is for
+    cells = e.select(
+        F.expr("4096 div (1 + (event_id % 4096))").alias("cell")
+    )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = 500
+    hot = counts.filter(F.col("n") > t)
+    return hot.select(
+        "cell",
+        "n",
+        F.expr(f"(n + {t} - 1) div {t}").alias("salt"),
+        F.expr(f"(n + ((n + {t} - 1) div {t}) - 1) div ((n + {t} - 1) div {t})").alias(
+            "max_load"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8680,6 +8773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntt_autocorr": q_ntt_autocorr,
         "cramer_von_mises": q_cramer_von_mises,
         "matrix_profile": q_matrix_profile,
+        "species_richness": q_species_richness,
+        "bray_curtis": q_bray_curtis,
+        "salt_plan": q_salt_plan,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

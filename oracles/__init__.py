@@ -11090,6 +11090,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(j AS BIGINT) AS mp_idx
             FROM rk WHERE rn = 1
         """,
+        "species_richness": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+            tt AS (SELECT tok, count(*) AS tf
+                   FROM toks WHERE length(tok) > 0 GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS d_obs,
+                   CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens
+            FROM tt
+        """,
+        "bray_curtis": r"""
+            WITH toks AS (
+              SELECT d.doc_id, d.source,
+                     unnest(string_split_regex(trim(lower(d.text)), '\s+')) AS tok
+              FROM documents d),
+            sv AS MATERIALIZED (
+              SELECT source, tok AS word, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tok
+                    FROM sv GROUP BY 1),
+            shared AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(2 * sum(least(a.tf, b.tf)) AS BIGINT) AS c2
+              FROM sv a JOIN sv b
+                ON b.word = a.word AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT ta.source AS src_a, tb.source AS src_b,
+                   CAST(coalesce(s.c2, 0) AS BIGINT) AS c2,
+                   ta.n_tok AS n_a, tb.n_tok AS n_b
+            FROM tot ta JOIN tot tb ON ta.source < tb.source
+            LEFT JOIN shared s
+              ON s.src_a = ta.source AND s.src_b = tb.source
+        """,
+        "salt_plan": """
+            WITH cells AS (
+              SELECT 4096 // (1 + (event_id % 4096)) AS cell FROM events),
+            counts AS (
+              SELECT CAST(cell AS BIGINT) AS cell,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM cells GROUP BY 1)
+            SELECT cell, n,
+                   CAST((n + 499) // 500 AS BIGINT) AS salt,
+                   CAST((n + ((n + 499) // 500) - 1)
+                        // ((n + 499) // 500) AS BIGINT) AS max_load
+            FROM counts WHERE n > 500
+        """,
         "code_size_compare": r"""
             WITH toks AS (
               SELECT doc_id,

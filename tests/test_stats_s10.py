@@ -138,3 +138,12 @@ def test_matrix_profile_tie_breaks_smallest_index(spark):
     assert out[0] == 4     # first admissible j for wi=0
     assert out[13] == 0    # smallest admissible j overall for wi=13
     assert out[5] == 0     # |5-0| >= 4 -> 0 admissible and smallest
+
+
+def test_salt_plan_ceil_arithmetic(spark):
+    # replicate the advisor's exact ceil-div algebra on a hand count
+    n, t = 5001, 500
+    salt = (n + t - 1) // t          # 11
+    max_load = (n + salt - 1) // salt  # ceil(5001/11) = 455
+    assert (salt, max_load) == (11, 455)
+    assert max_load * salt >= n and max_load <= t
