@@ -8395,6 +8395,32 @@ def q_salt_plan(spark, sf_dir):
     )
 
 
+def q_burst_detect(spark, sf_dir):
+    """Kleinberg burst detection (operators/burst.py, KDD 2002) per user
+    over the 0-based daily series (T=32 literal bins): 2-state automaton
+    (lam0 = n/32, lam1 = 2*lam0), Poisson bin costs as exact ints
+    A_s - n_t*B_s off three per-key 1e9 ln fixed points (scalar libm log
+    per unique rate — no SIMD ulp drift), burst entry pays the frozen
+    ln(32) literal; min-cost path + backtrack in pure int64 with state-0
+    tie-breaks, vectorized across keys in one Arrow pass. FULL oracle:
+    32 unrolled forward + 31 backtrack MATERIALIZED stages (the
+    viterbi_match shape)."""
+    from extractors_metadata_spark.operators.burst import burst_detect
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    lo = int(e.agg(F.min("day")).first()[0])  # bounded 1-row collect
+    counts = (
+        e.select("user_id", (F.col("day") - F.lit(lo)).alias("t"))
+        .filter((F.col("t") >= 0) & (F.col("t") < 32))
+        .groupBy("user_id", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return burst_detect(counts, ["user_id"], bin_col="t", n_col="n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8776,6 +8802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "species_richness": q_species_richness,
         "bray_curtis": q_bray_curtis,
         "salt_plan": q_salt_plan,
+        "burst_detect": q_burst_detect,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

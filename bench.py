@@ -537,6 +537,13 @@ def main() -> None:
         # fan-out off the Arrow pair pass.
         "cramer_von_mises",
         "matrix_profile",
+        # burst_detect counts the (key, bin) labeling off the Arrow DP
+        # pass; species_richness/bray_curtis count postings-derived
+        # aggregates; salt_plan counts the hot-cell advisor agg.
+        "burst_detect",
+        "species_richness",
+        "bray_curtis",
+        "salt_plan",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

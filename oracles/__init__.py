@@ -8449,6 +8449,91 @@ def _harmonic_sql(hops: int = 4, n_seeds: int = 10) -> str:
     )
 
 
+def _burst_sql(tb: int = 32, rm: int = 2) -> str:
+    """burst_detect replay: per-user 1e9 ln fixed-point rate constants
+    (round_even of the identical double chain; G = the same Python-libm
+    literal the engine froze), the zero-fill cost grid, tb unrolled
+    forward stages and tb-1 backtrack stages with the frozen state-0
+    tie-breaks — the viterbi_match oracle shape."""
+    import math as _math
+
+    # matches the engine's int(np.rint(math.log(tb)*1e9)) — no exact-.5
+    # tie is reachable here, so floor(x + 0.5) == rint
+    g = int(_math.floor(_math.log(float(tb)) * 1e9 + 0.5))
+    last = tb - 1
+    fwd = []
+    for t in range(1, tb):
+        fwd.append(f"""v{t} AS MATERIALIZED (
+          SELECT c.user_id,
+                 c.c0 + least(p.v0, p.v1) AS v0,
+                 c.c1 + least(p.v0 + {g}, p.v1) AS v1
+          FROM cost c JOIN v{t - 1} p ON p.user_id = c.user_id
+          WHERE c.t = {t})""")
+    back = []
+    for t in range(tb - 2, -1, -1):
+        back.append(f"""s{t} AS MATERIALIZED (
+          SELECT n.user_id,
+                 CASE WHEN n.st = 0
+                      THEN CASE WHEN p.v0 <= p.v1 THEN 0 ELSE 1 END
+                      ELSE CASE WHEN p.v0 + {g} <= p.v1 THEN 0 ELSE 1 END
+                 END AS st
+          FROM s{t + 1} n JOIN v{t} p ON p.user_id = n.user_id)""")
+    ends = "\n            UNION ALL\n".join(
+        f"""            SELECT g.user_id, CAST({t} AS BIGINT) AS t,
+                   CAST(g.c AS BIGINT) AS n,
+                   CAST(s{t}.st AS BIGINT) AS state,
+                   tot.total AS total_cost_fp
+            FROM grid g
+            JOIN s{t} ON s{t}.user_id = g.user_id
+            JOIN tot ON tot.user_id = g.user_id
+            WHERE g.t = {t}"""
+        for t in range(tb)
+    )
+    return f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        lo AS (SELECT min(day) AS lo FROM ev),
+        cnts AS (
+          SELECT user_id, day - (SELECT lo FROM lo) AS t,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ev
+          WHERE day - (SELECT lo FROM lo) BETWEEN 0 AND {tb - 1}
+          GROUP BY 1, 2),
+        users AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+                  FROM cnts GROUP BY 1),
+        par AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(round_even((n / {tb}.0) * 1e9, 0) AS BIGINT) AS a0,
+                 CAST(round_even(ln(n / {tb}.0) * 1e9, 0) AS BIGINT) AS b0,
+                 CAST(round_even(({rm} * (n / {tb}.0)) * 1e9, 0) AS BIGINT)
+                   AS a1,
+                 CAST(round_even(ln({rm} * (n / {tb}.0)) * 1e9, 0) AS BIGINT)
+                   AS b1
+          FROM users),
+        grid AS MATERIALIZED (
+          SELECT u.user_id, b.t, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+          FROM (SELECT user_id FROM users) u
+          CROSS JOIN (SELECT unnest(range(0, {tb})) AS t) b
+          LEFT JOIN cnts c ON c.user_id = u.user_id AND c.t = b.t),
+        cost AS MATERIALIZED (
+          SELECT g.user_id, g.t, g.c,
+                 p.a0 - g.c * p.b0 AS c0,
+                 p.a1 - g.c * p.b1 AS c1
+          FROM grid g JOIN par p ON p.user_id = g.user_id),
+        v0 AS MATERIALIZED (
+          SELECT user_id, c0 AS v0, {g} + c1 AS v1 FROM cost WHERE t = 0),
+        {",".join(fwd)},
+        s{last} AS MATERIALIZED (
+          SELECT user_id, CASE WHEN v0 <= v1 THEN 0 ELSE 1 END AS st
+          FROM v{last}),
+        tot AS MATERIALIZED (
+          SELECT user_id, CAST(least(v0, v1) AS BIGINT) AS total
+          FROM v{last}),
+        {",".join(back)}
+{ends}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11090,6 +11175,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(j AS BIGINT) AS mp_idx
             FROM rk WHERE rn = 1
         """,
+        "burst_detect": _burst_sql(32, 2),
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,

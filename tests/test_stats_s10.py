@@ -147,3 +147,43 @@ def test_salt_plan_ceil_arithmetic(spark):
     max_load = (n + salt - 1) // salt  # ceil(5001/11) = 455
     assert (salt, max_load) == (11, 455)
     assert max_load * salt >= n and max_load <= t
+
+
+def test_burst_detect_flat_vs_bursty(spark):
+    from extractors_metadata_spark.operators.burst import burst_detect
+
+    rows = []
+    # flat user: 2 events every day -> never worth paying ln(32) to burst
+    for t in range(32):
+        rows.append(("flat", t, 2))
+    # bursty user: baseline 1, days 10..14 spike to 20
+    for t in range(32):
+        rows.append(("bursty", t, 20 if 10 <= t <= 14 else 1))
+    df = spark.createDataFrame(rows, "k string, t long, n long")
+    out = burst_detect(df, ["k"], bin_col="t", n_col="n").collect()
+    flat = {r["t"]: r["state"] for r in out if r["k"] == "flat"}
+    bursty = {r["t"]: r["state"] for r in out if r["k"] == "bursty"}
+    assert all(v == 0 for v in flat.values())
+    assert all(bursty[t] == 1 for t in range(10, 15))
+    assert all(bursty[t] == 0 for t in list(range(0, 9)) + list(range(16, 32)))
+
+
+def test_burst_detect_total_cost_is_path_min(spark):
+    from extractors_metadata_spark.operators.burst import burst_detect
+
+    df = spark.createDataFrame(
+        [("k", t, 3) for t in range(32)], "k string, t long, n long"
+    )
+    out = burst_detect(df, ["k"], bin_col="t", n_col="n").collect()
+    # constant series: state 0 everywhere, and the reported total equals
+    # the state-0 path cost 32 * (A0 - 3*B0) computed independently
+    import math
+
+    import numpy as np
+
+    lam = 96 / 32.0
+    a0 = int(np.rint(lam * 1e9))
+    b0 = int(np.rint(math.log(lam) * 1e9))
+    want = 32 * (a0 - 3 * b0)
+    assert all(r["state"] == 0 for r in out)
+    assert out[0]["total_cost_fp"] == want
