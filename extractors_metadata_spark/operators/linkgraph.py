@@ -1197,3 +1197,66 @@ def harmonic_centrality(
         F.coalesce(F.col("harm_num"), F.lit(0).cast("long")).alias("harm_num"),
         F.lit(lcm).cast("long").alias("den"),
     )
+
+
+def longest_paths(
+    edges: DataFrame,
+    rounds: int = 8,
+    weight_col: str = "w",
+) -> DataFrame:
+    """(node, dist): the exact maximum path weight ENDING at each node
+    over a DAG, bounded to paths of <= ``rounds`` edges — the critical-
+    path / longest-chain table (scheduling slack, deepest dependency,
+    longest redirect chain). The max-plus mirror of ``shortest_paths``:
+    every node starts at 0 (any node may open a path) and each round
+    relaxes d[v] = max(d[v], max over (u,v) of d[u] + w).
+
+    The caller must pass an ACYCLIC edge set (e.g. src < dst by
+    construction — id-ascending edges cannot cycle); on a cyclic input
+    the bounded rounds still terminate but the result is the bounded-
+    walk maximum, not a path (documented, not detected — the k_core
+    bounded-rounds contract).
+
+    Weights exact nonneg int64 (the shortest_paths discipline: float
+    path sums are fold-order dependent, int sums are not). Delta
+    relaxation: only nodes improved last round re-expand; per round one
+    src-keyed equi-join + a node-keyed max aggregate with map-side
+    combine; localCheckpoint per round; early exit on stability.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(int(rounds)):
+        relax = edges.join(
+            frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                "dist", "sdist"
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("sdist") + F.col(weight_col)).alias("dist"),
+        )
+        merged = (
+            dist.unionByName(relax.groupBy("node").agg(F.max("dist").alias("dist")))
+            .groupBy("node")
+            .agg(F.max("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("dist") > F.col("old"))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+        if improved.count() == 0:
+            break
+        frontier = improved
+    return dist

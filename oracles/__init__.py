@@ -8534,6 +8534,39 @@ def _burst_sql(tb: int = 32, rm: int = 2) -> str:
     """
 
 
+def _critical_path_sql(rounds: int = 8) -> str:
+    """longest_paths replay: the acyclic src<dst zipf subgraph, every
+    node seeded at 0, ``rounds`` unrolled max-relaxation stages (the
+    _shortest_paths_sql recipe with max-plus)."""
+    stages = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        d{i} AS MATERIALIZED (
+          SELECT node, max(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT ew.dst AS node, d.dist + ew.w AS dist
+            FROM ew JOIN {prev} d ON d.node = ew.src)
+          GROUP BY node)""")
+        prev = f"d{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        ew AS MATERIALIZED (
+          SELECT src, dst, CAST(1 + (src + 3 * dst) % 7 AS BIGINT) AS w
+          FROM edges WHERE src < dst),
+        d0 AS (
+          SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+          FROM (SELECT src AS node FROM ew UNION SELECT dst FROM ew)),
+        {body}
+        SELECT node, dist FROM {prev}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11176,6 +11209,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE rn = 1
         """,
         "burst_detect": _burst_sql(32, 2),
+        "critical_path": _critical_path_sql(8),
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -339,3 +339,26 @@ def test_harmonic_centrality_star_center_vs_leaf(spark):
     assert (out[0]["n_reached"], out[0]["harm_num"]) == (6, 72)
     # leaf: center at hop 1 (12) + 5 leaves at hop 2 (5*6=30) = 42
     assert (out[1]["n_reached"], out[1]["harm_num"]) == (6, 42)
+
+
+def test_longest_paths_chain_and_diamond(spark):
+    from extractors_metadata_spark.operators.linkgraph import longest_paths
+
+    # diamond 0->1(w1), 0->2(w5), 1->3(w1), 2->3(w1) + chain 3->4(w2)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 5), (1, 3, 1), (2, 3, 1), (3, 4, 2)],
+        "src long, dst long, w long",
+    )
+    out = {r["node"]: r["dist"] for r in longest_paths(edges, rounds=8).collect()}
+    assert out == {0: 0, 1: 1, 2: 5, 3: 6, 4: 8}
+
+
+def test_longest_paths_round_bound_truncates(spark):
+    from extractors_metadata_spark.operators.linkgraph import longest_paths
+
+    # chain of 5 unit edges; rounds=2 sees only 2-edge prefix maxima
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)], "src long, dst long, w long"
+    )
+    out = {r["node"]: r["dist"] for r in longest_paths(edges, rounds=2).collect()}
+    assert out[5] == 2 and out[2] == 2 and out[1] == 1
