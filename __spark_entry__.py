@@ -8441,6 +8441,58 @@ def q_critical_path(spark, sf_dir):
     return longest_paths(edges, rounds=8)
 
 
+def q_adler32(spark, sf_dir):
+    """Adler-32 content checksums (operators/checksum.adler32, RFC
+    1950) over ASCII resource keys (source '/' doc_id) — the zlib/rsync
+    transfer-integrity checksum via the POSITION-WEIGHTED closed form
+    (b = n + sum (n-i+1) d_i), turning the serial rolling scan into an
+    order-free codegen aggregate both engines replay; grouped to per-
+    source XOR-free sums (count + checksum sum fits int64). FULL
+    oracle: identical closed form via list_transform + list_sum."""
+    from extractors_metadata_spark.operators.checksum import adler32
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")).alias(
+            "rkey"
+        ),
+    )
+    rows = keyed.select("source", adler32("rkey").alias("ck"))
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ck").cast("long").alias("ck_sum"),
+        F.min("ck").cast("long").alias("ck_min"),
+        F.max("ck").cast("long").alias("ck_max"),
+    )
+
+
+def q_zonemap_audit(spark, sf_dir):
+    """Zone-map (min/max block statistics) pruning audit — the
+    data-skipping effectiveness question behind every 100 TB scan plan:
+    block docs by doc_id div 100, per block the n_chars min/max, then
+    for each literal threshold how many blocks a `n_chars > T` scan
+    PRUNES (max <= T) vs must read — the measurable version of this
+    engine's PushedFilters discipline, and the audit that decides
+    whether re-clustering (zorder_key) pays. One block agg + a 3-row
+    broadcast threshold dim. FULL oracle."""
+    d = _t(spark, sf_dir, "documents")
+    blocks = d.groupBy(F.expr("doc_id div 100").alias("blk")).agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    th = spark.createDataFrame([(500,), (2000,), (8000,)], "t long")
+    joined = blocks.crossJoin(F.broadcast(th))
+    return joined.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum((F.col("mx") <= F.col("t")).cast("long")).alias("prunable"),
+        F.sum(
+            F.when(F.col("mx") <= F.col("t"), F.col("n_rows")).otherwise(0)
+        ).cast("long").alias("rows_skipped"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8824,6 +8876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_plan": q_salt_plan,
         "burst_detect": q_burst_detect,
         "critical_path": q_critical_path,
+        "adler32": q_adler32,
+        "zonemap_audit": q_zonemap_audit,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

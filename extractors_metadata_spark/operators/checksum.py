@@ -63,3 +63,45 @@ def luhn_sum_sql(expr: str) -> str:
         f"list_sum(list_transform(range(1, length({expr}) + 1), "
         f"i -> {_sum_body(expr, 'substr')}))"
     )
+
+
+def _adler_bodies(expr: str, substr: str, ascii_fn: str) -> tuple[str, str]:
+    """Closed-form Adler-32 component sums: a = 1 + sum d_i, and
+    b = n + sum (n - i + 1) * d_i — the POSITION-WEIGHTED closed form of
+    the rolling recurrence b_i = b_{i-1} + a_i (what makes the serial
+    zlib scan an order-free aggregate both engines replay)."""
+    d = f"{ascii_fn}({substr}({expr}, i, 1))"
+    return (
+        f"1 + aggregate(transform(sequence(1, length({expr})), i -> {d}),"
+        f" 0L, (acc, x) -> acc + x)",
+        f"length({expr}) + aggregate(transform(sequence(1, length({expr})),"
+        f" i -> (length({expr}) - i + 1) * {d}), 0L, (acc, x) -> acc + x)",
+    )
+
+
+def adler32(expr: str) -> Column:
+    """Adler-32 (RFC 1950, the zlib/rsync rolling checksum) of an
+    ASCII column/expr, via the position-weighted CLOSED FORM — no
+    serial fold, pure JVM higher-order functions. int64 envelope:
+    n*(n+1)/2 * 255 < 2^63 -> strings to ~2.6e8 chars. ASCII
+    precondition (the vhash.py contract): multi-byte codepoints would
+    diverge from byte-wise zlib."""
+    a, b = _adler_bodies(expr, "substring", "ascii")
+    return (
+        (F.expr(b) % 65521) * F.lit(65536) + (F.expr(a) % 65521)
+    ).cast("long")
+
+
+def adler32_sql(expr: str) -> str:
+    """DuckDB replay of ``adler32`` (list_transform + list_sum)."""
+    d = f"ascii(substr({expr}, i, 1))"
+    a = (
+        f"(1 + coalesce(list_sum(list_transform(range(1, length({expr}) + 1),"
+        f" i -> {d})), 0))"
+    )
+    b = (
+        f"(length({expr}) + coalesce(list_sum(list_transform("
+        f"range(1, length({expr}) + 1),"
+        f" i -> (length({expr}) - i + 1) * {d})), 0))"
+    )
+    return f"(({b} % 65521) * 65536 + ({a} % 65521))"

@@ -8567,6 +8567,24 @@ def _critical_path_sql(rounds: int = 8) -> str:
     """
 
 
+def _adler32_oracle_sql() -> str:
+    from extractors_metadata_spark.operators.checksum import adler32_sql
+
+    ck = adler32_sql("rkey")
+    return f"""
+        WITH keyed AS (
+          SELECT source,
+                 source || '/' || CAST(doc_id AS VARCHAR) AS rkey
+          FROM documents),
+        rows_ck AS (SELECT source, CAST({ck} AS BIGINT) AS ck FROM keyed)
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ck) AS BIGINT) AS ck_sum,
+               CAST(min(ck) AS BIGINT) AS ck_min,
+               CAST(max(ck) AS BIGINT) AS ck_max
+        FROM rows_ck GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11210,6 +11228,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "burst_detect": _burst_sql(32, 2),
         "critical_path": _critical_path_sql(8),
+        "adler32": _adler32_oracle_sql(),
+        "zonemap_audit": """
+            WITH blocks AS (
+              SELECT doc_id // 100 AS blk,
+                     min(n_chars) AS mn, max(n_chars) AS mx,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM documents GROUP BY 1),
+            th AS (SELECT unnest([500, 2000, 8000]) AS t)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(CASE WHEN mx <= t THEN 1 ELSE 0 END) AS BIGINT)
+                     AS prunable,
+                   CAST(sum(CASE WHEN mx <= t THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS rows_skipped
+            FROM blocks CROSS JOIN th GROUP BY 1
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -70,3 +70,18 @@ def test_luhn_sum_hand_case(spark):
     # "18": from the right, 8 undoubled + 1 doubled (2) = 10
     df = spark.createDataFrame([("18",)], "num string")
     assert df.select(luhn_sum("num").alias("s")).collect()[0]["s"] == 10
+
+
+def test_adler32_matches_zlib(spark):
+    import zlib
+
+    from extractors_metadata_spark.operators.checksum import adler32
+
+    vals = ["Wikipedia", "a", "", "hello/world/123", "x" * 200]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["ck"]
+        for r in df.select("s", adler32("s").alias("ck")).collect()
+    }
+    for v in vals:
+        assert got[v] == zlib.adler32(v.encode("ascii")), v
