@@ -8493,6 +8493,23 @@ def q_zonemap_audit(spark, sf_dir):
     )
 
 
+def q_attack_robustness(spark, sf_dir):
+    """Attack-tolerance curve (operators/linkgraph.attack_robustness,
+    Albert-Jeong-Barabasi 2000) of the symmetrized zipf graph: remove
+    the top-k hubs (frozen degree-desc rank), components via the
+    EXACTLY-10-round min-label iterate (no early exit — both engines
+    compute the identical bounded iterate), per k the node/arc counts,
+    giant-component size and component count. FULL oracle: degree rank
+    + per-k 10 unrolled min-label stages."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        attack_robustness,
+        zipf_link_graph,
+    )
+
+    edges = zipf_link_graph(_t(spark, sf_dir, "events"))
+    return attack_robustness(edges, ks=(0, 8), rounds=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8878,6 +8895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critical_path": q_critical_path,
         "adler32": q_adler32,
         "zonemap_audit": q_zonemap_audit,
+        "attack_robustness": q_attack_robustness,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -1260,3 +1260,97 @@ def longest_paths(
             break
         frontier = improved
     return dist
+
+
+def attack_robustness(
+    edges: DataFrame,
+    ks=(0, 8),
+    rounds: int = 10,
+) -> DataFrame:
+    """Attack-tolerance curve (Albert, Jeong & Barabasi 2000): remove
+    the top-k highest-degree hubs (frozen (degree DESC, node ASC)
+    order) and measure what remains — the scale-free-network fragility
+    result as an operator (CDN/crawler planning: what dies when the
+    hubs do?).
+
+    Per k: (n_nodes, n_arcs, giant_size, n_components) of the hub-
+    removed symmetrized graph, where components are the EXACTLY-R-round
+    min-label iterate (label = min over closed neighborhood, R rounds,
+    NO early exit — both engines compute the identical bounded iterate
+    whether or not it has converged; R >= diameter makes it the true
+    CC, documented not enforced — the k_core bounded-rounds contract).
+
+    Scale shape: degree ranking is one agg + one window on the
+    collapsed node dim; each round is one src-keyed equi-join + a
+    node-keyed min aggregate with map-side combine, localCheckpoint per
+    round (lineage rule); k values are a bounded literal axis, so total
+    work is |ks| * R frontier-free rounds. Output: |ks| rows.
+    """
+    from pyspark.sql import Window
+
+    el0 = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = el0.unionByName(
+        el0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    rk = deg.select(
+        "node",
+        F.row_number()
+        .over(Window.orderBy(F.desc("deg"), F.asc("node")))
+        .alias("rk"),
+    ).localCheckpoint(eager=True)
+    outs = []
+    for k in ks:
+        removed = rk.filter(F.col("rk") <= int(k)).select("node")
+        el = (
+            sym.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            el.select(F.col("src").alias("node"))
+            .unionByName(el.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        lbl = nodes.select(
+            "node", F.col("node").cast("long").alias("label")
+        ).localCheckpoint(eager=True)
+        for _ in range(int(rounds)):
+            prop = el.join(
+                lbl.withColumnRenamed("node", "src").withColumnRenamed(
+                    "label", "plabel"
+                ),
+                "src",
+            ).select(F.col("dst").alias("node"), F.col("plabel").alias("label"))
+            lbl = (
+                lbl.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        classes = lbl.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+        summary = (
+            lbl.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(el.agg(F.count(F.lit(1)).cast("long").alias("n_arcs")))
+            .crossJoin(
+                classes.agg(
+                    F.max("sz").cast("long").alias("giant_size"),
+                    F.count(F.lit(1)).cast("long").alias("n_components"),
+                )
+            )
+            .select(
+                F.lit(int(k)).cast("long").alias("k_removed"),
+                "n_nodes",
+                "n_arcs",
+                "giant_size",
+                "n_components",
+            )
+        )
+        outs.append(summary)
+    out = outs[0]
+    for f in outs[1:]:
+        out = out.unionByName(f)
+    return out

@@ -8585,6 +8585,61 @@ def _adler32_oracle_sql() -> str:
     """
 
 
+def _robustness_sql(ks=(0, 8), rounds: int = 10) -> str:
+    """attack_robustness replay: zipf symmetrized edges, frozen degree
+    rank, per k the hub-removed subgraph and EXACTLY ``rounds`` unrolled
+    min-label stages (no early exit on either engine), then the per-k
+    rollup rows unioned."""
+    parts = [
+        """edges0 AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events)""",
+        """sym AS MATERIALIZED (
+          SELECT src, dst FROM edges0 WHERE src != dst
+          UNION
+          SELECT dst AS src, src AS dst FROM edges0 WHERE src != dst)""",
+        """rk AS MATERIALIZED (
+          SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rk
+          FROM (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1))""",
+    ]
+    finals = []
+    for k in ks:
+        parts.append(f"""el{k} AS MATERIALIZED (
+          SELECT s.src, s.dst FROM sym s
+          WHERE NOT EXISTS (SELECT 1 FROM rk r
+                            WHERE r.rk <= {k} AND r.node = s.src)
+            AND NOT EXISTS (SELECT 1 FROM rk r
+                            WHERE r.rk <= {k} AND r.node = s.dst))""")
+        parts.append(f"""lbl{k}_0 AS MATERIALIZED (
+          SELECT node, CAST(node AS BIGINT) AS label
+          FROM (SELECT src AS node FROM el{k}
+                UNION SELECT dst FROM el{k}))""")
+        prev = f"lbl{k}_0"
+        for r in range(1, rounds + 1):
+            parts.append(f"""lbl{k}_{r} AS MATERIALIZED (
+              SELECT node, min(label) AS label FROM (
+                SELECT node, label FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, l.label
+                FROM el{k} e JOIN {prev} l ON l.node = e.src)
+              GROUP BY node)""")
+            prev = f"lbl{k}_{r}"
+        finals.append(f"""            SELECT CAST({k} AS BIGINT) AS k_removed,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM el{k}) AS n_arcs,
+                   (SELECT CAST(max(sz) AS BIGINT) FROM (
+                      SELECT count(*) AS sz FROM {prev} GROUP BY label))
+                     AS giant_size,
+                   (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM {prev})
+                     AS n_components"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\n            UNION ALL\n".join(finals)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11228,6 +11283,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "burst_detect": _burst_sql(32, 2),
         "critical_path": _critical_path_sql(8),
+        "attack_robustness": _robustness_sql((0, 8), 10),
         "adler32": _adler32_oracle_sql(),
         "zonemap_audit": """
             WITH blocks AS (

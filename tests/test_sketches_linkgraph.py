@@ -362,3 +362,21 @@ def test_longest_paths_round_bound_truncates(spark):
     )
     out = {r["node"]: r["dist"] for r in longest_paths(edges, rounds=2).collect()}
     assert out[5] == 2 and out[2] == 2 and out[1] == 1
+
+
+def test_attack_robustness_star_fragmentation(spark):
+    from extractors_metadata_spark.operators.linkgraph import attack_robustness
+
+    # star center 0 with 6 leaves + a disjoint triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    out = {
+        r["k_removed"]: r for r in attack_robustness(edges, ks=(0, 1), rounds=6).collect()
+    }
+    # intact: giant = star (7 nodes), 2 components
+    assert (out[0]["n_nodes"], out[0]["giant_size"], out[0]["n_components"]) == (10, 7, 2)
+    # removing the top hub (center 0, degree 6) shatters the star:
+    # leaves vanish with their only edges -> triangle is the giant
+    assert (out[1]["n_nodes"], out[1]["giant_size"], out[1]["n_components"]) == (3, 3, 1)
