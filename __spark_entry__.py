@@ -8510,6 +8510,38 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(edges, ks=(0, 8), rounds=10)
 
 
+def q_friedman_test(spark, sf_dir):
+    """Friedman within-block rank test ingredients — the repeated-
+    measures complement of mann_whitney/cramer_von_mises (do the 5
+    event types differ in per-user volume, controlling for the user?):
+    per COMPLETE block (users with all 5 types) rank the per-type
+    counts 1..5 under the frozen (count, type) tie-break, emit per type
+    the exact rank sum + block count; the chi^2_F statistic
+    12/(nk(k+1)) * sum R_j^2 - 3n(k+1) stays consumer-side. Zero-fill
+    is deliberate NOT applied: completeness is the classical contract
+    (restriction replayed). Two windows + two aggs on one Exchange
+    family. FULL oracle: verbatim rank replay."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    complete = (
+        counts.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 5)
+        .select("user_id")
+    )
+    cc = counts.join(complete, "user_id")
+    wr = Window.partitionBy("user_id").orderBy("n", "event_type")
+    ranked = cc.select(
+        "user_id", "event_type", F.row_number().over(wr).cast("long").alias("r")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.sum("r").alias("r_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8896,6 +8928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adler32": q_adler32,
         "zonemap_audit": q_zonemap_audit,
         "attack_robustness": q_attack_robustness,
+        "friedman_test": q_friedman_test,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -11300,6 +11300,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rows_skipped
             FROM blocks CROSS JOIN th GROUP BY 1
         """,
+        "friedman_test": """
+            WITH counts AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            complete AS (
+              SELECT user_id FROM counts GROUP BY 1 HAVING count(*) = 5),
+            ranked AS (
+              SELECT c.event_type,
+                     CAST(row_number() OVER (PARTITION BY c.user_id
+                            ORDER BY c.n, c.event_type) AS BIGINT) AS r
+              FROM counts c JOIN complete u ON u.user_id = c.user_id)
+            SELECT event_type, CAST(sum(r) AS BIGINT) AS r_sum,
+                   CAST(count(*) AS BIGINT) AS n_blocks
+            FROM ranked GROUP BY 1
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,
