@@ -139,6 +139,11 @@ def code_size_compare(
     - delta:  blen(g) - 1 + 2*blen(blen(g)) - 1
     - rice:   ((g - 1) div 2^k) + 1 + k   (code v = g-1, unary q + k LSBs)
     - varint: 8 * ((blen(g) + 6) div 7)
+    - ef:     per LIST (not per gap): n*(l+2) with l = blen(u div n) - 1
+              lower bits (0 when u < n), u = max doc_id + 1 — the
+              quasi-succinct Elias-Fano bound (Vigna 2013, the modern
+              Lucene representation); the whole-list term every per-gap
+              code lacks
 
     Plan: identical to posting_compress — the postings collapse, ONE
     word-keyed lag window and the aggregate all on the same Exchange.
@@ -166,10 +171,24 @@ def code_size_compare(
         )
         .withColumn("_vbits", F.expr("8 * ((length(bin(_gap)) + 6) div 7)"))
     )
-    return sized.groupBy("word").agg(
+    agg = sized.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs"),
         F.sum("_gamma").cast("long").alias("bits_gamma"),
         F.sum("_delta").cast("long").alias("bits_delta"),
         F.sum("_rice").cast("long").alias("bits_rice"),
         F.sum("_vbits").cast("long").alias("bits_varint"),
+        # u = max doc_id + 1 == sum of gaps (gap_1 = id_0 + 1 telescopes)
+        F.sum("_gap").cast("long").alias("_u"),
+    )
+    return agg.select(
+        "word",
+        "df_docs",
+        "bits_gamma",
+        "bits_delta",
+        "bits_rice",
+        "bits_varint",
+        F.expr(
+            "df_docs * (CASE WHEN _u div df_docs >= 1 "
+            "THEN length(bin(_u div df_docs)) - 1 ELSE 0 END + 2)"
+        ).cast("long").alias("bits_ef"),
     )

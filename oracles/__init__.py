@@ -11380,13 +11380,21 @@ def oracle_sql() -> dict[str, str]:
                               doc_id + 1) AS gap
               FROM pl),
             sized AS (
-              SELECT word, gap, length(bin(gap)) AS bl FROM gaps)
-            SELECT word, CAST(count(*) AS BIGINT) AS df_docs,
-                   CAST(sum(2 * bl - 1) AS BIGINT) AS bits_gamma,
-                   CAST(sum(bl - 1 + 2 * length(bin(bl)) - 1) AS BIGINT)
-                     AS bits_delta,
-                   CAST(sum((gap - 1) // 8 + 4) AS BIGINT) AS bits_rice,
-                   CAST(sum(8 * ((bl + 6) // 7)) AS BIGINT) AS bits_varint
-            FROM sized GROUP BY 1
+              SELECT word, gap, length(bin(gap)) AS bl FROM gaps),
+            agg AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS df_docs,
+                     CAST(sum(2 * bl - 1) AS BIGINT) AS bits_gamma,
+                     CAST(sum(bl - 1 + 2 * length(bin(bl)) - 1) AS BIGINT)
+                       AS bits_delta,
+                     CAST(sum((gap - 1) // 8 + 4) AS BIGINT) AS bits_rice,
+                     CAST(sum(8 * ((bl + 6) // 7)) AS BIGINT) AS bits_varint,
+                     CAST(sum(gap) AS BIGINT) AS u
+              FROM sized GROUP BY 1)
+            SELECT word, df_docs, bits_gamma, bits_delta, bits_rice,
+                   bits_varint,
+                   CAST(df_docs * (CASE WHEN u // df_docs >= 1
+                        THEN length(bin(u // df_docs)) - 1 ELSE 0 END + 2)
+                        AS BIGINT) AS bits_ef
+            FROM agg
         """,
     }

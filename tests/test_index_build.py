@@ -91,3 +91,6 @@ def test_code_size_compare_hand_gaps(spark):
     r = code_size_compare(df).collect()[0]
     assert (r["df_docs"], r["bits_gamma"], r["bits_delta"],
             r["bits_rice"], r["bits_varint"]) == (3, 9, 10, 12, 24)
+    # Elias-Fano: u = 10 (max id 9 + 1), n = 3 -> l = blen(10//3)-1 = 1,
+    # bits = 3 * (1 + 2) = 9
+    assert r["bits_ef"] == 9
