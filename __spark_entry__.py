@@ -8542,6 +8542,19 @@ def q_friedman_test(spark, sf_dir):
     )
 
 
+def q_front_coding(spark, sf_dir):
+    """Term-dictionary front-coding sizing (operators/index_build
+    .front_coding, Managing Gigabytes ch.4) per first-letter restart
+    block: sorted terms store (lcp, suffix) — exact raw vs front-coded
+    bytes, lcp via the binary-lifting codegen whose SQL text is SHARED
+    verbatim between Spark and DuckDB (lcp_expr — engines cannot
+    drift). Blocks double as window partitions: no global sort. FULL
+    oracle."""
+    from extractors_metadata_spark.operators.index_build import front_coding
+
+    return front_coding(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -8929,6 +8942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_audit": q_zonemap_audit,
         "attack_robustness": q_attack_robustness,
         "friedman_test": q_friedman_test,
+        "front_coding": q_front_coding,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

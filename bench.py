@@ -544,6 +544,15 @@ def main() -> None:
         "species_richness",
         "bray_curtis",
         "salt_plan",
+        # critical_path / attack_robustness count graph rollups whose
+        # relaxation rounds run at query-construction time; friedman /
+        # front_coding / adler32 / zonemap_audit count load-bearing aggs.
+        "critical_path",
+        "attack_robustness",
+        "friedman_test",
+        "front_coding",
+        "adler32",
+        "zonemap_audit",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

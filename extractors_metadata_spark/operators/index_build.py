@@ -192,3 +192,63 @@ def code_size_compare(
             "THEN length(bin(_u div df_docs)) - 1 ELSE 0 END + 2)"
         ).cast("long").alias("bits_ef"),
     )
+
+
+def lcp_expr(a: str, b: str) -> str:
+    """Longest-common-prefix length of two string expressions as ONE
+    SQL text valid in BOTH Spark SQL and DuckDB (substr/length/CASE
+    only) — binary lifting over prefix comparisons: k += p whenever the
+    (k+p)-prefixes agree, p = 32..1; the final least() clamps the
+    overshoot past the shorter string. 6 nested stages, pure codegen,
+    no loops at runtime."""
+    k = "0"
+    for p in (32, 16, 8, 4, 2, 1):
+        k = (
+            f"({k} + CASE WHEN substr({a}, 1, {k} + {p}) = "
+            f"substr({b}, 1, {k} + {p}) THEN {p} ELSE 0 END)"
+        )
+    return f"least({k}, length({a}), length({b}))"
+
+
+def front_coding(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Term-dictionary FRONT-CODING sizing per first-letter block — the
+    dictionary half of the index-compression story (code_size_compare
+    holds the postings half): within each block the sorted terms store
+    only (lcp header, suffix), the classical restart-block layout
+    (Witten/Moffat/Bell, Managing Gigabytes ch. 4).
+
+    Exact bytes: raw = sum(len) + n (1-byte length headers); front =
+    per term (len - lcp(prev, term)) + 2 (lcp + suffix-len headers),
+    first term pays full length. The lcp is the shared binary-lifting
+    codegen (``lcp_expr`` — the SAME SQL text runs on both engines, so
+    the oracle cannot drift).
+
+    Scale shape: blocks ARE the partitioning (the window partitions by
+    the first letter — restart boundaries double as shuffle keys, no
+    global sort); one vocab agg + one block window + one block agg.
+    """
+    from pyspark.sql import Window
+
+    pl = doc_postings(df, text_col, id_col)
+    vocab = pl.groupBy("word").agg(F.count(F.lit(1)).alias("df_docs"))
+    blk = vocab.select(
+        F.substring("word", 1, 1).alias("blk"), "word"
+    )
+    w = Window.partitionBy("blk").orderBy("word")
+    lagged = blk.withColumn("_prev", F.lag("word").over(w))
+    lcp = lcp_expr("_prev", "word")
+    sized = lagged.select(
+        "blk",
+        F.length("word").alias("_len"),
+        F.when(F.col("_prev").isNull(), F.length("word") + 2)
+        .otherwise(F.length("word") - F.expr(lcp) + 2)
+        .cast("long")
+        .alias("_fc"),
+    )
+    return sized.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        (F.sum("_len") + F.count(F.lit(1))).cast("long").alias("bytes_raw"),
+        F.sum("_fc").cast("long").alias("bytes_fc"),
+    )

@@ -8640,6 +8640,34 @@ def _robustness_sql(ks=(0, 8), rounds: int = 10) -> str:
     )
 
 
+def _front_coding_sql() -> str:
+    from extractors_metadata_spark.operators.index_build import lcp_expr
+
+    lcp = lcp_expr("prev", "word")
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok AS word FROM toks WHERE length(tok) > 0 GROUP BY 1),
+        lagged AS (
+          SELECT substr(word, 1, 1) AS blk, word,
+                 lag(word) OVER (PARTITION BY substr(word, 1, 1)
+                                 ORDER BY word) AS prev
+          FROM vocab),
+        sized AS (
+          SELECT blk, length(word) AS len,
+                 CASE WHEN prev IS NULL THEN length(word) + 2
+                      ELSE length(word) - ({lcp}) + 2 END AS fc
+          FROM lagged)
+        SELECT blk, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(len) + count(*) AS BIGINT) AS bytes_raw,
+               CAST(sum(fc) AS BIGINT) AS bytes_fc
+        FROM sized GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11300,6 +11328,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rows_skipped
             FROM blocks CROSS JOIN th GROUP BY 1
         """,
+        "front_coding": _front_coding_sql(),
         "friedman_test": """
             WITH counts AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

@@ -94,3 +94,41 @@ def test_code_size_compare_hand_gaps(spark):
     # Elias-Fano: u = 10 (max id 9 + 1), n = 3 -> l = blen(10//3)-1 = 1,
     # bits = 3 * (1 + 2) = 9
     assert r["bits_ef"] == 9
+
+
+def test_lcp_expr_hand_cases(spark):
+    from extractors_metadata_spark.operators.index_build import lcp_expr
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("abc", "abd", 2),
+        ("abc", "abc", 3),
+        ("abc", "abcdef", 3),
+        ("x", "y", 0),
+        ("", "anything", 0),
+        ("prefixprefixprefixprefixprefixprefixA",
+         "prefixprefixprefixprefixprefixprefixB", 36),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, want int")
+    got = df.select(
+        "want", F.expr(lcp_expr("a", "b")).alias("got")
+    ).collect()
+    assert all(r["got"] == r["want"] for r in got), [
+        (r["want"], r["got"]) for r in got
+    ]
+
+
+def test_front_coding_block_bytes(spark):
+    from extractors_metadata_spark.operators.index_build import front_coding
+
+    # one doc, vocab {apple, applet, apply, banana} -> blocks a, b
+    df = spark.createDataFrame(
+        [(1, "apple applet apply banana")], "doc_id long, text string"
+    )
+    out = {r["blk"]: r for r in front_coding(df).collect()}
+    a = out["a"]
+    # sorted: apple (5+2), applet (lcp 5 -> 1+2), apply (lcp 4 -> 1+2)
+    assert (a["n_terms"], a["bytes_raw"], a["bytes_fc"]) == (3, 19, 13)
+    b = out["b"]
+    assert (b["n_terms"], b["bytes_raw"], b["bytes_fc"]) == (1, 7, 8)
