@@ -8668,6 +8668,42 @@ def _front_coding_sql() -> str:
     """
 
 
+def _record_linkage_sql() -> str:
+    from extractors_metadata_spark.functions.phonetic import soundex_sql
+    from extractors_metadata_spark.operators.index_build import lcp_expr
+
+    lcp = lcp_expr("a.word", "b.word")
+    names = "'ashcraft', 'robertson', 'tymczak', 'hilbert', " \
+            "'gauss', 'euler', 'lukasiewicz', 'honeyman'"
+    return rf"""
+        WITH recs AS (
+          SELECT doc_id,
+                 ([{names}])[(doc_id % 8) + 1] AS base,
+                 (doc_id // 8) % 4 AS var
+          FROM documents),
+        vocab AS (
+          SELECT DISTINCT CASE var
+                   WHEN 1 THEN base || 's'
+                   WHEN 2 THEN substr(base, 1, 6)
+                   WHEN 3 THEN 'mc' || base
+                   ELSE base END AS word
+          FROM recs),
+        coded AS (
+          SELECT word, {soundex_sql('word')} AS sdx FROM vocab),
+        ranked AS MATERIALIZED (
+          SELECT sdx, word,
+                 row_number() OVER (PARTITION BY sdx ORDER BY word) AS rk
+          FROM coded QUALIFY rk <= 40)
+        SELECT a.sdx, a.word AS word_a, b.word AS word_b,
+               CAST({lcp} AS BIGINT) AS lcp,
+               CAST(length(a.word) AS BIGINT) AS len_a,
+               CAST(length(b.word) AS BIGINT) AS len_b
+        FROM ranked a JOIN ranked b
+          ON b.sdx = a.sdx AND a.rk < b.rk
+        WHERE ({lcp}) >= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11329,6 +11365,7 @@ def oracle_sql() -> dict[str, str]:
             FROM blocks CROSS JOIN th GROUP BY 1
         """,
         "front_coding": _front_coding_sql(),
+        "record_linkage": _record_linkage_sql(),
         "friedman_test": """
             WITH counts AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
