@@ -8611,6 +8611,26 @@ def q_record_linkage(spark, sf_dir):
     return scored.filter(F.col("lcp") >= 3)
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (operators/linkgraph.temporal_reach,
+    Holme & Saramaki 2012) from seeds 0..4 over the TIMED zipf graph
+    (edge time = event µs): earliest non-decreasing-time arrival per
+    (seed, node), <= 6 journey edges — the infection semantics static
+    BFS gets wrong. Exact int64 µs; delta relaxation == full relaxation
+    by the min-merge induction. FULL oracle: unrolled time-filtered
+    relaxation stages."""
+    from extractors_metadata_spark.operators.linkgraph import temporal_reach
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        ((F.col("event_id") * 131 + F.col("user_id")) % 1000).alias("src"),
+        F.expr("1000 div (1 + (event_id % 1000))").alias("dst"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.range(5).select(F.col("id").alias("node"))
+    return temporal_reach(edges, seeds, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9000,6 +9020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_test": q_friedman_test,
         "front_coding": q_front_coding,
         "record_linkage": q_record_linkage,
+        "temporal_reach": q_temporal_reach,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

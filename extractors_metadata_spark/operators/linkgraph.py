@@ -1354,3 +1354,77 @@ def attack_robustness(
     for f in outs[1:]:
         out = out.unionByName(f)
     return out
+
+
+def temporal_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    ts_col: str = "t",
+) -> DataFrame:
+    """Time-respecting reachability (Holme & Saramaki 2012): node v is
+    temporally reachable from a seed if a path exists whose edge times
+    are NON-DECREASING — the infection/information-flow semantics a
+    static BFS gets wrong (a link that existed only BEFORE you arrived
+    cannot forward you). Returns (seed, node, arrive_t): the EARLIEST
+    arrival time, bounded to journeys of <= ``rounds`` edges.
+
+    Relaxation: arrive[v] = min over edges (u, v, t) with
+    t >= arrive[u] of t (seeds start at arrive = -infinity, emitted as
+    0 on the seed row). The min-merge is monotone, so the delta form
+    (only improved nodes re-expand) equals full relaxation at every
+    round index — the shortest_paths induction verbatim; earliest
+    arrival is the optimal substructure (arriving earlier never hurts:
+    the admissible edge set only grows as arrival decreases).
+
+    Times exact int64 (microseconds). Per round one src-keyed
+    equi-join with the time filter + a (seed, node)-keyed min
+    aggregate, localCheckpoint, early exit. The oracle unrolls rounds
+    as generated CTE stages.
+    """
+    arrive = seeds.select(
+        F.col("node").cast("long").alias("seed"),
+        F.col("node").cast("long").alias("node"),
+        F.lit(-(2**62)).cast("long").alias("at"),
+    ).localCheckpoint(eager=True)
+    frontier = arrive
+    for _ in range(int(rounds)):
+        relax = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                    "at", "sat"
+                ),
+                "src",
+            )
+            .filter(F.col(ts_col) >= F.col("sat"))
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                F.col(ts_col).cast("long").alias("at"),
+            )
+        )
+        merged = (
+            arrive.unionByName(
+                relax.groupBy("seed", "node").agg(F.min("at").alias("at"))
+            )
+            .groupBy("seed", "node")
+            .agg(F.min("at").alias("at"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.join(
+                arrive.withColumnRenamed("at", "old"), ["seed", "node"], "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("at") < F.col("old")))
+            .select("seed", "node", "at")
+            .localCheckpoint(eager=True)
+        )
+        arrive = merged
+        if improved.count() == 0:
+            break
+        frontier = improved
+    return arrive.select(
+        "seed",
+        "node",
+        F.greatest(F.col("at"), F.lit(0).cast("long")).alias("arrive_t"),
+    )

@@ -8704,6 +8704,44 @@ def _record_linkage_sql() -> str:
     """
 
 
+def _temporal_reach_sql(rounds: int = 6, n_seeds: int = 5) -> str:
+    """temporal_reach replay: timed zipf edges, seeds at -2^62, per
+    round UNION the time-admissible relaxations and take the (seed,
+    node) min — the _shortest_paths_sql recipe with the t >= arrive
+    filter."""
+    stages = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+        a{i} AS MATERIALIZED (
+          SELECT seed, node, min(at) AS at FROM (
+            SELECT seed, node, at FROM {prev}
+            UNION ALL
+            SELECT p.seed, e.dst AS node, e.t AS at
+            FROM ew e JOIN {prev} p ON p.node = e.src
+            WHERE e.t >= p.at)
+          GROUP BY 1, 2)""")
+        prev = f"a{i}"
+    body = ",".join(stages)
+    return f"""
+        WITH ew AS MATERIALIZED (
+          SELECT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst,
+                 epoch_us(ts) AS t
+          FROM events
+          WHERE (event_id * 131 + user_id) % 1000
+                != 1000 // (1 + (event_id % 1000))),
+        a0 AS (
+          SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+                 CAST(-4611686018427387904 AS BIGINT) AS at
+          FROM (SELECT unnest(range(0, {n_seeds})) AS seed)),
+        {body}
+        SELECT seed, node,
+               CAST(greatest(at, 0) AS BIGINT) AS arrive_t
+        FROM {prev}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11366,6 +11404,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "front_coding": _front_coding_sql(),
         "record_linkage": _record_linkage_sql(),
+        "temporal_reach": _temporal_reach_sql(6, 5),
         "friedman_test": """
             WITH counts AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

@@ -380,3 +380,35 @@ def test_attack_robustness_star_fragmentation(spark):
     # removing the top hub (center 0, degree 6) shatters the star:
     # leaves vanish with their only edges -> triangle is the giant
     assert (out[1]["n_nodes"], out[1]["giant_size"], out[1]["n_components"]) == (3, 3, 1)
+
+
+def test_temporal_reach_respects_time_order(spark):
+    from extractors_metadata_spark.operators.linkgraph import temporal_reach
+
+    # 1->2 @10; 2->3 @5 (too early - unusable); 2->4 @20 (usable)
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 5), (2, 4, 20)], "src long, dst long, t long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["arrive_t"]
+        for r in temporal_reach(edges, seeds, rounds=4).collect()
+    }
+    assert out == {1: 0, 2: 10, 4: 20}  # 3 is NOT temporally reachable
+
+
+def test_temporal_reach_earliest_arrival_wins(spark):
+    from extractors_metadata_spark.operators.linkgraph import temporal_reach
+
+    # two journeys to 3: via 2 arriving @30, direct @50 -> earliest 30;
+    # and the early arrival at 2 (@10 vs @40) unlocks the @30 edge
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 2, 40), (2, 3, 30), (1, 3, 50)],
+        "src long, dst long, t long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["arrive_t"]
+        for r in temporal_reach(edges, seeds, rounds=4).collect()
+    }
+    assert out[2] == 10 and out[3] == 30
