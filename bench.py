@@ -553,6 +553,12 @@ def main() -> None:
         "front_coding",
         "adler32",
         "zonemap_audit",
+        # temporal_reach counts the (seed,node) arrival table off the
+        # relaxation rounds; record_linkage counts surviving scored
+        # pairs; cidr_match counts the block rollup off the range join.
+        "temporal_reach",
+        "record_linkage",
+        "cidr_match",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

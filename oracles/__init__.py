@@ -8742,6 +8742,33 @@ def _temporal_reach_sql(rounds: int = 6, n_seeds: int = 5) -> str:
     """
 
 
+def _cidr_sql() -> str:
+    rows = []
+    for p in range(16):
+        rows.append((4, p << 28, (p << 28) + (1 << 28) - 1))
+    for i in range(32):
+        pfx = (i * 131) % 4096
+        rows.append((12, pfx << 20, (pfx << 20) + (1 << 20) - 1))
+    for i in range(64):
+        pfx = (i * 2479) % (1 << 20)
+        rows.append((20, pfx << 12, (pfx << 12) + (1 << 12) - 1))
+    vals = ", ".join(f"({l}, {lo}, {hi})" for l, lo, hi in rows)
+    return f"""
+        WITH ips AS (
+          SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip
+          FROM documents),
+        blocks AS (SELECT * FROM (VALUES {vals}) AS t(len, lo, hi)),
+        cand AS (
+          SELECT i.doc_id, b.len, b.lo,
+                 row_number() OVER (PARTITION BY i.doc_id
+                                    ORDER BY b.len DESC) AS rn
+          FROM ips i JOIN blocks b ON i.ip BETWEEN b.lo AND b.hi)
+        SELECT CAST(len AS BIGINT) AS pfx_len, CAST(lo AS BIGINT) AS lo,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM cand WHERE rn = 1 GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11405,6 +11432,7 @@ def oracle_sql() -> dict[str, str]:
         "front_coding": _front_coding_sql(),
         "record_linkage": _record_linkage_sql(),
         "temporal_reach": _temporal_reach_sql(6, 5),
+        "cidr_match": _cidr_sql(),
         "friedman_test": """
             WITH counts AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
