@@ -559,6 +559,9 @@ def main() -> None:
         "temporal_reach",
         "record_linkage",
         "cidr_match",
+        # lttb_downsample counts the (key, rank) selection off the
+        # Arrow selection pass over the zero-fill grid.
+        "lttb_downsample",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -8769,6 +8769,83 @@ def _cidr_sql() -> str:
     """
 
 
+def _lttb_sql(tb: int = 32, n_out: int = 10) -> str:
+    """lttb_select replay: the burst_detect zero-fill grid, then nb
+    unrolled selection stages — per stage the exact cross-multiplied
+    triangle score against the previous selection and the next-bucket
+    sum anchor, composite row_number (score DESC, t) argmax."""
+    nb = n_out - 2
+    buckets: dict[int, list[int]] = {b: [] for b in range(nb)}
+    for t in range(1, tb - 1):
+        buckets[(t - 1) * nb // (tb - 2)].append(t)
+    parts = [
+        """ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events)""",
+        "lo AS (SELECT min(day) AS lo FROM ev)",
+        f"""cnts AS (
+          SELECT user_id, day - (SELECT lo FROM lo) AS t,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ev
+          WHERE day - (SELECT lo FROM lo) BETWEEN 0 AND {tb - 1}
+          GROUP BY 1, 2)""",
+        "users AS (SELECT DISTINCT user_id FROM cnts)",
+        f"""grid AS MATERIALIZED (
+          SELECT u.user_id, b.t, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+          FROM users u
+          CROSS JOIN (SELECT unnest(range(0, {tb})) AS t) b
+          LEFT JOIN cnts c ON c.user_id = u.user_id AND c.t = b.t)""",
+        """sel0 AS MATERIALIZED (
+          SELECT user_id, CAST(0 AS BIGINT) AS tp, x AS vp
+          FROM grid WHERE t = 0)""",
+    ]
+    finals = [
+        """            SELECT user_id, CAST(0 AS BIGINT) AS rank,
+                   CAST(0 AS BIGINT) AS t, x AS v
+            FROM grid WHERE t = 0"""
+    ]
+    for b in range(nb):
+        if b < nb - 1:
+            nxt = buckets[b + 1]
+            sx = sum(nxt)
+            inlist = ", ".join(str(t) for t in nxt)
+            parts.append(f"""anc{b} AS MATERIALIZED (
+              SELECT user_id, CAST({sx} AS BIGINT) AS sx,
+                     sum(x) AS sy, CAST({len(nxt)} AS BIGINT) AS c
+              FROM grid WHERE t IN ({inlist}) GROUP BY 1)""")
+        else:
+            parts.append(f"""anc{b} AS MATERIALIZED (
+              SELECT user_id, CAST({tb - 1} AS BIGINT) AS sx,
+                     x AS sy, CAST(1 AS BIGINT) AS c
+              FROM grid WHERE t = {tb - 1})""")
+        cand = ", ".join(str(t) for t in buckets[b])
+        parts.append(f"""st{b} AS MATERIALIZED (
+          SELECT user_id, t, x FROM (
+            SELECT g.user_id, g.t, g.x,
+                   row_number() OVER (PARTITION BY g.user_id ORDER BY
+                     abs((s.tp * a.c - a.sx) * (g.x - s.vp)
+                         - (s.tp - g.t) * (a.sy - a.c * s.vp)) DESC,
+                     g.t) AS rn
+            FROM grid g
+            JOIN sel{b} s ON s.user_id = g.user_id
+            JOIN anc{b} a ON a.user_id = g.user_id
+            WHERE g.t IN ({cand}))
+          WHERE rn = 1)""")
+        parts.append(f"""sel{b + 1} AS MATERIALIZED (
+          SELECT user_id, CAST(t AS BIGINT) AS tp, x AS vp FROM st{b})""")
+        finals.append(f"""            SELECT user_id,
+                   CAST({b + 1} AS BIGINT) AS rank,
+                   CAST(t AS BIGINT) AS t, x AS v
+            FROM st{b}""")
+    finals.append(f"""            SELECT user_id,
+                   CAST({n_out - 1} AS BIGINT) AS rank,
+                   CAST({tb - 1} AS BIGINT) AS t, x AS v
+            FROM grid WHERE t = {tb - 1}""")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\n            UNION ALL\n".join(finals)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11433,6 +11510,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _record_linkage_sql(),
         "temporal_reach": _temporal_reach_sql(6, 5),
         "cidr_match": _cidr_sql(),
+        "lttb_downsample": _lttb_sql(32, 10),
         "friedman_test": """
             WITH counts AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

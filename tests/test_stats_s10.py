@@ -187,3 +187,34 @@ def test_burst_detect_total_cost_is_path_min(spark):
     want = 32 * (a0 - 3 * b0)
     assert all(r["state"] == 0 for r in out)
     assert out[0]["total_cost_fp"] == want
+
+
+def test_lttb_spike_always_selected(spark):
+    from extractors_metadata_spark.operators.lttb import lttb_select
+
+    # flat series with one huge spike at t=17: LTTB must keep the spike
+    rows = [("k", t, 1) for t in range(32)]
+    rows[17] = ("k", 17, 1000)
+    df = spark.createDataFrame(rows, "k string, t long, n long")
+    out = lttb_select(df, ["k"]).collect()
+    pts = {r["t"]: r["v"] for r in out}
+    assert len(out) == 10
+    assert pts.get(17) == 1000
+    # endpoints pinned
+    ranks = {r["rank"]: r["t"] for r in out}
+    assert ranks[0] == 0 and ranks[9] == 31
+
+
+def test_lttb_flat_series_tie_breaks_smallest_t(spark):
+    from extractors_metadata_spark.operators.lttb import lttb_select
+
+    df = spark.createDataFrame(
+        [("k", t, 5) for t in range(32)], "k string, t long, n long"
+    )
+    out = {r["rank"]: r["t"] for r in lttb_select(df, ["k"]).collect()}
+    # all scores equal within a bucket -> the smallest t of each bucket
+    # buckets over t in [1,30]: bucket b holds t with (t-1)*8 div 30 == b
+    first_of_bucket = []
+    for b in range(8):
+        first_of_bucket.append(min(t for t in range(1, 31) if (t - 1) * 8 // 30 == b))
+    assert [out[r] for r in range(1, 9)] == first_of_bucket
