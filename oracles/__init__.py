@@ -11526,6 +11526,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_blocks
             FROM ranked GROUP BY 1
         """,
+        "h_index": """
+            WITH nd AS (SELECT count(*) AS n FROM documents),
+            inl AS (
+              SELECT (1000 // (1 + (event_id % 1000))) % (SELECT n FROM nd)
+                       AS doc_id,
+                     CAST(count(*) AS BIGINT) AS inlinks
+              FROM events GROUP BY 1),
+            pages AS (
+              SELECT d.source, d.doc_id,
+                     CAST(coalesce(i.inlinks, 0) AS BIGINT) AS inlinks
+              FROM documents d LEFT JOIN inl i ON i.doc_id = d.doc_id),
+            ranked AS (
+              SELECT source, inlinks,
+                     CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY inlinks DESC, doc_id) AS BIGINT) AS rk
+              FROM pages)
+            SELECT source,
+                   CAST(max(least(rk, inlinks)) AS BIGINT) AS h_index,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(inlinks) AS BIGINT) AS total_inlinks
+            FROM ranked GROUP BY 1
+        """,
+        "qq_points": """
+            WITH ranked AS (
+              SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                     CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+              FROM documents WHERE lang IN ('en', 'de')),
+            nper AS (SELECT lang, max(rk) AS n FROM ranked GROUP BY 1),
+            qs AS (SELECT unnest(range(1, 10)) AS q),
+            picks AS (
+              SELECT r.lang, CAST(q.q AS BIGINT) AS q, r.v
+              FROM ranked r JOIN nper n ON n.lang = r.lang
+              CROSS JOIN qs q
+              WHERE r.rk = (n.n * q.q) // 10 + 1)
+            SELECT e.q, e.v AS v_en, d.v AS v_de
+            FROM (SELECT q, v FROM picks WHERE lang = 'en') e
+            JOIN (SELECT q, v FROM picks WHERE lang = 'de') d
+              ON d.q = e.q
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,

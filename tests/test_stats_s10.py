@@ -218,3 +218,23 @@ def test_lttb_flat_series_tie_breaks_smallest_t(spark):
     for b in range(8):
         first_of_bucket.append(min(t for t in range(1, 31) if (t - 1) * 8 // 30 == b))
     assert [out[r] for r in range(1, 9)] == first_of_bucket
+
+
+def test_h_index_hand_case(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # citations [10, 8, 5, 4, 3] -> h = 4; [0,0] -> h = 0
+    rows = [("a", i, c) for i, c in enumerate([10, 8, 5, 4, 3])] + [
+        ("b", 1, 0), ("b", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, pid long, c long")
+    wr = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("pid"))
+    out = (
+        df.select("g", "c", F.row_number().over(wr).cast("long").alias("rk"))
+        .groupBy("g")
+        .agg(F.max(F.least(F.col("rk"), F.col("c"))).alias("h"))
+        .collect()
+    )
+    got = {r["g"]: r["h"] for r in out}
+    assert got == {"a": 4, "b": 0}
