@@ -8763,6 +8763,112 @@ def q_qq_points(spark, sf_dir):
     return en.join(de, "q")
 
 
+def q_max_window(spark, sf_dir):
+    """Maximum-sum activity window per user (Kadane's problem) over the
+    32-bin baseline-adjusted daily series (x = count - 2): solved by
+    the PREFIX identity best_t = prefix[t] - min(prefix[<t]) — one
+    ordered window pass (running min via the [UNBOUNDED, 1 PRECEDING]
+    frame, the skyline/interval_union idiom), argmax frozen (score
+    DESC, t ASC) via min_by struct == row_number replay. The
+    burst_detect counterpart with zero model assumptions. FULL
+    oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    lo = int(e.agg(F.min("day")).first()[0])
+    counts = (
+        e.select("user_id", (F.col("day") - F.lit(lo)).alias("t"))
+        .filter((F.col("t") >= 0) & (F.col("t") < 32))
+        .groupBy("user_id", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kdim = counts.select("user_id").distinct()
+    bins = spark.range(0, 32).select(F.col("id").cast("long").alias("t"))
+    filled = (
+        kdim.crossJoin(F.broadcast(bins))
+        .join(counts, ["user_id", "t"], "left")
+        .select(
+            "user_id",
+            "t",
+            (F.coalesce(F.col("n"), F.lit(0)).cast("long") - 2).alias("x"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    pre = filled.withColumn(
+        "p", F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "m",
+        # min over {0} ∪ prior prefixes: the 0 option IS the window
+        # anchored at t=0 (without it, all-positive series mis-anchor)
+        F.least(
+            F.lit(0).cast("long"),
+            F.coalesce(
+                F.min("p").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        ),
+    )
+    scored = pre.select(
+        "user_id", "t", (F.col("p") - F.col("m")).alias("s")
+    )
+    best = scored.groupBy("user_id").agg(
+        F.min_by(
+            F.struct("s", "t"),
+            F.struct((-F.col("s")).alias("k1"), F.col("t").alias("k2")),
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.s").alias("best_sum"),
+        F.col("b.t").alias("end_t"),
+    )
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact ROC-AUC ingredients of the en-marker scorer (the
+    calibration_bins scorer) against the true label: AUC =
+    (u_strict + tie_pairs/2) / (n_pos*n_neg) with u_strict the count of
+    strictly-ordered (pos > neg) pairs and tie_pairs the same-score
+    cross pairs — emitted as exact ints, the rational AUC consumer-
+    side. SCALE SHAPE: the data-sized work is ONE per-score aggregate
+    (p_s, q_s counts); the pair counting then runs on the COLLAPSED
+    distinct-score dim (<= 10001 rows — the quantile-sketch bounded-dim
+    discipline): u_strict = sum_s p_s * cum_q(<s) via one ordered
+    window on that dim. No global row rank anywhere. FULL oracle:
+    verbatim replay."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.least(
+            F.expr(
+                "(("
+                + " + ".join(
+                    f"(length(concat(' ', lower(text), ' ')) - "
+                    f"length(replace(concat(' ', lower(text), ' '), '{m}', '')))"
+                    for m in [" the ", " and ", " of ", " to ", " is "]
+                )
+                + ") * 40000) div length(concat(' ', lower(text), ' '))"
+            ),
+            F.lit(10000).cast("long"),
+        ).alias("s_fp"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    grp = scored.groupBy("s_fp").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("q"),
+    )
+    ws = Window.orderBy("s_fp").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.withColumn(
+        "cq", F.coalesce(F.sum("q").over(ws), F.lit(0).cast("long"))
+    )
+    return cum.agg(
+        F.sum(F.col("p") * F.col("cq")).cast("long").alias("u_strict"),
+        F.sum(F.col("p") * F.col("q")).cast("long").alias("tie_pairs"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9157,6 +9263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "h_index": q_h_index,
         "qq_points": q_qq_points,
+        "max_window": q_max_window,
+        "roc_auc": q_roc_auc,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -11566,6 +11566,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT q, v FROM picks WHERE lang = 'de') d
               ON d.q = e.q
         """,
+        "max_window": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            lo AS (SELECT min(day) AS lo FROM ev),
+            cnts AS (
+              SELECT user_id, day - (SELECT lo FROM lo) AS t,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM ev
+              WHERE day - (SELECT lo FROM lo) BETWEEN 0 AND 31
+              GROUP BY 1, 2),
+            users AS (SELECT DISTINCT user_id FROM cnts),
+            filled AS MATERIALIZED (
+              SELECT u.user_id, b.t,
+                     CAST(coalesce(c.c, 0) AS BIGINT) - 2 AS x
+              FROM users u
+              CROSS JOIN (SELECT unnest(range(0, 32)) AS t) b
+              LEFT JOIN cnts c ON c.user_id = u.user_id AND c.t = b.t),
+            pref AS (
+              SELECT user_id, t,
+                     sum(x) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS p
+              FROM filled),
+            pre AS (
+              SELECT user_id, t, p,
+                     least(0, coalesce(min(p) OVER (PARTITION BY user_id
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)) AS m
+              FROM pref),
+            scored AS (
+              SELECT user_id, t, p - m AS s,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY p - m DESC, t) AS rn
+              FROM pre)
+            SELECT user_id, CAST(s AS BIGINT) AS best_sum,
+                   CAST(t AS BIGINT) AS end_t
+            FROM scored WHERE rn = 1
+        """,
+        "roc_auc": """
+            WITH pads AS (
+              SELECT ' ' || lower(text) || ' ' AS pad,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            scored AS (
+              SELECT least((((length(pad) - length(replace(pad, ' the ', ''))) + (length(pad) - length(replace(pad, ' and ', ''))) + (length(pad) - length(replace(pad, ' of ', ''))) + (length(pad) - length(replace(pad, ' to ', ''))) + (length(pad) - length(replace(pad, ' is ', '')))) * 40000) // length(pad),
+                           10000) AS s_fp,
+                     CAST(y AS BIGINT) AS y
+              FROM pads),
+            grp AS (
+              SELECT s_fp, CAST(sum(y) AS BIGINT) AS p,
+                     CAST(sum(1 - y) AS BIGINT) AS q
+              FROM scored GROUP BY 1),
+            cum AS (
+              SELECT p, q,
+                     coalesce(sum(q) OVER (ORDER BY s_fp
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cq
+              FROM grp)
+            SELECT CAST(sum(p * cq) AS BIGINT) AS u_strict,
+                   CAST(sum(p * q) AS BIGINT) AS tie_pairs,
+                   CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(q) AS BIGINT) AS n_neg
+            FROM cum
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -238,3 +238,55 @@ def test_h_index_hand_case(spark):
     )
     got = {r["g"]: r["h"] for r in out}
     assert got == {"a": 4, "b": 0}
+
+
+def test_max_window_kadane_identity():
+    """The prefix identity equals classic Kadane on random arrays."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for _ in range(50):
+        x = rng.randint(-5, 6, size=32)
+        # classic Kadane (best possibly-empty suffix-anchored window)
+        best, cur = -10**9, 0
+        for v in x:
+            cur = max(v, cur + v)
+            best = max(best, cur)
+        # prefix identity
+        p = np.cumsum(x)
+        m = np.minimum(
+            0, np.concatenate([[0], np.minimum.accumulate(p)[:-1]])
+        )
+        assert (p - m).max() == best
+
+
+def test_roc_auc_perfect_and_random(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # perfectly separated: all pos scores > all neg scores
+    rows = [(10, 1), (9, 1), (2, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "s_fp long, y long")
+    grp = df.groupBy("s_fp").agg(
+        F.sum("y").alias("p"), F.sum(1 - F.col("y")).alias("q")
+    )
+    ws = Window.orderBy("s_fp").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.withColumn(
+        "cq", F.coalesce(F.sum("q").over(ws), F.lit(0))
+    )
+    r = cum.agg(
+        F.sum(F.col("p") * F.col("cq")).alias("u"),
+        F.sum(F.col("p") * F.col("q")).alias("t"),
+    ).collect()[0]
+    assert (r["u"], r["t"]) == (4, 0)  # AUC = 4/4 = 1
+    # all same score: u=0, ties = n1*n0 -> AUC = 1/2
+    df2 = spark.createDataFrame([(5, 1), (5, 1), (5, 0)], "s_fp long, y long")
+    g2 = df2.groupBy("s_fp").agg(
+        F.sum("y").alias("p"), F.sum(1 - F.col("y")).alias("q")
+    )
+    c2 = g2.withColumn("cq", F.coalesce(F.sum("q").over(ws), F.lit(0)))
+    r2 = c2.agg(
+        F.sum(F.col("p") * F.col("cq")).alias("u"),
+        F.sum(F.col("p") * F.col("q")).alias("t"),
+    ).collect()[0]
+    assert (r2["u"], r2["t"]) == (0, 2)
