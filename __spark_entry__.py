@@ -8869,6 +8869,34 @@ def q_roc_auc(spark, sf_dir):
     )
 
 
+def q_entropy_bound(spark, sf_dir):
+    """Shannon source-coding lower bound per language over the SAME
+    letter weights as huffman_cost: h_num = sum w_i * rint(ln(total/
+    w_i)*1e9) — per-term 1e9 ln fixed points (the naivebayes
+    _ln_ratio_fp_udf kernel verbatim) summed exactly; H bits =
+    h_num/(total*1e9*ln2) consumer-side, and H <= huffman bits <= H+1
+    is the textbook sandwich (pinned cross-operator in pytest). One
+    26-sum agg + one Arrow pass on the collapsed 26-row dim. FULL
+    oracle: identical ratio/round_even replay."""
+    from extractors_metadata_spark.operators.huffman import letter_weights
+    from extractors_metadata_spark.operators.naivebayes import _ln_ratio_fp_udf
+
+    d = _t(spark, sf_dir, "documents")
+    w = letter_weights(d, ["lang"]).filter(F.col("w") > 0)
+    tot = w.groupBy("lang").agg(F.sum("w").cast("long").alias("total_w"))
+    fp = _ln_ratio_fp_udf()
+    terms = w.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "total_w",
+        (F.col("w") * fp(F.col("total_w"), F.col("w").cast("long"))).alias("_t"),
+    )
+    return terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_syms"),
+        F.min("total_w").alias("total_w"),
+        F.sum("_t").cast("long").alias("h_num"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9265,6 +9293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qq_points": q_qq_points,
         "max_window": q_max_window,
         "roc_auc": q_roc_auc,
+        "entropy_bound": q_entropy_bound,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -8846,6 +8846,39 @@ def _lttb_sql(tb: int = 32, n_out: int = 10) -> str:
     )
 
 
+def _entropy_bound_sql() -> str:
+    sums = ",\n                 ".join(
+        f"sum(length(t) - length(replace(t, '{chr(97 + i)}', ''))) AS w{i}"
+        for i in range(26)
+    )
+    arms = "\n              UNION ALL ".join(
+        f"SELECT lang, {i} AS sym, w{i} AS w FROM g" for i in range(26)
+    )
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT lang,
+                 {sums}
+          FROM (SELECT lang, lower(text) AS t FROM documents)
+          GROUP BY lang),
+        base AS MATERIALIZED (
+          SELECT lang, CAST(sym AS BIGINT) AS sym, CAST(w AS BIGINT) AS w
+          FROM ({arms})
+          WHERE w > 0),
+        tot AS (SELECT lang, CAST(sum(w) AS BIGINT) AS total_w
+                FROM base GROUP BY 1),
+        terms AS (
+          SELECT b.lang, t.total_w,
+                 b.w * CAST(round_even(
+                   ln(CAST(t.total_w AS DOUBLE) / CAST(b.w AS DOUBLE)) * 1e9,
+                   0) AS BIGINT) AS term
+          FROM base b JOIN tot t ON t.lang = b.lang)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_syms,
+               CAST(min(total_w) AS BIGINT) AS total_w,
+               CAST(sum(term) AS BIGINT) AS h_num
+        FROM terms GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11511,6 +11544,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reach": _temporal_reach_sql(6, 5),
         "cidr_match": _cidr_sql(),
         "lttb_downsample": _lttb_sql(32, 10),
+        "entropy_bound": _entropy_bound_sql(),
         "friedman_test": """
             WITH counts AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

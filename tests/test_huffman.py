@@ -51,3 +51,30 @@ def test_letter_weights_counts(spark):
         for r in letter_weights(df, ["g"], "text").filter(F.col("w") > 0).collect()
     }
     assert w == {0: 2, 1: 2, 2: 1, 25: 2}  # a=2 b=2 c=1 z=2
+
+
+def test_shannon_sandwich_huffman_vs_entropy(spark):
+    """Cross-operator invariant at sf0.001: for every language,
+    H <= huffman_avg_bits <= H + 1 (the textbook source-coding
+    sandwich) on the identical letter weights."""
+    import math
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    hc = {
+        r["lang"]: r
+        for r in entry.queries()["huffman_cost"](spark, sf).collect()
+    }
+    eb = {
+        r["lang"]: r
+        for r in entry.queries()["entropy_bound"](spark, sf).collect()
+    }
+    assert set(hc) == set(eb)
+    for lang in hc:
+        total = hc[lang]["total_w"]
+        avg_bits = hc[lang]["total_bits"] / total
+        h_bits = eb[lang]["h_num"] / (total * 1e9 * math.log(2))
+        assert h_bits - 1e-6 <= avg_bits <= h_bits + 1 + 1e-6, (
+            lang, h_bits, avg_bits,
+        )
