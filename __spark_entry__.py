@@ -8897,6 +8897,64 @@ def q_entropy_bound(spark, sf_dir):
     )
 
 
+def q_text_tiling(spark, sf_dir):
+    """TextTiling-style topic segmentation (Hearst 1997, exact-integer
+    variant): per doc, 10-token blocks; adjacent-block vocabulary
+    cosine decided by the rational cross-multiplication rule
+    (100*dot^2 < 9*|a|^2*|b|^2 <=> cos < 0.3 — no float, no sqrt;
+    dot >= 0 so squaring is monotone); emit per boundary the exact
+    (dot, n2a, n2b, is_boundary). The document-structure signal a
+    curation pipeline uses to split long pages for chunking. One
+    (doc, block, token) agg + one token-aligned adjacent join — the
+    shingle machinery's plan shape. FULL oracle: verbatim replay."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    blocks = toks.select(
+        "doc_id", F.expr("pos div 10").alias("w"), "tok"
+    ).groupBy("doc_id", "w", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    norms = blocks.groupBy("doc_id", "w").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = blocks.select("doc_id", "w", "tok", F.col("c").alias("ca"))
+    b = blocks.select(
+        "doc_id", (F.col("w") - 1).alias("w"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, ["doc_id", "w", "tok"])
+        .groupBy("doc_id", "w")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = norms.select("doc_id", "w", F.col("n2").alias("n2a"))
+    nb = norms.select(
+        "doc_id", (F.col("w") - 1).alias("w"), F.col("n2").alias("n2b")
+    )
+    pairs = (
+        na.join(nb, ["doc_id", "w"])
+        .join(dots, ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            F.col("w").alias("boundary"),
+            F.coalesce(F.col("dot"), F.lit(0).cast("long")).alias("dot"),
+            "n2a",
+            "n2b",
+        )
+    )
+    return pairs.withColumn(
+        "is_boundary",
+        (
+            F.col("dot") * F.col("dot") * 100
+            < F.col("n2a") * F.col("n2b") * 9
+        ).cast("int"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9294,6 +9352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_window": q_max_window,
         "roc_auc": q_roc_auc,
         "entropy_bound": q_entropy_bound,
+        "text_tiling": q_text_tiling,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -562,6 +562,13 @@ def main() -> None:
         # lttb_downsample counts the (key, rank) selection off the
         # Arrow selection pass over the zero-fill grid.
         "lttb_downsample",
+        # h_index/qq_points/max_window/roc_auc/entropy_bound/text_tiling
+        # count rank/agg frames with load-bearing upstream windows.
+        "h_index",
+        "max_window",
+        "roc_auc",
+        "entropy_bound",
+        "text_tiling",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

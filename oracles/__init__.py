@@ -11663,6 +11663,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(q) AS BIGINT) AS n_neg
             FROM cum
         """,
+        "text_tiling": r"""
+            WITH toks AS (
+              SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\s+') AS arr
+                    FROM documents),
+                   unnest(range(1, len(arr) + 1)) t(i)
+              WHERE length(arr[i]) > 0),
+            blocks AS MATERIALIZED (
+              SELECT doc_id, pos // 10 AS w, tok,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1, 2, 3),
+            norms AS (
+              SELECT doc_id, w, CAST(sum(c * c) AS BIGINT) AS n2
+              FROM blocks GROUP BY 1, 2),
+            dots AS (
+              SELECT a.doc_id, a.w, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+              FROM blocks a JOIN blocks b
+                ON b.doc_id = a.doc_id AND b.tok = a.tok
+               AND b.w = a.w + 1
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT na.doc_id, na.w AS boundary,
+                     CAST(coalesce(d.dot, 0) AS BIGINT) AS dot,
+                     na.n2 AS n2a, nb.n2 AS n2b
+              FROM norms na
+              JOIN norms nb ON nb.doc_id = na.doc_id AND nb.w = na.w + 1
+              LEFT JOIN dots d ON d.doc_id = na.doc_id AND d.w = na.w)
+            SELECT doc_id, boundary, dot, n2a, n2b,
+                   CAST(CASE WHEN dot * dot * 100 < n2a * n2b * 9
+                        THEN 1 ELSE 0 END AS INT) AS is_boundary
+            FROM pairs
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,
