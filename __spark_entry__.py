@@ -8955,6 +8955,115 @@ def q_text_tiling(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+    sliding-window complement of record_linkage's Soundex blocks (SN
+    catches what phonetic blocking misses: same-prefix variants whose
+    codes diverge): the synthesized name records sort once on the key,
+    each record pairs with its w=3 successors (w-1 lag columns on ONE
+    window pass, no self-join), pairs score on the shared-text
+    lcp_expr, lcp >= 4 survives. Window partitioned by first letter
+    (sort-key blocks double as shuffle keys — no global sort, the
+    front_coding discipline; cross-block pairs at partition seams are
+    the documented SN trade). FULL oracle: verbatim lag replay."""
+    from extractors_metadata_spark.operators.index_build import lcp_expr
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.element_at(
+        F.array(
+            *[
+                F.lit(x)
+                for x in (
+                    "ashcraft", "robertson", "tymczak", "hilbert",
+                    "gauss", "euler", "lukasiewicz", "honeyman",
+                )
+            ]
+        ),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    var = F.expr("(doc_id div 8) % 4")
+    name = (
+        F.when(var == 1, F.concat(base, F.lit("s")))
+        .when(var == 2, F.substring(base, 1, 6))
+        .when(var == 3, F.concat(F.lit("mc"), base))
+        .otherwise(base)
+    )
+    recs = d.select(name.alias("word")).distinct().select(
+        F.substring("word", 1, 1).alias("blk"), "word"
+    )
+    wo = Window.partitionBy("blk").orderBy("word")
+    lagged = recs.select(
+        "word",
+        F.lead("word", 1).over(wo).alias("n1"),
+        F.lead("word", 2).over(wo).alias("n2"),
+        F.lead("word", 3).over(wo).alias("n3"),
+    )
+    pairs = None
+    for c in ("n1", "n2", "n3"):
+        p = lagged.filter(F.col(c).isNotNull()).select(
+            F.col("word").alias("word_a"), F.col(c).alias("word_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    scored = pairs.select(
+        "word_a",
+        "word_b",
+        F.expr(lcp_expr("word_a", "word_b")).cast("long").alias("lcp"),
+    )
+    return scored.filter(F.col("lcp") >= 4)
+
+
+def q_triad_census(spark, sf_dir):
+    """Undirected triad census of the zipf graph in CLOSED FORM — the
+    Holland-Leinhardt class counts without touching any triple: with
+    n nodes, m edges, W = sum d(d-1)/2 wedges and T triangles (the
+    proven degree/triangle machinery), paths = W - 3T, one-edge =
+    m(n-2) - 2W + 3T, empty = C(n,3) - rest — every count an exact
+    int64 identity, so the 'census' costs two aggregates. The
+    completeness critic for clustering_coeff/triangles: the four
+    counts must sum to C(n,3) (pinned in the oracle by construction).
+    FULL oracle."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        triangle_list,
+        zipf_link_graph,
+    )
+
+    el0 = zipf_link_graph(_t(spark, sf_dir, "events")).filter(
+        F.col("src") != F.col("dst")
+    )
+    sym = el0.unionByName(
+        el0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("d") / 2).cast("long").alias("m"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("wedges"),
+    )
+    tri = triangle_list(el0.select("src", "dst"))
+    t_total = tri.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    j = stats.crossJoin(t_total)
+    return j.select(
+        "n",
+        "m",
+        "wedges",
+        F.col("t").alias("triangles"),
+        (F.col("wedges") - 3 * F.col("t")).alias("paths"),
+        (
+            F.col("m") * (F.col("n") - 2)
+            - 2 * F.col("wedges")
+            + 3 * F.col("t")
+        ).alias("one_edge"),
+        (
+            F.expr("n * (n - 1) div 2 * (n - 2) div 3")
+            + F.col("wedges")
+            - F.col("t")
+            - F.col("m") * (F.col("n") - 2)
+        ).alias("empty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9353,6 +9462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "entropy_bound": q_entropy_bound,
         "text_tiling": q_text_tiling,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "triad_census": q_triad_census,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -8879,6 +8879,43 @@ def _entropy_bound_sql() -> str:
     """
 
 
+def _sorted_neighborhood_sql(w: int = 3) -> str:
+    from extractors_metadata_spark.operators.index_build import lcp_expr
+
+    lcp = lcp_expr("word_a", "word_b")
+    names = "'ashcraft', 'robertson', 'tymczak', 'hilbert', " \
+            "'gauss', 'euler', 'lukasiewicz', 'honeyman'"
+    leads = ",\n                 ".join(
+        f"lead(word, {i}) OVER (PARTITION BY substr(word, 1, 1) "
+        f"ORDER BY word) AS n{i}" for i in range(1, w + 1)
+    )
+    arms = "\n            UNION ALL ".join(
+        f"SELECT word AS word_a, n{i} AS word_b FROM lagged "
+        f"WHERE n{i} IS NOT NULL" for i in range(1, w + 1)
+    )
+    return f"""
+        WITH recs AS (
+          SELECT doc_id,
+                 ([{names}])[(doc_id % 8) + 1] AS base,
+                 (doc_id // 8) % 4 AS var
+          FROM documents),
+        vocab AS (
+          SELECT DISTINCT CASE var
+                   WHEN 1 THEN base || 's'
+                   WHEN 2 THEN substr(base, 1, 6)
+                   WHEN 3 THEN 'mc' || base
+                   ELSE base END AS word
+          FROM recs),
+        lagged AS MATERIALIZED (
+          SELECT word,
+                 {leads}
+          FROM vocab),
+        pairs AS ({arms})
+        SELECT word_a, word_b, CAST({lcp} AS BIGINT) AS lcp
+        FROM pairs WHERE ({lcp}) >= 4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11695,6 +11732,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN dot * dot * 100 < n2a * n2b * 9
                         THEN 1 ELSE 0 END AS INT) AS is_boundary
             FROM pairs
+        """,
+        "sorted_neighborhood": _sorted_neighborhood_sql(),
+        "triad_census": """
+            WITH edges0 AS (
+              SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                     1000 // (1 + (event_id % 1000)) AS dst
+              FROM events),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges0 WHERE src != dst),
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+              GROUP BY 1),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d) // 2 AS BIGINT) AS m,
+                     CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+              FROM deg),
+            tr AS (
+              SELECT CAST(count(*) AS BIGINT) AS t
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+            SELECT n, m, wedges, t AS triangles,
+                   CAST(wedges - 3 * t AS BIGINT) AS paths,
+                   CAST(m * (n - 2) - 2 * wedges + 3 * t AS BIGINT)
+                     AS one_edge,
+                   CAST(n * (n - 1) // 2 * (n - 2) // 3
+                        + wedges - t - m * (n - 2) AS BIGINT) AS empty
+            FROM st CROSS JOIN tr
         """,
         "species_richness": r"""
             WITH toks AS (

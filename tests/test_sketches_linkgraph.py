@@ -412,3 +412,14 @@ def test_temporal_reach_earliest_arrival_wins(spark):
         for r in temporal_reach(edges, seeds, rounds=4).collect()
     }
     assert out[2] == 10 and out[3] == 30
+
+
+def test_triad_census_closed_forms_hand_graph():
+    # triangle 0-1-2 plus pendant edge 2-3: n=4, m=4, W=5, T=1
+    n, m, W, T = 4, 4, 5, 1
+    paths = W - 3 * T
+    one_edge = m * (n - 2) - 2 * W + 3 * T
+    empty = n * (n - 1) // 2 * (n - 2) // 3 + W - T - m * (n - 2)
+    # hand enumeration: {012}=tri, {013}=1-edge, {023}&{123}=paths
+    assert (T, paths, one_edge, empty) == (1, 2, 1, 0)
+    assert T + paths + one_edge + empty == 4  # C(4,3)
