@@ -9064,6 +9064,43 @@ def q_triad_census(spark, sf_dir):
     )
 
 
+def q_pr_curve(spark, sf_dir):
+    """Exact precision-recall curve of the en-marker scorer (roc_auc's
+    companion): per distinct score threshold (descending) the
+    cumulative (tp, fp) — precision/recall/average-precision are
+    rationals of these ints, consumer-side. Same scale shape as
+    roc_auc: ONE per-score agg, then a window on the COLLAPSED
+    <= 10001-row score dim. FULL oracle: verbatim replay."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.least(
+            F.expr(
+                "(("
+                + " + ".join(
+                    f"(length(concat(' ', lower(text), ' ')) - "
+                    f"length(replace(concat(' ', lower(text), ' '), '{m}', '')))"
+                    for m in [" the ", " and ", " of ", " to ", " is "]
+                )
+                + ") * 40000) div length(concat(' ', lower(text), ' '))"
+            ),
+            F.lit(10000).cast("long"),
+        ).alias("s_fp"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    grp = scored.groupBy("s_fp").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("q"),
+    )
+    wd = Window.orderBy(F.desc("s_fp")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return grp.select(
+        "s_fp",
+        F.sum("p").over(wd).cast("long").alias("tp"),
+        F.sum("q").over(wd).cast("long").alias("fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9464,6 +9501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tiling": q_text_tiling,
         "sorted_neighborhood": q_sorted_neighborhood,
         "triad_census": q_triad_census,
+        "pr_curve": q_pr_curve,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

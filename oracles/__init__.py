@@ -11764,6 +11764,27 @@ def oracle_sql() -> dict[str, str]:
                         + wedges - t - m * (n - 2) AS BIGINT) AS empty
             FROM st CROSS JOIN tr
         """,
+        "pr_curve": """
+            WITH pads AS (
+              SELECT ' ' || lower(text) || ' ' AS pad,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            scored AS (
+              SELECT least((((length(pad) - length(replace(pad, ' the ', ''))) + (length(pad) - length(replace(pad, ' and ', ''))) + (length(pad) - length(replace(pad, ' of ', ''))) + (length(pad) - length(replace(pad, ' to ', ''))) + (length(pad) - length(replace(pad, ' is ', '')))) * 40000) // length(pad),
+                           10000) AS s_fp,
+                     CAST(y AS BIGINT) AS y
+              FROM pads),
+            grp AS (
+              SELECT s_fp, CAST(sum(y) AS BIGINT) AS p,
+                     CAST(sum(1 - y) AS BIGINT) AS q
+              FROM scored GROUP BY 1)
+            SELECT CAST(s_fp AS BIGINT) AS s_fp,
+                   CAST(sum(p) OVER (ORDER BY s_fp DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                   CAST(sum(q) OVER (ORDER BY s_fp DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+            FROM grp
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,
