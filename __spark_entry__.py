@@ -9101,6 +9101,46 @@ def q_pr_curve(spark, sf_dir):
     )
 
 
+def q_unique_prefix(spark, sf_dir):
+    """Shortest unique prefix per vocabulary term — the trie /
+    autocomplete / minimal-disambiguation primitive, WITHOUT building a
+    trie: in sorted order a word's nearest lcp competitor is one of its
+    two neighbors, so sup = least(len, 1 + greatest(lcp(prev, w),
+    lcp(w, next))) — one ordered window (lag+lead) + the shared-text
+    lcp_expr. A word that is a strict prefix of its neighbor has no
+    unique prefix: flagged is_prefix, sup = len. One global-ish window
+    on the COLLAPSED vocab dim (bounded; at 10^12-doc scale the vocab
+    dim is the small side — the front_coding partitioning applies if
+    not). FULL oracle: verbatim replay."""
+    from extractors_metadata_spark.operators.index_build import doc_postings, lcp_expr
+
+    p = doc_postings(_t(spark, sf_dir, "documents"))
+    vocab = p.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    wo = Window.orderBy("word")
+    lagged = vocab.select(
+        "word",
+        F.lag("word").over(wo).alias("pw"),
+        F.lead("word").over(wo).alias("nw"),
+    )
+    lcp_p = f"CASE WHEN pw IS NULL THEN 0 ELSE {lcp_expr('pw', 'word')} END"
+    lcp_n = f"CASE WHEN nw IS NULL THEN 0 ELSE {lcp_expr('word', 'nw')} END"
+    return lagged.select(
+        "word",
+        F.length("word").cast("long").alias("len"),
+        F.least(
+            F.length("word").cast("long"),
+            (
+                F.lit(1)
+                + F.greatest(F.expr(lcp_p), F.expr(lcp_n)).cast("long")
+            ),
+        ).alias("sup"),
+        (
+            F.greatest(F.expr(lcp_p), F.expr(lcp_n))
+            >= F.length("word")
+        ).cast("int").alias("is_prefix"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9502,6 +9542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "triad_census": q_triad_census,
         "pr_curve": q_pr_curve,
+        "unique_prefix": q_unique_prefix,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

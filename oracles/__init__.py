@@ -8916,6 +8916,32 @@ def _sorted_neighborhood_sql(w: int = 3) -> str:
     """
 
 
+def _unique_prefix_sql() -> str:
+    from extractors_metadata_spark.operators.index_build import lcp_expr
+
+    lp = f"CASE WHEN pw IS NULL THEN 0 ELSE {lcp_expr('pw', 'word')} END"
+    ln = f"CASE WHEN nw IS NULL THEN 0 ELSE {lcp_expr('word', 'nw')} END"
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok AS word FROM toks WHERE length(tok) > 0 GROUP BY 1),
+        lagged AS (
+          SELECT word,
+                 lag(word) OVER (ORDER BY word) AS pw,
+                 lead(word) OVER (ORDER BY word) AS nw
+          FROM vocab)
+        SELECT word, CAST(length(word) AS BIGINT) AS len,
+               CAST(least(length(word),
+                          1 + greatest({lp}, {ln})) AS BIGINT) AS sup,
+               CAST(CASE WHEN greatest({lp}, {ln}) >= length(word)
+                    THEN 1 ELSE 0 END AS INT) AS is_prefix
+        FROM lagged
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11734,6 +11760,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
         "sorted_neighborhood": _sorted_neighborhood_sql(),
+        "unique_prefix": _unique_prefix_sql(),
         "triad_census": """
             WITH edges0 AS (
               SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
