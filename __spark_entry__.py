@@ -9141,6 +9141,61 @@ def q_unique_prefix(spark, sf_dir):
     )
 
 
+def q_perm_test(spark, sf_dir):
+    """Exact-replay PERMUTATION test per user (click vs view values) —
+    the randomization-inference member of the stats family (mann
+    whitney/cvm assume a null; the permutation test SIMULATES it): the
+    cross-multiplied mean-difference statistic T = n*sum_1(v) -
+    n1*sum(v) (exact int), re-computed under B=32 label permutations
+    drawn from the REPLAYABLE vhash family (g_b = mix31((A_b*event_id
+    + B_b) mod P) mod 2 — the weighted_sample discipline: both engines
+    recompute the identical pseudo-randomness; coefficients from
+    perm_coeffs, single source). Emits (n, n1, t_obs, n_extreme, n_b):
+    the permutation p-value numerator counts |T_b| >= |T_obs|. One
+    narrow 32x fan-out against a broadcast literal dim + two aggs.
+    FULL oracle."""
+    from extractors_metadata_spark.functions.vhash import P31, mix31, perm_coeffs
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("g1") * F.col("v")).cast("long").alias("sv1"),
+    ).withColumn("t_obs", F.col("n") * F.col("sv1") - F.col("n1") * F.col("sv"))
+    coeffs = perm_coeffs(32)
+    pdim = spark.createDataFrame(
+        [(b, a, bb) for b, (a, bb) in enumerate(coeffs)],
+        "b long, pa long, pb long",
+    )
+    fan = e.crossJoin(F.broadcast(pdim)).withColumn(
+        "gb",
+        mix31((F.col("pa") * F.col("event_id") + F.col("pb")) % F.lit(P31))
+        % 2,
+    )
+    perms = fan.groupBy("user_id", "b").agg(
+        F.sum("gb").cast("long").alias("n1b"),
+        F.sum(F.col("gb") * F.col("v")).cast("long").alias("sv1b"),
+    )
+    tb = perms.join(F.broadcast(base.select("user_id", "n", "sv", "t_obs")), "user_id").withColumn(
+        "t_b", F.col("n") * F.col("sv1b") - F.col("n1b") * F.col("sv")
+    )
+    ext = tb.groupBy("user_id").agg(
+        F.sum(
+            (F.abs(F.col("t_b")) >= F.abs(F.col("t_obs"))).cast("long")
+        ).alias("n_extreme"),
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+    )
+    return base.select("user_id", "n", "n1", "t_obs").join(ext, "user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9543,6 +9598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "pr_curve": q_pr_curve,
         "unique_prefix": q_unique_prefix,
+        "perm_test": q_perm_test,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -569,6 +569,14 @@ def main() -> None:
         "roc_auc",
         "entropy_bound",
         "text_tiling",
+        # sorted_neighborhood/record-family, pr_curve, unique_prefix,
+        # perm_test, triad_census count rank/agg frames with
+        # load-bearing windows/fan-outs.
+        "sorted_neighborhood",
+        "triad_census",
+        "pr_curve",
+        "unique_prefix",
+        "perm_test",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -8942,6 +8942,53 @@ def _unique_prefix_sql() -> str:
     """
 
 
+def _perm_test_sql(n_b: int = 32) -> str:
+    from extractors_metadata_spark.functions.vhash import P31, perm_coeffs
+
+    vals = ", ".join(
+        f"({b}, {a}, {bb})" for b, (a, bb) in enumerate(perm_coeffs(n_b))
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT user_id, event_id,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                 CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+          FROM events WHERE event_type IN ('click', 'view')),
+        base AS MATERIALIZED (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(g1) AS BIGINT) AS n1,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(g1 * v) AS BIGINT) AS sv1
+          FROM e GROUP BY 1),
+        baset AS MATERIALIZED (
+          SELECT user_id, n, n1, sv, n * sv1 - n1 * sv AS t_obs FROM base),
+        pdim AS (SELECT * FROM (VALUES {vals}) AS t(b, pa, pb)),
+        h0 AS (
+          SELECT e.user_id, e.v, p.b,
+                 (p.pa * e.event_id + p.pb) % {P31} AS hr
+          FROM e CROSS JOIN pdim p),
+        fan AS (
+          SELECT user_id, v, b, ({_mix31_sql('hr')}) % 2 AS gb FROM h0),
+        perms AS (
+          SELECT user_id, b, CAST(sum(gb) AS BIGINT) AS n1b,
+                 CAST(sum(gb * v) AS BIGINT) AS sv1b
+          FROM fan GROUP BY 1, 2),
+        tb AS (
+          SELECT p.user_id,
+                 bt.n * p.sv1b - p.n1b * bt.sv AS t_b, bt.t_obs
+          FROM perms p JOIN baset bt ON bt.user_id = p.user_id),
+        ext AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN abs(t_b) >= abs(t_obs)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                 CAST(count(*) AS BIGINT) AS n_b
+          FROM tb GROUP BY 1)
+        SELECT bt.user_id, bt.n, bt.n1, CAST(bt.t_obs AS BIGINT) AS t_obs,
+               ext.n_extreme, ext.n_b
+        FROM baset bt JOIN ext ON ext.user_id = bt.user_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11761,6 +11808,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sorted_neighborhood": _sorted_neighborhood_sql(),
         "unique_prefix": _unique_prefix_sql(),
+        "perm_test": _perm_test_sql(32),
         "triad_census": """
             WITH edges0 AS (
               SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
