@@ -9196,6 +9196,40 @@ def q_perm_test(spark, sf_dir):
     return base.select("user_id", "n", "n1", "t_obs").join(ext, "user_id")
 
 
+def q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon SIGNED-rank ingredients per user — the PAIRED member
+    the rank family lacked (mann_whitney is unpaired; hodges_lehmann
+    is this test's point estimate): pairs are days, d = clicks - views
+    per day over the observed day span; zero differences drop
+    (classical), |d| ranks under the frozen (|d|, day) unique order,
+    W+ = sum of ranks where d > 0. Emits (n_eff, w_plus) — the
+    reference distribution is a function of n_eff, consumer-side. Two
+    windows + aggs on one user Exchange. FULL oracle: verbatim
+    replay."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "click", 1).otherwise(-1).alias("s"),
+    )
+    diffs = e.groupBy("user_id", "day").agg(
+        F.sum("s").cast("long").alias("d")
+    ).filter(F.col("d") != 0)
+    wr = Window.partitionBy("user_id").orderBy(F.abs(F.col("d")), F.col("day"))
+    ranked = diffs.select(
+        "user_id",
+        "d",
+        F.row_number().over(wr).cast("long").alias("rk"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eff"),
+        F.sum(F.when(F.col("d") > 0, F.col("rk")).otherwise(0))
+        .cast("long")
+        .alias("w_plus"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9599,6 +9633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "unique_prefix": q_unique_prefix,
         "perm_test": q_perm_test,
+        "wilcoxon_signed": q_wilcoxon_signed,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

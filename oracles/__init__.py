@@ -11860,6 +11860,24 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
             FROM grp
         """,
+        "wilcoxon_signed": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE -1 END AS s
+              FROM events WHERE event_type IN ('click', 'view')),
+            diffs AS (
+              SELECT user_id, day, CAST(sum(s) AS BIGINT) AS d
+              FROM e GROUP BY 1, 2 HAVING sum(s) != 0),
+            ranked AS (
+              SELECT user_id, d,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(d), day) AS BIGINT) AS rk
+              FROM diffs)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_eff,
+                   CAST(sum(CASE WHEN d > 0 THEN rk ELSE 0 END) AS BIGINT)
+                     AS w_plus
+            FROM ranked GROUP BY 1
+        """,
         "species_richness": r"""
             WITH toks AS (
               SELECT doc_id,
