@@ -9230,6 +9230,78 @@ def q_wilcoxon_signed(spark, sf_dir):
     )
 
 
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up over the perm_test p-values —
+    multiple-testing control composed on randomization inference, and
+    EXACT throughout because permutation p-values are rationals
+    ne/n_b: with alpha = 1/4 and n_b = 32 the BH condition
+    p_(i) <= i*alpha/m cross-multiplies to ne*m <= i*8 (pure int64);
+    k* = max satisfying rank (frozen (ne, user) order), reject rank <=
+    k*. Emits per test (user_id, ne, rk, rejected). One rank window on
+    the collapsed per-user frame + a 1-row broadcast threshold. FULL
+    oracle: verbatim replay."""
+    tests = q_perm_test(spark, sf_dir).select(
+        "user_id", F.col("n_extreme").alias("ne"), "n_b"
+    )
+    wr = Window.orderBy("ne", "user_id")
+    ranked = tests.select(
+        "user_id",
+        "ne",
+        F.row_number().over(wr).cast("long").alias("rk"),
+    )
+    m = ranked.agg(F.max("rk").alias("m"))
+    cond = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "_ok", (F.col("ne") * F.col("m") <= F.col("rk") * 8).cast("int")
+    )
+    kstar = cond.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_ok") == 1, F.col("rk"))),
+            F.lit(0).cast("long"),
+        ).alias("k")
+    )
+    return cond.crossJoin(F.broadcast(kstar)).select(
+        "user_id",
+        "ne",
+        "rk",
+        (F.col("rk") <= F.col("k")).cast("int").alias("rejected"),
+    )
+
+
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe (median-Levene) variance-equality ingredients per
+    user: absolute deviations of click/view values from each group's
+    EXACT lower-median order statistic ((n+1) div 2 rank over (v, id) —
+    the runs_test median discipline), emitted as the exact per-group
+    integer sums (n_g, s_g = sum|dev|, q_g = sum dev^2) the F statistic
+    is a rational of — robust to the non-normality Levene's mean
+    version trips on. Median via one rank window on the same user
+    Exchange as the aggregate. FULL oracle: verbatim replay."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("g"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    wg = Window.partitionBy("user_id", "g").orderBy("v", "event_id")
+    ranked = e.withColumn("rk", F.row_number().over(wg)).withColumn(
+        "ng", F.count(F.lit(1)).over(Window.partitionBy("user_id", "g"))
+    )
+    med = ranked.filter(
+        F.col("rk") == F.expr("(ng + 1) div 2")
+    ).select("user_id", "g", F.col("v").alias("med"))
+    dev = e.join(med, ["user_id", "g"]).select(
+        "user_id", "g", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    agg = dev.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("ad").cast("long").alias("s_g"),
+        F.sum(F.col("ad") * F.col("ad")).cast("long").alias("q_g"),
+    )
+    return agg.select("user_id", "g", "n_g", "s_g", "q_g")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9634,6 +9706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_prefix": q_unique_prefix,
         "perm_test": q_perm_test,
         "wilcoxon_signed": q_wilcoxon_signed,
+        "bh_fdr": q_bh_fdr,
+        "brown_forsythe": q_brown_forsythe,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -8989,6 +8989,29 @@ def _perm_test_sql(n_b: int = 32) -> str:
     """
 
 
+def _bh_fdr_sql() -> str:
+    return f"""
+        WITH perm AS ({_perm_test_sql(32)}),
+        ranked AS MATERIALIZED (
+          SELECT user_id, n_extreme AS ne,
+                 CAST(row_number() OVER (ORDER BY n_extreme, user_id)
+                      AS BIGINT) AS rk
+          FROM perm),
+        mm AS (SELECT max(rk) AS m FROM ranked),
+        cond AS MATERIALIZED (
+          SELECT r.user_id, r.ne, r.rk,
+                 CASE WHEN r.ne * (SELECT m FROM mm) <= r.rk * 8
+                      THEN 1 ELSE 0 END AS ok
+          FROM ranked r),
+        ks AS (SELECT coalesce(max(CASE WHEN ok = 1 THEN rk END), 0) AS k
+               FROM cond)
+        SELECT user_id, ne, rk,
+               CAST(CASE WHEN rk <= (SELECT k FROM ks)
+                    THEN 1 ELSE 0 END AS INT) AS rejected
+        FROM cond
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11859,6 +11882,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(q) OVER (ORDER BY s_fp DESC
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
             FROM grp
+        """,
+        "bh_fdr": _bh_fdr_sql(),
+        "brown_forsythe": """
+            WITH e AS MATERIALIZED (
+              SELECT user_id, event_id, event_type AS g,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+              FROM events WHERE event_type IN ('click', 'view')),
+            ranked AS (
+              SELECT user_id, g, v,
+                     row_number() OVER (PARTITION BY user_id, g
+                                        ORDER BY v, event_id) AS rk,
+                     count(*) OVER (PARTITION BY user_id, g) AS ng
+              FROM e),
+            med AS MATERIALIZED (
+              SELECT user_id, g, v AS med FROM ranked
+              WHERE rk = (ng + 1) // 2),
+            dev AS (
+              SELECT e.user_id, e.g, abs(e.v - m.med) AS ad
+              FROM e JOIN med m ON m.user_id = e.user_id AND m.g = e.g)
+            SELECT user_id, g, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(ad) AS BIGINT) AS s_g,
+                   CAST(sum(ad * ad) AS BIGINT) AS q_g
+            FROM dev GROUP BY 1, 2
         """,
         "wilcoxon_signed": """
             WITH e AS (
