@@ -577,6 +577,9 @@ def main() -> None:
         "pr_curve",
         "unique_prefix",
         "perm_test",
+        "wilcoxon_signed",
+        "bh_fdr",
+        "brown_forsythe",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving
