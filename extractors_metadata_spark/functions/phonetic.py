@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 # h/w LAST so the short to-string deletes them; everything else maps to its
 # NARA digit class.
 SOUNDEX_FROM = "ABCDEFGIJKLMNOPQRSTUVXYZHW"
-SOUNDEX_TO = "012301202245501262301002"
+SOUNDEX_TO = "012301202245501262301202"
 _COLLAPSE_PASSES = 5  # complete for digit runs <= 32
 
 

@@ -85,3 +85,88 @@ def test_adler32_matches_zlib(spark):
     }
     for v in vals:
         assert got[v] == zlib.adler32(v.encode("ascii")), v
+
+
+def _soundex_ref(name: str) -> str:
+    """Independent reference NARA Soundex (straightforward per-char
+    walk, no translate/replace tricks) for property testing."""
+    codes = {}
+    for letters, d in (
+        ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+        ("L", "4"), ("MN", "5"), ("R", "6"), ("AEIOUY", "0"),
+    ):
+        for ch in letters:
+            codes[ch] = d
+    clean = "".join(c for c in name.upper() if c.isalpha() and c.isascii())
+    if not clean:
+        return ""
+    first = clean[0]
+    # delete h/w, code everything, collapse runs, drop first code if the
+    # first letter is not h/w, strip zeros, pad
+    kept = [c for c in clean if c not in "HW"]
+    digits = [codes[c] for c in kept]
+    collapsed = []
+    for d in digits:
+        if not collapsed or collapsed[-1] != d:
+            collapsed.append(d)
+    if first not in "HW" and collapsed:
+        collapsed = collapsed[1:]
+    out = [d for d in collapsed if d != "0"]
+    return first + ("".join(out) + "000")[:3]
+
+
+def test_soundex_property_vs_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    import string
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=string.ascii_letters + "-' 0123456789", min_size=0, max_size=24
+        )
+    )
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    uniq = sorted(set(cases))
+    df = spark.createDataFrame([(s,) for s in uniq], "name string")
+    got = {
+        r["name"]: r["sdx"]
+        for r in df.select(
+            "name", soundex(F.col("name")).alias("sdx")
+        ).collect()
+    }
+    bad = [(s, got[s], _soundex_ref(s)) for s in uniq if got[s] != _soundex_ref(s)]
+    assert bad == [], bad[:10]
+
+
+def test_luhn_check_digit_property(spark):
+    """Appending the computed check digit always validates: for payload
+    p, check = (10 - luhn_shifted(p)) % 10 makes p||check Luhn-valid."""
+    import random
+
+    rnd = random.Random(7)
+    payloads = ["".join(rnd.choice("0123456789") for _ in range(rnd.randint(5, 18)))
+                for _ in range(100)]
+
+    def check_digit(p):
+        total = 0
+        for i, ch in enumerate(reversed(p)):
+            d = int(ch)
+            if i % 2 == 0:  # will be doubled once the check digit appends
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return str((10 - total % 10) % 10)
+
+    full = [p + check_digit(p) for p in payloads]
+    df = spark.createDataFrame([(v,) for v in full], "num string")
+    bad = df.select("num", luhn_valid("num").alias("ok")).filter(
+        F.col("ok") != 1
+    ).collect()
+    assert bad == [], [r["num"] for r in bad]
