@@ -9302,6 +9302,42 @@ def q_brown_forsythe(spark, sf_dir):
     return agg.select("user_id", "g", "n_g", "s_g", "q_g")
 
 
+def q_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen mark-recapture estimate of corpus coverage —
+    the two-crawl overlap answer to "how big is the part we have not
+    seen?" (the ecology classic applied to crawl/index coverage,
+    species_richness's sibling for SAMPLED populations): two
+    deterministic 'captures' via the replayable mix31 family (capture A:
+    h % 5 < 2, capture B: h2 % 5 < 2 on an independent mix), emit the
+    exact (n_a, n_b, m_overlap) plus the Chapman-corrected numerator/
+    denominator ints ((n_a+1)(n_b+1), m+1) — N_hat rationals stay
+    consumer-side. One scan, two hash predicates, one agg. FULL
+    oracle."""
+    from extractors_metadata_spark.functions.vhash import P31, mix31
+
+    d = _t(spark, sf_dir, "documents")
+    h1 = mix31((F.col("doc_id") * 2654435761 + 12345) % F.lit(P31))
+    h2 = mix31((F.col("doc_id") * 40503 + 99991) % F.lit(P31))
+    caps = d.select(
+        (h1 % 5 < 2).cast("long").alias("a"),
+        (h2 % 5 < 2).cast("long").alias("b"),
+    )
+    agg = caps.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("m_overlap"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "m_overlap",
+        "n_true",
+        ((F.col("n_a") + 1) * (F.col("n_b") + 1)).alias("chapman_num"),
+        (F.col("m_overlap") + 1).alias("chapman_den"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9708,6 +9744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed": q_wilcoxon_signed,
         "bh_fdr": q_bh_fdr,
         "brown_forsythe": q_brown_forsythe,
+        "capture_recapture": q_capture_recapture,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -580,6 +580,7 @@ def main() -> None:
         "wilcoxon_signed",
         "bh_fdr",
         "brown_forsythe",
+        "capture_recapture",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -9012,6 +9012,33 @@ def _bh_fdr_sql() -> str:
     """
 
 
+def _capture_recapture_sql() -> str:
+    from extractors_metadata_spark.functions.vhash import P31
+
+    h1 = _mix31_sql("hr1")
+    h2 = _mix31_sql("hr2")
+    return f"""
+        WITH h0 AS (
+          SELECT (doc_id * 2654435761 + 12345) % {P31} AS hr1,
+                 (doc_id * 40503 + 99991) % {P31} AS hr2
+          FROM documents),
+        caps AS (
+          SELECT CASE WHEN ({h1}) % 5 < 2 THEN 1 ELSE 0 END AS a,
+                 CASE WHEN ({h2}) % 5 < 2 THEN 1 ELSE 0 END AS b
+          FROM h0),
+        agg AS (
+          SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                 CAST(sum(b) AS BIGINT) AS n_b,
+                 CAST(sum(a * b) AS BIGINT) AS m_overlap,
+                 CAST(count(*) AS BIGINT) AS n_true
+          FROM caps)
+        SELECT n_a, n_b, m_overlap, n_true,
+               CAST((n_a + 1) * (n_b + 1) AS BIGINT) AS chapman_num,
+               CAST(m_overlap + 1 AS BIGINT) AS chapman_den
+        FROM agg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11884,6 +11911,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grp
         """,
         "bh_fdr": _bh_fdr_sql(),
+        "capture_recapture": _capture_recapture_sql(),
         "brown_forsythe": """
             WITH e AS MATERIALIZED (
               SELECT user_id, event_id, event_type AS g,
