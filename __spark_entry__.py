@@ -53,6 +53,8 @@ from oracles.shared import (  # noqa: F401
     _OVL_OX,
     _OVL_OY,
     _OVL_W1,
+    AHO_PATTERNS as _AHO_PATTERNS,
+    SKW_TERMS as _SKW_TERMS,
 )
 
 
@@ -9338,6 +9340,342 @@ def q_capture_recapture(spark, sf_dir):
     )
 
 
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q — the k-treatment extension of McNemar for matched
+    BINARY responses (did each user engage with each of the 3 treatment
+    surfaces click/view/purchase?): x_ij = [user i has >= 1 event of
+    type j], Q = (k-1)[k*sum C_j^2 - (sum C_j)^2] / [k*sum R_i -
+    sum R_i^2] — every term an exact int64 (rows with R_i in {0, k}
+    contribute zero to the denominator, so the distinct-presence base
+    loses nothing). One distinct + one per-user agg + one global agg.
+    FULL oracle: verbatim replay."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("xc"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("xv"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("xp"),
+    )
+    r = (F.col("xc") + F.col("xv") + F.col("xp")).alias("r")
+    agg = per_user.select("xc", "xv", "xp", r).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("xc").cast("long").alias("c_click"),
+        F.sum("xv").cast("long").alias("c_view"),
+        F.sum("xp").cast("long").alias("c_purchase"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+    )
+    cc, cv, cp = F.col("c_click"), F.col("c_view"), F.col("c_purchase")
+    return agg.select(
+        "n_users",
+        "c_click",
+        "c_view",
+        "c_purchase",
+        (
+            2 * (3 * (cc * cc + cv * cv + cp * cp)
+                 - (cc + cv + cp) * (cc + cv + cp))
+        ).alias("q_num"),
+        (3 * F.col("sr") - F.col("srr")).alias("q_den"),
+    )
+
+
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired test on purchase conversion before/after the
+    mid-month boundary (absolute epoch-day < 19738, i.e. the first 15
+    days of the 2024-01 window): per user a = [any purchase pre],
+    b = [any purchase post] over the full event-user base, discordant
+    cells n01/n10 and the chi-square ingredients (b-c)^2, b+c — exact
+    ints, continuity corrections consumer-side. Day index via
+    unix_micros div (positive epoch: truncation == floor on both
+    engines). One per-user agg + one global agg. FULL oracle: verbatim
+    replay."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            (F.col("event_type") == "purchase")
+            & (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+               < F.lit(19738))
+        ).cast("long").alias("pre"),
+        (
+            (F.col("event_type") == "purchase")
+            & (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+               >= F.lit(19738))
+        ).cast("long").alias("post"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("pre").cast("long").alias("a"),
+        F.max("post").cast("long").alias("b"),
+    )
+    agg = per_user.agg(
+        F.sum((F.col("a") * F.col("b"))).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    d = F.col("n01") - F.col("n10")
+    return agg.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        (d * d).alias("mcnemar_num"),
+        (F.col("n01") + F.col("n10")).alias("mcnemar_den"),
+    )
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis one-way rank test over the 5 event types —
+    the k-group extension mann_whitney lacked. Mid-ranks doubled to
+    stay integer: per DISTINCT quantized value (round_even(v*1e6) —
+    the 0-decimal bround pairing), r2 = 2*avg_rank = 2*cum_prev +
+    cnt + 1 off one [unbounded preceding, 1 preceding] window on the
+    collapsed value dim; per-group s2_g = sum r2 and the tie term
+    sum(t^3 - t) broadcast back onto every row. H and its tie
+    correction are rationals of the emitted ints, consumer-side.
+    One value-dim window + one equi-join + two aggs. FULL oracle:
+    verbatim replay."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    vals = e.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.select(
+        "v",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    globals_ = ranked.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    per_g = (
+        e.join(ranked.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("r2").cast("long").alias("s2_g"),
+        )
+    )
+    return per_g.join(F.broadcast(globals_), how="cross").select(
+        "g", "n_g", "s2_g", "n_total", "tie_sum"
+    )
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson first-order residual autocorrelation of the daily
+    event-count trend per type: integer OLS on (x = epoch day - 19723,
+    y = count), residuals scaled by n*SxxN (E_d = n*SxxN*y_d -
+    (Sy*SxxN - SxyN*Sx) - n*SxyN*x_d — exact int64; the
+    denominator-clearing trick from theil_sen/ols_slope), then
+    DW = sum(dE^2)/sum(E^2) emitted as the 1e6 fixed point
+    (num*1e6) div den on DECIMAL(38,0) == HUGEINT (both truncate
+    toward zero; num, den >= 0). Day gaps follow the classical
+    observation-order convention (lag over day order). Two aggs +
+    one lag window per type-sized frame. FULL oracle: verbatim
+    replay."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            (
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                - F.lit(19723)
+            ).alias("x"),
+        )
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    sums = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    ).select(
+        "g",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("sxxn"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("sxyn"),
+    )
+    resid = daily.join(F.broadcast(sums), "g").select(
+        "g",
+        "x",
+        (
+            F.col("n") * F.col("sxxn") * F.col("y")
+            - (F.col("sy") * F.col("sxxn") - F.col("sxyn") * F.col("sx"))
+            - F.col("n") * F.col("sxyn") * F.col("x")
+        ).alias("e"),
+    )
+    wlag = Window.partitionBy("g").orderBy("x")
+    lagged = resid.select(
+        "g",
+        F.col("e").cast("decimal(38,0)").alias("ed"),
+        F.lag("e").over(wlag).cast("decimal(38,0)").alias("ep"),
+    )
+    agg = lagged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("ed") - F.col("ep")) * (F.col("ed") - F.col("ep")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("dw_num"),
+        F.sum(F.col("ed") * F.col("ed")).alias("dw_den"),
+    )
+    return agg.filter(F.col("dw_den") > 0).select(
+        "g",
+        "n_days",
+        F.expr("CAST((dw_num * 1000000) div dw_den AS BIGINT)").alias(
+            "dw_fp"
+        ),
+    )
+
+
+def q_stress_centrality(spark, sf_dir):
+    """Seed-pair stress centrality (operators/linkgraph.bfs_sigma +
+    stress_centrality — Shimbel 1953, the all-integer betweenness-family
+    member; Brandes' rational sigma-ratio accumulation has no exact
+    cross-engine replay, the raw shortest-path COUNT does): 16 seeds
+    over the undirected zipf link graph, 4-hop BFS with path counting
+    run for ALL seeds in one wave (seed is a key column), then
+    stress(v) = sum sigma_sv*sigma_vt over pairs with d_sv+d_vt=d_st.
+    int64 envelope: sigma <= max_deg^4 (~1e8 at sf0.1), pair products
+    summed well under 2^63. FULL oracle: the sigma recurrence unrolled
+    as 4 CTE stages + verbatim pair-join replay."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        bfs_sigma,
+        stress_centrality,
+        zipf_link_graph,
+    )
+
+    g = zipf_link_graph(_t(spark, sf_dir, "events"))
+    und = (
+        g.select("src", "dst")
+        .unionByName(
+            g.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = spark.range(16).select(F.col("id").alias("node"))
+    bfs = bfs_sigma(und, seeds, rounds=4)
+    return stress_centrality(bfs, 16)
+
+
+def q_aho_scan(spark, sf_dir):
+    """Single-pass Aho-Corasick multi-pattern scan
+    (operators/ahocorasick.py) over documents — the automaton completion
+    blocklist_hits' docstring promises for large pattern sets: one Arrow
+    pass, cost O(chars), independent of K. Per doc: total occurrences,
+    distinct patterns hit, most-frequent pattern (ties -> min pid, -1 on
+    no hit). Patterns are verified BORDERLESS at build time, so the
+    automaton's all-occurrence count provably equals the oracle's
+    non-overlapping replace-length count. FULL oracle: per-pattern
+    replace identity + argmax replay over the K-row pattern dim."""
+    from extractors_metadata_spark.operators.ahocorasick import aho_scan
+
+    d = _t(spark, sf_dir, "documents")
+    return aho_scan(d, _AHO_PATTERNS)
+
+
+def q_spatial_keyword(spark, sf_dir):
+    """Spatial-keyword top-k — the geo x text fusion query (Cong et al.
+    family: rank documents for a location-anchored term query): 8 query
+    points over the field, score = (tf DESC, dist_cm ASC, doc_id) with
+    tf from the replace-length identity (integer div) and dist_cm the
+    proven knn/radius cm surface (NumPy equirect anchored at the QUERY
+    latitude — operators/radius_join._pair_dist_udf — then 0-decimal
+    F.round == DuckDB round). Doc locations derive from doc_id via the
+    _latlon_dbl double chain. Plan: one codegen projection computes all
+    8 tf columns in a single scan, stack() fans out narrow (qid, tf)
+    rows, one Arrow dist pass, then TWO-PHASE top-k (per-(qid, salt)
+    partial rank, then the 96-row merge) so no single window partition
+    ever sees the full corpus — the 100 TB shape. FULL oracle: single
+    window replay (same total order => identical top-3)."""
+    from extractors_metadata_spark.operators.radius_join import (
+        _pair_dist_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lat = F.lit(33.0745) + (
+        (F.col("doc_id") % 1000).cast("double") + F.lit(0.5)
+    ) / F.lit(1000.0) * F.lit(54.0) * F.lit(0.0000365)
+    lon = F.lit(-111.9750833333) + (
+        (F.col("doc_id") % 640).cast("double") + F.lit(0.5)
+    ) / F.lit(640.0) * F.lit(16.0) * F.lit(0.00005)
+    tf_cols = [
+        F.expr(
+            f"(length(text) - length(replace(text, '{t}', ''))) div {len(t)}"
+        ).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(_SKW_TERMS)
+    ]
+    base = d.select(
+        "doc_id", lat.alias("lat"), lon.alias("lon"), *tf_cols
+    )
+    stack_expr = "stack({}, {}) as (qid, tf)".format(
+        len(_SKW_TERMS),
+        ", ".join(f"{i}, tf{i}" for i in range(len(_SKW_TERMS))),
+    )
+    fanned = base.select("doc_id", "lat", "lon", F.expr(stack_expr))
+    qdim = spark.range(len(_SKW_TERMS)).select(
+        F.col("id").cast("int").alias("qid"),
+        (
+            F.lit(33.0745)
+            + (F.col("id").cast("double") + F.lit(0.5)) * F.lit(0.0002)
+        ).alias("qlat"),
+        (
+            F.lit(-111.9750833333)
+            + (F.col("id").cast("double") + F.lit(0.5)) * F.lit(0.00025)
+        ).alias("qlon"),
+    )
+    scored = fanned.join(F.broadcast(qdim), "qid").select(
+        "qid",
+        "doc_id",
+        "tf",
+        F.round(
+            _pair_dist_udf()("qlat", "qlon", "lat", "lon") * 100.0, 0
+        ).cast("long").alias("dist_cm"),
+    )
+    order = [F.col("tf").desc(), F.col("dist_cm").asc(), F.col("doc_id").asc()]
+    wpart = Window.partitionBy("qid", F.pmod(F.col("doc_id"), F.lit(32))).orderBy(
+        *order
+    )
+    partial = scored.withColumn("prk", F.row_number().over(wpart)).filter(
+        F.col("prk") <= 3
+    )
+    wfin = Window.partitionBy("qid").orderBy(*order)
+    return (
+        partial.withColumn("rnk", F.row_number().over(wfin))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", F.col("rnk").cast("long").alias("rnk"), "doc_id",
+                "tf", "dist_cm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -9745,6 +10083,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr": q_bh_fdr,
         "brown_forsythe": q_brown_forsythe,
         "capture_recapture": q_capture_recapture,
+        "cochran_q": q_cochran_q,
+        "mcnemar": q_mcnemar,
+        "kruskal_wallis": q_kruskal_wallis,
+        "durbin_watson": q_durbin_watson,
+        "aho_scan": q_aho_scan,
+        "spatial_keyword": q_spatial_keyword,
+        "stress_centrality": q_stress_centrality,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -581,6 +581,13 @@ def main() -> None:
         "bh_fdr",
         "brown_forsythe",
         "capture_recapture",
+        "cochran_q",
+        "mcnemar",
+        "kruskal_wallis",
+        "durbin_watson",
+        "aho_scan",
+        "spatial_keyword",
+        "stress_centrality",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -1428,3 +1428,117 @@ def temporal_reach(
         "node",
         F.greatest(F.col("at"), F.lit(0).cast("long")).alias("arrive_t"),
     )
+
+
+def bfs_sigma(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
+    """Multi-seed unweighted BFS with SHORTEST-PATH COUNTING (the sigma
+    table of Brandes 2001's betweenness algorithm): for every (seed,
+    node) within ``rounds`` hops, the hop distance and the EXACT number
+    of distinct shortest paths — sigma(v) = sum over predecessors u at
+    dist-1 of sigma(u), an order-independent int64 sum, so the result is
+    deterministic under any partitioning (the pagerank fixed-point
+    discipline).
+
+    Scale design: all seeds run SIMULTANEOUSLY (seed is just a key
+    column — one BFS wave per round regardless of |S|); per round one
+    src-keyed equi-join (frontier x edges) + one (seed, node) partial
+    agg + one anti-join against the visited set; localCheckpoint per
+    round; early exit on a drained frontier.  int64 envelope: sigma <=
+    max_deg^rounds — document at the call site (the spectral.py rule).
+
+    Oracle twin: the same recurrence unrolls as ``rounds`` generated CTE
+    stages (the k_hop discipline) — no within-stage recursion.
+    """
+    visited = seeds.select(
+        F.col("node").cast("long").alias("seed"),
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, int(rounds) + 1):
+        relax = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"),
+                "src",
+            )
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            relax.join(
+                visited.select("seed", "node"), ["seed", "node"], "left_anti"
+            )
+            .select(
+                "seed",
+                "node",
+                F.lit(h).cast("long").alias("dist"),
+                F.col("sigma").cast("long").alias("sigma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        if new.count() == 0:
+            break
+    return visited
+
+
+def stress_centrality(
+    bfs: DataFrame, max_seed_excl: int
+) -> DataFrame:
+    """Seed-pair STRESS centrality (Shimbel 1953) — the all-integer
+    member of the betweenness family: stress(v) = sum over seed pairs
+    s < t of sigma_sv * sigma_vt over shortest s-t paths through v
+    (Brandes' betweenness divides by sigma_st, turning the accumulation
+    rational and fold-order dependent; the raw path COUNT stays exact
+    int64 under any partitioning).  Pairs are restricted to the seed set
+    of ``bfs`` (nodes < ``max_seed_excl`` — the pivot-sampling shape of
+    Brandes-Pich approximation, which is also the 100 TB path: seeds
+    scale independently of graph size).
+
+    sigma_vt comes from BFS rooted at t on the UNDIRECTED graph
+    (sigma_tv = sigma_vt).  The path-through test is the classic
+    d(s,v) + d(v,t) = d(s,t) on the bounded-hop distances; pairs whose
+    endpoints exceed the hop bound simply drop (both engines share the
+    bound, so the oracle is exact).
+
+    One self-join of the narrow bfs frame on node + one broadcast join
+    against the seed-pair distance dim + one agg.
+    """
+    p = bfs.filter(
+        (F.col("node") < max_seed_excl) & (F.col("seed") < F.col("node"))
+    ).select(
+        F.col("seed").alias("s"),
+        F.col("node").alias("t"),
+        F.col("dist").alias("dst_d"),
+    )
+    b1 = bfs.select(
+        F.col("seed").alias("s"),
+        "node",
+        F.col("dist").alias("d1"),
+        F.col("sigma").alias("g1"),
+    )
+    b2 = bfs.select(
+        F.col("seed").alias("t"),
+        "node",
+        F.col("dist").alias("d2"),
+        F.col("sigma").alias("g2"),
+    )
+    joined = (
+        b1.join(b2, "node")
+        .filter(F.col("s") < F.col("t"))
+        .join(F.broadcast(p), ["s", "t"])
+        .filter(
+            (F.col("node") != F.col("s"))
+            & (F.col("node") != F.col("t"))
+            & (F.col("d1") + F.col("d2") == F.col("dst_d"))
+        )
+    )
+    return (
+        joined.groupBy("node")
+        .agg(
+            F.sum(F.col("g1") * F.col("g2")).cast("long").alias("stress"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )

@@ -9039,6 +9039,129 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _stress_sql(rounds: int = 4, n_seeds: int = 16) -> str:
+    """bfs_sigma + stress_centrality replay: the sigma recurrence unrolled
+    as ``rounds`` CTE stages (the k_hop discipline), then the verbatim
+    seed-pair path-through join."""
+    stages = []
+    for h in range(1, rounds + 1):
+        stages.append(f"""
+        f{h} AS MATERIALIZED (
+          SELECT f.seed, e.dst AS node, CAST({h} AS BIGINT) AS dist,
+                 CAST(sum(f.sigma) AS BIGINT) AS sigma
+          FROM f{h - 1} f JOIN und e ON e.src = f.node
+          LEFT JOIN v{h - 1} vis ON vis.seed = f.seed AND vis.node = e.dst
+          WHERE vis.node IS NULL
+          GROUP BY 1, 2),
+        v{h} AS MATERIALIZED (
+          SELECT * FROM v{h - 1} UNION ALL SELECT * FROM f{h})""")
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        und AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0) u
+          WHERE src <> dst),
+        v0 AS MATERIALIZED (
+          SELECT CAST(range AS BIGINT) AS seed, CAST(range AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+          FROM range({n_seeds})),
+        f0 AS (SELECT * FROM v0),{",".join(stages)},
+        p AS MATERIALIZED (
+          SELECT seed AS s, node AS t, dist AS dst_d FROM v{rounds}
+          WHERE node < {n_seeds} AND seed < node)
+        SELECT b1.node, CAST(sum(b1.sigma * b2.sigma) AS BIGINT) AS stress,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM v{rounds} b1
+        JOIN v{rounds} b2 ON b2.node = b1.node AND b1.seed < b2.seed
+        JOIN p ON p.s = b1.seed AND p.t = b2.seed
+        WHERE b1.node <> b1.seed AND b1.node <> b2.seed
+          AND b1.dist + b2.dist = p.dst_d
+        GROUP BY 1
+    """
+
+
+def _aho_scan_sql() -> str:
+    from .shared import AHO_PATTERNS
+
+    vals = ", ".join(
+        f"({i}, '{p}', {len(p)})" for i, p in enumerate(AHO_PATTERNS)
+    )
+    return f"""
+        WITH pats(pid, p, plen) AS (VALUES {vals}),
+        occ AS MATERIALIZED (
+          SELECT d.doc_id, pt.pid,
+                 CAST((length(d.text) - length(replace(d.text, pt.p, '')))
+                      // pt.plen AS BIGINT) AS o
+          FROM documents d CROSS JOIN pats pt),
+        agg AS (
+          SELECT doc_id, CAST(sum(o) AS BIGINT) AS total_hits,
+                 CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS distinct_hits
+          FROM occ GROUP BY 1),
+        topp AS (
+          SELECT doc_id, pid FROM (
+            SELECT doc_id, pid, o,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY o DESC, pid) AS rk
+            FROM occ) t
+          WHERE rk = 1 AND o > 0)
+        SELECT a.doc_id, a.total_hits, a.distinct_hits,
+               CAST(COALESCE(t.pid, -1) AS BIGINT) AS top_pid
+        FROM agg a LEFT JOIN topp t ON t.doc_id = a.doc_id
+    """
+
+
+def _spatial_keyword_sql() -> str:
+    from .shared import SKW_TERMS
+
+    vals = ", ".join(
+        f"({i}, '{t}', {len(t)})" for i, t in enumerate(SKW_TERMS)
+    )
+    deg = "(pi() / 180.0 * 6371008.8)"
+    return f"""
+        WITH qs AS MATERIALIZED (
+          SELECT qid, term, tlen,
+                 CAST(33.0745 AS DOUBLE)
+                   + (CAST(qid AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     * CAST(0.0002 AS DOUBLE) AS qlat,
+                 CAST(-111.9750833333 AS DOUBLE)
+                   + (CAST(qid AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     * CAST(0.00025 AS DOUBLE) AS qlon
+          FROM (VALUES {vals}) v(qid, term, tlen)),
+        docs AS MATERIALIZED (
+          SELECT doc_id, text,
+                 33.0745 + ((doc_id % 1000) + 0.5) / 1000.0 * 54
+                   * 0.0000365 AS lat,
+                 -111.9750833333 + ((doc_id % 640) + 0.5) / 640.0 * 16
+                   * 0.00005 AS lon
+          FROM documents),
+        scored AS (
+          SELECT q.qid, d.doc_id,
+                 CAST((length(d.text)
+                       - length(replace(d.text, q.term, '')))
+                      // q.tlen AS BIGINT) AS tf,
+                 CAST(round(sqrt(
+                   ((d.lon - q.qlon) * cos(radians(q.qlat)) * {deg})
+                   * ((d.lon - q.qlon) * cos(radians(q.qlat)) * {deg})
+                   + ((d.lat - q.qlat) * {deg})
+                   * ((d.lat - q.qlat) * {deg})
+                 ) * 100.0, 0) AS BIGINT) AS dist_cm
+          FROM docs d CROSS JOIN qs q)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, tf, dist_cm
+        FROM (
+          SELECT qid, doc_id, tf, dist_cm,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY tf DESC, dist_cm, doc_id)
+                   AS rnk
+          FROM scored) t
+        WHERE rnk <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_occ = lambda m: f"(length(pad) - length(replace(pad, '{m}', ''))) / {len(m)}"
     en_sum = " + ".join(en_occ(m) for m in [" the ", " and ", " of ", " to ", " is "])
@@ -11912,6 +12035,127 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bh_fdr": _bh_fdr_sql(),
         "capture_recapture": _capture_recapture_sql(),
+        "aho_scan": _aho_scan_sql(),
+        "spatial_keyword": _spatial_keyword_sql(),
+        "stress_centrality": _stress_sql(),
+        "cochran_q": """
+            WITH e AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE event_type IN ('click', 'view', 'purchase')),
+            pu AS (
+              SELECT user_id,
+                     CAST(max(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS xc,
+                     CAST(max(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS xv,
+                     CAST(max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS xp
+              FROM e GROUP BY 1),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(xc) AS BIGINT) AS c_click,
+                     CAST(sum(xv) AS BIGINT) AS c_view,
+                     CAST(sum(xp) AS BIGINT) AS c_purchase,
+                     CAST(sum(xc + xv + xp) AS BIGINT) AS sr,
+                     CAST(sum((xc + xv + xp) * (xc + xv + xp)) AS BIGINT)
+                       AS srr
+              FROM pu)
+            SELECT n_users, c_click, c_view, c_purchase,
+                   CAST(2 * (3 * (c_click * c_click + c_view * c_view
+                                  + c_purchase * c_purchase)
+                        - (c_click + c_view + c_purchase)
+                          * (c_click + c_view + c_purchase)) AS BIGINT)
+                     AS q_num,
+                   CAST(3 * sr - srr AS BIGINT) AS q_den
+            FROM agg
+        """,
+        "mcnemar": """
+            WITH e AS (
+              SELECT user_id,
+                     CASE WHEN event_type = 'purchase'
+                           AND epoch_us(ts) // 86400000000 < 19738
+                          THEN 1 ELSE 0 END AS pre,
+                     CASE WHEN event_type = 'purchase'
+                           AND epoch_us(ts) // 86400000000 >= 19738
+                          THEN 1 ELSE 0 END AS post
+              FROM events),
+            pu AS (
+              SELECT user_id, CAST(max(pre) AS BIGINT) AS a,
+                     CAST(max(post) AS BIGINT) AS b
+              FROM e GROUP BY 1),
+            agg AS (
+              SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+                     CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                     CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                     CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+              FROM pu)
+            SELECT n00, n01, n10, n11,
+                   CAST((n01 - n10) * (n01 - n10) AS BIGINT) AS mcnemar_num,
+                   CAST(n01 + n10 AS BIGINT) AS mcnemar_den
+            FROM agg
+        """,
+        "kruskal_wallis": """
+            WITH e AS MATERIALIZED (
+              SELECT event_type AS g,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+              FROM events),
+            vals AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+            ranked AS MATERIALIZED (
+              SELECT v, cnt,
+                     2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+              FROM vals),
+            gl0 AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                     CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+              FROM ranked),
+            per_g AS (
+              SELECT e.g, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(r.r2) AS BIGINT) AS s2_g
+              FROM e JOIN ranked r ON r.v = e.v GROUP BY 1)
+            SELECT g, n_g, s2_g, n_total, tie_sum
+            FROM per_g CROSS JOIN gl0
+        """,
+        "durbin_watson": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 86400000000 - 19723 AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            sums AS MATERIALIZED (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                       AS sxxn,
+                     CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                       AS sxyn
+              FROM daily GROUP BY 1),
+            resid AS (
+              SELECT d.g, d.x,
+                     s.n * s.sxxn * d.y
+                       - (s.sy * s.sxxn - s.sxyn * s.sx)
+                       - s.n * s.sxyn * d.x AS e
+              FROM daily d JOIN sums s ON s.g = d.g),
+            lagged AS (
+              SELECT g, CAST(e AS HUGEINT) AS ed,
+                     CAST(lag(e) OVER (PARTITION BY g ORDER BY x)
+                          AS HUGEINT) AS ep
+              FROM resid),
+            agg AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+                     sum(CASE WHEN ep IS NOT NULL
+                              THEN (ed - ep) * (ed - ep)
+                              ELSE CAST(0 AS HUGEINT) END) AS dw_num,
+                     sum(ed * ed) AS dw_den
+              FROM lagged GROUP BY 1)
+            SELECT g, n_days,
+                   CAST((dw_num * 1000000) // dw_den AS BIGINT) AS dw_fp
+            FROM agg WHERE dw_den > 0
+        """,
         "brown_forsythe": """
             WITH e AS MATERIALIZED (
               SELECT user_id, event_id, event_type AS g,
