@@ -9553,6 +9553,203 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition of the daily event-count series
+    per type (the moving-average method, Kendall/Stuart): trend = the
+    CENTERED 7-day window emitted as its integer SUM t7 (mean x 7 — the
+    pack_sequences integer-emission rule), detrended d7 = 7*y - t7, and
+    the weekday seasonal index as exact (sum, count) ints joined back
+    onto every interior day (edge days without a full window drop —
+    total, no NULL columns). Two windows + one agg + one broadcast join
+    on one per-type Exchange. Completes the time-series family
+    (holt_forecast = exponential smoothing, acf = correlogram; this is
+    the decomposition view). FULL oracle: verbatim replay."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            (
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                - F.lit(19723)
+            ).alias("x"),
+        )
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w7 = Window.partitionBy("g").orderBy("x").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("t7", F.sum("y").over(w7).cast("long"))
+        .withColumn("c7", F.count(F.lit(1)).over(w7))
+        .filter(F.col("c7") == 7)
+        .select(
+            "g",
+            "x",
+            (F.col("x") % 7).alias("w"),
+            "y",
+            "t7",
+            (7 * F.col("y") - F.col("t7")).alias("d7"),
+        )
+    )
+    seas = trended.groupBy("g", "w").agg(
+        F.sum("d7").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    return trended.join(F.broadcast(seas), ["g", "w"]).select(
+        "g", "x", "w", "y", "t7", "d7", "s_sum", "s_cnt"
+    )
+
+
+def q_toponym_resolve(spark, sf_dir):
+    """Toponym resolution — gazetteer entity disambiguation, the second
+    geo x text fusion member (GeoNames-style: mentions of a place name
+    resolve to the gazetteer entry maximizing a population-weighted
+    proximity prior): per (doc, mentioned name) pick argmin of
+    (dist_cm - pop * 100000, gaz_id) over that name's homonym rows —
+    population acts as a km-scale bonus, distance on the proven cm
+    surface anchored at the GAZETTEER latitude. Mentions via the
+    replace-length identity in one codegen projection, narrow stack
+    fan-out, broadcast gazetteer join (<= 2 homonyms per name), one
+    Arrow dist pass, min-struct argmin (no window). FULL oracle:
+    verbatim replay + row_number pick."""
+    from extractors_metadata_spark.operators.radius_join import (
+        _pair_dist_udf,
+    )
+    from oracles.shared import GAZETTEER
+
+    names = sorted({n for _, n, _ in GAZETTEER})
+    d = _t(spark, sf_dir, "documents")
+    lat = F.lit(33.0745) + (
+        (F.col("doc_id") % 1000).cast("double") + F.lit(0.5)
+    ) / F.lit(1000.0) * F.lit(54.0) * F.lit(0.0000365)
+    lon = F.lit(-111.9750833333) + (
+        (F.col("doc_id") % 640).cast("double") + F.lit(0.5)
+    ) / F.lit(640.0) * F.lit(16.0) * F.lit(0.00005)
+    occ_cols = [
+        F.expr(
+            f"(length(text) - length(replace(text, '{n}', ''))) div {len(n)}"
+        ).cast("long").alias(f"m{i}")
+        for i, n in enumerate(names)
+    ]
+    base = d.select("doc_id", lat.alias("lat"), lon.alias("lon"), *occ_cols)
+    stack_expr = "stack({}, {}) as (name, mentions)".format(
+        len(names), ", ".join(f"'{n}', m{i}" for i, n in enumerate(names))
+    )
+    mentions = base.select(
+        "doc_id", "lat", "lon", F.expr(stack_expr)
+    ).filter(F.col("mentions") > 0)
+    gaz = spark.createDataFrame(
+        GAZETTEER, "gaz_id long, name string, pop long"
+    ).select(
+        "gaz_id",
+        "name",
+        "pop",
+        (
+            F.lit(33.0745)
+            + (F.col("gaz_id").cast("double") + F.lit(0.5))
+            * F.lit(0.00015)
+        ).alias("glat"),
+        (
+            F.lit(-111.9750833333)
+            + (F.col("gaz_id").cast("double") + F.lit(0.5))
+            * F.lit(0.00012)
+        ).alias("glon"),
+    )
+    cand = mentions.join(F.broadcast(gaz), "name").select(
+        "doc_id",
+        "name",
+        "mentions",
+        "gaz_id",
+        F.round(
+            _pair_dist_udf()("glat", "glon", "lat", "lon") * 100.0, 0
+        ).cast("long").alias("dist_cm"),
+        "pop",
+    )
+    picked = cand.select(
+        "doc_id",
+        "name",
+        "mentions",
+        F.struct(
+            (F.col("dist_cm") - F.col("pop") * 100000).alias("key"),
+            F.col("gaz_id").alias("gaz_id"),
+            F.col("dist_cm").alias("dist_cm"),
+        ).alias("s"),
+    ).groupBy("doc_id", "name").agg(
+        F.max("mentions").alias("mentions"),
+        F.min("s").alias("s"),
+    )
+    return picked.select(
+        "doc_id",
+        "name",
+        "mentions",
+        F.col("s.gaz_id").alias("gaz_id"),
+        F.col("s.dist_cm").alias("dist_cm"),
+    )
+
+
+def q_gbm_stumps(spark, sf_dir):
+    """Gradient-boosted stumps (operators/gbm.py) — squared-loss boosting
+    over (whitespace tokens, letter-'a' count) predicting n_chars, 3
+    rounds, 10 fixed candidate splits: every quantity a rational of
+    integer sums, selection on the truncating gain_div quotient (ties ->
+    min candidate), leaf values S div 2n — bit-deterministic. Each round
+    is ONE conditional-sum full-scan agg (no fan-out) + a 1-row collect.
+    FULL oracle: rounds unrolled as CTE stages, HUGEINT gain arithmetic,
+    row_number pick (oracles._gbm_sql)."""
+    from extractors_metadata_spark.functions.textstats import token_count
+    from extractors_metadata_spark.operators.gbm import gbm_stumps
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        token_count(F.col("text")).cast("long").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("a"), F.lit("")))
+        ).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    from oracles.shared import GBM_CANDIDATES
+
+    return gbm_stumps(feats, GBM_CANDIDATES, rounds=3)
+
+
+def q_boruvka_emst(spark, sf_dir):
+    """Euclidean MST over the first 256 event points
+    (operators/boruvka.py — distributed Boruvka, the parallel-native MST:
+    per round every component takes its min outgoing edge under the
+    (w, a, b) total order, 2-cycle hooks root at the smaller id, exactly
+    8 pointer doublings collapse trees (2^8 >= N — fixed count is what
+    makes the oracle a stage replay), components at least halve so 8
+    rounds complete the tree; unique MST under the total order even with
+    the grid's duplicate weights). Weights: exact int64 SQUARED distance
+    on round_even 1e-9-deg fixed-point coords — monotone, so no sqrt.
+    Candidate edges: the definitionally-exhaustive bounded-dim all-pairs
+    frame (the pq.py precedent); the 100 TB path plugs the k-ring
+    generator (EMST edges are local). FULL oracle: rounds and jumps
+    unrolled as generated MATERIALIZED CTE stages."""
+    from extractors_metadata_spark.operators.boruvka import (
+        all_pairs_sq_edges,
+        mst_boruvka,
+    )
+
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 256)
+        .select("event_id", lat, lon)
+        .select(
+            F.col("event_id").alias("id"),
+            F.bround(F.col("lon") * 1000000000.0, 0)
+            .cast("long")
+            .alias("ix"),
+            F.bround(F.col("lat") * 1000000000.0, 0)
+            .cast("long")
+            .alias("iy"),
+        )
+    )
+    edges = all_pairs_sq_edges(pts)
+    return mst_boruvka(pts.select("id"), edges, rounds=8, jumps=8)
+
+
 def q_stress_centrality(spark, sf_dir):
     """Seed-pair stress centrality (operators/linkgraph.bfs_sigma +
     stress_centrality — Shimbel 1953, the all-integer betweenness-family
@@ -10090,6 +10287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aho_scan": q_aho_scan,
         "spatial_keyword": q_spatial_keyword,
         "stress_centrality": q_stress_centrality,
+        "boruvka_emst": q_boruvka_emst,
+        "gbm_stumps": q_gbm_stumps,
+        "toponym_resolve": q_toponym_resolve,
+        "seasonal_decompose": q_seasonal_decompose,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

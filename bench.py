@@ -588,6 +588,10 @@ def main() -> None:
         "aho_scan",
         "spatial_keyword",
         "stress_centrality",
+        "boruvka_emst",
+        "gbm_stumps",
+        "toponym_resolve",
+        "seasonal_decompose",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -9039,6 +9039,207 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _toponym_sql() -> str:
+    from .shared import GAZETTEER
+
+    names = sorted({n for _, n, _ in GAZETTEER})
+    nvals = ", ".join(f"('{n}', {len(n)})" for n in names)
+    gvals = ", ".join(f"({g}, '{n}', {p})" for g, n, p in GAZETTEER)
+    deg = "(pi() / 180.0 * 6371008.8)"
+    return f"""
+        WITH nm(name, nlen) AS (VALUES {nvals}),
+        gz AS MATERIALIZED (
+          SELECT gaz_id, name, pop,
+                 CAST(33.0745 AS DOUBLE)
+                   + (CAST(gaz_id AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     * CAST(0.00015 AS DOUBLE) AS glat,
+                 CAST(-111.9750833333 AS DOUBLE)
+                   + (CAST(gaz_id AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     * CAST(0.00012 AS DOUBLE) AS glon
+          FROM (VALUES {gvals}) v(gaz_id, name, pop)),
+        docs AS MATERIALIZED (
+          SELECT doc_id, text,
+                 33.0745 + ((doc_id % 1000) + 0.5) / 1000.0 * 54
+                   * 0.0000365 AS lat,
+                 -111.9750833333 + ((doc_id % 640) + 0.5) / 640.0 * 16
+                   * 0.00005 AS lon
+          FROM documents),
+        men AS (
+          SELECT d.doc_id, n.name, d.lat, d.lon,
+                 CAST((length(d.text)
+                       - length(replace(d.text, n.name, '')))
+                      // n.nlen AS BIGINT) AS mentions
+          FROM docs d CROSS JOIN nm n),
+        cand AS (
+          SELECT m.doc_id, m.name, m.mentions,
+                 CAST(g.gaz_id AS BIGINT) AS gaz_id, g.pop,
+                 CAST(round(sqrt(
+                   ((m.lon - g.glon) * cos(radians(g.glat)) * {deg})
+                   * ((m.lon - g.glon) * cos(radians(g.glat)) * {deg})
+                   + ((m.lat - g.glat) * {deg})
+                   * ((m.lat - g.glat) * {deg})
+                 ) * 100.0, 0) AS BIGINT) AS dist_cm
+          FROM men m JOIN gz g ON g.name = m.name
+          WHERE m.mentions > 0)
+        SELECT doc_id, name, mentions, gaz_id, dist_cm FROM (
+          SELECT doc_id, name, mentions, gaz_id, dist_cm,
+                 row_number() OVER (PARTITION BY doc_id, name
+                                    ORDER BY dist_cm - pop * 100000,
+                                             gaz_id) AS rk
+          FROM cand) t
+        WHERE rk = 1
+    """
+
+
+def _gbm_sql(rounds: int = 3) -> str:
+    """gbm_stumps replay: per round one conditional-sum aggregate, the
+    HUGEINT gain quotient, a row_number pick, and the per-row prediction
+    update via the 1-row best CTE."""
+    from .shared import GBM_CANDIDATES
+
+    x2 = "length(text) - length(replace(text, 'a', ''))"
+    cand_vals = ", ".join(
+        f"({cid}, {feat}, {thr})"
+        for cid, (feat, thr) in enumerate(GBM_CANDIDATES)
+    )
+    nl_case = " ".join(
+        f"WHEN {cid} THEN nl{cid}" for cid in range(len(GBM_CANDIDATES))
+    )
+    sl_case = " ".join(
+        f"WHEN {cid} THEN sl{cid}" for cid in range(len(GBM_CANDIDATES))
+    )
+    parts = [f"""
+        feats AS MATERIALIZED (
+          SELECT CAST({_FEAT_TOK} AS BIGINT) AS x1,
+                 CAST({x2} AS BIGINT) AS x2,
+                 CAST(n_chars AS BIGINT) AS y
+          FROM documents),
+        b0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS sy FROM feats),
+        pred0 AS MATERIALIZED (
+          SELECT x1, x2, y, (SELECT (sy * 1000000) // n FROM b0) AS f
+          FROM feats)"""]
+    for r in range(rounds):
+        aggs = ", ".join(
+            f"CAST(sum(CASE WHEN x{feat} <= {thr} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS nl{cid}, "
+            f"CAST(sum(CASE WHEN x{feat} <= {thr} THEN r ELSE 0 END) "
+            f"AS BIGINT) AS sl{cid}"
+            for cid, (feat, thr) in enumerate(GBM_CANDIDATES)
+        )
+        parts.append(f"""
+        st{r} AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS s,
+                 {aggs}
+          FROM (SELECT x1, x2, y * 1000000 - f AS r FROM pred{r}) z),
+        cd{r} AS (
+          SELECT c.cid, c.feat, c.thr,
+                 CASE c.cid {nl_case} END AS nl,
+                 CASE c.cid {sl_case} END AS sl,
+                 n, s
+          FROM st{r} CROSS JOIN (VALUES {cand_vals}) c(cid, feat, thr)),
+        g{r} AS (
+          SELECT cid, feat, thr, nl, sl, n, s,
+                 (CAST(sl AS HUGEINT) * sl * (n - nl)
+                  + CAST(s - sl AS HUGEINT) * (s - sl) * nl)
+                   // (CAST(nl AS HUGEINT) * (n - nl) * 1000000)
+                   AS gain_div
+          FROM cd{r} WHERE nl > 0 AND n - nl > 0),
+        best{r} AS MATERIALIZED (
+          SELECT cid, feat, thr, CAST(gain_div AS BIGINT) AS gain_div,
+                 CAST(CASE WHEN sl >= 0 THEN sl // (2 * nl)
+                           ELSE -((-sl) // (2 * nl)) END AS BIGINT) AS v_l,
+                 CAST(CASE WHEN s - sl >= 0
+                           THEN (s - sl) // (2 * (n - nl))
+                           ELSE -((sl - s) // (2 * (n - nl))) END
+                      AS BIGINT) AS v_r
+          FROM (SELECT *, row_number()
+                         OVER (ORDER BY gain_div DESC, cid) AS rk
+                FROM g{r}) zz
+          WHERE rk = 1),
+        pred{r + 1} AS MATERIALIZED (
+          SELECT p.x1, p.x2, p.y,
+                 p.f + CASE WHEN (CASE b.feat WHEN 1 THEN p.x1
+                                  ELSE p.x2 END) <= b.thr
+                            THEN b.v_l ELSE b.v_r END AS f
+          FROM pred{r} p CROSS JOIN best{r} b)""")
+    sel = "\n          UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, CAST(cid AS BIGINT) AS cand, "
+        f"CAST(feat AS BIGINT) AS feat, CAST(thr AS BIGINT) AS thr, "
+        f"gain_div, v_l, v_r FROM best{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",".join(parts) + f"""
+        SELECT rnd, cand, feat, thr, gain_div, v_l, v_r FROM (
+          {sel}) m
+    """
+
+
+def _boruvka_sql(rounds: int = 8, jumps: int = 8, n_pts: int = 256) -> str:
+    """mst_boruvka replay: rounds x (min-edge pick + 2-cycle fix + fixed
+    pointer doublings) unrolled as generated CTE stages.  Every CTE
+    referenced 2+ times is MATERIALIZED (the minhash recursion lesson).
+    Empty late rounds flow through harmlessly (LEFT JOIN carries c{r}
+    forward — the bpe exhausted-vocab lesson applied up front)."""
+    parts = [f"""
+        pts AS MATERIALIZED (
+          SELECT event_id AS id,
+                 CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+                   AS ix,
+                 CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+                   AS iy
+          FROM events WHERE event_id < {n_pts}),
+        edges AS MATERIALIZED (
+          SELECT x.id AS a, y.id AS b,
+                 (x.ix - y.ix) * (x.ix - y.ix)
+                   + (x.iy - y.iy) * (x.iy - y.iy) AS w
+          FROM pts x JOIN pts y ON x.id < y.id),
+        c0 AS MATERIALIZED (SELECT id, id AS comp FROM pts)"""]
+    for r in range(rounds):
+        parts.append(f"""
+        ec{r} AS MATERIALIZED (
+          SELECT e.a, e.b, e.w, ca.comp AS ca, cb.comp AS cb
+          FROM edges e
+          JOIN c{r} ca ON ca.id = e.a
+          JOIN c{r} cb ON cb.id = e.b
+          WHERE ca.comp <> cb.comp),
+        m{r} AS MATERIALIZED (
+          SELECT c, w, a, b, t FROM (
+            SELECT c, w, a, b, t,
+                   row_number() OVER (PARTITION BY c ORDER BY w, a, b)
+                     AS rk
+            FROM (
+              SELECT ca AS c, cb AS t, w, a, b FROM ec{r}
+              UNION ALL
+              SELECT cb AS c, ca AS t, w, a, b FROM ec{r}) u) z
+          WHERE rk = 1),
+        p{r}_0 AS MATERIALIZED (
+          SELECT h.c,
+                 CASE WHEN h2.t = h.c THEN least(h.c, h.t)
+                      ELSE h.t END AS p
+          FROM m{r} h JOIN m{r} h2 ON h2.c = h.t)""")
+        for j in range(1, jumps + 1):
+            parts.append(f"""
+        p{r}_{j} AS MATERIALIZED (
+          SELECT a.c, b.p FROM p{r}_{j - 1} a
+          JOIN p{r}_{j - 1} b ON b.c = a.p)""")
+        parts.append(f"""
+        c{r + 1} AS MATERIALIZED (
+          SELECT c.id, COALESCE(j.p, c.comp) AS comp
+          FROM c{r} c LEFT JOIN p{r}_{jumps} j ON j.c = c.comp)""")
+    picks = "\n          UNION ALL ".join(
+        f"SELECT DISTINCT a, b, w FROM m{r}" for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT a, b, CAST(w AS BIGINT) AS w FROM (
+          {picks}) allp
+    """
+    )
+
+
 def _stress_sql(rounds: int = 4, n_seeds: int = 16) -> str:
     """bfs_sigma + stress_centrality replay: the sigma recurrence unrolled
     as ``rounds`` CTE stages (the k_hop discipline), then the verbatim
@@ -12038,6 +12239,32 @@ def oracle_sql() -> dict[str, str]:
         "aho_scan": _aho_scan_sql(),
         "spatial_keyword": _spatial_keyword_sql(),
         "stress_centrality": _stress_sql(),
+        "boruvka_emst": _boruvka_sql(),
+        "gbm_stumps": _gbm_sql(),
+        "toponym_resolve": _toponym_sql(),
+        "seasonal_decompose": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 86400000000 - 19723 AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            trended AS MATERIALIZED (
+              SELECT g, x, x % 7 AS w, y, t7, 7 * y - t7 AS d7 FROM (
+                SELECT g, x, y,
+                       CAST(sum(y) OVER win AS BIGINT) AS t7,
+                       count(*) OVER win AS c7
+                FROM daily
+                WINDOW win AS (PARTITION BY g ORDER BY x
+                               ROWS BETWEEN 3 PRECEDING
+                               AND 3 FOLLOWING)) z
+              WHERE c7 = 7),
+            seas AS (
+              SELECT g, w, CAST(sum(d7) AS BIGINT) AS s_sum,
+                     CAST(count(*) AS BIGINT) AS s_cnt
+              FROM trended GROUP BY 1, 2)
+            SELECT t.g, t.x, t.w, t.y, t.t7, t.d7, s.s_sum, s.s_cnt
+            FROM trended t JOIN seas s ON s.g = t.g AND s.w = t.w
+        """,
         "cochran_q": """
             WITH e AS (
               SELECT DISTINCT user_id, event_type FROM events

@@ -104,3 +104,22 @@ SKW_TERMS = [
     "spark", "merge", "stream", "vector", "query",
     "hash", "batch", "table",
 ]
+
+# gbm_stumps candidate splits: (feat, thr) — feat 1 = whitespace tokens,
+# feat 2 = letter-'a' occurrences. Single source for engine + oracle.
+GBM_CANDIDATES = [
+    (1, 30), (1, 45), (1, 55), (1, 65), (1, 80),
+    (2, 10), (2, 20), (2, 30), (2, 40), (2, 50),
+]
+
+# toponym gazetteer: (gaz_id, name, pop). Coords derive from gaz_id via
+# the literal chain glat = 33.0745 + (gaz_id+0.5)*0.00015,
+# glon = -111.9750833333 + (gaz_id+0.5)*0.00012 in BOTH engines.
+# Homonyms (shared name, different gaz_id/pop/coords) are the point.
+GAZETTEER = [
+    (0, "spark", 900), (1, "spark", 400),
+    (2, "stream", 700), (3, "stream", 650),
+    (4, "vector", 300), (5, "merge", 820),
+    (6, "batch", 500), (7, "batch", 450),
+    (8, "query", 610), (9, "table", 330),
+]
