@@ -9553,6 +9553,46 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_vw_simplify(spark, sf_dir):
+    """Visvalingam-Whyatt simplification (operators/trajectory.vw_keep)
+    — the area-based complement of rdp_simplify: 8 fixed single-victim
+    removal stages per user track, victim = argmin (effective area2,
+    seq) with area2 the exact int64 |cross| of the CURRENT neighbors on
+    microdegree coords. One Arrow pass over user groups. FULL oracle: 8
+    unrolled stages (lag/lead areas + row_number victim + anti-join)."""
+    from extractors_metadata_spark.operators.trajectory import vw_keep
+
+    lat, lon = _latlon_dbl()
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        lat, lon,
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pts = e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.bround(F.col("lon") * 1000000.0, 0).cast("long").alias("x"),
+        F.bround(F.col("lat") * 1000000.0, 0).cast("long").alias("y"),
+    )
+    return vw_keep(pts, removals=8)
+
+
+def q_suffix_lrs(spark, sf_dir):
+    """Longest repeated substring per document
+    (operators/suffixarray.py — Manber-Myers prefix-doubling suffix
+    array + Kasai adjacent-LCP walk in one Arrow pass; the
+    character-level intra-doc repetition signal Gopher-style filters
+    threshold on, complementing repetition_stats' n-gram ratios and
+    exact_substr's cross-doc spans). Truncation to 256 bytes is part of
+    the contract (n_used emitted). FULL oracle: the doubling recurrence
+    unrolled as 8 dense_rank CTE stages + adjacent LCP via the SHARED
+    lcp_expr SQL text (max_pow=256) — one text, both engines."""
+    from extractors_metadata_spark.operators.suffixarray import suffix_lrs
+
+    return suffix_lrs(_t(spark, sf_dir, "documents"))
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical seasonal decomposition of the daily event-count series
     per type (the moving-average method, Kendall/Stuart): trend = the
@@ -10291,6 +10331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gbm_stumps": q_gbm_stumps,
         "toponym_resolve": q_toponym_resolve,
         "seasonal_decompose": q_seasonal_decompose,
+        "suffix_lrs": q_suffix_lrs,
+        "vw_simplify": q_vw_simplify,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

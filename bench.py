@@ -592,6 +592,8 @@ def main() -> None:
         "gbm_stumps",
         "toponym_resolve",
         "seasonal_decompose",
+        "suffix_lrs",
+        "vw_simplify",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -194,15 +194,21 @@ def code_size_compare(
     )
 
 
-def lcp_expr(a: str, b: str) -> str:
+def lcp_expr(a: str, b: str, max_pow: int = 32) -> str:
     """Longest-common-prefix length of two string expressions as ONE
     SQL text valid in BOTH Spark SQL and DuckDB (substr/length/CASE
     only) — binary lifting over prefix comparisons: k += p whenever the
-    (k+p)-prefixes agree, p = 32..1; the final least() clamps the
-    overshoot past the shorter string. 6 nested stages, pure codegen,
-    no loops at runtime."""
+    (k+p)-prefixes agree, p = max_pow..1 (measures LCPs up to
+    2*max_pow - 1); the final least() clamps the overshoot past the
+    shorter string. log2(max_pow)+1 nested stages, pure codegen, no
+    loops at runtime."""
+    powers = []
+    p = int(max_pow)
+    while p >= 1:
+        powers.append(p)
+        p //= 2
     k = "0"
-    for p in (32, 16, 8, 4, 2, 1):
+    for p in powers:
         k = (
             f"({k} + CASE WHEN substr({a}, 1, {k} + {p}) = "
             f"substr({b}, 1, {k} + {p}) THEN {p} ELSE 0 END)"

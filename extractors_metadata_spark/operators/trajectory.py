@@ -476,3 +476,57 @@ def contact_crossings(
         .groupBy(F.col("u").alias("user_a"), F.col("v").alias("user_b"))
         .agg(F.count(F.lit(1)).alias("n_crossings"))
     )
+
+
+def vw_keep(pts: DataFrame, removals: int = 8) -> DataFrame:
+    """Visvalingam-Whyatt polyline simplification (Visvalingam & Whyatt
+    1993) — the AREA-based complement of ``rdp_keep``'s distance-based
+    split: repeatedly remove the interior vertex with the smallest
+    effective area (twice the triangle area of it and its two CURRENT
+    neighbors — an exact int64 |cross| on the integer coords), ties ->
+    smallest seq.  This is the fixed-K variant: exactly ``removals``
+    single-vertex removal STAGES per key (one removal per key per stage;
+    keys with < 3 points stand pat) — the bounded-round rule that makes
+    the oracle an unrolled stage replay, and also cartography's actual
+    batch shape (remove-N beats threshold-eps when output size is the
+    budget).
+
+    pts: (user_id, seq, x, y) — seq the frozen order, x/y exact ints.
+    Returns the surviving points, schema unchanged.
+
+    One Arrow pass (applyInPandas per key): each stage recomputes only
+    the neighborhood the removal touched; per-key work is
+    O(n * removals) worst case on dim-sized tracks.  Embarrassingly
+    parallel over keys — the 100 TB shape (keys partition; no global
+    state).  Oracle twin: ``removals`` unrolled CTE stages, neighbor
+    areas via adjacent row_number self-joins, victim via row_number
+    (area2, seq) — see oracles._vw_sql.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = int(removals)
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        seq = pdf["seq"].to_numpy(np.int64)
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        alive = np.ones(len(pdf), dtype=bool)
+        for _ in range(k):
+            idx = np.flatnonzero(alive)
+            if len(idx) < 3:
+                break
+            px, cx, nx = x[idx[:-2]], x[idx[1:-1]], x[idx[2:]]
+            py, cy, ny = y[idx[:-2]], y[idx[1:-1]], y[idx[2:]]
+            area2 = np.abs(
+                (cx - px) * (ny - py) - (cy - py) * (nx - px)
+            )
+            # argmin by (area2, seq): interior victims only
+            order = np.lexsort((seq[idx[1:-1]], area2))
+            alive[idx[1:-1][order[0]]] = False
+        return pdf[alive]
+
+    return pts.groupBy("user_id").applyInPandas(
+        f, "user_id long, seq long, x long, y long"
+    )

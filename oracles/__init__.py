@@ -9039,6 +9039,121 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _vw_sql(removals: int = 8) -> str:
+    """vw_keep replay: unrolled single-victim removal stages."""
+    parts = [f"""
+        t0 AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq,
+                 CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT)
+                   AS x,
+                 CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT)
+                   AS y
+          FROM events)"""]
+    for j in range(removals):
+        parts.append(f"""
+        a{j} AS (
+          SELECT user_id, seq, x, y,
+                 lag(x) OVER w AS px, lag(y) OVER w AS py,
+                 lead(x) OVER w AS nx, lead(y) OVER w AS ny
+          FROM t{j}
+          WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+        vic{j} AS MATERIALIZED (
+          SELECT user_id, seq FROM (
+            SELECT user_id, seq,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY abs((x - px) * (ny - py)
+                                  - (y - py) * (nx - px)), seq) AS rk
+            FROM a{j}
+            WHERE px IS NOT NULL AND nx IS NOT NULL) z
+          WHERE rk = 1),
+        t{j + 1} AS MATERIALIZED (
+          SELECT t.user_id, t.seq, t.x, t.y FROM t{j} t
+          LEFT JOIN vic{j} v
+            ON v.user_id = t.user_id AND v.seq = t.seq
+          WHERE v.seq IS NULL)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT user_id, seq, x, y FROM t{removals}
+    """
+    )
+
+
+def _suffix_lrs_sql(max_len: int = 256, stages: int = 8) -> str:
+    """suffix_lrs replay: Manber-Myers prefix doubling unrolled as
+    ``stages`` dense_rank CTE stages (2^stages must cover max_len), then
+    adjacent-suffix LCP via sequential binary-lifting stages (the
+    lcp_expr recurrence, one CTE per power so the text stays linear),
+    LRS = max."""
+    parts = [f"""
+        docs AS MATERIALIZED (
+          SELECT doc_id, substr(COALESCE(text, ''), 1, {max_len}) AS t
+          FROM documents),
+        pos0 AS MATERIALIZED (
+          SELECT d.doc_id, CAST(g.range AS BIGINT) AS i,
+                 CAST(ascii(substr(d.t, CAST(g.range AS INT) + 1, 1))
+                      AS BIGINT) AS r
+          FROM docs d CROSS JOIN range({max_len}) g
+          WHERE g.range < length(d.t))"""]
+    for st in range(1, stages + 1):
+        off = 1 << (st - 1)
+        parts.append(f"""
+        pos{st} AS MATERIALIZED (
+          SELECT a.doc_id, a.i,
+                 CAST(dense_rank() OVER (PARTITION BY a.doc_id
+                        ORDER BY a.r, COALESCE(b.r, -1)) AS BIGINT) AS r
+          FROM pos{st - 1} a
+          LEFT JOIN pos{st - 1} b
+            ON b.doc_id = a.doc_id AND b.i = a.i + {off})""")
+    # LCP via SEQUENTIAL binary-lifting stages (k referenced a constant
+    # number of times per stage) — the one-expression lcp_expr nests its
+    # own text 3x per level, which at max_pow=256 is an ~800 KB
+    # expression tree; staging keeps it linear (measured 395s -> fast).
+    parts.append(f"""
+        ordered AS (
+          SELECT p.doc_id, p.i, p.r,
+                 lag(p.i) OVER (PARTITION BY p.doc_id ORDER BY p.r)
+                   AS prev_i
+          FROM pos{stages} p),
+        lcp0 AS (
+          SELECT o.doc_id,
+                 substr(d.t, CAST(o.i AS INT) + 1) AS sa,
+                 substr(d.t, CAST(o.prev_i AS INT) + 1) AS sb,
+                 CAST(0 AS BIGINT) AS k
+          FROM ordered o JOIN docs d ON d.doc_id = o.doc_id
+          WHERE o.prev_i IS NOT NULL)""")
+    powers = []
+    p = int(max_len)
+    while p >= 1:
+        powers.append(p)
+        p //= 2
+    for j, pw in enumerate(powers, start=1):
+        parts.append(f"""
+        lcp{j} AS (
+          SELECT doc_id, sa, sb,
+                 k + CASE WHEN substr(sa, 1, CAST(k + {pw} AS INT))
+                            = substr(sb, 1, CAST(k + {pw} AS INT))
+                          THEN {pw} ELSE 0 END AS k
+          FROM lcp{j - 1})""")
+    last = len(powers)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_used,
+               CAST(COALESCE(m.lrs, 0) AS BIGINT) AS lrs_len
+        FROM docs d LEFT JOIN (
+          SELECT doc_id,
+                 max(least(k, length(sa), length(sb))) AS lrs
+          FROM lcp{last} GROUP BY 1) m
+          ON m.doc_id = d.doc_id
+    """
+    )
+
+
 def _toponym_sql() -> str:
     from .shared import GAZETTEER
 
@@ -12242,6 +12357,8 @@ def oracle_sql() -> dict[str, str]:
         "boruvka_emst": _boruvka_sql(),
         "gbm_stumps": _gbm_sql(),
         "toponym_resolve": _toponym_sql(),
+        "suffix_lrs": _suffix_lrs_sql(),
+        "vw_simplify": _vw_sql(),
         "seasonal_decompose": """
             WITH daily AS MATERIALIZED (
               SELECT event_type AS g,
