@@ -9553,6 +9553,84 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_gale_shapley(spark, sf_dir):
+    """Stable source-to-language-queue assignment
+    (operators/matching.py — Gale-Shapley 1962 deferred acceptance,
+    proposer-optimal, over the data-derived (source, lang) count matrix
+    with frozen (count DESC, name ASC) preference orders): top-5
+    sources propose, language queues keep the best by their own rank;
+    the batch variant with the {won: stay, rejected/displaced: ptr+1}
+    pointer rule is schedule-free, and 25 fixed rounds (= the n^2
+    proposal budget; converged rounds idempotent) make it exactly
+    replayable. Counts are one partial-agg groupBy; the rounds run on
+    the bounded 25-cell matrix in ONE Arrow pass (the huffman
+    precedent). FULL oracle: the transition relation unrolled as 25 CTE
+    stages."""
+    from extractors_metadata_spark.operators.matching import (
+        gale_shapley,
+        source_lang_matrix,
+    )
+
+    m = source_lang_matrix(_t(spark, sf_dir, "documents"), top_n=5)
+    return gale_shapley(m, rounds=25)
+
+
+def q_interval_schedule(spark, sf_dir):
+    """Greedy activity selection (operators/sessions.interval_schedule)
+    — the exchange-argument-optimal max-non-overlap schedule, the
+    selection member of the interval family (union = measure, join =
+    stabbing, allen = relations): intervals [ts, ts + (1 + id%120) min]
+    per user, repeatedly take earliest-(end, start, id) among starts >=
+    prev end, capped at 12 picks (the shared output-budget contract).
+    One applyInPandas pass, key-parallel. FULL oracle: 12 unrolled pick
+    stages."""
+    from extractors_metadata_spark.operators.sessions import (
+        interval_schedule,
+    )
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (1 + F.col("event_id") % 120) * 60000000
+        ).alias("e_us"),
+    )
+    return interval_schedule(iv, max_select=12)
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test ingredients — the ORDERED-group
+    member of the categorical family (chi_square tests association,
+    this tests a monotone dose-response): dose = weekday 0..6 (epoch
+    day % 7), response = purchase. Emits the exact int64 sufficient
+    statistics (N, R, sum w*n_g, sum w*r_g, sum w^2*n_g) the statistic
+    T = sum w*(r_g - n_g*R/N) and its variance are rationals of —
+    consumer-side, no float anywhere. One per-group agg + one global
+    agg. FULL oracle: verbatim replay."""
+    e = _t(spark, sf_dir, "events").select(
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            % 7
+        ).alias("w"),
+        (F.col("event_type") == "purchase").cast("long").alias("r"),
+    )
+    g = e.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("r").cast("long").alias("r_g"),
+    )
+    return g.agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("r_g").cast("long").alias("r_total"),
+        F.sum(F.col("w") * F.col("n_g")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("r_g")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_g"))
+        .cast("long")
+        .alias("swwn"),
+    )
+
+
 def q_vw_simplify(spark, sf_dir):
     """Visvalingam-Whyatt simplification (operators/trajectory.vw_keep)
     — the area-based complement of rdp_simplify: 8 fixed single-victim
@@ -10333,6 +10411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "suffix_lrs": q_suffix_lrs,
         "vw_simplify": q_vw_simplify,
+        "interval_schedule": q_interval_schedule,
+        "cochran_armitage": q_cochran_armitage,
+        "gale_shapley": q_gale_shapley,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -594,6 +594,9 @@ def main() -> None:
         "seasonal_decompose",
         "suffix_lrs",
         "vw_simplify",
+        "interval_schedule",
+        "cochran_armitage",
+        "gale_shapley",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -172,3 +172,57 @@ def allen_census(
     return tagged.groupBy(F.col("_k").alias(key_col)).agg(
         F.count(F.lit(1)).alias("n_pairs"), *agg
     )
+
+
+def interval_schedule(
+    iv: DataFrame, max_select: int = 12
+) -> DataFrame:
+    """Greedy activity selection (the exchange-argument OPTIMAL
+    max-non-overlap schedule): per user repeatedly take the interval
+    with the earliest END among those starting at/after the last
+    selected end — tie order (e_us, s_us, event_id) frozen.  Bounded to
+    ``max_select`` picks per key (the output-budget contract, stated in
+    the emitted k; both engines share the cap, so the oracle stays
+    exact).  Intervals touching at endpoints do NOT overlap
+    (start >= prev end admits).
+
+    One Arrow pass (applyInPandas per key), key-parallel — the 100 TB
+    shape.  Oracle twin: ``max_select`` unrolled pick stages
+    (row_number argmin + carry prev_end; see oracles._interval_sched_sql).
+
+    Completes the interval family: interval_union (measure),
+    interval_join (stabbing), allen_census (relations) — this is the
+    selection/optimization member.
+    """
+    import pandas as pd
+
+    k = int(max_select)
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["e_us", "s_us", "event_id"]
+        ).reset_index(drop=True)
+        out = []
+        prev_end = None
+        for row in pdf.itertuples(index=False):
+            if len(out) >= k:
+                break
+            if prev_end is None or row.s_us >= prev_end:
+                out.append(
+                    (
+                        row.user_id,
+                        len(out) + 1,
+                        row.event_id,
+                        row.s_us,
+                        row.e_us,
+                    )
+                )
+                prev_end = row.e_us
+        cols = ["user_id", "k", "event_id", "s_us", "e_us"]
+        return pd.DataFrame(out, columns=cols).astype(
+            {c: "int64" for c in cols}
+        )
+
+    return iv.groupBy("user_id").applyInPandas(
+        f, "user_id long, k long, event_id long, s_us long, e_us long"
+    )

@@ -9039,6 +9039,114 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _gale_shapley_sql(rounds: int = 25, top_n: int = 5) -> str:
+    """gale_shapley replay: the batch deferred-acceptance transition
+    unrolled as ``rounds`` CTE stages over the tiny state frame."""
+    parts = [f"""
+        topn AS MATERIALIZED (
+          SELECT source FROM (
+            SELECT source, count(*) AS tot,
+                   row_number() OVER (ORDER BY count(*) DESC, source)
+                     AS rk
+            FROM documents GROUP BY source) z
+          WHERE rk <= {top_n}),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        cnts AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        mat AS MATERIALIZED (
+          SELECT t.source, l.lang, COALESCE(c.c, 0) AS c
+          FROM topn t CROSS JOIN langs l
+          LEFT JOIN cnts c ON c.source = t.source AND c.lang = l.lang),
+        nl AS (SELECT count(*) AS nl FROM langs),
+        pr AS MATERIALIZED (
+          SELECT source, lang,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY c DESC, lang) AS BIGINT) AS rank
+          FROM mat),
+        ar AS MATERIALIZED (
+          SELECT source, lang,
+                 CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY c DESC, source) AS BIGINT) AS arank
+          FROM mat),
+        st0 AS MATERIALIZED (
+          SELECT source, CAST(1 AS BIGINT) AS ptr,
+                 CAST(NULL AS VARCHAR) AS m_lang
+          FROM topn)"""]
+    for r in range(rounds):
+        parts.append(f"""
+        props{r} AS MATERIALIZED (
+          SELECT s.source, p.lang
+          FROM st{r} s
+          JOIN pr p ON p.source = s.source AND p.rank = s.ptr
+          WHERE s.m_lang IS NULL AND s.ptr <= (SELECT nl FROM nl)),
+        win{r} AS MATERIALIZED (
+          SELECT lang, source FROM (
+            SELECT c.lang, c.source,
+                   row_number() OVER (PARTITION BY c.lang
+                                      ORDER BY a.arank) AS rk
+            FROM (
+              SELECT m_lang AS lang, source FROM st{r}
+              WHERE m_lang IS NOT NULL
+              UNION ALL SELECT lang, source FROM props{r}) c
+            JOIN ar a ON a.lang = c.lang AND a.source = c.source) z
+          WHERE rk = 1),
+        st{r + 1} AS MATERIALIZED (
+          SELECT s.source,
+                 CASE WHEN w.lang IS NOT NULL THEN s.ptr
+                      WHEN s.m_lang IS NOT NULL OR p.lang IS NOT NULL
+                        THEN s.ptr + 1
+                      ELSE s.ptr END AS ptr,
+                 w.lang AS m_lang
+          FROM st{r} s
+          LEFT JOIN win{r} w ON w.source = s.source
+          LEFT JOIN props{r} p ON p.source = s.source)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT source, m_lang AS lang, ptr AS pref_rank
+        FROM st{rounds} WHERE m_lang IS NOT NULL
+    """
+    )
+
+
+def _interval_sched_sql(max_select: int = 12) -> str:
+    """interval_schedule replay: unrolled greedy pick stages."""
+    parts = ["""
+        iv AS MATERIALIZED (
+          SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                 epoch_us(ts) + (1 + event_id % 120) * 60000000 AS e_us
+          FROM events),
+        sel1 AS MATERIALIZED (
+          SELECT user_id, CAST(1 AS BIGINT) AS k, event_id, s_us, e_us
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY e_us, s_us, event_id) AS rk
+            FROM iv) z WHERE rk = 1)"""]
+    for k in range(2, max_select + 1):
+        parts.append(f"""
+        sel{k} AS MATERIALIZED (
+          SELECT user_id, CAST({k} AS BIGINT) AS k, event_id, s_us, e_us
+          FROM (
+            SELECT i.user_id, i.event_id, i.s_us, i.e_us,
+                   row_number() OVER (PARTITION BY i.user_id
+                     ORDER BY i.e_us, i.s_us, i.event_id) AS rk
+            FROM iv i JOIN sel{k - 1} p ON p.user_id = i.user_id
+            WHERE i.s_us >= p.e_us) z WHERE rk = 1)""")
+    sel = "\n          UNION ALL ".join(
+        f"SELECT * FROM sel{k}" for k in range(1, max_select + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT user_id, k, event_id, s_us, e_us FROM (
+          {sel}) u
+    """
+    )
+
+
 def _vw_sql(removals: int = 8) -> str:
     """vw_keep replay: unrolled single-victim removal stages."""
     parts = [f"""
@@ -12359,6 +12467,25 @@ def oracle_sql() -> dict[str, str]:
         "toponym_resolve": _toponym_sql(),
         "suffix_lrs": _suffix_lrs_sql(),
         "vw_simplify": _vw_sql(),
+        "interval_schedule": _interval_sched_sql(),
+        "gale_shapley": _gale_shapley_sql(),
+        "cochran_armitage": """
+            WITH e AS (
+              SELECT (epoch_us(ts) // 86400000000) % 7 AS w,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS r
+              FROM events),
+            g AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(r) AS BIGINT) AS r_g
+              FROM e GROUP BY 1)
+            SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+                   CAST(sum(r_g) AS BIGINT) AS r_total,
+                   CAST(sum(w * n_g) AS BIGINT) AS swn,
+                   CAST(sum(w * r_g) AS BIGINT) AS swr,
+                   CAST(sum(w * w * n_g) AS BIGINT) AS swwn
+            FROM g
+        """,
         "seasonal_decompose": """
             WITH daily AS MATERIALIZED (
               SELECT event_type AS g,
