@@ -9553,6 +9553,66 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_string_period(spark, sf_dir):
+    """Minimal string period + longest border per document
+    (operators/suffixarray.string_period — KMP failure function, one
+    Arrow pass; period = n - border, Fine & Wilf normal form — the
+    template/boilerplate periodicity primitive). FULL oracle by an
+    INDEPENDENT algorithm: the definitional min shift p with
+    t[0:n-p] == t[p:n] over a bounded shift dim (the ntt_autocorr
+    two-derivations discipline)."""
+    from extractors_metadata_spark.operators.suffixarray import (
+        string_period,
+    )
+
+    return string_period(_t(spark, sf_dir, "documents"))
+
+
+def q_bwt_runs(spark, sf_dir):
+    """Burrows-Wheeler equal-letter run count r per document
+    (operators/suffixarray.bwt_runs — bwt read off the prefix-doubling
+    suffix order, virtual sentinel for the position-0 suffix; r is the
+    compressed-indexing space measure, the storage-cost sharpening of
+    suffix_lrs' repetition signal). FULL oracle: the 8 doubling stages
+    + one lag over suffix rank counting value changes."""
+    from extractors_metadata_spark.operators.suffixarray import bwt_runs
+
+    return bwt_runs(_t(spark, sf_dir, "documents"))
+
+
+def q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) — the
+    weekday-stratified trend member (mann_kendall tests the plain daily
+    series; deseasonalizing first is this variant): per (type, weekday)
+    the exact pairwise sign sum S_gw = sum_{i<j} sign(y_j - y_i) over
+    that weekday's daily counts, with n_w for the variance — the
+    overall S_g = sum_w S_gw consumer-side. Bounded self-join on the
+    per-type daily dim. FULL oracle: verbatim replay."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            (
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                - F.lit(19723)
+            ).alias("x"),
+        )
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .withColumn("w", F.col("x") % 7)
+    )
+    a = daily.select("g", "w", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = daily.select("g", "w", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = a.join(b, ["g", "w"]).filter(F.col("xi") < F.col("xj"))
+    return pairs.groupBy("g", "w").agg(
+        F.sum(F.signum(F.col("yj") - F.col("yi")).cast("long"))
+        .cast("long")
+        .alias("s_gw"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("xi").cast("long").alias("n_w_minus1"),
+    )
+
+
 def q_gale_shapley(spark, sf_dir):
     """Stable source-to-language-queue assignment
     (operators/matching.py — Gale-Shapley 1962 deferred acceptance,
@@ -10414,6 +10474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_schedule": q_interval_schedule,
         "cochran_armitage": q_cochran_armitage,
         "gale_shapley": q_gale_shapley,
+        "string_period": q_string_period,
+        "bwt_runs": q_bwt_runs,
+        "seasonal_mk": q_seasonal_mk,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -597,6 +597,9 @@ def main() -> None:
         "interval_schedule",
         "cochran_armitage",
         "gale_shapley",
+        "string_period",
+        "bwt_runs",
+        "seasonal_mk",
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

@@ -41,6 +41,8 @@ def _suffix_array(s: np.ndarray) -> np.ndarray:
     """Suffix order of the uint8 array s via prefix doubling; returns
     rank[i] in 0..n-1 (unique)."""
     n = len(s)
+    if n <= 1:
+        return np.zeros(n, dtype=np.int64)
     rank = s.astype(np.int64)
     k = 1
     while k < n:
@@ -116,4 +118,113 @@ def suffix_lrs(
         id_col,
         F.col("_r.n_used").alias("n_used"),
         F.col("_r.lrs_len").alias("lrs_len"),
+    )
+
+
+def _border_len(s: np.ndarray) -> int:
+    """KMP failure value of the last position = longest proper border."""
+    n = len(s)
+    if n == 0:
+        return 0
+    fail = np.zeros(n, dtype=np.int64)
+    k = 0
+    for i in range(1, n):
+        while k and s[i] != s[k]:
+            k = int(fail[k - 1])
+        if s[i] == s[k]:
+            k += 1
+        fail[i] = k
+    return int(fail[n - 1])
+
+
+def string_period(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 256,
+) -> DataFrame:
+    """Per document: (id, n_used, border_len, period) on the truncated
+    prefix — border = longest proper prefix==suffix (KMP failure),
+    period = n - border (the minimal period; Fine & Wilf's normal
+    form).  The template-detection primitive: a small period over a
+    long prefix IS boilerplate repetition.
+
+    Engine derivation: the KMP failure function (one Arrow pass).
+    Oracle derivation is INDEPENDENT — the definitional test
+    period = min p with t[0:n-p] == t[p:n] via a bounded shift dim
+    (two different algorithms agreeing, the ntt_autocorr discipline).
+    """
+
+    @pandas_udf("struct<n_used: long, border_len: long, period: long>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        n_out = np.zeros(len(texts), dtype=np.int64)
+        b_out = np.zeros(len(texts), dtype=np.int64)
+        p_out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None or not isinstance(t, str) or not t:
+                continue
+            s = np.frombuffer(
+                t.encode("utf-8")[: int(max_len)], dtype=np.uint8
+            )
+            n_out[i] = len(s)
+            b = _border_len(s)
+            b_out[i] = b
+            p_out[i] = len(s) - b
+        return pd.DataFrame(
+            {"n_used": n_out, "border_len": b_out, "period": p_out}
+        )
+
+    res = df.select(F.col(id_col), _f(F.col(text_col)).alias("_r"))
+    return res.select(
+        id_col,
+        F.col("_r.n_used").alias("n_used"),
+        F.col("_r.border_len").alias("border_len"),
+        F.col("_r.period").alias("period"),
+    )
+
+
+def bwt_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 256,
+) -> DataFrame:
+    """Per document: (id, n_used, runs) — the number of equal-letter
+    runs r of the Burrows-Wheeler sequence read off the SUFFIX order
+    (bwt[j] = preceding char of the j-th smallest suffix; the suffix
+    starting at 0 contributes a virtual sentinel, its own run element —
+    a fixed convention both engines share).  r is THE compressed-
+    indexing compressibility measure (r-index literature: space is
+    O(r)), sharpening suffix_lrs' repetition signal into the actual
+    storage cost.  Reuses the prefix-doubling suffix order; one Arrow
+    pass.  Oracle twin: the 8 doubling stages + one lag over suffix
+    rank."""
+
+    @pandas_udf("struct<n_used: long, runs: long>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        n_out = np.zeros(len(texts), dtype=np.int64)
+        r_out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None or not isinstance(t, str) or not t:
+                continue
+            s = np.frombuffer(
+                t.encode("utf-8")[: int(max_len)], dtype=np.uint8
+            )
+            n = len(s)
+            n_out[i] = n
+            if n == 0:
+                continue
+            rank = _suffix_array(s)
+            sa = np.zeros(n, dtype=np.int64)
+            sa[rank] = np.arange(n)
+            # bwt[j] = s[sa[j]-1], sentinel -1 for sa[j] == 0
+            bwt = np.where(sa > 0, s[sa - 1].astype(np.int64), -1)
+            r_out[i] = 1 + int(np.count_nonzero(bwt[1:] != bwt[:-1]))
+        return pd.DataFrame({"n_used": n_out, "runs": r_out})
+
+    res = df.select(F.col(id_col), _f(F.col(text_col)).alias("_r"))
+    return res.select(
+        id_col,
+        F.col("_r.n_used").alias("n_used"),
+        F.col("_r.runs").alias("runs"),
     )

@@ -9190,12 +9190,9 @@ def _vw_sql(removals: int = 8) -> str:
     )
 
 
-def _suffix_lrs_sql(max_len: int = 256, stages: int = 8) -> str:
-    """suffix_lrs replay: Manber-Myers prefix doubling unrolled as
-    ``stages`` dense_rank CTE stages (2^stages must cover max_len), then
-    adjacent-suffix LCP via sequential binary-lifting stages (the
-    lcp_expr recurrence, one CTE per power so the text stays linear),
-    LRS = max."""
+def _sa_stage_parts(max_len: int, stages: int) -> list:
+    """Shared docs + prefix-doubling CTE stages (pos0..pos{stages}) for
+    the suffix-order oracles (suffix_lrs, bwt_runs)."""
     parts = [f"""
         docs AS MATERIALIZED (
           SELECT doc_id, substr(COALESCE(text, ''), 1, {max_len}) AS t
@@ -9216,6 +9213,70 @@ def _suffix_lrs_sql(max_len: int = 256, stages: int = 8) -> str:
           FROM pos{st - 1} a
           LEFT JOIN pos{st - 1} b
             ON b.doc_id = a.doc_id AND b.i = a.i + {off})""")
+    return parts
+
+
+def _bwt_runs_sql(max_len: int = 256, stages: int = 8) -> str:
+    """bwt_runs replay: the shared doubling stages + one lag over
+    suffix rank counting value changes (virtual sentinel -1 at i=0)."""
+    parts = _sa_stage_parts(max_len, stages)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        , bwt AS (
+          SELECT o.doc_id, o.r,
+                 CASE WHEN o.i = 0 THEN -1
+                      ELSE CAST(ascii(substr(d.t, CAST(o.i AS INT), 1))
+                               AS BIGINT) END AS b
+          FROM pos{stages} o JOIN docs d ON d.doc_id = o.doc_id),
+        runs AS (
+          SELECT doc_id,
+                 1 + sum(CASE WHEN pb IS NOT NULL AND b <> pb
+                              THEN 1 ELSE 0 END) AS runs
+          FROM (SELECT doc_id, b,
+                       lag(b) OVER (PARTITION BY doc_id ORDER BY r)
+                         AS pb
+                FROM bwt) z
+          GROUP BY 1)
+        SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_used,
+               CAST(COALESCE(r.runs, 0) AS BIGINT) AS runs
+        FROM docs d LEFT JOIN runs r ON r.doc_id = d.doc_id
+    """
+    )
+
+
+def _string_period_sql(max_len: int = 256) -> str:
+    """string_period oracle — INDEPENDENT derivation: the definitional
+    minimal shift p with t[0:n-p] == t[p:n] over a bounded shift dim
+    (the engine runs KMP; two algorithms, one answer)."""
+    return f"""
+        WITH docs AS MATERIALIZED (
+          SELECT doc_id, substr(COALESCE(text, ''), 1, {max_len}) AS t
+          FROM documents),
+        cand AS (
+          SELECT d.doc_id, CAST(g.range AS BIGINT) AS p
+          FROM docs d CROSS JOIN range(1, {max_len} + 1) g
+          WHERE g.range <= length(d.t)
+            AND substr(d.t, 1,
+                       length(d.t) - CAST(g.range AS INT))
+                = substr(d.t, CAST(g.range AS INT) + 1)),
+        minp AS (SELECT doc_id, min(p) AS period FROM cand GROUP BY 1)
+        SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_used,
+               CAST(length(d.t) - COALESCE(m.period, 0) AS BIGINT)
+                 AS border_len,
+               CAST(COALESCE(m.period, 0) AS BIGINT) AS period
+        FROM docs d LEFT JOIN minp m ON m.doc_id = d.doc_id
+    """
+
+
+def _suffix_lrs_sql(max_len: int = 256, stages: int = 8) -> str:
+    """suffix_lrs replay: Manber-Myers prefix doubling unrolled as
+    ``stages`` dense_rank CTE stages (2^stages must cover max_len), then
+    adjacent-suffix LCP via sequential binary-lifting stages (the
+    lcp_expr recurrence, one CTE per power so the text stays linear),
+    LRS = max."""
+    parts = _sa_stage_parts(max_len, stages)
     # LCP via SEQUENTIAL binary-lifting stages (k referenced a constant
     # number of times per stage) — the one-expression lcp_expr nests its
     # own text 3x per level, which at max_pow=256 is an ~800 KB
@@ -12469,6 +12530,28 @@ def oracle_sql() -> dict[str, str]:
         "vw_simplify": _vw_sql(),
         "interval_schedule": _interval_sched_sql(),
         "gale_shapley": _gale_shapley_sql(),
+        "string_period": _string_period_sql(),
+        "bwt_runs": _bwt_runs_sql(),
+        "seasonal_mk": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 86400000000 - 19723 AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            d2 AS (SELECT g, x % 7 AS w, x, y FROM daily),
+            pairs AS (
+              SELECT a.g, a.w, a.x AS xi, a.y AS yi, b.x AS xj,
+                     b.y AS yj
+              FROM d2 a JOIN d2 b
+                ON b.g = a.g AND b.w = a.w AND a.x < b.x)
+            SELECT g, w,
+                   CAST(sum(CASE WHEN yj > yi THEN 1
+                                 WHEN yj < yi THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_gw,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT xi) AS BIGINT) AS n_w_minus1
+            FROM pairs GROUP BY 1, 2
+        """,
         "cochran_armitage": """
             WITH e AS (
               SELECT (epoch_us(ts) // 86400000000) % 7 AS w,
