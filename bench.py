@@ -585,21 +585,26 @@ def main() -> None:
         "mcnemar",
         "kruskal_wallis",
         "durbin_watson",
-        "aho_scan",
         "spatial_keyword",
         "stress_centrality",
         "boruvka_emst",
         "gbm_stumps",
         "toponym_resolve",
         "seasonal_decompose",
-        "suffix_lrs",
         "vw_simplify",
         "interval_schedule",
         "cochran_armitage",
         "gale_shapley",
-        "string_period",
-        "bwt_runs",
         "seasonal_mk",
+        # session-11 row-preserving per-doc UDF queries (aho_scan,
+        # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
+        # prunes their struct kernel (CLAUDE.md rule — the image_dhash
+        # precedent). spatial_keyword keeps the dist kernel load-bearing
+        # (the ranking window sorts on dist_cm); vw/interval/gale are
+        # FlatMapGroupsInPandas row-count-determining, so count() pays
+        # the kernel. toponym_resolve's count() pays the codegen mention
+        # scan + filter + join (its dist kernel feeds only the pruned
+        # aggregate — annotated, accepted).
         # image_dhash is row-preserving (one fingerprint per url) — NOT
         # timed (count() rule); image_ahash_pairs already times the
         # shared pixel+band machinery. holt_forecast is key-preserving

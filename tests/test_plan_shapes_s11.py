@@ -1,0 +1,66 @@
+"""Plan-shape pins for the round-5 session-11 operators: zero
+row-at-a-time Python anywhere, pure-codegen ops carry no Arrow, the
+Arrow-kernel ops carry exactly one fused kernel, and the group-pandas
+ops are one FlatMapGroupsInPandas pass."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+S11_QUERIES = (
+    "cochran_q", "mcnemar", "kruskal_wallis", "durbin_watson",
+    "aho_scan", "spatial_keyword", "stress_centrality",
+    "gbm_stumps", "toponym_resolve", "seasonal_decompose",
+    "suffix_lrs", "vw_simplify", "interval_schedule",
+    "cochran_armitage", "gale_shapley", "string_period",
+    "bwt_runs", "seasonal_mk", "boruvka_emst",
+)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_no_row_at_a_time_python_anywhere(spark, entry):
+    for name in S11_QUERIES:
+        p = _plan(entry.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in p, name
+
+
+def test_pure_codegen_ops_have_no_python(spark, entry):
+    # window/agg/join chains only — zero Python of any kind
+    for name in (
+        "cochran_q", "mcnemar", "kruskal_wallis", "durbin_watson",
+        "cochran_armitage", "seasonal_decompose", "seasonal_mk",
+        "stress_centrality",
+    ):
+        p = _plan(entry.queries()[name](spark, SF))
+        assert "ArrowEvalPython" not in p, name
+        assert "FlatMapGroupsInPandas" not in p, name
+
+
+def test_arrow_ops_carry_exactly_one_kernel(spark, entry):
+    # one fused Arrow pass each (the holt_forecast discipline)
+    for name in (
+        "aho_scan", "suffix_lrs", "string_period", "bwt_runs",
+        "spatial_keyword", "toponym_resolve",
+    ):
+        p = _plan(entry.queries()[name](spark, SF))
+        assert p.count("ArrowEvalPython") == 1, name
+        assert "FlatMapGroupsInPandas" not in p, name
+
+
+def test_group_pandas_ops_are_one_pass(spark, entry):
+    for name in ("vw_simplify", "interval_schedule", "gale_shapley"):
+        p = _plan(entry.queries()[name](spark, SF))
+        assert p.count("FlatMapGroupsInPandas") == 1, name
+        assert "ArrowEvalPython" not in p, name
