@@ -9553,6 +9553,119 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_knapsack_pack(spark, sf_dir):
+    """Exact 0/1 knapsack data selection under a token budget
+    (operators/knapsack.py — the exact-optimal member of the selection
+    family: dsir_select samples by importance, curation_filter
+    thresholds; this OPTIMIZES per-source value under capacity 64 with
+    token cost w = n_chars div 16 + 1 and value v = ' the '-count div 5
+    over the top-16 docs by the frozen (v DESC, doc_id) order). Scoring
+    is one codegen scan + one window; the DP is one Arrow pass per
+    source on the bounded 16 x 65 lattice; max-fold commutative ->
+    bit-deterministic. Emits (source, best_v, c_min) — c_min the
+    minimal capacity achieving the optimum (the canonical tie-free
+    summary, no backtrack stages). FULL oracle: the DP recurrence
+    unrolled as 16 CTE stages."""
+    from extractors_metadata_spark.operators.knapsack import (
+        knapsack_select,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    items = d.select(
+        "source",
+        "doc_id",
+        (
+            (F.length(pad) - F.length(F.replace(pad, F.lit(" the "), F.lit(""))))
+        ).cast("long").alias("_d"),
+        F.col("n_chars").cast("long").alias("_n"),
+    ).select(
+        "source",
+        "doc_id",
+        F.expr("_d div 5").cast("long").alias("v"),
+        F.expr("(_n div 16) + 1").cast("long").alias("w"),
+    )
+    return knapsack_select(items, capacity=64, n_items=16)
+
+
+def q_radiation_model(spark, sf_dir):
+    """Radiation mobility model (Simini et al. 2012) — the
+    parameter-free successor of the gravity model (gravity_residuals
+    holds the gravity side): flows T_ij proportional to
+    m_i m_j / ((m_i + s_ij)(m_i + m_j + s_ij)) where s_ij is the total
+    mass STRICTLY closer to i than j is (the intervening-opportunities
+    term). 64 event sites, integer masses 1 + id % 20, exact int64
+    squared distances on round_even nanodegree coords; s_ij via one
+    bounded (pairs x sites) codegen join — no trig, no floats; the
+    rational flow ships as exact (num, den). Declared bounded dims (the
+    pq.py precedent); the scale path buckets s_ij by k-ring distance
+    bands. FULL oracle: verbatim replay."""
+    lat, lon = _latlon_dbl()
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 64)
+        .select("event_id", lat, lon)
+        .select(
+            F.col("event_id").alias("id"),
+            F.bround(F.col("lon") * 1000000000.0, 0)
+            .cast("long")
+            .alias("ix"),
+            F.bround(F.col("lat") * 1000000000.0, 0)
+            .cast("long")
+            .alias("iy"),
+            (1 + F.col("event_id") % 20).cast("long").alias("m"),
+        )
+    )
+    a = pts.select(
+        F.col("id").alias("i"), F.col("ix").alias("xi"),
+        F.col("iy").alias("yi"), F.col("m").alias("m_i"),
+    )
+    b = pts.select(
+        F.col("id").alias("j"), F.col("ix").alias("xj"),
+        F.col("iy").alias("yj"), F.col("m").alias("m_j"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i", "j", "xi", "yi", "m_i", "m_j",
+        (
+            (F.col("xi") - F.col("xj")) * (F.col("xi") - F.col("xj"))
+            + (F.col("yi") - F.col("yj")) * (F.col("yi") - F.col("yj"))
+        ).alias("d2"),
+    )
+    k = pts.select(
+        F.col("id").alias("k"), F.col("ix").alias("xk"),
+        F.col("iy").alias("yk"), F.col("m").alias("m_k"),
+    )
+    closer = (
+        pairs.join(F.broadcast(k), (F.col("k") != F.col("i")) & (F.col("k") != F.col("j")))
+        .filter(
+            (F.col("xi") - F.col("xk")) * (F.col("xi") - F.col("xk"))
+            + (F.col("yi") - F.col("yk")) * (F.col("yi") - F.col("yk"))
+            < F.col("d2")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("m_k").cast("long").alias("s_ij"))
+    )
+    out = pairs.join(closer, ["i", "j"], "left").select(
+        "i",
+        "j",
+        "m_i",
+        "m_j",
+        F.coalesce("s_ij", F.lit(0)).cast("long").alias("s_ij"),
+    )
+    return out.select(
+        "i",
+        "j",
+        "m_i",
+        "m_j",
+        "s_ij",
+        (F.col("m_i") * F.col("m_j")).alias("num"),
+        (
+            (F.col("m_i") + F.col("s_ij"))
+            * (F.col("m_i") + F.col("m_j") + F.col("s_ij"))
+        ).alias("den"),
+    )
+
+
 def q_string_period(spark, sf_dir):
     """Minimal string period + longest border per document
     (operators/suffixarray.string_period — KMP failure function, one
@@ -10477,6 +10590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_period": q_string_period,
         "bwt_runs": q_bwt_runs,
         "seasonal_mk": q_seasonal_mk,
+        "knapsack_pack": q_knapsack_pack,
+        "radiation_model": q_radiation_model,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -596,6 +596,8 @@ def main() -> None:
         "cochran_armitage",
         "gale_shapley",
         "seasonal_mk",
+        "knapsack_pack",
+        "radiation_model",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -9039,6 +9039,88 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _knapsack_sql(capacity: int = 64, n_items: int = 16) -> str:
+    """knapsack_select replay: the DP recurrence unrolled as n_items
+    CTE stages over the (source, c) lattice."""
+    parts = [f"""
+        items AS MATERIALIZED (
+          SELECT source, doc_id,
+                 CAST((length(pad) - length(replace(pad, ' the ', '')))
+                      // 5 AS BIGINT) AS v,
+                 CAST((n_chars // 16) + 1 AS BIGINT) AS w
+          FROM (SELECT source, doc_id, n_chars,
+                       ' ' || text || ' ' AS pad
+                FROM documents) z),
+        topk AS MATERIALIZED (
+          SELECT source, rk, v, w FROM (
+            SELECT source, v, w,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY v DESC, doc_id) AS rk
+            FROM items) t WHERE rk <= {n_items}),
+        dp0 AS MATERIALIZED (
+          SELECT s.source, CAST(g.range AS BIGINT) AS c,
+                 CAST(0 AS BIGINT) AS best
+          FROM (SELECT DISTINCT source FROM topk) s
+          CROSS JOIN range({capacity} + 1) g)"""]
+    for i in range(1, n_items + 1):
+        parts.append(f"""
+        dp{i} AS MATERIALIZED (
+          SELECT d.source, d.c,
+                 CASE WHEN p.best IS NOT NULL AND p.best + it.v > d.best
+                      THEN p.best + it.v ELSE d.best END AS best
+          FROM dp{i - 1} d
+          LEFT JOIN (SELECT source, v, w FROM topk WHERE rk = {i}) it
+            ON it.source = d.source
+          LEFT JOIN dp{i - 1} p
+            ON p.source = d.source AND it.w IS NOT NULL
+               AND p.c = d.c - it.w)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT b.source, b.best_v, CAST(min(d.c) AS BIGINT) AS c_min
+        FROM (SELECT source, best AS best_v FROM dp{n_items}
+              WHERE c = {capacity}) b
+        JOIN dp{n_items} d
+          ON d.source = b.source AND d.best = b.best_v
+        GROUP BY 1, 2
+    """
+    )
+
+
+def _radiation_sql() -> str:
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT event_id AS id,
+                 CAST(round_even(({LON_IN}) * 1000000000.0, 0) AS BIGINT)
+                   AS ix,
+                 CAST(round_even(({LAT_IN}) * 1000000000.0, 0) AS BIGINT)
+                   AS iy,
+                 CAST(1 + event_id % 20 AS BIGINT) AS m
+          FROM events WHERE event_id < 64),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS i, b.id AS j, a.ix AS xi, a.iy AS yi,
+                 a.m AS m_i, b.m AS m_j,
+                 (a.ix - b.ix) * (a.ix - b.ix)
+                   + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+          FROM pts a JOIN pts b ON a.id <> b.id),
+        closer AS (
+          SELECT p.i, p.j, CAST(sum(k.m) AS BIGINT) AS s_ij
+          FROM pairs p JOIN pts k
+            ON k.id <> p.i AND k.id <> p.j
+           AND (p.xi - k.ix) * (p.xi - k.ix)
+               + (p.yi - k.iy) * (p.yi - k.iy) < p.d2
+          GROUP BY 1, 2)
+        SELECT p.i, p.j, p.m_i, p.m_j,
+               CAST(COALESCE(c.s_ij, 0) AS BIGINT) AS s_ij,
+               CAST(p.m_i * p.m_j AS BIGINT) AS num,
+               CAST((p.m_i + COALESCE(c.s_ij, 0))
+                    * (p.m_i + p.m_j + COALESCE(c.s_ij, 0)) AS BIGINT)
+                 AS den
+        FROM pairs p LEFT JOIN closer c ON c.i = p.i AND c.j = p.j
+    """
+
+
 def _gale_shapley_sql(rounds: int = 25, top_n: int = 5) -> str:
     """gale_shapley replay: the batch deferred-acceptance transition
     unrolled as ``rounds`` CTE stages over the tiny state frame."""
@@ -12531,6 +12613,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_schedule": _interval_sched_sql(),
         "gale_shapley": _gale_shapley_sql(),
         "string_period": _string_period_sql(),
+        "knapsack_pack": _knapsack_sql(),
+        "radiation_model": _radiation_sql(),
         "bwt_runs": _bwt_runs_sql(),
         "seasonal_mk": """
             WITH daily AS MATERIALIZED (
