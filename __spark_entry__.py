@@ -9553,6 +9553,155 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_privacy_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) — the privacy-release completion of the PII family
+    (pii_counts finds identifiers; this audits the QUASI-identifier
+    risk of a would-be release): QI = (lang, source, n_chars div 128),
+    sensitive = the leading token; per QI group the exact size n and
+    l-diversity (distinct sensitive values), plus the k<5 violation
+    flag. One agg. FULL oracle: verbatim replay (substring_index ==
+    split_part for space-tokenized text)."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "lang",
+        "source",
+        F.expr("n_chars div 128").cast("long").alias("band"),
+        F.substring_index(F.col("text"), " ", 1).alias("sens"),
+    )
+    return q.groupBy("lang", "source", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("sens").cast("long").alias("l_div"),
+    ).select(
+        "lang", "source", "band", "n", "l_div",
+        (F.col("n") < 5).cast("long").alias("k_viol"),
+    )
+
+
+def q_basket_lift(spark, sf_dir):
+    """Apriori-style frequent itemsets with lift ingredients — the
+    TRANSACTIONAL co-occurrence member (pmi_pairs is word-window
+    co-occurrence; this is market-basket over user event-type baskets):
+    exact support of every 2- and 3-itemset over the 5-type alphabet
+    (bounded — no candidate pruning needed at this arity), emitted with
+    the per-item supports and the basket count so lift/confidence are
+    consumer-side rationals. distinct -> two bounded self-joins.
+    FULL oracle: verbatim replay."""
+    b = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("event_type").alias("it"))
+        .distinct()
+    )
+    singles = b.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("n_it")
+    )
+    nu = b.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a2 = b.select("user_id", F.col("it").alias("ia"))
+    b2 = b.select("user_id", F.col("it").alias("ib"))
+    c2 = b.select("user_id", F.col("it").alias("ic"))
+    pairs = (
+        a2.join(b2, "user_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+        .withColumn("ic", F.lit(""))
+    )
+    triples = (
+        a2.join(b2, "user_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(c2, "user_id")
+        .filter(F.col("ib") < F.col("ic"))
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    )
+    allsets = pairs.select("ia", "ib", "ic", "n_set").unionByName(
+        triples.select("ia", "ib", "ic", "n_set")
+    )
+    s = lambda col, alias: F.broadcast(  # noqa: E731
+        singles.select(
+            F.col("it").alias(col), F.col("n_it").alias(alias)
+        )
+    )
+    return (
+        allsets.join(s("ia", "n_ia"), "ia")
+        .join(s("ib", "n_ib"), "ib")
+        .join(s("ic", "n_ic"), "ic", "left")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "ia", "ib", "ic", "n_set", "n_ia", "n_ib",
+            F.coalesce("n_ic", F.lit(0)).cast("long").alias("n_ic"),
+            "n_users",
+        )
+    )
+
+
+def q_debruijn_euler(spark, sf_dir):
+    """De Bruijn word-graph Eulerian-path audit — the assembly-style
+    view of document structure (trigram_paths mines frequent paths;
+    this asks whether the doc's bigram graph admits a single
+    non-repeating traversal, the Eulerian condition on degree
+    imbalance): per doc the exact node/edge counts and the
+    out-in-degree imbalance census (n_plus = nodes at +1, n_minus at
+    -1, n_bad beyond), euler_ok = [n_plus <= 1 AND n_minus <= 1 AND
+    n_bad = 0] (the necessary degree condition; connectivity is the
+    documents' trivially-connected chain). One window + two aggs.
+    FULL oracle: verbatim replay on the shared split_regex
+    tokenization."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    edges = words.select(
+        "doc_id",
+        F.col("word").alias("a"),
+        F.lead("word").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    deg = (
+        edges.select("doc_id", F.col("a").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+        .unionByName(
+            edges.select("doc_id", F.col("b").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+        )
+        .groupBy("doc_id", "node")
+        .agg(
+            F.sum("o").cast("long").alias("outd"),
+            F.sum("i").cast("long").alias("ind"),
+        )
+    )
+    agg = deg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(
+            F.when(F.col("outd") - F.col("ind") == 1, 1).otherwise(0)
+        ).cast("long").alias("n_plus"),
+        F.sum(
+            F.when(F.col("ind") - F.col("outd") == 1, 1).otherwise(0)
+        ).cast("long").alias("n_minus"),
+        F.sum(
+            F.when(
+                F.abs(F.col("outd") - F.col("ind")) > 1, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_bad"),
+    )
+    ecnt = edges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return agg.join(ecnt, "doc_id").select(
+        "doc_id", "n_nodes", "n_edges", "n_plus", "n_minus", "n_bad",
+        (
+            (F.col("n_plus") <= 1)
+            & (F.col("n_minus") <= 1)
+            & (F.col("n_bad") == 0)
+        ).cast("long").alias("euler_ok"),
+    )
+
+
 def q_knapsack_pack(spark, sf_dir):
     """Exact 0/1 knapsack data selection under a token budget
     (operators/knapsack.py — the exact-optimal member of the selection
@@ -10592,6 +10741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk": q_seasonal_mk,
         "knapsack_pack": q_knapsack_pack,
         "radiation_model": q_radiation_model,
+        "privacy_audit": q_privacy_audit,
+        "basket_lift": q_basket_lift,
+        "debruijn_euler": q_debruijn_euler,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

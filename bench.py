@@ -598,6 +598,9 @@ def main() -> None:
         "seasonal_mk",
         "knapsack_pack",
         "radiation_model",
+        "privacy_audit",
+        "basket_lift",
+        "debruijn_euler",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -12615,6 +12615,85 @@ def oracle_sql() -> dict[str, str]:
         "string_period": _string_period_sql(),
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
+        "privacy_audit": """
+            WITH q AS (
+              SELECT lang, source,
+                     CAST(n_chars // 128 AS BIGINT) AS band,
+                     split_part(text, ' ', 1) AS sens
+              FROM documents)
+            SELECT lang, source, band, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT sens) AS BIGINT) AS l_div,
+                   CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS k_viol
+            FROM q GROUP BY 1, 2, 3
+        """,
+        "basket_lift": """
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT user_id, event_type AS it FROM events),
+            singles AS MATERIALIZED (
+              SELECT it, CAST(count(*) AS BIGINT) AS n_it
+              FROM b GROUP BY 1),
+            nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_users FROM b),
+            pairs AS (
+              SELECT a.it AS ia, b2.it AS ib, '' AS ic,
+                     CAST(count(*) AS BIGINT) AS n_set
+              FROM b a JOIN b b2
+                ON b2.user_id = a.user_id AND a.it < b2.it
+              GROUP BY 1, 2),
+            triples AS (
+              SELECT a.it AS ia, b2.it AS ib, c.it AS ic,
+                     CAST(count(*) AS BIGINT) AS n_set
+              FROM b a
+              JOIN b b2 ON b2.user_id = a.user_id AND a.it < b2.it
+              JOIN b c ON c.user_id = a.user_id AND b2.it < c.it
+              GROUP BY 1, 2, 3),
+            allsets AS (
+              SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+            SELECT s.ia, s.ib, s.ic, s.n_set,
+                   sa.n_it AS n_ia, sb.n_it AS n_ib,
+                   CAST(COALESCE(sc.n_it, 0) AS BIGINT) AS n_ic,
+                   (SELECT n_users FROM nu) AS n_users
+            FROM allsets s
+            JOIN singles sa ON sa.it = s.ia
+            JOIN singles sb ON sb.it = s.ib
+            LEFT JOIN singles sc ON sc.it = s.ic
+        """,
+        "debruijn_euler": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+              FROM documents WHERE length(trim(text)) > 0),
+            edges AS MATERIALIZED (
+              SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+              FROM toks,
+                   unnest(range(1, greatest(len(tk), 1))) t(i)),
+            deg AS (
+              SELECT doc_id, node, CAST(sum(o) AS BIGINT) AS outd,
+                     CAST(sum(i) AS BIGINT) AS ind
+              FROM (
+                SELECT doc_id, a AS node, 1 AS o, 0 AS i FROM edges
+                UNION ALL
+                SELECT doc_id, b AS node, 0 AS o, 1 AS i FROM edges) u
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(CASE WHEN outd - ind = 1 THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_plus,
+                     CAST(sum(CASE WHEN ind - outd = 1 THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_minus,
+                     CAST(sum(CASE WHEN abs(outd - ind) > 1 THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_bad
+              FROM deg GROUP BY 1),
+            ecnt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_edges
+              FROM edges GROUP BY 1)
+            SELECT a.doc_id, a.n_nodes, e.n_edges, a.n_plus,
+                   a.n_minus, a.n_bad,
+                   CAST(CASE WHEN a.n_plus <= 1 AND a.n_minus <= 1
+                              AND a.n_bad = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS euler_ok
+            FROM agg a JOIN ecnt e ON e.doc_id = a.doc_id
+        """,
         "bwt_runs": _bwt_runs_sql(),
         "seasonal_mk": """
             WITH daily AS MATERIALIZED (
