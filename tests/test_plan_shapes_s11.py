@@ -16,6 +16,8 @@ S11_QUERIES = (
     "suffix_lrs", "vw_simplify", "interval_schedule",
     "cochran_armitage", "gale_shapley", "string_period",
     "bwt_runs", "seasonal_mk", "boruvka_emst",
+    "knapsack_pack", "radiation_model", "privacy_audit",
+    "basket_lift", "debruijn_euler",
 )
 
 
@@ -41,7 +43,8 @@ def test_pure_codegen_ops_have_no_python(spark, entry):
     for name in (
         "cochran_q", "mcnemar", "kruskal_wallis", "durbin_watson",
         "cochran_armitage", "seasonal_decompose", "seasonal_mk",
-        "stress_centrality",
+        "stress_centrality", "radiation_model", "privacy_audit",
+        "basket_lift", "debruijn_euler",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
@@ -60,7 +63,10 @@ def test_arrow_ops_carry_exactly_one_kernel(spark, entry):
 
 
 def test_group_pandas_ops_are_one_pass(spark, entry):
-    for name in ("vw_simplify", "interval_schedule", "gale_shapley"):
+    for name in (
+        "vw_simplify", "interval_schedule", "gale_shapley",
+        "knapsack_pack",
+    ):
         p = _plan(entry.queries()[name](spark, SF))
         assert p.count("FlatMapGroupsInPandas") == 1, name
         assert "ArrowEvalPython" not in p, name
