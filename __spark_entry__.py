@@ -9553,6 +9553,99 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_hash_ring(spark, sf_dir):
+    """Consistent-hash ring assignment audit — the ring-based
+    complement of hrw_shards (rendezvous): 8 shards x 16 virtual nodes
+    at mix31 positions, every document routed to its clockwise
+    successor vnode ((h_v, shard, v) tie order, wraparound to the
+    global min), emitting the per-shard load histogram + ring extent —
+    the balance audit that motivates vnodes in the first place.
+    Broadcast 128-row ring, one theta join + min-struct per doc, one
+    agg. All replayable ints (the vhash family). FULL oracle: verbatim
+    replay."""
+    from extractors_metadata_spark.functions.vhash import P31, mix31
+
+    ring = (
+        spark.range(8)
+        .select(F.col("id").alias("shard"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("v")))
+        .select(
+            "shard",
+            "v",
+            mix31(
+                (F.col("shard") * 131 + F.col("v") * 29 + 7)
+                % F.lit(P31)
+            ).alias("h_v"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        mix31((F.col("doc_id") * 2654435761 + 99) % F.lit(P31)).alias(
+            "hk"
+        ),
+    )
+    succ = (
+        docs.join(F.broadcast(ring), F.col("h_v") >= F.col("hk"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("h_v", "shard", "v")).alias("s"))
+        .select("doc_id", F.col("s.shard").alias("shard"))
+    )
+    wrap = ring.agg(F.min(F.struct("h_v", "shard", "v")).alias("s")).select(
+        F.col("s.shard").alias("wshard")
+    )
+    assigned = (
+        docs.join(succ, "doc_id", "left")
+        .crossJoin(F.broadcast(wrap))
+        .select(
+            "doc_id", F.coalesce("shard", "wshard").alias("shard")
+        )
+    )
+    loads = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    extents = ring.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vnodes"),
+        F.min("h_v").cast("long").alias("min_hv"),
+        F.max("h_v").cast("long").alias("max_hv"),
+    )
+    return loads.join(F.broadcast(extents), "shard").select(
+        "shard", "n_docs", "n_vnodes", "min_hv", "max_hv"
+    )
+
+
+def q_sd_ellipse(spark, sf_dir):
+    """Standard deviational ellipse ingredients (Lefever 1926) per
+    event type — the directional-dispersion classic radius_gyration
+    scalarizes away: exact integer first/second moments (n, sx, sy,
+    sxx, syy, sxy) on round_even nanodegree coords; the ellipse
+    orientation tan 2theta = 2*Cxy/(Cxx - Cyy) and axes are rationals/
+    radicals of these, consumer-side. ONE partial-agg groupBy — the
+    ridge_fit shape. FULL oracle: verbatim replay."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), lat, lon
+    ).select(
+        "g",
+        F.bround(F.col("lon") * 1000000000.0, 0).cast("long").alias("x"),
+        F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("y"),
+    )
+    # re-center on the field origin to keep squared sums in int64
+    # (|x|,|y| < ~2e6 after subtracting the constant corner)
+    x0 = F.bround(F.lit(-111.9750833333) * 1000000000.0, 0).cast("long")
+    y0 = F.bround(F.lit(33.0745) * 1000000000.0, 0).cast("long")
+    c = pts.select(
+        "g", (F.col("x") - x0).alias("x"), (F.col("y") - y0).alias("y")
+    )
+    return c.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+
+
 def q_privacy_audit(spark, sf_dir):
     """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
     2007) — the privacy-release completion of the PII family
@@ -10744,6 +10837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_audit": q_privacy_audit,
         "basket_lift": q_basket_lift,
         "debruijn_euler": q_debruijn_euler,
+        "hash_ring": q_hash_ring,
+        "sd_ellipse": q_sd_ellipse,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -601,6 +601,8 @@ def main() -> None:
         "privacy_audit",
         "basket_lift",
         "debruijn_euler",
+        "hash_ring",
+        "sd_ellipse",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -9039,6 +9039,50 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _hash_ring_sql() -> str:
+    from extractors_metadata_spark.functions.vhash import P31
+
+    hv = _mix31_sql("hv0")
+    hk = _mix31_sql("hk0")
+    return f"""
+        WITH ring AS MATERIALIZED (
+          SELECT shard, v, CAST({hv} AS BIGINT) AS h_v FROM (
+            SELECT s.range AS shard, v.range AS v,
+                   (s.range * 131 + v.range * 29 + 7) % {P31} AS hv0
+            FROM range(8) s CROSS JOIN range(16) v) z),
+        docs AS MATERIALIZED (
+          SELECT doc_id, CAST({hk} AS BIGINT) AS hk FROM (
+            SELECT doc_id, (doc_id * 2654435761 + 99) % {P31} AS hk0
+            FROM documents) z),
+        succ AS (
+          SELECT doc_id, shard FROM (
+            SELECT d.doc_id, r.shard,
+                   row_number() OVER (PARTITION BY d.doc_id
+                     ORDER BY r.h_v, r.shard, r.v) AS rk
+            FROM docs d JOIN ring r ON r.h_v >= d.hk) t
+          WHERE rk = 1),
+        wrap AS (
+          SELECT shard AS wshard FROM (
+            SELECT shard, row_number() OVER (ORDER BY h_v, shard, v)
+              AS rk
+            FROM ring) w WHERE rk = 1),
+        assigned AS (
+          SELECT d.doc_id,
+                 COALESCE(s.shard, (SELECT wshard FROM wrap)) AS shard
+          FROM docs d LEFT JOIN succ s ON s.doc_id = d.doc_id),
+        loads AS (
+          SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+          FROM assigned GROUP BY 1),
+        ext AS (
+          SELECT shard, CAST(count(*) AS BIGINT) AS n_vnodes,
+                 CAST(min(h_v) AS BIGINT) AS min_hv,
+                 CAST(max(h_v) AS BIGINT) AS max_hv
+          FROM ring GROUP BY 1)
+        SELECT l.shard, l.n_docs, e.n_vnodes, e.min_hv, e.max_hv
+        FROM loads l JOIN ext e ON e.shard = l.shard
+    """
+
+
 def _knapsack_sql(capacity: int = 64, n_items: int = 16) -> str:
     """knapsack_select replay: the DP recurrence unrolled as n_items
     CTE stages over the (source, c) lattice."""
@@ -12615,6 +12659,27 @@ def oracle_sql() -> dict[str, str]:
         "string_period": _string_period_sql(),
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
+        "hash_ring": _hash_ring_sql(),
+        "sd_ellipse": f"""
+            WITH pts AS (
+              SELECT event_type AS g,
+                     CAST(round_even(({LON_IN}) * 1000000000.0, 0)
+                          AS BIGINT)
+                       - CAST(round_even(CAST(-111.9750833333 AS DOUBLE)
+                              * 1000000000.0, 0) AS BIGINT) AS x,
+                     CAST(round_even(({LAT_IN}) * 1000000000.0, 0)
+                          AS BIGINT)
+                       - CAST(round_even(CAST(33.0745 AS DOUBLE)
+                              * 1000000000.0, 0) AS BIGINT) AS y
+              FROM events)
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pts GROUP BY 1
+        """,
         "privacy_audit": """
             WITH q AS (
               SELECT lang, source,

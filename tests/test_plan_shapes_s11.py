@@ -17,7 +17,7 @@ S11_QUERIES = (
     "cochran_armitage", "gale_shapley", "string_period",
     "bwt_runs", "seasonal_mk", "boruvka_emst",
     "knapsack_pack", "radiation_model", "privacy_audit",
-    "basket_lift", "debruijn_euler",
+    "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
 )
 
 
@@ -44,7 +44,7 @@ def test_pure_codegen_ops_have_no_python(spark, entry):
         "cochran_q", "mcnemar", "kruskal_wallis", "durbin_watson",
         "cochran_armitage", "seasonal_decompose", "seasonal_mk",
         "stress_centrality", "radiation_model", "privacy_audit",
-        "basket_lift", "debruijn_euler",
+        "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
