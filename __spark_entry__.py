@@ -9553,6 +9553,82 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of source shares per language
+    — the antitrust-style concentration scalar the curation suite lacks
+    (gini/theil measure inequality of a size DISTRIBUTION; HHI measures
+    market concentration of shares): per lang, HHI = sum s_i^2 with
+    s_i = n_i/N emitted as the exact integer pair (sum n_i^2, N) — the
+    rational and its 1/N lower bound are consumer-side. Also emits
+    n_sources and the top share numerator (max n_i, the CR1
+    ingredient). One groupBy + one agg. FULL oracle: verbatim replay."""
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("hhi_num"),
+        F.max("n_i").cast("long").alias("cr1_num"),
+    )
+
+
+def q_type_tile_affinity(spark, sf_dir):
+    """Spatial affinity between event types — exact integer cosine of
+    their tile-count histograms (the footprint-overlap question
+    colocation_pi answers at point scale, asked at TILE scale where the
+    100 TB version actually runs): tile = (x div 200000, y div 200000)
+    microdeg cells, per unordered type pair the exact (dot, naa, nbb)
+    ints — cosine rationals consumer-side. One tile agg + one bounded
+    pair join on the collapsed (type x tile) dim. FULL oracle: verbatim
+    replay."""
+    lat, lon = _latlon_dbl()
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("g"), lat, lon)
+        .select(
+            "g",
+            F.round(F.col("lon") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("mx"),
+            F.round(F.col("lat") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("my"),
+        )
+        .select("g", F.expr("mx div 200").alias("cx"),
+                F.expr("my div 200").alias("cy"))
+        .groupBy("g", "cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    norms = cells.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nn")
+    )
+    a = cells.select(
+        F.col("g").alias("ga"), "cx", "cy", F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("g").alias("gb"), "cx", "cy", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_tiles"),
+        )
+    )
+    na = norms.select(F.col("g").alias("ga"), F.col("nn").alias("naa"))
+    nb = norms.select(F.col("g").alias("gb"), F.col("nn").alias("nbb"))
+    return (
+        dots.join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .select("ga", "gb", "dot", "n_shared_tiles", "naa", "nbb")
+    )
+
+
 def q_hash_ring(spark, sf_dir):
     """Consistent-hash ring assignment audit — the ring-based
     complement of hrw_shards (rendezvous): 8 shards x 16 virtual nodes
@@ -10839,6 +10915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debruijn_euler": q_debruijn_euler,
         "hash_ring": q_hash_ring,
         "sd_ellipse": q_sd_ellipse,
+        "hhi_concentration": q_hhi_concentration,
+        "type_tile_affinity": q_type_tile_affinity,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

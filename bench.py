@@ -603,6 +603,8 @@ def main() -> None:
         "debruijn_euler",
         "hash_ring",
         "sd_ellipse",
+        "hhi_concentration",
+        "type_tile_affinity",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

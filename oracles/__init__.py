@@ -12660,6 +12660,42 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
+        "hhi_concentration": """
+            WITH counts AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n_i
+              FROM documents GROUP BY 1, 2)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(sum(n_i) AS BIGINT) AS n_total,
+                   CAST(sum(n_i * n_i) AS BIGINT) AS hhi_num,
+                   CAST(max(n_i) AS BIGINT) AS cr1_num
+            FROM counts GROUP BY 1
+        """,
+        "type_tile_affinity": f"""
+            WITH cells AS MATERIALIZED (
+              SELECT g, cx, cy, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT event_type AS g,
+                       CAST(round(({LON_IN}) * 1000000.0, 0) AS BIGINT)
+                         // 200 AS cx,
+                       CAST(round(({LAT_IN}) * 1000000.0, 0) AS BIGINT)
+                         // 200 AS cy
+                FROM events) z
+              GROUP BY 1, 2, 3),
+            norms AS MATERIALIZED (
+              SELECT g, CAST(sum(c * c) AS BIGINT) AS nn
+              FROM cells GROUP BY 1),
+            dots AS (
+              SELECT a.g AS ga, b.g AS gb,
+                     CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+                     CAST(count(*) AS BIGINT) AS n_shared_tiles
+              FROM cells a JOIN cells b
+                ON b.cx = a.cx AND b.cy = a.cy AND a.g < b.g
+              GROUP BY 1, 2)
+            SELECT d.ga, d.gb, d.dot, d.n_shared_tiles,
+                   na.nn AS naa, nb.nn AS nbb
+            FROM dots d
+            JOIN norms na ON na.g = d.ga
+            JOIN norms nb ON nb.g = d.gb
+        """,
         "sd_ellipse": f"""
             WITH pts AS (
               SELECT event_type AS g,

@@ -18,6 +18,7 @@ S11_QUERIES = (
     "bwt_runs", "seasonal_mk", "boruvka_emst",
     "knapsack_pack", "radiation_model", "privacy_audit",
     "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
+    "hhi_concentration", "type_tile_affinity",
 )
 
 
@@ -45,6 +46,7 @@ def test_pure_codegen_ops_have_no_python(spark, entry):
         "cochran_armitage", "seasonal_decompose", "seasonal_mk",
         "stress_centrality", "radiation_model", "privacy_audit",
         "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
+        "hhi_concentration", "type_tile_affinity",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
