@@ -9553,6 +9553,39 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_edr_pairs(spark, sf_dir):
+    """Banded anchored-EDR track-pair edit counts (operators/dtw
+    ._edr_udf — Chen & Ng 2004, the EDIT-DISTANCE member completing the
+    lattice family: DTW accumulates, Frechet bottlenecks, LCSS
+    max-matches, SW aligns locally; EDR counts eps-tolerant edits and
+    is robust to the outlier points that dominate DTW's sum). eps=80
+    microdeg, same caps/band as dtw_pairs, anchored start (documented
+    variant — free leading gaps would need virtual boundary rows).
+    FULL oracle: the shared anti-diagonal stage generator in edr mode
+    (min of gap+1 moves and the 0/1-substitution diagonal)."""
+    from extractors_metadata_spark.operators.dtw import (
+        edr_pairs,
+        user_tracks,
+    )
+
+    lat, lon = _latlon_dbl()
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", lat, lon)
+    )
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.bround(F.col("lon") * 1000000.0, 0).cast("long")
+         + F.lit(180000000)).alias("qx"),
+        (F.bround(F.col("lat") * 1000000.0, 0).cast("long")
+         + F.lit(90000000)).alias("qy"),
+    )
+    return edr_pairs(user_tracks(pts), eps=80)
+
+
 def q_hhi_concentration(spark, sf_dir):
     """Herfindahl-Hirschman concentration of source shares per language
     — the antitrust-style concentration scalar the curation suite lacks
@@ -10917,6 +10950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sd_ellipse": q_sd_ellipse,
         "hhi_concentration": q_hhi_concentration,
         "type_tile_affinity": q_type_tile_affinity,
+        "edr_pairs": q_edr_pairs,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

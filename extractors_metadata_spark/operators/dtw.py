@@ -129,6 +129,56 @@ def _lcss_udf(eps: int):
     return lcss_len
 
 
+def _edr_udf(eps: int):
+    """Banded ANCHORED Edit Distance on Real sequences (Chen & Ng 2004)
+    on the same lattice — the edit-distance member completing the
+    similarity family (DTW accumulates, Frechet bottlenecks, LCSS
+    max-matches, SW aligns locally; EDR COUNTS edits): substitution
+    costs 0 on an eps-match else 1, insert/delete cost 1.  Anchored =
+    both tracks start aligned (the lattice's DTW convention; classic
+    EDR's free leading gaps would need virtual -1 boundary rows —
+    documented variant).  INF sentinels out of band, pure int64 —
+    the oracle replays the identical anti-diagonal unroll."""
+
+    @F.pandas_udf("long")
+    def edr_cost(
+        xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a_x, a_y, b_x, b_y in zip(xa, ya, xb, yb):
+            ax = np.asarray(a_x, np.int64)
+            ay = np.asarray(a_y, np.int64)
+            bx = np.asarray(b_x, np.int64)
+            by = np.asarray(b_y, np.int64)
+            n, m = len(ax), len(bx)
+            prev = [_INF] * m
+            for i in range(n):
+                cur = [_INF] * m
+                lo = max(0, i - BAND)
+                hi = min(m - 1, i + BAND)
+                for j in range(lo, hi + 1):
+                    sub = (
+                        0
+                        if (
+                            abs(int(ax[i]) - int(bx[j])) <= eps
+                            and abs(int(ay[i]) - int(by[j])) <= eps
+                        )
+                        else 1
+                    )
+                    if i == 0 and j == 0:
+                        cur[j] = sub
+                        continue
+                    c1 = prev[j] + 1
+                    c2 = (cur[j - 1] + 1) if j > 0 else _INF
+                    c3 = (prev[j - 1] + sub) if j > 0 else _INF
+                    cur[j] = min(c1, c2, c3)
+                prev = cur
+            out.append(prev[m - 1])
+        return pd.Series(out, dtype="int64")
+
+    return edr_cost
+
+
 def _sw_udf(eps: int, match: int = 2, penalty: int = 1):
     """Banded Smith-Waterman LOCAL alignment on the same lattice: the
     best-scoring shared SEGMENT of two tracks (match = eps-close point
@@ -254,6 +304,17 @@ def swalign_pairs(tracks: DataFrame, eps: int = 80) -> DataFrame:
     return _pair_dp(tracks, "swalign", "sw", eps=eps)
 
 
+def edr_pairs(tracks: DataFrame, eps: int = 80) -> DataFrame:
+    """All-pairs banded anchored-EDR edit count over a track frame ->
+    (u_a, u_b, n_a, n_b, edr): how many point edits
+    (eps-substitutions free, real substitutions/inserts/deletes cost 1)
+    turn one route into the other — the EDIT-DISTANCE member of the
+    lattice family, robust to outlier points where DTW's accumulated
+    cost is not (Chen & Ng 2004).  Same band/cap semantics as
+    dtw_pairs."""
+    return _pair_dp(tracks, "edr", "edr", eps=eps)
+
+
 def _pair_dp(
     tracks: DataFrame, mode: str, out_col: str, eps: int = 0
 ) -> DataFrame:
@@ -272,6 +333,8 @@ def _pair_dp(
         kernel = _lcss_udf(eps)
     elif mode == "swalign":
         kernel = _sw_udf(eps)
+    elif mode == "edr":
+        kernel = _edr_udf(eps)
     else:
         kernel = _dp_udf(mode)
     return cand.select(

@@ -2026,6 +2026,7 @@ def _dtw_sql(
     kmax = 2 * max_len - 2
     lcss = mode == "lcss"
     sw = mode == "swalign"
+    edr = mode == "edr"
     stages = []
     for k in range(1, kmax + 1):
         p3 = (
@@ -2048,6 +2049,14 @@ def _dtw_sql(
                              {p3cost} + CASE WHEN l.d = 1 THEN 2 ELSE -1 END,
                              coalesce(p1.cost, 0) - 1,
                              coalesce(p2.cost, 0) - 1)"""
+            )
+        elif edr:
+            p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
+            combine = (
+                f"""least(coalesce(p1.cost, {inf}) + 1,
+                             coalesce(p2.cost, {inf}) + 1,
+                             {p3cost}
+                               + CASE WHEN l.d = 1 THEN 0 ELSE 1 END)"""
             )
         else:
             p3cost = f"coalesce(p3.cost, {inf})" if k >= 2 else str(inf)
@@ -2110,14 +2119,14 @@ def _dtw_sql(
           WHERE abs(a.n - b.n) <= {band}),
         lat AS MATERIALIZED (
           SELECT p.u_a, p.u_b, x.idx AS i, y.idx AS j,
-                 {f"CASE WHEN abs(x.qx - y.qx) <= {eps} AND abs(x.qy - y.qy) <= {eps} THEN 1 ELSE 0 END" if (lcss or sw) else "abs(x.qx - y.qx) + abs(x.qy - y.qy)"} AS d
+                 {f"CASE WHEN abs(x.qx - y.qx) <= {eps} AND abs(x.qy - y.qy) <= {eps} THEN 1 ELSE 0 END" if (lcss or sw or edr) else "abs(x.qx - y.qx) + abs(x.qy - y.qy)"} AS d
           FROM prs p
           JOIN tp x ON x.u = p.u_a
           JOIN tp y ON y.u = p.u_b
           WHERE abs(x.idx - y.idx) <= {band}),
         dw0 AS MATERIALIZED (
           SELECT u_a, u_b, i, j,
-                 CAST({"CASE WHEN d = 1 THEN 2 ELSE 0 END" if sw else "d"} AS BIGINT) AS cost
+                 CAST({"CASE WHEN d = 1 THEN 2 ELSE 0 END" if sw else ("CASE WHEN d = 1 THEN 0 ELSE 1 END" if edr else "d")} AS BIGINT) AS cost
           FROM lat WHERE i = 0 AND j = 0),
         {",".join(stages)}
 {ends}
@@ -11802,6 +11811,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _dtw_sql(30, 24, 6, mode="minimax", out_col="frechet"),
         "lcss_pairs": _dtw_sql(30, 24, 6, mode="lcss", out_col="lcss", eps=80),
         "swalign_pairs": _dtw_sql(30, 24, 6, mode="swalign", out_col="sw", eps=80),
+        "edr_pairs": _dtw_sql(30, 24, 6, mode="edr", out_col="edr", eps=80),
         "viterbi_match": _viterbi_sql(12, 40),
         "polyline_encode": _polyline_sql(24),
         "bowtie_classes": _bowtie_sql(4),

@@ -175,3 +175,34 @@ def test_swalign_gap_bridging(spark):
     )
     out = swalign_pairs(df, eps=0).collect()[0]
     assert out["sw"] == 5
+
+
+def _edr(spark, rows, eps=80):
+    from extractors_metadata_spark.operators.dtw import edr_pairs, user_tracks
+
+    return {
+        (r["u_a"], r["u_b"]): r["edr"]
+        for r in edr_pairs(user_tracks(_pts(spark, rows)), eps=eps).collect()
+    }
+
+
+def test_edr_identical_zero_sub_and_edit_counts(spark):
+    # identical tracks: every diagonal is an eps-match -> 0 edits
+    rows = [(1, i, 100 * i, 0) for i in range(5)] + [
+        (2, i, 100 * i, 0) for i in range(5)
+    ]
+    assert _edr(spark, rows)[(1, 2)] == 0
+    # one outlier point: EDR charges exactly ONE substitution where
+    # DTW's sum would absorb the full excursion magnitude
+    rows2 = [(1, i, 100 * i, 0) for i in range(5)] + [
+        (2, i, 100 * i, 0 if i != 2 else 50000) for i in range(5)
+    ]
+    assert _edr(spark, rows2)[(1, 2)] == 1
+
+
+def test_edr_length_gap_costs_inserts(spark):
+    # track 2 = track 1 plus 2 trailing points -> 2 insertions
+    rows = [(1, i, 100 * i, 0) for i in range(4)] + [
+        (2, i, 100 * i, 0) for i in range(6)
+    ]
+    assert _edr(spark, rows)[(1, 2)] == 2
