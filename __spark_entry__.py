@@ -9553,6 +9553,53 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_dyad_census(spark, sf_dir):
+    """Holland-Leinhardt DYAD census of the directed zipf link graph —
+    triad_census's little sibling and the reciprocity measure (how much
+    of the web's linking is mutual): exact (n_nodes, n_arcs, mutual,
+    asym, null) with mutual via one self-join on reversed arcs,
+    null = C(n,2) - mutual - asym closed-form (no pair enumeration —
+    the triad_census discipline). FULL oracle: verbatim replay."""
+    from extractors_metadata_spark.operators.linkgraph import (
+        zipf_link_graph,
+    )
+
+    g = zipf_link_graph(_t(spark, sf_dir, "events")).filter(
+        F.col("src") != F.col("dst")
+    )
+    nodes = (
+        g.select(F.col("src").alias("v"))
+        .unionByName(g.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    rev = g.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual_arcs = g.intersect(rev)
+    stats = (
+        g.agg(F.count(F.lit(1)).cast("long").alias("n_arcs"))
+        .crossJoin(
+            nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+        .crossJoin(
+            mutual_arcs.agg(
+                F.count(F.lit(1)).cast("long").alias("m2")
+            )
+        )
+    )
+    return stats.select(
+        "n_nodes",
+        "n_arcs",
+        F.expr("m2 div 2").cast("long").alias("mutual"),
+        (F.col("n_arcs") - F.col("m2")).alias("asym"),
+        (
+            F.expr("(n_nodes * (n_nodes - 1)) div 2")
+            - F.expr("m2 div 2")
+            - (F.col("n_arcs") - F.col("m2"))
+        ).cast("long").alias("nulld"),
+    )
+
+
 def q_edr_pairs(spark, sf_dir):
     """Banded anchored-EDR track-pair edit counts (operators/dtw
     ._edr_udf — Chen & Ng 2004, the EDIT-DISTANCE member completing the
@@ -10951,6 +10998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_concentration": q_hhi_concentration,
         "type_tile_affinity": q_type_tile_affinity,
         "edr_pairs": q_edr_pairs,
+        "dyad_census": q_dyad_census,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

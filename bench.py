@@ -606,6 +606,7 @@ def main() -> None:
         "hhi_concentration",
         "type_tile_affinity",
         "edr_pairs",
+        "dyad_census",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

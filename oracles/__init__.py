@@ -12670,6 +12670,34 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
+        "dyad_census": """
+            WITH g AS MATERIALIZED (
+              SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                     1000 // (1 + (event_id % 1000)) AS dst
+              FROM events),
+            g2 AS MATERIALIZED (
+              SELECT src, dst FROM g WHERE src <> dst),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM g2
+                UNION ALL SELECT dst AS v FROM g2) u),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS m2
+              FROM g2 a JOIN g2 b
+                ON b.src = a.dst AND b.dst = a.src),
+            s AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM g2)
+                       AS n_arcs,
+                     (SELECT CAST(count(*) AS BIGINT) FROM nodes)
+                       AS n_nodes,
+                     (SELECT m2 FROM m) AS m2)
+            SELECT n_nodes, n_arcs,
+                   CAST(m2 // 2 AS BIGINT) AS mutual,
+                   CAST(n_arcs - m2 AS BIGINT) AS asym,
+                   CAST((n_nodes * (n_nodes - 1)) // 2 - m2 // 2
+                        - (n_arcs - m2) AS BIGINT) AS nulld
+            FROM s
+        """,
         "hhi_concentration": """
             WITH counts AS (
               SELECT lang, source, CAST(count(*) AS BIGINT) AS n_i
