@@ -9553,6 +9553,58 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_kdtree_split(spark, sf_dir):
+    """kd-tree median-split leaf layout — the DATA-DRIVEN member of
+    the spatial-index family (quadtree = space-driven, str_pack =
+    sort-tile packing; the kd split follows the density itself, the
+    balanced-partition planner salt_plan approximates): 4 alternating
+    x/y levels, each node splitting at the exact lower-median RANK of
+    (coord, event_id) — the frozen total order makes every split
+    deterministic (the runs_test median discipline), left = rank <=
+    (n+1) div 2. Emits the 16 leaf summaries (leaf code, n, bbox) —
+    the partition manifest a balanced spatial shuffle would use. Four
+    window passes, each re-partitioned by the growing node code; pure
+    codegen. FULL oracle: 4 unrolled row_number stages."""
+    lat, lon = _latlon_dbl()
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id", lat, lon
+    ).select(
+        "event_id",
+        F.bround(F.col("lon") * 1000000.0, 0).cast("long").alias("x"),
+        F.bround(F.col("lat") * 1000000.0, 0).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("node"),
+    )
+    for level in range(4):
+        axis = "x" if level % 2 == 0 else "y"
+        w = Window.partitionBy("node").orderBy(F.col(axis), F.col("event_id"))
+        wn = Window.partitionBy("node")
+        pts = pts.select(
+            "event_id",
+            "x",
+            "y",
+            "node",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("cnt"),
+        ).select(
+            "event_id",
+            "x",
+            "y",
+            (
+                F.col("node") * 2
+                + F.when(
+                    F.col("rk") <= F.expr("(cnt + 1) div 2"), F.lit(0)
+                ).otherwise(F.lit(1))
+            ).alias("node"),
+        )
+    return pts.groupBy(F.col("node").alias("leaf")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+    )
+
+
 def q_dyad_census(spark, sf_dir):
     """Holland-Leinhardt DYAD census of the directed zipf link graph —
     triad_census's little sibling and the reciprocity measure (how much
@@ -10999,6 +11051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_tile_affinity": q_type_tile_affinity,
         "edr_pairs": q_edr_pairs,
         "dyad_census": q_dyad_census,
+        "kdtree_split": q_kdtree_split,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

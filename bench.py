@@ -607,6 +607,7 @@ def main() -> None:
         "type_tile_affinity",
         "edr_pairs",
         "dyad_census",
+        "kdtree_split",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -12670,6 +12670,58 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
+        "kdtree_split": f"""
+            WITH t0 AS MATERIALIZED (
+              SELECT event_id,
+                     CAST(round_even(({LON_IN}) * 1000000.0, 0)
+                          AS BIGINT) AS x,
+                     CAST(round_even(({LAT_IN}) * 1000000.0, 0)
+                          AS BIGINT) AS y,
+                     CAST(0 AS BIGINT) AS node
+              FROM events),
+            t1 AS MATERIALIZED (
+              SELECT event_id, x, y,
+                     node * 2 + CASE WHEN rk <= (cnt + 1) // 2
+                                     THEN 0 ELSE 1 END AS node
+              FROM (SELECT event_id, x, y, node,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY x, event_id) AS rk,
+                           count(*) OVER (PARTITION BY node) AS cnt
+                    FROM t0) z),
+            t2 AS MATERIALIZED (
+              SELECT event_id, x, y,
+                     node * 2 + CASE WHEN rk <= (cnt + 1) // 2
+                                     THEN 0 ELSE 1 END AS node
+              FROM (SELECT event_id, x, y, node,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY y, event_id) AS rk,
+                           count(*) OVER (PARTITION BY node) AS cnt
+                    FROM t1) z),
+            t3 AS MATERIALIZED (
+              SELECT event_id, x, y,
+                     node * 2 + CASE WHEN rk <= (cnt + 1) // 2
+                                     THEN 0 ELSE 1 END AS node
+              FROM (SELECT event_id, x, y, node,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY x, event_id) AS rk,
+                           count(*) OVER (PARTITION BY node) AS cnt
+                    FROM t2) z),
+            t4 AS MATERIALIZED (
+              SELECT event_id, x, y,
+                     node * 2 + CASE WHEN rk <= (cnt + 1) // 2
+                                     THEN 0 ELSE 1 END AS node
+              FROM (SELECT event_id, x, y, node,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY y, event_id) AS rk,
+                           count(*) OVER (PARTITION BY node) AS cnt
+                    FROM t3) z)
+            SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(x) AS BIGINT) AS min_x,
+                   CAST(max(x) AS BIGINT) AS max_x,
+                   CAST(min(y) AS BIGINT) AS min_y,
+                   CAST(max(y) AS BIGINT) AS max_y
+            FROM t4 GROUP BY 1
+        """,
         "dyad_census": """
             WITH g AS MATERIALIZED (
               SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
