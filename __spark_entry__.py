@@ -9553,6 +9553,113 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_interval_depth(spark, sf_dir):
+    """Maximum interval concurrency per user (the sweep-line +1/-1
+    depth — interval_union measures the covered span, this finds the
+    PEAK overlap and when it first happens, the capacity-planning
+    number): events as [ts, ts + (1 + id%120) min] intervals, boundary
+    events sorted by (t, delta, event_id) with ENDS BEFORE STARTS at
+    equal t (touching intervals don't stack — the interval_schedule
+    convention), running sum = depth, argmax via min_by struct (no
+    second window). FULL oracle: verbatim replay."""
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (1 + F.col("event_id") % 120) * 60000000
+        ).alias("e_us"),
+    )
+    bounds = iv.select(
+        "user_id",
+        F.col("s_us").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        iv.select(
+            "user_id",
+            F.col("e_us").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        "t", "delta", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    depth = bounds.select(
+        "user_id",
+        "t",
+        "event_id",
+        F.sum("delta").over(w).cast("long").alias("depth"),
+    )
+    flagged = depth.withColumn(
+        "mx", F.max("depth").over(Window.partitionBy("user_id"))
+    )
+    return flagged.groupBy("user_id").agg(
+        F.max("depth").cast("long").alias("max_depth"),
+        F.min(
+            F.when(
+                F.col("depth") == F.col("mx"),
+                F.struct("t", "event_id"),
+            )
+        ).alias("_at"),
+    ).select(
+        "user_id",
+        "max_depth",
+        F.col("_at.t").alias("at_t"),
+    )
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's cumulative value series — the
+    prefix-max mirror of max_window's Kadane identity (drawdown_t =
+    running_max(prefix) - prefix_t; the max over t is the worst
+    peak-to-trough drop): values in the proven 1e6 fixed point, prefix
+    sums over the frozen (ts, event_id) order, running max via the
+    pinned [unbounded preceding, CURRENT] frame (no nested window —
+    the max INCLUDES the current prefix, so drawdown >= 0 always).
+    Emits (user_id, max_dd, final_cum) ints. FULL oracle: verbatim
+    replay."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (
+            F.bround(F.col("value") * 1000000.0, 0).cast("long")
+            - F.lit(245000000)
+        ).alias("v"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pref = e.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.sum("v").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("p"),
+    )
+    wmax = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = pref.select(
+        "user_id",
+        (F.max("p").over(wmax) - F.col("p")).alias("dd"),
+        "p",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("us").desc(), F.col("event_id").desc()
+            )
+        ).alias("rev"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("dd").cast("long").alias("max_dd"),
+        F.max(F.when(F.col("rev") == 1, F.col("p"))).cast("long").alias(
+            "final_cum"
+        ),
+    )
+
+
 def q_kdtree_split(spark, sf_dir):
     """kd-tree median-split leaf layout — the DATA-DRIVEN member of
     the spatial-index family (quadtree = space-driven, str_pack =
@@ -11052,6 +11159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edr_pairs": q_edr_pairs,
         "dyad_census": q_dyad_census,
         "kdtree_split": q_kdtree_split,
+        "interval_depth": q_interval_depth,
+        "max_drawdown": q_max_drawdown,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

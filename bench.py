@@ -608,6 +608,8 @@ def main() -> None:
         "edr_pairs",
         "dyad_census",
         "kdtree_split",
+        "interval_depth",
+        "max_drawdown",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -12670,6 +12670,57 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
+        "interval_depth": """
+            WITH iv AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts) + (1 + event_id % 120) * 60000000
+                       AS e_us
+              FROM events),
+            bounds AS (
+              SELECT user_id, s_us AS t, 1 AS delta, event_id FROM iv
+              UNION ALL
+              SELECT user_id, e_us AS t, -1 AS delta, event_id FROM iv),
+            depth AS MATERIALIZED (
+              SELECT user_id, t, event_id,
+                     CAST(sum(delta) OVER (PARTITION BY user_id
+                            ORDER BY t, delta, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS depth
+              FROM bounds),
+            mx AS (
+              SELECT user_id, CAST(max(depth) AS BIGINT) AS max_depth
+              FROM depth GROUP BY 1)
+            SELECT m.user_id, m.max_depth,
+                   CAST(min(d.t) AS BIGINT) AS at_t
+            FROM mx m JOIN depth d
+              ON d.user_id = m.user_id AND d.depth = m.max_depth
+            GROUP BY 1, 2
+        """,
+        "max_drawdown": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT)
+                       - 245000000 AS v
+              FROM events),
+            pref AS MATERIALIZED (
+              SELECT user_id, us, event_id,
+                     CAST(sum(v) OVER w AS BIGINT) AS p
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING)),
+            dd AS (
+              SELECT user_id,
+                     CAST(max(p) OVER w - p AS BIGINT) AS dd, p,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY us DESC, event_id DESC) AS rev
+              FROM pref
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT user_id, CAST(max(dd) AS BIGINT) AS max_dd,
+                   CAST(max(CASE WHEN rev = 1 THEN p END) AS BIGINT)
+                     AS final_cum
+            FROM dd GROUP BY 1
+        """,
         "kdtree_split": f"""
             WITH t0 AS MATERIALIZED (
               SELECT event_id,
