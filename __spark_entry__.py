@@ -9553,6 +9553,80 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_hist_equalize(spark, sf_dir):
+    """Histogram equalization of the document-length distribution —
+    the image-processing CDF remap applied to corpus features (flatten
+    the length histogram to a uniform 0..255 level, the rank-based
+    normalization a curation mix step uses): eq = ((cdf - cdf_min) *
+    255) div (N - cdf_min) on the exact integer CDF (one value-dim
+    window), all-equal degenerate guarded to 0. FULL oracle: verbatim
+    replay."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("len")
+    )
+    lv = d.groupBy("len").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = lv.select(
+        "len", F.sum("c").over(wv).cast("long").alias("cdf")
+    )
+    mins = cdf.agg(
+        F.min("cdf").cast("long").alias("cdf_min"),
+        F.max("cdf").cast("long").alias("n_total"),
+    )
+    return (
+        d.join(cdf, "len")
+        .crossJoin(F.broadcast(mins))
+        .select(
+            "doc_id",
+            "len",
+            F.when(
+                F.col("n_total") == F.col("cdf_min"), F.lit(0)
+            ).otherwise(
+                F.expr(
+                    "((cdf - cdf_min) * 255) div (n_total - cdf_min)"
+                )
+            ).cast("long").alias("eq"),
+        )
+    )
+
+
+def q_quantile_map(spark, sf_dir):
+    """Cross-source quantile normalization — map src0's document
+    lengths onto src1's length distribution by matched relative rank
+    (the domain-adaptation remap a mixture-balancing step uses;
+    length_quantiles summarizes one distribution, this TRANSFERS
+    between two): rk of each src0 doc under the frozen (len, doc_id)
+    order -> src1's order statistic at idx = ((rk-1)*nB) div nA + 1.
+    Two rank windows + one broadcast equi-join on the rank dim. FULL
+    oracle: verbatim replay."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0").select(
+        "doc_id", F.col("n_chars").cast("long").alias("len")
+    )
+    b = d.filter(F.col("source") == "src1").select(
+        "doc_id", F.col("n_chars").cast("long").alias("blen")
+    )
+    wa = Window.orderBy("len", "doc_id")
+    ar = a.select(
+        "doc_id", "len", F.row_number().over(wa).cast("long").alias("rk")
+    )
+    wb = Window.orderBy("blen", "doc_id")
+    br = b.select(
+        F.col("blen"), F.row_number().over(wb).cast("long").alias("bidx")
+    )
+    na = ar.agg(F.max("rk").alias("na"))
+    nb = br.agg(F.max("bidx").alias("nb"))
+    withn = ar.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    mapped = withn.select(
+        "doc_id",
+        "len",
+        F.expr("((rk - 1) * nb) div na + 1").cast("long").alias("bidx"),
+    )
+    return mapped.join(F.broadcast(br), "bidx").select(
+        "doc_id", "len", "bidx", F.col("blen").alias("mapped_len")
+    )
+
+
 def q_interval_depth(spark, sf_dir):
     """Maximum interval concurrency per user (the sweep-line +1/-1
     depth — interval_union measures the covered span, this finds the
@@ -11161,6 +11235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kdtree_split": q_kdtree_split,
         "interval_depth": q_interval_depth,
         "max_drawdown": q_max_drawdown,
+        "hist_equalize": q_hist_equalize,
+        "quantile_map": q_quantile_map,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

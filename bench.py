@@ -610,6 +610,8 @@ def main() -> None:
         "kdtree_split",
         "interval_depth",
         "max_drawdown",
+        "hist_equalize",
+        "quantile_map",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -12670,6 +12670,52 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
+        "hist_equalize": """
+            WITH d AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+              FROM documents),
+            lv AS (
+              SELECT len, CAST(count(*) AS BIGINT) AS c
+              FROM d GROUP BY 1),
+            cdf AS MATERIALIZED (
+              SELECT len, CAST(sum(c) OVER (ORDER BY len
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf
+              FROM lv),
+            mins AS (
+              SELECT CAST(min(cdf) AS BIGINT) AS cdf_min,
+                     CAST(max(cdf) AS BIGINT) AS n_total
+              FROM cdf)
+            SELECT d.doc_id, d.len,
+                   CAST(CASE WHEN m.n_total = m.cdf_min THEN 0
+                        ELSE ((c.cdf - m.cdf_min) * 255)
+                             // (m.n_total - m.cdf_min) END AS BIGINT)
+                     AS eq
+            FROM d JOIN cdf c ON c.len = d.len CROSS JOIN mins m
+        """,
+        "quantile_map": """
+            WITH a AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+              FROM documents WHERE source = 'src0'),
+            b AS (
+              SELECT CAST(n_chars AS BIGINT) AS blen,
+                     CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS bidx
+              FROM documents WHERE source = 'src1'),
+            ar AS MATERIALIZED (
+              SELECT doc_id, len,
+                     CAST(row_number() OVER (ORDER BY len, doc_id)
+                          AS BIGINT) AS rk
+              FROM a),
+            ns AS (
+              SELECT (SELECT max(rk) FROM ar) AS na,
+                     (SELECT max(bidx) FROM b) AS nb)
+            SELECT ar.doc_id, ar.len,
+                   CAST(((ar.rk - 1) * ns.nb) // ns.na + 1 AS BIGINT)
+                     AS bidx,
+                   bb.blen AS mapped_len
+            FROM ar CROSS JOIN ns
+            JOIN b bb ON bb.bidx = ((ar.rk - 1) * ns.nb) // ns.na + 1
+        """,
         "interval_depth": """
             WITH iv AS (
               SELECT user_id, event_id, epoch_us(ts) AS s_us,
