@@ -9553,6 +9553,68 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_greedy_coloring(spark, sf_dir):
+    """Largest-first greedy graph coloring (Welsh-Powell) of the
+    induced 24-node link subgraph — the register-allocation /
+    conflict-scheduling primitive (two linked hosts can't share a crawl
+    slot): nodes in the FROZEN (induced degree DESC, node ASC) order
+    each take the smallest color unused by already-colored neighbors —
+    order-dependent in general, deterministic under the frozen order,
+    and Welsh-Powell bounds colors by max-degree+1. The sequential
+    walk runs on the bounded subgraph in one Arrow pass (the
+    gale_shapley precedent); degrees are one agg. FULL oracle: the
+    24-step walk unrolled as CTE stages (smallest-free-color via a
+    range anti-join per stage)."""
+    import pandas as pd
+    from extractors_metadata_spark.operators.linkgraph import (
+        zipf_link_graph,
+    )
+
+    n_sub = 24
+    g = zipf_link_graph(_t(spark, sf_dir, "events"))
+    und = (
+        g.select("src", "dst")
+        .unionByName(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") < n_sub)
+            & (F.col("dst") < n_sub)
+        )
+        .distinct()
+    )
+
+    seed = spark.createDataFrame([(-1, -1)], "src long, dst long")
+    und = und.unionByName(seed)  # group always non-empty; kernel skips
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {v: set() for v in range(n_sub)}
+        for r in pdf.itertuples(index=False):
+            if int(r.src) >= 0:
+                adj[int(r.src)].add(int(r.dst))
+        deg = {v: len(adj[v]) for v in range(n_sub)}
+        order = sorted(range(n_sub), key=lambda v: (-deg[v], v))
+        color: dict = {}
+        for v in order:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        return pd.DataFrame(
+            {
+                "node": list(range(n_sub)),
+                "color": [color[v] for v in range(n_sub)],
+                "deg": [deg[v] for v in range(n_sub)],
+            }
+        ).astype({"node": "int64", "color": "int64", "deg": "int64"})
+
+    return und.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        f, "node long, color long, deg long"
+    )
+
+
 def q_hist_equalize(spark, sf_dir):
     """Histogram equalization of the document-length distribution —
     the image-processing CDF remap applied to corpus features (flatten
@@ -11237,6 +11299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "hist_equalize": q_hist_equalize,
         "quantile_map": q_quantile_map,
+        "greedy_coloring": q_greedy_coloring,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

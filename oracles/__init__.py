@@ -9048,6 +9048,57 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _coloring_sql(n_sub: int = 24) -> str:
+    """greedy_coloring replay: the Welsh-Powell walk unrolled as n_sub
+    pick stages (smallest free color via a range NOT IN per stage)."""
+    parts = [f"""
+        e0 AS (
+          SELECT DISTINCT (event_id * 131 + user_id) % 1000 AS src,
+                 1000 // (1 + (event_id % 1000)) AS dst
+          FROM events),
+        und AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0) u
+          WHERE src <> dst AND src < {n_sub} AND dst < {n_sub}),
+        nd AS (SELECT CAST(range AS BIGINT) AS node FROM range({n_sub})),
+        deg AS MATERIALIZED (
+          SELECT n.node, CAST(COALESCE(c.d, 0) AS BIGINT) AS deg
+          FROM nd n LEFT JOIN (
+            SELECT src AS node, count(*) AS d FROM und GROUP BY 1) c
+            ON c.node = n.node),
+        ord0 AS MATERIALIZED (
+          SELECT node, deg,
+                 row_number() OVER (ORDER BY deg DESC, node) AS pos
+          FROM deg),
+        c0 AS (SELECT CAST(NULL AS BIGINT) AS node,
+                      CAST(NULL AS BIGINT) AS color
+               WHERE FALSE)"""]
+    for i in range(1, n_sub + 1):
+        parts.append(f"""
+        cur{i} AS (SELECT node FROM ord0 WHERE pos = {i}),
+        used{i} AS (
+          SELECT DISTINCT c.color FROM c{i - 1} c
+          JOIN und e ON e.src = (SELECT node FROM cur{i})
+                    AND e.dst = c.node),
+        pick{i} AS MATERIALIZED (
+          SELECT cur.node,
+                 (SELECT CAST(min(r.range) AS BIGINT) FROM range({n_sub}) r
+                  WHERE r.range NOT IN (SELECT color FROM used{i}))
+                   AS color
+          FROM cur{i} cur),
+        c{i} AS MATERIALIZED (
+          SELECT * FROM c{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT c.node, c.color, d.deg
+        FROM c{n_sub} c JOIN deg d ON d.node = c.node
+    """
+    )
+
+
 def _hash_ring_sql() -> str:
     from extractors_metadata_spark.functions.vhash import P31
 
@@ -12670,6 +12721,7 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_pack": _knapsack_sql(),
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
+        "greedy_coloring": _coloring_sql(),
         "hist_equalize": """
             WITH d AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS len
