@@ -18,7 +18,9 @@ S11_QUERIES = (
     "bwt_runs", "seasonal_mk", "boruvka_emst",
     "knapsack_pack", "radiation_model", "privacy_audit",
     "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
-    "hhi_concentration", "type_tile_affinity",
+    "hhi_concentration", "type_tile_affinity", "edr_pairs",
+    "dyad_census", "kdtree_split", "interval_depth", "max_drawdown",
+    "hist_equalize", "quantile_map", "greedy_coloring",
 )
 
 
@@ -46,7 +48,9 @@ def test_pure_codegen_ops_have_no_python(spark, entry):
         "cochran_armitage", "seasonal_decompose", "seasonal_mk",
         "stress_centrality", "radiation_model", "privacy_audit",
         "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
-        "hhi_concentration", "type_tile_affinity",
+        "hhi_concentration", "type_tile_affinity", "dyad_census",
+        "kdtree_split", "interval_depth", "max_drawdown",
+        "hist_equalize", "quantile_map",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
@@ -67,7 +71,7 @@ def test_arrow_ops_carry_exactly_one_kernel(spark, entry):
 def test_group_pandas_ops_are_one_pass(spark, entry):
     for name in (
         "vw_simplify", "interval_schedule", "gale_shapley",
-        "knapsack_pack",
+        "knapsack_pack", "greedy_coloring",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert p.count("FlatMapGroupsInPandas") == 1, name
