@@ -9553,6 +9553,49 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative k-sample trend test —
+    kruskal_wallis detects ANY group difference, cochran_armitage
+    trends binary rates; JT tests a MONOTONE shift in a numeric
+    response across ordered doses (weekday 0..6) by summing pairwise
+    Mann-Whitney counts over dose pairs i < j: per event type the
+    exact (n_lt, n_eq, n_pairs) over its 30-day daily-count
+    observations — the statistic and its tie-adjusted variance are
+    rationals of these plus the per-dose n's, consumer-side. Bounded
+    daily-dim self-join. FULL oracle: verbatim replay."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            (
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                - F.lit(19723)
+            ).alias("x"),
+        )
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .withColumn("w", F.col("x") % 7)
+    )
+    a = daily.select(
+        "g", F.col("w").alias("wi"), F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    b = daily.select(
+        "g", F.col("w").alias("wj"), F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = a.join(b, "g").filter(F.col("wi") < F.col("wj"))
+    return pairs.groupBy("g").agg(
+        F.sum((F.col("yi") < F.col("yj")).cast("long"))
+        .cast("long")
+        .alias("n_lt"),
+        F.sum((F.col("yi") == F.col("yj")).cast("long"))
+        .cast("long")
+        .alias("n_eq"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+
+
 def q_greedy_coloring(spark, sf_dir):
     """Largest-first greedy graph coloring (Welsh-Powell) of the
     induced 24-node link subgraph — the register-allocation /
@@ -11300,6 +11343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_equalize": q_hist_equalize,
         "quantile_map": q_quantile_map,
         "greedy_coloring": q_greedy_coloring,
+        "jonckheere": q_jonckheere,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

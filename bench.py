@@ -613,6 +613,7 @@ def main() -> None:
         "hist_equalize",
         "quantile_map",
         "greedy_coloring",
+        "jonckheere",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -12722,6 +12722,24 @@ def oracle_sql() -> dict[str, str]:
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
         "greedy_coloring": _coloring_sql(),
+        "jonckheere": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 86400000000 - 19723 AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            d2 AS (SELECT g, x % 7 AS w, x, y FROM daily),
+            pairs AS (
+              SELECT a.g, a.y AS yi, b.y AS yj
+              FROM d2 a JOIN d2 b ON b.g = a.g AND a.w < b.w)
+            SELECT g,
+                   CAST(sum(CASE WHEN yi < yj THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lt,
+                   CAST(sum(CASE WHEN yi = yj THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_eq,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
+        """,
         "hist_equalize": """
             WITH d AS (
               SELECT doc_id, CAST(n_chars AS BIGINT) AS len
