@@ -9553,6 +9553,44 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_min_circle(spark, sf_dir):
+    """Minimum enclosing circle of 32 event sites (operators/mec.py —
+    the coverage-radius placement question; sd_ellipse disperses,
+    hull bounds, this COVERS): the MEC support theorem reduces the
+    answer to diametral pairs (Thales dot-product test) and triple
+    circumcircles (orientation-normalized incircle determinant), all
+    exact integer predicates on re-centered micro-degree coords;
+    candidates rank by the SHARED quantized key (r2*100 floor, kind,
+    ids) so both engines pick identically. Python-int arithmetic in
+    the kernel (incircle*orient reaches ~2e21 — numpy int64 would
+    wrap, the ntt.py lesson class). Bounded-dim exact complement (the
+    boruvka precedent; the scale path feeds hull vertices). FULL
+    oracle: the pair/triple enumeration with NOT EXISTS covering
+    tests."""
+    from extractors_metadata_spark.operators.mec import mec
+
+    lat, lon = _latlon_dbl()
+    x0 = F.bround(
+        F.lit(-111.9750833333) * 1000000.0, 0
+    ).cast("long")
+    y0 = F.bround(F.lit(33.0745) * 1000000.0, 0).cast("long")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 32)
+        .select("event_id", lat, lon)
+        .select(
+            F.col("event_id").alias("id"),
+            (
+                F.bround(F.col("lon") * 1000000.0, 0).cast("long") - x0
+            ).alias("x"),
+            (
+                F.bround(F.col("lat") * 1000000.0, 0).cast("long") - y0
+            ).alias("y"),
+        )
+    )
+    return mec(pts)
+
+
 def q_jonckheere(spark, sf_dir):
     """Jonckheere-Terpstra ordered-alternative k-sample trend test —
     kruskal_wallis detects ANY group difference, cochran_armitage
@@ -11344,6 +11382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_map": q_quantile_map,
         "greedy_coloring": q_greedy_coloring,
         "jonckheere": q_jonckheere,
+        "min_circle": q_min_circle,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -9048,6 +9048,79 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _min_circle_sql(n_pts: int = 32) -> str:
+    """mec replay: pair/triple candidate enumeration with exact-integer
+    covering predicates (Thales dot for pairs; sign-split incircle
+    determinant for triples — det stays int64, the orient product is
+    avoided by the CASE split), argmin by the shared quantized key."""
+    a1, a2 = "(t.ax - p.x)", "(t.ay - p.y)"
+    b1, b2 = "(t.bx - p.x)", "(t.byy - p.y)"
+    c1, c2 = "(t.cx - p.x)", "(t.cy - p.y)"
+    a3 = f"({a1} * {a1} + {a2} * {a2})"
+    b3 = f"({b1} * {b1} + {b2} * {b2})"
+    c3 = f"({c1} * {c1} + {c2} * {c2})"
+    det = (
+        f"({a1} * ({b2} * {c3} - {b3} * {c2})"
+        f" - {a2} * ({b1} * {c3} - {b3} * {c1})"
+        f" + {a3} * ({b1} * {c2} - {b2} * {c1}))"
+    )
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT event_id AS id,
+                 CAST(round_even(({LON_IN}) * 1000000.0, 0) AS BIGINT)
+                   - CAST(round_even(CAST(-111.9750833333 AS DOUBLE)
+                          * 1000000.0, 0) AS BIGINT) AS x,
+                 CAST(round_even(({LAT_IN}) * 1000000.0, 0) AS BIGINT)
+                   - CAST(round_even(CAST(33.0745 AS DOUBLE)
+                          * 1000000.0, 0) AS BIGINT) AS y
+          FROM events WHERE event_id < {n_pts}),
+        prc AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib,
+                 CAST((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) AS HUGEINT) AS num,
+                 CAST(4 AS HUGEINT) AS den
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pts p
+            WHERE (p.x - a.x) * (p.x - b.x)
+                  + (p.y - a.y) * (p.y - b.y) > 0)),
+        tri0 AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib, c.id AS ic,
+                 a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy,
+                 c.x AS cx, c.y AS cy,
+                 (b.x - a.x) * (c.y - a.y)
+                   - (b.y - a.y) * (c.x - a.x) AS orient
+          FROM pts a JOIN pts b ON a.id < b.id
+          JOIN pts c ON b.id < c.id
+          WHERE (b.x - a.x) * (c.y - a.y)
+                - (b.y - a.y) * (c.x - a.x) <> 0),
+        trc AS MATERIALIZED (
+          SELECT ia, ib, ic,
+                 CAST((ax - bx) * (ax - bx)
+                      + (ay - byy) * (ay - byy) AS HUGEINT)
+                   * ((bx - cx) * (bx - cx) + (byy - cy) * (byy - cy))
+                   * ((cx - ax) * (cx - ax) + (cy - ay) * (cy - ay))
+                   AS num,
+                 CAST(4 AS HUGEINT) * orient * orient AS den
+          FROM tri0 t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pts p
+            WHERE CASE WHEN t.orient > 0 THEN {det} < 0
+                       ELSE {det} > 0 END)),
+        allc AS (
+          SELECT 2 AS kind, ia, ib, CAST(-1 AS BIGINT) AS ic, num, den
+          FROM prc
+          UNION ALL
+          SELECT 3 AS kind, ia, ib, ic, num, den FROM trc)
+        SELECT CAST(kind AS BIGINT) AS kind, CAST(ia AS BIGINT) AS ia,
+               CAST(ib AS BIGINT) AS ib, CAST(ic AS BIGINT) AS ic,
+               CAST((num * 100) // den AS BIGINT) AS r2_fp
+        FROM allc
+        ORDER BY (num * 100) // den, kind, ia, ib, ic
+        LIMIT 1
+    """
+
+
 def _coloring_sql(n_sub: int = 24) -> str:
     """greedy_coloring replay: the Welsh-Powell walk unrolled as n_sub
     pick stages (smallest free color via a range NOT IN per stage)."""
@@ -12722,6 +12795,7 @@ def oracle_sql() -> dict[str, str]:
         "radiation_model": _radiation_sql(),
         "hash_ring": _hash_ring_sql(),
         "greedy_coloring": _coloring_sql(),
+        "min_circle": _min_circle_sql(),
         "jonckheere": """
             WITH daily AS MATERIALIZED (
               SELECT event_type AS g,
