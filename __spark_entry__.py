@@ -9553,6 +9553,60 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_page_trend(spark, sf_dir):
+    """Page's L trend test (Page 1963) — the ORDERED-alternative
+    companion of friedman_test (Friedman is omnibus across conditions;
+    Page weights the rank sums by the hypothesized order): blocks =
+    users, ordered conditions = weekday 0..6, response = the user's
+    event count that weekday; within-block mid-ranks DOUBLED to stay
+    integer (2*avg_rank = 2*cum_prev + cnt + 1 — the kruskal_wallis
+    discipline, here per block over the 7-condition dim), emitting per
+    weekday the exact doubled rank sum and block count — L = sum
+    w * R_w and its null moments are rationals of these,
+    consumer-side. Missing (user, weekday) cells count 0 (the complete
+    7-cell block every user has over a 30-day window). One per-block
+    value window + one agg. FULL oracle: verbatim replay."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                % 7
+            ).alias("w"),
+        )
+        .groupBy("user_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    users = base.select("user_id").distinct()
+    wd = spark.range(7).select(F.col("id").cast("long").alias("w"))
+    full = users.crossJoin(F.broadcast(wd)).join(
+        base, ["user_id", "w"], "left"
+    ).select(
+        "user_id", "w", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    vals = full.groupBy("user_id", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("user_id").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "user_id",
+        "y",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    joined = full.join(ranked, ["user_id", "y"])
+    return joined.groupBy("w").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+
+
 def q_min_circle(spark, sf_dir):
     """Minimum enclosing circle of 32 event sites (operators/mec.py —
     the coverage-radius placement question; sd_ellipse disperses,
@@ -11383,6 +11437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": q_greedy_coloring,
         "jonckheere": q_jonckheere,
         "min_circle": q_min_circle,
+        "page_trend": q_page_trend,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -615,6 +615,7 @@ def main() -> None:
         "greedy_coloring",
         "jonckheere",
         "min_circle",
+        "page_trend",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

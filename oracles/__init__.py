@@ -12796,6 +12796,33 @@ def oracle_sql() -> dict[str, str]:
         "hash_ring": _hash_ring_sql(),
         "greedy_coloring": _coloring_sql(),
         "min_circle": _min_circle_sql(),
+        "page_trend": """
+            WITH base AS (
+              SELECT user_id, (epoch_us(ts) // 86400000000) % 7 AS w,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            users AS (SELECT DISTINCT user_id FROM base),
+            wd AS (SELECT CAST(range AS BIGINT) AS w FROM range(7)),
+            full0 AS MATERIALIZED (
+              SELECT u.user_id, d.w, COALESCE(b.y, 0) AS y
+              FROM users u CROSS JOIN wd d
+              LEFT JOIN base b
+                ON b.user_id = u.user_id AND b.w = d.w),
+            vals AS (
+              SELECT user_id, y, CAST(count(*) AS BIGINT) AS cnt
+              FROM full0 GROUP BY 1, 2),
+            ranked AS MATERIALIZED (
+              SELECT user_id, y,
+                     2 * COALESCE(sum(cnt) OVER (PARTITION BY user_id
+                           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + cnt + 1 AS r2
+              FROM vals)
+            SELECT f.w, CAST(sum(r.r2) AS BIGINT) AS r2_sum,
+                   CAST(count(*) AS BIGINT) AS n_blocks
+            FROM full0 f JOIN ranked r
+              ON r.user_id = f.user_id AND r.y = f.y
+            GROUP BY 1
+        """,
         "jonckheere": """
             WITH daily AS MATERIALIZED (
               SELECT event_type AS g,
