@@ -21,6 +21,7 @@ S11_QUERIES = (
     "hhi_concentration", "type_tile_affinity", "edr_pairs",
     "dyad_census", "kdtree_split", "interval_depth", "max_drawdown",
     "hist_equalize", "quantile_map", "greedy_coloring",
+    "jonckheere", "min_circle", "page_trend",
 )
 
 
@@ -50,7 +51,7 @@ def test_pure_codegen_ops_have_no_python(spark, entry):
         "basket_lift", "debruijn_euler", "hash_ring", "sd_ellipse",
         "hhi_concentration", "type_tile_affinity", "dyad_census",
         "kdtree_split", "interval_depth", "max_drawdown",
-        "hist_equalize", "quantile_map",
+        "hist_equalize", "quantile_map", "jonckheere", "page_trend",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
@@ -71,7 +72,7 @@ def test_arrow_ops_carry_exactly_one_kernel(spark, entry):
 def test_group_pandas_ops_are_one_pass(spark, entry):
     for name in (
         "vw_simplify", "interval_schedule", "gale_shapley",
-        "knapsack_pack", "greedy_coloring",
+        "knapsack_pack", "greedy_coloring", "min_circle",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert p.count("FlatMapGroupsInPandas") == 1, name
