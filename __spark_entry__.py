@@ -9553,6 +9553,92 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_mood_median(spark, sf_dir):
+    """Mood's median test across the 5 event types — the quick-and-
+    robust k-sample location test (kruskal_wallis uses full ranks;
+    Mood dichotomizes at the POOLED lower median): per type the exact
+    (n_above, n_at, n_below) counts against the pooled exact
+    lower-median order statistic of the quantized values ((N+1) div 2
+    rank over (v, event_id) — the runs_test discipline); the chi-square
+    is a rational of these, consumer-side. One global rank window on
+    the frozen order + one agg. FULL oracle: verbatim replay."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "event_id",
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    n_tot = e.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[
+        0
+    ]["n"]
+    w = Window.orderBy("v", "event_id")
+    med = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == int((n_tot + 1) // 2))
+        .select(F.col("v").alias("med"))
+    )
+    return (
+        e.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum((F.col("v") > F.col("med")).cast("long"))
+            .cast("long")
+            .alias("n_above"),
+            F.sum((F.col("v") == F.col("med")).cast("long"))
+            .cast("long")
+            .alias("n_at"),
+            F.sum((F.col("v") < F.col("med")).cast("long"))
+            .cast("long")
+            .alias("n_below"),
+        )
+    )
+
+
+def q_ansari_bradley(spark, sf_dir):
+    """Ansari-Bradley scale test (click vs view) — the DISPERSION
+    member of the two-sample rank family (mann_whitney shifts location;
+    AB scores from BOTH ends so extreme values score low and central
+    values high, detecting unequal spread): pooled doubled mid-ranks r2
+    (the kruskal_wallis discipline), AB score DOUBLED s2 = min(r2,
+    2(N+1) - r2), emitting per group the exact (n_g, s2_sum) — the
+    statistic and its tie-corrected moments are rationals of these plus
+    the value-dim score sums, consumer-side. One value-dim window + one
+    join + one agg. FULL oracle: verbatim replay."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_type").alias("g"),
+        F.bround(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    vals = e.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    n_tot = e.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0][
+        "n"
+    ]
+    scored = ranked.select(
+        "v",
+        F.least(
+            F.col("r2"), F.lit(2 * (n_tot + 1)) - F.col("r2")
+        ).alias("s2"),
+    )
+    return (
+        e.join(scored, "v")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("s2").cast("long").alias("s2_sum"),
+        )
+    )
+
+
 def q_page_trend(spark, sf_dir):
     """Page's L trend test (Page 1963) — the ORDERED-alternative
     companion of friedman_test (Friedman is omnibus across conditions;
@@ -11438,6 +11524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jonckheere": q_jonckheere,
         "min_circle": q_min_circle,
         "page_trend": q_page_trend,
+        "mood_median": q_mood_median,
+        "ansari_bradley": q_ansari_bradley,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

@@ -12796,6 +12796,54 @@ def oracle_sql() -> dict[str, str]:
         "hash_ring": _hash_ring_sql(),
         "greedy_coloring": _coloring_sql(),
         "min_circle": _min_circle_sql(),
+        "mood_median": """
+            WITH e AS MATERIALIZED (
+              SELECT event_type AS g, event_id,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT)
+                       AS v
+              FROM events),
+            med AS (
+              SELECT v AS med FROM (
+                SELECT v, row_number() OVER (ORDER BY v, event_id)
+                         AS rk,
+                       count(*) OVER () AS n
+                FROM e) z
+              WHERE rk = (n + 1) // 2)
+            SELECT g,
+                   CAST(sum(CASE WHEN v > (SELECT med FROM med)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                   CAST(sum(CASE WHEN v = (SELECT med FROM med)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_at,
+                   CAST(sum(CASE WHEN v < (SELECT med FROM med)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+            FROM e GROUP BY 1
+        """,
+        "ansari_bradley": """
+            WITH e AS MATERIALIZED (
+              SELECT event_type AS g,
+                     CAST(round_even(value * 1000000.0, 0) AS BIGINT)
+                       AS v
+              FROM events WHERE event_type IN ('click', 'view')),
+            vals AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS cnt
+              FROM e GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+            ranked AS MATERIALIZED (
+              SELECT v,
+                     2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + cnt + 1 AS r2
+              FROM vals),
+            scored AS (
+              SELECT v,
+                     least(r2, 2 * ((SELECT n FROM nn) + 1) - r2)
+                       AS s2
+              FROM ranked)
+            SELECT e.g, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(s.s2) AS BIGINT) AS s2_sum
+            FROM e JOIN scored s ON s.v = e.v
+            GROUP BY 1
+        """,
         "page_trend": """
             WITH base AS (
               SELECT user_id, (epoch_us(ts) // 86400000000) % 7 AS w,
