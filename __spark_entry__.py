@@ -9553,6 +9553,55 @@ def q_durbin_watson(spark, sf_dir):
     )
 
 
+def q_schnabel(spark, sf_dir):
+    """Schnabel multi-sample mark-recapture — capture_recapture's
+    k-occasion extension (three deterministic mix31 'crawls'): exact
+    (C_t, M_t, R_t) per occasion with M_t = |union of prior captures|
+    and R_t = |C_t intersect marked|, all conditional sums over ONE
+    scan; N-hat = sum C_t M_t / sum R_t (Chapman +1 variant included)
+    stays a consumer-side rational of the emitted ints. FULL oracle:
+    verbatim replay."""
+    from extractors_metadata_spark.functions.vhash import P31, mix31
+
+    d = _t(spark, sf_dir, "documents")
+    h = lambda m, c: (  # noqa: E731
+        mix31((F.col("doc_id") * m + c) % F.lit(P31)) % 5 < 2
+    ).cast("long")
+    caps = d.select(
+        h(2654435761, 12345).alias("a"),
+        h(40503, 99991).alias("b"),
+        h(69069, 777).alias("c"),
+    )
+    agg = caps.agg(
+        F.sum("a").cast("long").alias("c1"),
+        F.sum("b").cast("long").alias("c2"),
+        F.sum("c").cast("long").alias("c3"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("r2"),
+        F.sum(
+            F.col("c")
+            * F.greatest(F.col("a"), F.col("b"))
+        ).cast("long").alias("r3"),
+        F.sum(F.greatest(F.col("a"), F.col("b")))
+        .cast("long")
+        .alias("m3"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    return agg.select(
+        "c1",
+        "c2",
+        "c3",
+        F.col("c1").alias("m2"),
+        "m3",
+        "r2",
+        "r3",
+        (F.col("c2") * F.col("c1") + F.col("c3") * F.col("m3")).alias(
+            "schnabel_num"
+        ),
+        (F.col("r2") + F.col("r3")).alias("schnabel_den"),
+        "n_true",
+    )
+
+
 def q_mood_median(spark, sf_dir):
     """Mood's median test across the 5 event types — the quick-and-
     robust k-sample location test (kruskal_wallis uses full ranks;
@@ -11526,6 +11575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_trend": q_page_trend,
         "mood_median": q_mood_median,
         "ansari_bradley": q_ansari_bradley,
+        "schnabel": q_schnabel,
         # -- tier 3: rows-only twins (final 9 positions) --------------------
         "pipeline_datapoints": q_pipeline_datapoints,
         "dedup_fingerprint": q_dedup_fingerprint,

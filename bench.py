@@ -618,6 +618,7 @@ def main() -> None:
         "page_trend",
         "mood_median",
         "ansari_bradley",
+        "schnabel",
         # session-11 row-preserving per-doc UDF queries (aho_scan,
         # suffix_lrs, string_period, bwt_runs) are NOT timed: count()
         # prunes their struct kernel (CLAUDE.md rule — the image_dhash

@@ -9048,6 +9048,39 @@ def _capture_recapture_sql() -> str:
     """
 
 
+def _schnabel_sql() -> str:
+    from extractors_metadata_spark.functions.vhash import P31
+
+    h1 = _mix31_sql("h1")
+    h2 = _mix31_sql("h2")
+    h3 = _mix31_sql("h3")
+    return f"""
+        WITH h0 AS (
+          SELECT (doc_id * 2654435761 + 12345) % {P31} AS h1,
+                 (doc_id * 40503 + 99991) % {P31} AS h2,
+                 (doc_id * 69069 + 777) % {P31} AS h3
+          FROM documents),
+        caps AS (
+          SELECT CASE WHEN ({h1}) % 5 < 2 THEN 1 ELSE 0 END AS a,
+                 CASE WHEN ({h2}) % 5 < 2 THEN 1 ELSE 0 END AS b,
+                 CASE WHEN ({h3}) % 5 < 2 THEN 1 ELSE 0 END AS c
+          FROM h0),
+        agg AS (
+          SELECT CAST(sum(a) AS BIGINT) AS c1,
+                 CAST(sum(b) AS BIGINT) AS c2,
+                 CAST(sum(c) AS BIGINT) AS c3,
+                 CAST(sum(a * b) AS BIGINT) AS r2,
+                 CAST(sum(c * greatest(a, b)) AS BIGINT) AS r3,
+                 CAST(sum(greatest(a, b)) AS BIGINT) AS m3,
+                 CAST(count(*) AS BIGINT) AS n_true
+          FROM caps)
+        SELECT c1, c2, c3, c1 AS m2, m3, r2, r3,
+               CAST(c2 * c1 + c3 * m3 AS BIGINT) AS schnabel_num,
+               CAST(r2 + r3 AS BIGINT) AS schnabel_den, n_true
+        FROM agg
+    """
+
+
 def _min_circle_sql(n_pts: int = 32) -> str:
     """mec replay: pair/triple candidate enumeration with exact-integer
     covering predicates (Thales dot for pairs; sign-split incircle
@@ -12796,6 +12829,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_ring": _hash_ring_sql(),
         "greedy_coloring": _coloring_sql(),
         "min_circle": _min_circle_sql(),
+        "schnabel": _schnabel_sql(),
         "mood_median": """
             WITH e AS MATERIALIZED (
               SELECT event_type AS g, event_id,

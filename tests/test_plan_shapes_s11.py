@@ -22,7 +22,7 @@ S11_QUERIES = (
     "dyad_census", "kdtree_split", "interval_depth", "max_drawdown",
     "hist_equalize", "quantile_map", "greedy_coloring",
     "jonckheere", "min_circle", "page_trend", "mood_median",
-    "ansari_bradley",
+    "ansari_bradley", "schnabel",
 )
 
 
@@ -53,7 +53,7 @@ def test_pure_codegen_ops_have_no_python(spark, entry):
         "hhi_concentration", "type_tile_affinity", "dyad_census",
         "kdtree_split", "interval_depth", "max_drawdown",
         "hist_equalize", "quantile_map", "jonckheere", "page_trend",
-        "mood_median", "ansari_bradley",
+        "mood_median", "ansari_bradley", "schnabel",
     ):
         p = _plan(entry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p, name
