@@ -63,29 +63,67 @@ def s2_compact(
     max_lv = cur.agg(
         F.max(F.col("cell").bitwiseAND(F.lit(31))).alias("l")
     ).collect()[0]["l"]
-    if max_lv is None:
+    ml = int(min_level)
+    if max_lv is None or int(max_lv) <= ml:
         return cur
-    cur = cur.localCheckpoint(eager=True)
-    for lv in range(int(max_lv), int(min_level), -1):
-        at = cur.filter(F.col("cell").bitwiseAND(F.lit(31)) == lv)
-        rest = cur.filter(F.col("cell").bitwiseAND(F.lit(31)) != lv)
-        grouped = (
-            at.withColumn("_p", _parent_expr(F.col("cell"), lv))
-            .groupBy("_p")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sort_array(F.collect_list("cell")).alias("_cs"),
+    max_lv = int(max_lv)
+
+    # SINGLE-PASS coverage formulation (r6 — replaces the per-level
+    # checkpointed rounds, which paid one eager materialization of the
+    # ENTIRE surviving set per level). Equivalence with the iterative
+    # quartet merge, for non-overlapping input (the stated precondition):
+    # weight every input cell at level l by its relative leaf count
+    # 4^(max_lv - l); an ancestor p at level a is COMPLETE iff the summed
+    # weight of input cells under it equals 4^(max_lv - a) (its full leaf
+    # space — exactly when the cascade merges everything under p into p,
+    # by induction over levels; every input cell is trivially complete at
+    # itself). The compacted set is then the MAXIMAL complete cells: the
+    # complete p whose parent is not complete (or p at min_level). Plan:
+    # one bounded ancestor explode (<= levels per cell), one map-side-
+    # combining sum, one anti self-join — two shuffles of the cell set,
+    # no per-level rounds, no checkpoint actions. Exact int64 shifts
+    # throughout (weights <= 4^MAX_LEVEL = 2^52).
+    from .pip_knn import _cache_scoped
+
+    lv = F.col("cell").bitwiseAND(F.lit(31))
+    shallow = cur.filter(lv < ml)  # coarser than min_level: untouched
+    exploded = (
+        cur.filter(lv >= ml)
+        .select(
+            "cell",
+            lv.alias("l"),
+            F.explode(
+                F.sequence(F.lit(ml), lv.cast("int"))
+            ).alias("a"),
+        )
+        .selectExpr(
+            "((cell >> 57) << 57) | ((((cell >> 5) & %d) >> (2 * (l - a))) << 5) | a AS anc"
+            % _POS_MASK,
+            f"shiftleft(CAST(1 AS BIGINT), CAST(2 * ({max_lv} - l) AS INT)) AS w",
+        )
+    )
+    complete = _cache_scoped(
+        "s2_compact_complete",
+        exploded.groupBy("anc")
+        .agg(F.sum("w").alias("ws"))
+        .filter(
+            F.expr(
+                f"ws = shiftleft(CAST(1 AS BIGINT), CAST(2 * ({max_lv} - (anc & 31)) AS INT))"
             )
         )
-        merged = grouped.select(
-            F.explode(
-                F.when(F.col("_n") == 4, F.array(F.col("_p"))).otherwise(
-                    F.col("_cs")
-                )
-            ).alias("cell")
-        )
-        cur = rest.unionByName(merged).localCheckpoint(eager=True)
-    return cur
+        .select(F.col("anc").alias("cell")),
+    )
+    parent_of = (
+        "CASE WHEN (cell & 31) > %d THEN "
+        "((cell >> 57) << 57) | ((((cell >> 5) & %d) >> 2) << 5) | ((cell & 31) - 1) "
+        "ELSE CAST(-1 AS BIGINT) END" % (ml, _POS_MASK)
+    )
+    out = (
+        complete.withColumn("_pk", F.expr(parent_of))
+        .join(complete.select(F.col("cell").alias("_pk")), "_pk", "left_anti")
+        .select("cell")
+    )
+    return out.unionByName(shallow)
 
 
 def s2_uncompact(

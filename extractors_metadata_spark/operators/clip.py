@@ -5,9 +5,15 @@ test): for each candidate pair of CONVEX quads P, Q compute their
 intersection polygon and its area.  Classic result: the vertices of a
 convex intersection are exactly (a) P's vertices inside Q, (b) Q's
 vertices inside P, (c) edge-pair intersection points — a FIXED-SIZE
-candidate set (8 + 16 for quads), so the whole overlay is a bounded
-explode + window, NO iterative clipping loop and NO UDF: every step is
-whole-stage-codegen arithmetic.
+candidate set (8 + 16 for quads), so the whole overlay is pure PER-ROW
+array arithmetic: candidates are built with array higher-order functions
+(transform/filter over literal index sequences), the centroid anchor is
+an exact array fold, the ring order is one sort_array, and the shoelace
+is an array aggregate — NO explode, NO union, NO groupBy, NO join, ZERO
+exchanges (r6: the previous explode + 3-way union + aggregate + self-join
++ second aggregate shape shuffled the 24x candidate fan-out three times
+for what is row-local math; same IEEE/fixed-point expressions, same
+output bits).
 
 Exactness design (cross-engine identical, not just close):
 - inside tests and segment parameters are identical-path IEEE doubles
@@ -27,8 +33,10 @@ Exactness design (cross-engine identical, not just close):
   emitted as ``area2_fp`` (twice the area in 1e-18 deg^2 units).
 
 Scale: input is the candidate PAIR frame (produced upstream by the
-bbox_overlap join — never all-pairs); per pair the fan-out is a constant
-24 candidate rows; one pair-keyed aggregate + one pair-keyed window.
+bbox_overlap join — never all-pairs; one row per pair, ``id_cols``
+identify the row); per pair the fan-out is a constant 24 candidate
+ARRAY entries, and the whole operator is whole-stage-codegen projection
+work — it scales with the scan, full stop.
 """
 
 from __future__ import annotations
@@ -40,13 +48,15 @@ C_SCALE = 1e12  # centroid fixed point (1e-12 deg)
 A_SCALE = 1e18  # shoelace term fixed point (1e-18 deg^2)
 
 
-def _pt(arr_x: str, arr_y: str, i) -> tuple[Column, Column]:
+def _pt(arr_x, arr_y, i) -> tuple[Column, Column]:
     """quad vertex i (wrapped mod 4; int or Column index, 1-based arrays)."""
+    ax = F.col(arr_x) if isinstance(arr_x, str) else arr_x
+    ay = F.col(arr_y) if isinstance(arr_y, str) else arr_y
     ix = (i % 4) + 1
-    return F.element_at(F.col(arr_x), ix), F.element_at(F.col(arr_y), ix)
+    return F.element_at(ax, ix), F.element_at(ay, ix)
 
 
-def _inside(px: Column, py: Column, qx: str, qy: str) -> Column:
+def _inside(px: Column, py: Column, qx, qy) -> Column:
     """point in CCW convex quad (boundary inclusive): all edge crosses >= 0."""
     conds = []
     for j in range(4):
@@ -59,81 +69,127 @@ def _inside(px: Column, py: Column, qx: str, qy: str) -> Column:
     return out
 
 
+def _vertices_in(ax, ay, bx, by) -> Column:
+    """array<struct<x,y>>: quad A vertices inside quad B."""
+
+    def mk(i: Column) -> Column:
+        px, py = _pt(ax, ay, i)
+        return F.struct(px.alias("x"), py.alias("y"))
+
+    return F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(3)), mk),
+        lambda s: _inside(s["x"], s["y"], bx, by),
+    )
+
+
+def _edge_intersections(ax, ay, bx, by) -> Column:
+    """array<struct<x,y>>: proper/endpoint intersections of the 16 edge
+    pairs (identical den/t/u arithmetic to the pre-r6 exploded form)."""
+
+    def mk(ij: Column) -> Column:
+        i = ij % 4
+        j = (ij / 4).cast("int")
+        p0x, p0y = _pt(ax, ay, i)
+        p1x, p1y = _pt(ax, ay, i + 1)
+        q0x, q0y = _pt(bx, by, j)
+        q1x, q1y = _pt(bx, by, j + 1)
+        d1x, d1y = p1x - p0x, p1y - p0y
+        d2x, d2y = q1x - q0x, q1y - q0y
+        den = d1x * d2y - d1y * d2x
+        tnum = (q0x - p0x) * d2y - (q0y - p0y) * d2x
+        unum = (q0x - p0x) * d1y - (q0y - p0y) * d1x
+        # ANSI guard: parallel edge pairs have den == 0 — the division must
+        # not run there (Spark 4 raises DIVIDE_BY_ZERO even for doubles).
+        # NULL t/u propagate to keep=false / NULL x,y, which are filtered;
+        # kept entries divide by a provably nonzero den — values identical
+        # to the pre-r6 filter-then-project form.
+        t = F.when(den != 0, tnum / den)
+        u = F.when(den != 0, unum / den)
+        keep = (
+            den.isNotNull() & (den != 0)
+            & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        )
+        return F.struct(
+            keep.alias("k"),
+            (p0x + t * d1x).alias("x"),
+            (p0y + t * d1y).alias("y"),
+        )
+
+    return F.transform(
+        F.filter(
+            F.transform(F.sequence(F.lit(0), F.lit(15)), mk), lambda s: s["k"]
+        ),
+        lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
+    )
+
+
+def _he(a: str, n: str) -> Column:
+    """half-even integer division a/n on long columns (exact)."""
+    return F.expr(
+        f"CASE WHEN 2 * pmod({a}, {n}) > {n} "
+        f"OR (2 * pmod({a}, {n}) = {n} AND (({a} - pmod({a}, {n})) div {n}) % 2 = 1) "
+        f"THEN ({a} - pmod({a}, {n})) div {n} + 1 "
+        f"ELSE ({a} - pmod({a}, {n})) div {n} END"
+    )
+
+
 def convex_intersection_area(
     pairs: DataFrame, id_cols: list[str]
 ) -> DataFrame:
     """``pairs``: id_cols + ax/ay/bx/by (array<double> of 4 CCW quad
-    vertices; x = lon, y = lat).  Returns (id_cols..., n_vertices,
-    area2_fp) for pairs whose intersection has >= 3 vertices."""
-    ids = [F.col(c) for c in id_cols]
-    idx4 = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
-
-    def vertices_in(ax, ay, bx, by):
-        d = pairs.select(*ids, "ax", "ay", "bx", "by", idx4)
-        px, py = _pt(ax, ay, F.col("i"))
-        return d.filter(_inside(px, py, bx, by)).select(
-            *ids, px.alias("x"), py.alias("y")
-        )
-
-    va = vertices_in("ax", "ay", "bx", "by")
-    vb = vertices_in("bx", "by", "ax", "ay")
-
-    ij = pairs.select(
-        *ids, "ax", "ay", "bx", "by",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("ij"),
-    ).select(
-        *ids, "ax", "ay", "bx", "by",
-        (F.col("ij") % 4).alias("i"), (F.col("ij") / 4).cast("int").alias("j"),
+    vertices; x = lon, y = lat; one pair per row — ``id_cols`` identify
+    the row).  Returns (id_cols..., n_vertices, area2_fp) for pairs whose
+    intersection has >= 3 vertices."""
+    cand = F.concat(
+        _vertices_in("ax", "ay", "bx", "by"),
+        _vertices_in("bx", "by", "ax", "ay"),
+        _edge_intersections("ax", "ay", "bx", "by"),
     )
-    p0x, p0y = _pt("ax", "ay", F.col("i"))
-    p1x, p1y = _pt("ax", "ay", F.col("i") + 1)
-    q0x, q0y = _pt("bx", "by", F.col("j"))
-    q1x, q1y = _pt("bx", "by", F.col("j") + 1)
-    d1x, d1y = p1x - p0x, p1y - p0y
-    d2x, d2y = q1x - q0x, q1y - q0y
-    den = d1x * d2y - d1y * d2x
-    tnum = (q0x - p0x) * d2y - (q0y - p0y) * d2x
-    unum = (q0x - p0x) * d1y - (q0y - p0y) * d1x
-    t = tnum / den
-    u = unum / den
-    inter = ij.filter(
-        (den != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    ).select(*ids, (p0x + t * d1x).alias("x"), (p0y + t * d1y).alias("y"))
+    base = (
+        pairs.select(*id_cols, cand.alias("_cand"))
+        .withColumn("n_vertices", F.size("_cand"))
+        .filter(F.col("n_vertices") >= 3)
+    )
 
-    cand = va.unionByName(vb).unionByName(inter)
     # integer centroid anchor: order-free fixed-point sums + half-even div
-    agg = cand.groupBy(*id_cols).agg(
-        F.count(F.lit(1)).alias("n_vertices"),
-        F.sum(F.bround(F.col("x") * C_SCALE, 0).cast("long")).alias("_sx"),
-        F.sum(F.bround(F.col("y") * C_SCALE, 0).cast("long")).alias("_sy"),
-    ).filter(F.col("n_vertices") >= 3)
-
-    def he(a: str, n: str) -> Column:
-        return F.expr(
-            f"CASE WHEN 2 * pmod({a}, {n}) > {n} "
-            f"OR (2 * pmod({a}, {n}) = {n} AND (({a} - pmod({a}, {n})) div {n}) % 2 = 1) "
-            f"THEN ({a} - pmod({a}, {n})) div {n} + 1 "
-            f"ELSE ({a} - pmod({a}, {n})) div {n} END"
+    def fpsum(coord: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.col("_cand"),
+                lambda s: F.bround(s[coord] * C_SCALE, 0).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
         )
 
-    anchored = agg.select(
-        *id_cols, "n_vertices",
-        (he("_sx", "n_vertices").cast("double") / F.lit(C_SCALE)).alias("_cx"),
-        (he("_sy", "n_vertices").cast("double") / F.lit(C_SCALE)).alias("_cy"),
+    anchored = base.withColumns(
+        {"_sx": fpsum("x"), "_sy": fpsum("y")}
+    ).withColumns(
+        {
+            "_cx": _he("_sx", "n_vertices").cast("double") / F.lit(C_SCALE),
+            "_cy": _he("_sy", "n_vertices").cast("double") / F.lit(C_SCALE),
+        }
     )
-    cc = cand.join(anchored, id_cols).select(
-        *id_cols, "n_vertices",
-        (F.col("x") - F.col("_cx")).alias("dx"),
-        (F.col("y") - F.col("_cy")).alias("dy"),
-    )
-    ln = F.abs(F.col("dx")) + F.abs(F.col("dy"))
-    pang = (
-        F.when(ln == 0, F.lit(-1.0))
-        .when(F.col("dy") >= 0, F.lit(1.0) - F.col("dx") / ln)
-        .otherwise(F.lit(3.0) + F.col("dx") / ln)
-    )
-    ring = cc.withColumn("p", pang).groupBy(*id_cols, "n_vertices").agg(
-        F.sort_array(F.collect_list(F.struct("p", "dx", "dy"))).alias("ring")
+
+    def pang_struct(s: Column, cx: Column, cy: Column) -> Column:
+        dx = s["x"] - cx
+        dy = s["y"] - cy
+        ln = F.abs(dx) + F.abs(dy)
+        p = (
+            F.when(ln == 0, F.lit(-1.0))
+            .when(dy >= 0, F.lit(1.0) - dx / ln)
+            .otherwise(F.lit(3.0) + dx / ln)
+        )
+        return F.struct(p.alias("p"), dx.alias("dx"), dy.alias("dy"))
+
+    ring = anchored.withColumn(
+        "ring",
+        F.sort_array(
+            F.transform(
+                F.col("_cand"),
+                lambda s: pang_struct(s, F.col("_cx"), F.col("_cy")),
+            )
+        ),
     )
     n = F.size("ring")
     terms = F.transform(

@@ -160,6 +160,7 @@ def greedy_cover(
     count, the row_number()-over-(gain DESC, doc_id) pick (the DuckDB
     composite-argmax rule) and the covered-set union."""
     from .dedup import word_shingles
+    from .iterhelp import coalesced_small_shuffles
 
     grams = (
         word_shingles(docs, text_col, id_col, w=3)
@@ -168,36 +169,37 @@ def greedy_cover(
     )
     picked: list[int] = []
     rows: list[tuple[int, int, int]] = []
-    for r in range(1, rounds + 1):
-        uncov = grams
-        if picked:
-            covered = (
-                grams.filter(F.col("doc_id").isin(picked))
-                .select("tok")
-                .distinct()
+    with coalesced_small_shuffles(docs.sparkSession):  # r6: coalesced rounds
+        for r in range(1, rounds + 1):
+            uncov = grams
+            if picked:
+                covered = (
+                    grams.filter(F.col("doc_id").isin(picked))
+                    .select("tok")
+                    .distinct()
+                )
+                uncov = grams.join(F.broadcast(covered), "tok", "left_anti")
+            best = (
+                uncov.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .agg(
+                    F.min_by(
+                        F.struct(
+                            F.col("doc_id").alias("doc_id"),
+                            F.col("gain").alias("gain"),
+                        ),
+                        F.struct(
+                            (-F.col("gain")).alias("k1"),
+                            F.col("doc_id").alias("k2"),
+                        ),
+                    ).alias("b")
+                )
+                .collect()[0]["b"]
             )
-            uncov = grams.join(F.broadcast(covered), "tok", "left_anti")
-        best = (
-            uncov.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("gain"))
-            .agg(
-                F.min_by(
-                    F.struct(
-                        F.col("doc_id").alias("doc_id"),
-                        F.col("gain").alias("gain"),
-                    ),
-                    F.struct(
-                        (-F.col("gain")).alias("k1"),
-                        F.col("doc_id").alias("k2"),
-                    ),
-                ).alias("b")
-            )
-            .collect()[0]["b"]
-        )
-        if best is None:
-            break
-        picked.append(int(best["doc_id"]))
-        rows.append((r, int(best["doc_id"]), int(best["gain"])))
+            if best is None:
+                break
+            picked.append(int(best["doc_id"]))
+            rows.append((r, int(best["doc_id"]), int(best["gain"])))
     return docs.sparkSession.createDataFrame(
         rows, "round int, doc_id long, gain long"
     )

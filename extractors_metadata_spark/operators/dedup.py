@@ -485,16 +485,25 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Scale hardening (each round's work stays O(|edges|), never O(rounds^2)):
     - edges persist once (reused every round);
-    - each round's labels are ``localCheckpoint``-ed — lineage truncates, so
-      round N's plan never replays rounds 1..N-1 (plan depth is constant;
-      pinned by ``test_cluster_pairs_deep_chain_bounded_plan``), and the
-      jump self-join reads the materialized neighbor-min frame, not a
-      recomputed plan;
-    - the convergence probe reads only the two checkpointed label frames;
+    - ONE eager action per round (r6): neighbor-min + TWO pointer-jump
+      squarings are built as a single lazy plan over the previous round's
+      materialized labels, then ``localCheckpoint``-ed once — lineage
+      truncates, so round N's plan never replays rounds 1..N-1 (plan depth
+      is constant; pinned by ``test_cluster_pairs_deep_chain_bounded_plan``),
+      and label distance to the component minimum shrinks ~4x per round
+      instead of ~2x (fewer rounds on chain-shaped geometry components);
+    - the convergence probe is a scalar sum over the one checkpointed label
+      frame (labels only ever DECREASE, so an unchanged exact sum == fixed
+      point) — no join, no second materialization;
+    - round shuffles run under ``coalesced_small_shuffles`` (iterhelp):
+      post-shuffle partitions merge by size, so a few-thousand-row label
+      table stops paying full-width reduce stages every round;
     - exiting via max_iters (clusters possibly split) warns loudly instead of
       silently returning.
     """
     from pyspark import StorageLevel
+
+    from .iterhelp import coalesced_small_shuffles
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -502,50 +511,56 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    spark = pairs.sparkSession
     converged = False
-    for _ in range(max_iters):
-        # neighbor labels: for each node, the min label among its neighbors
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("src", "id")
+    with coalesced_small_shuffles(spark):
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint(eager=True)
         )
-        stepped = (
-            labels.join(neigh, "id", "left")
-            .select(
+        prev_sum = object()  # sentinel != any sum (None == empty-frame sum)
+        for _ in range(max_iters):
+            # neighbor labels: for each node, the min label among neighbors
+            neigh = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+                .withColumnRenamed("src", "id")
+            )
+            stepped = labels.join(neigh, "id", "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)  # materialize + truncate lineage
-        )
-        # pointer jump: L(u) <- L(L(u)); label values are node ids with
-        # edges, so the left join hits (coalesce guards the degenerate case)
-        parents = stepped.select(
-            F.col("id").alias("label"), F.col("label").alias("plabel")
-        )
-        new_labels = (
-            stepped.join(parents, "label", "left")
-            .select("id", F.coalesce("plabel", F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+            # pointer jump, squared twice in the same plan: L <- L(L(u))
+            # applied to its own result. Label values are node ids with
+            # edges, so the left joins hit (coalesce guards degenerates);
+            # extra compositions only accelerate convergence — labels still
+            # only decrease and stay member ids, so the fixed point (the
+            # component minimum) is unchanged.
+            j1 = stepped.join(
+                stepped.select(F.col("id").alias("label"), F.col("label").alias("_p1")),
+                "label",
+                "left",
+            ).select("id", F.coalesce("_p1", F.col("label")).alias("label"))
+            j2 = j1.join(
+                j1.select(F.col("id").alias("label"), F.col("label").alias("_p2")),
+                "label",
+                "left",
+            ).select("id", F.coalesce("_p2", F.col("label")).alias("label"))
+            new_labels = j2.localCheckpoint(eager=True)
+            # exact decimal sum: labels only decrease, so equal sum <=> no
+            # label changed (elementwise new <= old); decimal(38,0) cannot
+            # overflow for any realistic row count x int64 label
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         import warnings
@@ -855,18 +870,30 @@ def prefix_jaccard_join(
     (a frequent token appears only in prefixes of docs where it still
     ranks early, i.e. docs of near-maximal size for that token).
     """
+    from .pip_knn import _cache_scoped
+
     t = int(threshold_pct)
-    sh = word_shingles(df, text_col, id_col, w=3).select(
-        F.col(id_col).alias("doc"), "shingle"
+    # the shingle explode is consumed by the df aggregate, the rank join
+    # and both exact-overlap token sides; the ranked window feeds the
+    # prefix self-join (twice) and the size aggregate — persist both so
+    # the tokenization + global-order window run once (measured r6).
+    sh = _cache_scoped(
+        "prefix_join_sh",
+        word_shingles(df, text_col, id_col, w=3).select(
+            F.col(id_col).alias("doc"), "shingle"
+        ),
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = sh.join(freq, "shingle")
     wd = Window.partitionBy("doc").orderBy("df", "shingle")
-    ranked = ordered.select(
-        "doc", "shingle",
-        F.row_number().over(wd).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc"))
-        .cast("long").alias("sz"),
+    ranked = _cache_scoped(
+        "prefix_join_ranked",
+        ordered.select(
+            "doc", "shingle",
+            F.row_number().over(wd).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc"))
+            .cast("long").alias("sz"),
+        ),
     )
     # prefix length |d| - ceil(t|d|/100) + 1 = |d| - (t|d| + 99) div 100 + 1
     pref = ranked.filter(

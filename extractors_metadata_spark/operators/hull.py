@@ -65,11 +65,22 @@ def convex_hull_vertices(
     set semantics keep the output exact without committing to a traversal
     order; consumers sort by angle around the centroid if they need the
     ring)."""
-    p = pts.select(
-        F.col(user_col).alias("u"),
-        F.col(x_col).alias("px"),
-        F.col(y_col).alias("py"),
-    ).distinct()
+    from .pip_knn import _cache_scoped
+
+    # r6: every checkpoint in this operator is LAZY (eager=False): the plan
+    # is truncated at build time (constant plan depth per round, same as
+    # before) but nothing materializes until the caller's single action, so
+    # the former 11 eager jobs (per-round isEmpty + 2x checkpoint) collapse
+    # into one multi-stage job. Results are identical — the rounds are the
+    # same plans, just scheduled inside one job.
+    p = _cache_scoped(
+        "hull_points",
+        pts.select(
+            F.col(user_col).alias("u"),
+            F.col(x_col).alias("px"),
+            F.col(y_col).alias("py"),
+        ).distinct(),
+    )
     anchors = p.groupBy("u").agg(
         F.min(F.struct("px", "py")).alias("a"),
         F.max(F.struct("px", "py")).alias("b"),
@@ -77,7 +88,7 @@ def convex_hull_vertices(
         "u",
         F.col("a.px").alias("ax"), F.col("a.py").alias("ay"),
         F.col("b.px").alias("bx"), F.col("b.py").alias("by"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     verts = anchors.select("u", F.col("ax").alias("vx"), F.col("ay").alias("vy")).unionByName(
         anchors.select("u", F.col("bx").alias("vx"), F.col("by").alias("vy"))
     )
@@ -92,11 +103,9 @@ def convex_hull_vertices(
     g = (
         p.join(chords, "u")
         .filter(_orient("ax", "ay", "bx", "by", "px", "py") > 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(int(depth)):
-        if g.isEmpty():
-            break
         cross = _orient("ax", "ay", "bx", "by", "px", "py")
         far = (
             g.withColumn("_c", cross)
@@ -113,6 +122,7 @@ def convex_hull_vertices(
             )
             .select("u", "ax", "ay", "bx", "by",
                     F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+            .localCheckpoint(eager=False)
         )
         verts = verts.unionByName(
             far.select("u", F.col("cx").alias("vx"), F.col("cy").alias("vy"))
@@ -129,7 +139,7 @@ def convex_hull_vertices(
             .select("u", F.col("cx").alias("ax"), F.col("cy").alias("ay"),
                     "bx", "by", "px", "py")
         )
-        g = left.unionByName(right).localCheckpoint(eager=True)
+        g = left.unionByName(right).localCheckpoint(eager=False)
     return verts.distinct().select(
         F.col("u").alias(user_col), "vx", "vy"
     )

@@ -64,9 +64,20 @@ def pagerank(
     Returns (node, rank) with sum(rank) <= PR_MASS (floor residue), exact
     int64, shuffle-order independent.
     """
+    from .pip_knn import _cache_scoped
+
+    # edges is consumed once per iteration (and once by the outdeg
+    # aggregate) — without a persist every broadcast-rank build replays the
+    # upstream edge derivation (event_link_graph's distinct runs 6+ times
+    # for 5 iterations; measured r6). Scoped persist: released on the next
+    # pagerank invocation, never leaks across the bench suite.
+    edges = _cache_scoped("pagerank_edges", edges)
     n_nodes = nodes.count()  # one scalar action on the tiny node dim
     base = (damping_pct_complement(damping_pct) * (PR_MASS // n_nodes)) // 100
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = _cache_scoped(
+        "pagerank_outdeg",
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+    )
     ranks = nodes.select(
         "node", F.lit(PR_MASS // n_nodes).cast("long").alias("rank")
     )
@@ -128,6 +139,9 @@ def personalized_pagerank(
     left join on the node dim); per-iteration shape is identical to
     pagerank — one dst-keyed partial-agg shuffle, broadcast_ranks toggle
     for the host- vs page-level regimes."""
+    from .pip_knn import _cache_scoped
+
+    edges = _cache_scoped("ppr_edges", edges)  # reused every iteration (r6)
     n_seeds = seeds.count()  # scalar action on the tiny seed dim
     per_seed = PR_MASS // n_seeds
     base_val = (damping_pct_complement(damping_pct) * per_seed) // 100
@@ -140,7 +154,10 @@ def personalized_pagerank(
         .select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
         .localCheckpoint(eager=False)
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = _cache_scoped(
+        "ppr_outdeg",
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+    )
     ranks = nb.select(
         "node", (F.col("_s") * F.lit(per_seed)).cast("long").alias("rank")
     )
@@ -293,26 +310,32 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         )
         .distinct()
     )
-    cur = und.localCheckpoint(eager=True)
-    n_prev = cur.count()
-    for _ in range(int(rounds)):
-        deg = (
-            cur.select(F.col("a").alias("v"))
-            .unionByName(cur.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("v")
-        nxt = (
-            cur.join(keep.withColumnRenamed("v", "a"), "a")
-            .join(keep.withColumnRenamed("v", "b"), "b")
-            .select("a", "b")
-        )
-        cur = nxt.localCheckpoint(eager=True)
-        n_cur = cur.count()
-        if n_cur == n_prev or n_cur == 0:
-            break
-        n_prev = n_cur
+    from .iterhelp import coalesced_small_shuffles
+
+    # r6: lazy checkpoints — the per-round count() is the ONE action that
+    # materializes the round (the checkpoint still truncates lineage at
+    # plan-build time); shuffles coalesce by size while the rounds run
+    with coalesced_small_shuffles(edges.sparkSession):
+        cur = und.localCheckpoint(eager=False)
+        n_prev = cur.count()
+        for _ in range(int(rounds)):
+            deg = (
+                cur.select(F.col("a").alias("v"))
+                .unionByName(cur.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("v")
+            nxt = (
+                cur.join(keep.withColumnRenamed("v", "a"), "a")
+                .join(keep.withColumnRenamed("v", "b"), "b")
+                .select("a", "b")
+            )
+            cur = nxt.localCheckpoint(eager=False)
+            n_cur = cur.count()
+            if n_cur == n_prev or n_cur == 0:
+                break
+            n_prev = n_cur
     return cur
 
 
@@ -345,7 +368,7 @@ def k_hop(
     ).distinct()
     settled = seeds.select(
         F.col("node").cast("long").alias("node"), F.lit(0).alias("hop")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = settled.select("node")
     for i in range(1, int(hops) + 1):
         nbrs = (
@@ -356,11 +379,11 @@ def k_hop(
         new = (
             nbrs.join(settled.select("node"), "node", "left_anti")
             .select("node", F.lit(i).alias("hop"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if new.count() == 0:
+        if new.count() == 0:  # the one materializing action per round (r6)
             break
-        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        settled = settled.unionByName(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     return settled
 
@@ -397,7 +420,7 @@ def shortest_paths(
     dist = seeds.select(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = dist
     for _ in range(int(rounds)):
         relax = edges.join(
@@ -413,15 +436,17 @@ def shortest_paths(
             dist.unionByName(relax.groupBy("node").agg(F.min("dist").alias("dist")))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         improved = (
             merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dist = merged
+        # the one materializing action per round (r6): computing `improved`
+        # also materializes the lazily-checkpointed `merged` it reads
         if improved.count() == 0:
             break
         frontier = improved
@@ -484,13 +509,13 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(int(rounds)):
         msgs = sym.join(
@@ -506,7 +531,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                              F.col("label").alias("k2")),
                 ).alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -547,6 +572,10 @@ def hits(
     k_core / triangles / label_prop / SSSP) with the bipartite-reinforcement
     score pair.
     """
+    from .iterhelp import coalesced_small_shuffles
+    from .pip_knn import _cache_scoped
+
+    edges = _cache_scoped("hits_edges", edges)  # reused 2x per round (r6)
     start = 1 << (HITS_TARGET_BITS - 1)
     h = nodes.select("node", F.lit(start).cast("long").alias("h"))
     a = None
@@ -565,8 +594,9 @@ def hits(
                 "node",
                 F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the max() action materializes the lazy checkpoint (one job, r6)
         m = full.agg(F.max(out_col)).first()[0]
         if not m:
             raise ValueError("hits: graph has no edges (scores collapsed to 0)")
@@ -575,9 +605,10 @@ def hits(
             "node", F.expr(f"{out_col} div {1 << sh}").alias(out_col)
         )
 
-    for _ in range(int(rounds)):
-        a = _half(h, "h", "src", "dst", "a")   # authority: in-edge hub sum
-        h = _half(a, "a", "dst", "src", "h")   # hub: out-edge authority sum
+    with coalesced_small_shuffles(edges.sparkSession):
+        for _ in range(int(rounds)):
+            a = _half(h, "h", "src", "dst", "a")  # authority: in-edge hub sum
+            h = _half(a, "a", "dst", "src", "h")  # hub: out-edge auth sum
     return h.join(a, "node").select(
         "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
     )
@@ -676,8 +707,8 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
         )
         .distinct()
     )
-    cur = und.localCheckpoint(eager=True)
-    n_prev = cur.count()
+    cur = und.localCheckpoint(eager=False)
+    n_prev = cur.count()  # materializes the lazy checkpoint (r6)
     for _ in range(int(rounds)):
         tri = triangle_list(
             cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -692,8 +723,8 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("s"))
             .filter(F.col("s") >= t)
         )
-        cur = cur.join(sup, ["a", "b"], "left_semi").localCheckpoint(eager=True)
-        n_cur = cur.count()
+        cur = cur.join(sup, ["a", "b"], "left_semi").localCheckpoint(eager=False)
+        n_cur = cur.count()  # the one materializing action per round (r6)
         if n_cur == n_prev or n_cur == 0:
             break
         n_prev = n_cur
@@ -783,7 +814,7 @@ def bowtie_classes(edges: DataFrame, hops: int = 4) -> DataFrame:
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -869,7 +900,7 @@ def simrank(
         )
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     din = el.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).alias("din")
@@ -883,7 +914,7 @@ def simrank(
         F.col("node").alias("a"),
         F.col("node").alias("b"),
         F.lit(SR_MASS).cast("long").alias("s"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     diag = s
     e1 = el.select(F.col("src").alias("a"), F.col("dst").alias("oa"))
     e2 = el.select(F.col("src").alias("b"), F.col("dst").alias("ob"))
@@ -907,7 +938,7 @@ def simrank(
             )
             .filter(F.col("s") > 0)
         )
-        s = diag.unionByName(off).localCheckpoint(eager=True)
+        s = diag.unionByName(off).localCheckpoint(eager=False)
     return (
         s.filter(F.col("a") < F.col("b"))
         .select(
@@ -948,7 +979,7 @@ def anf_registers(
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         el.select(F.col("src").alias("node"))
@@ -966,7 +997,7 @@ def anf_registers(
         "node",
         (mix31(poly_hash(key, BASE2)) % m).alias("bucket"),
         rho.alias("rho"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out_rows = None
     for h in range(1, hops + 1):
         moved = (
@@ -982,7 +1013,7 @@ def anf_registers(
             reg.unionByName(moved)
             .groupBy("node", "bucket")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         roll = (
             reg.groupBy(
@@ -1166,7 +1197,7 @@ def harmonic_centrality(
         F.col("node").cast("long").alias("seed"),
         F.col("node").cast("long").alias("node"),
         F.lit(0).alias("hop"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = settled.select("seed", "node")
     for i in range(1, int(hops) + 1):
         nbrs = (
@@ -1179,11 +1210,11 @@ def harmonic_centrality(
                 settled.select("seed", "node"), ["seed", "node"], "left_anti"
             )
             .select("seed", "node", F.lit(i).alias("hop"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if new.count() == 0:
             break
-        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        settled = settled.unionByName(new).localCheckpoint(eager=False)
         frontier = new.select("seed", "node")
     reached = settled.filter(F.col("hop") > 0)
     per_seed = reached.groupBy("seed").agg(
@@ -1231,7 +1262,7 @@ def longest_paths(
     dist = nodes.select(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = dist
     for _ in range(int(rounds)):
         relax = edges.join(
@@ -1247,13 +1278,13 @@ def longest_paths(
             dist.unionByName(relax.groupBy("node").agg(F.max("dist").alias("dist")))
             .groupBy("node")
             .agg(F.max("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         improved = (
             merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("dist") > F.col("old"))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dist = merged
         if improved.count() == 0:
@@ -1291,7 +1322,7 @@ def attack_robustness(
     el0 = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     sym = el0.unionByName(
         el0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1300,7 +1331,7 @@ def attack_robustness(
         F.row_number()
         .over(Window.orderBy(F.desc("deg"), F.asc("node")))
         .alias("rk"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     outs = []
     for k in ks:
         removed = rk.filter(F.col("rk") <= int(k)).select("node")
@@ -1308,7 +1339,7 @@ def attack_robustness(
             sym.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         nodes = (
             el.select(F.col("src").alias("node"))
@@ -1317,7 +1348,7 @@ def attack_robustness(
         )
         lbl = nodes.select(
             "node", F.col("node").cast("long").alias("label")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         for _ in range(int(rounds)):
             prop = el.join(
                 lbl.withColumnRenamed("node", "src").withColumnRenamed(
@@ -1329,7 +1360,7 @@ def attack_robustness(
                 lbl.unionByName(prop)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         classes = lbl.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
         summary = (
@@ -1386,7 +1417,7 @@ def temporal_reach(
         F.col("node").cast("long").alias("seed"),
         F.col("node").cast("long").alias("node"),
         F.lit(-(2**62)).cast("long").alias("at"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = arrive
     for _ in range(int(rounds)):
         relax = (
@@ -1409,7 +1440,7 @@ def temporal_reach(
             )
             .groupBy("seed", "node")
             .agg(F.min("at").alias("at"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         improved = (
             merged.join(
@@ -1417,7 +1448,7 @@ def temporal_reach(
             )
             .filter(F.col("old").isNull() | (F.col("at") < F.col("old")))
             .select("seed", "node", "at")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         arrive = merged
         if improved.count() == 0:
@@ -1454,7 +1485,7 @@ def bfs_sigma(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
         F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = visited
     for h in range(1, int(rounds) + 1):
         relax = (
@@ -1475,9 +1506,9 @@ def bfs_sigma(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
                 F.lit(h).cast("long").alias("dist"),
                 F.col("sigma").cast("long").alias("sigma"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
         frontier = new
         if new.count() == 0:
             break

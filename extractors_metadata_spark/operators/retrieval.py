@@ -88,9 +88,18 @@ def bm25_topk(
     contract, not a silent bug). Frozen tokenization (casefold ->
     whitespace split) keeps scores consistent with the index/corpus suite.
     """
-    postings = doc_postings(docs, text_col, id_col)
+    from .pip_knn import _cache_scoped
+
+    # postings feeds the doclen aggregate, the corpus df aggregate and the
+    # candidate scan; doclen feeds the scalar stats collect and the
+    # candidate join — persist both or the tokenize+explode+aggregate
+    # replays per consumer (measured r6).
+    postings = _cache_scoped("bm25_postings", doc_postings(docs, text_col, id_col))
     # corpus scalars: exact ints -> one tiny collect (bounded, 1 row)
-    doclen = postings.groupBy("doc_id").agg(F.sum("n_hits").alias("dl"))
+    doclen = _cache_scoped(
+        "bm25_doclen",
+        postings.groupBy("doc_id").agg(F.sum("n_hits").alias("dl")),
+    )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).collect()[0]
@@ -244,10 +253,19 @@ def ql_dirichlet_topk(
     collection stats are a 1-row cross join. Query terms must be unique
     per query (same contract as bm25_topk).
     """
-    postings = doc_postings(docs, text_col, id_col).select(
-        "word", "doc_id", F.col("n_hits").alias("tf")
+    from .pip_knn import _cache_scoped
+
+    # postings feeds doclen, cf and the hits scan; doclen feeds the scalar
+    # collect and the score join — persist both (the bm25_topk rule, r6)
+    postings = _cache_scoped(
+        "ql_postings",
+        doc_postings(docs, text_col, id_col).select(
+            "word", "doc_id", F.col("n_hits").alias("tf")
+        ),
     )
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doclen = _cache_scoped(
+        "ql_doclen", postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    )
     c_total = doclen.agg(F.sum("dl").alias("c")).collect()[0].c
     terms = queries.select("query_id", "word").distinct()
     # collection frequency, restricted to the query vocabulary before the

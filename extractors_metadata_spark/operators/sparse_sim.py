@@ -58,13 +58,21 @@ def shingle_cosine_pairs(
 ) -> DataFrame:
     """(id_a, id_b, dot, na2, nb2, sim_fp) for pairs with cosine >=
     ``min_sim_fp`` / 1e9; id_a < id_b."""
-    tf = shingle_tf(df, text_col, id_col, w)
+    from .pip_knn import _cache_scoped
+
+    # the shingle explode + tf aggregate is consumed by the df band, the
+    # norms aggregate and BOTH sides of the candidate self-join — without a
+    # persist the whole tokenization replays per consumer (measured r6).
+    tf = _cache_scoped("shingle_tf_raw", shingle_tf(df, text_col, id_col, w))
     if max_df is not None:
         sdf = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        tf = tf.join(
-            sdf.filter(F.col("_df") <= max_df).select("shingle"),
-            "shingle",
-            "left_semi",
+        tf = _cache_scoped(
+            "shingle_tf_banded",
+            tf.join(
+                sdf.filter(F.col("_df") <= max_df).select("shingle"),
+                "shingle",
+                "left_semi",
+            ),
         )
     norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a = tf.select(F.col("doc_id").alias("id_a"), "shingle", F.col("tf").alias("tf_a"))

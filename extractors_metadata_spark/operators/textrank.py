@@ -45,6 +45,11 @@ def textrank_chunks(
     rank, pos).  ``chunks``: (doc_id, chunk_idx, chunk_text) from
     chunk_documents; token sharing counted on the same space-split
     words the chunker emits."""
+    from .pip_knn import _cache_scoped
+
+    # chunks feeds the packing guard (an eager action), the token explode
+    # and the node dim — persist or the chunker replays per consumer (r6)
+    chunks = _cache_scoped("textrank_chunks", chunks)
     over = chunks.filter(F.col("chunk_idx") >= _PACK)
     if over.limit(1).count() > 0:
         raise ValueError(
