@@ -69,60 +69,6 @@ def _inside(px: Column, py: Column, qx, qy) -> Column:
     return out
 
 
-def _vertices_in(ax, ay, bx, by) -> Column:
-    """array<struct<x,y>>: quad A vertices inside quad B."""
-
-    def mk(i: Column) -> Column:
-        px, py = _pt(ax, ay, i)
-        return F.struct(px.alias("x"), py.alias("y"))
-
-    return F.filter(
-        F.transform(F.sequence(F.lit(0), F.lit(3)), mk),
-        lambda s: _inside(s["x"], s["y"], bx, by),
-    )
-
-
-def _edge_intersections(ax, ay, bx, by) -> Column:
-    """array<struct<x,y>>: proper/endpoint intersections of the 16 edge
-    pairs (identical den/t/u arithmetic to the pre-r6 exploded form)."""
-
-    def mk(ij: Column) -> Column:
-        i = ij % 4
-        j = (ij / 4).cast("int")
-        p0x, p0y = _pt(ax, ay, i)
-        p1x, p1y = _pt(ax, ay, i + 1)
-        q0x, q0y = _pt(bx, by, j)
-        q1x, q1y = _pt(bx, by, j + 1)
-        d1x, d1y = p1x - p0x, p1y - p0y
-        d2x, d2y = q1x - q0x, q1y - q0y
-        den = d1x * d2y - d1y * d2x
-        tnum = (q0x - p0x) * d2y - (q0y - p0y) * d2x
-        unum = (q0x - p0x) * d1y - (q0y - p0y) * d1x
-        # ANSI guard: parallel edge pairs have den == 0 — the division must
-        # not run there (Spark 4 raises DIVIDE_BY_ZERO even for doubles).
-        # NULL t/u propagate to keep=false / NULL x,y, which are filtered;
-        # kept entries divide by a provably nonzero den — values identical
-        # to the pre-r6 filter-then-project form.
-        t = F.when(den != 0, tnum / den)
-        u = F.when(den != 0, unum / den)
-        keep = (
-            den.isNotNull() & (den != 0)
-            & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-        )
-        return F.struct(
-            keep.alias("k"),
-            (p0x + t * d1x).alias("x"),
-            (p0y + t * d1y).alias("y"),
-        )
-
-    return F.transform(
-        F.filter(
-            F.transform(F.sequence(F.lit(0), F.lit(15)), mk), lambda s: s["k"]
-        ),
-        lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
-    )
-
-
 def _he(a: str, n: str) -> Column:
     """half-even integer division a/n on long columns (exact)."""
     return F.expr(
@@ -140,56 +86,83 @@ def convex_intersection_area(
     vertices; x = lon, y = lat; one pair per row — ``id_cols`` identify
     the row).  Returns (id_cols..., n_vertices, area2_fp) for pairs whose
     intersection has >= 3 vertices."""
-    cand = F.concat(
-        _vertices_in("ax", "ay", "bx", "by"),
-        _vertices_in("bx", "by", "ax", "ay"),
-        _edge_intersections("ax", "ay", "bx", "by"),
+    ids = [F.col(c) for c in id_cols]
+    idx4 = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+
+    def vertices_in(ax, ay, bx, by):
+        d = pairs.select(*ids, "ax", "ay", "bx", "by", idx4)
+        px, py = _pt(ax, ay, F.col("i"))
+        return d.filter(_inside(px, py, bx, by)).select(
+            *ids, px.alias("x"), py.alias("y")
+        )
+
+    va = vertices_in("ax", "ay", "bx", "by")
+    vb = vertices_in("bx", "by", "ax", "ay")
+
+    ij = pairs.select(
+        *ids, "ax", "ay", "bx", "by",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("ij"),
+    ).select(
+        *ids, "ax", "ay", "bx", "by",
+        (F.col("ij") % 4).alias("i"), (F.col("ij") / 4).cast("int").alias("j"),
     )
-    base = (
-        pairs.select(*id_cols, cand.alias("_cand"))
-        .withColumn("n_vertices", F.size("_cand"))
+    p0x, p0y = _pt("ax", "ay", F.col("i"))
+    p1x, p1y = _pt("ax", "ay", F.col("i") + 1)
+    q0x, q0y = _pt("bx", "by", F.col("j"))
+    q1x, q1y = _pt("bx", "by", F.col("j") + 1)
+    d1x, d1y = p1x - p0x, p1y - p0y
+    d2x, d2y = q1x - q0x, q1y - q0y
+    den = d1x * d2y - d1y * d2x
+    tnum = (q0x - p0x) * d2y - (q0y - p0y) * d2x
+    unum = (q0x - p0x) * d1y - (q0y - p0y) * d1x
+    t = tnum / den
+    u = unum / den
+    inter = ij.filter(
+        (den != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    ).select(*ids, (p0x + t * d1x).alias("x"), (p0y + t * d1y).alias("y"))
+
+    cand = va.unionByName(vb).unionByName(inter)
+    # ONE pair-keyed exchange (r6): the centroid anchor comes from WINDOW
+    # aggregates over the same hash partitioning the final ring collect
+    # needs, so the pre-r6 shape's aggregate + join-back-to-cand (which
+    # recomputed the whole candidate union a second time and shuffled it
+    # twice more) disappears. Window sums of longs == group sums of longs
+    # (exact int, order-free), so every emitted value is bit-identical.
+    # (A fully-inlined zero-shuffle array variant was measured 26x SLOWER
+    # here: higher-order-function lambdas evaluate interpreted, and the
+    # 24-way expanded expressions dwarf the one bounded exchange.)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols)
+    cc = (
+        cand.withColumn("n_vertices", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_sx", F.sum(F.bround(F.col("x") * C_SCALE, 0).cast("long")).over(w)
+        )
+        .withColumn(
+            "_sy", F.sum(F.bround(F.col("y") * C_SCALE, 0).cast("long")).over(w)
+        )
         .filter(F.col("n_vertices") >= 3)
-    )
-
-    # integer centroid anchor: order-free fixed-point sums + half-even div
-    def fpsum(coord: str) -> Column:
-        return F.aggregate(
-            F.transform(
-                F.col("_cand"),
-                lambda s: F.bround(s[coord] * C_SCALE, 0).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
+        .withColumn(
+            "_cx", _he("_sx", "n_vertices").cast("double") / F.lit(C_SCALE)
         )
-
-    anchored = base.withColumns(
-        {"_sx": fpsum("x"), "_sy": fpsum("y")}
-    ).withColumns(
-        {
-            "_cx": _he("_sx", "n_vertices").cast("double") / F.lit(C_SCALE),
-            "_cy": _he("_sy", "n_vertices").cast("double") / F.lit(C_SCALE),
-        }
-    )
-
-    def pang_struct(s: Column, cx: Column, cy: Column) -> Column:
-        dx = s["x"] - cx
-        dy = s["y"] - cy
-        ln = F.abs(dx) + F.abs(dy)
-        p = (
-            F.when(ln == 0, F.lit(-1.0))
-            .when(dy >= 0, F.lit(1.0) - dx / ln)
-            .otherwise(F.lit(3.0) + dx / ln)
+        .withColumn(
+            "_cy", _he("_sy", "n_vertices").cast("double") / F.lit(C_SCALE)
         )
-        return F.struct(p.alias("p"), dx.alias("dx"), dy.alias("dy"))
-
-    ring = anchored.withColumn(
-        "ring",
-        F.sort_array(
-            F.transform(
-                F.col("_cand"),
-                lambda s: pang_struct(s, F.col("_cx"), F.col("_cy")),
-            )
-        ),
+        .select(
+            *id_cols, "n_vertices",
+            (F.col("x") - F.col("_cx")).alias("dx"),
+            (F.col("y") - F.col("_cy")).alias("dy"),
+        )
+    )
+    ln = F.abs(F.col("dx")) + F.abs(F.col("dy"))
+    pang = (
+        F.when(ln == 0, F.lit(-1.0))
+        .when(F.col("dy") >= 0, F.lit(1.0) - F.col("dx") / ln)
+        .otherwise(F.lit(3.0) + F.col("dx") / ln)
+    )
+    ring = cc.withColumn("p", pang).groupBy(*id_cols, "n_vertices").agg(
+        F.sort_array(F.collect_list(F.struct("p", "dx", "dy"))).alias("ring")
     )
     n = F.size("ring")
     terms = F.transform(

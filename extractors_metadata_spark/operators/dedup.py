@@ -513,13 +513,18 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
     spark = pairs.sparkSession
     converged = False
+    # materialize the pair pipeline + edge persist at FULL width before
+    # entering the coalesced scope: the upstream candidate generator may
+    # carry Arrow/pandas stages (radius_self_join, minhash banding) whose
+    # reduce parallelism must not be coalesced away (r6 — measured 3x
+    # regression on the minhash pair graph when this job ran in-scope)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     with coalesced_small_shuffles(spark):
-        labels = (
-            edges.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("label", F.col("id"))
-            .localCheckpoint(eager=True)
-        )
         prev_sum = object()  # sentinel != any sum (None == empty-frame sum)
         for _ in range(max_iters):
             # neighbor labels: for each node, the min label among neighbors

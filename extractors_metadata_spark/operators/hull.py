@@ -67,12 +67,13 @@ def convex_hull_vertices(
     ring)."""
     from .pip_knn import _cache_scoped
 
-    # r6: every checkpoint in this operator is LAZY (eager=False): the plan
-    # is truncated at build time (constant plan depth per round, same as
-    # before) but nothing materializes until the caller's single action, so
-    # the former 11 eager jobs (per-round isEmpty + 2x checkpoint) collapse
-    # into one multi-stage job. Results are identical — the rounds are the
-    # same plans, just scheduled inside one job.
+    # r6: every per-level checkpoint is LAZY (eager=False): the plan is
+    # truncated at build time (constant plan depth per level, as before)
+    # but nothing materializes until the single in-scope materialization
+    # at the end, so the former 11 eager jobs (per-level isEmpty + 2x
+    # checkpoint) collapse into ONE multi-stage job whose shuffles run
+    # size-coalesced. Results are identical — the levels are the same
+    # plans, just scheduled inside one job.
     p = _cache_scoped(
         "hull_points",
         pts.select(
@@ -100,46 +101,51 @@ def convex_hull_vertices(
             F.col("ax").alias("bx"), F.col("ay").alias("by"),
         )
     )
-    g = (
-        p.join(chords, "u")
-        .filter(_orient("ax", "ay", "bx", "by", "px", "py") > 0)
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(int(depth)):
-        cross = _orient("ax", "ay", "bx", "by", "px", "py")
-        far = (
-            g.withColumn("_c", cross)
-            .groupBy("u", "ax", "ay", "bx", "by")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("px").alias("cx"), F.col("py").alias("cy")),
-                    F.struct(
-                        (-F.col("_c")).alias("k1"),
-                        F.col("px").alias("k2"),
-                        F.col("py").alias("k3"),
-                    ),
-                ).alias("c")
-            )
-            .select("u", "ax", "ay", "bx", "by",
-                    F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    from .iterhelp import coalesced_small_shuffles
+
+    out = None
+    with coalesced_small_shuffles(pts.sparkSession):  # r6
+        g = (
+            p.join(chords, "u")
+            .filter(_orient("ax", "ay", "bx", "by", "px", "py") > 0)
             .localCheckpoint(eager=False)
         )
-        verts = verts.unionByName(
-            far.select("u", F.col("cx").alias("vx"), F.col("cy").alias("vy"))
-        )
-        j = g.join(far, ["u", "ax", "ay", "bx", "by"])
-        left = (
-            j.filter(_orient("ax", "ay", "cx", "cy", "px", "py") > 0)
-            .select("u", "ax", "ay",
-                    F.col("cx").alias("bx"), F.col("cy").alias("by"),
-                    "px", "py")
-        )
-        right = (
-            j.filter(_orient("cx", "cy", "bx", "by", "px", "py") > 0)
-            .select("u", F.col("cx").alias("ax"), F.col("cy").alias("ay"),
-                    "bx", "by", "px", "py")
-        )
-        g = left.unionByName(right).localCheckpoint(eager=False)
-    return verts.distinct().select(
-        F.col("u").alias(user_col), "vx", "vy"
-    )
+        for _ in range(int(depth)):
+            cross = _orient("ax", "ay", "bx", "by", "px", "py")
+            far = (
+                g.withColumn("_c", cross)
+                .groupBy("u", "ax", "ay", "bx", "by")
+                .agg(
+                    F.min_by(
+                        F.struct(F.col("px").alias("cx"), F.col("py").alias("cy")),
+                        F.struct(
+                            (-F.col("_c")).alias("k1"),
+                            F.col("px").alias("k2"),
+                            F.col("py").alias("k3"),
+                        ),
+                    ).alias("c")
+                )
+                .select("u", "ax", "ay", "bx", "by",
+                        F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+                .localCheckpoint(eager=False)
+            )
+            verts = verts.unionByName(
+                far.select("u", F.col("cx").alias("vx"), F.col("cy").alias("vy"))
+            )
+            j = g.join(far, ["u", "ax", "ay", "bx", "by"])
+            left = (
+                j.filter(_orient("ax", "ay", "cx", "cy", "px", "py") > 0)
+                .select("u", "ax", "ay",
+                        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                        "px", "py")
+            )
+            right = (
+                j.filter(_orient("cx", "cy", "bx", "by", "px", "py") > 0)
+                .select("u", F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+                        "bx", "by", "px", "py")
+            )
+            g = left.unionByName(right).localCheckpoint(eager=False)
+        out = verts.distinct().select(
+            F.col("u").alias(user_col), "vx", "vy"
+        ).localCheckpoint(eager=True)  # materialize in-scope
+    return out

@@ -64,6 +64,7 @@ def pagerank(
     Returns (node, rank) with sum(rank) <= PR_MASS (floor residue), exact
     int64, shuffle-order independent.
     """
+    from .iterhelp import coalesced_small_shuffles
     from .pip_knn import _cache_scoped
 
     # edges is consumed once per iteration (and once by the outdeg
@@ -74,38 +75,44 @@ def pagerank(
     edges = _cache_scoped("pagerank_edges", edges)
     n_nodes = nodes.count()  # one scalar action on the tiny node dim
     base = (damping_pct_complement(damping_pct) * (PR_MASS // n_nodes)) // 100
-    outdeg = _cache_scoped(
-        "pagerank_outdeg",
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
-    )
-    ranks = nodes.select(
-        "node", F.lit(PR_MASS // n_nodes).cast("long").alias("rank")
-    )
-    for _ in range(iterations):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        od = F.broadcast(outdeg) if broadcast_ranks else outdeg
-        contrib = (
-            edges.join(r, edges.src == r.node, "inner")
-            .join(od, "src", "inner")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
-            )
+    # r6: the per-iteration broadcast-build jobs run inside the coalesced
+    # scope (size-adaptive reduce width; results are partition-invariant
+    # int64 by design). Callers with Python-worker stages upstream of
+    # ``edges`` should materialize them first (see iterhelp docstring).
+    with coalesced_small_shuffles(edges.sparkSession):
+        outdeg = _cache_scoped(
+            "pagerank_outdeg",
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
         )
-        insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
-        ranks = (
-            nodes.join(insum, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(insum, 0L)) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.select(
+            "node", F.lit(PR_MASS // n_nodes).cast("long").alias("rank")
         )
+        for _ in range(iterations):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            od = F.broadcast(outdeg) if broadcast_ranks else outdeg
+            contrib = (
+                edges.join(r, edges.src == r.node, "inner")
+                .join(od, "src", "inner")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("c"),
+                )
+            )
+            insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
+            ranks = (
+                nodes.join(insum, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_pct} * coalesce(insum, 0L)) div 100"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        ranks.count()  # materialize the final iterate in-scope (one job)
     return ranks
 
 
@@ -154,38 +161,42 @@ def personalized_pagerank(
         .select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
         .localCheckpoint(eager=False)
     )
-    outdeg = _cache_scoped(
-        "ppr_outdeg",
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
-    )
-    ranks = nb.select(
-        "node", (F.col("_s") * F.lit(per_seed)).cast("long").alias("rank")
-    )
-    for _ in range(iterations):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        od = F.broadcast(outdeg) if broadcast_ranks else outdeg
-        contrib = (
-            edges.join(r, edges.src == r.node, "inner")
-            .join(od, "src", "inner")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
-            )
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6: pagerank rule
+        outdeg = _cache_scoped(
+            "ppr_outdeg",
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
         )
-        insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
-        ranks = (
-            nb.join(insum, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("_s") * F.lit(base_val)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(insum, 0L)) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nb.select(
+            "node", (F.col("_s") * F.lit(per_seed)).cast("long").alias("rank")
         )
+        for _ in range(iterations):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            od = F.broadcast(outdeg) if broadcast_ranks else outdeg
+            contrib = (
+                edges.join(r, edges.src == r.node, "inner")
+                .join(od, "src", "inner")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("c"),
+                )
+            )
+            insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
+            ranks = (
+                nb.join(insum, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.col("_s") * F.lit(base_val)
+                        + F.expr(
+                            f"({damping_pct} * coalesce(insum, 0L)) div 100"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        ranks.count()  # materialize the final iterate in-scope
     return ranks
 
 
@@ -366,25 +377,29 @@ def k_hop(
             el.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     ).distinct()
+    from .iterhelp import coalesced_small_shuffles
+
     settled = seeds.select(
         F.col("node").cast("long").alias("node"), F.lit(0).alias("hop")
     ).localCheckpoint(eager=False)
     frontier = settled.select("node")
-    for i in range(1, int(hops) + 1):
-        nbrs = (
-            sym.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        new = (
-            nbrs.join(settled.select("node"), "node", "left_anti")
-            .select("node", F.lit(i).alias("hop"))
-            .localCheckpoint(eager=False)
-        )
-        if new.count() == 0:  # the one materializing action per round (r6)
-            break
-        settled = settled.unionByName(new).localCheckpoint(eager=False)
-        frontier = new.select("node")
+    with coalesced_small_shuffles(edges.sparkSession):  # r6: coalesced rounds
+        for i in range(1, int(hops) + 1):
+            nbrs = (
+                sym.join(frontier.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = (
+                nbrs.join(settled.select("node"), "node", "left_anti")
+                .select("node", F.lit(i).alias("hop"))
+                .localCheckpoint(eager=False)
+            )
+            if new.count() == 0:  # the one materializing action per round
+                break
+            settled = settled.unionByName(new).localCheckpoint(eager=False)
+            frontier = new.select("node")
+        settled.count()  # materialize the final settle in-scope
     return settled
 
 
@@ -417,39 +432,44 @@ def shortest_paths(
     settled work never re-joins; localCheckpoint per round (the
     cluster_pairs lineage rule); early exit on a drained frontier.
     """
+    from .iterhelp import coalesced_small_shuffles
+
     dist = seeds.select(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
     ).localCheckpoint(eager=False)
     frontier = dist
-    for _ in range(int(rounds)):
-        relax = edges.join(
-            frontier.withColumnRenamed("node", "src").withColumnRenamed(
-                "dist", "sdist"
-            ),
-            "src",
-        ).select(
-            F.col("dst").alias("node"),
-            (F.col("sdist") + F.col(weight_col)).alias("dist"),
-        )
-        merged = (
-            dist.unionByName(relax.groupBy("node").agg(F.min("dist").alias("dist")))
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-        improved = (
-            merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("node", "dist")
-            .localCheckpoint(eager=False)
-        )
-        dist = merged
-        # the one materializing action per round (r6): computing `improved`
-        # also materializes the lazily-checkpointed `merged` it reads
-        if improved.count() == 0:
-            break
-        frontier = improved
+    with coalesced_small_shuffles(edges.sparkSession):  # r6: coalesced rounds
+        for _ in range(int(rounds)):
+            relax = edges.join(
+                frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                    "dist", "sdist"
+                ),
+                "src",
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("sdist") + F.col(weight_col)).alias("dist"),
+            )
+            merged = (
+                dist.unionByName(
+                    relax.groupBy("node").agg(F.min("dist").alias("dist"))
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False)
+            )
+            improved = (
+                merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+                .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+                .select("node", "dist")
+                .localCheckpoint(eager=False)
+            )
+            dist = merged
+            # the one materializing action per round (r6): computing
+            # `improved` also materializes the checkpointed `merged` it reads
+            if improved.count() == 0:
+                break
+            frontier = improved
     return dist
 
 
@@ -501,38 +521,44 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     node-keyed min_by argmax (aggregation, never a window sort);
     localCheckpoint per round (the cluster_pairs lineage rule).
     """
-    sym = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionByName(
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6: coalesced rounds
+        sym = (
             edges.filter(F.col("src") != F.col("dst"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(int(rounds)):
-        msgs = sym.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        cnt = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = (
-            cnt.groupBy("node")
-            .agg(
-                F.min_by(
-                    F.col("label"),
-                    F.struct((-F.col("cnt")).alias("k1"),
-                             F.col("label").alias("k2")),
-                ).alias("label")
+            .select("src", "dst")
+            .unionByName(
+                edges.filter(F.col("src") != F.col("dst"))
+                .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
+            .distinct()
             .localCheckpoint(eager=False)
         )
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(int(rounds)):
+            msgs = sym.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "label")
+            cnt = msgs.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            labels = (
+                cnt.groupBy("node")
+                .agg(
+                    F.min_by(
+                        F.col("label"),
+                        F.struct((-F.col("cnt")).alias("k1"),
+                                 F.col("label").alias("k2")),
+                    ).alias("label")
+                )
+                .localCheckpoint(eager=False)
+            )
+        labels.count()  # materialize the final round in-scope (one job)
     return labels
 
 
@@ -707,27 +733,30 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
         )
         .distinct()
     )
-    cur = und.localCheckpoint(eager=False)
-    n_prev = cur.count()  # materializes the lazy checkpoint (r6)
-    for _ in range(int(rounds)):
-        tri = triangle_list(
-            cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        )
-        tedges = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-        )
-        sup = (
-            tedges.groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("s"))
-            .filter(F.col("s") >= t)
-        )
-        cur = cur.join(sup, ["a", "b"], "left_semi").localCheckpoint(eager=False)
-        n_cur = cur.count()  # the one materializing action per round (r6)
-        if n_cur == n_prev or n_cur == 0:
-            break
-        n_prev = n_cur
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        cur = und.localCheckpoint(eager=False)
+        n_prev = cur.count()  # materializes the lazy checkpoint (r6)
+        for _ in range(int(rounds)):
+            tri = triangle_list(
+                cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            )
+            tedges = (
+                tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+                .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+                .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            )
+            sup = (
+                tedges.groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("s"))
+                .filter(F.col("s") >= t)
+            )
+            cur = cur.join(sup, ["a", "b"], "left_semi").localCheckpoint(eager=False)
+            n_cur = cur.count()  # the one materializing action per round (r6)
+            if n_cur == n_prev or n_cur == 0:
+                break
+            n_prev = n_cur
     return cur
 
 
@@ -892,53 +921,57 @@ def simrank(
     node_cap keeps the pair frame dimension-sized — SimRank is
     quadratic in nodes by definition; at fleet scale the standard
     regime is exactly this (seed/landmark subsets)."""
-    el = (
-        edges.filter(
-            (F.col("src") != F.col("dst"))
-            & (F.col("src") < node_cap)
-            & (F.col("dst") < node_cap)
-        )
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    din = el.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).alias("din")
-    )
-    nodes = (
-        el.select(F.col("src").alias("node"))
-        .unionByName(el.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    s = nodes.select(
-        F.col("node").alias("a"),
-        F.col("node").alias("b"),
-        F.lit(SR_MASS).cast("long").alias("s"),
-    ).localCheckpoint(eager=False)
-    diag = s
-    e1 = el.select(F.col("src").alias("a"), F.col("dst").alias("oa"))
-    e2 = el.select(F.col("src").alias("b"), F.col("dst").alias("ob"))
-    for _ in range(int(rounds)):
-        off = (
-            s.join(e1, "a")
-            .join(e2, "b")
-            .filter(F.col("oa") != F.col("ob"))
-            .groupBy(F.col("oa").alias("a"), F.col("ob").alias("b"))
-            .agg(F.sum("s").alias("num"))
-            .join(F.broadcast(din.withColumnRenamed("node", "a")), "a")
-            .withColumnRenamed("din", "da")
-            .join(F.broadcast(din.withColumnRenamed("node", "b")), "b")
-            .withColumnRenamed("din", "db")
-            .select(
-                "a",
-                "b",
-                F.expr(
-                    f"({c_num} * num) div ({c_den} * da * db)"
-                ).cast("long").alias("s"),
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        el = (
+            edges.filter(
+                (F.col("src") != F.col("dst"))
+                & (F.col("src") < node_cap)
+                & (F.col("dst") < node_cap)
             )
-            .filter(F.col("s") > 0)
+            .select("src", "dst")
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        s = diag.unionByName(off).localCheckpoint(eager=False)
+        din = el.groupBy(F.col("dst").alias("node")).agg(
+            F.count(F.lit(1)).alias("din")
+        )
+        nodes = (
+            el.select(F.col("src").alias("node"))
+            .unionByName(el.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        s = nodes.select(
+            F.col("node").alias("a"),
+            F.col("node").alias("b"),
+            F.lit(SR_MASS).cast("long").alias("s"),
+        ).localCheckpoint(eager=False)
+        diag = s
+        e1 = el.select(F.col("src").alias("a"), F.col("dst").alias("oa"))
+        e2 = el.select(F.col("src").alias("b"), F.col("dst").alias("ob"))
+        for _ in range(int(rounds)):
+            off = (
+                s.join(e1, "a")
+                .join(e2, "b")
+                .filter(F.col("oa") != F.col("ob"))
+                .groupBy(F.col("oa").alias("a"), F.col("ob").alias("b"))
+                .agg(F.sum("s").alias("num"))
+                .join(F.broadcast(din.withColumnRenamed("node", "a")), "a")
+                .withColumnRenamed("din", "da")
+                .join(F.broadcast(din.withColumnRenamed("node", "b")), "b")
+                .withColumnRenamed("din", "db")
+                .select(
+                    "a",
+                    "b",
+                    F.expr(
+                        f"({c_num} * num) div ({c_den} * da * db)"
+                    ).cast("long").alias("s"),
+                )
+                .filter(F.col("s") > 0)
+            )
+            s = diag.unionByName(off).localCheckpoint(eager=False)
+        s.count()  # materialize the final round in-scope
     return (
         s.filter(F.col("a") < F.col("b"))
         .select(
@@ -975,59 +1008,63 @@ def anf_registers(
     from ..functions.vhash import BASE2, mix31, poly_hash
 
     m = 1 << p
-    el = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nodes = (
-        el.select(F.col("src").alias("node"))
-        .unionByName(el.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    key = F.concat(F.lit("anf:"), F.col("node").cast("string"))
-    w = mix31(poly_hash(key))
-    rho = (
-        F.when(w == 0, F.lit(32))
-        .otherwise(F.lit(32) - F.length(F.bin(w)))
-        .cast("int")
-    )
-    reg = nodes.select(
-        "node",
-        (mix31(poly_hash(key, BASE2)) % m).alias("bucket"),
-        rho.alias("rho"),
-    ).localCheckpoint(eager=False)
-    out_rows = None
-    for h in range(1, hops + 1):
-        moved = (
-            el.join(
-                reg.select(
-                    F.col("node").alias("dst"), "bucket", "rho"
-                ),
-                "dst",
-            )
-            .select(F.col("src").alias("node"), "bucket", "rho")
-        )
-        reg = (
-            reg.unionByName(moved)
-            .groupBy("node", "bucket")
-            .agg(F.max("rho").alias("rho"))
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        el = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        roll = (
-            reg.groupBy(
-                (F.col("node") % n_groups).alias("grp"), F.col("bucket")
-            )
-            .agg(F.max("rho").alias("max_rho"))
-            .select(
-                F.lit(h).cast("long").alias("hop"),
-                F.col("grp").cast("long").alias("grp"),
-                F.col("bucket").cast("long").alias("bucket"),
-                F.col("max_rho").cast("long").alias("max_rho"),
-            )
+        nodes = (
+            el.select(F.col("src").alias("node"))
+            .unionByName(el.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        out_rows = roll if out_rows is None else out_rows.unionByName(roll)
+        key = F.concat(F.lit("anf:"), F.col("node").cast("string"))
+        w = mix31(poly_hash(key))
+        rho = (
+            F.when(w == 0, F.lit(32))
+            .otherwise(F.lit(32) - F.length(F.bin(w)))
+            .cast("int")
+        )
+        reg = nodes.select(
+            "node",
+            (mix31(poly_hash(key, BASE2)) % m).alias("bucket"),
+            rho.alias("rho"),
+        ).localCheckpoint(eager=False)
+        out_rows = None
+        for h in range(1, hops + 1):
+            moved = (
+                el.join(
+                    reg.select(
+                        F.col("node").alias("dst"), "bucket", "rho"
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("node"), "bucket", "rho")
+            )
+            reg = (
+                reg.unionByName(moved)
+                .groupBy("node", "bucket")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint(eager=False)
+            )
+            roll = (
+                reg.groupBy(
+                    (F.col("node") % n_groups).alias("grp"), F.col("bucket")
+                )
+                .agg(F.max("rho").alias("max_rho"))
+                .select(
+                    F.lit(h).cast("long").alias("hop"),
+                    F.col("grp").cast("long").alias("grp"),
+                    F.col("bucket").cast("long").alias("bucket"),
+                    F.col("max_rho").cast("long").alias("max_rho"),
+                )
+            )
+            out_rows = roll if out_rows is None else out_rows.unionByName(roll)
+        reg.count()  # materialize the final hop in-scope
     return out_rows
 
 
@@ -1193,29 +1230,33 @@ def harmonic_centrality(
             el.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     ).distinct()
-    settled = seeds.select(
-        F.col("node").cast("long").alias("seed"),
-        F.col("node").cast("long").alias("node"),
-        F.lit(0).alias("hop"),
-    ).localCheckpoint(eager=False)
-    frontier = settled.select("seed", "node")
-    for i in range(1, int(hops) + 1):
-        nbrs = (
-            sym.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select("seed", F.col("dst").alias("node"))
-            .distinct()
-        )
-        new = (
-            nbrs.join(
-                settled.select("seed", "node"), ["seed", "node"], "left_anti"
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        settled = seeds.select(
+            F.col("node").cast("long").alias("seed"),
+            F.col("node").cast("long").alias("node"),
+            F.lit(0).alias("hop"),
+        ).localCheckpoint(eager=False)
+        frontier = settled.select("seed", "node")
+        for i in range(1, int(hops) + 1):
+            nbrs = (
+                sym.join(frontier.withColumnRenamed("node", "src"), "src")
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
             )
-            .select("seed", "node", F.lit(i).alias("hop"))
-            .localCheckpoint(eager=False)
-        )
-        if new.count() == 0:
-            break
-        settled = settled.unionByName(new).localCheckpoint(eager=False)
-        frontier = new.select("seed", "node")
+            new = (
+                nbrs.join(
+                    settled.select("seed", "node"), ["seed", "node"], "left_anti"
+                )
+                .select("seed", "node", F.lit(i).alias("hop"))
+                .localCheckpoint(eager=False)
+            )
+            if new.count() == 0:
+                break
+            settled = settled.unionByName(new).localCheckpoint(eager=False)
+            frontier = new.select("seed", "node")
+        settled.count()  # materialize the final settle in-scope
     reached = settled.filter(F.col("hop") > 0)
     per_seed = reached.groupBy("seed").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
@@ -1259,37 +1300,41 @@ def longest_paths(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    dist = nodes.select(
-        F.col("node").cast("long").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=False)
-    frontier = dist
-    for _ in range(int(rounds)):
-        relax = edges.join(
-            frontier.withColumnRenamed("node", "src").withColumnRenamed(
-                "dist", "sdist"
-            ),
-            "src",
-        ).select(
-            F.col("dst").alias("node"),
-            (F.col("sdist") + F.col(weight_col)).alias("dist"),
-        )
-        merged = (
-            dist.unionByName(relax.groupBy("node").agg(F.max("dist").alias("dist")))
-            .groupBy("node")
-            .agg(F.max("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-        improved = (
-            merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
-            .filter(F.col("dist") > F.col("old"))
-            .select("node", "dist")
-            .localCheckpoint(eager=False)
-        )
-        dist = merged
-        if improved.count() == 0:
-            break
-        frontier = improved
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        dist = nodes.select(
+            F.col("node").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        ).localCheckpoint(eager=False)
+        frontier = dist
+        for _ in range(int(rounds)):
+            relax = edges.join(
+                frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                    "dist", "sdist"
+                ),
+                "src",
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("sdist") + F.col(weight_col)).alias("dist"),
+            )
+            merged = (
+                dist.unionByName(relax.groupBy("node").agg(F.max("dist").alias("dist")))
+                .groupBy("node")
+                .agg(F.max("dist").alias("dist"))
+                .localCheckpoint(eager=False)
+            )
+            improved = (
+                merged.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+                .filter(F.col("dist") > F.col("old"))
+                .select("node", "dist")
+                .localCheckpoint(eager=False)
+            )
+            dist = merged
+            if improved.count() == 0:
+                break
+            frontier = improved
+        dist.count()  # materialize the final relax in-scope
     return dist
 
 
@@ -1319,71 +1364,77 @@ def attack_robustness(
     """
     from pyspark.sql import Window
 
-    el0 = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
-    sym = el0.unionByName(
-        el0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    rk = deg.select(
-        "node",
-        F.row_number()
-        .over(Window.orderBy(F.desc("deg"), F.asc("node")))
-        .alias("rk"),
-    ).localCheckpoint(eager=False)
-    outs = []
-    for k in ks:
-        removed = rk.filter(F.col("rk") <= int(k)).select("node")
-        el = (
-            sym.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
-            .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        el0 = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+        sym = el0.unionByName(
+            el0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().localCheckpoint(eager=False)
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
         )
-        nodes = (
-            el.select(F.col("src").alias("node"))
-            .unionByName(el.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        lbl = nodes.select(
-            "node", F.col("node").cast("long").alias("label")
+        rk = deg.select(
+            "node",
+            F.row_number()
+            .over(Window.orderBy(F.desc("deg"), F.asc("node")))
+            .alias("rk"),
         ).localCheckpoint(eager=False)
-        for _ in range(int(rounds)):
-            prop = el.join(
-                lbl.withColumnRenamed("node", "src").withColumnRenamed(
-                    "label", "plabel"
-                ),
-                "src",
-            ).select(F.col("dst").alias("node"), F.col("plabel").alias("label"))
-            lbl = (
-                lbl.unionByName(prop)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
+        outs = []
+        for k in ks:
+            removed = rk.filter(F.col("rk") <= int(k)).select("node")
+            el = (
+                sym.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
+                .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
+                .select("src", "dst")
                 .localCheckpoint(eager=False)
             )
-        classes = lbl.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
-        summary = (
-            lbl.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-            .crossJoin(el.agg(F.count(F.lit(1)).cast("long").alias("n_arcs")))
-            .crossJoin(
-                classes.agg(
-                    F.max("sz").cast("long").alias("giant_size"),
-                    F.count(F.lit(1)).cast("long").alias("n_components"),
+            nodes = (
+                el.select(F.col("src").alias("node"))
+                .unionByName(el.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            lbl = nodes.select(
+                "node", F.col("node").cast("long").alias("label")
+            ).localCheckpoint(eager=False)
+            for _ in range(int(rounds)):
+                prop = el.join(
+                    lbl.withColumnRenamed("node", "src").withColumnRenamed(
+                        "label", "plabel"
+                    ),
+                    "src",
+                ).select(F.col("dst").alias("node"), F.col("plabel").alias("label"))
+                lbl = (
+                    lbl.unionByName(prop)
+                    .groupBy("node")
+                    .agg(F.min("label").alias("label"))
+                    .localCheckpoint(eager=False)
+                )
+            classes = lbl.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+            summary = (
+                lbl.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+                .crossJoin(el.agg(F.count(F.lit(1)).cast("long").alias("n_arcs")))
+                .crossJoin(
+                    classes.agg(
+                        F.max("sz").cast("long").alias("giant_size"),
+                        F.count(F.lit(1)).cast("long").alias("n_components"),
+                    )
+                )
+                .select(
+                    F.lit(int(k)).cast("long").alias("k_removed"),
+                    "n_nodes",
+                    "n_arcs",
+                    "giant_size",
+                    "n_components",
                 )
             )
-            .select(
-                F.lit(int(k)).cast("long").alias("k_removed"),
-                "n_nodes",
-                "n_arcs",
-                "giant_size",
-                "n_components",
-            )
-        )
-        outs.append(summary)
-    out = outs[0]
-    for f in outs[1:]:
-        out = out.unionByName(f)
+            outs.append(summary)
+        out = outs[0]
+        for f in outs[1:]:
+            out = out.unionByName(f)
+        # materialize the |ks|-row summary in-scope: the whole bounded
+        # iterate executes under the coalesced configuration (r6)
+        out = out.localCheckpoint(eager=True)
     return out
 
 
@@ -1413,47 +1464,51 @@ def temporal_reach(
     aggregate, localCheckpoint, early exit. The oracle unrolls rounds
     as generated CTE stages.
     """
-    arrive = seeds.select(
-        F.col("node").cast("long").alias("seed"),
-        F.col("node").cast("long").alias("node"),
-        F.lit(-(2**62)).cast("long").alias("at"),
-    ).localCheckpoint(eager=False)
-    frontier = arrive
-    for _ in range(int(rounds)):
-        relax = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src").withColumnRenamed(
-                    "at", "sat"
-                ),
-                "src",
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        arrive = seeds.select(
+            F.col("node").cast("long").alias("seed"),
+            F.col("node").cast("long").alias("node"),
+            F.lit(-(2**62)).cast("long").alias("at"),
+        ).localCheckpoint(eager=False)
+        frontier = arrive
+        for _ in range(int(rounds)):
+            relax = (
+                edges.join(
+                    frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                        "at", "sat"
+                    ),
+                    "src",
+                )
+                .filter(F.col(ts_col) >= F.col("sat"))
+                .select(
+                    "seed",
+                    F.col("dst").alias("node"),
+                    F.col(ts_col).cast("long").alias("at"),
+                )
             )
-            .filter(F.col(ts_col) >= F.col("sat"))
-            .select(
-                "seed",
-                F.col("dst").alias("node"),
-                F.col(ts_col).cast("long").alias("at"),
+            merged = (
+                arrive.unionByName(
+                    relax.groupBy("seed", "node").agg(F.min("at").alias("at"))
+                )
+                .groupBy("seed", "node")
+                .agg(F.min("at").alias("at"))
+                .localCheckpoint(eager=False)
             )
-        )
-        merged = (
-            arrive.unionByName(
-                relax.groupBy("seed", "node").agg(F.min("at").alias("at"))
+            improved = (
+                merged.join(
+                    arrive.withColumnRenamed("at", "old"), ["seed", "node"], "left"
+                )
+                .filter(F.col("old").isNull() | (F.col("at") < F.col("old")))
+                .select("seed", "node", "at")
+                .localCheckpoint(eager=False)
             )
-            .groupBy("seed", "node")
-            .agg(F.min("at").alias("at"))
-            .localCheckpoint(eager=False)
-        )
-        improved = (
-            merged.join(
-                arrive.withColumnRenamed("at", "old"), ["seed", "node"], "left"
-            )
-            .filter(F.col("old").isNull() | (F.col("at") < F.col("old")))
-            .select("seed", "node", "at")
-            .localCheckpoint(eager=False)
-        )
-        arrive = merged
-        if improved.count() == 0:
-            break
-        frontier = improved
+            arrive = merged
+            if improved.count() == 0:
+                break
+            frontier = improved
+        arrive.count()  # materialize the final relax in-scope
     return arrive.select(
         "seed",
         "node",
@@ -1480,38 +1535,42 @@ def bfs_sigma(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
     Oracle twin: the same recurrence unrolls as ``rounds`` generated CTE
     stages (the k_hop discipline) — no within-stage recursion.
     """
-    visited = seeds.select(
-        F.col("node").cast("long").alias("seed"),
-        F.col("node").cast("long").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=False)
-    frontier = visited
-    for h in range(1, int(rounds) + 1):
-        relax = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src"),
-                "src",
+    from .iterhelp import coalesced_small_shuffles
+
+    with coalesced_small_shuffles(edges.sparkSession):  # r6
+        visited = seeds.select(
+            F.col("node").cast("long").alias("seed"),
+            F.col("node").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        ).localCheckpoint(eager=False)
+        frontier = visited
+        for h in range(1, int(rounds) + 1):
+            relax = (
+                edges.join(
+                    frontier.withColumnRenamed("node", "src"),
+                    "src",
+                )
+                .groupBy("seed", F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
             )
-            .groupBy("seed", F.col("dst").alias("node"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        new = (
-            relax.join(
-                visited.select("seed", "node"), ["seed", "node"], "left_anti"
+            new = (
+                relax.join(
+                    visited.select("seed", "node"), ["seed", "node"], "left_anti"
+                )
+                .select(
+                    "seed",
+                    "node",
+                    F.lit(h).cast("long").alias("dist"),
+                    F.col("sigma").cast("long").alias("sigma"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
-                "seed",
-                "node",
-                F.lit(h).cast("long").alias("dist"),
-                F.col("sigma").cast("long").alias("sigma"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        visited = visited.unionByName(new).localCheckpoint(eager=False)
-        frontier = new
-        if new.count() == 0:
-            break
+            visited = visited.unionByName(new).localCheckpoint(eager=False)
+            frontier = new
+            if new.count() == 0:
+                break
+        visited.count()  # materialize the final hop in-scope
     return visited
 
 
