@@ -31,6 +31,14 @@ _COALESCE_KEYS = {
     # never below the defaults AQE would pick on a real cluster; on
     # local[N] this lets a tiny reduce collapse to one task
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+    # the r6 one-job loops materialize through a persist(): without this,
+    # cached plans are compiled WITHOUT AQE partition coalescing (Spark
+    # keeps a cached plan's output partitioning stable by default) and
+    # every round's exchange runs at full configured width — measured
+    # simrank 24 -> 5903 tasks. All frames cached under this scope are
+    # partition-invariant integer results by the engine's oracle
+    # contract, so the partitioning freedom is safe.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -52,7 +52,7 @@ def pagerank(
     nodes: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank.
 
@@ -63,27 +63,34 @@ def pagerank(
 
     Returns (node, rank) with sum(rank) <= PR_MASS (floor residue), exact
     int64, shuffle-order independent.
+
+    r6 plan shape: the fixed-iteration loop has NO convergence probe, so
+    the whole recurrence builds as ONE lazy plan and materializes with a
+    single in-scope action — per-iteration eager checkpoints/actions were
+    pure fixed overhead (measured: 5 iterations 57s -> 10s on the
+    textrank graph under this host's degraded-window stage costs; ~2x in
+    a healthy window). ``broadcast_ranks`` now defaults False: forcing a
+    rank-table broadcast per iteration paid a driver build per round;
+    the unhinted join lets Catalyst/AQE pick broadcast at runtime from
+    REAL sizes (the scale-adaptive choice — guide §3.1). True keeps the
+    forced hint for host-level graphs on real clusters.
     """
     from .iterhelp import coalesced_small_shuffles
     from .pip_knn import _cache_scoped
 
-    # edges is consumed once per iteration (and once by the outdeg
-    # aggregate) — without a persist every broadcast-rank build replays the
-    # upstream edge derivation (event_link_graph's distinct runs 6+ times
-    # for 5 iterations; measured r6). Scoped persist: released on the next
-    # pagerank invocation, never leaks across the bench suite.
-    edges = _cache_scoped("pagerank_edges", edges)
-    n_nodes = nodes.count()  # one scalar action on the tiny node dim
-    base = (damping_pct_complement(damping_pct) * (PR_MASS // n_nodes)) // 100
-    # r6: the per-iteration broadcast-build jobs run inside the coalesced
-    # scope (size-adaptive reduce width; results are partition-invariant
-    # int64 by design). Callers with Python-worker stages upstream of
-    # ``edges`` should materialize them first (see iterhelp docstring).
     with coalesced_small_shuffles(edges.sparkSession):
-        outdeg = _cache_scoped(
-            "pagerank_outdeg",
-            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
-        )
+        # edges is consumed once per iteration (and once by the outdeg
+        # aggregate): a persist means the one materializing job computes
+        # the upstream edge derivation once — INSIDE the scope, so the
+        # derivation's own reduce stages coalesce too (measured: the
+        # event-graph distinct at caller width was most of the query's
+        # tasks, 2709 -> 529).
+        edges = _cache_scoped("pagerank_edges", edges)
+        n_nodes = nodes.count()  # one scalar action on the tiny node dim
+        base = (
+            damping_pct_complement(damping_pct) * (PR_MASS // n_nodes)
+        ) // 100
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         ranks = nodes.select(
             "node", F.lit(PR_MASS // n_nodes).cast("long").alias("rank")
         )
@@ -99,20 +106,18 @@ def pagerank(
                 )
             )
             insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
-            ranks = (
-                nodes.join(insum, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.expr(
-                            f"({damping_pct} * coalesce(insum, 0L)) div 100"
-                        )
-                    ).cast("long").alias("rank"),
-                )
-                .localCheckpoint(eager=False)
+            ranks = nodes.join(insum, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
+                ).cast("long").alias("rank"),
             )
-        ranks.count()  # materialize the final iterate in-scope (one job)
+        # ONE materializing job for all iterations, run coalesced; the
+        # persist makes downstream consumers reuse instead of re-running
+        # the whole recurrence.
+        ranks = _cache_scoped("pagerank_ranks", ranks)
+        ranks.count()
     return ranks
 
 
@@ -126,7 +131,7 @@ def personalized_pagerank(
     seeds: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: identical integer fixed-point update to
     :func:`pagerank`, but ALL teleport mass returns to the ``seeds`` set
@@ -146,28 +151,21 @@ def personalized_pagerank(
     left join on the node dim); per-iteration shape is identical to
     pagerank — one dst-keyed partial-agg shuffle, broadcast_ranks toggle
     for the host- vs page-level regimes."""
+    from .iterhelp import coalesced_small_shuffles
     from .pip_knn import _cache_scoped
 
-    edges = _cache_scoped("ppr_edges", edges)  # reused every iteration (r6)
-    n_seeds = seeds.count()  # scalar action on the tiny seed dim
-    per_seed = PR_MASS // n_seeds
-    base_val = (damping_pct_complement(damping_pct) * per_seed) // 100
-    nb = (
-        nodes.join(
-            F.broadcast(seeds.select("node", F.lit(1).alias("_s"))),
-            "node",
-            "left",
-        )
-        .select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
-        .localCheckpoint(eager=False)
-    )
-    from .iterhelp import coalesced_small_shuffles
-
     with coalesced_small_shuffles(edges.sparkSession):  # r6: pagerank rule
-        outdeg = _cache_scoped(
-            "ppr_outdeg",
-            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+        edges = _cache_scoped("ppr_edges", edges)  # reused every iteration
+        n_seeds = seeds.count()  # scalar action on the tiny seed dim
+        per_seed = PR_MASS // n_seeds
+        base_val = (damping_pct_complement(damping_pct) * per_seed) // 100
+        nb = _cache_scoped(  # consumed by every iteration
+            "ppr_nb",
+            nodes.join(
+                seeds.select("node", F.lit(1).alias("_s")), "node", "left"
+            ).select("node", F.coalesce("_s", F.lit(0)).alias("_s")),
         )
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         ranks = nb.select(
             "node", (F.col("_s") * F.lit(per_seed)).cast("long").alias("rank")
         )
@@ -183,20 +181,16 @@ def personalized_pagerank(
                 )
             )
             insum = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
-            ranks = (
-                nb.join(insum, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.col("_s") * F.lit(base_val)
-                        + F.expr(
-                            f"({damping_pct} * coalesce(insum, 0L)) div 100"
-                        )
-                    ).cast("long").alias("rank"),
-                )
-                .localCheckpoint(eager=False)
+            ranks = nb.join(insum, "node", "left").select(
+                "node",
+                (
+                    F.col("_s") * F.lit(base_val)
+                    + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
+                ).cast("long").alias("rank"),
             )
-        ranks.count()  # materialize the final iterate in-scope
+        # one lazy chain, one in-scope materializing job (pagerank r6 rule)
+        ranks = _cache_scoped("ppr_ranks", ranks)
+        ranks.count()
     return ranks
 
 
@@ -522,23 +516,23 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     localCheckpoint per round (the cluster_pairs lineage rule).
     """
     from .iterhelp import coalesced_small_shuffles
+    from .pip_knn import _cache_scoped
 
     with coalesced_small_shuffles(edges.sparkSession):  # r6: coalesced rounds
-        sym = (
+        sym = _cache_scoped(
+            "lpa_sym",
             edges.filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
             .unionByName(
                 edges.filter(F.col("src") != F.col("dst"))
                 .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
         )
         labels = (
             sym.select(F.col("src").alias("node"))
             .distinct()
             .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=False)
         )
         for _ in range(int(rounds)):
             msgs = sym.join(
@@ -547,18 +541,17 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             cnt = msgs.groupBy("node", "label").agg(
                 F.count(F.lit(1)).alias("cnt")
             )
-            labels = (
-                cnt.groupBy("node")
-                .agg(
-                    F.min_by(
-                        F.col("label"),
-                        F.struct((-F.col("cnt")).alias("k1"),
-                                 F.col("label").alias("k2")),
-                    ).alias("label")
-                )
-                .localCheckpoint(eager=False)
+            labels = cnt.groupBy("node").agg(
+                F.min_by(
+                    F.col("label"),
+                    F.struct((-F.col("cnt")).alias("k1"),
+                             F.col("label").alias("k2")),
+                ).alias("label")
             )
-        labels.count()  # materialize the final round in-scope (one job)
+        # fixed-round recurrence, no convergence probe: ONE lazy plan,
+        # one in-scope materializing job (the pagerank r6 rule)
+        labels = _cache_scoped("lpa_labels", labels)
+        labels.count()
     return labels
 
 
@@ -588,11 +581,19 @@ def hits(
     to degree ~ 2^43 (any real web graph).
 
     Scale design mirrors pagerank: per half-round ONE degree-keyed
-    map-side-combining sum shuffle; the node-sized score frame broadcasts
-    (host-level, the common case) or shuffle-joins with ``broadcast_ranks=
-    False`` at page scale; localCheckpoint(eager) per half-round both
-    truncates lineage and backs the bounded 1-row max() action that picks
-    the shift. Raises on an edgeless graph (scores would collapse to 0).
+    map-side-combining sum shuffle; the node-sized score frame joins
+    unhinted (Catalyst/AQE picks broadcast at runtime when it fits —
+    the pagerank r6 rule; ``broadcast_ranks=True`` forces the hint for
+    host-level graphs on real clusters). Raises on an edgeless graph
+    (scores would collapse to 0).
+
+    r6 plan shape: the renormalization shift is computed IN-PLAN — the
+    1-row max aggregate cross-joins back and an exact power-of-two CASE
+    ladder (2^(k-1) <= m < 2^k  =>  divisor 2^(k-20), bit-identical to
+    the old driver-side ``int.bit_length()``) picks the divisor — so the
+    fixed 2*rounds half-steps build as ONE lazy plan with a single
+    in-scope materializing action, replacing 8 collect()+checkpoint jobs
+    of pure per-round overhead (the pagerank r6 measurement).
 
     Reference analog: none — completes the link-graph suite (pagerank /
     k_core / triangles / label_prop / SSSP) with the bipartite-reinforcement
@@ -601,10 +602,23 @@ def hits(
     from .iterhelp import coalesced_small_shuffles
     from .pip_knn import _cache_scoped
 
-    edges = _cache_scoped("hits_edges", edges)  # reused 2x per round (r6)
+    spark = edges.sparkSession
     start = 1 << (HITS_TARGET_BITS - 1)
-    h = nodes.select("node", F.lit(start).cast("long").alias("h"))
     a = None
+
+    def _pow2_divisor(mx):
+        # exact: for m in [2^(k-1), 2^k), divisor = 2^(k - TARGET_BITS)
+        # (1 when m < 2^TARGET_BITS) — descending threshold ladder, all
+        # int64 literals, bit-identical to max(bit_length(m)-20, 0)
+        d = F.lit(1).cast("long")
+        expr = None
+        for k in range(63, HITS_TARGET_BITS, -1):
+            cond = mx >= F.lit(1 << (k - 1)).cast("long")
+            branch = F.lit(1 << (k - HITS_TARGET_BITS)).cast("long")
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        return expr.otherwise(d)
+
+    from pyspark.sql import Window
 
     def _half(scores, score_col, key_in, key_out, out_col):
         s = F.broadcast(scores) if broadcast_ranks else scores
@@ -614,30 +628,39 @@ def hits(
             .agg(F.sum(score_col).alias(out_col))
             .select(F.col(key_out).alias("node"), out_col)
         )
-        full = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
-            )
-            .localCheckpoint(eager=False)
+        full = nodes.join(summed, "node", "left").select(
+            "node",
+            F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
         )
-        # the max() action materializes the lazy checkpoint (one job, r6)
-        m = full.agg(F.max(out_col)).first()[0]
-        if not m:
-            raise ValueError("hits: graph has no edges (scores collapsed to 0)")
-        sh = max(int(m).bit_length() - HITS_TARGET_BITS, 0)
+        # global-window max: references ``full`` ONCE, so the lazy plan
+        # stays linear across half-rounds (a crossJoin of a 1-row max agg
+        # doubles the plan per half-round — 2^8 subtree copies blew the
+        # optimizer heap; a 1-row collect would cost a job per half-round).
+        # The single-partition window pass is node-sized — fine in the
+        # host-level regime this operator documents.
+        mx = F.max(out_col).over(Window.partitionBy())
         return full.select(
-            "node", F.expr(f"{out_col} div {1 << sh}").alias(out_col)
-        )
+            "node",
+            F.col(out_col),
+            _pow2_divisor(mx).alias("_d"),
+        ).select("node", F.expr(f"{out_col} div _d").alias(out_col))
 
-    with coalesced_small_shuffles(edges.sparkSession):
+    with coalesced_small_shuffles(spark):
+        edges = _cache_scoped("hits_edges", edges)  # reused 2x per round
+        if edges.limit(1).count() == 0:
+            raise ValueError("hits: graph has no edges (scores collapsed to 0)")
+        h = nodes.select("node", F.lit(start).cast("long").alias("h"))
         for _ in range(int(rounds)):
             a = _half(h, "h", "src", "dst", "a")  # authority: in-edge hub sum
             h = _half(a, "a", "dst", "src", "h")  # hub: out-edge auth sum
-    return h.join(a, "node").select(
-        "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
-    )
+        out = _cache_scoped(
+            "hits_scores",
+            h.join(a, "node").select(
+                "node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp")
+            ),
+        )
+        out.count()  # ONE materializing job for all half-rounds
+    return out
 
 
 def adamic_adar(edges: DataFrame, k: int = 50, max_degree: int | None = None) -> DataFrame:
@@ -869,8 +892,8 @@ def bowtie_classes(edges: DataFrame, hops: int = 4) -> DataFrame:
         "node", F.lit(1).alias("b")
     )
     cls = (
-        nodes.join(F.broadcast(fwd), "node", "left")
-        .join(F.broadcast(bwd), "node", "left")
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
         .select(
             F.when(
                 F.col("f").isNotNull() & F.col("b").isNotNull(), "core"
@@ -922,17 +945,18 @@ def simrank(
     quadratic in nodes by definition; at fleet scale the standard
     regime is exactly this (seed/landmark subsets)."""
     from .iterhelp import coalesced_small_shuffles
+    from .pip_knn import _cache_scoped
 
     with coalesced_small_shuffles(edges.sparkSession):  # r6
-        el = (
+        el = _cache_scoped(
+            "simrank_el",
             edges.filter(
                 (F.col("src") != F.col("dst"))
                 & (F.col("src") < node_cap)
                 & (F.col("dst") < node_cap)
             )
             .select("src", "dst")
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
         )
         din = el.groupBy(F.col("dst").alias("node")).agg(
             F.count(F.lit(1)).alias("din")
@@ -946,7 +970,7 @@ def simrank(
             F.col("node").alias("a"),
             F.col("node").alias("b"),
             F.lit(SR_MASS).cast("long").alias("s"),
-        ).localCheckpoint(eager=False)
+        )
         diag = s
         e1 = el.select(F.col("src").alias("a"), F.col("dst").alias("oa"))
         e2 = el.select(F.col("src").alias("b"), F.col("dst").alias("ob"))
@@ -957,9 +981,9 @@ def simrank(
                 .filter(F.col("oa") != F.col("ob"))
                 .groupBy(F.col("oa").alias("a"), F.col("ob").alias("b"))
                 .agg(F.sum("s").alias("num"))
-                .join(F.broadcast(din.withColumnRenamed("node", "a")), "a")
+                .join(din.withColumnRenamed("node", "a"), "a")
                 .withColumnRenamed("din", "da")
-                .join(F.broadcast(din.withColumnRenamed("node", "b")), "b")
+                .join(din.withColumnRenamed("node", "b"), "b")
                 .withColumnRenamed("din", "db")
                 .select(
                     "a",
@@ -970,8 +994,11 @@ def simrank(
                 )
                 .filter(F.col("s") > 0)
             )
-            s = diag.unionByName(off).localCheckpoint(eager=False)
-        s.count()  # materialize the final round in-scope
+            s = diag.unionByName(off)
+        # fixed rounds, no probe: one lazy chain, one in-scope job
+        # (pagerank r6 rule; joins unhinted — AQE picks broadcast by size)
+        s = _cache_scoped("simrank_s", s)
+        s.count()
     return (
         s.filter(F.col("a") < F.col("b"))
         .select(
@@ -1011,11 +1038,13 @@ def anf_registers(
     from .iterhelp import coalesced_small_shuffles
 
     with coalesced_small_shuffles(edges.sparkSession):  # r6
-        el = (
+        from .pip_knn import _cache_scoped
+
+        el = _cache_scoped(
+            "anf_el",
             edges.filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
         )
         nodes = (
             el.select(F.col("src").alias("node"))
@@ -1033,7 +1062,7 @@ def anf_registers(
             "node",
             (mix31(poly_hash(key, BASE2)) % m).alias("bucket"),
             rho.alias("rho"),
-        ).localCheckpoint(eager=False)
+        )
         out_rows = None
         for h in range(1, hops + 1):
             moved = (
@@ -1045,11 +1074,14 @@ def anf_registers(
                 )
                 .select(F.col("src").alias("node"), "bucket", "rho")
             )
-            reg = (
+            # cache each hop's register state: it feeds BOTH the next hop
+            # (twice: carry + move) and this hop's rollup — caching keeps
+            # the one materializing job linear in hops instead of 2^hops
+            reg = _cache_scoped(
+                f"anf_reg_{h}",
                 reg.unionByName(moved)
                 .groupBy("node", "bucket")
-                .agg(F.max("rho").alias("rho"))
-                .localCheckpoint(eager=False)
+                .agg(F.max("rho").alias("rho")),
             )
             roll = (
                 reg.groupBy(
@@ -1064,7 +1096,10 @@ def anf_registers(
                 )
             )
             out_rows = roll if out_rows is None else out_rows.unionByName(roll)
-        reg.count()  # materialize the final hop in-scope
+        # ONE in-scope materializing job over the unioned rollups (the
+        # per-hop checkpoints + final reg.count() were hops+1 jobs)
+        out_rows = _cache_scoped("anf_rollups", out_rows)
+        out_rows.count()
     return out_rows
 
 

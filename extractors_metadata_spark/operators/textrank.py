@@ -45,40 +45,47 @@ def textrank_chunks(
     rank, pos).  ``chunks``: (doc_id, chunk_idx, chunk_text) from
     chunk_documents; token sharing counted on the same space-split
     words the chunker emits."""
+    from .iterhelp import coalesced_small_shuffles
     from .pip_knn import _cache_scoped
 
-    # chunks feeds the packing guard (an eager action), the token explode
-    # and the node dim — persist or the chunker replays per consumer (r6)
-    chunks = _cache_scoped("textrank_chunks", chunks)
-    over = chunks.filter(F.col("chunk_idx") >= _PACK)
-    if over.limit(1).count() > 0:
-        raise ValueError(
-            f"textrank_chunks: chunk_idx >= {_PACK} breaks node packing "
-            "(re-chunk with larger windows)"
+    # the whole construction runs under the coalesced scope so the chunk
+    # explode / distinct / pair-join reduce stages size to the (narrow)
+    # data instead of the caller's Python-UDF-tuned width; the nested
+    # pagerank scope save/restores the same keys — harmless (r6)
+    with coalesced_small_shuffles(chunks.sparkSession):
+        # chunks feeds the packing guard (an eager action), the token
+        # explode and the node dim — persist or the chunker replays per
+        # consumer (r6)
+        chunks = _cache_scoped("textrank_chunks", chunks)
+        over = chunks.filter(F.col("chunk_idx") >= _PACK)
+        if over.limit(1).count() > 0:
+            raise ValueError(
+                f"textrank_chunks: chunk_idx >= {_PACK} breaks node packing "
+                "(re-chunk with larger windows)"
+            )
+        toks = chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
+        ).distinct()
+        a = toks.select("doc_id", F.col("chunk_idx").alias("ca"), "tok")
+        b = toks.select("doc_id", F.col("chunk_idx").alias("cb"), "tok")
+        pairs = (
+            a.join(b, ["doc_id", "tok"])
+            .filter(F.col("ca") < F.col("cb"))
+            .groupBy("doc_id", "ca", "cb")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= int(min_shared))
         )
-    toks = chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
-    ).distinct()
-    a = toks.select("doc_id", F.col("chunk_idx").alias("ca"), "tok")
-    b = toks.select("doc_id", F.col("chunk_idx").alias("cb"), "tok")
-    pairs = (
-        a.join(b, ["doc_id", "tok"])
-        .filter(F.col("ca") < F.col("cb"))
-        .groupBy("doc_id", "ca", "cb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= int(min_shared))
-    )
-    pa = F.col("doc_id") * _PACK + F.col("ca")
-    pb = F.col("doc_id") * _PACK + F.col("cb")
-    edges = pairs.select(pa.alias("src"), pb.alias("dst")).unionByName(
-        pairs.select(pb.alias("src"), pa.alias("dst"))
-    )
-    nodes = chunks.select(
-        (F.col("doc_id") * _PACK + F.col("chunk_idx")).alias("node")
-    )
-    pr = pagerank(edges, nodes, iterations=iterations)
+        pa = F.col("doc_id") * _PACK + F.col("ca")
+        pb = F.col("doc_id") * _PACK + F.col("cb")
+        edges = pairs.select(pa.alias("src"), pb.alias("dst")).unionByName(
+            pairs.select(pb.alias("src"), pa.alias("dst"))
+        )
+        nodes = chunks.select(
+            (F.col("doc_id") * _PACK + F.col("chunk_idx")).alias("node")
+        )
+        pr = pagerank(edges, nodes, iterations=iterations)
 
     from pyspark.sql import Window
 
