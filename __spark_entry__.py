@@ -11127,6 +11127,41 @@ def q_spatial_keyword(spark, sf_dir):
     )
 
 
+_COALESCED_FINAL = {
+    # heavy pure-JVM suite queries (plan checked to contain no
+    # BatchEvalPython/ArrowEvalPython/MapInPandas nodes); their reduce
+    # stages coalesce by size during the final in-scope materialization
+    "dup_cluster_sizes", "lsh_eval", "curation_yield", "prefix_join",
+    "shingle_cosine", "triangles", "containment_pairs", "session_rules",
+    "boruvka_emst", "redirect_resolve", "wavefront_profile", "mmr_select",
+    "bpe_merges", "watershed", "wl_colors", "cell_compact",
+    "jenks_breaks", "spatial_cluster", "greedy_cover", "cost_distance",
+    "overlay_area", "ransac_lines", "line_dedup", "ngram_jaccard",
+    "convex_hull",
+}
+
+
+def _wrap_coalesced(name, fn):
+    def run(spark, sf_dir):
+        from extractors_metadata_spark.operators.iterhelp import (
+            coalesced_small_shuffles,
+        )
+        from extractors_metadata_spark.operators.pip_knn import _cache_scoped
+
+        # construction runs IN-scope too: the eager per-round jobs these
+        # operators execute while building (checkpointed BFS hops, greedy
+        # argmax collects, CC label rounds) are exactly the full-width
+        # stages the coalescing is for
+        with coalesced_small_shuffles(spark):
+            df = _cache_scoped(f"qfinal_{name}", fn(spark, sf_dir))
+            df.count()
+        return df
+
+    run.__name__ = f"q_{name}_coalesced"
+    run.__wrapped__ = fn
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries. ORDERING IS LOAD-BEARING: the driver's
     correctness harness checks the FIRST 50 entries, so the dict is laid
@@ -11145,8 +11180,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. final 9 entries: the rows-only twins (xxhash64/approximate kernels) —
        each names its oracle-twin in its docstring, and
        tests/test_registry.py pins the twin invariant.
+
+    r6: names in ``_COALESCED_FINAL`` (heavy, pure-JVM plans — no Python
+    eval stages, verified per query) are wrapped to materialize under the
+    size-coalesced AQE scope (iterhelp.materialize_coalesced): identical
+    rows, reduce stages sized to the data instead of the session's
+    Python-UDF width. Computation still happens inside the timed region
+    on every invocation.
     """
-    return {
+    out = {
         # -- tier 1: oracle-backed driver window (round-5 rotation: 49
         #    never-officially-recorded oracles + pack_sequences retest) ----
         "pack_sequences": q_pack_sequences,
@@ -11587,6 +11629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_render": q_multi_render,
         "multimodal_features": q_multimodal_features,
     }
+    for _n in _COALESCED_FINAL:
+        out[_n] = _wrap_coalesced(_n, out[_n])
+    return out
 
 
 def q_assortativity(spark, sf_dir):

@@ -130,16 +130,21 @@ def dedup_fingerprint(
 
 # --- shingles / n-grams --------------------------------------------------------
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, w: int = 3) -> DataFrame:
-    """Distinct w-word shingles per doc, built JVM-side (split + slice + explode)."""
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, w: int = 3,
+    dedup: bool = True,
+) -> DataFrame:
+    """Distinct w-word shingles per doc, built JVM-side (split + slice +
+    explode).  ``dedup=False`` skips the per-doc distinct (and its (id,
+    shingle) string shuffle) — correct whenever the consumer is a
+    duplicate-insensitive aggregate (min/max), e.g. the MinHash signature
+    build (r6): min over a multiset equals min over its set."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if dedup else out
 
 
 def char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -194,8 +199,14 @@ def minhash_signatures(
     one rolling hash t per shingle, then P affine permutations
     (a_i*t+b_i) mod 2^31-1; bit-identical replayable in DuckDB SQL, so the
     driver's exact oracle covers the full signature plumbing).
+
+    r6: shingles are NOT pre-deduplicated — min aggregation is duplicate-
+    insensitive (min over a multiset == min over its set, per permutation
+    and per seed), so the per-doc distinct's (id, shingle-string) shuffle
+    was pure cost.  With partial map-side aggregation the one exchange
+    here carries 64 longs per (doc x map task), never a shingle string.
     """
-    sh = word_shingles(df, text_col, id_col, shingle_w)
+    sh = word_shingles(df, text_col, id_col, shingle_w, dedup=False)
     if hash_family == "poly":
         from ..functions.vhash import perm_min_exprs, poly_hash
 

@@ -101,7 +101,11 @@ def test_registry_keys_unique_in_source():
 
     def dup_keys(fn_name):
         src = sources[fn_name]
-        m = re.search(rf"def {fn_name}\(\).*?return \{{(.*?)\n    \}}", src, re.S)
+        # queries() now builds the literal as ``out = {...}`` (r6: the
+        # coalesced-materialization wrap is applied before returning)
+        m = re.search(
+            rf"def {fn_name}\(\).*?(?:return|out =) \{{(.*?)\n    \}}", src, re.S
+        )
         assert m, f"could not locate {fn_name} return dict"
         keys = re.findall(r'^\s+"([a-z0-9_]+)":', m.group(1), re.M)
         seen, dups = set(), []

@@ -70,8 +70,12 @@ def main() -> None:
                 "shuffle_read_mb": round(sread / 1e6, 1),
                 "spill_mb": round(mem / 1e6, 1)}
 
+    if not only:
+        from bench_extra import bench_suite
+
+        only = bench_suite()
     prev = None
-    for name in only or []:
+    for name in only:
         spark.sparkContext.setJobDescription(f"pm:{name}")
         t0 = time.time()
         qs[name](spark, sf_dir).count()
