@@ -107,3 +107,50 @@ def perm_min_exprs(t: Column, n: int) -> list[Column]:
         F.min((t * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
         for i, (a, b) in enumerate(perm_coeffs(n))
     ]
+
+
+def poly_hash_py(s: str, base: int = BASE1) -> int:
+    """Driver-side reference fold — bit-identical to :func:`poly_hash`
+    for ASCII input (used to precompute literal prefix hashes)."""
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % P31
+    return h
+
+
+def poly_hash_short_cols(col: Column, max_len: int = 19, base: int = BASE1):
+    """(H(s), B^len(s) mod P) for a SHORT ASCII string column — pure
+    codegen (ascii/substring positional terms), bit-identical to
+    ``poly_hash(col)`` for strings of length <= ``max_len``.
+
+    Why: ``poly_hash``'s higher-order fold evaluates interpreted per
+    character; on hot fan-out paths (ransac's 2 salts x K candidates per
+    point) the hash dominates the stage.  This form computes
+    H = sum_i ascii(s[i]) * B^(L-i) mod P as ``max_len`` independent
+    codegen terms (each < 2^42 before the final mod), and the companion
+    B^L mod P lets callers chain a precomputed prefix hash:
+    H(prefix || s) = (H(prefix) * B^L(s) + H(s)) mod P — the r6 ransac
+    decomposition (one suffix hash per row instead of one interpreted
+    fold per fanned row).
+    """
+    b2p = [pow(base, i, P31) for i in range(max_len + 1)]
+    b2p_arr = F.array(*[F.lit(v).cast("long") for v in b2p])
+    ln = F.length(col)
+    terms = None
+    for i in range(1, max_len + 1):
+        t = F.when(
+            ln >= i,
+            F.ascii(F.substring(col, i, 1)).cast("long")
+            * F.element_at(b2p_arr, (ln - F.lit(i) + F.lit(1)).cast("int")),
+        ).otherwise(F.lit(0).cast("long"))
+        terms = t if terms is None else terms + t
+    h = terms % F.lit(P31).cast("long")
+    powl = F.element_at(b2p_arr, (ln + F.lit(1)).cast("int"))
+    return h, powl
+
+
+def poly_hash_with_prefix(prefix_hash: Column, suffix_h: Column, suffix_pow: Column) -> Column:
+    """H(prefix || s) from a (precomputed) prefix hash and the
+    :func:`poly_hash_short_cols` pair of s — exact int64
+    (prefix_hash * suffix_pow < P^2 < 2^62)."""
+    return (prefix_hash * suffix_pow + suffix_h) % F.lit(P31).cast("long")

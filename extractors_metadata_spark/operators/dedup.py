@@ -281,7 +281,15 @@ def minhash_lsh_dedup(
     counts in the snapshot manifest) on production runs, and run
     ``dedup_exact``/``dedup_fingerprint`` FIRST so byte-identical piles never
     reach LSH."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_w, hash_family)
+    from .pip_knn import _cache_scoped
+
+    # sigs feeds THREE subtrees (band entries + both sides of the
+    # estimate join) — without a persist the shingle scan + signature
+    # aggregate recompute once per consumer per action (r6)
+    sigs = _cache_scoped(
+        "mh_sigs",
+        minhash_signatures(df, text_col, id_col, num_perm, shingle_w, hash_family),
+    )
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands, num_perm // bands, max_bucket, bucket_stats,
         plain_buckets=(hash_family == "poly"),

@@ -62,31 +62,57 @@ def ransac_lines(
     The consumer's best line is the max-(n_inliers, -cand_id) row; all
     K rows are emitted so consensus structure is visible (and
     checkable)."""
+    from ..functions.vhash import (
+        mix31,
+        poly_hash_py,
+        poly_hash_short_cols,
+        poly_hash_with_prefix,
+    )
+
     p = pts.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     )
-    fan = p.select(
+    # r6: the salted candidate hash decomposes as
+    #   H('ra:<salt>:<k>:<id>') = (H('ra:<salt>:<k>:') * B^len(id) + H(id)) mod P
+    # so the id-suffix hash is computed ONCE per point (codegen positional
+    # terms, poly_hash_short_cols) and each of the 2*K fanned hashes is 3
+    # integer ops against a driver-precomputed literal prefix hash —
+    # replacing 2*K interpreted per-character folds per point.  Values are
+    # bit-identical to the original _salted() expression (pytest-pinned).
+    sh, sp = poly_hash_short_cols(F.col("id").cast("string"))
+    pf = p.select("id", "x", "y", sh.alias("_sh"), sp.alias("_sp"))
+    hp_a = F.array(
+        *[F.lit(poly_hash_py(f"ra:a:{kk}:")).cast("long") for kk in range(k)]
+    )
+    hp_b = F.array(
+        *[F.lit(poly_hash_py(f"ra:b:{kk}:")).cast("long") for kk in range(k)]
+    )
+    fan = pf.select(
         "id",
         "x",
         "y",
+        "_sh",
+        "_sp",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("cand_id"),
     )
+    ha = mix31(poly_hash_with_prefix(
+        F.element_at(hp_a, (F.col("cand_id") + 1).cast("int")),
+        F.col("_sh"), F.col("_sp"),
+    ))
+    hb = mix31(poly_hash_with_prefix(
+        F.element_at(hp_b, (F.col("cand_id") + 1).cast("int")),
+        F.col("_sh"), F.col("_sp"),
+    ))
     anchors = fan.groupBy("cand_id").agg(
         F.min_by(
             F.struct(F.col("x").alias("x1"), F.col("y").alias("y1")),
-            F.struct(
-                _salted("a", F.col("cand_id"), F.col("id")).alias("h"),
-                F.col("id").alias("i"),
-            ),
+            F.struct(ha.alias("h"), F.col("id").alias("i")),
         ).alias("a"),
         F.min_by(
             F.struct(F.col("x").alias("x2"), F.col("y").alias("y2")),
-            F.struct(
-                _salted("b", F.col("cand_id"), F.col("id")).alias("h"),
-                F.col("id").alias("i"),
-            ),
+            F.struct(hb.alias("h"), F.col("id").alias("i")),
         ).alias("b"),
     )
     cand = anchors.select(

@@ -154,7 +154,14 @@ def run_pipeline_counts(
     resolved = _resolved(spark, pages, plots, persist=False, caches=caches)
     obs = Observation("datapoints")
     observed = resolved.observe(obs, F.count(F.lit(1)).alias("rows"))
-    n_tiles = tile_assign(observed, zooms=zooms).count()
+    # width-match the tile fan-out to the cores (r6, guide §6): the
+    # resolved union arrives as scan-parts + reduce-parts (~5x cores) of
+    # ~150 KB each; shuffle-free coalesce to defaultParallelism halves
+    # the tile stage (fewer task launches, fuller Arrow batches) and is
+    # cluster-proportional by construction.
+    n_tiles = tile_assign(
+        observed.coalesce(spark.sparkContext.defaultParallelism), zooms=zooms
+    ).count()
     n_dp = obs.get["rows"]
     for c in caches:
         c.unpersist()

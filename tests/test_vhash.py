@@ -140,3 +140,40 @@ def test_mix31_three_way_parity(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
     got_duck = dict(con.sql(f"SELECT v, {_mix31_sql('v')} FROM t").fetchall())
     assert got_duck == expect
+
+
+def test_poly_short_cols_decomposition_bit_equal(spark):
+    # r6 ransac optimization: H(prefix || s) via precomputed prefix hash +
+    # codegen positional suffix hash must equal the HOF poly_hash of the
+    # concatenated string, for decimal-int suffixes and arbitrary short
+    # ASCII strings.
+    from pyspark.sql import functions as F
+
+    from extractors_metadata_spark.functions.vhash import (
+        mix31,
+        poly_hash,
+        poly_hash_py,
+        poly_hash_short_cols,
+        poly_hash_with_prefix,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") * 48271 % 10_000_019).alias("n")
+    )
+    pref = "ra:b:17:"
+    sh, sp = poly_hash_short_cols(F.col("n").cast("string"))
+    lhs = mix31(
+        poly_hash_with_prefix(F.lit(poly_hash_py(pref)).cast("long"), sh, sp)
+    )
+    rhs = mix31(
+        poly_hash(F.concat(F.lit(pref), F.col("n").cast("string")))
+    )
+    bad = df.select(lhs.alias("a"), rhs.alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    assert bad.count() == 0
+    # python reference fold agrees with the engine fold on a literal
+    row = spark.range(1).select(
+        poly_hash(F.lit("ra:b:17:9999998")).alias("h")
+    ).first()
+    assert row["h"] == poly_hash_py("ra:b:17:9999998")
