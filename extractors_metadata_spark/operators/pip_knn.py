@@ -136,8 +136,48 @@ def _poly_cells_df(
 
         if ring > 0 and prep is not None and len(cells):
             lat, lon = hexgrid.cell_center(cells)
-            d = prep.distance_m(idx, lon, lat)
             s = float(hexgrid.res_size_m(res))
+            # r6 two-phase prune: the exact interval prune below evaluates
+            # point-to-ring distance over (pairs x max_edges) temporaries —
+            # at ring 21 that is ~1.3M pairs and dominated the whole query
+            # as driver wall. Phase 1 prunes with (pairs,)-sized
+            # center/circumradius bounds (valid in distance_m's per-point
+            # equirect metric: R_ub uses coslat=1, an overestimate of the
+            # x-extent, so lb_c <= d <= ub_c always); phase 2 then runs the
+            # exact rule on the survivors. The survivor kth-ub can only be
+            # >= the all-pairs kth-ub, so the final kept set is a SUPERSET
+            # of the single-phase one — extra candidates are scored and
+            # lose, query outputs identical (soundness unchanged).
+            from ..functions.geodesy import R_MEAN
+
+            deg = np.pi / 180.0 * R_MEAN
+            vx, vy = prep.x1, prep.y1  # (P, K) ring vertices, NaN-padded
+            ccx = np.nanmean(vx, axis=1)
+            ccy = np.nanmean(vy, axis=1)
+            r_poly = np.sqrt(
+                np.nanmax(
+                    ((vx - ccx[:, None]) * deg) ** 2
+                    + ((vy - ccy[:, None]) * deg) ** 2,
+                    axis=1,
+                )
+            )
+            coslat_c = np.cos(np.radians(lat))
+            d_c = np.sqrt(
+                ((ccx[idx] - lon) * coslat_c * deg) ** 2
+                + ((ccy[idx] - lat) * deg) ** 2
+            )
+            r_true_c = s / coslat_c * 1.0001
+            lb_c = d_c - r_poly[idx] - r_true_c
+            ub_c = d_c + r_poly[idx] + r_true_c
+            order_c = np.lexsort((ub_c, cells))
+            cc_s = cells[order_c]
+            starts_c = np.flatnonzero(np.r_[True, cc_s[1:] != cc_s[:-1]])
+            counts_c = np.diff(np.r_[starts_c, len(cc_s)])
+            kth_pos_c = starts_c + np.minimum(keep_k, counts_c) - 1
+            kth_ub_c = np.repeat(ub_c[order_c][kth_pos_c], counts_c)
+            pre = order_c[lb_c[order_c] <= kth_ub_c]
+            cells, idx, lat, lon = cells[pre], idx[pre], lat[pre], lon[pre]
+            d = prep.distance_m(idx, lon, lat)
             # conservative true-m cell radius; the 1.0001 slack absorbs the
             # cos(lat)/metric drift between the cell-center latitude (used for d
             # and r_true here) and the probe point's latitude (which defines

@@ -79,6 +79,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 -> (query_id, doc_id,
     score_fp, rank); ``score_fp`` is the exact 1e-9 fixed-point score sum.
@@ -94,7 +95,18 @@ def bm25_topk(
     # candidate scan; doclen feeds the scalar stats collect and the
     # candidate join — persist both or the tokenize+explode+aggregate
     # replays per consumer (measured r6).
-    postings = _cache_scoped("bm25_postings", doc_postings(docs, text_col, id_col))
+    # project BEFORE the persist: BM25 needs only tf — caching the full
+    # doc_postings frame materializes the positions collect_list/sort for
+    # nothing, and the persist blocks Catalyst from pruning it (r6)
+    # ``postings``: optional precomputed (word, doc_id, n_hits) frame so
+    # ensemble callers (hybrid_rrf) tokenize the corpus once.
+    if postings is None:
+        postings = _cache_scoped(
+            "bm25_postings",
+            doc_postings(docs, text_col, id_col).select(
+                "word", "doc_id", "n_hits"
+            ),
+        )
     # corpus scalars: exact ints -> one tiny collect (bounded, 1 row)
     doclen = _cache_scoped(
         "bm25_doclen",
@@ -231,6 +243,7 @@ def ql_dirichlet_topk(
     mu: float = 2000.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by query-likelihood with Dirichlet
     smoothing -> (query_id, doc_id, score_fp, rank) — the other classical
@@ -257,12 +270,18 @@ def ql_dirichlet_topk(
 
     # postings feeds doclen, cf and the hits scan; doclen feeds the scalar
     # collect and the score join — persist both (the bm25_topk rule, r6)
-    postings = _cache_scoped(
-        "ql_postings",
-        doc_postings(docs, text_col, id_col).select(
+    # ``postings`` (word, doc_id, n_hits) skips the build for ensembles.
+    if postings is None:
+        postings = _cache_scoped(
+            "ql_postings",
+            doc_postings(docs, text_col, id_col).select(
+                "word", "doc_id", F.col("n_hits").alias("tf")
+            ),
+        )
+    else:
+        postings = postings.select(
             "word", "doc_id", F.col("n_hits").alias("tf")
-        ),
-    )
+        )
     doclen = _cache_scoped(
         "ql_doclen", postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     )
@@ -342,10 +361,21 @@ def hybrid_rrf(
     (query, doc)-keyed full outer join of two k-bounded lists + one
     query-keyed window — all frames query-dimension sized.
     """
-    b = bm25_topk(docs, queries, k=k_each).select(
+    from .pip_knn import _cache_scoped
+
+    # ONE tokenize+postings build serves both rankers (r6): the corpus
+    # scan + explode + (word, doc) aggregate dominated and ran twice
+    # (once per ranker's own cache)
+    shared = _cache_scoped(
+        "hybrid_postings",
+        doc_postings(docs, text_col="text", id_col="doc_id").select(
+            "word", "doc_id", "n_hits"
+        ),
+    )
+    b = bm25_topk(docs, queries, k=k_each, postings=shared).select(
         "query_id", "doc_id", F.col("rank").alias("r_bm25")
     )
-    q = ql_dirichlet_topk(docs, queries, k=k_each).select(
+    q = ql_dirichlet_topk(docs, queries, k=k_each, postings=shared).select(
         "query_id", "doc_id", F.col("rank").alias("r_ql")
     )
     j = b.join(q, ["query_id", "doc_id"], "full_outer")
