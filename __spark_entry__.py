@@ -2325,7 +2325,9 @@ def q_adamic_adar(spark, sf_dir):
     )
 
     edges, _nodes = event_link_graph(_t(spark, sf_dir, "events"))
-    return adamic_adar(edges, k=50)
+    # pack_ids: event-graph node ids < max(user_id)+1 << 2^31 by
+    # construction — the wedge exchange keys on one packed long (r6)
+    return adamic_adar(edges, k=50, pack_ids=True)
 
 
 def q_z_range_plan(spark, sf_dir):
@@ -10351,7 +10353,12 @@ def q_sd_ellipse(spark, sf_dir):
         F.bround(F.col("lat") * 1000000000.0, 0).cast("long").alias("y"),
     )
     # re-center on the field origin to keep squared sums in int64
-    # (|x|,|y| < ~2e6 after subtracting the constant corner)
+    # (|x|,|y| < ~2e6 after subtracting the constant corner).
+    # ADVICE r5 row bound: sum(x*x) ~ n * 4e12, so int64 holds only to
+    # ~2.3e6 rows per event type — safe at every swept sf (<= 6e5 rows
+    # total); a deployment at millions of events per type must switch
+    # the sxx/syy/sxy accumulators to decimal(38,0) (HUGEINT headroom,
+    # the gbm.py pattern) on BOTH engines
     x0 = F.bround(F.lit(-111.9750833333) * 1000000000.0, 0).cast("long")
     y0 = F.bround(F.lit(33.0745) * 1000000000.0, 0).cast("long")
     c = pts.select(
@@ -11128,16 +11135,93 @@ def q_spatial_keyword(spark, sf_dir):
 
 
 _COALESCED_FINAL = {
-    # heavy pure-JVM suite queries (plan checked to contain no
-    # BatchEvalPython/ArrowEvalPython/MapInPandas nodes); their reduce
-    # stages coalesce by size during the final in-scope materialization
-    "dup_cluster_sizes", "lsh_eval", "curation_yield", "prefix_join",
-    "shingle_cosine", "triangles", "containment_pairs", "session_rules",
-    "boruvka_emst", "redirect_resolve", "wavefront_profile", "mmr_select",
-    "bpe_merges", "watershed", "wl_colors", "cell_compact",
-    "jenks_breaks", "spatial_cluster", "greedy_cover", "cost_distance",
-    "overlay_area", "ransac_lines", "line_dedup", "ngram_jaccard",
+    # r6: heavy pure-JVM suite queries (plan checked: no BatchEvalPython/
+    # ArrowEvalPython/MapInPandas nodes except the individually-A/B'd
+    # Arrow tier) materialized under the size-coalesced AQE scope.
+    # Selection rule: wrap only queries measured >= ~1.5s unwrapped —
+    # the wrap's extra action + persist costs ~0.2-1s, a net loss on
+    # sub-second queries (measured full-suite A/B r6). z_range_plan and
+    # cms_verify excluded: their key windows / depthxwidth fan serialize
+    # under coalescing (measured regressions).
+    "ams_f2",
+    "anchor_text",
+    "anf_registers",
+    "attack_robustness",
+    "bh_fdr",
+    "bloom_prune",
+    "boruvka_emst",
+    "bowtie_classes",
+    "bpe_merges",
+    "cell_compact",
+    "colocation_pi",
+    "contact_crossings",
+    "containment_pairs",
     "convex_hull",
+    "convoy_pairs",
+    "cost_distance",
+    "critical_path",
+    "curation_yield",
+    "dsir_select",
+    "dup_cluster_sizes",
+    "front_coding",
+    "good_turing",
+    "greedy_cover",
+    "harmonic_centrality",
+    "hausdorff_pairs",
+    "hits",
+    "hll_pyramid",
+    "isotonic_fit",
+    "jenks_breaks",
+    "k_core",
+    "kcenter_coreset",
+    "knn_classify",
+    "ktruss",
+    "line_dedup",
+    "lsh_eval",
+    "minhash_pairs",
+    "mmr_select",
+    "modularity",
+    "morph_close",
+    "mutual_knn",
+    "naive_bayes",
+    "ngram_jaccard",
+    "overlay_area",
+    "page_trend",
+    "pagerank",
+    "perm_test",
+    "pmi_pairs",
+    "prefix_join",
+    "principal_axis",
+    "quadtree",
+    "quantile_estimate_verify",
+    "ransac_lines",
+    "record_linkage",
+    "redirect_resolve",
+    "ripley_k",
+    "session_rules",
+    "shingle_cosine",
+    "shortest_paths",
+    "simrank",
+    "sorted_neighborhood",
+    "spatial_cluster",
+    "sq_topk",
+    "str_pack",
+    "stress_centrality",
+    "temporal_reach",
+    "textrank",
+    "tfidf_topk",
+    "tile_blobs",
+    "tile_pyramid",
+    "triad_census",
+    "triangles",
+    "unique_prefix",
+    "voronoi_alloc",
+    "watershed",
+    "wavefront_profile",
+    "wilcoxon_signed",
+    "winnow_pairs",
+    "wl_colors",
+    "wl_colors",
 }
 
 
@@ -11158,6 +11242,7 @@ def _wrap_coalesced(name, fn):
         return df
 
     run.__name__ = f"q_{name}_coalesced"
+    run.__doc__ = fn.__doc__
     run.__wrapped__ = fn
     return run
 

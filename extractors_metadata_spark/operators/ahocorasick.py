@@ -82,6 +82,10 @@ def build_automaton(
     """
     if not patterns:
         raise ValueError("build_automaton: empty pattern list")
+    if any(not p for p in patterns):
+        # ADVICE r5: '' would hit fail[-1] (IndexError) in _has_border and
+        # divide-by-zero in the oracle's // plen — reject it cleanly
+        raise ValueError("build_automaton: empty-string pattern")
     if len(set(patterns)) != len(patterns):
         raise ValueError("build_automaton: duplicate patterns")
     if require_borderless:

@@ -663,7 +663,12 @@ def hits(
     return out
 
 
-def adamic_adar(edges: DataFrame, k: int = 50, max_degree: int | None = None) -> DataFrame:
+def adamic_adar(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int | None = None,
+    pack_ids: bool = False,
+) -> DataFrame:
     """Adamic-Adar link prediction over the UNDIRECTED simple graph ->
     the top-``k`` non-adjacent pairs by AA score (with common-neighbor
     count): AA(u, w) = sum over common neighbors v of 1 / ln(deg(v)) —
@@ -686,6 +691,13 @@ def adamic_adar(edges: DataFrame, k: int = 50, max_degree: int | None = None) ->
     idiom); per-center weights ride a broadcast-or-shuffle equi-join
     (Catalyst picks by dim size); existing edges leave via ONE
     anti-join; the cut is TakeOrderedAndProject, never a global sort.
+
+    ``pack_ids=True`` (caller guarantees 0 <= id < 2^31) keys the wedge
+    aggregate on ONE packed long u*2^32+w instead of two — the wedge
+    pair exchange is the operator's dominant shuffle (~130 MB at sf0.1)
+    and pairs are mostly unique per map partition, so partial
+    aggregation cannot shrink it; narrowing the key row is the §2.3
+    lever that can.
     """
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -711,16 +723,29 @@ def adamic_adar(edges: DataFrame, k: int = 50, max_degree: int | None = None) ->
     )
     lft = adj.select("v", F.col("nbr").alias("u"))
     rgt = adj.select("v", F.col("nbr").alias("w"))
-    wedges = (
-        lft.join(rgt, "v")
-        .filter(F.col("u") < F.col("w"))
-        .join(wfp, "v")
-        .groupBy("u", "w")
-        .agg(
+    fan = lft.join(rgt, "v").filter(F.col("u") < F.col("w")).join(wfp, "v")
+    if pack_ids:
+        wedges = (
+            fan.select(
+                (F.col("u") * F.lit(1 << 32) + F.col("w")).alias("uw"), "w_fp"
+            )
+            .groupBy("uw")
+            .agg(
+                F.count(F.lit(1)).alias("cn"),
+                F.sum("w_fp").alias("aa_fp"),
+            )
+            .select(
+                F.expr(f"uw div {1 << 32}").alias("u"),
+                (F.col("uw") % F.lit(1 << 32)).alias("w"),
+                "cn",
+                "aa_fp",
+            )
+        )
+    else:
+        wedges = fan.groupBy("u", "w").agg(
             F.count(F.lit(1)).alias("cn"),
             F.sum("w_fp").alias("aa_fp"),
         )
-    )
     cand = wedges.join(
         und,
         (F.col("u") == F.col("a")) & (F.col("w") == F.col("b")),

@@ -115,6 +115,10 @@ def mec(points: DataFrame) -> DataFrame:
             (int(r.id), int(r.x), int(r.y))
             for r in pdf.itertuples(index=False)
         )
+        if len(pts) < 2:
+            # ADVICE r5: _mec_exact unpacks best=None for n == 1 — state
+            # the >= 2-point contract explicitly instead of crashing
+            raise ValueError("mec: needs >= 2 points (degenerate input)")
         kind, ia, ib, ic, r2_fp = _mec_exact(pts)
         return pd.DataFrame(
             {

@@ -105,9 +105,16 @@ def suffix_lrs(
         for i, t in enumerate(texts):
             if t is None or not isinstance(t, str) or not t:
                 continue
-            s = np.frombuffer(
-                t.encode("utf-8")[: int(max_len)], dtype=np.uint8
-            )
+            tt = t[: int(max_len)]
+            if not tt.isascii():
+                # ADVICE r5: the oracles truncate CHARACTERS and rank
+                # ascii() codepoints — byte-truncating non-ASCII text
+                # would silently diverge (different n_used + order).
+                # Enforce the documented ASCII contract loudly instead.
+                raise ValueError(
+                    "suffix kernels require ASCII text (oracle parity)"
+                )
+            s = np.frombuffer(tt.encode("ascii"), dtype=np.uint8)
             n_out[i] = len(s)
             if len(s) >= 2:
                 l_out[i] = _lrs_of(_suffix_array(s), s)
@@ -163,9 +170,16 @@ def string_period(
         for i, t in enumerate(texts):
             if t is None or not isinstance(t, str) or not t:
                 continue
-            s = np.frombuffer(
-                t.encode("utf-8")[: int(max_len)], dtype=np.uint8
-            )
+            tt = t[: int(max_len)]
+            if not tt.isascii():
+                # ADVICE r5: the oracles truncate CHARACTERS and rank
+                # ascii() codepoints — byte-truncating non-ASCII text
+                # would silently diverge (different n_used + order).
+                # Enforce the documented ASCII contract loudly instead.
+                raise ValueError(
+                    "suffix kernels require ASCII text (oracle parity)"
+                )
+            s = np.frombuffer(tt.encode("ascii"), dtype=np.uint8)
             n_out[i] = len(s)
             b = _border_len(s)
             b_out[i] = b
@@ -207,9 +221,16 @@ def bwt_runs(
         for i, t in enumerate(texts):
             if t is None or not isinstance(t, str) or not t:
                 continue
-            s = np.frombuffer(
-                t.encode("utf-8")[: int(max_len)], dtype=np.uint8
-            )
+            tt = t[: int(max_len)]
+            if not tt.isascii():
+                # ADVICE r5: the oracles truncate CHARACTERS and rank
+                # ascii() codepoints — byte-truncating non-ASCII text
+                # would silently diverge (different n_used + order).
+                # Enforce the documented ASCII contract loudly instead.
+                raise ValueError(
+                    "suffix kernels require ASCII text (oracle parity)"
+                )
+            s = np.frombuffer(tt.encode("ascii"), dtype=np.uint8)
             n = len(s)
             n_out[i] = n
             if n == 0:
