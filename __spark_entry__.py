@@ -2983,15 +2983,24 @@ def q_curation_yield(spark, sf_dir):
         near_dedup_survivors,
     )
 
+    from extractors_metadata_spark.operators.pip_knn import _cache_scoped
+
     d = _t(spark, sf_dir, "documents")
-    cf = curation_filter(d).select("doc_id", "keep")
-    kept = d.join(
-        cf.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint()
+    # r6: cf feeds BOTH the kept semi-join and the final flags join —
+    # persist, or the quality-rule chain runs twice; kept is narrowed to
+    # (doc_id, text) (the only columns the dedup leg reads) and persisted
+    # instead of RDD-checkpointing the full-width corpus
+    cf = _cache_scoped("cy_cf", curation_filter(d).select("doc_id", "keep"))
+    kept = _cache_scoped(
+        "cy_kept",
+        d.select("doc_id", "text").join(
+            cf.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     pairs = minhash_lsh_dedup(
         kept, threshold=0.6, hash_family="poly", max_bucket=1_000_000_000
     ).select("id_a", "id_b")
-    surv = near_dedup_survivors(kept, pairs).select(
+    surv = near_dedup_survivors(kept.select("doc_id"), pairs).select(
         "doc_id", F.lit(1).alias("_s")
     )
     base = d.select(
